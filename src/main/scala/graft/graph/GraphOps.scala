@@ -1,0 +1,86 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Directed-graph data model (SURVEY.md §1, D1-D3).
+  *
+  * The reference (joezie/Personalized-PageRank-Algorithms-on-Neo4j) loads a
+  * Neo4j store into an in-memory adjacency snapshot once per run
+  * (`PPR.java:136-152`). Here the graph is two DataFrames:
+  *
+  *   edges(src: LONG, dst: LONG)   — directed, deduplicated
+  *   nodes(id: LONG)               — every id appearing as src or dst
+  *
+  * plus derived degree DataFrames, and a compact CSR snapshot
+  * ([[Csr]]) for the per-task kernels (random walks, batched
+  * per-source push/iteration). The CSR is the Spark analogue of the
+  * reference's "HeavyGraph" jagged adjacency arrays
+  * (`Monte_Carlo.java:85` needs O(1) random neighbor access): it is built
+  * once, broadcast, and read-only. At 100 TB relational scale the *graph*
+  * side of this workload is still small relative to executor memory for
+  * up to ~1e9 edges (8 GB of ints); beyond that the DataFrame superstep
+  * path (no CSR) is the scale route — both are provided.
+  */
+object GraphOps {
+
+  /** Out-degrees as a DataFrame `(id LONG, deg LONG)`. One shuffle; cache it
+    * alongside `edges` — every kernel joins against it (SURVEY §2.4 A1).
+    */
+  def outDegrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+
+  def inDegrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("deg"))
+
+  /** All node ids appearing on either side of an edge: `(id LONG)`. */
+  def nodeIds(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+
+  /** Undirected graphs are modeled as two directed edges
+    * (SURVEY §1.4.5; the reference's GOT CSV stores each relation once and
+    * Neo4j traverses both directions). Union + distinct = one shuffle.
+    */
+  def symmetrize(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+
+  /** Deterministic benchmark graph derived from the lineitem table
+    * (TESTDATA.md): `src = l_orderkey % mod`, `dst = l_partkey % mod`,
+    * self-loops dropped, deduplicated. Exactly reproducible in the DuckDB
+    * oracle, which is why SparkEntry's graph queries build on it.
+    */
+  def lineitemGraph(spark: SparkSession, sfDir: String, mod: Int = 997): DataFrame = {
+    val li = graft.Tables(spark, sfDir, "lineitem")
+    li.select(
+        (col("l_orderkey") % mod).as("src"),
+        (col("l_partkey") % mod).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** SQL text of [[lineitemGraph]] for DuckDB oracles. */
+  def lineitemGraphSql(mod: Int = 997): String =
+    s"SELECT DISTINCT l_orderkey % $mod AS src, l_partkey % $mod AS dst " +
+      s"FROM lineitem WHERE (l_orderkey % $mod) <> (l_partkey % $mod)"
+
+  /** Collect `edges` into a CSR snapshot on the driver (caller broadcasts).
+    * Only legal when the graph fits driver memory — the kernels that use it
+    * (walks, batched per-source iteration) state that contract. Neighbor
+    * lists are sorted by target id so every kernel is deterministic
+    * regardless of shuffle order.
+    */
+  def buildCsr(edges: DataFrame): Csr = {
+    val rows = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect()
+    val pairs = new Array[(Long, Long)](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      pairs(i) = (rows(i).getLong(0), rows(i).getLong(1)); i += 1
+    }
+    Csr.fromEdges(pairs)
+  }
+}

@@ -1,0 +1,172 @@
+package graft.ppr
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.{Csr, GraphOps}
+
+/** K1 — Power iteration, the exact PPR oracle (SURVEY §2.8 K1; reference
+  * `Power_Method.java:44-101`): fixed synchronous iterations; each round
+  * moves alpha·r(v) to the reserve (final score) and distributes
+  * (1-alpha)·r(v)/outdeg(v) along out-edges; a dangling node (outdeg 0)
+  * returns its (1-alpha)·r mass to the SOURCE — the restart-at-source
+  * convention of SURVEY §1.4.1, not teleport-to-uniform.
+  *
+  * Two physical strategies:
+  *
+  *  - [[run]]: distributed DataFrame superstep loop — one shuffle per
+  *    iteration (join edges + groupBy dst). Scales to graphs that do not
+  *    fit in memory; lineage truncated by localCheckpoint.
+  *
+  *  - [[batch]]: many sources at once over a broadcast [[Csr]] — each task
+  *    runs the dense-array kernel for a slice of sources, zero shuffles
+  *    until the final union. This is the 100 TB-shaped strategy whenever
+  *    the GRAPH is broadcastable (≲1e9 edges) and the work to distribute is
+  *    sources × nodes, which is exactly the reference's batch/all-pair
+  *    usage (`Gen_Util.java:109-257` runs 50 sources per data point).
+  */
+object PowerIteration {
+
+  /** Distributed single-source power iteration.
+    * Returns `(node_id LONG, score DOUBLE)`, absent row = 0.
+    */
+  def run(
+      spark: SparkSession,
+      edges: DataFrame,
+      source: Long,
+      alpha: Double = 0.15,
+      iterations: Int = 100,
+      checkpointEvery: Int = 10): DataFrame = {
+    import spark.implicits._
+
+    val deg = GraphOps.outDegrees(edges).persist()
+    val e = edges.persist()
+
+    var residue = Seq((source, 1.0)).toDF("id", "r")
+    // acc accumulates Σ_it residue_it; reserve = alpha * acc at the end.
+    var acc = residue
+
+    var it = 0
+    while (it < iterations) {
+      val pushed = residue
+        .join(deg, Seq("id"))
+        .join(e, residue("id") === e("src"))
+        .select(col("dst").as("id"),
+          (lit(1.0 - alpha) * col("r") / col("deg")).as("r"))
+      val dangling = residue
+        .join(deg, Seq("id"), "left_anti")
+        .select(lit(source).as("id"), (lit(1.0 - alpha) * col("r")).as("r"))
+      residue = pushed.union(dangling).groupBy("id").agg(sum("r").as("r"))
+      it += 1
+      if (it < iterations) {
+        acc = acc.union(residue).groupBy("id").agg(sum("r").as("r"))
+        if (it % checkpointEvery == 0) {
+          residue = residue.localCheckpoint(true)
+          acc = acc.localCheckpoint(true)
+        }
+      }
+    }
+    val out = acc.select(col("id").as("node_id"),
+      (lit(alpha) * col("r")).as("score"))
+    deg.unpersist(); e.unpersist()
+    out
+  }
+
+  /** Dense-array kernel: PPR vector for one source over a CSR snapshot.
+    * Exactly the reference loop shape, O(iterations · edges-touched).
+    */
+  def runLocal(csr: Csr, sourceDense: Int, alpha: Double, iterations: Int): Array[Double] = {
+    val n = csr.numNodes
+    var residue = new Array[Double](n)
+    residue(sourceDense) = 1.0
+    val reserve = new Array[Double](n)
+    var it = 0
+    while (it < iterations) {
+      val next = new Array[Double](n)
+      var v = 0
+      while (v < n) {
+        val r = residue(v)
+        if (r != 0.0) {
+          reserve(v) += alpha * r
+          val d = csr.outDegree(v)
+          if (d > 0) {
+            val share = (1.0 - alpha) * r / d
+            csr.foreachNeighbor(v)(u => next(u) += share)
+          } else {
+            next(sourceDense) += (1.0 - alpha) * r
+          }
+        }
+        v += 1
+      }
+      residue = next
+      it += 1
+    }
+    reserve
+  }
+
+  /** Batched multi-source PPR over a broadcast CSR: one task per slice of
+    * sources, no per-iteration shuffle. Returns
+    * `(src LONG, node_id LONG, score DOUBLE)` with zero scores omitted.
+    */
+  def batch(
+      spark: SparkSession,
+      csr: Csr,
+      sources: Seq[Long],
+      alpha: Double = 0.15,
+      iterations: Int = 100,
+      slices: Int = 0): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(csr)
+    val nSlices = if (slices > 0) slices
+      else math.min(math.max(1, sources.length), spark.sparkContext.defaultParallelism)
+    spark.sparkContext
+      .parallelize(sources, nSlices)
+      .flatMap { s =>
+        val g = bc.value
+        val sd = g.denseOf(s)
+        if (sd < 0) Iterator.empty
+        else {
+          val scores = runLocal(g, sd, alpha, iterations)
+          scores.iterator.zipWithIndex.collect {
+            case (p, v) if p != 0.0 => (s, g.originalOf(v), p)
+          }
+        }
+      }
+      .toDF("src", "node_id", "score")
+  }
+
+  /** DuckDB oracle: the identical computation as unrolled SQL (one CTE per
+    * iteration, state keyed by (src, id)). Usable because iterations are
+    * fixed and the dangling rule is a LEFT JOIN — SURVEY §5.2.3.
+    * `graphSql` must yield (src, dst). Output: (src, node_id, score).
+    */
+  def oracleSqlMulti(graphSql: String, sources: Seq[Long], alpha: Double,
+      iterations: Int, roundTo: Int = 9): String = {
+    val push = 1.0 - alpha
+    val values = sources.map(s => s"($s)").mkString(", ")
+    val sb = new StringBuilder
+    sb ++= s"WITH edges AS ($graphSql),\n"
+    sb ++= "deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),\n"
+    sb ++= s"srcs(s) AS (VALUES $values),\n"
+    sb ++= "r0 AS (SELECT CAST(s AS BIGINT) AS s, CAST(s AS BIGINT) AS id, " +
+      "CAST(1.0 AS DOUBLE) AS r FROM srcs),\n"
+    for (i <- 1 until iterations) {
+      val prev = s"r${i - 1}"
+      sb ++= s"r$i AS (SELECT s, id, sum(r) AS r FROM (" +
+        s"SELECT t.s, e.dst AS id, $push * t.r / d.deg AS r FROM $prev t " +
+        s"JOIN deg d ON d.id = t.id JOIN edges e ON e.src = t.id " +
+        s"UNION ALL " +
+        s"SELECT t.s, t.s AS id, $push * t.r AS r FROM $prev t " +
+        s"LEFT JOIN deg d ON d.id = t.id WHERE d.id IS NULL) GROUP BY s, id),\n"
+    }
+    val unions = (0 until iterations).map(i => s"SELECT * FROM r$i").mkString(" UNION ALL ")
+    sb ++= s"acc AS ($unions)\n"
+    sb ++= s"SELECT s AS src, id AS node_id, round($alpha * sum(r), $roundTo) AS score " +
+      "FROM acc GROUP BY s, id"
+    sb.toString
+  }
+
+  /** Single-source variant of [[oracleSqlMulti]]: (node_id, score). */
+  def oracleSql(graphSql: String, source: Long, alpha: Double, iterations: Int,
+      roundTo: Int = 9): String =
+    s"SELECT node_id, score FROM (${oracleSqlMulti(graphSql, Seq(source), alpha, iterations, roundTo)})"
+}

@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator coverage (SURVEY §2.1/2.2/2.3/2.5/2.6): scans,
+  * filter/projection with pushdown, equi joins (broadcast + shuffle),
+  * semi/anti joins, hash aggregation, window-based tie-inclusive top-k.
+  *
+  * Every aggregate of a DOUBLE column is rounded identically on the Spark
+  * and DuckDB sides: summation order differs between engines, so raw
+  * aggregate doubles would hash-mismatch; row-level arithmetic is left
+  * unrounded (bit-identical in both engines).
+  */
+object Relational {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1-S5 + A1-A5 analogue: hash aggregate with partial (map-side) agg.
+    "q1_agg" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // J1-style equi joins; customer/orders are the small sides → broadcast.
+    "q2_join_topk" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(10)
+    }),
+
+    // P1/P2: filter + projection — both must reach the parquet scan.
+    "q3_filter_proj" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-04-01").cast("timestamp") &&
+          col("l_discount") > 0.05)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").cast("date").cast("string").as("ship_date"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"))
+    }),
+
+    // T2: tie-inclusive top-k via RANK (not ROW_NUMBER) — SURVEY §2.5.
+    "q4_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc)
+      Tables(s, dir, "orders")
+        .withColumn("rk", rank().over(w))
+        .where(col("rk") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+    }),
+
+    // J4: left-semi join (EXISTS).
+    "q5_semi_join" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+        .where(col("o_totalprice") > 100000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // anti join (NOT EXISTS).
+    "q6_anti_join" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // multi-way star join + grouped agg over dims (P5/J5 name-lookup shape).
+    "q7_star_join" -> ((s, dir) => {
+      val su = Tables(s, dir, "supplier")
+      val na = Tables(s, dir, "nation")
+      val re = Tables(s, dir, "region")
+      val li = Tables(s, dir, "lineitem")
+      li.join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(na), su("s_nationkey") === na("n_nationkey"))
+        .join(broadcast(re), na("n_regionkey") === re("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("total_price"),
+          count(lit(1)).as("n_items"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_topk" ->
+      """SELECT c_custkey, c_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 10""".stripMargin,
+    "q3_filter_proj" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date,
+        | l_extendedprice * (1.0 - l_discount) AS net_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1995-04-01' AND l_discount > 0.05""".stripMargin,
+    "q4_window_rank" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+        | SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rk
+        | FROM orders) WHERE rk <= 3""".stripMargin,
+    "q5_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)""".stripMargin,
+    "q6_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q7_star_join" ->
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice), 2) AS total_price, count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin
+  )
+}
