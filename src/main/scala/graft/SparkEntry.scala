@@ -21,9 +21,17 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.queries.Graph.queries
+      graft.queries.Graph.queries ++
+      graft.queries.Text.queries ++
+      graft.queries.Embeddings.queries ++
+      graft.queries.Events.queries ++
+      graft.queries.Media.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
-      graft.queries.Graph.oracleSql
+      graft.queries.Graph.oracleSql ++
+      graft.queries.Text.oracleSql ++
+      graft.queries.Embeddings.oracleSql ++
+      graft.queries.Events.oracleSql ++
+      graft.queries.Media.oracleSql
 }

@@ -1,0 +1,44 @@
+package graft.ppr
+
+import org.apache.spark.graphx.{Edge, Graph => XGraph}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** K10 — library-PageRank wrapper (SURVEY §2.8 K10; reference
+  * `Neo4j_Method.java:67-99` delegates to Neo4j's PageRankAlgorithm and
+  * then normalizes by Σπ).
+  *
+  * Spark's counterpart is GraphX `staticPersonalizedPageRank`. Semantic
+  * deltas, mirrored from the reference's own caveats:
+  *   - α convention: our `alpha` is the STOP probability; GraphX's
+  *     `resetProb` is the same convention (restart mass to the source), so
+  *     NO 1-α flip is needed here, unlike Neo4j's damping factor
+  *     (`Neo4j_Method.java:75`).
+  *   - dangling nodes: GraphX lets dangling mass vanish (no
+  *     restart-to-source), so totals need the same Σπ normalization the
+  *     reference applies (A6, `Neo4j_Method.java:80-99`).
+  * Like the reference's Neo4j baseline, ranks are comparable but absolute
+  * errors are large vs power iteration — only rank order is asserted
+  * (Dissertation §5.3).
+  */
+object GraphXPpr {
+
+  /** Personalized PageRank via GraphX; returns (node_id, score) normalized
+    * to Σ=1, zero rows omitted.
+    */
+  def run(
+      spark: SparkSession,
+      edges: DataFrame,
+      source: Long,
+      alpha: Double = 0.15,
+      iterations: Int = 25): DataFrame = {
+    import spark.implicits._
+    val edgeRdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
+    val g = XGraph.fromEdges(edgeRdd, ())
+    val ranks = g.staticPersonalizedPageRank(source, iterations, alpha).vertices
+    val df = ranks.toDF("node_id", "score").where(col("score") > 0.0)
+    val total = df.agg(sum("score")).head.getDouble(0)
+    df.select(col("node_id"), (col("score") / lit(total)).as("score"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.ppr
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** A7-A9 — estimate-vs-oracle quality metrics (SURVEY §2.4; reference
+  * `Gen_Util.java:271-321`). All operate on per-source score tables
+  * `(src, node_id, score)` so a 50-source batch evaluates in one pass —
+  * the reference loops per query (`Gen_Util.java:109-257`).
+  */
+object Metrics {
+
+  /** A9 — max |est − gnd| per src over the GROUND-TRUTH support (missing
+    * estimate = 0.0; reference `Gen_Util.java:306-321` iterates gnd keys).
+    * Output: (src, max_err).
+    */
+  def maxAbsErr(gnd: DataFrame, est: DataFrame): DataFrame = {
+    val g = gnd.select(col("src"), col("node_id"), col("score").as("g"))
+    val e = est.select(col("src"), col("node_id"), col("score").as("e"))
+    g.join(e, Seq("src", "node_id"), "left_outer")
+      .na.fill(0.0, Seq("e"))
+      .groupBy("src")
+      .agg(max(abs(col("g") - col("e"))).as("max_err"))
+  }
+
+  /** Tie-inclusive top-k per src (T2): rows with rank ≤ k under
+    * (score DESC); RANK not ROW_NUMBER, so score ties at the boundary are
+    * all kept (reference `Forward_Push.java:413-429`).
+    */
+  def topK(scores: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("src")).orderBy(col("score").desc)
+    scores.withColumn("rk", rank().over(w)).where(col("rk") <= k).drop("rk")
+  }
+
+  /** A7 — precision@k per src: |est_topk ∩ gnd_topk| / |gnd_topk|
+    * (reference `Gen_Util.java:271-279`). Inputs are full score tables;
+    * top-k sets are derived tie-inclusively here.
+    */
+  def precisionAtK(gnd: DataFrame, est: DataFrame, k: Int): DataFrame = {
+    val gk = topK(gnd, k).select(col("src"), col("node_id"))
+    val ek = topK(est, k).select(col("src"), col("node_id"))
+    val inter = gk.join(ek, Seq("src", "node_id"), "left_semi")
+      .groupBy("src").agg(count(lit(1)).as("hit"))
+    gk.groupBy("src").agg(count(lit(1)).as("tot"))
+      .join(inter, Seq("src"), "left_outer")
+      .na.fill(0L, Seq("hit"))
+      .select(col("src"), (col("hit") / col("tot")).as("precision"))
+  }
+
+  /** A8 — NDCG@k per src with gains 2^π−1 against ground-truth scores and
+    * ideal ordering (reference `Gen_Util.java:280-300`): DCG sums the
+    * GROUND-TRUTH gain of the estimate's top-k in estimate order; Z_k is
+    * the same sum over the ground truth's own top-k.
+    * Output: (src, ndcg).
+    */
+  def ndcgAtK(gnd: DataFrame, est: DataFrame, k: Int): DataFrame = {
+    val g = gnd.select(col("src"), col("node_id"), col("score").as("g"))
+    def dcg(ranked: DataFrame, gainCol: Column): DataFrame = {
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("score").desc, col("node_id").asc)
+      ranked.withColumn("pos", row_number().over(w))
+        .where(col("pos") <= k)
+        .withColumn("gain", gainCol)
+        .groupBy("src")
+        .agg(sum(col("gain") / log2(col("pos") + 1)).as("dcg"))
+    }
+    // estimate order, ground-truth gains (missing gnd score = gain 0).
+    val estRanked = est.join(g, Seq("src", "node_id"), "left_outer")
+      .na.fill(0.0, Seq("g"))
+    val dcgEst = dcg(estRanked, pow(lit(2.0), col("g")) - 1.0)
+      .withColumnRenamed("dcg", "dcg_est")
+    val dcgIdeal = dcg(g.withColumn("score", col("g")),
+        pow(lit(2.0), col("g")) - 1.0)
+      .withColumnRenamed("dcg", "dcg_ideal")
+    dcgEst.join(dcgIdeal, Seq("src"))
+      .select(col("src"), (col("dcg_est") / col("dcg_ideal")).as("ndcg"))
+  }
+
+  /** A10 — batch averages over sources: one row
+    * (avg_precision, avg_ndcg, avg_max_err), the reference's per-grid-point
+    * log row (`Gen_Util.java:168-179`).
+    */
+  def summary(gnd: DataFrame, est: DataFrame, k: Int): DataFrame =
+    precisionAtK(gnd, est, k)
+      .join(ndcgAtK(gnd, est, k), Seq("src"))
+      .join(maxAbsErr(gnd, est), Seq("src"))
+      .agg(avg("precision").as("avg_precision"),
+        avg("ndcg").as("avg_ndcg"),
+        avg("max_err").as("avg_max_err"))
+}

@@ -35,7 +35,7 @@ object PowerIteration {
       source: Long,
       alpha: Double = 0.15,
       iterations: Int = 100,
-      checkpointEvery: Int = 10): DataFrame = {
+      checkpointEvery: Int = 2): DataFrame = {
     import spark.implicits._
 
     val deg = GraphOps.outDegrees(edges).persist()
@@ -144,14 +144,14 @@ object PowerIteration {
     val push = 1.0 - alpha
     val values = sources.map(s => s"($s)").mkString(", ")
     val sb = new StringBuilder
-    sb ++= s"WITH edges AS ($graphSql),\n"
-    sb ++= "deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),\n"
+    sb ++= s"WITH edges AS MATERIALIZED ($graphSql),\n"
+    sb ++= "deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),\n"
     sb ++= s"srcs(s) AS (VALUES $values),\n"
     sb ++= "r0 AS (SELECT CAST(s AS BIGINT) AS s, CAST(s AS BIGINT) AS id, " +
       "CAST(1.0 AS DOUBLE) AS r FROM srcs),\n"
     for (i <- 1 until iterations) {
       val prev = s"r${i - 1}"
-      sb ++= s"r$i AS (SELECT s, id, sum(r) AS r FROM (" +
+      sb ++= s"r$i AS MATERIALIZED (SELECT s, id, sum(r) AS r FROM (" +
         s"SELECT t.s, e.dst AS id, $push * t.r / d.deg AS r FROM $prev t " +
         s"JOIN deg d ON d.id = t.id JOIN edges e ON e.src = t.id " +
         s"UNION ALL " +

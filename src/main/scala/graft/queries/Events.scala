@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event-stream operators over the `events` table: tumbling-window
+  * aggregation and gap-based sessionization. These are the BATCH
+  * definitions (SQL-expressible, oracle-checked); the streaming
+  * equivalents with watermarks / mapGroupsWithState live in
+  * [[graft.streaming.EventStreams]] and are asserted equal to these on
+  * the same data in ScalaTest.
+  *
+  * Scale shape: both queries shuffle once on their natural key (window ×
+  * type, user) and aggregate with partial map-side combine. Timestamps
+  * are emitted as formatted strings so the cross-engine compare is
+  * precision-independent.
+  */
+object Events {
+
+  val GapSeconds = 1800 // 30-min session gap
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour window per event_type.
+    "ev_window" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hr"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+    }),
+
+    // Gap-based sessionization: a new session starts when the gap from the
+    // previous event of the same user exceeds GapSeconds.
+    "ev_sessions" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      Tables(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("double") - col("prev_ts").cast("double") > GapSeconds, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"),
+          round(max(col("ts").cast("double")) - min(col("ts").cast("double")), 6)
+            .as("duration_sec"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ev_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hr, event_type,
+        | count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "ev_sessions" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, value,
+         |   CASE WHEN lag(ts) OVER w IS NULL
+         |     OR epoch(ts) - epoch(lag(ts) OVER w) > $GapSeconds THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |sess AS (
+         |  SELECT user_id, ts, value,
+         |   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         |     ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM flagged)
+         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+         | round(sum(value), 2) AS sum_value,
+         | round(max(epoch(ts)) - min(epoch(ts)), 6) AS duration_sec
+         |FROM sess GROUP BY user_id, session_id""".stripMargin
+  )
+}

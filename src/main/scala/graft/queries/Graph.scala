@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.graph.GraphOps
-import graft.ppr.PowerIteration
+import graft.ppr.{Base, BackwardSearch, ForwardPush, Fora, Metrics, MonteCarlo, PowerIteration}
 
 /** Graph/PPR operator coverage over the deterministic lineitem-derived
   * benchmark graph (see [[GraphOps.lineitemGraph]]). Power iteration is the
@@ -21,6 +21,18 @@ object Graph {
   val SingleSource = 1L
   val BatchSources: Seq[Long] = Seq(1L, 2L, 3L, 5L, 8L)
   val TopK = 10
+
+  // Forward/backward push parameters (fixed supersteps → deterministic BSP
+  // schedule, replayed exactly by the unrolled-SQL oracles).
+  val PushRmax = 1e-5
+  val PushSupersteps = 20
+  // BASE all-pair runs on a smaller graph (mod 101) so the all-targets
+  // DuckDB oracle stays cheap; threshold applied on the ROUNDED score on
+  // both sides to avoid boundary flapping.
+  val BaseMod = 101
+  val BaseRmax = 1e-4
+  val BaseSupersteps = 12
+  val BaseThreshold = 1e-4
 
   private def graphSql: String = GraphOps.lineitemGraphSql(Mod)
 
@@ -54,12 +66,122 @@ object Graph {
         .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
       val w = Window.partitionBy(col("src")).orderBy(col("score").desc)
       ppr.withColumn("rk", rank().over(w)).where(col("rk") <= TopK)
+    }),
+
+    // K2: forward push, batched BSP over broadcast CSR (fixed supersteps).
+    "g_fwdpush" -> ((s, dir) => {
+      val csr = GraphOps.buildCsr(GraphOps.lineitemGraph(s, dir, Mod))
+      ForwardPush.batch(s, csr, BatchSources, Alpha, PushRmax, PushSupersteps)
+        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
+        .where(col("score") =!= 0.0)
+    }),
+
+    // K8: backward search (PPR column per target), batched over targets.
+    "g_bwdsearch" -> ((s, dir) => {
+      val edges = GraphOps.lineitemGraph(s, dir, Mod)
+      val csr = GraphOps.buildCsr(edges)
+      val rcsr = GraphOps.buildCsr(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val fwdDeg = Array.tabulate(rcsr.numNodes) { v =>
+        val d = csr.denseOf(rcsr.originalOf(v))
+        if (d < 0) 0 else csr.outDegree(d)
+      }
+      BackwardSearch.batch(s, rcsr, fwdDeg, BatchSources, Alpha, PushRmax,
+          PushSupersteps)
+        .select(col("dst"), col("node_id"), round(col("score"), 9).as("score"))
+        .where(col("score") =!= 0.0)
+    }),
+
+    // K9: BASE all-pair preprocessing table (threshold on rounded score).
+    "g_base_allpair" -> ((s, dir) => {
+      val edges = GraphOps.lineitemGraph(s, dir, BaseMod)
+      Base.allPairs(s, edges, Alpha, BaseRmax, BaseSupersteps)
+        .select(col("src"), col("dst"), round(col("score"), 9).as("score"))
+        .where(col("score") >= BaseThreshold)
+    }),
+
+    // K5: seeded Monte-Carlo SSPPR — deterministic given the seed but not
+    // SQL-expressible; driver records a rows-only check, the statistical
+    // bound vs power iteration is asserted in MonteCarloSpec.
+    "g_mc_ppr" -> ((s, dir) => {
+      val csr = GraphOps.buildCsr(GraphOps.lineitemGraph(s, dir, Mod))
+      MonteCarlo.sspprBatch(s, csr, BatchSources, Alpha, epsilon = 0.5)
+    }),
+
+    // K6: FORA whole-graph (push + residual walks), seeded; rows-only.
+    "g_fora_ppr" -> ((s, dir) => {
+      val csr = GraphOps.buildCsr(GraphOps.lineitemGraph(s, dir, Mod))
+      Fora.batch(s, csr, BatchSources, Fora.Conf(alpha = Alpha, epsilon = 0.5))
+    }),
+
+    // K7: FORA top-k (tie-inclusive), seeded; rows-only.
+    "g_fora_topk" -> ((s, dir) => {
+      val csr = GraphOps.buildCsr(GraphOps.lineitemGraph(s, dir, Mod))
+      Fora.topkBatch(s, csr, BatchSources, TopK,
+        Fora.Conf(alpha = Alpha, epsilon = 0.5))
+    }),
+
+    // A9/J3: max-abs-error of forward push vs the power-iteration ground
+    // truth, per source — outer-join semantics with missing = 0.0.
+    "g_metrics_err" -> ((s, dir) => {
+      val csr = GraphOps.buildCsr(GraphOps.lineitemGraph(s, dir, Mod))
+      val gnd = PowerIteration.batch(s, csr, BatchSources, Alpha, Iters)
+        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
+      val est = ForwardPush.batch(s, csr, BatchSources, Alpha, PushRmax, PushSupersteps)
+        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
+        .where(col("score") =!= 0.0)
+      Metrics.maxAbsErr(gnd, est)
+        .select(col("src"), round(col("max_err"), 9).as("max_err"))
+    }),
+
+    // A7/J4: tie-inclusive precision@k of forward push vs power iteration.
+    "g_metrics_precision" -> ((s, dir) => {
+      val csr = GraphOps.buildCsr(GraphOps.lineitemGraph(s, dir, Mod))
+      val gnd = PowerIteration.batch(s, csr, BatchSources, Alpha, Iters)
+        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
+      val est = ForwardPush.batch(s, csr, BatchSources, Alpha, PushRmax, PushSupersteps)
+        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
+        .where(col("score") =!= 0.0)
+      Metrics.precisionAtK(gnd, est, TopK)
+        .select(col("src"), round(col("precision"), 9).as("prec"))
     })
   )
 
   def oracleSql: Map[String, String] = {
     val multi = PowerIteration.oracleSqlMulti(graphSql, BatchSources, Alpha, Iters)
+    val fwd = ForwardPush.oracleSqlMulti(
+      graphSql, BatchSources, Alpha, PushRmax, PushSupersteps)
+    val targetsValues =
+      "SELECT CAST(t AS BIGINT) AS t FROM (VALUES " +
+        BatchSources.map(s => s"($s)").mkString(", ") + ") v(t)"
+    val errSql =
+      s"""WITH gnd AS ($multi), est AS ($fwd)
+         |SELECT g.src, round(max(abs(g.score - coalesce(e.score, 0.0))), 9) AS max_err
+         |FROM gnd g LEFT JOIN est e ON e.src = g.src AND e.node_id = g.node_id
+         |GROUP BY g.src""".stripMargin
+    val precSql =
+      s"""WITH gnd AS ($multi), est AS ($fwd),
+         |gk AS (SELECT src, node_id FROM (SELECT src, node_id,
+         |  rank() OVER (PARTITION BY src ORDER BY score DESC) AS rk FROM gnd)
+         |  WHERE rk <= $TopK),
+         |ek AS (SELECT src, node_id FROM (SELECT src, node_id,
+         |  rank() OVER (PARTITION BY src ORDER BY score DESC) AS rk FROM est)
+         |  WHERE rk <= $TopK),
+         |hit AS (SELECT gk.src, count(*) AS hit FROM gk
+         |  JOIN ek ON ek.src = gk.src AND ek.node_id = gk.node_id GROUP BY gk.src),
+         |tot AS (SELECT src, count(*) AS tot FROM gk GROUP BY src)
+         |SELECT t.src, round(CAST(coalesce(h.hit, 0) AS DOUBLE) / t.tot, 9) AS prec
+         |FROM tot t LEFT JOIN hit h ON h.src = t.src""".stripMargin
     Map(
+      "g_metrics_err" -> errSql,
+      "g_metrics_precision" -> precSql,
+      "g_fwdpush" -> ForwardPush.oracleSqlMulti(
+        graphSql, BatchSources, Alpha, PushRmax, PushSupersteps),
+      "g_bwdsearch" -> BackwardSearch.oracleSqlMulti(
+        graphSql, targetsValues, Alpha, PushRmax, PushSupersteps),
+      "g_base_allpair" -> Base.oracleSql(
+        GraphOps.lineitemGraphSql(BaseMod), Alpha, BaseRmax, BaseSupersteps,
+        BaseThreshold),
       "g_edges" -> graphSql,
       "g_degree" -> s"SELECT src AS id, count(*) AS deg FROM ($graphSql) GROUP BY src",
       "g_power_ppr" -> PowerIteration.oracleSql(graphSql, SingleSource, Alpha, Iters),

@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.TextOps
+import graft.text.TextOps.{P, TokMul, K, Bands, RowsPerBand}
+
+/** Training-data pipeline operators over the `documents` table (beyond-
+  * reference roadmap, SURVEY §7.5): token counting, fingerprinting,
+  * quality scoring, language ID, exact dedup, MinHash+LSH near-dup,
+  * SimHash. Spark expression and DuckDB oracle are generated from the
+  * same [[TextOps]] constants, so integer hash outputs match exactly;
+  * ratio outputs are rounded identically on both sides.
+  */
+object Text {
+
+  private def stop(qs: String) =
+    TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokens + BPE-ish regex pieces.
+    "d_tokens" -> ((s, dir) => {
+      Tables(s, dir, "documents").selectExpr(
+        "doc_id",
+        s"size(${TextOps.spark.tokens("text")}) AS n_ws",
+        // Spark SQL string literals eat lone backslashes; DuckDB's do not.
+        s"size(regexp_extract_all(lower(text), '${TextOps.BpeRegex.replace("\\", "\\\\")}', 0)) AS n_bpe")
+    }),
+
+    // Document fingerprint: rolling hash over token hashes.
+    "d_fingerprint" -> ((s, dir) => {
+      Tables(s, dir, "documents").selectExpr(
+        "doc_id",
+        s"${TextOps.spark.fingerprint("text")} AS fp")
+    }),
+
+    // Quality scoring: length/stopword/punctuation components + composite.
+    "d_quality" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .selectExpr(
+          "doc_id",
+          s"${TextOps.spark.tokens("text")} AS toks",
+          "CAST(length(text) AS DOUBLE) AS n_chars_d",
+          s"CAST(length(regexp_replace(text, '[a-z0-9\\\\s]', '')) AS DOUBLE) AS punct_cnt")
+        .selectExpr(
+          "doc_id",
+          "size(toks) AS n_tokens",
+          s"round(CAST(size(filter(toks, t -> array_contains(array(${stop("")}), t))) AS DOUBLE) / size(toks), 6) AS stop_ratio",
+          "round(punct_cnt / n_chars_d, 6) AS punct_ratio",
+          "round(n_chars_d / size(toks), 6) AS avg_tok_len")
+        .selectExpr(
+          "doc_id", "n_tokens", "stop_ratio", "punct_ratio", "avg_tok_len",
+          "round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio) * (0.5 + stop_ratio), 6) AS quality")
+    }),
+
+    // Language ID: marker-word scores per language, deterministic argmax.
+    "d_langid" -> ((s, dir) => {
+      val scoreCols = TextOps.LangMarkers.map { case (lang, ws) =>
+        val arr = ws.map(w => s"'$w'").mkString(", ")
+        s"size(filter(toks, t -> array_contains(array($arr), t))) AS s_$lang"
+      }
+      val langs = TextOps.LangMarkers.map(_._1)
+      val caseChain = langs.zipWithIndex.map { case (l, i) =>
+        val geAll = langs.filterNot(_ == l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        if (i < langs.length - 1) s"WHEN $geAll THEN '$l'" else s"ELSE '$l'"
+      }.mkString("CASE ", " ", " END")
+      Tables(s, dir, "documents")
+        .selectExpr("doc_id", s"${TextOps.spark.tokens("text")} AS toks")
+        .selectExpr(Seq("doc_id") ++ scoreCols: _*)
+        .selectExpr("doc_id", s"$caseChain AS lang_pred")
+    }),
+
+    // Exact dedup: group identical texts, keep the lowest doc_id.
+    "d_dedup_exact" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+    }),
+
+    // MinHash band signatures (the LSH bucketing key material).
+    "d_minhash" -> ((s, dir) => minhashBands(s, dir)),
+
+    // LSH candidate pairs + exact shingle-Jaccard verification.
+    "d_lsh_pairs" -> ((s, dir) => {
+      val sh = shingleDf(s, dir).cache()
+      val bands = minhashBands(s, dir)
+      val stacked = bands.selectExpr("doc_id",
+        s"stack($Bands, ${(0 until Bands).map(b => s"$b, b$b").mkString(", ")}) AS (band, bh)")
+      val cand = stacked.as("x").join(stacked.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .selectExpr("doc_a", "doc_b",
+          "round(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / size(array_union(sh_a, sh_b)), 6) AS jac")
+        .where(col("jac") >= 0.3)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+    }),
+
+    // SimHash (32-bit, bit-majority over token hashes incl. duplicates).
+    "d_simhash" -> ((s, dir) => {
+      val hs = Tables(s, dir, "documents")
+        .selectExpr("doc_id", s"explode(${TextOps.spark.tokenHashes("text")}) AS h")
+      val bitSums = (0 until 32).map(b =>
+        expr(s"sum(CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END)").as(s"bit$b"))
+      val combine = (0 until 32)
+        .map(b => s"CASE WHEN bit$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" + ")
+      hs.groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .selectExpr("doc_id", s"$combine AS simhash")
+    })
+  )
+
+  /** doc_id + distinct shingle-hash array. */
+  private def shingleDf(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .selectExpr("doc_id", s"${TextOps.spark.tokenHashes("text")} AS hs")
+      .selectExpr("doc_id", s"${TextOps.spark.shinglesFromHashes("hs")} AS sh")
+
+  /** doc_id + `Bands` band-hash columns b0..b{Bands-1}. */
+  private def minhashBands(s: SparkSession, dir: String): DataFrame = {
+    val sig = shingleDf(s, dir).selectExpr(
+      Seq("doc_id") ++
+        (0 until K).map(j => s"${TextOps.spark.minhash("sh", j)} AS m$j"): _*)
+    val bandCols = (0 until Bands).map { b =>
+      val lo = b * RowsPerBand
+      val e = (lo until lo + RowsPerBand)
+        .map(j => s"m$j")
+        .reduceLeft((acc, x) => s"(($acc) * $TokMul + $x) % $P")
+      s"$e AS b$b"
+    }
+    sig.selectExpr(Seq("doc_id") ++ bandCols: _*)
+  }
+
+  // --------------------------------------------------------------- oracle
+
+  private def duckShingleCte: String =
+    s"""hs_t AS (SELECT doc_id, ${TextOps.duck.tokenHashes("text")} AS hs FROM documents),
+       |sh_t AS (SELECT doc_id, ${TextOps.duck.shinglesFromHashes("hs")} AS sh FROM hs_t)""".stripMargin
+
+  private def duckBandCte: String = {
+    val sigCols = (0 until K)
+      .map(j => s"${TextOps.duck.minhash("sh", j)} AS m$j").mkString(", ")
+    val bandCols = (0 until Bands).map { b =>
+      val lo = b * RowsPerBand
+      val e = (lo until lo + RowsPerBand)
+        .map(j => s"m$j")
+        .reduceLeft((acc, x) => s"(($acc) * $TokMul + $x) % $P")
+      s"$e AS b$b"
+    }.mkString(", ")
+    s"""$duckShingleCte,
+       |sig_t AS (SELECT doc_id, $sigCols FROM sh_t),
+       |band_t AS (SELECT doc_id, $bandCols FROM sig_t)""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "d_tokens" ->
+      s"""SELECT doc_id,
+         | len(${TextOps.duck.tokens("text")}) AS n_ws,
+         | len(regexp_extract_all(lower(text), '${TextOps.BpeRegex}')) AS n_bpe
+         |FROM documents""".stripMargin,
+    "d_fingerprint" ->
+      s"SELECT doc_id, ${TextOps.duck.fingerprint("text")} AS fp FROM documents",
+    "d_quality" ->
+      s"""WITH t AS (SELECT doc_id, ${TextOps.duck.tokens("text")} AS toks,
+         |  CAST(length(text) AS DOUBLE) AS n_chars_d,
+         |  CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct_cnt
+         |  FROM documents),
+         |u AS (SELECT doc_id, len(toks) AS n_tokens,
+         |  round(CAST(len(list_filter(toks, t -> list_contains([${stop("")}], t))) AS DOUBLE) / len(toks), 6) AS stop_ratio,
+         |  round(punct_cnt / n_chars_d, 6) AS punct_ratio,
+         |  round(n_chars_d / len(toks), 6) AS avg_tok_len FROM t)
+         |SELECT doc_id, n_tokens, stop_ratio, punct_ratio, avg_tok_len,
+         | round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio) * (0.5 + stop_ratio), 6) AS quality
+         |FROM u""".stripMargin,
+    "d_langid" -> {
+      val scoreCols = TextOps.LangMarkers.map { case (lang, ws) =>
+        val arr = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, t -> list_contains([$arr], t))) AS s_$lang"
+      }.mkString(", ")
+      val langs = TextOps.LangMarkers.map(_._1)
+      val caseChain = langs.zipWithIndex.map { case (l, i) =>
+        val geAll = langs.filterNot(_ == l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        if (i < langs.length - 1) s"WHEN $geAll THEN '$l'" else s"ELSE '$l'"
+      }.mkString("CASE ", " ", " END")
+      s"""WITH t AS (SELECT doc_id, ${TextOps.duck.tokens("text")} AS toks FROM documents),
+         |sc AS (SELECT doc_id, $scoreCols FROM t)
+         |SELECT doc_id, $caseChain AS lang_pred FROM sc""".stripMargin
+    },
+    "d_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+    "d_minhash" ->
+      s"""WITH $duckBandCte
+         |SELECT doc_id, b0, b1, b2, b3 FROM band_t""".stripMargin,
+    "d_lsh_pairs" ->
+      s"""WITH $duckBandCte,
+         |stacked AS (${(0 until Bands).map(b =>
+             s"SELECT doc_id, $b AS band, b$b AS bh FROM band_t")
+             .mkString(" UNION ALL ")}),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM stacked x JOIN stacked y
+         |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b,
+         | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jac
+         |FROM cand JOIN sh_t a ON a.doc_id = doc_a JOIN sh_t b ON b.doc_id = doc_b
+         |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.3""".stripMargin,
+    "d_simhash" -> {
+      val bitSums = (0 until 32)
+        .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bit$b")
+        .mkString(", ")
+      val combine = (0 until 32)
+        .map(b => s"CASE WHEN bit$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" + ")
+      s"""WITH hs_t AS (SELECT doc_id, ${TextOps.duck.tokenHashes("text")} AS hs FROM documents),
+         |ex AS (SELECT doc_id, unnest(hs) AS h FROM hs_t),
+         |bits AS (SELECT doc_id, $bitSums FROM ex GROUP BY doc_id)
+         |SELECT doc_id, $combine AS simhash FROM bits""".stripMargin
+    }
+  )
+}

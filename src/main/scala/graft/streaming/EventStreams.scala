@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming equivalents of the batch event queries
+  * ([[graft.queries.Events]]): windowed aggregation with a watermark, and
+  * gap-based sessionization as custom state over
+  * `flatMapGroupsWithState` (SURVEY §7.5 streaming roadmap).
+  *
+  * The batch queries are the oracle-checked semantics; EventStreamsSpec
+  * feeds the same rows through a MemoryStream and asserts the streaming
+  * results agree.
+  *
+  * Scale shape: state is keyed by (window × type) / user_id — Spark
+  * hash-partitions state across executors; watermarks bound state size.
+  */
+object EventStreams {
+
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  final case class SessionState(
+      sessionId: Long, startUs: Long, lastUs: Long, n: Long, sum: Double)
+
+  final case class Session(
+      user_id: Long, session_id: Long, n_events: Long,
+      sum_value: Double, duration_sec: Double)
+
+  /** Tumbling 1-hour counts per event_type with a 2-hour watermark. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("hr"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based sessionization over per-user state. Emits a session row when
+    * the gap to the next event exceeds `gapSec` (the still-open session per
+    * user stays in state; a real pipeline closes it by event-time timeout).
+    *
+    * Events inside one micro-batch are sorted by ts before folding, so a
+    * single-batch replay is deterministic and equal to the batch query for
+    * all CLOSED sessions.
+    */
+  def sessionize(events: Dataset[Ev], gapSec: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.orNull
+          val closed = Seq.newBuilder[Session]
+          for (e <- sorted) {
+            val inst = e.ts.toInstant
+            val us = inst.getEpochSecond * 1000000L + inst.getNano / 1000
+            if (st == null) {
+              st = SessionState(1L, us, us, 1L, e.value)
+            } else if ((us - st.lastUs) / 1e6 > gapSec) {
+              closed += finish(uid, st)
+              st = SessionState(st.sessionId + 1, us, us, 1L, e.value)
+            } else {
+              st = st.copy(lastUs = us, n = st.n + 1, sum = st.sum + e.value)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.result().iterator
+      }
+  }
+
+  /** Flush the open sessions kept in state (batch-test convenience: the
+    * union of [[sessionize]] output and these equals the batch query).
+    */
+  private def finish(uid: Long, st: SessionState): Session =
+    Session(uid, st.sessionId, st.n,
+      BigDecimal(st.sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      (st.lastUs - st.startUs) / 1e6)
+}

@@ -1,0 +1,144 @@
+package graft.text
+
+/** Text-analysis / dedup building blocks over the `documents` table
+  * (beyond-reference roadmap, SURVEY §7.5): tokenization, rolling-hash
+  * fingerprints, shingles, MinHash+LSH, SimHash, quality and language
+  * heuristics.
+  *
+  * Every operator is defined ONCE as constants here and rendered TWICE —
+  * a Spark SQL expression ([[spark]]) and a DuckDB oracle ([[duck]]) —
+  * so the driver's hash-compare sees bit-identical integer results. All
+  * hashes are polynomial rolling hashes mod [[P]] (exact in 64-bit
+  * integer arithmetic in both engines; no engine-specific hash()).
+  *
+  * Scale notes: everything here is a per-row projection (no shuffle) until
+  * the LSH band join; the band join shuffles on (band, hash) — bounded by
+  * rows×bands, never O(n²). Candidate verification joins back to the
+  * shingle arrays by doc_id — at 100 TB those joins are AQE-skew-safe
+  * because band-bucket sizes are capped by near-dup cluster sizes.
+  */
+object TextOps {
+
+  /** Modulus for all polynomial hashes: fits products in 64-bit ints. */
+  val P = 1000000007L
+  /** Char multiplier (token hash) and token multiplier (doc fingerprint). */
+  val CharMul = 31L
+  val TokMul = 131L
+
+  /** MinHash config: K permutations h_j(x) = (a_j·x + b_j) mod P, banded
+    * into Bands groups of RowsPerBand.
+    */
+  val K = 16
+  val Bands = 4
+  val RowsPerBand = 4
+  /** Deterministic permutation constants (odd, < P). */
+  val As: Seq[Long] = (0 until K).map(j => 2L * j * j + 3L * j + 7L)
+  val Bs: Seq[Long] = (0 until K).map(j => 5L * j * j + j + 11L)
+
+  /** Shingle width for near-dup (token 3-grams). */
+  val ShingleW = 3
+
+  /** Stopword list for quality scoring (subset of English function words
+    * present in the synthetic corpus).
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Marker words per language for the n-gram/stopword lang-ID heuristic;
+    * deterministic priority order for ties (first wins).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "fast", "slow", "small", "big"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "los", "que", "es", "una"),
+    "fr" -> Seq("le", "les", "des", "est", "une", "avec"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai", "you"))
+
+  /** BPE-ish token regex: letter runs, digit runs, single other glyphs. */
+  val BpeRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  // ---------------------------------------------------------------- Spark
+
+  /** Spark SQL expression strings (used via selectExpr/expr). `c` is the
+    * text column name.
+    */
+  object spark {
+    def tokens(c: String): String = s"split(lower($c), '\\\\s+')"
+
+    /** Rolling hash of one token expression `t`. Spark's split('abc','')
+      * yields a trailing empty string (Java split limit -1); DuckDB's does
+      * not — filter empties so both engines hash the same char sequence.
+      */
+    def tokenHash(t: String): String =
+      s"aggregate(filter(split($t, ''), ch -> ch <> ''), CAST(0 AS BIGINT), " +
+        s"(a, ch) -> (a * $CharMul + ascii(ch)) % $P)"
+
+    /** Array of token hashes for the document. */
+    def tokenHashes(c: String): String =
+      s"transform(${tokens(c)}, t -> ${tokenHash("t")})"
+
+    /** Doc fingerprint: rolling hash over token hashes (D-fingerprint). */
+    def fingerprint(c: String): String =
+      s"aggregate(${tokenHashes(c)}, CAST(0 AS BIGINT), " +
+        s"(acc, h) -> (acc * $TokMul + h) % $P)"
+
+    /** Distinct token-3-gram shingle hashes from a column `hs` that holds
+      * the token-hash array (empty array when < W tokens).
+      */
+    def shinglesFromHashes(hs: String): String =
+      s"array_distinct(CASE WHEN size($hs) >= $ShingleW THEN " +
+        s"transform(sequence(0, size($hs) - $ShingleW), i -> " +
+        s"((element_at($hs, i + 1) * $TokMul + element_at($hs, i + 2)) * $TokMul " +
+        s"+ element_at($hs, i + 3)) % $P) " +
+        s"ELSE slice(transform(sequence(0, 0), i -> CAST(0 AS BIGINT)), 1, 0) END)"
+
+    /** MinHash signature entry j over a shingle-array expression `sh`. */
+    def minhash(sh: String, j: Int): String =
+      s"array_min(transform($sh, x -> (${As(j)} * x + ${Bs(j)}) % $P))"
+
+    /** Band hash b over a signature array expression `sig` (1-indexed). */
+    def bandHash(sig: String, b: Int): String = {
+      val lo = b * RowsPerBand
+      (lo until lo + RowsPerBand)
+        .map(j => s"element_at($sig, ${j + 1})")
+        .reduceLeft((acc, x) => s"(($acc) * $TokMul + $x) % $P")
+    }
+  }
+
+  // --------------------------------------------------------------- DuckDB
+
+  /** DuckDB oracle SQL fragments mirroring [[spark]] exactly. list_reduce
+    * has no initial accumulator, so fold(0, xs) is written
+    * list_reduce(list_prepend(0, xs), f).
+    */
+  object duck {
+    def tokens(c: String): String = s"string_split_regex(lower($c), '\\s+')"
+
+    def tokenHash(t: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(string_split($t, ''), ch -> CAST(ord(ch) AS BIGINT))), " +
+        s"(a, ch) -> (a * $CharMul + ch) % $P)"
+
+    def tokenHashes(c: String): String =
+      s"list_transform(${tokens(c)}, t -> ${tokenHash("t")})"
+
+    def fingerprint(c: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), ${tokenHashes(c)}), " +
+        s"(acc, h) -> (acc * $TokMul + h) % $P)"
+
+    def shinglesFromHashes(hs: String): String =
+      s"list_distinct(CASE WHEN len($hs) >= $ShingleW THEN " +
+        s"list_transform(range(0, len($hs) - ${ShingleW - 1}), i -> " +
+        s"(($hs[i + 1] * $TokMul + $hs[i + 2]) * $TokMul + $hs[i + 3]) % $P) " +
+        s"ELSE [] END)"
+
+    def minhash(sh: String, j: Int): String =
+      s"list_min(list_transform($sh, x -> (${As(j)} * x + ${Bs(j)}) % $P))"
+
+    def bandHash(sig: String, b: Int): String = {
+      val lo = b * RowsPerBand
+      (lo until lo + RowsPerBand)
+        .map(j => s"$sig[${j + 1}]")
+        .reduceLeft((acc, x) => s"(($acc) * $TokMul + $x) % $P")
+    }
+  }
+}

@@ -1,0 +1,52 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.ppr.{PowerIteration, PprConf}
+import java.nio.file.Files
+
+class PprEngineSpec extends SparkSpec {
+
+  private def engine = {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 1L), (4L, 1L))
+      .toDF("src", "dst")
+    new PprEngine(spark, edges, PprConf())
+  }
+
+  test("power facade matches kernel; topk is tie-inclusive subset") {
+    val e = engine
+    val whole = e.power.wholeGraphPpr(1L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = PowerIteration.runLocal(e.csr, e.csr.denseOf(1L), 0.15, 100)
+    for (v <- 0 until e.csr.numNodes) {
+      assert(math.abs(exact(v) - whole.getOrElse(e.csr.originalOf(v), 0.0)) < 1e-12)
+    }
+    val topk = e.power.topkPpr(1L, 2).collect()
+    assert(topk.length >= 2)
+    assert(topk.map(_.getDouble(1)).min >=
+      whole.values.toSeq.sorted.reverse(1) - 1e-15)
+  }
+
+  test("base facade stores and reads back via partition pruning") {
+    val e = engine
+    val dir = Files.createTempDirectory("engine_base").toString + "/store"
+    val b = new e.base(1e-6, 0.0)
+    b.preprocess(dir)
+    assert(b.prepSize(dir) > 0)
+    val one = b.readPpr(dir, 1L).collect()
+    assert(one.nonEmpty)
+    assert(b.deletePrep(dir))
+  }
+
+  test("GraphX library baseline preserves rank order of the oracle") {
+    val e = engine
+    val lib = new e.libraryPpr(30).wholeGraphPpr(1L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(lib.values.sum - 1.0) < 1e-9) // A6 normalization
+    val exact = PowerIteration.runLocal(e.csr, e.csr.denseOf(1L), 0.15, 100)
+    val exactTop = (0 until e.csr.numNodes).maxBy(exact)
+    val libTop = lib.maxBy(_._2)._1
+    assert(e.csr.originalOf(exactTop) == libTop)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.streaming.EventStreams._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventStreamsSpec extends SparkSpec {
+
+  test("streaming windowed counts equal the batch query on full replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = windowedCounts(df).writeStream
+      .format("memory").queryName("wc").outputMode("complete").start()
+    try {
+      val rows = Tables(spark, sfDir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .as[(Long, java.sql.Timestamp, String, Double)].collect()
+      input.addData(rows.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("wc").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val want = graft.queries.Events.queries("ev_window")(spark, sfDir)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization closes the batch sessions (minus open tails)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[Ev]
+    val q = sessionize(input.toDS(), graft.queries.Events.GapSeconds)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      val rows = Tables(spark, sfDir, "events")
+        .select(col("user_id"), col("ts"), col("value")).as[Ev].collect()
+      input.addData(rows.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("sess").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+
+      val batch = graft.queries.Events.queries("ev_sessions")(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+      // streaming emits only CLOSED sessions: every user's last session
+      // stays open in state.
+      val lastPerUser = batch.keys.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val expectedClosed = batch.filter { case ((u, sid), _) => sid < lastPerUser(u) }
+      assert(got.keySet == expectedClosed.keySet)
+      for ((k, (n, sum, dur)) <- expectedClosed) {
+        val (gn, gsum, gdur) = got(k)
+        assert(gn == n, s"$k n_events")
+        assert(math.abs(gsum - sum) < 1e-6, s"$k sum $gsum vs $sum")
+        assert(math.abs(gdur - dur) < 1e-5, s"$k duration $gdur vs $dur")
+      }
+    } finally q.stop()
+  }
+}
