@@ -82,9 +82,9 @@ object Fora {
     val m = csr.numEdges.toDouble
     val alpha = conf.alpha
     val eps = conf.epsilon * 0.5 // Fora_Topk.java:110
-    // pfail' = pfail/n²/log2(n/k) — Algo_Conf.java:76.
+    // pfail' = pfail/n²/ln(n/k) — natural log per Algo_Conf.java:76.
     val pf0 = if (conf.pfail > 0) conf.pfail else 1.0 / n
-    val pf = pf0 / n / n / (math.log(n / k.toDouble) / math.log(2.0))
+    val pf = pf0 / n / n / math.log(n / k.toDouble)
     val minDelta = 1.0 / n
     var deltaLocal = 1.0 / k.toDouble
 

@@ -37,7 +37,9 @@ object GraphXPpr {
       .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
     val g = XGraph.fromEdges(edgeRdd, ())
     val ranks = g.staticPersonalizedPageRank(source, iterations, alpha).vertices
-    val df = ranks.toDF("node_id", "score").where(col("score") > 0.0)
+    // cache before the Σπ action so staticPersonalizedPageRank runs once,
+    // not once for the total and again for the final select.
+    val df = ranks.toDF("node_id", "score").where(col("score") > 0.0).cache()
     val total = df.agg(sum("score")).head.getDouble(0)
     df.select(col("node_id"), (col("score") / lit(total)).as("score"))
   }

@@ -123,8 +123,12 @@ object MonteCarlo {
       .agg((sum("cnt") / lit(omega.toDouble)).as("score"))
   }
 
-  /** Multi-source batched variant: one task per (source slice), whole ω per
-    * source inside the task. Returns (src, node_id, score).
+  /** Multi-source batched variant: work fans out over (source × walk-range)
+    * slices so parallelism is cores-bound, not #sources-bound. Each walk's
+    * RNG stream is keyed by (seed, src, walkIdx) only, so results are
+    * IDENTICAL for any slicing; one groupBy merges per-slice dense counts
+    * (shuffle volume O(distinct stops × slices), never O(ω)).
+    * Returns (src, node_id, score).
     */
   def sspprBatch(
       spark: SparkSession,
@@ -134,34 +138,41 @@ object MonteCarlo {
       epsilon: Double = 0.5,
       pfail: Double = 0.0,
       delta: Double = 0.0,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      slicesPerSource: Int = 0): DataFrame = {
     import spark.implicits._
     val n = csr.numNodes.toDouble
     val pf = if (pfail > 0) pfail else 1.0 / n
     val dl = if (delta > 0) delta else 1.0 / n
     val omega = omegaFor(epsilon, pf, dl)
     val bc = spark.sparkContext.broadcast(csr)
-    val nSlices = math.min(math.max(1, sources.length),
-      spark.sparkContext.defaultParallelism)
+    val perSource = if (slicesPerSource > 0) slicesPerSource
+      else math.max(1, spark.sparkContext.defaultParallelism /
+        math.max(1, sources.length) * 2)
+    val per = (omega + perSource - 1) / perSource
+    val tasks = for (s <- sources; k <- 0 until perSource) yield (s, k * per)
     spark.sparkContext
-      .parallelize(sources, nSlices)
-      .flatMap { s =>
+      .parallelize(tasks, tasks.length)
+      .flatMap { case (s, lo) =>
         val g = bc.value
         val sd = g.denseOf(s)
         if (sd < 0) Iterator.empty
         else {
           val counts = new Array[Long](g.numNodes)
-          var w = 0L
-          while (w < omega) {
+          val hi = math.min(omega, lo + per)
+          var w = lo
+          while (w < hi) {
             val rng = new Rng.SplitMix(Rng.streamSeed(seed, s, w))
             counts(walkEndpoint(g, sd, alpha, rng, noZeroHop = false)) += 1L
             w += 1
           }
           counts.iterator.zipWithIndex.collect {
-            case (c, v) if c > 0 => (s, g.originalOf(v), c.toDouble / omega)
+            case (c, v) if c > 0 => (s, g.originalOf(v), c)
           }
         }
       }
-      .toDF("src", "node_id", "score")
+      .toDF("src", "node_id", "cnt")
+      .groupBy("src", "node_id")
+      .agg((sum("cnt") / lit(omega.toDouble)).as("score"))
   }
 }

@@ -28,6 +28,17 @@ object PowerIteration {
 
   /** Distributed single-source power iteration.
     * Returns `(node_id LONG, score DOUBLE)`, absent row = 0.
+    *
+    * Plan shape (one superstep = ONE shuffle, ONE job): the state is a
+    * single DataFrame `(id, r, acc)` where `acc = Σ_t residue_t`; each
+    * superstep unions push contributions (rows `(id, c, c)`) with the
+    * carried accumulator (rows `(id, 0, acc)`) and folds both in a single
+    * `groupBy(id)`. The frontier is broadcast into a pre-weighted edge list
+    * `(src, dst, 1/outdeg)` built once, so edges are never re-shuffled, and
+    * the state is eagerly `localCheckpoint`ed every iteration to keep the
+    * plan depth constant. AQE coalesces the tiny state shuffle at small n;
+    * at cluster scale the same plan hash-partitions on `id` with no
+    * driver-side materialization.
     */
   def run(
       spark: SparkSession,
@@ -35,39 +46,61 @@ object PowerIteration {
       source: Long,
       alpha: Double = 0.15,
       iterations: Int = 100,
-      checkpointEvery: Int = 2): DataFrame = {
+      checkpointEvery: Int = 1): DataFrame = {
     import spark.implicits._
 
-    val deg = GraphOps.outDegrees(edges).persist()
-    val e = edges.persist()
+    val deg = GraphOps.outDegrees(edges)
+    // pre-weighted adjacency, built once and reused by every superstep,
+    // partitioned to ~1M edges/task: a 997-node bench graph runs 1-task
+    // stages (no 32-empty-task overhead × iterations), a 1e9-edge cluster
+    // graph still fans out to full parallelism.
+    val m = edges.count()
+    val p = math.min(spark.sparkContext.defaultParallelism.toLong,
+      m / 1000000L + 1L).toInt
+    val ew = edges.join(deg, edges("src") === deg("id"))
+      .select(edges("src"), edges("dst"), (lit(1.0) / col("deg")).as("w"))
+      .repartition(p)
+      .persist()
+    val degIds = deg.select(col("id")).persist()
+    ew.count(); degIds.count()
 
-    var residue = Seq((source, 1.0)).toDF("id", "r")
-    // acc accumulates Σ_it residue_it; reserve = alpha * acc at the end.
-    var acc = residue
+    // Scope the state shuffle width to the graph size for the duration of
+    // the loop: 25 iterations × 32 near-empty reducers is pure scheduler
+    // overhead on a small graph, while a 1e9-edge graph keeps full width.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+    // AQE re-plans at every materialized shuffle; with the width already
+    // sized above it only adds per-iteration latency here.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
 
-    var it = 0
+    // acc accumulates Σ_it residue_it (incl. the initial residue); the
+    // final residue of the last push is discarded, matching [[runLocal]]:
+    // reserve = alpha · Σ_{t=0}^{iterations-1} residue_t.
+    var state = Seq((source, 1.0, 1.0)).toDF("id", "r", "acc")
+      .localCheckpoint(true)
+    var it = 1
     while (it < iterations) {
-      val pushed = residue
-        .join(deg, Seq("id"))
-        .join(e, residue("id") === e("src"))
-        .select(col("dst").as("id"),
-          (lit(1.0 - alpha) * col("r") / col("deg")).as("r"))
-      val dangling = residue
-        .join(deg, Seq("id"), "left_anti")
-        .select(lit(source).as("id"), (lit(1.0 - alpha) * col("r")).as("r"))
-      residue = pushed.union(dangling).groupBy("id").agg(sum("r").as("r"))
+      val frontier = state.where(col("r") =!= 0.0).select(col("id"), col("r"))
+      val pushed = ew.join(broadcast(frontier), ew("src") === frontier("id"))
+        .select(ew("dst").as("id"),
+          (lit(1.0 - alpha) * col("r") * col("w")).as("c"))
+      val dangling = frontier.join(broadcast(degIds), Seq("id"), "left_anti")
+        .select(lit(source).as("id"), (lit(1.0 - alpha) * col("r")).as("c"))
+      val contrib = pushed.union(dangling)
+        .select(col("id"), col("c"), col("c").as("a"))
+      val carry = state.select(col("id"), lit(0.0).as("c"), col("acc").as("a"))
+      state = contrib.union(carry)
+        .groupBy("id").agg(sum("c").as("r"), sum("a").as("acc"))
+      if (it % checkpointEvery == 0 || it == iterations - 1)
+        state = state.localCheckpoint(true)
       it += 1
-      if (it < iterations) {
-        acc = acc.union(residue).groupBy("id").agg(sum("r").as("r"))
-        if (it % checkpointEvery == 0) {
-          residue = residue.localCheckpoint(true)
-          acc = acc.localCheckpoint(true)
-        }
-      }
     }
-    val out = acc.select(col("id").as("node_id"),
-      (lit(alpha) * col("r")).as("score"))
-    deg.unpersist(); e.unpersist()
+    spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val out = state.select(col("id").as("node_id"),
+      (lit(alpha) * col("acc")).as("score"))
+    ew.unpersist(); degIds.unpersist()
     out
   }
 

@@ -103,18 +103,15 @@ object Text {
         .select(col("doc_a"), col("doc_b"), col("jac"))
     }),
 
-    // SimHash (32-bit, bit-majority over token hashes incl. duplicates).
+    // SimHash (32-bit, bit-majority over token hashes incl. duplicates) —
+    // typed per-partition kernel (TextOps.simhash32): one narrow pass, no
+    // explode/shuffle, vs the interpreted HOF plan it replaced.
     "d_simhash" -> ((s, dir) => {
-      val hs = Tables(s, dir, "documents")
-        .selectExpr("doc_id", s"explode(${TextOps.spark.tokenHashes("text")}) AS h")
-      val bitSums = (0 until 32).map(b =>
-        expr(s"sum(CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END)").as(s"bit$b"))
-      val combine = (0 until 32)
-        .map(b => s"CASE WHEN bit$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
-        .mkString(" + ")
-      hs.groupBy(col("doc_id"))
-        .agg(bitSums.head, bitSums.tail: _*)
-        .selectExpr("doc_id", s"$combine AS simhash")
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) => (id, TextOps.simhash32(t)) })
+        .toDF("doc_id", "simhash")
     })
   )
 

@@ -56,6 +56,40 @@ object TextOps {
   /** BPE-ish token regex: letter runs, digit runs, single other glyphs. */
   val BpeRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
+  // ------------------------------------------------------- typed kernels
+
+  /** SimHash (32-bit) of one document — the typed-kernel twin of the
+    * `d_simhash` DuckDB oracle: tokens = split(lower(text), '\s+') keeping
+    * empties (hash 0), per-token rolling hash (a·31 + codepoint) mod [[P]],
+    * bit-majority over ALL token hashes including duplicates.
+    *
+    * This runs inside `mapPartitions` as a single narrow pass — the
+    * interpreted higher-order-function expression plan it replaces
+    * (explode + per-char `aggregate` lambda + 32 CASE sums) was ~100×
+    * slower CPU-bound work for identical output.
+    */
+  def simhash32(text: String): Long = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    val bitSums = new Array[Long](32)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var h = 0L
+      var j = 0
+      while (j < t.length) { h = (h * CharMul + t.charAt(j).toInt) % P; j += 1 }
+      var b = 0
+      while (b < 32) {
+        bitSums(b) += (if (((h >> b) & 1L) == 1L) 1L else -1L)
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) { if (bitSums(b) > 0L) out |= 1L << b; b += 1 }
+    out
+  }
+
   // ---------------------------------------------------------------- Spark
 
   /** Spark SQL expression strings (used via selectExpr/expr). `c` is the

@@ -1,0 +1,52 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Text-operator kernels vs their expression-plan twins.
+  *
+  * `d_simhash` moved from an interpreted HOF expression plan (r1, oracle-
+  * green) to a typed mapPartitions kernel; this spec pins the kernel to the
+  * legacy plan on the real documents table so the DuckDB oracle contract is
+  * preserved without needing DuckDB in-process.
+  */
+class TextSpec extends SparkSpec {
+
+  test("simhash32 kernel matches the legacy expression plan") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+
+    // legacy r1 plan: explode token hashes, 32 CASE sums, bit combine.
+    val hs = docs.selectExpr(
+      "doc_id", s"explode(${TextOps.spark.tokenHashes("text")}) AS h")
+    val bitSums = (0 until 32).map(b =>
+      expr(s"sum(CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END)")
+        .as(s"bit$b"))
+    val combine = (0 until 32)
+      .map(b => s"CASE WHEN bit$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    val legacy = hs.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .selectExpr("doc_id", s"$combine AS simhash")
+      .as[(Long, Long)].collect().toMap
+
+    val kernel = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().map { case (id, t) => id -> TextOps.simhash32(t) }.toMap
+
+    assert(kernel.keySet == legacy.keySet)
+    val diffs = kernel.collect { case (id, v) if legacy(id) != v => id }
+    assert(diffs.isEmpty, s"simhash mismatch for doc_ids: ${diffs.take(5)}")
+  }
+
+  test("simhash32 edge cases: empty, whitespace-only, single token") {
+    // empty string -> one empty token, hash 0 -> all bitSums = -1 -> 0.
+    assert(TextOps.simhash32("") == 0L)
+    // whitespace-only -> ["", ""] (leading split + trailing keep) or ["",""]:
+    // all hashes 0 -> simhash 0 either way.
+    assert(TextOps.simhash32("  ") == 0L)
+    // single token: simhash = low 32 bits of its rolling hash.
+    val h = "abc".foldLeft(0L)((a, c) => (a * TextOps.CharMul + c.toInt) % TextOps.P)
+    assert(TextOps.simhash32("abc") == (h & 0xFFFFFFFFL))
+  }
+}
