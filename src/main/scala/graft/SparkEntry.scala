@@ -22,6 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Graph.queries ++
+      graft.queries.GotQueries.queries ++
       graft.queries.Text.queries ++
       graft.queries.Embeddings.queries ++
       graft.queries.Events.queries ++
@@ -30,6 +31,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
       graft.queries.Graph.oracleSql ++
+      graft.queries.GotQueries.oracleSql ++
       graft.queries.Text.oracleSql ++
       graft.queries.Embeddings.oracleSql ++
       graft.queries.Events.oracleSql ++
