@@ -83,6 +83,10 @@ object Fora {
     val alpha = conf.alpha
     val eps = conf.epsilon * 0.5 // Fora_Topk.java:110
     // pfail' = pfail/n²/ln(n/k) — natural log per Algo_Conf.java:76.
+    // Intentional deviation: the reference divides node_amount/k in Java
+    // INT arithmetic (ln(⌊n/k⌋)); we keep the real-valued ratio ln(n/k),
+    // which is the quantity the FORA paper's union bound actually needs —
+    // the truncation is an artifact, not a semantic.
     val pf0 = if (conf.pfail > 0) conf.pfail else 1.0 / n
     val pf = pf0 / n / n / math.log(n / k.toDouble)
     val minDelta = 1.0 / n

@@ -38,9 +38,15 @@ object GraphXPpr {
     val g = XGraph.fromEdges(edgeRdd, ())
     val ranks = g.staticPersonalizedPageRank(source, iterations, alpha).vertices
     // cache before the Σπ action so staticPersonalizedPageRank runs once,
-    // not once for the total and again for the final select.
+    // not once for the total and again for the final select; the cache is
+    // scoped to this call — the small normalized result is materialized
+    // (localCheckpoint) and the rank cache released before returning, so
+    // repeated calls don't accrete executor storage.
     val df = ranks.toDF("node_id", "score").where(col("score") > 0.0).cache()
-    val total = df.agg(sum("score")).head.getDouble(0)
-    df.select(col("node_id"), (col("score") / lit(total)).as("score"))
+    try {
+      val total = df.agg(sum("score")).head.getDouble(0)
+      df.select(col("node_id"), (col("score") / lit(total)).as("score"))
+        .localCheckpoint(true)
+    } finally df.unpersist()
   }
 }

@@ -33,13 +33,26 @@ object PowerIteration {
     * single DataFrame `(id, r, acc)` where `acc = Σ_t residue_t`; each
     * superstep unions push contributions (rows `(id, c, c)`) with the
     * carried accumulator (rows `(id, 0, acc)`) and folds both in a single
-    * `groupBy(id)`. The frontier is broadcast into a pre-weighted edge list
-    * `(src, dst, 1/outdeg)` built once, so edges are never re-shuffled, and
-    * the state is eagerly `localCheckpoint`ed every iteration to keep the
-    * plan depth constant. AQE coalesces the tiny state shuffle at small n;
-    * at cluster scale the same plan hash-partitions on `id` with no
-    * driver-side materialization.
+    * `groupBy(id)`. The pre-weighted edge list `(src, dst, 1/outdeg)` is
+    * built once and hash-partitioned by `src`, so edges are never
+    * re-shuffled, and the state is eagerly `localCheckpoint`ed every
+    * iteration to keep the plan depth constant.
+    *
+    * Join-strategy selection is SIZE-GUARDED: when the graph has at most
+    * [[BroadcastNodeLimit]] nodes the frontier (which grows toward all
+    * reachable nodes) is broadcast — one tiny driver collect per iteration
+    * buys shuffle-free probes. Above the limit no broadcast hint is
+    * emitted: the frontier shuffle-joins against the already-partitioned
+    * edge side (only the frontier side moves), so nothing O(n) ever visits
+    * the driver — the regime the distributed path exists for.
     */
+  /** Above this node count the per-iteration frontier/degree broadcasts
+    * (each a driver-side collect of up to n rows) are replaced by shuffle
+    * joins against the pre-partitioned edge side. ~4M (id, r) rows ≈ 64 MB
+    * serialized — comfortably under typical driver/executor headroom.
+    */
+  val BroadcastNodeLimit = 4000000L
+
   def run(
       spark: SparkSession,
       edges: DataFrame,
@@ -53,55 +66,69 @@ object PowerIteration {
     // pre-weighted adjacency, built once and reused by every superstep,
     // partitioned to ~1M edges/task: a 997-node bench graph runs 1-task
     // stages (no 32-empty-task overhead × iterations), a 1e9-edge cluster
-    // graph still fans out to full parallelism.
+    // graph still fans out to full parallelism. Hash-partitioning on src
+    // means the non-broadcast join path only ever shuffles the frontier.
     val m = edges.count()
     val p = math.min(spark.sparkContext.defaultParallelism.toLong,
       m / 1000000L + 1L).toInt
     val ew = edges.join(deg, edges("src") === deg("id"))
       .select(edges("src"), edges("dst"), (lit(1.0) / col("deg")).as("w"))
-      .repartition(p)
+      .repartition(p, col("src"))
       .persist()
-    val degIds = deg.select(col("id")).persist()
-    ew.count(); degIds.count()
+    // co-partitioned by id for the same only-the-frontier-moves property
+    // in the dangling-detection anti join when not broadcasting.
+    val degIds = deg.select(col("id")).repartition(p, col("id")).persist()
+    ew.count()
+    val n = degIds.count()
+    // Size-guarded broadcast: the frontier grows toward all reachable
+    // nodes, so forcing the hint regardless of n would collect O(n) rows
+    // to the driver every iteration — the exact failure mode the
+    // distributed path exists to avoid.
+    val small = n <= BroadcastNodeLimit
+    def sided(df: DataFrame): DataFrame = if (small) broadcast(df) else df
 
     // Scope the state shuffle width to the graph size for the duration of
     // the loop: 25 iterations × 32 near-empty reducers is pure scheduler
     // overhead on a small graph, while a 1e9-edge graph keeps full width.
+    // try/finally: a mid-loop task failure must not leave the session with
+    // 1-partition shuffles and AQE off for every later query.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", p.toString)
     // AQE re-plans at every materialized shuffle; with the width already
     // sized above it only adds per-iteration latency here.
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
 
-    // acc accumulates Σ_it residue_it (incl. the initial residue); the
-    // final residue of the last push is discarded, matching [[runLocal]]:
-    // reserve = alpha · Σ_{t=0}^{iterations-1} residue_t.
-    var state = Seq((source, 1.0, 1.0)).toDF("id", "r", "acc")
-      .localCheckpoint(true)
-    var it = 1
-    while (it < iterations) {
-      val frontier = state.where(col("r") =!= 0.0).select(col("id"), col("r"))
-      val pushed = ew.join(broadcast(frontier), ew("src") === frontier("id"))
-        .select(ew("dst").as("id"),
-          (lit(1.0 - alpha) * col("r") * col("w")).as("c"))
-      val dangling = frontier.join(broadcast(degIds), Seq("id"), "left_anti")
-        .select(lit(source).as("id"), (lit(1.0 - alpha) * col("r")).as("c"))
-      val contrib = pushed.union(dangling)
-        .select(col("id"), col("c"), col("c").as("a"))
-      val carry = state.select(col("id"), lit(0.0).as("c"), col("acc").as("a"))
-      state = contrib.union(carry)
-        .groupBy("id").agg(sum("c").as("r"), sum("a").as("acc"))
-      if (it % checkpointEvery == 0 || it == iterations - 1)
-        state = state.localCheckpoint(true)
-      it += 1
+      // acc accumulates Σ_it residue_it (incl. the initial residue); the
+      // final residue of the last push is discarded, matching [[runLocal]]:
+      // reserve = alpha · Σ_{t=0}^{iterations-1} residue_t.
+      var state = Seq((source, 1.0, 1.0)).toDF("id", "r", "acc")
+        .localCheckpoint(true)
+      var it = 1
+      while (it < iterations) {
+        val frontier = state.where(col("r") =!= 0.0).select(col("id"), col("r"))
+        val pushed = ew.join(sided(frontier), ew("src") === frontier("id"))
+          .select(ew("dst").as("id"),
+            (lit(1.0 - alpha) * col("r") * col("w")).as("c"))
+        val dangling = frontier.join(sided(degIds), Seq("id"), "left_anti")
+          .select(lit(source).as("id"), (lit(1.0 - alpha) * col("r")).as("c"))
+        val contrib = pushed.union(dangling)
+          .select(col("id"), col("c"), col("c").as("a"))
+        val carry = state.select(col("id"), lit(0.0).as("c"), col("acc").as("a"))
+        state = contrib.union(carry)
+          .groupBy("id").agg(sum("c").as("r"), sum("a").as("acc"))
+        if (it % checkpointEvery == 0 || it == iterations - 1)
+          state = state.localCheckpoint(true)
+        it += 1
+      }
+      state.select(col("id").as("node_id"),
+        (lit(alpha) * col("acc")).as("score"))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      ew.unpersist(); degIds.unpersist()
     }
-    spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    val out = state.select(col("id").as("node_id"),
-      (lit(alpha) * col("acc")).as("score"))
-    ew.unpersist(); degIds.unpersist()
-    out
   }
 
   /** Dense-array kernel: PPR vector for one source over a CSR snapshot.

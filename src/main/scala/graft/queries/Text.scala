@@ -72,20 +72,38 @@ object Text {
     }),
 
     // Exact dedup: group identical texts, keep the lowest doc_id.
+    // Hash-first plan: the wide shuffle groups on an 8-byte xxhash64 of the
+    // text; full documents are re-shuffled ONLY for hash groups with >1 row
+    // (actual duplicates + the vanishing 64-bit collision rate), where text
+    // equality is then verified exactly. Same text ⇒ same hash, so text
+    // groups nest inside hash groups and the result is identical to a
+    // direct GROUP BY text — but a 100 TB dedup shuffles 8-byte keys, not
+    // documents.
     "d_dedup_exact" -> ((s, dir) => {
-      Tables(s, dir, "documents")
-        .groupBy(col("text"))
-        .agg(min(col("doc_id")).as("keep_id"),
-          count(lit(1)).as("n_copies"))
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), xxhash64(col("text")).as("fp"))
+      val fpGroups = d.select(col("fp"), col("doc_id"))
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("fpc"))
+      val dupFps = fpGroups.where(col("fpc") > 1).select(col("fp"))
+      val verified = d.join(dupFps, Seq("fp"), "left_semi")
+        .groupBy(col("fp"), col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select(col("keep_id"), col("n_copies"))
+      val singles = fpGroups.where(col("fpc") === 1)
+        .select(col("keep_id"), lit(1L).as("n_copies"))
+      verified.union(singles)
     }),
 
     // MinHash band signatures (the LSH bucketing key material).
     "d_minhash" -> ((s, dir) => minhashBands(s, dir)),
 
-    // LSH candidate pairs + exact shingle-Jaccard verification.
+    // LSH candidate pairs + exact shingle-Jaccard verification. The
+    // shingle DF is a cheap typed-kernel projection (TextOps.shingles), so
+    // its three uses below recompute rather than cache — no executor
+    // memory pinned after the query returns.
     "d_lsh_pairs" -> ((s, dir) => {
-      val sh = shingleDf(s, dir).cache()
+      val sh = shingleDf(s, dir)
       val bands = minhashBands(s, dir)
       val stacked = bands.selectExpr("doc_id",
         s"stack($Bands, ${(0 until Bands).map(b => s"$b, b$b").mkString(", ")}) AS (band, bh)")
@@ -115,11 +133,18 @@ object Text {
     })
   )
 
-  /** doc_id + distinct shingle-hash array. */
-  private def shingleDf(s: SparkSession, dir: String): DataFrame =
+  /** doc_id + distinct shingle-hash array — typed per-partition kernel
+    * ([[TextOps.shingles]]), one narrow pass per row; semantically the
+    * tokenHashes→shinglesFromHashes expression chain (kept in [[TextOps]]
+    * for the DuckDB oracle rendering), ~100× cheaper interpreted-CPU-wise.
+    */
+  private def shingleDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     Tables(s, dir, "documents")
-      .selectExpr("doc_id", s"${TextOps.spark.tokenHashes("text")} AS hs")
-      .selectExpr("doc_id", s"${TextOps.spark.shinglesFromHashes("hs")} AS sh")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, TextOps.shingles(t)) })
+      .toDF("doc_id", "sh")
+  }
 
   /** doc_id + `Bands` band-hash columns b0..b{Bands-1}. */
   private def minhashBands(s: SparkSession, dir: String): DataFrame = {

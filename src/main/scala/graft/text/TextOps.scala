@@ -73,10 +73,7 @@ object TextOps {
     val bitSums = new Array[Long](32)
     var i = 0
     while (i < toks.length) {
-      val t = toks(i)
-      var h = 0L
-      var j = 0
-      while (j < t.length) { h = (h * CharMul + t.charAt(j).toInt) % P; j += 1 }
+      val h = tokenHash(toks(i))
       var b = 0
       while (b < 32) {
         bitSums(b) += (if (((h >> b) & 1L) == 1L) 1L else -1L)
@@ -87,6 +84,53 @@ object TextOps {
     var out = 0L
     var b = 0
     while (b < 32) { if (bitSums(b) > 0L) out |= 1L << b; b += 1 }
+    out
+  }
+
+  /** Rolling hash of one (already-lowercased) token, iterating CODEPOINTS —
+    * the expression plan (`split(t,'')` + `ascii(ch)`) and the DuckDB
+    * oracle (`string_split` + `ord(ch)`) both hash per-codepoint, so a
+    * surrogate pair must contribute ONE value here too, not two code
+    * units.
+    */
+  def tokenHash(t: String): Long = {
+    var h = 0L
+    var j = 0
+    while (j < t.length) {
+      val cp = t.codePointAt(j)
+      h = (h * CharMul + cp) % P
+      j += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Distinct token-3-gram shingle hashes of one document — the typed twin
+    * of [[spark.shinglesFromHashes]]∘[[spark.tokenHashes]] (and of the
+    * DuckDB `sh_t` CTE): tokens = `split(lower(text), '\s+')` keeping
+    * empties, per-token rolling hash, 3-gram rolling combine mod [[P]],
+    * first-occurrence-distinct. Runs inside `mapPartitions` as one narrow
+    * pass; the interpreted HOF expression chain it replaces was the
+    * dominant cost of `d_minhash`/`d_lsh_pairs` (same ~100× CPU gap the
+    * simhash kernel closed).
+    */
+  def shingles(text: String): Array[Long] = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    val n = toks.length
+    if (n < ShingleW) return Array.emptyLongArray
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = tokenHash(toks(i)); i += 1 }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i <= n - ShingleW) {
+      val sh = ((hs(i) * TokMul + hs(i + 1)) % P * TokMul + hs(i + 2)) % P
+      seen.add(sh)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
     out
   }
 
