@@ -66,20 +66,42 @@ final class PprEngine(
       PowerIteration.batch(spark, csr, sources, conf.alpha, 100)
   }
 
+  /** Preprocessing lifecycle shared by the non-BASE algo families
+    * (reference re-implements it per algo, `Forward_Push.java:320-444`,
+    * `Monte_Carlo.java:212-335`, `Neo4j_Method.java:157-304`): compute
+    * every node's vector with the family's batch kernel, store via
+    * [[PprStore]], answer later queries by partition-pruned read.
+    */
+  trait PrepVia extends PrecomputedPpr {
+    /** `(src, node_id, score)` for all sources — the family's batch path. */
+    protected def batchAll(sources: Seq[Long]): DataFrame
+    def preprocess(dir: String): Unit =
+      PprStore.write(batchAll(csr.ids.toSeq), dir)
+    def readPpr(dir: String, source: Long): DataFrame =
+      PprStore.read(spark, dir, source)
+    def prepSize(dir: String): Long = PprStore.size(spark, dir)
+    def deletePrep(dir: String): Boolean = PprStore.delete(spark, dir)
+  }
+
   /** K2 — forward push at rmax. */
-  final class forwardPush(rmax: Double) extends SsPpr with TopkPpr {
+  final class forwardPush(rmax: Double) extends SsPpr with TopkPpr with PrepVia {
     def wholeGraphPpr(source: Long): DataFrame =
       ForwardPush.run(spark, edgesDf, source, conf.alpha, rmax)
     def topkPpr(source: Long, k: Int): DataFrame =
       topkOf(wholeGraphPpr(source), k)
+    protected def batchAll(sources: Seq[Long]): DataFrame =
+      ForwardPush.batch(spark, csr, sources, conf.alpha, rmax)
   }
 
   /** K5 — Monte-Carlo at epsilon. */
-  final class monteCarlo(epsilon: Double) extends SsPpr with TopkPpr {
+  final class monteCarlo(epsilon: Double) extends SsPpr with TopkPpr with PrepVia {
     def wholeGraphPpr(source: Long): DataFrame =
       MonteCarlo.ssppr(spark, csr, source, conf.alpha, epsilon, seed = conf.seed)
     def topkPpr(source: Long, k: Int): DataFrame =
       topkOf(wholeGraphPpr(source), k)
+    protected def batchAll(sources: Seq[Long]): DataFrame =
+      MonteCarlo.sspprBatch(spark, csr, sources, conf.alpha, epsilon,
+        seed = conf.seed)
   }
 
   /** K6/K7 — FORA. */
@@ -100,20 +122,36 @@ final class PprEngine(
       BackwardSearch.run(spark, edgesDf, target, conf.alpha, rmax)
   }
 
-  /** K9 — BASE all-pair store (S7-S9 lifecycle). */
-  final class base(rmax: Double, threshold: Double) extends PrecomputedPpr {
-    def preprocess(dir: String): Unit =
-      Base.writeStore(
-        Base.allPairs(spark, edgesDf, conf.alpha, rmax, 0, threshold), dir)
+  /** K9 — BASE all-pair store (S7-S9 lifecycle). `k > 0` selects the T5
+    * top-k store mode: rank-truncated vectors with an explicit rank
+    * column, read back in rank order (reference `preprocessing(threshold,
+    * k)`, `Base_Whole_Graph.java:120-162`).
+    */
+  final class base(rmax: Double, threshold: Double, k: Int = -1)
+      extends PrecomputedPpr {
+    def preprocess(dir: String): Unit = {
+      val ap = Base.allPairs(spark, edgesDf, conf.alpha, rmax, 0, threshold)
+      if (k > 0) Base.writeTopkStore(ap, dir, k)
+      else Base.writeStore(ap, dir)
+    }
     def readPpr(dir: String, source: Long): DataFrame =
-      Base.readSource(spark, dir, source)
+      if (k > 0) Base.readTopkSource(spark, dir, source)
+      else Base.readSource(spark, dir, source)
     def prepSize(dir: String): Long = Base.storeSize(spark, dir)
     def deletePrep(dir: String): Boolean = Base.deleteStore(spark, dir)
   }
 
-  /** K10 — GraphX library baseline. */
-  final class libraryPpr(iterations: Int) extends SsPpr {
+  /** K10 — GraphX library baseline. Preprocessing runs the library once
+    * per source (it has no multi-source batch mode — same per-node loop as
+    * the reference's `Neo4j_Method.preprocessing`, `Neo4j_Method.java:129-152`);
+    * meant for baseline comparison on modest graphs, not the scale path.
+    */
+  final class libraryPpr(iterations: Int) extends SsPpr with PrepVia {
     def wholeGraphPpr(source: Long): DataFrame =
       GraphXPpr.run(spark, edgesDf, source, conf.alpha, iterations)
+    protected def batchAll(sources: Seq[Long]): DataFrame =
+      sources.map { s =>
+        wholeGraphPpr(s).select(lit(s).as("src"), col("node_id"), col("score"))
+      }.reduce(_.unionAll(_))
   }
 }

@@ -1,6 +1,5 @@
 package graft.ppr
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.graph.{Csr, GraphOps}
@@ -53,39 +52,65 @@ object Base {
     else inverted
   }
 
-  /** S7 — persist the all-pair table source-major: Parquet partitioned by
-    * `src`, so a per-source query prunes to one directory.
+  /** S7 — persist the all-pair table source-major via the shared
+    * [[PprStore]] layout (Parquet partitioned by `src`, so a per-source
+    * query prunes to one directory).
     */
   def writeStore(allPairs: DataFrame, dir: String): Unit =
-    allPairs
-      .repartition(col("src"))
-      .write.mode("overwrite")
-      .partitionBy("src")
-      .parquet(dir)
+    PprStore.write(allPairs.select(col("src"),
+      col("dst").as("node_id"), col("score")), dir)
 
   /** S8 — read one source's PPR vector back; Catalyst partition-prunes the
     * scan to `dir/src=<s>/` (the Spark analogue of the reference's
     * one-file-per-source read, `Base_Whole_Graph.java:167-186`).
     */
   def readSource(spark: SparkSession, dir: String, source: Long): DataFrame =
+    PprStore.read(spark, dir, source)
+
+  /** T5 — the all-pair table truncated to each source's tie-inclusive
+    * top-k with an EXPLICIT rank column (reference BASE top-k store mode,
+    * `Base_Whole_Graph.java:133-155`: kth-value cut, sort desc, write in
+    * rank order). The materialized `rk` is what replaces the reference's
+    * reliance on file line order (its `getTopKNodeIds` returns
+    * `LinkedHashMap` insertion order, `Base_Whole_Graph.java:207-210`) —
+    * a Parquet read has no line order, the stored rank IS the order.
+    * Ties share a rank (RANK, not ROW_NUMBER), so the cut may exceed k
+    * rows exactly like the reference's `>= kth` filter.
+    */
+  def topkTable(allPairs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("src")).orderBy(col("score").desc)
+    allPairs.withColumn("rk", rank().over(w)).where(col("rk") <= k)
+  }
+
+  /** S7 (top-k mode) — persist the rank-truncated store source-major;
+    * same pruning contract as [[writeStore]].
+    */
+  def writeTopkStore(allPairs: DataFrame, dir: String, k: Int): Unit =
+    topkTable(allPairs, k)
+      .repartition(col("src"))
+      .write.mode("overwrite")
+      .partitionBy("src")
+      .parquet(dir)
+
+  /** S8 (top-k mode) — ordered read-back of one source's pre-truncated
+    * vector: rank ascending (node_id tie-break), the reference's
+    * insertion-order `getTopKNodeIds` semantics.
+    */
+  def readTopkSource(spark: SparkSession, dir: String, source: Long): DataFrame =
     spark.read.parquet(dir).where(col("src") === source)
-      .select(col("dst").as("node_id"), col("score"))
+      .select(col("dst").as("node_id"), col("score"), col("rk"))
+      .orderBy(col("rk").asc, col("node_id").asc)
 
   /** S9 — store size in bytes (reference `getPrepSize`,
     * `Base_Whole_Graph.java:238-244`).
     */
-  def storeSize(spark: SparkSession, dir: String): Long = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
-  }
+  def storeSize(spark: SparkSession, dir: String): Long =
+    PprStore.size(spark, dir)
 
   /** S9 — recursive delete (reference `deletePrepDir`). */
-  def deleteStore(spark: SparkSession, dir: String): Boolean = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-  }
+  def deleteStore(spark: SparkSession, dir: String): Boolean =
+    PprStore.delete(spark, dir)
 
   /** DuckDB oracle: backward-search oracle over ALL nodes as targets,
     * inverted to (src, dst, score) and threshold-filtered.

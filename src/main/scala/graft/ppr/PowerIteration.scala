@@ -26,6 +26,13 @@ import graft.graph.{Csr, GraphOps}
   */
 object PowerIteration {
 
+  /** Above this node count the per-iteration frontier/degree broadcasts
+    * (each a driver-side collect of up to n rows) are replaced by shuffle
+    * joins against the pre-partitioned edge side. ~4M (id, r) rows ≈ 64 MB
+    * serialized — comfortably under typical driver/executor headroom.
+    */
+  val BroadcastNodeLimit = 4000000L
+
   /** Distributed single-source power iteration.
     * Returns `(node_id LONG, score DOUBLE)`, absent row = 0.
     *
@@ -46,13 +53,6 @@ object PowerIteration {
     * edge side (only the frontier side moves), so nothing O(n) ever visits
     * the driver — the regime the distributed path exists for.
     */
-  /** Above this node count the per-iteration frontier/degree broadcasts
-    * (each a driver-side collect of up to n rows) are replaced by shuffle
-    * joins against the pre-partitioned edge side. ~4M (id, r) rows ≈ 64 MB
-    * serialized — comfortably under typical driver/executor headroom.
-    */
-  val BroadcastNodeLimit = 4000000L
-
   def run(
       spark: SparkSession,
       edges: DataFrame,

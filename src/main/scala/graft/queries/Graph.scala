@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.graph.GraphOps
-import graft.ppr.{Base, BackwardSearch, ForwardPush, Fora, Metrics, MonteCarlo, PowerIteration}
+import graft.ppr.{Base, BackwardSearch, ForwardPush, Fora, Metrics, MonteCarlo, PowerIteration, PprStore}
 
 /** Graph/PPR operator coverage over the deterministic lineitem-derived
   * benchmark graph (see [[GraphOps.lineitemGraph]]). Power iteration is the
@@ -100,6 +100,18 @@ object Graph {
         .where(col("score") >= BaseThreshold)
     }),
 
+    // T5: BASE top-k store mode — the all-pair table rank-truncated per
+    // source with an explicit tie-inclusive rank column (the materialized
+    // form the reference writes per-source files in rank order,
+    // `Base_Whole_Graph.java:133-155`).
+    "g_base_topk" -> ((s, dir) => {
+      val edges = GraphOps.lineitemGraph(s, dir, BaseMod)
+      val ap = Base.allPairs(s, edges, Alpha, BaseRmax, BaseSupersteps)
+        .select(col("src"), col("dst"), round(col("score"), 9).as("score"))
+        .where(col("score") >= BaseThreshold)
+      Base.topkTable(ap, TopK)
+    }),
+
     // K5: seeded Monte-Carlo SSPPR — deterministic given the seed but not
     // SQL-expressible; driver records a rows-only check, the statistical
     // bound vs power iteration is asserted in MonteCarloSpec.
@@ -119,6 +131,21 @@ object Graph {
       val csr = GraphOps.buildCsr(GraphOps.lineitemGraph(s, dir, Mod))
       Fora.topkBatch(s, csr, BatchSources, TopK,
         Fora.Conf(alpha = Alpha, epsilon = 0.5))
+    }),
+
+    // S7/S8 beyond BASE: the forward-push preprocessing store — batch
+    // results written source-major via the shared PprStore, then queried
+    // back by a partition-pruned read (the reference's per-algo
+    // preprocessing/readPreprocessedPPR pair, `Forward_Push.java:320-362`).
+    "g_prep_fwdpush" -> ((s, dir) => {
+      val csr = GraphOps.buildCsr(GraphOps.lineitemGraph(s, dir, Mod))
+      val scores = ForwardPush.batch(s, csr, BatchSources, Alpha, PushRmax,
+          PushSupersteps)
+        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
+        .where(col("score") =!= 0.0)
+      val store = s"${sys.props("java.io.tmpdir")}/graft_prep_fwdpush"
+      PprStore.write(scores, store)
+      PprStore.read(s, store, SingleSource)
     }),
 
     // A9/J3: max-abs-error of forward push vs the power-iteration ground
@@ -144,6 +171,35 @@ object Graph {
         .where(col("score") =!= 0.0)
       Metrics.precisionAtK(gnd, est, TopK)
         .select(col("src"), round(col("precision"), 9).as("prec"))
+    }),
+
+    // A8: NDCG@k of forward push vs power iteration — DCG over the
+    // estimate's top-k in estimate order with ground-truth gains 2^π−1,
+    // normalized by the ideal DCG (reference `Gen_Util.java:280-300`).
+    "g_metrics_ndcg" -> ((s, dir) => {
+      val csr = GraphOps.buildCsr(GraphOps.lineitemGraph(s, dir, Mod))
+      val gnd = PowerIteration.batch(s, csr, BatchSources, Alpha, Iters)
+        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
+      val est = ForwardPush.batch(s, csr, BatchSources, Alpha, PushRmax, PushSupersteps)
+        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
+        .where(col("score") =!= 0.0)
+      Metrics.ndcgAtK(gnd, est, TopK)
+        .select(col("src"), round(col("ndcg"), 9).as("ndcg"))
+    }),
+
+    // A10: the reference's per-grid-point summary row — precision, NDCG and
+    // max-err averaged over the source batch (`Gen_Util.java:168-179`).
+    "g_metrics_summary" -> ((s, dir) => {
+      val csr = GraphOps.buildCsr(GraphOps.lineitemGraph(s, dir, Mod))
+      val gnd = PowerIteration.batch(s, csr, BatchSources, Alpha, Iters)
+        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
+      val est = ForwardPush.batch(s, csr, BatchSources, Alpha, PushRmax, PushSupersteps)
+        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
+        .where(col("score") =!= 0.0)
+      Metrics.summary(gnd, est, TopK)
+        .select(round(col("avg_precision"), 9).as("avg_precision"),
+          round(col("avg_ndcg"), 9).as("avg_ndcg"),
+          round(col("avg_max_err"), 9).as("avg_max_err"))
     })
   )
 
@@ -154,14 +210,15 @@ object Graph {
     val targetsValues =
       "SELECT CAST(t AS BIGINT) AS t FROM (VALUES " +
         BatchSources.map(s => s"($s)").mkString(", ") + ") v(t)"
-    val errSql =
-      s"""WITH gnd AS ($multi), est AS ($fwd)
-         |SELECT g.src, round(max(abs(g.score - coalesce(e.score, 0.0))), 9) AS max_err
-         |FROM gnd g LEFT JOIN est e ON e.src = g.src AND e.node_id = g.node_id
-         |GROUP BY g.src""".stripMargin
-    val precSql =
-      s"""WITH gnd AS ($multi), est AS ($fwd),
-         |gk AS (SELECT src, node_id FROM (SELECT src, node_id,
+    // Per-src metric CTE bodies over gnd/est (shared by the single-metric
+    // rows and the A10 summary). All CTEs that are referenced twice are
+    // MATERIALIZED — DuckDB would otherwise inline them exponentially.
+    val perSrcErr =
+      """SELECT g.src, max(abs(g.score - coalesce(e.score, 0.0))) AS max_err
+        |FROM gnd g LEFT JOIN est e ON e.src = g.src AND e.node_id = g.node_id
+        |GROUP BY g.src""".stripMargin
+    val precCtes =
+      s"""gk AS MATERIALIZED (SELECT src, node_id FROM (SELECT src, node_id,
          |  rank() OVER (PARTITION BY src ORDER BY score DESC) AS rk FROM gnd)
          |  WHERE rk <= $TopK),
          |ek AS (SELECT src, node_id FROM (SELECT src, node_id,
@@ -169,19 +226,69 @@ object Graph {
          |  WHERE rk <= $TopK),
          |hit AS (SELECT gk.src, count(*) AS hit FROM gk
          |  JOIN ek ON ek.src = gk.src AND ek.node_id = gk.node_id GROUP BY gk.src),
-         |tot AS (SELECT src, count(*) AS tot FROM gk GROUP BY src)
-         |SELECT t.src, round(CAST(coalesce(h.hit, 0) AS DOUBLE) / t.tot, 9) AS prec
-         |FROM tot t LEFT JOIN hit h ON h.src = t.src""".stripMargin
+         |tot AS (SELECT src, count(*) AS tot FROM gk GROUP BY src),
+         |prec_t AS (SELECT t.src, CAST(coalesce(h.hit, 0) AS DOUBLE) / t.tot AS prec
+         |  FROM tot t LEFT JOIN hit h ON h.src = t.src)""".stripMargin
+    // NDCG: DCG over the estimate's top-k in ESTIMATE order with
+    // ground-truth gains 2^g−1 (missing gnd score = gain 0), over the ideal
+    // DCG of the ground truth's own top-k; deterministic (score DESC,
+    // node_id ASC) ordering on both sides — mirrors Metrics.ndcgAtK.
+    val ndcgCtes =
+      s"""er AS (SELECT e.src, e.node_id, e.score, coalesce(g.score, 0.0) AS gg
+         |  FROM est e LEFT JOIN gnd g ON g.src = e.src AND g.node_id = e.node_id),
+         |de AS (SELECT src, sum((pow(2.0, gg) - 1.0) / log2(pos + 1)) AS dcg_est
+         |  FROM (SELECT src, gg, row_number() OVER
+         |    (PARTITION BY src ORDER BY score DESC, node_id ASC) AS pos FROM er)
+         |  WHERE pos <= $TopK GROUP BY src),
+         |di AS (SELECT src, sum((pow(2.0, score) - 1.0) / log2(pos + 1)) AS dcg_ideal
+         |  FROM (SELECT src, score, row_number() OVER
+         |    (PARTITION BY src ORDER BY score DESC, node_id ASC) AS pos FROM gnd)
+         |  WHERE pos <= $TopK GROUP BY src),
+         |ndcg_t AS (SELECT de.src, de.dcg_est / di.dcg_ideal AS ndcg
+         |  FROM de JOIN di ON di.src = de.src)""".stripMargin
+    val errSql =
+      s"""WITH gnd AS ($multi), est AS ($fwd)
+         |SELECT src, round(max_err, 9) AS max_err FROM ($perSrcErr)""".stripMargin
+    val precSql =
+      s"""WITH gnd AS MATERIALIZED ($multi), est AS MATERIALIZED ($fwd),
+         |$precCtes
+         |SELECT src, round(prec, 9) AS prec FROM prec_t""".stripMargin
+    val ndcgSql =
+      s"""WITH gnd AS MATERIALIZED ($multi), est AS MATERIALIZED ($fwd),
+         |$ndcgCtes
+         |SELECT src, round(ndcg, 9) AS ndcg FROM ndcg_t""".stripMargin
+    val summarySql =
+      s"""WITH gnd AS MATERIALIZED ($multi), est AS MATERIALIZED ($fwd),
+         |$precCtes,
+         |$ndcgCtes,
+         |err_t AS ($perSrcErr)
+         |SELECT round(avg(p.prec), 9) AS avg_precision,
+         |  round(avg(n.ndcg), 9) AS avg_ndcg,
+         |  round(avg(e.max_err), 9) AS avg_max_err
+         |FROM prec_t p JOIN ndcg_t n ON n.src = p.src
+         |  JOIN err_t e ON e.src = p.src""".stripMargin
     Map(
       "g_metrics_err" -> errSql,
       "g_metrics_precision" -> precSql,
+      "g_metrics_ndcg" -> ndcgSql,
+      "g_metrics_summary" -> summarySql,
       "g_fwdpush" -> ForwardPush.oracleSqlMulti(
         graphSql, BatchSources, Alpha, PushRmax, PushSupersteps),
+      "g_prep_fwdpush" ->
+        s"""SELECT node_id, score FROM (${ForwardPush.oracleSqlMulti(
+              graphSql, Seq(SingleSource), Alpha, PushRmax, PushSupersteps)})""",
       "g_bwdsearch" -> BackwardSearch.oracleSqlMulti(
         graphSql, targetsValues, Alpha, PushRmax, PushSupersteps),
       "g_base_allpair" -> Base.oracleSql(
         GraphOps.lineitemGraphSql(BaseMod), Alpha, BaseRmax, BaseSupersteps,
         BaseThreshold),
+      "g_base_topk" ->
+        s"""SELECT src, dst, score, rk FROM (
+           | SELECT src, dst, score,
+           |  rank() OVER (PARTITION BY src ORDER BY score DESC) AS rk
+           | FROM (${Base.oracleSql(GraphOps.lineitemGraphSql(BaseMod), Alpha,
+                BaseRmax, BaseSupersteps, BaseThreshold)}))
+           |WHERE rk <= $TopK""".stripMargin,
       "g_edges" -> graphSql,
       "g_degree" -> s"SELECT src AS id, count(*) AS deg FROM ($graphSql) GROUP BY src",
       "g_power_ppr" -> PowerIteration.oracleSql(graphSql, SingleSource, Alpha, Iters),

@@ -39,6 +39,35 @@ class PprEngineSpec extends SparkSpec {
     assert(b.deletePrep(dir))
   }
 
+  test("per-algo prep stores round-trip: forward push, Monte-Carlo, library") {
+    val e = engine
+    val algos: Seq[(String, e.PrepVia, Long => Map[Long, Double])] = Seq(
+      ("fwdpush", new e.forwardPush(1e-6),
+        (s: Long) => new e.forwardPush(1e-6).wholeGraphPpr(s).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap),
+      ("mc", new e.monteCarlo(0.5),
+        (s: Long) => new e.monteCarlo(0.5).wholeGraphPpr(s).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap),
+      ("library", new e.libraryPpr(20),
+        (s: Long) => new e.libraryPpr(20).wholeGraphPpr(s).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap))
+    for ((name, algo, direct) <- algos) {
+      val dir = Files.createTempDirectory(s"prep_$name").toString + "/store"
+      algo.preprocess(dir)
+      assert(algo.prepSize(dir) > 0, s"$name: empty store")
+      // the pruned read-back equals the direct computation (deterministic
+      // kernels: fixed seeds / fixed iteration counts).
+      val stored = algo.readPpr(dir, 1L).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val expect = direct(1L)
+      assert(stored.keySet == expect.keySet, s"$name: support mismatch")
+      for ((k, v) <- expect)
+        assert(math.abs(stored(k) - v) < 1e-12, s"$name: π($k)")
+      assert(algo.deletePrep(dir), s"$name: delete")
+      assert(algo.prepSize(dir) == 0L, s"$name: size after delete")
+    }
+  }
+
   test("GraphX library baseline preserves rank order of the oracle") {
     val e = engine
     val lib = new e.libraryPpr(30).wholeGraphPpr(1L).collect()

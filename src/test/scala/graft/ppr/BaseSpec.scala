@@ -48,4 +48,29 @@ class BaseSpec extends SparkSpec {
     assert(Base.deleteStore(spark, dir))
     assert(Base.storeSize(spark, dir) == 0)
   }
+
+  test("top-k store mode: rank-truncated, tie-inclusive, rank-ordered read") {
+    val dir = Files.createTempDirectory("base_topk").toString + "/ppr"
+    val k = 2
+    val ap = Base.allPairs(spark, edgesDf, 0.15, 1e-6)
+    Base.writeTopkStore(ap, dir, k)
+
+    val full = ap.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (s <- Seq(1L, 2L, 3L)) {
+      val rows = Base.readTopkSource(spark, dir, s).collect()
+      // read-back order IS rank order (T5 insertion-order semantics).
+      assert(rows.map(_.getInt(2)).toSeq == rows.map(_.getInt(2)).sorted.toSeq)
+      assert(rows.map(r => r.getDouble(1)).toSeq ==
+        rows.map(_.getDouble(1)).sortBy(-(_: Double)).toSeq)
+      // tie-inclusive kth cut: every stored score >= every dropped score.
+      val stored = rows.map(r => r.getLong(0)).toSet
+      val dropped = full.collect { case ((`s`, t), p) if !stored(t) => p }
+      assert(rows.length >= math.min(k, full.count(_._1._1 == s)))
+      if (dropped.nonEmpty)
+        assert(rows.map(_.getDouble(1)).min >= dropped.max)
+    }
+    assert(Base.storeSize(spark, dir) > 0)
+    assert(Base.deleteStore(spark, dir))
+  }
 }
