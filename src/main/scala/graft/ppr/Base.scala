@@ -84,10 +84,12 @@ object Base {
   }
 
   /** S7 (top-k mode) — persist the rank-truncated store source-major;
-    * same pruning contract as [[writeStore]].
+    * same pruning contract and (src, node_id, score) naming as
+    * [[PprStore]], plus the rank column.
     */
   def writeTopkStore(allPairs: DataFrame, dir: String, k: Int): Unit =
     topkTable(allPairs, k)
+      .select(col("src"), col("dst").as("node_id"), col("score"), col("rk"))
       .repartition(col("src"))
       .write.mode("overwrite")
       .partitionBy("src")
@@ -99,7 +101,7 @@ object Base {
     */
   def readTopkSource(spark: SparkSession, dir: String, source: Long): DataFrame =
     spark.read.parquet(dir).where(col("src") === source)
-      .select(col("dst").as("node_id"), col("score"), col("rk"))
+      .select(col("node_id"), col("score"), col("rk"))
       .orderBy(col("rk").asc, col("node_id").asc)
 
   /** S9 — store size in bytes (reference `getPrepSize`,

@@ -88,4 +88,70 @@ object Metrics {
       .agg(avg("precision").as("avg_precision"),
         avg("ndcg").as("avg_ndcg"),
         avg("max_err").as("avg_max_err"))
+
+  /** DuckDB oracle fragments mirroring the metric DataFrames exactly.
+    * All operate over CTEs named `gnd` and `est`, each
+    * `(src, node_id, score)`. CTEs referenced twice are MATERIALIZED —
+    * DuckDB inlines multiply-referenced CTEs exponentially otherwise.
+    */
+  object sql {
+
+    /** Per-src max |est − gnd| over the ground-truth support ([[maxAbsErr]]). */
+    val perSrcErr: String =
+      """SELECT g.src, max(abs(g.score - coalesce(e.score, 0.0))) AS max_err
+        |FROM gnd g LEFT JOIN est e ON e.src = g.src AND e.node_id = g.node_id
+        |GROUP BY g.src""".stripMargin
+
+    /** CTE chain ending in `prec_t(src, prec)` ([[precisionAtK]]). */
+    def precCtes(k: Int): String =
+      s"""gk AS MATERIALIZED (SELECT src, node_id FROM (SELECT src, node_id,
+         |  rank() OVER (PARTITION BY src ORDER BY score DESC) AS rk FROM gnd)
+         |  WHERE rk <= $k),
+         |ek AS (SELECT src, node_id FROM (SELECT src, node_id,
+         |  rank() OVER (PARTITION BY src ORDER BY score DESC) AS rk FROM est)
+         |  WHERE rk <= $k),
+         |hit AS (SELECT gk.src, count(*) AS hit FROM gk
+         |  JOIN ek ON ek.src = gk.src AND ek.node_id = gk.node_id GROUP BY gk.src),
+         |tot AS (SELECT src, count(*) AS tot FROM gk GROUP BY src),
+         |prec_t AS (SELECT t.src, CAST(coalesce(h.hit, 0) AS DOUBLE) / t.tot AS prec
+         |  FROM tot t LEFT JOIN hit h ON h.src = t.src)""".stripMargin
+
+    /** CTE chain ending in `ndcg_t(src, ndcg)` ([[ndcgAtK]]): DCG over the
+      * estimate's top-k in ESTIMATE order with ground-truth gains 2^g−1
+      * (missing gnd score = gain 0), over the ideal DCG of the ground
+      * truth's own top-k; deterministic (score DESC, node_id ASC) order.
+      */
+    def ndcgCtes(k: Int): String =
+      s"""er AS (SELECT e.src, e.node_id, e.score, coalesce(g.score, 0.0) AS gg
+         |  FROM est e LEFT JOIN gnd g ON g.src = e.src AND g.node_id = e.node_id),
+         |de AS (SELECT src, sum((pow(2.0, gg) - 1.0) / log2(pos + 1)) AS dcg_est
+         |  FROM (SELECT src, gg, row_number() OVER
+         |    (PARTITION BY src ORDER BY score DESC, node_id ASC) AS pos FROM er)
+         |  WHERE pos <= $k GROUP BY src),
+         |di AS (SELECT src, sum((pow(2.0, score) - 1.0) / log2(pos + 1)) AS dcg_ideal
+         |  FROM (SELECT src, score, row_number() OVER
+         |    (PARTITION BY src ORDER BY score DESC, node_id ASC) AS pos FROM gnd)
+         |  WHERE pos <= $k GROUP BY src),
+         |ndcg_t AS (SELECT de.src, de.dcg_est / di.dcg_ideal AS ndcg
+         |  FROM de JOIN di ON di.src = de.src)""".stripMargin
+
+    /** Full A10 summary query: one row
+      * `[leadCols,] avg_precision, avg_ndcg, avg_max_err` (rounded to 9)
+      * for the given gnd/est table SQL. `leadCols` prepends literal
+      * columns (e.g. the grid parameter) to the row.
+      */
+    def summarySql(gndSql: String, estSql: String, k: Int,
+        leadCols: String = ""): String = {
+      val lead = if (leadCols.isEmpty) "" else s"$leadCols, "
+      s"""WITH gnd AS MATERIALIZED ($gndSql), est AS MATERIALIZED ($estSql),
+         |${precCtes(k)},
+         |${ndcgCtes(k)},
+         |err_t AS ($perSrcErr)
+         |SELECT ${lead}round(avg(p.prec), 9) AS avg_precision,
+         |  round(avg(n.ndcg), 9) AS avg_ndcg,
+         |  round(avg(e.max_err), 9) AS avg_max_err
+         |FROM prec_t p JOIN ndcg_t n ON n.src = p.src
+         |  JOIN err_t e ON e.src = p.src""".stripMargin
+    }
+  }
 }

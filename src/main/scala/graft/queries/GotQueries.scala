@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.graph.{Got, GraphOps}
-import graft.ppr.PowerIteration
+import graft.harness.QuerySampler
+import graft.ppr.{ForwardPush, Metrics, PowerIteration}
 
 /** The reference's own fixture, end to end: GOT CSV import (S1/S2),
   * name↔id resolution (P5/J5), symmetrize, PPR, top-k with names — the
@@ -15,6 +16,22 @@ import graft.ppr.PowerIteration
   * the operator (the reference hard-codes `target/got.db` the same way).
   */
 object GotQueries {
+
+  /** H4/H5 grid-query constants: a seeded query-node sample over GOT's
+    * dense 1..107 id space (QuerySampler draws indices; GotSpec pins the
+    * id assignment) and a small FWDPUSH rmax grid evaluated against a
+    * 50-iteration power-method ground truth — the deterministic slice of
+    * the harness the DuckDB oracle can replay end to end.
+    */
+  val GridSeed = 7L
+  val GridQueries = 5
+  val GridK = 10
+  val GridPmIters = 50
+  val GridSupersteps = 20
+  val GridRmaxes: Seq[Double] = Seq(1e-4, 1e-6)
+  val GridSources: Seq[Long] =
+    QuerySampler.denseIndices(107, GridQueries, GridSeed)
+      .map(i => (i + 1).toLong).distinct
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1+S2+J5: load, resolve names→ids, symmetrize.
@@ -33,12 +50,44 @@ object GotQueries {
         .join(broadcast(Got.nodes(s).select(col("id"), col("name"))),
           ranked("node_id") === col("id"))
         .select(col("name"), col("score"), col("rk"))
+    }),
+
+    // H2+H4+H5 deterministic slice: the benchmark harness's per-grid-point
+    // row — seeded source sample, FWDPUSH at each grid rmax, quality
+    // metrics (precision/NDCG/max-err averaged over sources) against the
+    // power-method ground truth — as an oracle-checked table, one row per
+    // grid point (the reference's `algo_perf_test` loop,
+    // `Gen_Util.java:109-257`, over the GOT grid `:451-478`).
+    "got_grid_fwdpush" -> ((s, _) => {
+      val csr = GraphOps.buildCsr(Got.edges(s))
+      val gnd = PowerIteration.batch(s, csr, GridSources, Got.Alpha, GridPmIters)
+        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
+      GridRmaxes.map { rmax =>
+        val est = ForwardPush.batch(s, csr, GridSources, Got.Alpha, rmax,
+            GridSupersteps)
+          .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
+          .where(col("score") =!= 0.0)
+        Metrics.summary(gnd, est, GridK)
+          .select(lit(rmax).as("rmax"),
+            round(col("avg_precision"), 9).as("avg_precision"),
+            round(col("avg_ndcg"), 9).as("avg_ndcg"),
+            round(col("avg_max_err"), 9).as("avg_max_err"))
+      }.reduce(_.unionAll(_))
     })
   )
 
   def oracleSql: Map[String, String] = {
     val multi = PowerIteration.oracleSqlMulti(
       Got.edgesSql(), Seq(Got.AryaId), Got.Alpha, Got.Iters)
+    val gridGnd = PowerIteration.oracleSqlMulti(
+      Got.edgesSql(), GridSources, Got.Alpha, GridPmIters)
+    val gridSql = GridRmaxes.map { rmax =>
+      val est = ForwardPush.oracleSqlMulti(
+        Got.edgesSql(), GridSources, Got.Alpha, rmax, GridSupersteps)
+      val point = Metrics.sql.summarySql(gridGnd, est, GridK,
+        leadCols = s"CAST($rmax AS DOUBLE) AS rmax")
+      s"SELECT * FROM ($point)"
+    }.mkString("\nUNION ALL\n")
     Map(
       "got_edges" -> Got.edgesSql(),
       "got_ppr_topk" ->
@@ -48,7 +97,8 @@ object GotQueries {
            |  (SELECT node_id, score, rank() OVER (ORDER BY score DESC) AS rk
            |   FROM ppr) p
            |JOIN got_nodes n ON n.id = p.node_id
-           |WHERE p.rk <= ${Got.TopK}""".stripMargin
+           |WHERE p.rk <= ${Got.TopK}""".stripMargin,
+      "got_grid_fwdpush" -> gridSql
     )
   }
 }

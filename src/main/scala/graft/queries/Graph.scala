@@ -210,63 +210,20 @@ object Graph {
     val targetsValues =
       "SELECT CAST(t AS BIGINT) AS t FROM (VALUES " +
         BatchSources.map(s => s"($s)").mkString(", ") + ") v(t)"
-    // Per-src metric CTE bodies over gnd/est (shared by the single-metric
-    // rows and the A10 summary). All CTEs that are referenced twice are
-    // MATERIALIZED — DuckDB would otherwise inline them exponentially.
-    val perSrcErr =
-      """SELECT g.src, max(abs(g.score - coalesce(e.score, 0.0))) AS max_err
-        |FROM gnd g LEFT JOIN est e ON e.src = g.src AND e.node_id = g.node_id
-        |GROUP BY g.src""".stripMargin
-    val precCtes =
-      s"""gk AS MATERIALIZED (SELECT src, node_id FROM (SELECT src, node_id,
-         |  rank() OVER (PARTITION BY src ORDER BY score DESC) AS rk FROM gnd)
-         |  WHERE rk <= $TopK),
-         |ek AS (SELECT src, node_id FROM (SELECT src, node_id,
-         |  rank() OVER (PARTITION BY src ORDER BY score DESC) AS rk FROM est)
-         |  WHERE rk <= $TopK),
-         |hit AS (SELECT gk.src, count(*) AS hit FROM gk
-         |  JOIN ek ON ek.src = gk.src AND ek.node_id = gk.node_id GROUP BY gk.src),
-         |tot AS (SELECT src, count(*) AS tot FROM gk GROUP BY src),
-         |prec_t AS (SELECT t.src, CAST(coalesce(h.hit, 0) AS DOUBLE) / t.tot AS prec
-         |  FROM tot t LEFT JOIN hit h ON h.src = t.src)""".stripMargin
-    // NDCG: DCG over the estimate's top-k in ESTIMATE order with
-    // ground-truth gains 2^g−1 (missing gnd score = gain 0), over the ideal
-    // DCG of the ground truth's own top-k; deterministic (score DESC,
-    // node_id ASC) ordering on both sides — mirrors Metrics.ndcgAtK.
-    val ndcgCtes =
-      s"""er AS (SELECT e.src, e.node_id, e.score, coalesce(g.score, 0.0) AS gg
-         |  FROM est e LEFT JOIN gnd g ON g.src = e.src AND g.node_id = e.node_id),
-         |de AS (SELECT src, sum((pow(2.0, gg) - 1.0) / log2(pos + 1)) AS dcg_est
-         |  FROM (SELECT src, gg, row_number() OVER
-         |    (PARTITION BY src ORDER BY score DESC, node_id ASC) AS pos FROM er)
-         |  WHERE pos <= $TopK GROUP BY src),
-         |di AS (SELECT src, sum((pow(2.0, score) - 1.0) / log2(pos + 1)) AS dcg_ideal
-         |  FROM (SELECT src, score, row_number() OVER
-         |    (PARTITION BY src ORDER BY score DESC, node_id ASC) AS pos FROM gnd)
-         |  WHERE pos <= $TopK GROUP BY src),
-         |ndcg_t AS (SELECT de.src, de.dcg_est / di.dcg_ideal AS ndcg
-         |  FROM de JOIN di ON di.src = de.src)""".stripMargin
+    // Per-src metric CTE bodies over gnd/est live in Metrics.sql (shared
+    // with the GOT grid oracle).
     val errSql =
       s"""WITH gnd AS ($multi), est AS ($fwd)
-         |SELECT src, round(max_err, 9) AS max_err FROM ($perSrcErr)""".stripMargin
+         |SELECT src, round(max_err, 9) AS max_err FROM (${Metrics.sql.perSrcErr})""".stripMargin
     val precSql =
       s"""WITH gnd AS MATERIALIZED ($multi), est AS MATERIALIZED ($fwd),
-         |$precCtes
+         |${Metrics.sql.precCtes(TopK)}
          |SELECT src, round(prec, 9) AS prec FROM prec_t""".stripMargin
     val ndcgSql =
       s"""WITH gnd AS MATERIALIZED ($multi), est AS MATERIALIZED ($fwd),
-         |$ndcgCtes
+         |${Metrics.sql.ndcgCtes(TopK)}
          |SELECT src, round(ndcg, 9) AS ndcg FROM ndcg_t""".stripMargin
-    val summarySql =
-      s"""WITH gnd AS MATERIALIZED ($multi), est AS MATERIALIZED ($fwd),
-         |$precCtes,
-         |$ndcgCtes,
-         |err_t AS ($perSrcErr)
-         |SELECT round(avg(p.prec), 9) AS avg_precision,
-         |  round(avg(n.ndcg), 9) AS avg_ndcg,
-         |  round(avg(e.max_err), 9) AS avg_max_err
-         |FROM prec_t p JOIN ndcg_t n ON n.src = p.src
-         |  JOIN err_t e ON e.src = p.src""".stripMargin
+    val summarySql = Metrics.sql.summarySql(multi, fwd, TopK)
     Map(
       "g_metrics_err" -> errSql,
       "g_metrics_precision" -> precSql,
