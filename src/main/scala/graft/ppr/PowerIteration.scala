@@ -59,7 +59,8 @@ object PowerIteration {
       source: Long,
       alpha: Double = 0.15,
       iterations: Int = 100,
-      checkpointEvery: Int = 1): DataFrame = {
+      checkpointEvery: Int = 1,
+      broadcastNodeLimit: Long = BroadcastNodeLimit): DataFrame = {
     import spark.implicits._
 
     val deg = GraphOps.outDegrees(edges)
@@ -84,7 +85,7 @@ object PowerIteration {
     // nodes, so forcing the hint regardless of n would collect O(n) rows
     // to the driver every iteration — the exact failure mode the
     // distributed path exists to avoid.
-    val small = n <= BroadcastNodeLimit
+    val small = n <= broadcastNodeLimit
     def sided(df: DataFrame): DataFrame = if (small) broadcast(df) else df
 
     // Scope the state shuffle width to the graph size for the duration of

@@ -28,6 +28,20 @@ class PowerIterationSpec extends SparkSpec {
     }
   }
 
+  test("shuffle-join path (broadcast guard off) matches the broadcast path") {
+    // broadcastNodeLimit=0 forces the at-scale plan: frontier shuffle-joins
+    // the pre-partitioned edge/degree sides instead of broadcasting.
+    val shuffled = PowerIteration
+      .run(spark, edgesDf, 1L, alpha, iters, broadcastNodeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bcast = PowerIteration.run(spark, edgesDf, 1L, alpha, iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(shuffled.keySet == bcast.keySet)
+    shuffled.foreach { case (id, p) =>
+      assert(math.abs(p - bcast(id)) < 1e-12, s"node $id")
+    }
+  }
+
   test("batch over CSR matches single-source run for each source") {
     val csr = GraphOps.buildCsr(edgesDf)
     val batch = PowerIteration.batch(spark, csr, Seq(1L, 2L, 3L), alpha, iters)
