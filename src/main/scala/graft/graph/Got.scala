@@ -70,6 +70,14 @@ object Got {
     GraphOps.symmetrize(resolved)
   }
 
+  /** Load-once CSR snapshot of the GOT graph per dataset dir (the
+    * reference's setupAdjMatrix-once lifecycle — see
+    * [[GraphOps.lineitemCsr]] for the rationale).
+    */
+  private val csrCache = scala.collection.concurrent.TrieMap.empty[String, Csr]
+  def cachedCsr(spark: SparkSession, dir: String = DefaultDir): Csr =
+    csrCache.getOrElseUpdate(dir, GraphOps.buildCsr(edges(spark, dir)))
+
   // ----------------------------------------------------------- oracle SQL
 
   /** DuckDB CTE fragments over the same CSVs (read_csv with explicit names

@@ -67,6 +67,29 @@ object GraphOps {
     s"SELECT DISTINCT l_orderkey % $mod AS src, l_partkey % $mod AS dst " +
       s"FROM lineitem WHERE (l_orderkey % $mod) <> (l_partkey % $mod)"
 
+  /** S3/S4 — load-once snapshot cache: the reference opens the DB and
+    * loads the HeavyGraph ONCE per run, and every query in the suite hits
+    * the same in-memory snapshot (`PPR.java:136-152,186-194`). The Spark
+    * equivalent is memoizing the immutable CSR per (source dir, mod,
+    * direction): the first query pays the scan + collect, the rest of the
+    * suite reuses it. Safe because the test tables are immutable inputs;
+    * a live-table deployment would key by snapshot version instead.
+    */
+  private val csrCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Boolean), Csr]
+
+  /** Cached CSR of [[lineitemGraph]]; `reversed` swaps src/dst (the
+    * backward-search adjacency).
+    */
+  def lineitemCsr(spark: SparkSession, sfDir: String, mod: Int,
+      reversed: Boolean = false): Csr =
+    csrCache.getOrElseUpdate((sfDir, mod, reversed), {
+      val e = lineitemGraph(spark, sfDir, mod)
+      buildCsr(
+        if (reversed) e.select(col("dst").as("src"), col("src").as("dst"))
+        else e)
+    })
+
   /** Collect `edges` into a CSR snapshot on the driver (caller broadcasts).
     * Only legal when the graph fits driver memory — the kernels that use it
     * (walks, batched per-source iteration) state that contract. Neighbor

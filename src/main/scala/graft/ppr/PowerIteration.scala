@@ -69,18 +69,29 @@ object PowerIteration {
     // stages (no 32-empty-task overhead × iterations), a 1e9-edge cluster
     // graph still fans out to full parallelism. Hash-partitioning on src
     // means the non-broadcast join path only ever shuffles the frontier.
+    //
+    // The dangling rule (restart-at-source, SURVEY §1.4.1) is folded into
+    // the SAME edge list as one synthetic edge (v → source, w = 1.0) per
+    // out-degree-0 node, built once — so a superstep is exactly ONE join
+    // + ONE aggregate, with no per-iteration dangling-detection anti join.
     val m = edges.count()
     val p = math.min(spark.sparkContext.defaultParallelism.toLong,
       m / 1000000L + 1L).toInt
-    val ew = edges.join(deg, edges("src") === deg("id"))
+    val weighted = edges.join(deg, edges("src") === deg("id"))
       .select(edges("src"), edges("dst"), (lit(1.0) / col("deg")).as("w"))
+    // candidates = every node that can hold residue without out-edges:
+    // edge targets plus the source itself (an isolated source appears
+    // nowhere in `edges` but still self-restarts each iteration).
+    val danglingEdges = edges.select(col("dst").as("src"))
+      .union(Seq(source).toDF("src"))
+      .distinct()
+      .join(deg, col("src") === deg("id"), "left_anti")
+      .select(col("src"), lit(source).as("dst"), lit(1.0).as("w"))
+    val ew = weighted.union(danglingEdges)
       .repartition(p, col("src"))
       .persist()
-    // co-partitioned by id for the same only-the-frontier-moves property
-    // in the dangling-detection anti join when not broadcasting.
-    val degIds = deg.select(col("id")).repartition(p, col("id")).persist()
     ew.count()
-    val n = degIds.count()
+    val n = deg.count() + danglingEdges.count() // total node count
     // Size-guarded broadcast: the frontier grows toward all reachable
     // nodes, so forcing the hint regardless of n would collect O(n) rows
     // to the driver every iteration — the exact failure mode the
@@ -109,12 +120,9 @@ object PowerIteration {
       var it = 1
       while (it < iterations) {
         val frontier = state.where(col("r") =!= 0.0).select(col("id"), col("r"))
-        val pushed = ew.join(sided(frontier), ew("src") === frontier("id"))
+        val contrib = ew.join(sided(frontier), ew("src") === frontier("id"))
           .select(ew("dst").as("id"),
             (lit(1.0 - alpha) * col("r") * col("w")).as("c"))
-        val dangling = frontier.join(sided(degIds), Seq("id"), "left_anti")
-          .select(lit(source).as("id"), (lit(1.0 - alpha) * col("r")).as("c"))
-        val contrib = pushed.union(dangling)
           .select(col("id"), col("c"), col("c").as("a"))
         val carry = state.select(col("id"), lit(0.0).as("c"), col("acc").as("a"))
         state = contrib.union(carry)
@@ -128,7 +136,7 @@ object PowerIteration {
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      ew.unpersist(); degIds.unpersist()
+      ew.unpersist()
     }
   }
 

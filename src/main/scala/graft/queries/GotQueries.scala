@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.graph.{Got, GraphOps}
+import graft.graph.Got
 import graft.harness.QuerySampler
 import graft.ppr.{ForwardPush, Metrics, PowerIteration}
 
@@ -40,7 +40,7 @@ object GotQueries {
     // K1 on the GOT graph from Arya + T2 tie-inclusive top-k + P5 name
     // projection: "top-10 most PPR-similar characters to Arya".
     "got_ppr_topk" -> ((s, _) => {
-      val csr = GraphOps.buildCsr(Got.edges(s))
+      val csr = Got.cachedCsr(s)
       val ppr = PowerIteration.batch(s, csr, Seq(Got.AryaId), Got.Alpha, Got.Iters)
         .select(col("node_id"), round(col("score"), 9).as("score"))
       val ranked = ppr
@@ -59,7 +59,7 @@ object GotQueries {
     // grid point (the reference's `algo_perf_test` loop,
     // `Gen_Util.java:109-257`, over the GOT grid `:451-478`).
     "got_grid_fwdpush" -> ((s, _) => {
-      val csr = GraphOps.buildCsr(Got.edges(s))
+      val csr = Got.cachedCsr(s)
       val gnd = PowerIteration.batch(s, csr, GridSources, Got.Alpha, GridPmIters)
         .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
       GridRmaxes.map { rmax =>

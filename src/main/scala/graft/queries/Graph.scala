@@ -54,14 +54,14 @@ object Graph {
     // K1 batched: multi-source PPR over broadcast CSR (zero per-iteration
     // shuffle; the 100 TB-shaped strategy for batch workloads).
     "g_ppr_batch" -> ((s, dir) => {
-      val csr = GraphOps.buildCsr(GraphOps.lineitemGraph(s, dir, Mod))
+      val csr = GraphOps.lineitemCsr(s, dir, Mod)
       PowerIteration.batch(s, csr, BatchSources, Alpha, Iters)
         .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
     }),
 
     // T2: tie-inclusive top-k per source via RANK on the rounded score.
     "g_ppr_topk" -> ((s, dir) => {
-      val csr = GraphOps.buildCsr(GraphOps.lineitemGraph(s, dir, Mod))
+      val csr = GraphOps.lineitemCsr(s, dir, Mod)
       val ppr = PowerIteration.batch(s, csr, BatchSources, Alpha, Iters)
         .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
       val w = Window.partitionBy(col("src")).orderBy(col("score").desc)
@@ -70,7 +70,7 @@ object Graph {
 
     // K2: forward push, batched BSP over broadcast CSR (fixed supersteps).
     "g_fwdpush" -> ((s, dir) => {
-      val csr = GraphOps.buildCsr(GraphOps.lineitemGraph(s, dir, Mod))
+      val csr = GraphOps.lineitemCsr(s, dir, Mod)
       ForwardPush.batch(s, csr, BatchSources, Alpha, PushRmax, PushSupersteps)
         .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
         .where(col("score") =!= 0.0)
@@ -78,10 +78,8 @@ object Graph {
 
     // K8: backward search (PPR column per target), batched over targets.
     "g_bwdsearch" -> ((s, dir) => {
-      val edges = GraphOps.lineitemGraph(s, dir, Mod)
-      val csr = GraphOps.buildCsr(edges)
-      val rcsr = GraphOps.buildCsr(
-        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val csr = GraphOps.lineitemCsr(s, dir, Mod)
+      val rcsr = GraphOps.lineitemCsr(s, dir, Mod, reversed = true)
       val fwdDeg = Array.tabulate(rcsr.numNodes) { v =>
         val d = csr.denseOf(rcsr.originalOf(v))
         if (d < 0) 0 else csr.outDegree(d)
@@ -116,19 +114,19 @@ object Graph {
     // SQL-expressible; driver records a rows-only check, the statistical
     // bound vs power iteration is asserted in MonteCarloSpec.
     "g_mc_ppr" -> ((s, dir) => {
-      val csr = GraphOps.buildCsr(GraphOps.lineitemGraph(s, dir, Mod))
+      val csr = GraphOps.lineitemCsr(s, dir, Mod)
       MonteCarlo.sspprBatch(s, csr, BatchSources, Alpha, epsilon = 0.5)
     }),
 
     // K6: FORA whole-graph (push + residual walks), seeded; rows-only.
     "g_fora_ppr" -> ((s, dir) => {
-      val csr = GraphOps.buildCsr(GraphOps.lineitemGraph(s, dir, Mod))
+      val csr = GraphOps.lineitemCsr(s, dir, Mod)
       Fora.batch(s, csr, BatchSources, Fora.Conf(alpha = Alpha, epsilon = 0.5))
     }),
 
     // K7: FORA top-k (tie-inclusive), seeded; rows-only.
     "g_fora_topk" -> ((s, dir) => {
-      val csr = GraphOps.buildCsr(GraphOps.lineitemGraph(s, dir, Mod))
+      val csr = GraphOps.lineitemCsr(s, dir, Mod)
       Fora.topkBatch(s, csr, BatchSources, TopK,
         Fora.Conf(alpha = Alpha, epsilon = 0.5))
     }),
@@ -138,7 +136,7 @@ object Graph {
     // back by a partition-pruned read (the reference's per-algo
     // preprocessing/readPreprocessedPPR pair, `Forward_Push.java:320-362`).
     "g_prep_fwdpush" -> ((s, dir) => {
-      val csr = GraphOps.buildCsr(GraphOps.lineitemGraph(s, dir, Mod))
+      val csr = GraphOps.lineitemCsr(s, dir, Mod)
       val scores = ForwardPush.batch(s, csr, BatchSources, Alpha, PushRmax,
           PushSupersteps)
         .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
@@ -151,7 +149,7 @@ object Graph {
     // A9/J3: max-abs-error of forward push vs the power-iteration ground
     // truth, per source — outer-join semantics with missing = 0.0.
     "g_metrics_err" -> ((s, dir) => {
-      val csr = GraphOps.buildCsr(GraphOps.lineitemGraph(s, dir, Mod))
+      val csr = GraphOps.lineitemCsr(s, dir, Mod)
       val gnd = PowerIteration.batch(s, csr, BatchSources, Alpha, Iters)
         .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
       val est = ForwardPush.batch(s, csr, BatchSources, Alpha, PushRmax, PushSupersteps)
@@ -163,7 +161,7 @@ object Graph {
 
     // A7/J4: tie-inclusive precision@k of forward push vs power iteration.
     "g_metrics_precision" -> ((s, dir) => {
-      val csr = GraphOps.buildCsr(GraphOps.lineitemGraph(s, dir, Mod))
+      val csr = GraphOps.lineitemCsr(s, dir, Mod)
       val gnd = PowerIteration.batch(s, csr, BatchSources, Alpha, Iters)
         .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
       val est = ForwardPush.batch(s, csr, BatchSources, Alpha, PushRmax, PushSupersteps)
@@ -177,7 +175,7 @@ object Graph {
     // estimate's top-k in estimate order with ground-truth gains 2^π−1,
     // normalized by the ideal DCG (reference `Gen_Util.java:280-300`).
     "g_metrics_ndcg" -> ((s, dir) => {
-      val csr = GraphOps.buildCsr(GraphOps.lineitemGraph(s, dir, Mod))
+      val csr = GraphOps.lineitemCsr(s, dir, Mod)
       val gnd = PowerIteration.batch(s, csr, BatchSources, Alpha, Iters)
         .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
       val est = ForwardPush.batch(s, csr, BatchSources, Alpha, PushRmax, PushSupersteps)
@@ -190,7 +188,7 @@ object Graph {
     // A10: the reference's per-grid-point summary row — precision, NDCG and
     // max-err averaged over the source batch (`Gen_Util.java:168-179`).
     "g_metrics_summary" -> ((s, dir) => {
-      val csr = GraphOps.buildCsr(GraphOps.lineitemGraph(s, dir, Mod))
+      val csr = GraphOps.lineitemCsr(s, dir, Mod)
       val gnd = PowerIteration.batch(s, csr, BatchSources, Alpha, Iters)
         .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
       val est = ForwardPush.batch(s, csr, BatchSources, Alpha, PushRmax, PushSupersteps)
