@@ -2,7 +2,6 @@ package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** S1/S2/P5/J5 — the reference's own front door: the Game-of-Thrones CSV
@@ -13,16 +12,17 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * header `:START_ID,:END_ID,:TYPE` (352 rows, one row per undirected
   * relation). `neo4j-admin import` assigns internal long ids; here dense
   * ids are assigned deterministically by sorting the string key
-  * (`row_number() OVER (ORDER BY key)` — reproducible in the DuckDB
-  * oracle, unlike Neo4j's insertion-order ids). Name↔id resolution
-  * (`Algo_Util.java:21-30`, a per-row transaction in the reference) is a
-  * broadcast hash join against the 107-row nodes side.
+  * (sort by key + `zipWithIndex` — reproducible in the DuckDB oracle as
+  * `row_number() OVER (ORDER BY key)`, unlike Neo4j's insertion-order
+  * ids). Name↔id resolution (`Algo_Util.java:21-30`, a per-row
+  * transaction in the reference) is a broadcast hash join against the
+  * 107-row nodes side.
   *
-  * Scale note: the window-based id assignment is exact-parity code for
-  * reference-sized fixtures; an engine ingesting billions of nodes would
-  * switch to `zipWithIndex`-style contiguous assignment (no global sort
-  * to one partition). The rest of the pipeline — name-resolution joins,
-  * symmetrize, PPR — is partition-parallel as-is.
+  * Scale note: id assignment is a range-partitioned sort + zipWithIndex —
+  * contiguous ids without funneling the table through one partition (the
+  * global-window alternative would); billions of nodes sort in parallel.
+  * The rest of the pipeline — name-resolution joins, symmetrize, PPR — is
+  * partition-parallel as-is.
   */
 object Got {
 
@@ -48,11 +48,15 @@ object Got {
   /** `(id LONG, key STRING, name STRING)` — dense ids 1..n by sorted key.
     * Explicit schema skips the BOM'd header line entirely.
     */
-  def nodes(spark: SparkSession, dir: String = DefaultDir): DataFrame =
+  def nodes(spark: SparkSession, dir: String = DefaultDir): DataFrame = {
+    import spark.implicits._
     spark.read.schema(nodesSchema).option("header", "true")
       .csv(s"$dir/GOT_Nodes.csv")
-      .withColumn("id", row_number().over(Window.orderBy(col("key"))).cast("long"))
-      .select(col("id"), col("key"), col("name"))
+      .select(col("key"), col("name")).as[(String, String)]
+      .rdd.sortBy(_._1).zipWithIndex
+      .map { case ((k, n), i) => (i + 1L, k, n) }
+      .toDF("id", "key", "name")
+  }
 
   /** Directed, symmetrized, deduplicated edge list `(src LONG, dst LONG)`:
     * rel endpoints name-resolved via broadcast joins (J5), then both

@@ -115,8 +115,23 @@ object PowerIteration {
       // acc accumulates Σ_it residue_it (incl. the initial residue); the
       // final residue of the last push is discarded, matching [[runLocal]]:
       // reserve = alpha · Σ_{t=0}^{iterations-1} residue_t.
-      var state = Seq((source, 1.0, 1.0)).toDF("id", "r", "acc")
-        .localCheckpoint(true)
+      //
+      // Each eager localCheckpoint pins its RDD in the block manager; the
+      // PREVIOUS iteration's checkpoint is dead the moment the next one
+      // materializes, so it is unpersisted here — otherwise a 100-iteration
+      // run leaves 100 state snapshots pinned for the life of the session.
+      // The final state stays persisted (it backs the returned DataFrame).
+      val sc = spark.sparkContext
+      var liveCkptIds = Set.empty[Int]
+      def checkpoint(df: DataFrame): DataFrame = {
+        val before = sc.getPersistentRDDs.keySet
+        val out = df.localCheckpoint(true)
+        val dead = liveCkptIds
+        liveCkptIds = (sc.getPersistentRDDs.keySet -- before).toSet
+        dead.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+        out
+      }
+      var state = checkpoint(Seq((source, 1.0, 1.0)).toDF("id", "r", "acc"))
       var it = 1
       while (it < iterations) {
         val frontier = state.where(col("r") =!= 0.0).select(col("id"), col("r"))
@@ -128,7 +143,7 @@ object PowerIteration {
         state = contrib.union(carry)
           .groupBy("id").agg(sum("c").as("r"), sum("a").as("acc"))
         if (it % checkpointEvery == 0 || it == iterations - 1)
-          state = state.localCheckpoint(true)
+          state = checkpoint(state)
         it += 1
       }
       state.select(col("id").as("node_id"),

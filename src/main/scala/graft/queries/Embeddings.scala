@@ -5,16 +5,20 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
-/** Similarity search over the `embeddings` table (beyond-reference
-  * roadmap, SURVEY §7.5): brute-force cosine top-k as the exact baseline,
-  * and a sign-bit LSH-bucketed variant as the scale path.
+/** Similarity search + embedding near-dup over the `embeddings` table
+  * (beyond-reference roadmap, SURVEY §7.5): brute-force cosine top-k as
+  * the exact baseline, a multi-table sign-bit LSH variant as the ANN
+  * scale path, and LSH-bucketed cosine near-dup pair detection.
   *
-  * Scale shape: the query side is broadcast (queries << corpus); the
+  * Scale shape: the ANN query side is broadcast (queries << corpus); the
   * corpus side streams through a single projection — no shuffle until the
-  * per-query top-k (TakeOrderedAndProject-style window). The LSH variant
-  * replaces the full cross product with an equi-join on the bucket key,
-  * which Catalyst executes as a hash join — candidate count drops from
-  * |Q|·N to |Q|·N/2^bits on balanced buckets.
+  * per-query top-k. LSH replaces the full cross product with an equi-join
+  * on (table, bucket) — candidate count drops from |Q|·N to
+  * |Q|·N·T/2^bits on balanced buckets, and recall compounds across the T
+  * independent tables (1-(1-p^bits)^T for per-bit agreement p). The
+  * near-dup variant self-joins the bucketed corpus the same way: at 100 TB
+  * the shuffle key is the (table, bucket) pair and within-bucket pair
+  * counts stay bounded by N²·T/2^bits, never a global cross join.
   *
   * The dot product folds left-to-right in BOTH engines (Spark `aggregate`
   * vs DuckDB `list_reduce` with a prepended 0-accumulator), so the
@@ -25,7 +29,11 @@ object Embeddings {
   val NumQueries = 20 // query vectors: vec_id < NumQueries
   val TopK = 10
   val LshBits = 8
+  /** Independent sign-LSH tables; table t hashes dims t·8+1 .. t·8+8. */
+  val LshTables = 4
   val LshTopK = 5
+  /** Exact-verify cosine threshold for `e_embed_dups`. */
+  val DupCosThreshold = 0.3
 
   private val dotExpr =
     "aggregate(zip_with(qv, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)"
@@ -47,6 +55,18 @@ object Embeddings {
         s"round($dotExpr / (qnrm * nrm), 6) AS cos")
   }
 
+  /** Sign bucket of dims t·LshBits+1 .. (t+1)·LshBits of array column `v`. */
+  private def bucketExpr(v: String, t: Int): String = (0 until LshBits)
+    .map(b => s"(CASE WHEN element_at($v, ${t * LshBits + b + 1}) >= 0 THEN ${1 << b} ELSE 0 END)")
+    .mkString(" + ")
+
+  /** `(vec_id, v, nrm, tbl, bkt)` — each vector appears once per table. */
+  private def bucketed(s: SparkSession, dir: String): DataFrame =
+    (0 until LshTables).map { t =>
+      embDf(s, dir).selectExpr("vec_id", "v", "nrm",
+        s"$t AS tbl", s"${bucketExpr("v", t)} AS bkt")
+    }.reduce(_.unionAll(_))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact cosine top-k per query (tie-inclusive RANK on the
     // rounded score so cross-engine float noise cannot flip the cut).
@@ -58,23 +78,53 @@ object Embeddings {
         .select(col("q_id"), col("vec_id"), col("cos"), col("rk"))
     }),
 
-    // LSH-bucketed ANN: candidates share the sign-bit bucket of the first
-    // LshBits dimensions; exact cosine within the bucket.
+    // Multi-table LSH ANN: candidates share any of the LshTables sign-bit
+    // buckets; pairs are de-duplicated on (q_id, vec_id) BEFORE the
+    // vectors are re-attached, so the distinct shuffles 16-byte id pairs,
+    // never the embeddings; exact cosine on the candidate set,
+    // tie-inclusive top-k per query.
     "e_ann_lsh" -> ((s, dir) => {
-      val bucketExpr = (0 until LshBits)
-        .map(b => s"(CASE WHEN element_at(v, ${b + 1}) >= 0 THEN ${1 << b} ELSE 0 END)")
-        .mkString(" + ")
-      val emb = embDf(s, dir).selectExpr("vec_id", "v", "nrm", s"$bucketExpr AS bkt")
-      val q = emb.where(col("vec_id") < NumQueries)
-        .selectExpr("vec_id AS q_id", "v AS qv", "nrm AS qnrm", "bkt")
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc)
-      emb.join(broadcast(q), Seq("bkt"))
+      val bk = bucketed(s, dir).select(col("vec_id"), col("tbl"), col("bkt"))
+      val qb = bk.where(col("vec_id") < NumQueries)
+        .selectExpr("vec_id AS q_id", "tbl", "bkt")
+      val cand = bk.join(broadcast(qb), Seq("tbl", "bkt"))
         .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"))
+        .distinct() // a pair colliding in several tables scores once
+      val emb = embDf(s, dir)
+      val q = emb.selectExpr("vec_id AS q_id", "v AS qv", "nrm AS qnrm")
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc)
+      cand
+        .join(broadcast(q), Seq("q_id"))
+        .join(emb, Seq("vec_id"))
         .selectExpr("q_id", "vec_id",
           s"round($dotExpr / (qnrm * nrm), 6) AS cos")
         .withColumn("rk", rank().over(w))
         .where(col("rk") <= LshTopK)
         .select(col("q_id"), col("vec_id"), col("cos"), col("rk"))
+    }),
+
+    // Embedding-cosine near-dup pairs: corpus self-join within LSH
+    // buckets (all tables), candidate id pairs de-duplicated before the
+    // vectors are re-attached, exact cosine >= DupCosThreshold. Bucket
+    // collision recall is <1 at the threshold boundary BY DESIGN — the
+    // oracle replays identical candidate generation, so output is
+    // deterministic across engines.
+    "e_embed_dups" -> ((s, dir) => {
+      val bk = bucketed(s, dir).select(col("vec_id"), col("tbl"), col("bkt"))
+      val cand = bk.as("x").join(bk.as("y"),
+          col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+        .distinct()
+      val emb = embDf(s, dir)
+      cand
+        .join(emb.selectExpr("vec_id AS vec_a", "v AS qv", "nrm AS qnrm"), Seq("vec_a"))
+        .join(emb.selectExpr("vec_id AS vec_b", "v", "nrm"), Seq("vec_b"))
+        .selectExpr("vec_a", "vec_b",
+          s"round($dotExpr / (qnrm * nrm), 6) AS cos")
+        .where(col("cos") >= DupCosThreshold)
+        .select(col("vec_a"), col("vec_b"), col("cos"))
     })
   )
 
@@ -91,6 +141,15 @@ object Embeddings {
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       "list_transform(range(1, 65), i -> q.v[i] * c.v[i])), (a, x) -> a + x)"
 
+  private def duckBucketExpr(v: String, t: Int): String = (0 until LshBits)
+    .map(b => s"(CASE WHEN $v[${t * LshBits + b + 1}] >= 0 THEN ${1 << b} ELSE 0 END)")
+    .mkString(" + ")
+
+  private val duckBucketed =
+    s"""bk AS (${(0 until LshTables).map(t =>
+          s"SELECT vec_id, v, nrm, $t AS tbl, ${duckBucketExpr("v", t)} AS bkt FROM embn")
+          .mkString(" UNION ALL ")})""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "e_cosine_topk" ->
       s"""WITH $duckBase,
@@ -102,20 +161,31 @@ object Embeddings {
          |  SELECT q_id, vec_id, cos,
          |    rank() OVER (PARTITION BY q_id ORDER BY cos DESC) AS rk FROM cosj)
          |WHERE rk <= $TopK""".stripMargin,
-    "e_ann_lsh" -> {
-      val bucketExpr = (sideV: String) => (0 until LshBits)
-        .map(b => s"(CASE WHEN $sideV[${b + 1}] >= 0 THEN ${1 << b} ELSE 0 END)")
-        .mkString(" + ")
+    "e_ann_lsh" ->
       s"""WITH $duckBase,
-         |embb AS (SELECT vec_id, v, nrm, ${bucketExpr("v")} AS bkt FROM embn),
-         |cosj AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |$duckBucketed,
+         |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+         |  FROM bk q JOIN bk c ON c.tbl = q.tbl AND c.bkt = q.bkt
+         |    AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries),
+         |cosj AS (SELECT cand.q_id, cand.vec_id,
          |  round($duckDot / (q.nrm * c.nrm), 6) AS cos
-         |  FROM embb q JOIN embb c ON c.bkt = q.bkt AND c.vec_id <> q.vec_id
-         |  WHERE q.vec_id < $NumQueries)
+         |  FROM cand JOIN embn q ON q.vec_id = cand.q_id
+         |    JOIN embn c ON c.vec_id = cand.vec_id)
          |SELECT q_id, vec_id, cos, rk FROM (
          |  SELECT q_id, vec_id, cos,
          |    rank() OVER (PARTITION BY q_id ORDER BY cos DESC) AS rk FROM cosj)
-         |WHERE rk <= $LshTopK""".stripMargin
-    }
+         |WHERE rk <= $LshTopK""".stripMargin,
+    "e_embed_dups" ->
+      s"""WITH $duckBase,
+         |$duckBucketed,
+         |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM bk x JOIN bk y ON y.tbl = x.tbl AND y.bkt = x.bkt
+         |    AND x.vec_id < y.vec_id),
+         |cosj AS (SELECT vec_a, vec_b,
+         |  round($duckDot / (q.nrm * c.nrm), 6) AS cos
+         |  FROM cand JOIN embn q ON q.vec_id = vec_a
+         |    JOIN embn c ON c.vec_id = vec_b)
+         |SELECT vec_a, vec_b, cos FROM cosj WHERE cos >= $DupCosThreshold""".stripMargin
   )
 }

@@ -41,10 +41,13 @@ object GotQueries {
     // projection: "top-10 most PPR-similar characters to Arya".
     "got_ppr_topk" -> ((s, _) => {
       val csr = Got.cachedCsr(s)
+      // rank within src (one source here, but the per-src window keeps the
+      // plan partition-parallel — no single-partition global WindowExec).
       val ppr = PowerIteration.batch(s, csr, Seq(Got.AryaId), Got.Alpha, Got.Iters)
-        .select(col("node_id"), round(col("score"), 9).as("score"))
+        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
       val ranked = ppr
-        .withColumn("rk", rank().over(Window.orderBy(col("score").desc)))
+        .withColumn("rk",
+          rank().over(Window.partitionBy(col("src")).orderBy(col("score").desc)))
         .where(col("rk") <= Got.TopK)
       ranked
         .join(broadcast(Got.nodes(s).select(col("id"), col("name"))),
@@ -60,13 +63,18 @@ object GotQueries {
     // `Gen_Util.java:109-257`, over the GOT grid `:451-478`).
     "got_grid_fwdpush" -> ((s, _) => {
       val csr = Got.cachedCsr(s)
+      // eager checkpoints: gnd is referenced by every grid point × 3
+      // metrics, each est by 3 metrics — materialize the small per-source
+      // vectors once instead of re-running the kernels per reference.
       val gnd = PowerIteration.batch(s, csr, GridSources, Got.Alpha, GridPmIters)
         .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
+        .localCheckpoint(true)
       GridRmaxes.map { rmax =>
         val est = ForwardPush.batch(s, csr, GridSources, Got.Alpha, rmax,
             GridSupersteps)
           .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
           .where(col("score") =!= 0.0)
+          .localCheckpoint(true)
         Metrics.summary(gnd, est, GridK)
           .select(lit(rmax).as("rmax"),
             round(col("avg_precision"), 9).as("avg_precision"),

@@ -149,24 +149,14 @@ object Graph {
     // A9/J3: max-abs-error of forward push vs the power-iteration ground
     // truth, per source — outer-join semantics with missing = 0.0.
     "g_metrics_err" -> ((s, dir) => {
-      val csr = GraphOps.lineitemCsr(s, dir, Mod)
-      val gnd = PowerIteration.batch(s, csr, BatchSources, Alpha, Iters)
-        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
-      val est = ForwardPush.batch(s, csr, BatchSources, Alpha, PushRmax, PushSupersteps)
-        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
-        .where(col("score") =!= 0.0)
+      val (gnd, est) = gndEst(s, dir)
       Metrics.maxAbsErr(gnd, est)
         .select(col("src"), round(col("max_err"), 9).as("max_err"))
     }),
 
     // A7/J4: tie-inclusive precision@k of forward push vs power iteration.
     "g_metrics_precision" -> ((s, dir) => {
-      val csr = GraphOps.lineitemCsr(s, dir, Mod)
-      val gnd = PowerIteration.batch(s, csr, BatchSources, Alpha, Iters)
-        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
-      val est = ForwardPush.batch(s, csr, BatchSources, Alpha, PushRmax, PushSupersteps)
-        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
-        .where(col("score") =!= 0.0)
+      val (gnd, est) = gndEst(s, dir)
       Metrics.precisionAtK(gnd, est, TopK)
         .select(col("src"), round(col("precision"), 9).as("prec"))
     }),
@@ -175,12 +165,7 @@ object Graph {
     // estimate's top-k in estimate order with ground-truth gains 2^π−1,
     // normalized by the ideal DCG (reference `Gen_Util.java:280-300`).
     "g_metrics_ndcg" -> ((s, dir) => {
-      val csr = GraphOps.lineitemCsr(s, dir, Mod)
-      val gnd = PowerIteration.batch(s, csr, BatchSources, Alpha, Iters)
-        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
-      val est = ForwardPush.batch(s, csr, BatchSources, Alpha, PushRmax, PushSupersteps)
-        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
-        .where(col("score") =!= 0.0)
+      val (gnd, est) = gndEst(s, dir)
       Metrics.ndcgAtK(gnd, est, TopK)
         .select(col("src"), round(col("ndcg"), 9).as("ndcg"))
     }),
@@ -188,18 +173,33 @@ object Graph {
     // A10: the reference's per-grid-point summary row — precision, NDCG and
     // max-err averaged over the source batch (`Gen_Util.java:168-179`).
     "g_metrics_summary" -> ((s, dir) => {
-      val csr = GraphOps.lineitemCsr(s, dir, Mod)
-      val gnd = PowerIteration.batch(s, csr, BatchSources, Alpha, Iters)
-        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
-      val est = ForwardPush.batch(s, csr, BatchSources, Alpha, PushRmax, PushSupersteps)
-        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
-        .where(col("score") =!= 0.0)
+      val (gnd, est) = gndEst(s, dir)
       Metrics.summary(gnd, est, TopK)
         .select(round(col("avg_precision"), 9).as("avg_precision"),
           round(col("avg_ndcg"), 9).as("avg_ndcg"),
           round(col("avg_max_err"), 9).as("avg_max_err"))
     })
   )
+
+  /** Ground-truth + estimate score tables shared by the metric queries.
+    * Both are EAGERLY localCheckpoint'ed: every metric references them 2-3
+    * times (precision + NDCG + max-err each re-derive top-k sets), and
+    * without materialization Spark re-runs the batch kernels once per
+    * reference. A few thousand (src, node_id, score) rows pinned per call
+    * vs 3× kernel evaluations is the right trade at any scale — at 100 TB
+    * these per-source vectors are the SMALL side of the workload.
+    */
+  private def gndEst(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val csr = GraphOps.lineitemCsr(s, dir, Mod)
+    val gnd = PowerIteration.batch(s, csr, BatchSources, Alpha, Iters)
+      .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
+      .localCheckpoint(true)
+    val est = ForwardPush.batch(s, csr, BatchSources, Alpha, PushRmax, PushSupersteps)
+      .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
+      .where(col("score") =!= 0.0)
+      .localCheckpoint(true)
+    (gnd, est)
+  }
 
   def oracleSql: Map[String, String] = {
     val multi = PowerIteration.oracleSqlMulti(graphSql, BatchSources, Alpha, Iters)

@@ -96,7 +96,7 @@ object Text {
     }),
 
     // MinHash band signatures (the LSH bucketing key material).
-    "d_minhash" -> ((s, dir) => minhashBands(s, dir)),
+    "d_minhash" -> ((s, dir) => bands(shingleDf(s, dir))),
 
     // LSH candidate pairs + exact shingle-Jaccard verification. The
     // shingle DF is a cheap typed-kernel projection (TextOps.shingles), so
@@ -104,14 +104,7 @@ object Text {
     // memory pinned after the query returns.
     "d_lsh_pairs" -> ((s, dir) => {
       val sh = shingleDf(s, dir)
-      val bands = minhashBands(s, dir)
-      val stacked = bands.selectExpr("doc_id",
-        s"stack($Bands, ${(0 until Bands).map(b => s"$b, b$b").mkString(", ")}) AS (band, bh)")
-      val cand = stacked.as("x").join(stacked.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
+      val cand = bandPairs(bands(sh))
       cand
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
         .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -130,8 +123,30 @@ object Text {
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, t) => (id, TextOps.simhash32(t)) })
         .toDF("doc_id", "simhash")
+    }),
+
+    // n-gram Jaccard near-dup: char-5-gram sets, MinHash-banded candidate
+    // pairs (never all-pairs — same LSH shape as d_lsh_pairs, different
+    // feature space), exact 5-gram Jaccard verification. Banding recall is
+    // <1 at the 0.5 threshold boundary BY DESIGN (that is what makes it a
+    // scale path); near-identical documents (J ≈ 1) collide with
+    // probability ~1. The oracle replays the identical candidate
+    // generation, so the output is deterministic across engines.
+    "d_ngram_pairs" -> ((s, dir) => {
+      val ng = ngramDf(s, dir)
+      val cand = bandPairs(bands(ng))
+      cand
+        .join(ng.select(col("doc_id").as("doc_a"), col("sh").as("ng_a")), Seq("doc_a"))
+        .join(ng.select(col("doc_id").as("doc_b"), col("sh").as("ng_b")), Seq("doc_b"))
+        .selectExpr("doc_a", "doc_b",
+          "round(CAST(size(array_intersect(ng_a, ng_b)) AS DOUBLE) / size(array_union(ng_a, ng_b)), 6) AS jac")
+        .where(col("jac") >= NgramJacThreshold)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
     })
   )
+
+  /** Exact-verify threshold for [[queries]]' `d_ngram_pairs`. */
+  val NgramJacThreshold = 0.5
 
   /** doc_id + distinct shingle-hash array — typed per-partition kernel
     * ([[TextOps.shingles]]), one narrow pass per row; semantically the
@@ -146,9 +161,22 @@ object Text {
       .toDF("doc_id", "sh")
   }
 
-  /** doc_id + `Bands` band-hash columns b0..b{Bands-1}. */
-  private def minhashBands(s: SparkSession, dir: String): DataFrame = {
-    val sig = shingleDf(s, dir).selectExpr(
+  /** doc_id + distinct char-5-gram hash array — typed kernel
+    * ([[TextOps.charNgrams]]), the n-gram-Jaccard feature space.
+    */
+  private def ngramDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, TextOps.charNgrams(t)) })
+      .toDF("doc_id", "sh")
+  }
+
+  /** MinHash band hashes b0..b{Bands-1} of a `(doc_id, sh)` feature DF —
+    * shared by the word-shingle and char-n-gram LSH variants.
+    */
+  private def bands(features: DataFrame): DataFrame = {
+    val sig = features.selectExpr(
       Seq("doc_id") ++
         (0 until K).map(j => s"${TextOps.spark.minhash("sh", j)} AS m$j"): _*)
     val bandCols = (0 until Bands).map { b =>
@@ -161,13 +189,33 @@ object Text {
     sig.selectExpr(Seq("doc_id") ++ bandCols: _*)
   }
 
+  /** Distinct candidate pairs (doc_a < doc_b) sharing any band bucket —
+    * the LSH equi-join; shuffles on (band, hash), never all-pairs.
+    */
+  private def bandPairs(bandDf: DataFrame): DataFrame = {
+    val stacked = bandDf.selectExpr("doc_id",
+      s"stack($Bands, ${(0 until Bands).map(b => s"$b, b$b").mkString(", ")}) AS (band, bh)")
+    stacked.as("x").join(stacked.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   // --------------------------------------------------------------- oracle
 
   private def duckShingleCte: String =
     s"""hs_t AS (SELECT doc_id, ${TextOps.duck.tokenHashes("text")} AS hs FROM documents),
        |sh_t AS (SELECT doc_id, ${TextOps.duck.shinglesFromHashes("hs")} AS sh FROM hs_t)""".stripMargin
 
-  private def duckBandCte: String = {
+  private def duckNgramCte: String =
+    s"""cs_t AS (SELECT doc_id, ${TextOps.duck.charCodes("text")} AS cs FROM documents),
+       |ng_t AS (SELECT doc_id, ${TextOps.duck.ngramsFromCodes("cs")} AS sh FROM cs_t)""".stripMargin
+
+  /** sig/band CTEs over a feature table `(doc_id, sh)` — oracle twin of
+    * [[bands]]; CTE names prefixed so two feature spaces can coexist.
+    */
+  private def duckBandCteFrom(featureTable: String): String = {
     val sigCols = (0 until K)
       .map(j => s"${TextOps.duck.minhash("sh", j)} AS m$j").mkString(", ")
     val bandCols = (0 until Bands).map { b =>
@@ -177,10 +225,22 @@ object Text {
         .reduceLeft((acc, x) => s"(($acc) * $TokMul + $x) % $P")
       s"$e AS b$b"
     }.mkString(", ")
-    s"""$duckShingleCte,
-       |sig_t AS (SELECT doc_id, $sigCols FROM sh_t),
+    s"""sig_t AS (SELECT doc_id, $sigCols FROM $featureTable),
        |band_t AS (SELECT doc_id, $bandCols FROM sig_t)""".stripMargin
   }
+
+  private def duckBandCte: String =
+    s"""$duckShingleCte,
+       |${duckBandCteFrom("sh_t")}""".stripMargin
+
+  /** stacked/cand CTEs — oracle twin of [[bandPairs]] over `band_t`. */
+  private def duckCandCte: String =
+    s"""stacked AS (${(0 until Bands).map(b =>
+          s"SELECT doc_id, $b AS band, b$b AS bh FROM band_t")
+          .mkString(" UNION ALL ")}),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM stacked x JOIN stacked y
+       |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "d_tokens" ->
@@ -224,18 +284,23 @@ object Text {
          |SELECT doc_id, b0, b1, b2, b3 FROM band_t""".stripMargin,
     "d_lsh_pairs" ->
       s"""WITH $duckBandCte,
-         |stacked AS (${(0 until Bands).map(b =>
-             s"SELECT doc_id, $b AS band, b$b AS bh FROM band_t")
-             .mkString(" UNION ALL ")}),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM stacked x JOIN stacked y
-         |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+         |$duckCandCte
          |SELECT doc_a, doc_b,
          | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jac
          |FROM cand JOIN sh_t a ON a.doc_id = doc_a JOIN sh_t b ON b.doc_id = doc_b
          |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.3""".stripMargin,
+    "d_ngram_pairs" ->
+      s"""WITH $duckNgramCte,
+         |${duckBandCteFrom("ng_t")},
+         |$duckCandCte
+         |SELECT doc_a, doc_b,
+         | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jac
+         |FROM cand JOIN ng_t a ON a.doc_id = doc_a JOIN ng_t b ON b.doc_id = doc_b
+         |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= $NgramJacThreshold""".stripMargin,
     "d_simhash" -> {
       val bitSums = (0 until 32)
         .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bit$b")

@@ -38,6 +38,13 @@ object TextOps {
   /** Shingle width for near-dup (token 3-grams). */
   val ShingleW = 3
 
+  /** Character n-gram width for the n-gram-Jaccard dedup variant. 5 chosen
+    * empirically: 3-grams saturate on same-language text (most random doc
+    * pairs share >50% of trigrams), 5-grams separate near-dups (J ≈ 0.99)
+    * from unrelated text (J < 0.3) cleanly.
+    */
+  val NgramW = 5
+
   /** Stopword list for quality scoring (subset of English function words
     * present in the synthetic corpus).
     */
@@ -134,6 +141,42 @@ object TextOps {
     out
   }
 
+  /** Distinct character-[[NgramW]]-gram rolling hashes of one document —
+    * the n-gram-Jaccard dedup signal (typed twin of the DuckDB `ng_t`
+    * CTE): codepoints of lower(text) INCLUDING whitespace (both engines
+    * split on '' keeping every glyph), W-gram rolling combine mod [[P]],
+    * first-occurrence-distinct. One narrow pass per row.
+    */
+  def charNgrams(text: String): Array[Long] = {
+    val t = text.toLowerCase(java.util.Locale.ROOT)
+    // codepoint array (surrogate pairs contribute one value, like tokenHash)
+    val cps = new Array[Long](t.codePointCount(0, t.length))
+    var j = 0
+    var i = 0
+    while (j < t.length) {
+      val cp = t.codePointAt(j)
+      cps(i) = cp.toLong
+      i += 1
+      j += Character.charCount(cp)
+    }
+    val n = cps.length
+    if (n < NgramW) return Array.emptyLongArray
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i <= n - NgramW) {
+      var h = cps(i)
+      var k = 1
+      while (k < NgramW) { h = (h * CharMul + cps(i + k)) % P; k += 1 }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
   // ---------------------------------------------------------------- Spark
 
   /** Spark SQL expression strings (used via selectExpr/expr). `c` is the
@@ -211,6 +254,22 @@ object TextOps {
 
     def minhash(sh: String, j: Int): String =
       s"list_min(list_transform($sh, x -> (${As(j)} * x + ${Bs(j)}) % $P))"
+
+    /** Codepoint array of lower(`c`) — step 1 of the n-gram oracle. */
+    def charCodes(c: String): String =
+      s"list_transform(string_split(lower($c), ''), ch -> CAST(ord(ch) AS BIGINT))"
+
+    /** Distinct char-[[NgramW]]-gram hashes from a codepoint-array column
+      * `cs` — step 2; together the oracle twin of [[TextOps.charNgrams]].
+      */
+    def ngramsFromCodes(cs: String): String = {
+      val roll = (1 until NgramW).foldLeft(s"$cs[i + 1]") { (acc, k) =>
+        s"(($acc) * $CharMul + $cs[i + ${k + 1}]) % $P"
+      }
+      s"list_distinct(CASE WHEN len($cs) >= $NgramW THEN " +
+        s"list_transform(range(0, len($cs) - ${NgramW - 1}), i -> $roll) " +
+        s"ELSE [] END)"
+    }
 
     def bandHash(sig: String, b: Int): String = {
       val lo = b * RowsPerBand

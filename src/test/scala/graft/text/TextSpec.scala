@@ -39,6 +39,33 @@ class TextSpec extends SparkSpec {
     assert(diffs.isEmpty, s"simhash mismatch for doc_ids: ${diffs.take(5)}")
   }
 
+  test("charNgrams: distinct rolling 5-gram hashes, independent recompute") {
+    // independent reimplementation: sliding codepoint windows + BigInt mod.
+    def naive(text: String): Seq[Long] = {
+      val cps = text.toLowerCase(java.util.Locale.ROOT).codePoints().toArray.toSeq
+      if (cps.length < TextOps.NgramW) Seq.empty
+      else cps.sliding(TextOps.NgramW)
+        .map(_.foldLeft(BigInt(0))((a, c) =>
+          (a * TextOps.CharMul + c) mod BigInt(TextOps.P)).toLong)
+        .toSeq.distinct
+    }
+    val samples = Seq("", "abcd", "abcde", "the cat sat on the mat",
+      "aaaaaaaaaa", "Hello, World! Hello, World!")
+    for (t <- samples)
+      assert(TextOps.charNgrams(t).toSeq == naive(t), s"for input '$t'")
+  }
+
+  test("d_ngram_pairs: near-identical docs found, all pairs above threshold") {
+    val out = graft.queries.Text.queries("d_ngram_pairs")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty, "expected at least one near-dup pair at sf0.001")
+    assert(out.forall(_.getDouble(2) >= graft.queries.Text.NgramJacThreshold))
+    // pairs are canonical (doc_a < doc_b) and unique.
+    val keys = out.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.forall { case (a, b) => a < b })
+    assert(keys.distinct.length == keys.length)
+  }
+
   test("simhash32 edge cases: empty, whitespace-only, single token") {
     // empty string -> one empty token, hash 0 -> all bitSums = -1 -> 0.
     assert(TextOps.simhash32("") == 0L)
