@@ -43,7 +43,12 @@ object PowerIteration {
     * `groupBy(id)`. The pre-weighted edge list `(src, dst, 1/outdeg)` is
     * built once and hash-partitioned by `src`, so edges are never
     * re-shuffled, and the state is eagerly `localCheckpoint`ed every
-    * iteration to keep the plan depth constant.
+    * `checkpointEvery` supersteps to bound the plan depth. Cadence 1 is
+    * deliberate: each superstep consumes the previous state TWICE (frontier
+    * + carry), and on the broadcast path the frontier side materializes via
+    * its own BroadcastExchange — not a reusable shuffle — so a lazy
+    * multi-superstep chain recomputes prior supersteps 2^cadence times
+    * (measured: cadence 4 doubled wall time on the bench graph).
     *
     * Join-strategy selection is SIZE-GUARDED: when the graph has at most
     * [[BroadcastNodeLimit]] nodes the frontier (which grows toward all
@@ -63,7 +68,12 @@ object PowerIteration {
       broadcastNodeLimit: Long = BroadcastNodeLimit): DataFrame = {
     import spark.implicits._
 
-    val deg = GraphOps.outDegrees(edges)
+    // The (possibly derived) edge list feeds FOUR setup consumers — count,
+    // degree agg, dangling anti-join, the weighted union — so it is
+    // persisted for the setup phase; without this each action re-runs the
+    // full upstream derivation (scan + distinct for the bench graph).
+    val e = edges.persist()
+    val deg = GraphOps.outDegrees(e)
     // pre-weighted adjacency, built once and reused by every superstep,
     // partitioned to ~1M edges/task: a 997-node bench graph runs 1-task
     // stages (no 32-empty-task overhead × iterations), a 1e9-edge cluster
@@ -74,15 +84,15 @@ object PowerIteration {
     // the SAME edge list as one synthetic edge (v → source, w = 1.0) per
     // out-degree-0 node, built once — so a superstep is exactly ONE join
     // + ONE aggregate, with no per-iteration dangling-detection anti join.
-    val m = edges.count()
+    val m = e.count()
     val p = math.min(spark.sparkContext.defaultParallelism.toLong,
       m / 1000000L + 1L).toInt
-    val weighted = edges.join(deg, edges("src") === deg("id"))
-      .select(edges("src"), edges("dst"), (lit(1.0) / col("deg")).as("w"))
+    val weighted = e.join(deg, e("src") === deg("id"))
+      .select(e("src"), e("dst"), (lit(1.0) / col("deg")).as("w"))
     // candidates = every node that can hold residue without out-edges:
     // edge targets plus the source itself (an isolated source appears
     // nowhere in `edges` but still self-restarts each iteration).
-    val danglingEdges = edges.select(col("dst").as("src"))
+    val danglingEdges = e.select(col("dst").as("src"))
       .union(Seq(source).toDF("src"))
       .distinct()
       .join(deg, col("src") === deg("id"), "left_anti")
@@ -91,7 +101,12 @@ object PowerIteration {
       .repartition(p, col("src"))
       .persist()
     ew.count()
-    val n = deg.count() + danglingEdges.count() // total node count
+    e.unpersist()
+    // ew's src set is exactly (nodes with out-edges) ∪ (dangling nodes ∪
+    // isolated source) — the residue-holding node set — so n falls out of
+    // the already-persisted ew in one cheap job instead of two more
+    // derivation runs.
+    val n = ew.agg(countDistinct("src")).head.getLong(0)
     // Size-guarded broadcast: the frontier grows toward all reachable
     // nodes, so forcing the hint regardless of n would collect O(n) rows
     // to the driver every iteration — the exact failure mode the
