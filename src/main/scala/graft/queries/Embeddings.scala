@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.VectorFunctions
 
 /** Similarity search + embedding near-dup over the `embeddings` table
   * (beyond-reference roadmap, SURVEY §7.5): brute-force cosine top-k as
@@ -35,15 +36,20 @@ object Embeddings {
   /** Exact-verify cosine threshold for `e_embed_dups`. */
   val DupCosThreshold = 0.3
 
-  private val dotExpr =
-    "aggregate(zip_with(qv, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)"
-  private val normExpr = (c: String) =>
-    s"sqrt(aggregate(transform($c, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x))"
+  /** `qv · v` via the native codegen'd [[graft.functions.VecDot]] kernel —
+    * same left-to-right double fold as the former
+    * `aggregate(zip_with(...))` higher-order formulation (and as DuckDB's
+    * `list_reduce` oracle), but fused into whole-stage codegen with no
+    * per-row intermediate array.
+    */
+  private val dotExpr = "vec_dot(qv, v)"
 
-  private def embDf(s: SparkSession, dir: String): DataFrame =
+  private def embDf(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
     Tables(s, dir, "embeddings")
       .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
-      .selectExpr("vec_id", "v", s"${normExpr("v")} AS nrm")
+      .selectExpr("vec_id", "v", "sqrt(vec_dot(v, v)) AS nrm")
+  }
 
   private def cosineJoined(s: SparkSession, dir: String): DataFrame = {
     val emb = embDf(s, dir)
