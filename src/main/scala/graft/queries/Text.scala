@@ -104,7 +104,7 @@ object Text {
     // memory pinned after the query returns.
     "d_lsh_pairs" -> ((s, dir) => {
       val sh = shingleDf(s, dir)
-      val cand = bandPairs(bands(sh))
+      val cand = bandPairs(bandRowsDf(s, dir, TextOps.shingles))
       cand
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
         .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -134,7 +134,9 @@ object Text {
     // generation, so the output is deterministic across engines.
     "d_ngram_pairs" -> ((s, dir) => {
       val ng = ngramDf(s, dir)
-      val cand = bandPairs(bands(ng))
+      // char-gram banding is 2×8, not 4×4 — see TextOps.NgramBands.
+      val cand = bandPairs(bandRowsDf(s, dir, TextOps.charNgrams,
+        TextOps.NgramBands, TextOps.NgramRowsPerBand))
       cand
         .join(ng.select(col("doc_id").as("doc_a"), col("sh").as("ng_a")), Seq("doc_a"))
         .join(ng.select(col("doc_id").as("doc_b"), col("sh").as("ng_b")), Seq("doc_b"))
@@ -189,12 +191,32 @@ object Text {
     sig.selectExpr(Seq("doc_id") ++ bandCols: _*)
   }
 
-  /** Distinct candidate pairs (doc_a < doc_b) sharing any band bucket —
-    * the LSH equi-join; shuffles on (band, hash), never all-pairs.
+  /** Stacked `(doc_id, band, bh)` LSH band rows straight from `documents`
+    * — text → feature hashes → all-K-min MinHash → band fold, fused into
+    * ONE typed per-partition pass ([[TextOps.bandRows]]); empty feature
+    * sets emit no rows (the NULL-band-hash docs of the expression path,
+    * which the equi-join likewise never matched). The K interpreted
+    * `array_min(transform(...))` lambdas this replaces dominated
+    * `d_ngram_pairs` (~900-element char-gram arrays, evaluated on both
+    * sides of the self-join).
     */
-  private def bandPairs(bandDf: DataFrame): DataFrame = {
-    val stacked = bandDf.selectExpr("doc_id",
-      s"stack($Bands, ${(0 until Bands).map(b => s"$b, b$b").mkString(", ")}) AS (band, bh)")
+  private def bandRowsDf(s: SparkSession, dir: String,
+      feat: String => Array[Long],
+      nBands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        TextOps.bandRows(feat(t), nBands, rowsPerBand)
+          .map { case (b, h) => (id, b, h) } }
+      .toDF("doc_id", "band", "bh")
+  }
+
+  /** Distinct candidate pairs (doc_a < doc_b) sharing any band bucket —
+    * the LSH equi-join over stacked `(doc_id, band, bh)` rows; shuffles
+    * on (band, hash), never all-pairs.
+    */
+  private def bandPairs(stacked: DataFrame): DataFrame = {
     stacked.as("x").join(stacked.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -215,12 +237,13 @@ object Text {
   /** sig/band CTEs over a feature table `(doc_id, sh)` — oracle twin of
     * [[bands]]; CTE names prefixed so two feature spaces can coexist.
     */
-  private def duckBandCteFrom(featureTable: String): String = {
+  private def duckBandCteFrom(featureTable: String,
+      nBands: Int = Bands, rowsPerBand: Int = RowsPerBand): String = {
     val sigCols = (0 until K)
       .map(j => s"${TextOps.duck.minhash("sh", j)} AS m$j").mkString(", ")
-    val bandCols = (0 until Bands).map { b =>
-      val lo = b * RowsPerBand
-      val e = (lo until lo + RowsPerBand)
+    val bandCols = (0 until nBands).map { b =>
+      val lo = b * rowsPerBand
+      val e = (lo until lo + rowsPerBand)
         .map(j => s"m$j")
         .reduceLeft((acc, x) => s"(($acc) * $TokMul + $x) % $P")
       s"$e AS b$b"
@@ -234,8 +257,8 @@ object Text {
        |${duckBandCteFrom("sh_t")}""".stripMargin
 
   /** stacked/cand CTEs — oracle twin of [[bandPairs]] over `band_t`. */
-  private def duckCandCte: String =
-    s"""stacked AS (${(0 until Bands).map(b =>
+  private def duckCandCte(nBands: Int = Bands): String =
+    s"""stacked AS (${(0 until nBands).map(b =>
           s"SELECT doc_id, $b AS band, b$b AS bh FROM band_t")
           .mkString(" UNION ALL ")}),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -284,7 +307,7 @@ object Text {
          |SELECT doc_id, b0, b1, b2, b3 FROM band_t""".stripMargin,
     "d_lsh_pairs" ->
       s"""WITH $duckBandCte,
-         |$duckCandCte
+         |${duckCandCte()}
          |SELECT doc_a, doc_b,
          | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jac
@@ -293,8 +316,8 @@ object Text {
          |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.3""".stripMargin,
     "d_ngram_pairs" ->
       s"""WITH $duckNgramCte,
-         |${duckBandCteFrom("ng_t")},
-         |$duckCandCte
+         |${duckBandCteFrom("ng_t", TextOps.NgramBands, TextOps.NgramRowsPerBand)},
+         |${duckCandCte(TextOps.NgramBands)}
          |SELECT doc_a, doc_b,
          | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jac

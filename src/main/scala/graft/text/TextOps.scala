@@ -31,6 +31,20 @@ object TextOps {
   val K = 16
   val Bands = 4
   val RowsPerBand = 4
+
+  /** Banding for the char-n-gram feature space: the SAME K=16 signature,
+    * folded as 2 bands × 8 rows instead of 4 × 4. Char-5-gram Jaccard
+    * between UNRELATED same-language documents sits around 0.2-0.3 (the
+    * gram space saturates on shared orthography), so 4-row bands collide
+    * on ~J⁴·4 ≈ 1-3% of ALL pairs — measured 110k candidate pairs from 5k
+    * documents, turning the exact-verify join into an accidental
+    * near-cross-product. 8-row bands cut the unrelated-pair collision
+    * rate to ~J⁸·2 ≈ 1e-5 while a true near-dup (J ≈ 0.99) still
+    * collides with p = 1-(1-0.99⁸)² ≈ 0.994. At 100 TB the candidate
+    * count, not the verify kernel, is what must stay sub-quadratic.
+    */
+  val NgramBands = 2
+  val NgramRowsPerBand = 8
   /** Deterministic permutation constants (odd, < P). */
   val As: Seq[Long] = (0 until K).map(j => 2L * j * j + 3L * j + 7L)
   val Bs: Seq[Long] = (0 until K).map(j => 5L * j * j + j + 11L)
@@ -127,18 +141,39 @@ object TextOps {
     val hs = new Array[Long](n)
     var i = 0
     while (i < n) { hs(i) = tokenHash(toks(i)); i += 1 }
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    i = 0
-    while (i <= n - ShingleW) {
-      val sh = ((hs(i) * TokMul + hs(i + 1)) % P * TokMul + hs(i + 2)) % P
-      seen.add(sh)
+    collectDistinct(n - ShingleW + 1,
+      i => ((hs(i) * TokMul + hs(i + 1)) % P * TokMul + hs(i + 2)) % P)
+  }
+
+  /** First-occurrence-distinct collection of `count` generated hashes into
+    * an array, via an open-addressed PRIMITIVE long table (hash values are
+    * in [0, P), so -1 marks empty). The boxed LinkedHashSet this replaces
+    * allocated one java.lang.Long per gram — the dominant cost of the
+    * n-gram kernels at ~1k grams/document.
+    */
+  private def collectDistinct(count: Int, hashAt: Int => Long): Array[Long] = {
+    if (count <= 0) return Array.emptyLongArray
+    var cap = 4
+    while (cap < count * 2) cap <<= 1
+    val mask = cap - 1
+    val table = new Array[Long](cap)
+    java.util.Arrays.fill(table, -1L)
+    val order = new Array[Long](count)
+    var m = 0
+    var i = 0
+    while (i < count) {
+      val v = hashAt(i)
+      var idx = ((v * 0x9E3779B97F4A7C15L) >>> 40).toInt & mask
+      var probing = true
+      while (probing) {
+        val cur = table(idx)
+        if (cur == -1L) { table(idx) = v; order(m) = v; m += 1; probing = false }
+        else if (cur == v) probing = false
+        else idx = (idx + 1) & mask
+      }
       i += 1
     }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
-    i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    out
+    if (m == count) order else java.util.Arrays.copyOf(order, m)
   }
 
   /** Distinct character-[[NgramW]]-gram rolling hashes of one document —
@@ -161,19 +196,56 @@ object TextOps {
     }
     val n = cps.length
     if (n < NgramW) return Array.emptyLongArray
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    i = 0
-    while (i <= n - NgramW) {
+    collectDistinct(n - NgramW + 1, i => {
       var h = cps(i)
       var k = 1
       while (k < NgramW) { h = (h * CharMul + cps(i + k)) % P; k += 1 }
-      seen.add(h)
+      h
+    })
+  }
+
+  private val AsArr: Array[Long] = As.toArray
+  private val BsArr: Array[Long] = Bs.toArray
+
+  /** Stacked LSH band rows `(band, bandHash)` of one feature-hash array —
+    * the typed twin of [[spark.minhash]] + [[spark.bandHash]] (and of the
+    * DuckDB sig/band CTEs): all K permutation minima are tracked in ONE
+    * pass over the features, then folded into [[Bands]] band hashes. The
+    * expression path this replaces evaluated K separate interpreted
+    * `array_min(transform(...))` lambdas per row — K× the passes and
+    * ~100× the per-element cost on large char-n-gram arrays.
+    *
+    * Empty features yield NO rows: the expression path yields NULL band
+    * hashes there, and the band equi-join never matches a NULL key, so
+    * the candidate-pair output is identical.
+    */
+  def bandRows(features: Array[Long], nBands: Int = Bands,
+      rowsPerBand: Int = RowsPerBand): Array[(Int, Long)] = {
+    if (features.isEmpty) return Array.empty
+    val mins = Array.fill(K)(Long.MaxValue)
+    var i = 0
+    while (i < features.length) {
+      val x = features(i)
+      var j = 0
+      while (j < K) {
+        val h = (AsArr(j) * x + BsArr(j)) % P
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
       i += 1
     }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
-    i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    val out = new Array[(Int, Long)](nBands)
+    var b = 0
+    while (b < nBands) {
+      var h = mins(b * rowsPerBand)
+      var k = 1
+      while (k < rowsPerBand) {
+        h = (h * TokMul + mins(b * rowsPerBand + k)) % P
+        k += 1
+      }
+      out(b) = (b, h)
+      b += 1
+    }
     out
   }
 

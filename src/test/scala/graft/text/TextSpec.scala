@@ -66,6 +66,33 @@ class TextSpec extends SparkSpec {
     assert(keys.distinct.length == keys.length)
   }
 
+  test("bandRows kernel matches the minhash/bandHash expression path") {
+    val s = spark
+    import s.implicits._
+    // legacy path: K interpreted array_min(transform(...)) minhash lambdas
+    // folded into band hashes — the plan bandRows replaced.
+    val sh = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, TextOps.shingles(t)) })
+      .toDF("doc_id", "sh")
+    val sigExpr = (0 until TextOps.K)
+      .map(j => TextOps.spark.minhash("sh", j)).mkString("array(", ", ", ")")
+    val hof = sh.selectExpr("doc_id", s"$sigExpr AS sig")
+      .selectExpr(Seq("doc_id") ++ (0 until TextOps.Bands)
+        .map(b => s"${TextOps.spark.bandHash("sig", b)} AS b$b"): _*)
+      .selectExpr("doc_id", s"stack(${TextOps.Bands}, ${(0 until TextOps.Bands)
+        .map(b => s"$b, b$b").mkString(", ")}) AS (band, bh)")
+      .where(col("bh").isNotNull) // empty-feature docs: kernel emits no rows
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val kernel = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        TextOps.bandRows(TextOps.shingles(t)).map { case (b, h) => (id, b, h) } }
+      .collect().toSet
+    assert(kernel == hof)
+    assert(TextOps.bandRows(Array.emptyLongArray).isEmpty)
+  }
+
   test("simhash32 edge cases: empty, whitespace-only, single token") {
     // empty string -> one empty token, hash 0 -> all bitSums = -1 -> 0.
     assert(TextOps.simhash32("") == 0L)
