@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.VectorFunctions
+import graft.functions.{TopKFunctions, VectorFunctions}
 
 /** Similarity search + embedding near-dup over the `embeddings` table
   * (beyond-reference roadmap, SURVEY §7.5): brute-force cosine top-k as
@@ -76,11 +76,26 @@ object Embeddings {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact cosine top-k per query (tie-inclusive RANK on the
     // rounded score so cross-engine float noise cannot flip the cut).
+    //
+    // Scale shape: the per-query kth-largest threshold comes from the
+    // custom KthScore aggregate (bounded min-heap, partial aggregation —
+    // each map task ships ≤ k doubles per query across the shuffle), and
+    // the RANK window then sorts only the ≤ ~k surviving rows per query.
+    // The single-window formulation this replaces shuffled and SORTED the
+    // entire |corpus|×|queries| score table; re-scanning the corpus twice
+    // (threshold pass + filter pass) is the cheaper side of that trade at
+    // scale, and the threshold filter provably keeps exactly the RANK ≤ k
+    // rows (score ≥ kth-largest ⟺ fewer than k strictly greater).
     "e_cosine_topk" -> ((s, dir) => {
+      TopKFunctions.register(s)
+      val cos = cosineJoined(s, dir)
+      val th = cos.groupBy("q_id")
+        .agg(TopKFunctions.kthScore(col("cos"), TopK).as("th"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc)
-      cosineJoined(s, dir)
+      cos.join(broadcast(th), Seq("q_id"))
+        .where(col("cos") >= col("th"))
         .withColumn("rk", rank().over(w))
-        .where(col("rk") <= TopK)
+        .where(col("rk") <= TopK) // belt-and-braces: identical cut by proof above
         .select(col("q_id"), col("vec_id"), col("cos"), col("rk"))
     }),
 
