@@ -66,12 +66,19 @@ object Embeddings {
     .map(b => s"(CASE WHEN element_at($v, ${t * LshBits + b + 1}) >= 0 THEN ${1 << b} ELSE 0 END)")
     .mkString(" + ")
 
-  /** `(vec_id, v, nrm, tbl, bkt)` — each vector appears once per table. */
+  /** `(vec_id, v, nrm, tbl, bkt)` — each vector appears once per table.
+    * ONE corpus scan: all table buckets are computed in a single
+    * projection and posexploded (pos = table index), vs the former
+    * LshTables-way union that re-scanned (and re-normed) the corpus once
+    * per table.
+    */
   private def bucketed(s: SparkSession, dir: String): DataFrame =
-    (0 until LshTables).map { t =>
-      embDf(s, dir).selectExpr("vec_id", "v", "nrm",
-        s"$t AS tbl", s"${bucketExpr("v", t)} AS bkt")
-    }.reduce(_.unionAll(_))
+    embDf(s, dir)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(expr((0 until LshTables)
+          .map(t => bucketExpr("v", t)).mkString("array(", ", ", ")"))))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bkt")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact cosine top-k per query (tie-inclusive RANK on the
