@@ -36,6 +36,16 @@ object Embeddings {
   /** Exact-verify cosine threshold for `e_embed_dups`. */
   val DupCosThreshold = 0.3
 
+  /** IVF config: cells = nearest of [[IvfCentroids]] fixed centroid
+    * vectors (deterministic "training": the corpus vectors with
+    * `vec_id ∈ [NumQueries, NumQueries+C)` stand in for k-means centers —
+    * same index structure, reproducible across engines); queries probe the
+    * [[IvfProbes]] nearest cells.
+    */
+  val IvfCentroids = 16
+  val IvfProbes = 4
+  val IvfTopK = 5
+
   /** `qv · v` via the native codegen'd [[graft.functions.VecDot]] kernel —
     * same left-to-right double fold as the former
     * `aggregate(zip_with(...))` higher-order formulation (and as DuckDB's
@@ -132,6 +142,53 @@ object Embeddings {
         .select(col("q_id"), col("vec_id"), col("cos"), col("rk"))
     }),
 
+    // IVF ANN: assign every corpus vector to its nearest centroid cell
+    // (argmax cosine over a BROADCAST centroid table, computed per row —
+    // one narrow pass, no shuffle until the cell equi-join), probe the
+    // IvfProbes nearest cells per query, exact cosine + tie-inclusive
+    // top-k on the candidates. Cell recall < 1 by design; the oracle
+    // replays identical assignment so output is deterministic.
+    //
+    // Scale shape: assignment is max(struct(cos, -cid)) — a partial-
+    // aggregating argmax, NOT a window sort over corpus×C rows; the
+    // candidate join shuffles on the cell id; probe table is broadcast.
+    "e_ann_ivf" -> ((s, dir) => {
+      val emb = embDf(s, dir)
+      val cent = emb
+        .where(col("vec_id").between(NumQueries, NumQueries + IvfCentroids - 1))
+        .selectExpr(s"CAST(vec_id - $NumQueries AS INT) AS cid",
+          "v AS cv", "nrm AS cnrm")
+      val scored = emb.crossJoin(broadcast(cent))
+        .selectExpr("vec_id", "cid", "vec_dot(v, cv) / (nrm * cnrm) AS cc")
+      // argmax cell per vector: lexicographic max of (cc, -cid) — highest
+      // cosine, ties to the LOWEST centroid id (matches the oracle's
+      // ORDER BY cc DESC, cid ASC).
+      val assign = scored
+        .groupBy("vec_id")
+        .agg(max(struct(col("cc"), (-col("cid")).as("nc"))).as("m"))
+        .selectExpr("vec_id", "CAST(-m.nc AS INT) AS cell")
+      val wp = Window.partitionBy(col("q_id")).orderBy(col("cc").desc, col("cid").asc)
+      val probe = scored.where(col("vec_id") < NumQueries)
+        .withColumnRenamed("vec_id", "q_id")
+        .withColumn("rn", row_number().over(wp))
+        .where(col("rn") <= IvfProbes)
+        .select(col("q_id"), col("cid").as("cell"))
+      val cand = assign.join(broadcast(probe), Seq("cell"))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"))
+        .distinct()
+      val q = emb.selectExpr("vec_id AS q_id", "v AS qv", "nrm AS qnrm")
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc)
+      cand
+        .join(broadcast(q), Seq("q_id"))
+        .join(emb, Seq("vec_id"))
+        .selectExpr("q_id", "vec_id",
+          s"round($dotExpr / (qnrm * nrm), 6) AS cos")
+        .withColumn("rk", rank().over(w))
+        .where(col("rk") <= IvfTopK)
+        .select(col("q_id"), col("vec_id"), col("cos"), col("rk"))
+    }),
+
     // Embedding-cosine near-dup pairs: corpus self-join within LSH
     // buckets (all tables), candidate id pairs de-duplicated before the
     // vectors are re-attached, exact cosine >= DupCosThreshold. Bucket
@@ -204,6 +261,37 @@ object Embeddings {
          |  SELECT q_id, vec_id, cos,
          |    rank() OVER (PARTITION BY q_id ORDER BY cos DESC) AS rk FROM cosj)
          |WHERE rk <= $LshTopK""".stripMargin,
+    "e_ann_ivf" -> {
+      // dot product between aliased embn rows a and b (64 dims).
+      def dotOf(a: String, b: String) =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"list_transform(range(1, 65), i -> $a.v[i] * $b.v[i])), (a, x) -> a + x)"
+      s"""WITH $duckBase,
+         |cent AS (SELECT CAST(vec_id - $NumQueries AS INT) AS cid, v, nrm
+         |  FROM embn WHERE vec_id BETWEEN $NumQueries AND ${NumQueries + IvfCentroids - 1}),
+         |scored AS (SELECT e.vec_id, c.cid,
+         |    ${dotOf("e", "c")} / (e.nrm * c.nrm) AS cc
+         |  FROM embn e CROSS JOIN cent c),
+         |assign AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |probe AS (SELECT vec_id AS q_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rn
+         |    FROM scored WHERE vec_id < $NumQueries) WHERE rn <= $IvfProbes),
+         |cand AS (SELECT DISTINCT p.q_id, a.vec_id
+         |  FROM probe p JOIN assign a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.q_id),
+         |cosj AS (SELECT cand.q_id, cand.vec_id,
+         |  round(${dotOf("q", "c")} / (q.nrm * c.nrm), 6) AS cos
+         |  FROM cand JOIN embn q ON q.vec_id = cand.q_id
+         |    JOIN embn c ON c.vec_id = cand.vec_id)
+         |SELECT q_id, vec_id, cos, rk FROM (
+         |  SELECT q_id, vec_id, cos,
+         |    rank() OVER (PARTITION BY q_id ORDER BY cos DESC) AS rk FROM cosj)
+         |WHERE rk <= $IvfTopK""".stripMargin
+    },
     "e_embed_dups" ->
       s"""WITH $duckBase,
          |$duckBucketed,

@@ -29,6 +29,26 @@ class EmbeddingsSpec extends SparkSpec {
     assert(mismatches.isEmpty, s"cos disagreement: ${mismatches.take(3).toSeq}")
   }
 
+  test("e_ann_ivf: scores agree with brute force; cells partition the corpus") {
+    val ivf = Embeddings.queries("e_ann_ivf")(spark, sfDir)
+      .select(col("q_id"), col("vec_id"), col("cos")).collect()
+    assert(ivf.nonEmpty)
+    val bf = brute
+      .select(col("q_id"), col("vec_id"), col("cos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every candidate's exact cosine must agree wherever the pair also
+    // appears in the brute-force top-k (same kernel, same rounding).
+    val mismatches = ivf.collect {
+      case r if bf.contains((r.getLong(0), r.getLong(1))) &&
+        bf((r.getLong(0), r.getLong(1))) != r.getDouble(2) => r
+    }
+    assert(mismatches.isEmpty, s"cos disagreement: ${mismatches.take(3).toSeq}")
+    // per query at most ~IvfTopK rows (ties may exceed k, but never the
+    // whole corpus — the probe actually restricted the candidate set).
+    val perQ = ivf.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perQ.values.forall(_ <= Embeddings.IvfTopK + 5))
+  }
+
   test("e_embed_dups: canonical unique pairs, threshold respected, subset of brute force") {
     val dups = Embeddings.queries("e_embed_dups")(spark, sfDir).collect()
     val keys = dups.map(r => (r.getLong(0), r.getLong(1)))
