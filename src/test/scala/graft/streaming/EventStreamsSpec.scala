@@ -67,4 +67,34 @@ class EventStreamsSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming dedup keeps the first arrival per content fingerprint") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("doc_id", "ts", "text")
+    val q = dedupByContent(df, "ts", "10 minutes").writeStream
+      .format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData(Seq(
+        (1L, at(0), "alpha"), (2L, at(1), "beta"),
+        (3L, at(2), "alpha"), // dup of doc 1 within the horizon -> dropped
+        (4L, at(3), "gamma")))
+      q.processAllAvailable()
+      // advance event time far past the watermark so "alpha" is evicted
+      // from state, then replay it: a re-arrival AFTER the horizon passes.
+      input.addData(Seq((5L, at(60), "delta")))
+      q.processAllAvailable()
+      input.addData(Seq((6L, at(61), "alpha")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(1L) && ids.contains(2L) && ids.contains(4L) && ids.contains(5L))
+      assert(!ids.contains(3L), "duplicate within horizon must be dropped")
+      assert(ids.contains(6L), "re-arrival after state eviction is a new first")
+    } finally q.stop()
+  }
 }
