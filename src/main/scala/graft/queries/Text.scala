@@ -125,6 +125,41 @@ object Text {
         .toDF("doc_id", "simhash")
     }),
 
+    // SimHash near-dup pairs: Charikar block bucketing — the 32-bit
+    // simhash splits into 4 byte blocks; a pair with hamming distance
+    // <= SimhashHammingMax (3) differs in at most 3 bits, so BY
+    // PIGEONHOLE at least one block is identical and the pair collides in
+    // that block's bucket: recall is EXACTLY 1 at the threshold, unlike
+    // the MinHash bands. Verification is a codegen'd
+    // bit_count(simhash XOR simhash) on candidates only.
+    "d_simhash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val sim = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) => (id, TextOps.simhash32(t)) })
+        .toDF("doc_id", "simhash")
+      val blockList = (0 until 4)
+        .map(b => s"$b, (simhash >> ${8 * b}) & 255").mkString(", ")
+      val stacked = sim.selectExpr("doc_id", "simhash",
+        s"stack(4, $blockList) AS (band, bb)")
+      // lowest-matching-band dedup: a pair colliding in several blocks is
+      // emitted ONLY by its first matching block (all earlier blocks must
+      // differ), so no distinct shuffle over the candidate set is needed.
+      val firstBand = (0 until 3).map(bp =>
+          s"(band <= $bp OR ((sim_a >> ${8 * bp}) & 255) != ((sim_b >> ${8 * bp}) & 255))")
+        .mkString(" AND ")
+      stacked.as("x").join(stacked.as("y"),
+          col("x.band") === col("y.band") && col("x.bb") === col("y.bb") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"),
+          col("x.band").as("band"))
+        .where(expr(firstBand))
+        .selectExpr("doc_a", "doc_b", "bit_count(sim_a ^ sim_b) AS hamming")
+        .where(col("hamming") <= SimhashHammingMax)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    }),
+
     // n-gram Jaccard near-dup: char-5-gram sets, MinHash-banded candidate
     // pairs (never all-pairs — same LSH shape as d_lsh_pairs, different
     // feature space), exact 5-gram Jaccard verification. Banding recall is
@@ -149,6 +184,12 @@ object Text {
 
   /** Exact-verify threshold for [[queries]]' `d_ngram_pairs`. */
   val NgramJacThreshold = 0.5
+
+  /** Max hamming distance for `d_simhash_pairs` — must stay ≤ 3 for the
+    * 4-block pigeonhole recall guarantee (32 bits / 4 blocks: ≤ 3 flipped
+    * bits cannot touch all 4 blocks).
+    */
+  val SimhashHammingMax = 3
 
   /** doc_id + distinct shingle-hash array — typed per-partition kernel
     * ([[TextOps.shingles]]), one narrow pass per row; semantically the
@@ -229,6 +270,20 @@ object Text {
   private def duckShingleCte: String =
     s"""hs_t AS (SELECT doc_id, ${TextOps.duck.tokenHashes("text")} AS hs FROM documents),
        |sh_t AS (SELECT doc_id, ${TextOps.duck.shinglesFromHashes("hs")} AS sh FROM hs_t)""".stripMargin
+
+  /** `(doc_id, simhash)` CTE — oracle twin of [[TextOps.simhash32]]. */
+  private def duckSimhashCte: String = {
+    val bitSums = (0 until 32)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bit$b")
+      .mkString(", ")
+    val combine = (0 until 32)
+      .map(b => s"CASE WHEN bit$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"""hs_t AS (SELECT doc_id, ${TextOps.duck.tokenHashes("text")} AS hs FROM documents),
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM hs_t),
+       |bits AS (SELECT doc_id, $bitSums FROM ex GROUP BY doc_id),
+       |sim_t AS (SELECT doc_id, $combine AS simhash FROM bits)""".stripMargin
+  }
 
   private def duckNgramCte: String =
     s"""cs_t AS (SELECT doc_id, ${TextOps.duck.charCodes("text")} AS cs FROM documents),
@@ -324,17 +379,25 @@ object Text {
          |FROM cand JOIN ng_t a ON a.doc_id = doc_a JOIN ng_t b ON b.doc_id = doc_b
          |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= $NgramJacThreshold""".stripMargin,
-    "d_simhash" -> {
-      val bitSums = (0 until 32)
-        .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bit$b")
-        .mkString(", ")
-      val combine = (0 until 32)
-        .map(b => s"CASE WHEN bit$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
-        .mkString(" + ")
-      s"""WITH hs_t AS (SELECT doc_id, ${TextOps.duck.tokenHashes("text")} AS hs FROM documents),
-         |ex AS (SELECT doc_id, unnest(hs) AS h FROM hs_t),
-         |bits AS (SELECT doc_id, $bitSums FROM ex GROUP BY doc_id)
-         |SELECT doc_id, $combine AS simhash FROM bits""".stripMargin
+    "d_simhash" ->
+      s"""WITH $duckSimhashCte
+         |SELECT doc_id, simhash FROM sim_t""".stripMargin,
+    "d_simhash_pairs" -> {
+      val stackedUnion = (0 until 4).map(b =>
+          s"SELECT doc_id, simhash, $b AS band, (simhash >> ${8 * b}) & 255 AS bb FROM sim_t")
+        .mkString(" UNION ALL ")
+      val firstBand = (0 until 3).map(bp =>
+          s"(band <= $bp OR ((sim_a >> ${8 * bp}) & 255) != ((sim_b >> ${8 * bp}) & 255))")
+        .mkString(" AND ")
+      s"""WITH $duckSimhashCte,
+         |stacked AS ($stackedUnion),
+         |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    x.simhash AS sim_a, y.simhash AS sim_b, x.band AS band
+         |  FROM stacked x JOIN stacked y
+         |  ON x.band = y.band AND x.bb = y.bb AND x.doc_id < y.doc_id),
+         |firstb AS (SELECT doc_a, doc_b, sim_a, sim_b FROM cand WHERE $firstBand)
+         |SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+         |FROM firstb WHERE bit_count(xor(sim_a, sim_b)) <= $SimhashHammingMax""".stripMargin
     }
   )
 }

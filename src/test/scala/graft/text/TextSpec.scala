@@ -93,6 +93,24 @@ class TextSpec extends SparkSpec {
     assert(TextOps.bandRows(Array.emptyLongArray).isEmpty)
   }
 
+  test("d_simhash_pairs: pigeonhole recall is exact at the hamming threshold") {
+    val s = spark
+    import s.implicits._
+    val sim = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().map { case (id, t) => id -> TextOps.simhash32(t) }
+    // brute-force ground truth: every pair with hamming <= threshold.
+    val want = (for {
+      (a, ha) <- sim; (b, hb) <- sim if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= graft.queries.Text.SimhashHammingMax
+    } yield (a, b)).toSet
+    val got = graft.queries.Text.queries("d_simhash_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 4-block bucketing GUARANTEES recall 1 for hamming <= 3 — the
+    // candidate filter may only remove pairs above the threshold.
+    assert(got == want)
+  }
+
   test("simhash32 edge cases: empty, whitespace-only, single token") {
     // empty string -> one empty token, hash 0 -> all bitSums = -1 -> 0.
     assert(TextOps.simhash32("") == 0L)
