@@ -46,6 +46,14 @@ object Embeddings {
   val IvfProbes = 4
   val IvfTopK = 5
 
+  /** kNN-graph PPR composition (SURVEY §7.5): out-degree, PPR sources and
+    * iteration count for `e_knn_ppr`.
+    */
+  val KnnK = 3
+  val KnnAlpha = 0.15
+  val KnnIters = 15
+  val KnnSources: Seq[Long] = Seq(0L, 1L, 2L)
+
   /** `qv · v` via the native codegen'd [[graft.functions.VecDot]] kernel —
     * same left-to-right double fold as the former
     * `aggregate(zip_with(...))` higher-order formulation (and as DuckDB's
@@ -195,6 +203,39 @@ object Embeddings {
     // collision recall is <1 at the threshold boundary BY DESIGN — the
     // oracle replays identical candidate generation, so output is
     // deterministic across engines.
+    // kNN-graph PPR (SURVEY §7.5 composition): a vector-similarity edge
+    // builder feeding the K1 power-iteration kernel unchanged. Edges =
+    // each vector's KnnK nearest LSH-candidate neighbors (deterministic
+    // row_number on (cos DESC, nbr ASC)); PPR = batched CSR kernel from
+    // KnnSources. The similarity search, the graph build, and the PPR all
+    // reuse operators that are individually oracle-checked; the composed
+    // oracle replays the identical edge SQL through the unrolled
+    // power-iteration CTEs.
+    "e_knn_ppr" -> ((s, dir) => {
+      val bk = bucketed(s, dir).select(col("vec_id"), col("tbl"), col("bkt"))
+      val candAB = bk.as("x").join(bk.as("y"),
+          col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+        .distinct()
+      // both orientations: kNN is per-vector over an undirected candidate set
+      val cand = candAB.select(col("vec_a").as("v"), col("vec_b").as("nbr"))
+        .unionAll(candAB.select(col("vec_b").as("v"), col("vec_a").as("nbr")))
+      val emb = embDf(s, dir)
+      val scored = cand
+        .join(emb.selectExpr("vec_id AS v", "v AS qv", "nrm AS qnrm"), Seq("v"))
+        .join(emb.selectExpr("vec_id", "v AS vv", "nrm AS vnrm")
+          .withColumnRenamed("vec_id", "nbr"), Seq("nbr"))
+        .selectExpr("v", "nbr", "round(vec_dot(qv, vv) / (qnrm * vnrm), 6) AS cos")
+      val wn = Window.partitionBy(col("v")).orderBy(col("cos").desc, col("nbr").asc)
+      val edges = scored.withColumn("rn", row_number().over(wn))
+        .where(col("rn") <= KnnK)
+        .select(col("v").as("src"), col("nbr").as("dst"))
+      val csr = graft.graph.GraphOps.buildCsr(edges)
+      graft.ppr.PowerIteration.batch(s, csr, KnnSources, KnnAlpha, KnnIters)
+        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
+    }),
+
     "e_embed_dups" -> ((s, dir) => {
       val bk = bucketed(s, dir).select(col("vec_id"), col("tbl"), col("bkt"))
       val cand = bk.as("x").join(bk.as("y"),
@@ -291,6 +332,31 @@ object Embeddings {
          |  SELECT q_id, vec_id, cos,
          |    rank() OVER (PARTITION BY q_id ORDER BY cos DESC) AS rk FROM cosj)
          |WHERE rk <= $IvfTopK""".stripMargin
+    },
+    "e_knn_ppr" -> {
+      def dotOf(a: String, b: String) =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"list_transform(range(1, 65), i -> $a.v[i] * $b.v[i])), (a, x) -> a + x)"
+      // self-contained kNN edge SQL (nested WITH is scoped to this
+      // subquery, so its CTE names cannot collide with the unrolled
+      // power-iteration CTEs that wrap it).
+      val knnEdgesSql =
+        s"""WITH $duckBase,
+           |$duckBucketed,
+           |candab AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+           |  FROM bk x JOIN bk y ON y.tbl = x.tbl AND y.bkt = x.bkt
+           |    AND x.vec_id < y.vec_id),
+           |cand AS (SELECT vec_a AS v, vec_b AS nbr FROM candab
+           |  UNION ALL SELECT vec_b AS v, vec_a AS nbr FROM candab),
+           |scored AS (SELECT cand.v, cand.nbr,
+           |  round(${dotOf("a", "b")} / (a.nrm * b.nrm), 6) AS cos
+           |  FROM cand JOIN embn a ON a.vec_id = cand.v
+           |    JOIN embn b ON b.vec_id = cand.nbr)
+           |SELECT v AS src, nbr AS dst FROM (
+           |  SELECT v, nbr,
+           |    row_number() OVER (PARTITION BY v ORDER BY cos DESC, nbr ASC) AS rn
+           |  FROM scored) WHERE rn <= $KnnK""".stripMargin
+      graft.ppr.PowerIteration.oracleSqlMulti(knnEdgesSql, KnnSources, KnnAlpha, KnnIters)
     },
     "e_embed_dups" ->
       s"""WITH $duckBase,
