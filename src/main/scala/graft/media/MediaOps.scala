@@ -25,8 +25,18 @@ object MediaOps {
   final case class MediaMeta(
       doc_id: Long, n_bytes: Long, checksum: Long, width: Int, height: Int)
   final case class MediaFeature(doc_id: Long, feature: Array[Float])
+  final case class MediaFrame(
+      doc_id: Long, frame_idx: Int, n_bytes: Long, checksum: Long)
+  final case class MediaResized(doc_id: Long, n_bytes: Long, checksum: Long)
 
   val P = 1000000007L
+
+  /** Frame size (bytes) and keep-every-N stride for [[frameSample]]. */
+  val FrameBytes = 256
+  val FrameEvery = 2
+
+  /** Target payload size for [[resizeStub]]. */
+  val ResizeTarget = 1024
 
   /** Build a binary media table from the documents table (the corpus's
     * stand-in payload: UTF-8 bytes of the text).
@@ -96,6 +106,49 @@ object MediaOps {
     }
   }
 
+  /** ----- FRAME SAMPLING -----
+    * Video-style frame sampling over the opaque payload: the byte stream
+    * is cut into [[FrameBytes]]-sized frames and every [[FrameEvery]]-th
+    * frame is emitted as its own row — the flatMap (explode) shape real
+    * frame extraction uses, one row per kept frame, payload never on the
+    * driver. A real implementation would seek keyframes in the container;
+    * the fixed-stride cut is the deterministic stand-in.
+    */
+  def frameSample(media: Dataset[Media],
+      frameBytes: Int = FrameBytes, every: Int = FrameEvery): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val n = m.payload.length
+      val frames = (n + frameBytes - 1) / frameBytes
+      (0 until frames).iterator
+        .filter(_ % every == 0)
+        .map { i =>
+          val from = i * frameBytes
+          val until = math.min(from + frameBytes, n)
+          val frame = java.util.Arrays.copyOfRange(m.payload, from, until)
+          MediaFrame(m.doc_id, i, frame.length.toLong, byteHash(frame))
+        }
+    }
+  }
+
+  /** ----- STUBBED RESIZE -----
+    * Downsample the payload to at most [[ResizeTarget]] bytes by keeping
+    * every stride-th byte (stride = ceil(n/target)) — a pixel-decimation
+    * stand-in with the production topology: binary in, binary-derived
+    * metadata out, narrow per-partition map, no shuffle.
+    */
+  def resizeStub(media: Dataset[Media], target: Int = ResizeTarget): Dataset[MediaResized] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val n = m.payload.length
+      val stride = math.max(1, (n + target - 1) / target)
+      val kept = new Array[Byte]((n + stride - 1) / stride)
+      var i = 0
+      while (i < kept.length) { kept(i) = m.payload(i * stride); i += 1 }
+      MediaResized(m.doc_id, kept.length.toLong, byteHash(kept))
+    })
+  }
+
   /** Metadata DataFrame for the query surface (checksum/byte-count are
     * ASCII-equal to a char-level fold, which is what the DuckDB oracle
     * replays — the corpus is pure ASCII).
@@ -103,5 +156,17 @@ object MediaOps {
   def metaDf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     decodeStub(fromDocuments(spark, sfDir)).toDF()
+  }
+
+  /** Frame-sample DataFrame for the query surface. */
+  def framesDf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    frameSample(fromDocuments(spark, sfDir)).toDF()
+  }
+
+  /** Resize DataFrame for the query surface. */
+  def resizedDf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    resizeStub(fromDocuments(spark, sfDir)).toDF()
   }
 }

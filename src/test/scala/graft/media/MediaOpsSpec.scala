@@ -39,4 +39,39 @@ class MediaOpsSpec extends SparkSpec {
     assert(a == b)
     assert(a.values.forall(_.length == 8))
   }
+
+  test("frame sampling: kept frames cover every-Nth stride, checksums match bytes") {
+    val media = MediaOps.fromDocuments(spark, sfDir)
+    val frames = MediaOps.frameSample(media).collect()
+      .groupBy(_.doc_id).view.mapValues(_.sortBy(_.frame_idx)).toMap
+    val payloads = media.collect().map(m => m.doc_id -> m.payload).toMap
+    payloads.take(20).foreach { case (id, bytes) =>
+      val total = (bytes.length + MediaOps.FrameBytes - 1) / MediaOps.FrameBytes
+      val kept = (0 until total).filter(_ % MediaOps.FrameEvery == 0)
+      val got = frames.getOrElse(id, Array.empty[MediaOps.MediaFrame])
+      assert(got.map(_.frame_idx).toSeq == kept)
+      got.foreach { fr =>
+        val from = fr.frame_idx * MediaOps.FrameBytes
+        val until = math.min(from + MediaOps.FrameBytes, bytes.length)
+        val expect = java.util.Arrays.copyOfRange(bytes, from, until)
+        assert(fr.n_bytes == expect.length.toLong)
+        assert(fr.checksum == MediaOps.byteHash(expect))
+      }
+    }
+  }
+
+  test("resize stub bounds output size and is stride-exact") {
+    val media = MediaOps.fromDocuments(spark, sfDir)
+    val resized = MediaOps.resizeStub(media).collect().map(r => r.doc_id -> r).toMap
+    val payloads = media.collect().map(m => m.doc_id -> m.payload).toMap
+    payloads.take(20).foreach { case (id, bytes) =>
+      val r = resized(id)
+      assert(r.n_bytes <= MediaOps.ResizeTarget)
+      val stride = math.max(1, (bytes.length + MediaOps.ResizeTarget - 1) / MediaOps.ResizeTarget)
+      val kept = (0 until (bytes.length + stride - 1) / stride)
+        .map(i => bytes(i * stride)).toArray
+      assert(r.n_bytes == kept.length.toLong)
+      assert(r.checksum == MediaOps.byteHash(kept))
+    }
+  }
 }
