@@ -34,7 +34,13 @@ import graft.functions.KthScore
   *
   * Conservative trigger: exactly one window expression, RANK over a single
   * descending DOUBLE sort key, plain attribute partition keys, literal
-  * int bound. Anything else is left untouched.
+  * int bound — AND an estimated window input of at least
+  * `spark.graft.topk.rewriteMinBytes` (default 1 GiB). The size gate is
+  * what makes the rule safe to install globally: for a small-cardinality
+  * child the double scan costs more than the sort it saves (measured 8×
+  * slowdown when the child is itself an expensive PPR kernel), while a
+  * 100 TB window input is exactly where the single-task group sort dies.
+  * Anything else is left untouched.
   *
   * Activate per-session via `spark.experimental.extraOptimizations` or for
   * every session via [[graft.GraftExtensions]].
@@ -43,6 +49,8 @@ object TopKRewrite extends Rule[LogicalPlan] {
 
   private val Rewritten = TreeNodeTag[Boolean]("graft.topk.rewritten")
   private[plans] val ThresholdName = "graft_kth_th"
+  private[plans] val MinBytesKey = "spark.graft.topk.rewriteMinBytes"
+  private[plans] val DefaultMinBytes: Long = 1L << 30
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, w: Window)
@@ -72,6 +80,13 @@ object TopKRewrite extends Rule[LogicalPlan] {
           case _ => -1
         }
         if (k < 1) return None
+        val minBytes = conf.getConfString(MinBytesKey, DefaultMinBytes.toString).toLong
+        val size = w.child.stats.sizeInBytes
+        // UNKNOWN stats surface as defaultSizeInBytes (Long.MaxValue unless
+        // tuned) — e.g. RDD-backed plans. Treat unknown as small: firing on
+        // an un-estimable child risks double-running an expensive kernel,
+        // the exact regression the gate exists to prevent.
+        if (size < minBytes || size >= conf.defaultSizeInBytes) return None
         val child = w.child
         val partAttrs = part.map(_.asInstanceOf[AttributeReference])
         // grouping keys re-aliased with fresh exprIds so the join output

@@ -29,6 +29,7 @@ class TopKRewriteSpec extends SparkSpec {
   test("rewrite preserves rows and rank values, and fires in the plan") {
     val baseline = collectSorted(5)
     spark.experimental.extraOptimizations = Seq(TopKRewrite)
+    spark.conf.set(TopKRewrite.MinBytesKey, "0")
     try {
       val q = rankTopK(5)
       val plan = q.queryExecution.optimizedPlan.toString
@@ -38,6 +39,18 @@ class TopKRewriteSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
         .sortBy(x => (x._1, -x._2, x._3)).toSeq
       assert(got == baseline)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.unset(TopKRewrite.MinBytesKey)
+    }
+  }
+
+  test("size gate: no rewrite below spark.graft.topk.rewriteMinBytes") {
+    spark.experimental.extraOptimizations = Seq(TopKRewrite)
+    try {
+      // default gate is 1 GiB; the test table is tiny -> must not fire.
+      val plan = rankTopK(5).queryExecution.optimizedPlan.toString
+      assert(!plan.contains(TopKRewrite.ThresholdName), s"fired on tiny input:\n$plan")
     } finally spark.experimental.extraOptimizations = Nil
   }
 
@@ -45,6 +58,7 @@ class TopKRewriteSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     spark.experimental.extraOptimizations = Seq(TopKRewrite)
+    spark.conf.set(TopKRewrite.MinBytesKey, "0")
     try {
       val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .selectExpr("vec_id % 7 AS g", "CAST(element_at(embedding, 1) AS DOUBLE) AS score")
@@ -55,7 +69,10 @@ class TopKRewriteSpec extends SparkSpec {
           rank().over(Window.partitionBy(col("g")).orderBy(col("score").asc)))
         .where(col("rk") <= 5)
       assert(!asc.queryExecution.optimizedPlan.toString.contains(TopKRewrite.ThresholdName))
-    } finally spark.experimental.extraOptimizations = Nil
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.unset(TopKRewrite.MinBytesKey)
+    }
   }
 
   test("global top-k (no partition keys) rewrites via cross join") {
@@ -68,7 +85,11 @@ class TopKRewriteSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).sortBy(_._1).toSeq
     val baseline = q
     spark.experimental.extraOptimizations = Seq(TopKRewrite)
+    spark.conf.set(TopKRewrite.MinBytesKey, "0")
     try assert(q == baseline)
-    finally spark.experimental.extraOptimizations = Nil
+    finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.unset(TopKRewrite.MinBytesKey)
+    }
   }
 }
