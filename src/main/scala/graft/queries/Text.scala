@@ -98,20 +98,43 @@ object Text {
     // MinHash band signatures (the LSH bucketing key material).
     "d_minhash" -> ((s, dir) => bands(shingleDf(s, dir))),
 
-    // LSH candidate pairs + exact shingle-Jaccard verification. The
-    // shingle DF is a cheap typed-kernel projection (TextOps.shingles), so
-    // its three uses below recompute rather than cache — no executor
-    // memory pinned after the query returns.
-    "d_lsh_pairs" -> ((s, dir) => {
-      val sh = shingleDf(s, dir)
-      val cand = bandPairs(bandRowsDf(s, dir, TextOps.shingles))
-      cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-        .selectExpr("doc_a", "doc_b",
-          "round(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / size(array_union(sh_a, sh_b)), 6) AS jac")
-        .where(col("jac") >= 0.3)
-        .select(col("doc_a"), col("doc_b"), col("jac"))
+    // LSH candidate pairs + exact shingle-Jaccard verification (see
+    // [[lshPairsDf]]).
+    "d_lsh_pairs" -> ((s, dir) => lshPairsDf(s, dir)),
+
+    // Duplicate-cluster extraction: connected components over the LSH
+    // near-dup pair graph — the step a dedup pipeline runs after pair
+    // detection to pick one keeper per duplicate GROUP (pairs alone
+    // over-delete transitive clusters). Min-label propagation to
+    // fixpoint: each iteration is one join + one min-aggregate, state is
+    // (id, label), iterations = cluster diameter (near-dup clusters are
+    // shallow). cluster_id = min doc_id of the component; singleton
+    // documents (no near-dup pair) are not emitted.
+    "d_dup_clusters" -> ((s, dir) => {
+      val p = lshPairsDf(s, dir).select(col("doc_a"), col("doc_b"))
+      val edges = p.unionAll(
+          p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .persist()
+      var lbl = edges.select(col("doc_a").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+        .localCheckpoint(true)
+      // labels only ever DECREASE under min-propagation, so Σlbl strictly
+      // decreases until the fixpoint — the convergence check is one cheap
+      // scalar aggregate over the just-checkpointed state, not a join
+      // against the previous iteration.
+      var prevSum = Long.MinValue
+      var sum = lbl.agg(org.apache.spark.sql.functions.sum("lbl")).head.getLong(0)
+      while (sum != prevSum) {
+        val prop = edges.join(lbl, edges("doc_a") === lbl("id"))
+          .select(col("doc_b").as("id"), col("lbl"))
+        lbl = lbl.select(col("id"), col("lbl")).unionAll(prop)
+          .groupBy("id").agg(min("lbl").as("lbl"))
+          .localCheckpoint(true)
+        prevSum = sum
+        sum = lbl.agg(org.apache.spark.sql.functions.sum("lbl")).head.getLong(0)
+      }
+      edges.unpersist()
+      lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
     }),
 
     // SimHash (32-bit, bit-majority over token hashes incl. duplicates) —
@@ -184,6 +207,23 @@ object Text {
 
   /** Exact-verify threshold for [[queries]]' `d_ngram_pairs`. */
   val NgramJacThreshold = 0.5
+
+  /** LSH candidate pairs + exact shingle-Jaccard verification — the
+    * `d_lsh_pairs` body, shared with `d_dup_clusters`. The shingle DF is
+    * a cheap typed-kernel projection, so its uses recompute rather than
+    * cache — no executor memory pinned after the query returns.
+    */
+  private def lshPairsDf(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleDf(s, dir)
+    val cand = bandPairs(bandRowsDf(s, dir, TextOps.shingles))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .selectExpr("doc_a", "doc_b",
+        "round(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / size(array_union(sh_a, sh_b)), 6) AS jac")
+      .where(col("jac") >= 0.3)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
 
   /** Max hamming distance for `d_simhash_pairs` — must stay ≤ 3 for the
     * 4-block pigeonhole recall guarantee (32 bits / 4 blocks: ≤ 3 flipped
@@ -311,6 +351,19 @@ object Text {
     s"""$duckShingleCte,
        |${duckBandCteFrom("sh_t")}""".stripMargin
 
+  /** Full `d_lsh_pairs` oracle query — also nested (as a subquery) inside
+    * the `d_dup_clusters` closure oracle.
+    */
+  private def duckLshPairsSql: String =
+    s"""WITH $duckBandCte,
+       |${duckCandCte()}
+       |SELECT doc_a, doc_b,
+       | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jac
+       |FROM cand JOIN sh_t a ON a.doc_id = doc_a JOIN sh_t b ON b.doc_id = doc_b
+       |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.3""".stripMargin
+
   /** stacked/cand CTEs — oracle twin of [[bandPairs]] over `band_t`. */
   private def duckCandCte(nBands: Int = Bands): String =
     s"""stacked AS (${(0 until nBands).map(b =>
@@ -360,15 +413,23 @@ object Text {
     "d_minhash" ->
       s"""WITH $duckBandCte
          |SELECT doc_id, b0, b1, b2, b3 FROM band_t""".stripMargin,
-    "d_lsh_pairs" ->
-      s"""WITH $duckBandCte,
-         |${duckCandCte()}
-         |SELECT doc_a, doc_b,
-         | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jac
-         |FROM cand JOIN sh_t a ON a.doc_id = doc_a JOIN sh_t b ON b.doc_id = doc_b
-         |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.3""".stripMargin,
+    "d_lsh_pairs" -> duckLshPairsSql,
+    // connected components as a transitive-closure recursive CTE: reach =
+    // all (node, seed) pairs, cluster = min reachable seed. UNION (not
+    // UNION ALL) dedups the working table, so the recursion terminates at
+    // the closure. uedges is MATERIALIZED: it is referenced from the
+    // recursive step and DuckDB 1.0 would otherwise inline the whole LSH
+    // pipeline into every iteration.
+    "d_dup_clusters" ->
+      s"""WITH RECURSIVE
+         |upairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ($duckLshPairsSql)),
+         |uedges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM upairs
+         |  UNION ALL SELECT doc_b AS a, doc_a AS b FROM upairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT a AS id, a AS r FROM uedges
+         |  UNION
+         |  SELECT e.b AS id, reach.r FROM reach JOIN uedges e ON e.a = reach.id)
+         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
     "d_ngram_pairs" ->
       s"""WITH $duckNgramCte,
          |${duckBandCteFrom("ng_t", TextOps.NgramBands, TextOps.NgramRowsPerBand)},

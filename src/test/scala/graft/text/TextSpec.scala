@@ -111,6 +111,26 @@ class TextSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("d_dup_clusters: label propagation equals driver-side union-find") {
+    val pairs = graft.queries.Text.queries("d_lsh_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    val got = graft.queries.Text.queries("d_dup_clusters")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // cluster representative is the component minimum.
+    assert(got.forall { case (id, c) => c <= id })
+  }
+
   test("simhash32 edge cases: empty, whitespace-only, single token") {
     // empty string -> one empty token, hash 0 -> all bitSums = -1 -> 0.
     assert(TextOps.simhash32("") == 0L)
