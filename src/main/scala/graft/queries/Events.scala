@@ -31,6 +31,21 @@ object Events {
           round(sum(col("value")), 2).as("sum_value"))
     }),
 
+    // Hopping (sliding) 1-hour window, 30-minute slide, per event_type —
+    // each event lands in exactly 2 overlapping windows. Spark's
+    // window(ts, len, slide) generator expands rows; the oracle expands
+    // the same two candidate starts with unnest. Output keyed by the
+    // window START so the compare is precision-independent.
+    "ev_sliding" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(
+          date_format(window(col("ts"), "1 hour", "30 minutes")("start"),
+            "yyyy-MM-dd HH:mm").as("win_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+    }),
+
     // Gap-based sessionization: a new session starts when the gap from the
     // previous event of the same user exceeds GapSeconds.
     "ev_sessions" -> ((s, dir) => {
@@ -56,6 +71,18 @@ object Events {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hr, event_type,
         | count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "ev_sliding" ->
+      """WITH starts AS (
+        |  SELECT event_type, value,
+        |   unnest([to_timestamp(floor(epoch(ts) / 1800) * 1800),
+        |           to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800)]) AS ws,
+        |   ts
+        |  FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start, event_type,
+        | count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM starts
+        |WHERE epoch(ts) >= epoch(ws) AND epoch(ts) < epoch(ws) + 3600
+        |GROUP BY 1, 2""".stripMargin,
     "ev_sessions" ->
       s"""WITH flagged AS (
          |  SELECT user_id, ts, value,
