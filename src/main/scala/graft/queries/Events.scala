@@ -46,6 +46,33 @@ object Events {
           round(sum(col("value")), 2).as("sum_value"))
     }),
 
+    // As-of join: each purchase event picks up the latest click of the
+    // SAME user at-or-before its timestamp, plus the running click count.
+    // Physical shape is the single-shuffle merge idiom — union both event
+    // kinds, one window per user ordered by (ts, kind) with clicks
+    // sorting before purchases at equal timestamps (inclusive <= as-of
+    // semantics, deterministic under ties), and a cumulative max/count —
+    // instead of a per-row range join, which would be O(clicks ×
+    // purchases) per user at scale. Timestamps compare as exact
+    // microsecond longs, so the cross-engine hash is float-free.
+    "ev_asof" -> ((s, dir) => {
+      val kinds = Window.partitionBy(col("user_id"))
+        .orderBy(col("p_ts"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_ts"),
+          when(col("event_type") === "click", 0).otherwise(1).as("kind"),
+          when(col("event_type") === "click", unix_micros(col("ts")))
+            .as("click_us"))
+        .withColumn("click_ts", max(col("click_us")).over(kinds))
+        .withColumn("n_clicks", count(col("click_us")).over(kinds))
+        .where(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("p_ts"),
+          col("click_ts"), col("n_clicks"))
+    }),
+
     // Gap-based sessionization: a new session starts when the gap from the
     // previous event of the same user exceeds GapSeconds.
     "ev_sessions" -> ((s, dir) => {
@@ -83,6 +110,21 @@ object Events {
         |FROM starts
         |WHERE epoch(ts) >= epoch(ws) AND epoch(ts) < epoch(ws) + 3600
         |GROUP BY 1, 2""".stripMargin,
+    "ev_asof" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS p_ts,
+        |   CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind,
+        |   CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT event_id, user_id, p_ts, kind,
+        |   max(click_us) OVER win AS click_ts,
+        |   count(click_us) OVER win AS n_clicks
+        |  FROM t
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY p_ts, kind
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id, user_id, p_ts, click_ts, n_clicks
+        |FROM w WHERE kind = 1""".stripMargin,
     "ev_sessions" ->
       s"""WITH flagged AS (
          |  SELECT user_id, ts, value,

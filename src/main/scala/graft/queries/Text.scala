@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.text.TextOps
 import graft.text.TextOps.{P, TokMul, K, Bands, RowsPerBand}
@@ -71,28 +72,54 @@ object Text {
         .selectExpr("doc_id", s"$caseChain AS lang_pred")
     }),
 
-    // Exact dedup: group identical texts, keep the lowest doc_id.
-    // Hash-first plan: the wide shuffle groups on an 8-byte xxhash64 of the
-    // text; full documents are re-shuffled ONLY for hash groups with >1 row
-    // (actual duplicates + the vanishing 64-bit collision rate), where text
-    // equality is then verified exactly. Same text ⇒ same hash, so text
-    // groups nest inside hash groups and the result is identical to a
-    // direct GROUP BY text — but a 100 TB dedup shuffles 8-byte keys, not
-    // documents.
-    "d_dedup_exact" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"), xxhash64(col("text")).as("fp"))
-      val fpGroups = d.select(col("fp"), col("doc_id"))
-        .groupBy("fp")
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("fpc"))
-      val dupFps = fpGroups.where(col("fpc") > 1).select(col("fp"))
-      val verified = d.join(dupFps, Seq("fp"), "left_semi")
-        .groupBy(col("fp"), col("text"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .select(col("keep_id"), col("n_copies"))
-      val singles = fpGroups.where(col("fpc") === 1)
-        .select(col("keep_id"), lit(1L).as("n_copies"))
-      verified.union(singles)
+    // Exact dedup: group identical texts, keep the lowest doc_id
+    // (hash-first plan — see [[dedupGroupsDf]]).
+    "d_dedup_exact" -> ((s, dir) => dedupGroupsDf(s, dir)),
+
+    // Exact-dedup SURVIVOR extraction: the filtered corpus a training run
+    // actually consumes — one representative document (lowest doc_id) per
+    // distinct text, with its metadata. The keeper-id set comes from the
+    // same hash-first plan as `d_dedup_exact`; survivors re-attach via a
+    // left-semi join on doc_id (ids only — text never re-shuffles).
+    "d_dedup_survivors" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .join(dedupGroupsDf(s, dir).select(col("keep_id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
+    // Deterministic hash sampling: a reproducible SamplePct% subset keyed
+    // by the document FINGERPRINT (content-keyed, so re-ingesting the
+    // same corpus under different doc_ids samples the same documents).
+    // Narrow per-row predicate — no shuffle, no RNG state; the complement
+    // split (>= SamplePct) is the held-out set by construction.
+    "d_sample_hash" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .selectExpr("doc_id", "lang",
+          s"${TextOps.spark.fingerprint("text")} AS fp")
+        .where(expr(s"((fp % 100) + 100) % 100 < $SamplePct"))
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // Concat-and-chunk sequence packing: documents are concatenated in
+    // doc_id order within each (lang, source) stream and sliced into
+    // ChunkTokens-sized training sequences; each document is assigned the
+    // chunk its first token lands in. One window shuffle partitioned by
+    // the stream key (the packing order is per-stream sequential BY
+    // DEFINITION — at 100 TB the streams, not the documents, are the
+    // parallelism axis), then a map-side-combinable aggregate per chunk.
+    "d_pack_chunks" -> ((s, dir) => {
+      val stream = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .selectExpr("doc_id", "lang", "source",
+          s"size(${TextOps.spark.tokens("text")}) AS n_tok")
+        .withColumn("cum", sum(col("n_tok")).over(stream))
+        .withColumn("chunk_id",
+          floor((col("cum") - col("n_tok")) / ChunkTokens))
+        .groupBy(col("lang"), col("source"), col("chunk_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
     }),
 
     // MinHash band signatures (the LSH bucketing key material).
@@ -207,6 +234,37 @@ object Text {
 
   /** Exact-verify threshold for [[queries]]' `d_ngram_pairs`. */
   val NgramJacThreshold = 0.5
+
+  /** Percent of documents kept by `d_sample_hash` (fingerprint mod 100). */
+  val SamplePct = 10
+
+  /** Training-sequence token budget for `d_pack_chunks`. */
+  val ChunkTokens = 1000
+
+  /** Hash-first exact-dedup groups `(keep_id, n_copies)` — the
+    * `d_dedup_exact` body, shared with `d_dedup_survivors`. The wide
+    * shuffle groups on an 8-byte xxhash64 of the text; full documents are
+    * re-shuffled ONLY for hash groups with >1 row (actual duplicates +
+    * the vanishing 64-bit collision rate), where text equality is then
+    * verified exactly. Same text ⇒ same hash, so text groups nest inside
+    * hash groups and the result is identical to a direct GROUP BY text —
+    * but a 100 TB dedup shuffles 8-byte keys, not documents.
+    */
+  private def dedupGroupsDf(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"), xxhash64(col("text")).as("fp"))
+    val fpGroups = d.select(col("fp"), col("doc_id"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("fpc"))
+    val dupFps = fpGroups.where(col("fpc") > 1).select(col("fp"))
+    val verified = d.join(dupFps, Seq("fp"), "left_semi")
+      .groupBy(col("fp"), col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+    val singles = fpGroups.where(col("fpc") === 1)
+      .select(col("keep_id"), lit(1L).as("n_copies"))
+    verified.union(singles)
+  }
 
   /** LSH candidate pairs + exact shingle-Jaccard verification — the
     * `d_lsh_pairs` body, shared with `d_dup_clusters`. The shingle DF is
@@ -410,6 +468,24 @@ object Text {
     "d_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    "d_dedup_survivors" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""".stripMargin,
+    "d_sample_hash" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, ${TextOps.duck.fingerprint("text")} AS fp
+         |  FROM documents)
+         |WHERE ((fp % 100) + 100) % 100 < $SamplePct""".stripMargin,
+    "d_pack_chunks" ->
+      s"""WITH t AS (SELECT doc_id, lang, source,
+         |  len(${TextOps.duck.tokens("text")}) AS n_tok FROM documents),
+         |c AS (SELECT lang, source, n_tok,
+         |  sum(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+         |SELECT lang, source,
+         | CAST(floor((cum - n_tok) / $ChunkTokens.0) AS BIGINT) AS chunk_id,
+         | count(*) AS n_docs, sum(n_tok) AS sum_tokens
+         |FROM c GROUP BY 1, 2, 3""".stripMargin,
     "d_minhash" ->
       s"""WITH $duckBandCte
          |SELECT doc_id, b0, b1, b2, b3 FROM band_t""".stripMargin,

@@ -36,6 +36,19 @@ object EventStreams {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH").as("hr"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Hopping 1-hour/30-minute-slide counts per event_type with a 2-hour
+    * watermark — streaming twin of the batch `ev_sliding` query. Each
+    * event updates exactly 2 window states; the watermark closes and
+    * evicts a window once event time passes its end + horizon.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Gap-based sessionization over per-user state. Emits a session row when
     * the gap to the next event exceeds `gapSec` (the still-open session per
     * user stays in state; a real pipeline closes it by event-time timeout).

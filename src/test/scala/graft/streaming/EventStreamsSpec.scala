@@ -33,6 +33,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hopping-window counts equal the batch query on full replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = slidingCounts(df).writeStream
+      .format("memory").queryName("sc").outputMode("complete").start()
+    try {
+      val rows = Tables(spark, sfDir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .as[(Long, java.sql.Timestamp, String, Double)].collect()
+      input.addData(rows.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("sc").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val want = graft.queries.Events.queries("ev_sliding")(spark, sfDir)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes the batch sessions (minus open tails)") {
     val s = spark
     import s.implicits._
