@@ -83,6 +83,18 @@ object Relational {
         .select(col("c_custkey"), col("c_name"))
     }),
 
+    // ROLLUP: hierarchical subtotals (detail → per-flag → grand total) in
+    // ONE pass — Expand emits 3 grouping-set rows per input row before the
+    // single hash aggregate, so no per-level rescan. grouping_id
+    // disambiguates aggregated-away NULLs from data NULLs.
+    "q8_rollup" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+    }),
+
     // multi-way star join + grouped agg over dims (P5/J5 name-lookup shape).
     "q7_star_join" -> ((s, dir) => {
       val su = Tables(s, dir, "supplier")
@@ -133,6 +145,11 @@ object Relational {
     "q6_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q8_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
+        | GROUPING_ID(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q7_star_join" ->
       """SELECT r_name, n_name,
         | round(sum(l_extendedprice), 2) AS total_price, count(*) AS n_items

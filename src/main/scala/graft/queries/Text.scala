@@ -210,6 +210,41 @@ object Text {
         .select(col("doc_a"), col("doc_b"), col("hamming"))
     }),
 
+    // Corpus length-distribution stats: exact interpolated percentiles of
+    // token counts per language — the profile a curation run reads before
+    // picking length cutoffs. Single shuffle on lang; Spark's exact
+    // `percentile` and DuckDB's `quantile_cont` share the (n-1)·p linear
+    // interpolation, and outputs round to 6 dp on both sides.
+    "d_len_stats" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .selectExpr("lang", s"size(${TextOps.spark.tokens("text")}) AS n_tok")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_tok")), 6).as("avg_tok"),
+          round(expr("percentile(n_tok, 0.5)"), 6).as("p50"),
+          round(expr("percentile(n_tok, 0.9)"), 6).as("p90"),
+          round(expr("percentile(n_tok, 0.99)"), 6).as("p99"))
+    }),
+
+    // Top terms per language: explode → (lang, term) count → top-K. The
+    // rank key is (count DESC, term ASC) — integers + strings, so the
+    // cut is deterministic across engines (no float-ordering ties). The
+    // per-lang window runs AFTER aggregation, over term-count rows only —
+    // never over the exploded token stream.
+    "d_top_terms" -> ((s, dir) => {
+      val byLang = Window.partitionBy(col("lang"))
+        .orderBy(col("tf").desc, col("term").asc)
+      Tables(s, dir, "documents")
+        .selectExpr("lang", s"explode(${TextOps.spark.tokens("text")}) AS term")
+        .where(not(col("term").isin(TextOps.Stopwords: _*)) &&
+          length(col("term")) >= 3)
+        .groupBy(col("lang"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("rk", row_number().over(byLang))
+        .where(col("rk") <= TopTermsK)
+        .select(col("lang"), col("term"), col("tf"), col("rk"))
+    }),
+
     // n-gram Jaccard near-dup: char-5-gram sets, MinHash-banded candidate
     // pairs (never all-pairs — same LSH shape as d_lsh_pairs, different
     // feature space), exact 5-gram Jaccard verification. Banding recall is
@@ -240,6 +275,9 @@ object Text {
 
   /** Training-sequence token budget for `d_pack_chunks`. */
   val ChunkTokens = 1000
+
+  /** Terms kept per language by `d_top_terms`. */
+  val TopTermsK = 10
 
   /** Hash-first exact-dedup groups `(keep_id, n_copies)` — the
     * `d_dedup_exact` body, shared with `d_dedup_survivors`. The wide
@@ -476,6 +514,23 @@ object Text {
          |  SELECT doc_id, lang, ${TextOps.duck.fingerprint("text")} AS fp
          |  FROM documents)
          |WHERE ((fp % 100) + 100) % 100 < $SamplePct""".stripMargin,
+    "d_len_stats" ->
+      s"""WITH t AS (SELECT lang, len(${TextOps.duck.tokens("text")}) AS n_tok
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs, round(avg(n_tok), 6) AS avg_tok,
+         | round(quantile_cont(n_tok, 0.5), 6) AS p50,
+         | round(quantile_cont(n_tok, 0.9), 6) AS p90,
+         | round(quantile_cont(n_tok, 0.99), 6) AS p99
+         |FROM t GROUP BY lang""".stripMargin,
+    "d_top_terms" ->
+      s"""WITH t AS (SELECT lang, unnest(${TextOps.duck.tokens("text")}) AS term
+         |  FROM documents),
+         |f AS (SELECT lang, term, count(*) AS tf FROM t
+         |  WHERE term NOT IN (${stop("")}) AND length(term) >= 3
+         |  GROUP BY 1, 2),
+         |r AS (SELECT lang, term, tf, row_number() OVER (
+         |  PARTITION BY lang ORDER BY tf DESC, term ASC) AS rk FROM f)
+         |SELECT lang, term, tf, rk FROM r WHERE rk <= $TopTermsK""".stripMargin,
     "d_pack_chunks" ->
       s"""WITH t AS (SELECT doc_id, lang, source,
          |  len(${TextOps.duck.tokens("text")}) AS n_tok FROM documents),
