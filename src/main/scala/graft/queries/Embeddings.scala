@@ -54,6 +54,14 @@ object Embeddings {
   val KnnIters = 15
   val KnnSources: Seq[Long] = Seq(0L, 1L, 2L)
 
+  /** k-means (Lloyd's) config for `e_kmeans`: KmK clusters, deterministic
+    * init (corpus vectors 0..KmK-1), KmIters assign+update rounds. Vector
+    * dimensionality of the `embeddings` table.
+    */
+  val KmK = 8
+  val KmIters = 3
+  val Dims = 64
+
   /** `qv · v` via the native codegen'd [[graft.functions.VecDot]] kernel —
     * same left-to-right double fold as the former
     * `aggregate(zip_with(...))` higher-order formulation (and as DuckDB's
@@ -236,6 +244,40 @@ object Embeddings {
         .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
     }),
 
+    // k-means (Lloyd's): the trainer behind an IVF index. Each round is
+    // the canonical distributed shape — centroids BROADCAST (k·dims
+    // doubles), assignment a narrow per-row argmin (min-struct partial
+    // aggregate, no window), update one shuffle of Dims partial-avg
+    // aggregates per cell (map-side combined; cell count = k, so the wide
+    // side is k·Dims doubles regardless of corpus size). Determinism
+    // across engines: init is corpus vectors 0..k-1; the three-fold d2
+    // expression is evaluated in the same order on both sides; updated
+    // centroid components round to 6 dp before the next round so
+    // summation-order noise cannot flip a later argmin. Output: the final
+    // per-vector cell assignment.
+    "e_kmeans" -> ((s, dir) => {
+      val emb = embDf(s, dir)
+      val d2Expr = "vec_dot(v, v) - 2 * vec_dot(v, cv) + vec_dot(cv, cv)"
+      val cvArray = s"array(${(1 to Dims).map(i => s"c$i").mkString(", ")}) AS cv"
+      var cent = emb.where(col("vec_id") < KmK)
+        .selectExpr("CAST(vec_id AS INT) AS cid", "v AS cv")
+      def assign(c: DataFrame): DataFrame =
+        emb.crossJoin(broadcast(c))
+          .selectExpr("vec_id", "cid", d2Expr + " AS d2")
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("cid"))).as("m"))
+          .selectExpr("vec_id", "m.cid AS cell")
+      for (_ <- 1 to KmIters) {
+        val avgs = (1 to Dims)
+          .map(i => round(avg(element_at(col("v"), i)), 6).as(s"c$i"))
+        cent = assign(cent).join(emb, Seq("vec_id"))
+          .groupBy(col("cell").as("cid"))
+          .agg(avgs.head, avgs.tail: _*)
+          .selectExpr("cid", cvArray)
+      }
+      assign(cent)
+    }),
+
     "e_embed_dups" -> ((s, dir) => {
       val bk = bucketed(s, dir).select(col("vec_id"), col("tbl"), col("bkt"))
       val cand = bk.as("x").join(bk.as("y"),
@@ -357,6 +399,35 @@ object Embeddings {
            |    row_number() OVER (PARTITION BY v ORDER BY cos DESC, nbr ASC) AS rn
            |  FROM scored) WHERE rn <= $KnnK""".stripMargin
       graft.ppr.PowerIteration.oracleSqlMulti(knnEdgesSql, KnnSources, KnnAlpha, KnnIters)
+    },
+    "e_kmeans" -> {
+      // d2 between embn row e and centroid row c, same three-fold shape
+      // (and evaluation order) as the Spark side.
+      def fold(body: String) =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"list_transform(range(1, ${Dims + 1}), i -> $body)), (a, x) -> a + x)"
+      val d2 = s"${fold("e.v[i] * e.v[i]")} - 2 * ${fold("e.v[i] * c.cv[i]")}" +
+        s" + ${fold("c.cv[i] * c.cv[i]")}"
+      val cvList = (1 to Dims).map(i => s"round(avg(e.v[$i]), 6)")
+        .mkString("[", ", ", "]")
+      val sb = new StringBuilder
+      sb ++= s"WITH emb AS MATERIALIZED (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n"
+      sb ++= s"cent0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cid, v AS cv " +
+        s"FROM emb WHERE vec_id < $KmK),\n"
+      for (i <- 0 until KmIters) {
+        sb ++= s"as$i AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (" +
+          s"SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+          s"ORDER BY $d2 ASC, c.cid ASC) AS rn FROM emb e CROSS JOIN cent$i c) " +
+          "WHERE rn = 1),\n"
+        sb ++= s"cent${i + 1} AS MATERIALIZED (SELECT a.cell AS cid, $cvList AS cv " +
+          s"FROM as$i a JOIN emb e ON e.vec_id = a.vec_id GROUP BY a.cell),\n"
+      }
+      sb ++= s"fin AS (SELECT e.vec_id, c.cid, row_number() OVER (" +
+        s"PARTITION BY e.vec_id ORDER BY $d2 ASC, c.cid ASC) AS rn " +
+        s"FROM emb e CROSS JOIN cent$KmIters c)\n"
+      sb ++= "SELECT vec_id, cid AS cell FROM fin WHERE rn = 1"
+      sb.toString
     },
     "e_embed_dups" ->
       s"""WITH $duckBase,
