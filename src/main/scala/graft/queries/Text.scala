@@ -210,6 +210,36 @@ object Text {
         .select(col("doc_a"), col("doc_b"), col("hamming"))
     }),
 
+    // End-to-end curation pipeline: the composition a real corpus run
+    // executes — quality gate → exact-dedup keep-first WITHIN the gated
+    // set → deterministic fingerprint sample of the survivors. One
+    // narrow scan feeds the gate; dedup shuffles the 8-byte hash of
+    // gated rows only; the sample predicate is free. Output is the final
+    // training corpus with its per-row provenance (quality, fp).
+    "d_curate" -> ((s, dir) => {
+      val gated = Tables(s, dir, "documents")
+        .selectExpr("doc_id", "text", "lang",
+          s"${TextOps.spark.tokens("text")} AS toks",
+          "CAST(length(text) AS DOUBLE) AS n_chars_d",
+          s"CAST(length(regexp_replace(text, '[a-z0-9\\\\s]', '')) AS DOUBLE) AS punct_cnt")
+        .selectExpr("doc_id", "text", "lang",
+          "size(toks) AS n_tokens",
+          // identical rounding chain to d_quality, so the two queries
+          // report the same per-document score
+          s"round(CAST(size(filter(toks, t -> array_contains(array(${stop("")}), t))) AS DOUBLE) / size(toks), 6) AS stop_ratio",
+          "round(punct_cnt / n_chars_d, 6) AS punct_ratio")
+        .selectExpr("doc_id", "text", "lang", "n_tokens",
+          "round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio) * (0.5 + stop_ratio), 6) AS quality")
+        .where(col("quality") >= CurateMinQuality && col("n_tokens") >= CurateMinTokens)
+      val keep = dedupGroups(gated.select(col("doc_id"), col("text")))
+        .select(col("keep_id").as("doc_id"))
+      gated.join(keep, Seq("doc_id"), "left_semi")
+        .selectExpr("doc_id", "lang", "n_tokens", "quality",
+          s"${TextOps.spark.fingerprint("text")} AS fp")
+        .where(expr(s"((fp % 100) + 100) % 100 < $CurateSamplePct"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
+    }),
+
     // Corpus length-distribution stats: exact interpolated percentiles of
     // token counts per language — the profile a curation run reads before
     // picking length cutoffs. Single shuffle on lang; Spark's exact
@@ -279,6 +309,13 @@ object Text {
   /** Terms kept per language by `d_top_terms`. */
   val TopTermsK = 10
 
+  /** `d_curate` gates: minimum composite quality, minimum token count,
+    * and the post-dedup fingerprint sample percentage.
+    */
+  val CurateMinQuality = 0.3
+  val CurateMinTokens = 10
+  val CurateSamplePct = 50
+
   /** Hash-first exact-dedup groups `(keep_id, n_copies)` — the
     * `d_dedup_exact` body, shared with `d_dedup_survivors`. The wide
     * shuffle groups on an 8-byte xxhash64 of the text; full documents are
@@ -288,9 +325,14 @@ object Text {
     * hash groups and the result is identical to a direct GROUP BY text —
     * but a 100 TB dedup shuffles 8-byte keys, not documents.
     */
-  private def dedupGroupsDf(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables(s, dir, "documents")
-      .select(col("doc_id"), col("text"), xxhash64(col("text")).as("fp"))
+  private def dedupGroupsDf(s: SparkSession, dir: String): DataFrame =
+    dedupGroups(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+
+  /** Same, over any `(doc_id, text)` input (the curation pipeline runs it
+    * on the quality-gated subset).
+    */
+  private def dedupGroups(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("text"), xxhash64(col("text")).as("fp"))
     val fpGroups = d.select(col("fp"), col("doc_id"))
       .groupBy("fp")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("fpc"))
@@ -514,6 +556,25 @@ object Text {
          |  SELECT doc_id, lang, ${TextOps.duck.fingerprint("text")} AS fp
          |  FROM documents)
          |WHERE ((fp % 100) + 100) % 100 < $SamplePct""".stripMargin,
+    "d_curate" ->
+      s"""WITH t AS (SELECT doc_id, text, lang, ${TextOps.duck.tokens("text")} AS toks,
+         |  CAST(length(text) AS DOUBLE) AS n_chars_d,
+         |  CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct_cnt
+         |  FROM documents),
+         |u AS (SELECT doc_id, text, lang, len(toks) AS n_tokens,
+         |  round(CAST(len(list_filter(toks, t -> list_contains([${stop("")}], t))) AS DOUBLE) / len(toks), 6) AS stop_ratio,
+         |  round(punct_cnt / n_chars_d, 6) AS punct_ratio FROM t),
+         |g AS (SELECT doc_id, text, lang, n_tokens,
+         |  round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio) * (0.5 + stop_ratio), 6) AS quality
+         |  FROM u
+         |  WHERE round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio) * (0.5 + stop_ratio), 6) >= $CurateMinQuality
+         |    AND n_tokens >= $CurateMinTokens),
+         |k AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY text)
+         |SELECT doc_id, lang, n_tokens, quality FROM (
+         |  SELECT g.doc_id, g.lang, g.n_tokens, g.quality,
+         |    ${TextOps.duck.fingerprint("text")} AS fp
+         |  FROM g JOIN k USING (doc_id))
+         |WHERE ((fp % 100) + 100) % 100 < $CurateSamplePct""".stripMargin,
     "d_len_stats" ->
       s"""WITH t AS (SELECT lang, len(${TextOps.duck.tokens("text")}) AS n_tok
          |  FROM documents)
