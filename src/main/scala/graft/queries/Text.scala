@@ -212,12 +212,18 @@ object Text {
 
     // End-to-end curation pipeline: the composition a real corpus run
     // executes — quality gate → exact-dedup keep-first WITHIN the gated
-    // set → deterministic fingerprint sample of the survivors. One
-    // narrow scan feeds the gate; dedup shuffles the 8-byte hash of
-    // gated rows only; the sample predicate is free. Output is the final
-    // training corpus with its per-row provenance (quality, fp).
+    // set → deterministic fingerprint sample of the survivors.
+    //
+    // Scale shape: the expensive token-analysis chain runs in ONE scan,
+    // which also emits both hashes (dedup xxhash64 + sample
+    // fingerprint); its id-width output (no text) is eagerly
+    // checkpointed, so nothing downstream ever re-runs the analysis.
+    // Dedup then groups 8-byte hashes; only COLLIDING hash groups pull
+    // their text back from a second, hash-only scan for exact
+    // verification (same nesting argument as d_dedup_exact). The
+    // materialized state is ~32 bytes/doc — ppm of the corpus at 100 TB.
     "d_curate" -> ((s, dir) => {
-      val gated = Tables(s, dir, "documents")
+      val g1 = Tables(s, dir, "documents")
         .selectExpr("doc_id", "text", "lang",
           s"${TextOps.spark.tokens("text")} AS toks",
           "CAST(length(text) AS DOUBLE) AS n_chars_d",
@@ -228,14 +234,31 @@ object Text {
           // report the same per-document score
           s"round(CAST(size(filter(toks, t -> array_contains(array(${stop("")}), t))) AS DOUBLE) / size(toks), 6) AS stop_ratio",
           "round(punct_cnt / n_chars_d, 6) AS punct_ratio")
-        .selectExpr("doc_id", "text", "lang", "n_tokens",
-          "round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio) * (0.5 + stop_ratio), 6) AS quality")
-        .where(col("quality") >= CurateMinQuality && col("n_tokens") >= CurateMinTokens)
-      val keep = dedupGroups(gated.select(col("doc_id"), col("text")))
-        .select(col("keep_id").as("doc_id"))
-      gated.join(keep, Seq("doc_id"), "left_semi")
-        .selectExpr("doc_id", "lang", "n_tokens", "quality",
+        .selectExpr("doc_id", "lang", "n_tokens",
+          "round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio) * (0.5 + stop_ratio), 6) AS quality",
+          "xxhash64(text) AS h",
           s"${TextOps.spark.fingerprint("text")} AS fp")
+        // checkpoint BEFORE the gate: predicate pushdown would otherwise
+        // collapse the quality chain into the filter AND the projection,
+        // evaluating the token analysis twice per row
+        .localCheckpoint(true)
+        .where(col("quality") >= CurateMinQuality && col("n_tokens") >= CurateMinTokens)
+      val hGroups = g1.groupBy("h")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("hc"))
+      val dupH = hGroups.where(col("hc") > 1).select(col("h"))
+      // colliding groups only: re-read text with a hash-only projection
+      // (no token chain), restricted to gated ids
+      val dupTexts = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), xxhash64(col("text")).as("h"))
+        .join(dupH, Seq("h"), "left_semi")
+        .join(g1.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val verified = dupTexts.groupBy(col("h"), col("text"))
+        .agg(min(col("doc_id")).as("keep_id"))
+        .select(col("keep_id"))
+      val keep = hGroups.where(col("hc") === 1).select(col("keep_id"))
+        .union(verified)
+        .withColumnRenamed("keep_id", "doc_id")
+      g1.join(keep, Seq("doc_id"), "left_semi")
         .where(expr(s"((fp % 100) + 100) % 100 < $CurateSamplePct"))
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
     }),
