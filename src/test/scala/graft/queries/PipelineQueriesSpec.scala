@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Cross-query invariants for the round-4 pipeline operators — properties
+  * the DuckDB oracle cannot express (consistency BETWEEN queries and
+  * determinism across runs).
+  */
+class PipelineQueriesSpec extends SparkSpec {
+
+  test("d_sample_hash is deterministic and a subset of the corpus") {
+    val a = Text.queries("d_sample_hash")(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val b = Text.queries("d_sample_hash")(spark, sfDir).collect().map(_.getLong(0)).toSet
+    assert(a == b, "re-run must sample the identical set")
+    val all = graft.Tables(spark, sfDir, "documents").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(all) && a.nonEmpty)
+  }
+
+  test("d_pack_chunks partitions every document exactly once per stream") {
+    val chunks = Text.queries("d_pack_chunks")(spark, sfDir).collect()
+    val nDocs = chunks.map(_.getAs[Long]("n_docs")).sum
+    val total = graft.Tables(spark, sfDir, "documents").count()
+    assert(nDocs == total, "every document lands in exactly one chunk")
+    // chunk ids start at 0 and the packing is gap-free in token space:
+    // chunk c exists for every c up to the stream's last chunk.
+    chunks.groupBy(r => (r.getString(0), r.getString(1))).foreach { case (k, rs) =>
+      val ids = rs.map(_.getAs[Long]("chunk_id")).sorted
+      assert(ids.head == 0L, s"$k: first chunk is 0")
+      assert(ids.distinct.length == ids.length, s"$k: chunk ids unique")
+    }
+  }
+
+  test("d_curate output respects its own gates and agrees with d_quality") {
+    val cur = Text.queries("d_curate")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Int]("n_tokens"), r.getAs[Double]("quality")))
+      .toMap
+    assert(cur.nonEmpty)
+    cur.values.foreach { case (n, q) =>
+      assert(q >= Text.CurateMinQuality && n >= Text.CurateMinTokens)
+    }
+    val qual = Text.queries("d_quality")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    cur.foreach { case (id, (_, q)) =>
+      assert(qual(id) == q, s"doc $id: curate quality $q != d_quality ${qual(id)}")
+    }
+  }
+
+  test("d_top_terms ranks are 1..K with non-increasing counts per language") {
+    val rows = Text.queries("d_top_terms")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("tf"), r.getAs[Int]("rk")))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val byRank = rs.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to byRank.length),
+        s"$lang: dense ranks 1..${byRank.length}")
+      assert(byRank.length <= Text.TopTermsK)
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 >= b._3, s"$lang: tf non-increasing")
+        case _ =>
+      }
+    }
+  }
+
+  test("q8_rollup subtotal levels are mutually consistent") {
+    val rows = Relational.queries("q8_rollup")(spark, sfDir).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getAs[Double]("sum_qty"), r.getAs[Long]("n"), r.getAs[Long]("gid")))
+    val detail = rows.filter(_._5 == 0L)
+    val flagLvl = rows.filter(_._5 == 1L)
+    val grand = rows.filter(_._5 == 3L)
+    assert(grand.length == 1)
+    assert(grand.head._4 == detail.map(_._4).sum, "grand n = sum of detail n")
+    flagLvl.foreach { case (f, _, _, n, _) =>
+      assert(n == detail.filter(_._1 == f).map(_._4).sum, s"flag $f subtotal")
+    }
+  }
+
+  test("ev_sliding counts every event in exactly two hopping windows") {
+    val slide = Events.queries("ev_sliding")(spark, sfDir).collect()
+      .map(_.getAs[Long]("n")).sum
+    val total = graft.Tables(spark, sfDir, "events").count()
+    assert(slide == 2 * total)
+  }
+
+  test("e_kmeans assigns every vector to one of K cells, deterministically") {
+    val a = Embeddings.queries("e_kmeans")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("cell")).toMap
+    val n = graft.Tables(spark, sfDir, "embeddings").count()
+    assert(a.size == n, "one assignment per vector")
+    assert(a.values.toSet.subsetOf((0 until Embeddings.KmK).toSet))
+    val b = Embeddings.queries("e_kmeans")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("cell")).toMap
+    assert(a == b, "Lloyd's rounds are deterministic")
+  }
+}
