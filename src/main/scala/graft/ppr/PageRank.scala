@@ -1,0 +1,121 @@
+package graft.ppr
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.GraphOps
+
+/** Global (non-personalized) PageRank — the teleport-to-UNIFORM sibling of
+  * the restart-at-source K1 kernel (SURVEY §1.4.1 records the reference's
+  * PPR convention; this is the classic whole-graph variant a general graph
+  * engine is expected to ship alongside it). Semantics per iteration:
+  *
+  *   r'(v) = (1-d)/n + d · ( Σ_{u→v} r(u)/deg(u)  +  dangling_mass/n )
+  *
+  * where dangling mass (out-degree-0 rank) redistributes uniformly — NOT
+  * back to a source, which is what distinguishes it from the PPR family.
+  *
+  * Scale shape: each superstep is ONE materialization job — the dangling
+  * mass is a 1-row aggregate that feeds the node-base term through a
+  * broadcast cross join (no driver-side collect), contributions shuffle
+  * once on dst, and the state localCheckpoints per superstep exactly like
+  * [[PowerIteration.run]]. The iteration count is fixed, so the DuckDB
+  * oracle replays the identical schedule as unrolled CTEs
+  * ([[oracleSql]]); both engines evaluate the same expression shapes in
+  * the same order, and the end-state rounds to 9 dp.
+  */
+object PageRank {
+
+  /** Distributed whole-graph PageRank over an `(src, dst)` edge list.
+    * Returns `(node_id LONG, score DOUBLE)` for EVERY node (global PR has
+    * no zero-score nodes — the base term reaches all of them).
+    */
+  def run(
+      spark: SparkSession,
+      edges: DataFrame,
+      damping: Double = 0.85,
+      iterations: Int = 30): DataFrame = {
+    val e = edges.persist()
+    val deg = GraphOps.outDegrees(e).withColumnRenamed("id", "did")
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count().toDouble
+    // pre-weighted push edges (src, dst, w = damping/deg) — built once,
+    // reused every superstep; dangling nodes simply have no rows here and
+    // surface through the anti-join mass term instead.
+    val ew = e.join(deg, e("src") === col("did"))
+      .select(e("src"), e("dst"), (lit(damping) / col("deg")).as("w"))
+      .localCheckpoint(true)
+    e.unpersist()
+    val base1 = (1.0 - damping) / n
+
+    val sc = spark.sparkContext
+    var liveCkpt = Set.empty[Int]
+    def checkpoint(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      val dead = liveCkpt
+      liveCkpt = (sc.getPersistentRDDs.keySet -- before).toSet
+      dead.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      out
+    }
+
+    var state = checkpoint(nodes.select(col("id"), (lit(1.0) / n).as("r")))
+    var it = 0
+    while (it < iterations) {
+      // dangling mass: rank sitting on out-degree-0 nodes this round —
+      // a 1-row aggregate broadcast into the base term, never collected.
+      val dm = state.join(ew.select(col("src").as("id")).distinct(),
+          Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
+      val push = ew.join(state, ew("src") === state("id"))
+        .groupBy(ew("dst").as("id"))
+        .agg(sum(col("r") * col("w")).as("p"))
+      state = checkpoint(
+        nodes.join(push, Seq("id"), "left")
+          .crossJoin(broadcast(dm))
+          .select(col("id"),
+            (lit(base1) + lit(damping) * col("dm") / n +
+              coalesce(col("p"), lit(0.0))).as("r")))
+      it += 1
+    }
+    state.select(col("id").as("node_id"), col("r").as("score"))
+  }
+
+  /** DuckDB oracle: the identical schedule as unrolled SQL. `graphSql`
+    * must yield (src, dst). Output: (node_id, score) rounded to
+    * `roundTo`. Expression shapes and evaluation order mirror [[run]]:
+    * per-edge `r * (d/deg)`, per-node `((1-d)/n + d*dm/n) + coalesce(p)`.
+    */
+  def oracleSql(graphSql: String, damping: Double, iterations: Int,
+      roundTo: Int = 9): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH edges AS MATERIALIZED ($graphSql),\n"
+    sb ++= "nodes AS MATERIALIZED (SELECT src AS id FROM edges " +
+      "UNION SELECT dst FROM edges),\n"
+    sb ++= "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),\n"
+    sb ++= "ew AS MATERIALIZED (SELECT e.src, e.dst, " +
+      s"$damping / d.deg AS w FROM edges e JOIN (" +
+      "SELECT src AS id, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src" +
+      ") d ON d.id = e.src),\n"
+    sb ++= "r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM nodes),\n"
+    for (i <- 1 to iterations) {
+      val prev = s"r${i - 1}"
+      sb ++= s"dm$i AS MATERIALIZED (SELECT coalesce(sum(r), 0.0) AS dm " +
+        s"FROM $prev WHERE id NOT IN (SELECT src FROM edges)),\n"
+      sb ++= s"p$i AS MATERIALIZED (SELECT ew.dst AS id, sum(t.r * ew.w) AS p " +
+        s"FROM ew JOIN $prev t ON ew.src = t.id GROUP BY ew.dst),\n"
+      sb ++= s"r$i AS MATERIALIZED (SELECT nodes.id, " +
+        s"((1.0 - $damping) / nn.n + $damping * dm$i.dm / nn.n) + " +
+        s"coalesce(p$i.p, 0.0) AS r " +
+        s"FROM nodes LEFT JOIN p$i ON p$i.id = nodes.id " +
+        s"CROSS JOIN nn CROSS JOIN dm$i),\n"
+    }
+    // trailing comma trim: replace last ",\n" with "\n"
+    sb.setLength(sb.length - 2)
+    sb ++= "\n"
+    sb ++= s"SELECT id AS node_id, round(r, $roundTo) AS score FROM r$iterations"
+    sb.toString
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.graph.GraphOps
-import graft.ppr.{Base, BackwardSearch, ForwardPush, Fora, Metrics, MonteCarlo, PowerIteration, PprStore}
+import graft.ppr.{Base, BackwardSearch, ForwardPush, Fora, Metrics, MonteCarlo, PageRank, PowerIteration, PprStore}
 
 /** Graph/PPR operator coverage over the deterministic lineitem-derived
   * benchmark graph (see [[GraphOps.lineitemGraph]]). Power iteration is the
@@ -18,6 +18,9 @@ object Graph {
   val Mod = 997
   val Alpha = 0.15
   val Iters = 25
+  /** Global-PageRank damping and iteration count (`g_pagerank`). */
+  val PrDamping = 0.85
+  val PrIters = 30
   val SingleSource = 1L
   val BatchSources: Seq[Long] = Seq(1L, 2L, 3L, 5L, 8L)
   val TopK = 10
@@ -48,6 +51,16 @@ object Graph {
     "g_power_ppr" -> ((s, dir) => {
       val edges = GraphOps.lineitemGraph(s, dir, Mod)
       PowerIteration.run(s, edges, SingleSource, Alpha, Iters)
+        .select(col("node_id"), round(col("score"), 9).as("score"))
+    }),
+
+    // Global PageRank: teleport-to-uniform + uniform dangling
+    // redistribution — the non-personalized sibling of K1 (see
+    // [[PageRank]]). One superstep = one job; 1-row dangling aggregate
+    // broadcast into the base term.
+    "g_pagerank" -> ((s, dir) => {
+      val edges = GraphOps.lineitemGraph(s, dir, Mod)
+      PageRank.run(s, edges, PrDamping, PrIters)
         .select(col("node_id"), round(col("score"), 9).as("score"))
     }),
 
@@ -247,6 +260,7 @@ object Graph {
       "g_edges" -> graphSql,
       "g_degree" -> s"SELECT src AS id, count(*) AS deg FROM ($graphSql) GROUP BY src",
       "g_power_ppr" -> PowerIteration.oracleSql(graphSql, SingleSource, Alpha, Iters),
+      "g_pagerank" -> PageRank.oracleSql(graphSql, PrDamping, PrIters),
       "g_ppr_batch" -> multi,
       "g_ppr_topk" ->
         s"""SELECT src, node_id, score, rk FROM (
