@@ -20,6 +20,8 @@ import graft.Tables
 object Events {
 
   val GapSeconds = 1800 // 30-min session gap
+  /** Attribution window for `ev_interval` (seconds). */
+  val AttrWindowSec = 1800L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour window per event_type.
@@ -71,6 +73,33 @@ object Events {
         .where(col("kind") === 1)
         .select(col("event_id"), col("user_id"), col("p_ts"),
           col("click_ts"), col("n_clicks"))
+    }),
+
+    // Interval (range) join: click→purchase attribution pairs — every
+    // (purchase, click) of the same user with the click inside the
+    // (p_ts - AttrWindowSec, p_ts] window. The range predicate is
+    // executed as a BUCKETED EQUI-JOIN: both sides key on (user,
+    // half-hour bucket), the purchase side expands to the 2 buckets its
+    // window can touch, and the exact range filters the equi-join
+    // output — a shuffle on small keys instead of the sort-merge range
+    // scan (or worse, per-user cross product) a naive inequality join
+    // plans into. Timestamps are exact microsecond longs.
+    "ev_interval" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val bucketUs = AttrWindowSec * 1000000L
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("c_us"))
+        .withColumn("bkt", expr(s"c_us div $bucketUs"))
+      val purch = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("p_us"))
+        .withColumn("bkt",
+          explode(array(expr(s"p_us div $bucketUs"), expr(s"p_us div $bucketUs - 1"))))
+      purch.join(clicks, Seq("user_id", "bkt"))
+        .where(col("c_us") > col("p_us") - bucketUs && col("c_us") <= col("p_us"))
+        .select(col("purchase_id"), col("click_id"),
+          (col("p_us") - col("c_us")).as("lag_us"))
     }),
 
     // Gap-based sessionization: a new session starts when the gap from the
@@ -125,6 +154,14 @@ object Events {
         |    ROWS UNBOUNDED PRECEDING))
         |SELECT event_id, user_id, p_ts, click_ts, n_clicks
         |FROM w WHERE kind = 1""".stripMargin,
+    "ev_interval" ->
+      s"""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+         | epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+         |FROM events p JOIN events c
+         |  ON c.user_id = p.user_id
+         | AND epoch_us(c.ts) > epoch_us(p.ts) - ${AttrWindowSec * 1000000L}
+         | AND epoch_us(c.ts) <= epoch_us(p.ts)
+         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin,
     "ev_sessions" ->
       s"""WITH flagged AS (
          |  SELECT user_id, ts, value,

@@ -84,6 +84,32 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join — the streaming twin of the batch
+    * `ev_interval` attribution query: each purchase joins the clicks of
+    * the same user from the preceding `windowSec` seconds. Both sides
+    * carry a watermark, and the time-range condition lets Spark bound
+    * BOTH state stores: a click can be evicted once the purchase-side
+    * watermark passes click_ts + windowSec, a purchase once its own
+    * window closes. Without the range bound stream-stream state grows
+    * forever — this is the canonical shape for joining two unbounded
+    * streams at 100 TB/day.
+    */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame,
+      windowSec: Long, horizon: String): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+        col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", horizon)
+    val p = purchases.select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", horizon)
+    p.join(c, expr(
+      s"""c_user = p_user AND
+         |c_ts > p_ts - INTERVAL $windowSec SECONDS AND
+         |c_ts <= p_ts""".stripMargin))
+      .select(col("purchase_id"), col("click_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+  }
+
   /** Streaming exact dedup: keep the FIRST arrival per content
     * fingerprint inside the watermark horizon — the streaming twin of the
     * batch hash-first `d_dedup_exact` plan (the dedup key is the 8-byte

@@ -94,6 +94,35 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch attribution pairs") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cdf = clicks.toDF().toDF("user_id", "event_id", "ts")
+    val pdf = purchases.toDF().toDF("user_id", "event_id", "ts")
+    val q = intervalJoin(cdf, pdf, graft.queries.Events.AttrWindowSec, "2 hours")
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      val ev = Tables(spark, sfDir, "events")
+      def side(t: String) = ev.where(col("event_type") === t)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .as[(Long, Long, java.sql.Timestamp)].collect()
+      clicks.addData(side("click").toSeq)
+      purchases.addData(side("purchase").toSeq)
+      q.processAllAvailable()
+      val got = spark.table("attr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = graft.queries.Events.queries("ev_interval")(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want)
+      assert(want.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps the first arrival per content fingerprint") {
     val s = spark
     import s.implicits._
