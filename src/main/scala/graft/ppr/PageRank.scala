@@ -36,16 +36,32 @@ object PageRank {
       iterations: Int = 30): DataFrame = {
     val e = edges.persist()
     val deg = GraphOps.outDegrees(e).withColumnRenamed("id", "did")
+    // node table with a FIXED dangling flag — membership in the
+    // out-degree-0 set never changes, so it is computed once here and
+    // carried through the state; the per-iteration dangling mass is then
+    // a conditional aggregate over the state, not an anti-join.
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
+      .join(e.select(col("src").as("id")).distinct()
+        .withColumn("has_out", lit(1)), Seq("id"), "left")
+      .select(col("id"), col("has_out").isNull.as("dang"))
       .localCheckpoint(true)
+    val m = e.count()
+    // scope the per-superstep shuffle width to the graph size (same
+    // rationale and try/finally discipline as [[PowerIteration.run]]):
+    // 30 iterations × 32 near-empty reducers is pure scheduler overhead
+    // on a small graph; a 1e9-edge graph keeps full width.
+    val p = math.min(spark.sparkContext.defaultParallelism.toLong,
+      m / 1000000L + 1L).toInt
     val n = nodes.count().toDouble
     // pre-weighted push edges (src, dst, w = damping/deg) — built once,
-    // reused every superstep; dangling nodes simply have no rows here and
-    // surface through the anti-join mass term instead.
+    // hash-partitioned by src and reused every superstep; dangling nodes
+    // simply have no rows here and surface through the anti-join mass
+    // term instead.
     val ew = e.join(deg, e("src") === col("did"))
       .select(e("src"), e("dst"), (lit(damping) / col("deg")).as("w"))
+      .repartition(p, col("src"))
       .localCheckpoint(true)
     e.unpersist()
     val base1 = (1.0 - damping) / n
@@ -61,26 +77,51 @@ object PageRank {
       out
     }
 
-    var state = checkpoint(nodes.select(col("id"), (lit(1.0) / n).as("r")))
-    var it = 0
-    while (it < iterations) {
-      // dangling mass: rank sitting on out-degree-0 nodes this round —
-      // a 1-row aggregate broadcast into the base term, never collected.
-      val dm = state.join(ew.select(col("src").as("id")).distinct(),
-          Seq("id"), "left_anti")
-        .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
-      val push = ew.join(state, ew("src") === state("id"))
-        .groupBy(ew("dst").as("id"))
-        .agg(sum(col("r") * col("w")).as("p"))
-      state = checkpoint(
-        nodes.join(push, Seq("id"), "left")
-          .crossJoin(broadcast(dm))
-          .select(col("id"),
-            (lit(base1) + lit(damping) * col("dm") / n +
-              coalesce(col("p"), lit(0.0))).as("r")))
-      it += 1
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // size-guarded broadcast of the n-row state/push sides (same guard
+      // rationale as [[PowerIteration.BroadcastNodeLimit]]): on a
+      // broadcastable graph the per-iteration joins are shuffle-free; on
+      // a larger one the hint is withheld and the state shuffle-joins the
+      // pre-partitioned edge side.
+      val small = n <= PowerIteration.BroadcastNodeLimit
+      def sided(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+      var state = checkpoint(
+        nodes.select(col("id"), (lit(1.0) / n).as("r"), col("dang")))
+      val carrier = nodes.select(col("id"), lit(0.0).as("c"),
+        col("dang").cast("int").as("dg"))
+      var it = 0
+      while (it < iterations) {
+        // dangling mass: rank sitting on out-degree-0 nodes this round —
+        // a 1-row conditional aggregate broadcast into the base term,
+        // never collected and never joined.
+        val dm = state
+          .agg(coalesce(sum(when(col("dang"), col("r"))), lit(0.0)).as("dm"))
+        // one superstep = ONE shuffle (the PowerIteration union-carrier
+        // shape): push contributions union node carrier rows (c = 0, so
+        // group sums are bit-identical to contribution-only sums) and
+        // fold in a single groupBy; the carrier also re-derives the
+        // dangling flag (max over {flag, 0…}), so no join recovers it.
+        val contrib = ew.join(sided(state), ew("src") === state("id"))
+          .select(ew("dst").as("id"), (col("r") * col("w")).as("c"),
+            lit(0).as("dg"))
+        state = checkpoint(
+          contrib.union(carrier)
+            .groupBy("id").agg(sum(col("c")).as("p"), max(col("dg")).as("dgi"))
+            .crossJoin(broadcast(dm))
+            .select(col("id"),
+              (lit(base1) + lit(damping) * col("dm") / n + col("p")).as("r"),
+              (col("dgi") === 1).as("dang")))
+        it += 1
+      }
+      state.select(col("id").as("node_id"), col("r").as("score"))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
-    state.select(col("id").as("node_id"), col("r").as("score"))
   }
 
   /** DuckDB oracle: the identical schedule as unrolled SQL. `graphSql`

@@ -18,9 +18,12 @@ object Graph {
   val Mod = 997
   val Alpha = 0.15
   val Iters = 25
-  /** Global-PageRank damping and iteration count (`g_pagerank`). */
+  /** Global-PageRank damping and iteration count (`g_pagerank`). The
+    * schedule is fixed (oracle-replayed), sized like the K1 `Iters` — the
+    * query demonstrates the distributed loop, not convergence.
+    */
   val PrDamping = 0.85
-  val PrIters = 30
+  val PrIters = 20
   val SingleSource = 1L
   val BatchSources: Seq[Long] = Seq(1L, 2L, 3L, 5L, 8L)
   val TopK = 10
