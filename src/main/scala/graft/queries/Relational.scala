@@ -95,6 +95,19 @@ object Relational {
           grouping_id().as("gid"))
     }),
 
+    // PIVOT: wide-format aggregation — one column per l_linestatus value
+    // with explicit pivot values (no extra distinct-discovery job; the
+    // plan is a single hash aggregate over CASE projections, same shape
+    // as the rollup's one-pass subtotals).
+    "q9_pivot" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+    }),
+
     // multi-way star join + grouped agg over dims (P5/J5 name-lookup shape).
     "q7_star_join" -> ((s, dir) => {
       val su = Tables(s, dir, "supplier")
@@ -150,6 +163,11 @@ object Relational {
         | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
         | GROUPING_ID(l_returnflag, l_linestatus) AS gid
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q9_pivot" ->
+      """SELECT l_returnflag,
+        | round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+        | round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q7_star_join" ->
       """SELECT r_name, n_name,
         | round(sum(l_extendedprice), 2) AS total_price, count(*) AS n_items
