@@ -108,6 +108,23 @@ object Relational {
         .withColumnRenamed("O", "qty_o")
     }),
 
+    // Skew-salted join ([[graft.operators.SkewJoin]]): ~80% of lineitem
+    // rows are funneled onto supplier key 1, the straggler shape a plain
+    // shuffle join serializes onto one reducer; the salted join spreads
+    // the hot key over 16 salt buckets and aggregates after. Output (and
+    // oracle) are those of the equivalent PLAIN join — salting is a
+    // physical rewrite, not a semantic one.
+    "q10_skew_join" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(when(col("l_orderkey") % 10 < 8, lit(1L))
+          .otherwise(col("l_suppkey")).as("k"), col("l_quantity"))
+      val su = Tables(s, dir, "supplier")
+        .select(col("s_suppkey").as("k"), col("s_name"))
+      graft.operators.SkewJoin.saltedInner(li, su, "k", salts = 16)
+        .groupBy(col("s_name"))
+        .agg(round(sum(col("l_quantity")), 2).as("qty"), count(lit(1)).as("n"))
+    }),
+
     // multi-way star join + grouped agg over dims (P5/J5 name-lookup shape).
     "q7_star_join" -> ((s, dir) => {
       val su = Tables(s, dir, "supplier")
@@ -163,6 +180,12 @@ object Relational {
         | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
         | GROUPING_ID(l_returnflag, l_linestatus) AS gid
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q10_skew_join" ->
+      """SELECT s_name, round(sum(l_quantity), 2) AS qty, count(*) AS n
+        |FROM (SELECT CASE WHEN l_orderkey % 10 < 8 THEN 1 ELSE l_suppkey END AS k,
+        |        l_quantity FROM lineitem) li
+        |JOIN supplier ON s_suppkey = li.k
+        |GROUP BY s_name""".stripMargin,
     "q9_pivot" ->
       """SELECT l_returnflag,
         | round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
