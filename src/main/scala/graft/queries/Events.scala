@@ -22,6 +22,8 @@ object Events {
   val GapSeconds = 1800 // 30-min session gap
   /** Attribution window for `ev_interval` (seconds). */
   val AttrWindowSec = 1800L
+  /** One week in microseconds (`ev_retention` cohort granularity). */
+  val WeekUs = 7L * 24 * 3600 * 1000000L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour window per event_type.
@@ -102,6 +104,49 @@ object Events {
           (col("p_us") - col("c_us")).as("lag_us"))
     }),
 
+    // Funnel detection: view → click → purchase chains per user, ordered
+    // by (ts, stage) with earlier stages sorting first at equal
+    // timestamps (inclusive semantics, as in ev_asof). ONE window pass —
+    // two cumulative maxima act as the stage state machine (latest view
+    // so far; latest click that already had a view) — instead of chained
+    // self-joins. Output: each completed purchase with its qualifying
+    // click/view times.
+    "ev_funnel" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .where(col("event_type").isin("view", "click", "purchase"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          when(col("event_type") === "view", 0)
+            .when(col("event_type") === "click", 1).otherwise(2).as("kind"))
+        .withColumn("last_view",
+          max(when(col("kind") === 0, col("us"))).over(w))
+        .withColumn("qclick",
+          max(when(col("kind") === 1 && col("last_view").isNotNull, col("us")))
+            .over(w))
+        .where(col("kind") === 2 && col("qclick").isNotNull)
+        .select(col("event_id"), col("user_id"), col("us").as("p_us"),
+          col("qclick").as("click_us"), col("last_view").as("view_us"))
+    }),
+
+    // Cohort retention: users grouped by their first-seen week; one row
+    // per (cohort week, week offset) with the distinct users still
+    // active. Two shuffles — (user, week) distinct, then the cohort
+    // re-aggregation — both on small keys; the per-user min is a partial
+    // aggregate, not a window.
+    "ev_retention" -> ((s, dir) => {
+      val uw = Tables(s, dir, "events")
+        .select(col("user_id"),
+          expr(s"unix_micros(ts) div $WeekUs").as("week"))
+        .distinct()
+      val cohort = uw.groupBy("user_id").agg(min(col("week")).as("cohort"))
+      uw.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort"), (col("week") - col("cohort")).as("offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // Gap-based sessionization: a new session starts when the gap from the
     // previous event of the same user exceeds GapSeconds.
     "ev_sessions" -> ((s, dir) => {
@@ -162,6 +207,35 @@ object Events {
          | AND epoch_us(c.ts) > epoch_us(p.ts) - ${AttrWindowSec * 1000000L}
          | AND epoch_us(c.ts) <= epoch_us(p.ts)
          |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin,
+    "ev_funnel" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us,
+        |   CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 ELSE 2 END AS kind
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |w1 AS (
+        |  SELECT event_id, user_id, us, kind,
+        |   max(CASE WHEN kind = 0 THEN us END) OVER win AS last_view
+        |  FROM t
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY us, kind
+        |    ROWS UNBOUNDED PRECEDING)),
+        |w2 AS (
+        |  SELECT event_id, user_id, us, kind, last_view,
+        |   max(CASE WHEN kind = 1 AND last_view IS NOT NULL THEN us END)
+        |     OVER win AS qclick
+        |  FROM w1
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY us, kind
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id, user_id, us AS p_us, qclick AS click_us,
+        | last_view AS view_us
+        |FROM w2 WHERE kind = 2 AND qclick IS NOT NULL""".stripMargin,
+    "ev_retention" ->
+      s"""WITH uw AS (
+         |  SELECT DISTINCT user_id, epoch_us(ts) // $WeekUs AS week FROM events),
+         |c AS (SELECT user_id, min(week) AS cohort FROM uw GROUP BY user_id)
+         |SELECT cohort, week - cohort AS "offset",
+         | count(DISTINCT uw.user_id) AS n_users
+         |FROM uw JOIN c ON uw.user_id = c.user_id
+         |GROUP BY 1, 2""".stripMargin,
     "ev_sessions" ->
       s"""WITH flagged AS (
          |  SELECT user_id, ts, value,
