@@ -104,6 +104,20 @@ object Events {
           (col("p_us") - col("c_us")).as("lag_us"))
     }),
 
+    // Semi-structured extraction: the JSON `props` payload parsed per
+    // row (`get_json_object` — Catalyst's incremental JSON path
+    // evaluator, a narrow projection with no UDF) and aggregated. At
+    // scale the parse cost is the story: path extraction touches only
+    // the requested key, never materializes the full document tree.
+    "ev_json" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(avg(col("k")), 6).as("avg_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    }),
+
     // Funnel detection: view → click → purchase chains per user, ordered
     // by (ts, stage) with earlier stages sorting first at equal
     // timestamps (inclusive semantics, as in ev_asof). ONE window pass —
@@ -207,6 +221,12 @@ object Events {
          | AND epoch_us(c.ts) > epoch_us(p.ts) - ${AttrWindowSec * 1000000L}
          | AND epoch_us(c.ts) <= epoch_us(p.ts)
          |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin,
+    "ev_json" ->
+      """SELECT event_type, count(*) AS n,
+        | round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k,
+        | min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        | max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "ev_funnel" ->
       """WITH t AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS us,
