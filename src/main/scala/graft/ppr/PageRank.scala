@@ -34,19 +34,32 @@ object PageRank {
       edges: DataFrame,
       damping: Double = 0.85,
       iterations: Int = 30): DataFrame = {
+    val sc = spark.sparkContext
+    // eager localCheckpoint that remembers WHICH RDDs it pinned, so the
+    // setup tables (nodes, ew) can be released once the loop is done —
+    // the returned state no longer references them, and a long-lived
+    // session must not keep a dead graph snapshot in executor memory.
+    def trackedCkpt(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+
     val e = edges.persist()
     val deg = GraphOps.outDegrees(e).withColumnRenamed("id", "did")
     // node table with a FIXED dangling flag — membership in the
     // out-degree-0 set never changes, so it is computed once here and
     // carried through the state; the per-iteration dangling mass is then
     // a conditional aggregate over the state, not an anti-join.
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct()
-      .join(e.select(col("src").as("id")).distinct()
-        .withColumn("has_out", lit(1)), Seq("id"), "left")
-      .select(col("id"), col("has_out").isNull.as("dang"))
-      .localCheckpoint(true)
+    val (nodes, nodesIds) = trackedCkpt(
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+        .distinct()
+        .join(e.select(col("src").as("id")).distinct()
+          .withColumn("has_out", lit(1)), Seq("id"), "left")
+        .select(col("id"), col("has_out").isNull.as("dang")))
     val m = e.count()
     // scope the per-superstep shuffle width to the graph size (same
     // rationale and try/finally discipline as [[PowerIteration.run]]):
@@ -59,21 +72,19 @@ object PageRank {
     // hash-partitioned by src and reused every superstep; dangling nodes
     // simply have no rows here and surface through the anti-join mass
     // term instead.
-    val ew = e.join(deg, e("src") === col("did"))
-      .select(e("src"), e("dst"), (lit(damping) / col("deg")).as("w"))
-      .repartition(p, col("src"))
-      .localCheckpoint(true)
+    val (ew, ewIds) = trackedCkpt(
+      e.join(deg, e("src") === col("did"))
+        .select(e("src"), e("dst"), (lit(damping) / col("deg")).as("w"))
+        .repartition(p, col("src")))
     e.unpersist()
     val base1 = (1.0 - damping) / n
 
-    val sc = spark.sparkContext
     var liveCkpt = Set.empty[Int]
     def checkpoint(df: DataFrame): DataFrame = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(true)
+      val (out, ids) = trackedCkpt(df)
       val dead = liveCkpt
-      liveCkpt = (sc.getPersistentRDDs.keySet -- before).toSet
-      dead.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      liveCkpt = ids
+      release(dead)
       out
     }
 
@@ -121,6 +132,10 @@ object PageRank {
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      // the final state checkpoint (which backs the returned DataFrame)
+      // no longer references the setup tables — release them.
+      release(nodesIds)
+      release(ewIds)
     }
   }
 

@@ -138,13 +138,26 @@ object Text {
     // shallow). cluster_id = min doc_id of the component; singleton
     // documents (no near-dup pair) are not emitted.
     "d_dup_clusters" -> ((s, dir) => {
+      val sc = s.sparkContext
+      // eager checkpoint that remembers which RDDs it pinned: each
+      // iteration's state is dead the moment the next materializes, and
+      // must be released — otherwise every iteration leaks a pinned
+      // snapshot for the life of the session.
+      var liveCkpt = Set.empty[Int]
+      def checkpoint(df: DataFrame): DataFrame = {
+        val before = sc.getPersistentRDDs.keySet
+        val out = df.localCheckpoint(true)
+        val dead = liveCkpt
+        liveCkpt = (sc.getPersistentRDDs.keySet -- before).toSet
+        dead.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+        out
+      }
       val p = lshPairsDf(s, dir).select(col("doc_a"), col("doc_b"))
       val edges = p.unionAll(
           p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .persist()
-      var lbl = edges.select(col("doc_a").as("id")).distinct()
-        .withColumn("lbl", col("id"))
-        .localCheckpoint(true)
+      var lbl = checkpoint(edges.select(col("doc_a").as("id")).distinct()
+        .withColumn("lbl", col("id")))
       // labels only ever DECREASE under min-propagation, so Σlbl strictly
       // decreases until the fixpoint — the convergence check is one cheap
       // scalar aggregate over the just-checkpointed state, not a join
@@ -154,9 +167,8 @@ object Text {
       while (sum != prevSum) {
         val prop = edges.join(lbl, edges("doc_a") === lbl("id"))
           .select(col("doc_b").as("id"), col("lbl"))
-        lbl = lbl.select(col("id"), col("lbl")).unionAll(prop)
-          .groupBy("id").agg(min("lbl").as("lbl"))
-          .localCheckpoint(true)
+        lbl = checkpoint(lbl.select(col("id"), col("lbl")).unionAll(prop)
+          .groupBy("id").agg(min("lbl").as("lbl")))
         prevSum = sum
         sum = lbl.agg(org.apache.spark.sql.functions.sum("lbl")).head.getLong(0)
       }
