@@ -24,6 +24,8 @@ object Events {
   val AttrWindowSec = 1800L
   /** One week in microseconds (`ev_retention` cohort granularity). */
   val WeekUs = 7L * 24 * 3600 * 1000000L
+  /** One day in microseconds (`ev_moving_avg` granularity). */
+  val DayUs = 24L * 3600 * 1000000L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour window per event_type.
@@ -102,6 +104,24 @@ object Events {
         .where(col("c_us") > col("p_us") - bucketUs && col("c_us") <= col("p_us"))
         .select(col("purchase_id"), col("click_id"),
           (col("p_us") - col("c_us")).as("lag_us"))
+    }),
+
+    // Trailing moving average over a RANGE frame: daily revenue per
+    // event_type, averaged over the 3 calendar days ending at each row.
+    // RANGE (not ROWS) is the correct frame for time series with gaps —
+    // a missing day shrinks the window instead of silently pulling in an
+    // older row. Two shuffles: the daily pre-aggregate, then the per-type
+    // window over day-count rows only (≤ days × types, tiny at any SF).
+    "ev_moving_avg" -> ((s, dir) => {
+      val byType = Window.partitionBy(col("event_type"))
+        .orderBy(col("day")).rangeBetween(-2, Window.currentRow)
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          expr(s"unix_micros(ts) div $DayUs").as("day"), col("value"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(round(sum(col("value")), 2).as("daily"))
+        .withColumn("ma3", round(avg(col("daily")).over(byType), 6))
+        .select(col("event_type"), col("day"), col("daily"), col("ma3"))
     }),
 
     // Semi-structured extraction: the JSON `props` payload parsed per
@@ -221,6 +241,15 @@ object Events {
          | AND epoch_us(c.ts) > epoch_us(p.ts) - ${AttrWindowSec * 1000000L}
          | AND epoch_us(c.ts) <= epoch_us(p.ts)
          |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin,
+    "ev_moving_avg" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // $DayUs AS day,
+         |   round(sum(value), 2) AS daily
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_type, day, daily,
+         | round(avg(daily) OVER (PARTITION BY event_type ORDER BY day
+         |   RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
+         |FROM daily""".stripMargin,
     "ev_json" ->
       """SELECT event_type, count(*) AS n,
         | round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k,
