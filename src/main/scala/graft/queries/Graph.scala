@@ -50,6 +50,38 @@ object Graph {
     "g_degree" -> ((s, dir) =>
       GraphOps.outDegrees(GraphOps.lineitemGraph(s, dir, Mod))),
 
+    // Per-node triangle counts via DEGREE-ORDERED wedge closing: the
+    // undirected graph is oriented from lower to higher (degree, id), so
+    // every wedge is generated at its unique lowest apex — out-degrees
+    // in the oriented DAG are O(√m) even on power-law graphs, which
+    // bounds the wedge join's intermediate size (the naive neighbor
+    // self-join explodes on hubs). Three equi-joins, no window, all
+    // integers — the canonical distributed triangle algorithm.
+    "g_triangles" -> ((s, dir) => {
+      val e = GraphOps.lineitemGraph(s, dir, Mod)
+      val und = e.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+      val deg = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("dg"))
+      val oriented = und
+        .join(deg.select(col("id").as("a"), col("dg").as("da")), Seq("a"))
+        .join(deg.select(col("id").as("b"), col("dg").as("db")), Seq("b"))
+        .select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("a"))
+            .otherwise(col("b")).as("u"),
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("b"))
+            .otherwise(col("a")).as("v"))
+      val wedges = oriented.as("x").join(oriented.as("y"),
+          col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+        .select(col("x.u").as("ta"), col("x.v").as("tb"), col("y.v").as("tc"))
+      val tri = wedges.join(
+        und.select(col("a").as("tb"), col("b").as("tc")), Seq("tb", "tc"), "left_semi")
+      tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("node_id"))
+        .groupBy("node_id").agg(count(lit(1)).as("triangles"))
+    }),
+
     // K1 distributed: single-source PPR by DataFrame superstep loop.
     "g_power_ppr" -> ((s, dir) => {
       val edges = GraphOps.lineitemGraph(s, dir, Mod)
@@ -264,6 +296,26 @@ object Graph {
       "g_degree" -> s"SELECT src AS id, count(*) AS deg FROM ($graphSql) GROUP BY src",
       "g_power_ppr" -> PowerIteration.oracleSql(graphSql, SingleSource, Alpha, Iters),
       "g_pagerank" -> PageRank.oracleSql(graphSql, PrDamping, PrIters),
+      "g_triangles" ->
+        s"""WITH e AS MATERIALIZED ($graphSql),
+           |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+           |  greatest(src, dst) AS b FROM e),
+           |deg AS MATERIALIZED (SELECT id, count(*) AS dg FROM (
+           |  SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+           |  GROUP BY id),
+           |ori AS MATERIALIZED (SELECT
+           |  CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+           |    THEN u.a ELSE u.b END AS u,
+           |  CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+           |    THEN u.b ELSE u.a END AS v
+           |  FROM und u JOIN deg da ON da.id = u.a JOIN deg db ON db.id = u.b),
+           |tri AS (SELECT x.u AS ta, x.v AS tb, y.v AS tc
+           |  FROM ori x JOIN ori y ON y.u = x.u AND x.v < y.v
+           |  WHERE EXISTS (SELECT 1 FROM und w WHERE w.a = x.v AND w.b = y.v))
+           |SELECT node_id, count(*) AS triangles FROM (
+           |  SELECT ta AS node_id FROM tri
+           |  UNION ALL SELECT tb FROM tri UNION ALL SELECT tc FROM tri)
+           |GROUP BY node_id""".stripMargin,
       "g_ppr_batch" -> multi,
       "g_ppr_topk" ->
         s"""SELECT src, node_id, score, rk FROM (
