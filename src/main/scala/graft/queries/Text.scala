@@ -222,6 +222,26 @@ object Text {
         .select(col("doc_a"), col("doc_b"), col("hamming"))
     }),
 
+    // Weighted corpus rebalancing: per-LANGUAGE sampling rates (the
+    // domain/language mixing step of a training-data pipeline — e.g.
+    // downsample the dominant language, keep the rest). Selection is the
+    // same content-keyed fingerprint mod as d_sample_hash, so the mix is
+    // reproducible and composes with the uniform sample; the rate lookup
+    // is a tiny CASE projection, no join, no shuffle before the final
+    // count.
+    "d_mix_sample" -> ((s, dir) => {
+      val rateCase = MixRatesPermille
+        .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+        .mkString("CASE ", " ", s" ELSE $MixDefaultPermille END")
+      Tables(s, dir, "documents")
+        .selectExpr("doc_id", "lang",
+          s"${TextOps.spark.fingerprint("text")} AS fp",
+          s"$rateCase AS rate")
+        .where(expr("((fp % 1000) + 1000) % 1000 < rate"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"))
+    }),
+
     // End-to-end curation pipeline: the composition a real corpus run
     // executes — quality gate → exact-dedup keep-first WITHIN the gated
     // set → deterministic fingerprint sample of the survivors.
@@ -350,6 +370,13 @@ object Text {
   val CurateMinQuality = 0.3
   val CurateMinTokens = 10
   val CurateSamplePct = 50
+
+  /** `d_mix_sample` per-language keep rates (permille): downsample the
+    * dominant language, oversample-keep the rest.
+    */
+  val MixRatesPermille: Seq[(String, Int)] =
+    Seq("en" -> 300, "de" -> 800, "fr" -> 800)
+  val MixDefaultPermille = 1000
 
   /** Hash-first exact-dedup groups `(keep_id, n_copies)` — the
     * `d_dedup_exact` body, shared with `d_dedup_survivors`. The wide
@@ -591,6 +618,17 @@ object Text {
          |  SELECT doc_id, lang, ${TextOps.duck.fingerprint("text")} AS fp
          |  FROM documents)
          |WHERE ((fp % 100) + 100) % 100 < $SamplePct""".stripMargin,
+    "d_mix_sample" -> {
+      val rateCase = MixRatesPermille
+        .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+        .mkString("CASE ", " ", s" ELSE $MixDefaultPermille END")
+      s"""SELECT lang, count(*) AS n_kept, min(doc_id) AS first_doc FROM (
+         |  SELECT doc_id, lang, ${TextOps.duck.fingerprint("text")} AS fp,
+         |   $rateCase AS rate
+         |  FROM documents)
+         |WHERE ((fp % 1000) + 1000) % 1000 < rate
+         |GROUP BY lang""".stripMargin
+    },
     "d_curate" ->
       s"""WITH t AS (SELECT doc_id, text, lang, ${TextOps.duck.tokens("text")} AS toks,
          |  CAST(length(text) AS DOUBLE) AS n_chars_d,
