@@ -29,11 +29,16 @@ object Text {
         s"size(regexp_extract_all(lower(text), '${TextOps.BpeRegex.replace("\\", "\\\\")}', 0)) AS n_bpe")
     }),
 
-    // Document fingerprint: rolling hash over token hashes.
+    // Document fingerprint: rolling hash over token hashes — typed
+    // per-partition kernel ([[TextOps.fingerprint]]), one narrow pass;
+    // identical integer output to the expression chain it replaced (the
+    // expression rendering stays in [[TextOps.spark]] for the oracle).
     "d_fingerprint" -> ((s, dir) => {
-      Tables(s, dir, "documents").selectExpr(
-        "doc_id",
-        s"${TextOps.spark.fingerprint("text")} AS fp")
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) => (id, TextOps.fingerprint(t)) })
+        .toDF("doc_id", "fp")
     }),
 
     // Quality scoring: length/stopword/punctuation components + composite.
@@ -94,11 +99,16 @@ object Text {
     // Narrow per-row predicate — no shuffle, no RNG state; the complement
     // split (>= SamplePct) is the held-out set by construction.
     "d_sample_hash" -> ((s, dir) => {
+      import s.implicits._
       Tables(s, dir, "documents")
-        .selectExpr("doc_id", "lang",
-          s"${TextOps.spark.fingerprint("text")} AS fp")
-        .where(expr(s"((fp % 100) + 100) % 100 < $SamplePct"))
-        .select(col("doc_id"), col("lang"))
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.collect {
+          case (id, lang, t)
+              if (((TextOps.fingerprint(t) % 100) + 100) % 100) < SamplePct =>
+            (id, lang)
+        })
+        .toDF("doc_id", "lang")
     }),
 
     // Concat-and-chunk sequence packing: documents are concatenated in
@@ -230,14 +240,18 @@ object Text {
     // is a tiny CASE projection, no join, no shuffle before the final
     // count.
     "d_mix_sample" -> ((s, dir) => {
-      val rateCase = MixRatesPermille
-        .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
-        .mkString("CASE ", " ", s" ELSE $MixDefaultPermille END")
+      import s.implicits._
+      val rates = MixRatesPermille.toMap
       Tables(s, dir, "documents")
-        .selectExpr("doc_id", "lang",
-          s"${TextOps.spark.fingerprint("text")} AS fp",
-          s"$rateCase AS rate")
-        .where(expr("((fp % 1000) + 1000) % 1000 < rate"))
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.collect {
+          case (id, lang, t)
+              if (((TextOps.fingerprint(t) % 1000) + 1000) % 1000) <
+                rates.getOrElse(lang, MixDefaultPermille) =>
+            (id, lang)
+        })
+        .toDF("doc_id", "lang")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"))
     }),

@@ -125,6 +125,21 @@ object TextOps {
     h
   }
 
+  /** Document fingerprint — the typed twin of [[spark.fingerprint]] (and
+    * the DuckDB `duck.fingerprint` rendering): rolling hash over the
+    * per-token rolling hashes, identical integer math, one narrow pass.
+    */
+  def fingerprint(text: String): Long = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    var acc = 0L
+    var i = 0
+    while (i < toks.length) {
+      acc = (acc * TokMul + tokenHash(toks(i))) % P
+      i += 1
+    }
+    acc
+  }
+
   /** Distinct token-3-gram shingle hashes of one document — the typed twin
     * of [[spark.shinglesFromHashes]]∘[[spark.tokenHashes]] (and of the
     * DuckDB `sh_t` CTE): tokens = `split(lower(text), '\s+')` keeping
