@@ -269,33 +269,40 @@ object Text {
     // verification (same nesting argument as d_dedup_exact). The
     // materialized state is ~32 bytes/doc — ppm of the corpus at 100 TB.
     "d_curate" -> ((s, dir) => {
+      import s.implicits._
+      // ONE typed pass computes every integer input (counts + both
+      // hashes, [[TextOps.curateCounts]]); the ratio/round chain stays
+      // in Catalyst with the exact d_quality expression shapes, so the
+      // two queries report the same per-document score.
       val g1 = Tables(s, dir, "documents")
-        .selectExpr("doc_id", "text", "lang",
-          s"${TextOps.spark.tokens("text")} AS toks",
-          "CAST(length(text) AS DOUBLE) AS n_chars_d",
-          s"CAST(length(regexp_replace(text, '[a-z0-9\\\\s]', '')) AS DOUBLE) AS punct_cnt")
-        .selectExpr("doc_id", "text", "lang",
-          "size(toks) AS n_tokens",
-          // identical rounding chain to d_quality, so the two queries
-          // report the same per-document score
-          s"round(CAST(size(filter(toks, t -> array_contains(array(${stop("")}), t))) AS DOUBLE) / size(toks), 6) AS stop_ratio",
-          "round(punct_cnt / n_chars_d, 6) AS punct_ratio")
-        .selectExpr("doc_id", "lang", "n_tokens",
-          "round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio) * (0.5 + stop_ratio), 6) AS quality",
-          "xxhash64(text) AS h",
-          s"${TextOps.spark.fingerprint("text")} AS fp")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, lang, t) =>
+          val cc = TextOps.curateCounts(t)
+          (id, lang, cc.nTok, cc.stop, cc.chars, cc.punct, cc.h, cc.fp)
+        })
+        .toDF("doc_id", "lang", "n_tokens", "stop_cnt", "n_chars",
+          "punct_cnt", "h", "fp")
+        .selectExpr("doc_id", "lang", "n_tokens", "h", "fp",
+          "round(CAST(stop_cnt AS DOUBLE) / n_tokens, 6) AS stop_ratio",
+          "round(CAST(punct_cnt AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS punct_ratio")
+        .selectExpr("doc_id", "lang", "n_tokens", "h", "fp",
+          "round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio) * (0.5 + stop_ratio), 6) AS quality")
         // checkpoint BEFORE the gate: predicate pushdown would otherwise
-        // collapse the quality chain into the filter AND the projection,
-        // evaluating the token analysis twice per row
+        // collapse the analysis into the filter AND the projection,
+        // evaluating it twice per row
         .localCheckpoint(true)
         .where(col("quality") >= CurateMinQuality && col("n_tokens") >= CurateMinTokens)
       val hGroups = g1.groupBy("h")
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("hc"))
       val dupH = hGroups.where(col("hc") > 1).select(col("h"))
       // colliding groups only: re-read text with a hash-only projection
-      // (no token chain), restricted to gated ids
+      // (no token analysis), restricted to gated ids
       val dupTexts = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"), xxhash64(col("text")).as("h"))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          (id, t, TextOps.contentHash64(t)) })
+        .toDF("doc_id", "text", "h")
         .join(dupH, Seq("h"), "left_semi")
         .join(g1.select(col("doc_id")), Seq("doc_id"), "left_semi")
       val verified = dupTexts.groupBy(col("h"), col("text"))

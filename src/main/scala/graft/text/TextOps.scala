@@ -140,6 +140,59 @@ object TextOps {
     acc
   }
 
+  /** One-pass curation counts for a document — the typed twin of the
+    * `d_quality` expression chain's INTEGER inputs (token count, stopword
+    * occurrences, char count, non-[a-z0-9\s] char count, content hash,
+    * fingerprint). Only counts are computed here: every ratio/round stays
+    * a Catalyst expression, so cross-engine float behavior is untouched.
+    * `punct` iterates UTF-16 code units exactly like the Java-regex
+    * character class it mirrors (astral chars count 2, as surrogates are
+    * outside the class).
+    */
+  final case class CurateCounts(nTok: Int, stop: Int, chars: Int,
+    punct: Int, h: Long, fp: Long)
+
+  private val StopSet: Set[String] = Stopwords.toSet
+
+  def curateCounts(text: String): CurateCounts = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    var stop = 0
+    var fp = 0L
+    var i = 0
+    while (i < toks.length) {
+      if (StopSet.contains(toks(i))) stop += 1
+      fp = (fp * TokMul + tokenHash(toks(i))) % P
+      i += 1
+    }
+    var punct = 0
+    var j = 0
+    while (j < text.length) {
+      val c = text.charAt(j)
+      val kept = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+        c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+      if (!kept) punct += 1
+      j += 1
+    }
+    CurateCounts(toks.length, stop, text.length, punct, contentHash64(text), fp)
+  }
+
+  /** 64-bit FNV-1a over UTF-8 bytes — the dedup grouping hash for the
+    * typed curation path. Same text ⇒ same hash is the only property the
+    * hash-first dedup needs (colliding groups are text-verified), so any
+    * deterministic 64-bit hash is valid here.
+    */
+  def contentHash64(text: String): Long = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
   /** Distinct token-3-gram shingle hashes of one document — the typed twin
     * of [[spark.shinglesFromHashes]]∘[[spark.tokenHashes]] (and of the
     * DuckDB `sh_t` CTE): tokens = `split(lower(text), '\s+')` keeping
