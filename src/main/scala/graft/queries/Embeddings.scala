@@ -278,6 +278,27 @@ object Embeddings {
       assign(cent)
     }),
 
+    // Scalar int8 quantization — the compression step an ANN index
+    // applies before storage (4 bytes/dim → 1): per-vector min/max
+    // affine scale to [0, 255]. Pure narrow projection, no shuffle; all
+    // arithmetic is per-row and identical in both engines, so the
+    // quantized codes hash-match exactly. Degenerate constant vectors
+    // (max = min) map to code 0.
+    "e_quantize" -> ((s, dir) => {
+      VectorFunctions.register(s)
+      Tables(s, dir, "embeddings")
+        .selectExpr("vec_id",
+          "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+        .selectExpr("vec_id", "v",
+          "array_min(v) AS lo", "array_max(v) AS hi")
+        .selectExpr("vec_id",
+          "round(lo, 6) AS lo_r", "round((hi - lo) / 255.0, 9) AS scale",
+          "CASE WHEN hi = lo THEN transform(v, x -> 0) " +
+            "ELSE transform(v, x -> CAST(round((x - lo) / ((hi - lo) / 255.0), 0) AS INT)) " +
+            "END AS q")
+        .select(col("vec_id"), col("lo_r"), col("scale"), col("q"))
+    }),
+
     "e_embed_dups" -> ((s, dir) => {
       val bk = bucketed(s, dir).select(col("vec_id"), col("tbl"), col("bkt"))
       val cand = bk.as("x").join(bk.as("y"),
@@ -429,6 +450,16 @@ object Embeddings {
       sb ++= "SELECT vec_id, cid AS cell FROM fin WHERE rn = 1"
       sb.toString
     },
+    "e_quantize" ->
+      """WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |mm AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM emb)
+        |SELECT vec_id, round(lo, 6) AS lo_r,
+        | round((hi - lo) / 255.0, 9) AS scale,
+        | CASE WHEN hi = lo THEN list_transform(v, x -> 0)
+        |  ELSE list_transform(v, x -> CAST(round((x - lo) / ((hi - lo) / 255.0), 0) AS INT))
+        | END AS q
+        |FROM mm""".stripMargin,
     "e_embed_dups" ->
       s"""WITH $duckBase,
          |$duckBucketed,
