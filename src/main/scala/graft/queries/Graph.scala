@@ -18,6 +18,14 @@ object Graph {
   val Mod = 997
   val Alpha = 0.15
   val Iters = 25
+  /** Sparser derivation modulus for `g_triangles`: at mod 997 the sf0.1
+    * bench graph is ~70% dense (a near-clique with 57M triangles — a
+    * triangle-count stress test, not a realistic workload); mod 20011
+    * keeps average degree ~60 at sf0.1 (36k triangles) while still
+    * producing triangles (459) at sf0.001.
+    */
+  val TriMod = 20011
+
   /** Global-PageRank damping and iteration count (`g_pagerank`). The
     * schedule is fixed (oracle-replayed), sized like the K1 `Iters` — the
     * query demonstrates the distributed loop, not convergence.
@@ -58,9 +66,14 @@ object Graph {
     // self-join explodes on hubs). Three equi-joins, no window, all
     // integers — the canonical distributed triangle algorithm.
     "g_triangles" -> ((s, dir) => {
-      val e = GraphOps.lineitemGraph(s, dir, Mod)
+      val e = GraphOps.lineitemGraph(s, dir, TriMod)
+      // und feeds degree derivation, orientation, and the closing
+      // semi-join; oriented feeds both sides of the wedge join — eager
+      // checkpoints stop each reference re-deriving the graph from the
+      // raw scan (id-width rows, ~m/2 of them).
       val und = e.select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b")).distinct()
+        .localCheckpoint(true)
       val deg = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("dg"))
       val oriented = und
@@ -73,6 +86,7 @@ object Graph {
           when(col("da") < col("db") ||
             (col("da") === col("db") && col("a") < col("b")), col("b"))
             .otherwise(col("a")).as("v"))
+        .localCheckpoint(true)
       val wedges = oriented.as("x").join(oriented.as("y"),
           col("x.u") === col("y.u") && col("x.v") < col("y.v"))
         .select(col("x.u").as("ta"), col("x.v").as("tb"), col("y.v").as("tc"))
@@ -297,7 +311,7 @@ object Graph {
       "g_power_ppr" -> PowerIteration.oracleSql(graphSql, SingleSource, Alpha, Iters),
       "g_pagerank" -> PageRank.oracleSql(graphSql, PrDamping, PrIters),
       "g_triangles" ->
-        s"""WITH e AS MATERIALIZED ($graphSql),
+        s"""WITH e AS MATERIALIZED (${GraphOps.lineitemGraphSql(TriMod)}),
            |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
            |  greatest(src, dst) AS b FROM e),
            |deg AS MATERIALIZED (SELECT id, count(*) AS dg FROM (

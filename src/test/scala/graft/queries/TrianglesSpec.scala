@@ -10,7 +10,7 @@ class TrianglesSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     // brute force: undirected adjacency sets, count closed wedges a<b<c.
-    val und = GraphOps.lineitemGraph(spark, sfDir, Graph.Mod).collect()
+    val und = GraphOps.lineitemGraph(spark, sfDir, Graph.TriMod).collect()
       .map(r => (math.min(r.getLong(0), r.getLong(1)),
         math.max(r.getLong(0), r.getLong(1))))
       .distinct
