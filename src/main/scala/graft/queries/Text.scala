@@ -370,11 +370,76 @@ object Text {
           "round(CAST(size(array_intersect(ng_a, ng_b)) AS DOUBLE) / size(array_union(ng_a, ng_b)), 6) AS jac")
         .where(col("jac") >= NgramJacThreshold)
         .select(col("doc_a"), col("doc_b"), col("jac"))
+    }),
+
+    // Eval-set decontamination: flag training documents sharing any
+    // token-shingle with a held-out eval split (the n-gram-overlap
+    // decontamination step every pretraining corpus runs against its
+    // benchmark suites). The eval shingle UNIVERSE is distinct-reduced
+    // and explicitly broadcast — eval sets are thousands of documents
+    // against a 100 TB corpus, so the corpus side streams map-side
+    // through the hash join and the only shuffle is the final per-doc
+    // count. Shingle extraction is the same typed kernel as the MinHash
+    // chain ([[TextOps.shingles]] — hashes are distinct per doc, so the
+    // join count IS the distinct-overlap count).
+    "d_decontam" -> ((s, dir) => {
+      val sh = shingleDf(s, dir)
+      val ev = sh.where(col("doc_id") % DecontamEvalMod === 0)
+        .select(explode(col("sh")).as("h")).distinct()
+      sh.where(col("doc_id") % DecontamEvalMod =!= 0)
+        .select(col("doc_id"), explode(col("sh")).as("h"))
+        .join(broadcast(ev), Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+    }),
+
+    // Within-document repetition: duplicate-token fraction (the
+    // Gopher-style repetition quality signal — high dup_frac marks
+    // boilerplate/spam). Pure narrow projection, no shuffle.
+    "d_rep_ratio" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .selectExpr("doc_id", s"${TextOps.spark.tokens("text")} AS toks")
+        .selectExpr("doc_id",
+          "size(toks) AS n_tokens",
+          "size(array_distinct(toks)) AS n_distinct",
+          "round(1.0 - CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks), 6) AS dup_frac")
+    }),
+
+    // Per-domain document cap: keep the DomainCapN best documents per
+    // source by (quality DESC, doc_id ASC) — the domain-balancing step
+    // that stops one crawl domain dominating the corpus. The rank tie
+    // key is the integer doc_id over the 6-dp-rounded score, so the cut
+    // is deterministic across engines; the window runs per source (the
+    // natural parallelism axis — at 100 TB domains are many and
+    // individually small).
+    "d_domain_cap" -> ((s, dir) => {
+      val bySource = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      Tables(s, dir, "documents")
+        .selectExpr("doc_id", "source",
+          s"${TextOps.spark.tokens("text")} AS toks",
+          "CAST(length(text) AS DOUBLE) AS n_chars_d",
+          s"CAST(length(regexp_replace(text, '[a-z0-9\\\\s]', '')) AS DOUBLE) AS punct_cnt")
+        .selectExpr("doc_id", "source",
+          "size(toks) AS n_tokens",
+          s"round(CAST(size(filter(toks, t -> array_contains(array(${stop("")}), t))) AS DOUBLE) / size(toks), 6) AS stop_ratio",
+          "round(punct_cnt / n_chars_d, 6) AS punct_ratio")
+        .selectExpr("doc_id", "source",
+          "round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio) * (0.5 + stop_ratio), 6) AS quality")
+        .withColumn("rk", row_number().over(bySource))
+        .where(col("rk") <= DomainCapN)
+        .select(col("source"), col("doc_id"), col("quality"), col("rk"))
     })
   )
 
   /** Exact-verify threshold for [[queries]]' `d_ngram_pairs`. */
   val NgramJacThreshold = 0.5
+
+  /** Held-out eval split for `d_decontam`: docs with id ≡ 0 (mod this). */
+  val DecontamEvalMod = 17
+
+  /** Documents kept per source by `d_domain_cap`. */
+  val DomainCapN = 50
 
   /** Percent of documents kept by `d_sample_hash` (fingerprint mod 100). */
   val SamplePct = 10
@@ -745,6 +810,35 @@ object Text {
          |firstb AS (SELECT doc_a, doc_b, sim_a, sim_b FROM cand WHERE $firstBand)
          |SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
          |FROM firstb WHERE bit_count(xor(sim_a, sim_b)) <= $SimhashHammingMax""".stripMargin
-    }
+    },
+    "d_decontam" ->
+      s"""WITH $duckShingleCte,
+         |ev AS (SELECT DISTINCT unnest(sh) AS h FROM sh_t
+         |  WHERE doc_id % $DecontamEvalMod = 0),
+         |tr AS (SELECT doc_id, unnest(sh) AS h FROM sh_t
+         |  WHERE doc_id % $DecontamEvalMod <> 0)
+         |SELECT tr.doc_id, count(*) AS n_hits
+         |FROM tr JOIN ev USING (h) GROUP BY tr.doc_id""".stripMargin,
+    "d_rep_ratio" ->
+      s"""WITH t AS (SELECT doc_id, ${TextOps.duck.tokens("text")} AS toks
+         |  FROM documents)
+         |SELECT doc_id, len(toks) AS n_tokens,
+         | len(list_distinct(toks)) AS n_distinct,
+         | round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS dup_frac
+         |FROM t""".stripMargin,
+    "d_domain_cap" ->
+      s"""WITH t AS (SELECT doc_id, source, ${TextOps.duck.tokens("text")} AS toks,
+         |  CAST(length(text) AS DOUBLE) AS n_chars_d,
+         |  CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct_cnt
+         |  FROM documents),
+         |u AS (SELECT doc_id, source, len(toks) AS n_tokens,
+         |  round(CAST(len(list_filter(toks, t -> list_contains([${stop("")}], t))) AS DOUBLE) / len(toks), 6) AS stop_ratio,
+         |  round(punct_cnt / n_chars_d, 6) AS punct_ratio FROM t),
+         |g AS (SELECT doc_id, source,
+         |  round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio) * (0.5 + stop_ratio), 6) AS quality
+         |  FROM u),
+         |r AS (SELECT source, doc_id, quality, row_number() OVER (
+         |  PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rk FROM g)
+         |SELECT source, doc_id, quality, rk FROM r WHERE rk <= $DomainCapN""".stripMargin
   )
 }
