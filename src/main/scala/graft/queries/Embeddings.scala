@@ -314,6 +314,26 @@ object Embeddings {
           s"round($dotExpr / (qnrm * nrm), 6) AS cos")
         .where(col("cos") >= DupCosThreshold)
         .select(col("vec_a"), col("vec_b"), col("cos"))
+    }),
+
+    // ANN recall evaluation: recall@LshTopK of the multi-table LSH index
+    // against the exact cosine ground truth — the quality measurement any
+    // production ANN deployment runs before trading exactness for speed.
+    // Composes the two oracle-checked queries; hits join on 16-byte id
+    // pairs (vectors never re-attach), the per-query count is one small
+    // aggregate. Tie-inclusive ground truth: n_exact can exceed k, and
+    // recall is hits over the tie-inclusive set.
+    "e_ann_recall" -> ((s, dir) => {
+      val exact = queries("e_cosine_topk")(s, dir)
+        .where(col("rk") <= LshTopK)
+        .select(col("q_id"), col("vec_id"))
+      val ann = queries("e_ann_lsh")(s, dir)
+        .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+      exact.join(ann, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+        .selectExpr("q_id", "n_exact", "n_hit",
+          "round(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall")
     })
   )
 
@@ -339,32 +359,48 @@ object Embeddings {
           s"SELECT vec_id, v, nrm, $t AS tbl, ${duckBucketExpr("v", t)} AS bkt FROM embn")
           .mkString(" UNION ALL ")})""".stripMargin
 
+  /** Full `e_cosine_topk` oracle statement — also nested (as a scoped
+    * subquery) inside the `e_ann_recall` oracle.
+    */
+  private val duckCosineTopkSql =
+    s"""WITH $duckBase,
+       |cosj AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |  round($duckDot / (q.nrm * c.nrm), 6) AS cos
+       |  FROM embn q JOIN embn c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries)
+       |SELECT q_id, vec_id, cos, rk FROM (
+       |  SELECT q_id, vec_id, cos,
+       |    rank() OVER (PARTITION BY q_id ORDER BY cos DESC) AS rk FROM cosj)
+       |WHERE rk <= $TopK""".stripMargin
+
+  /** Full `e_ann_lsh` oracle statement — likewise shared with recall. */
+  private val duckAnnLshSql =
+    s"""WITH $duckBase,
+       |$duckBucketed,
+       |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+       |  FROM bk q JOIN bk c ON c.tbl = q.tbl AND c.bkt = q.bkt
+       |    AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries),
+       |cosj AS (SELECT cand.q_id, cand.vec_id,
+       |  round($duckDot / (q.nrm * c.nrm), 6) AS cos
+       |  FROM cand JOIN embn q ON q.vec_id = cand.q_id
+       |    JOIN embn c ON c.vec_id = cand.vec_id)
+       |SELECT q_id, vec_id, cos, rk FROM (
+       |  SELECT q_id, vec_id, cos,
+       |    rank() OVER (PARTITION BY q_id ORDER BY cos DESC) AS rk FROM cosj)
+       |WHERE rk <= $LshTopK""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
-    "e_cosine_topk" ->
-      s"""WITH $duckBase,
-         |cosj AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
-         |  round($duckDot / (q.nrm * c.nrm), 6) AS cos
-         |  FROM embn q JOIN embn c ON c.vec_id <> q.vec_id
-         |  WHERE q.vec_id < $NumQueries)
-         |SELECT q_id, vec_id, cos, rk FROM (
-         |  SELECT q_id, vec_id, cos,
-         |    rank() OVER (PARTITION BY q_id ORDER BY cos DESC) AS rk FROM cosj)
-         |WHERE rk <= $TopK""".stripMargin,
-    "e_ann_lsh" ->
-      s"""WITH $duckBase,
-         |$duckBucketed,
-         |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
-         |  FROM bk q JOIN bk c ON c.tbl = q.tbl AND c.bkt = q.bkt
-         |    AND c.vec_id <> q.vec_id
-         |  WHERE q.vec_id < $NumQueries),
-         |cosj AS (SELECT cand.q_id, cand.vec_id,
-         |  round($duckDot / (q.nrm * c.nrm), 6) AS cos
-         |  FROM cand JOIN embn q ON q.vec_id = cand.q_id
-         |    JOIN embn c ON c.vec_id = cand.vec_id)
-         |SELECT q_id, vec_id, cos, rk FROM (
-         |  SELECT q_id, vec_id, cos,
-         |    rank() OVER (PARTITION BY q_id ORDER BY cos DESC) AS rk FROM cosj)
-         |WHERE rk <= $LshTopK""".stripMargin,
+    "e_cosine_topk" -> duckCosineTopkSql,
+    "e_ann_lsh" -> duckAnnLshSql,
+    "e_ann_recall" ->
+      s"""WITH ex AS (SELECT q_id, vec_id FROM ($duckCosineTopkSql)
+         |  WHERE rk <= $LshTopK),
+         |an AS (SELECT q_id, vec_id, 1 AS hit FROM ($duckAnnLshSql))
+         |SELECT ex.q_id, count(*) AS n_exact, count(an.hit) AS n_hit,
+         | round(CAST(count(an.hit) AS DOUBLE) / count(*), 6) AS recall
+         |FROM ex LEFT JOIN an ON an.q_id = ex.q_id AND an.vec_id = ex.vec_id
+         |GROUP BY ex.q_id""".stripMargin,
     "e_ann_ivf" -> {
       // dot product between aliased embn rows a and b (64 dims).
       def dotOf(a: String, b: String) =
