@@ -405,6 +405,34 @@ object Text {
           "round(1.0 - CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks), 6) AS dup_frac")
     }),
 
+    // TF-IDF keyword extraction: top terms per document by
+    // tf · ln(N/df). Unlike d_top_terms (corpus-global frequencies) this
+    // exercises the corpus-level document-frequency join: df aggregates
+    // distinct docs per term (map-side combinable), then re-joins the
+    // per-doc term counts ON TERM — an equi-join on the term dictionary,
+    // which at 100 TB is far too large to broadcast (the 1-row corpus
+    // count N is the only broadcast). The rank key is (rounded score
+    // DESC, term ASC): float ties cannot flip the cut.
+    "d_tfidf" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .selectExpr("doc_id", s"explode(${TextOps.spark.tokens("text")}) AS term")
+        .where(not(col("term").isin(TextOps.Stopwords: _*)) &&
+          length(col("term")) >= 3)
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = Tables(s, dir, "documents").agg(count(lit(1)).as("n"))
+      val byDoc = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term").asc)
+      tf.join(df, Seq("term"))
+        .crossJoin(broadcast(n))
+        .selectExpr("doc_id", "term", "tf",
+          "round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf")
+        .withColumn("rk", row_number().over(byDoc))
+        .where(col("rk") <= TfidfK)
+        .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rk"))
+    }),
+
     // Per-domain document cap: keep the DomainCapN best documents per
     // source by (quality DESC, doc_id ASC) — the domain-balancing step
     // that stops one crawl domain dominating the corpus. The rank tie
@@ -440,6 +468,9 @@ object Text {
 
   /** Documents kept per source by `d_domain_cap`. */
   val DomainCapN = 50
+
+  /** Keywords kept per document by `d_tfidf`. */
+  val TfidfK = 3
 
   /** Percent of documents kept by `d_sample_hash` (fingerprint mod 100). */
   val SamplePct = 10
@@ -819,6 +850,20 @@ object Text {
          |  WHERE doc_id % $DecontamEvalMod <> 0)
          |SELECT tr.doc_id, count(*) AS n_hits
          |FROM tr JOIN ev USING (h) GROUP BY tr.doc_id""".stripMargin,
+    "d_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, unnest(${TextOps.duck.tokens("text")}) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+         |  WHERE term NOT IN (${stop("")}) AND length(term) >= 3
+         |  GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n_t AS (SELECT count(*) AS n FROM documents),
+         |sc AS (SELECT doc_id, term, tf,
+         |  round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+         |  FROM tf JOIN df USING (term) CROSS JOIN n_t),
+         |r AS (SELECT doc_id, term, tf, tfidf, row_number() OVER (
+         |  PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk FROM sc)
+         |SELECT doc_id, term, tf, tfidf, rk FROM r WHERE rk <= $TfidfK""".stripMargin,
     "d_rep_ratio" ->
       s"""WITH t AS (SELECT doc_id, ${TextOps.duck.tokens("text")} AS toks
          |  FROM documents)
