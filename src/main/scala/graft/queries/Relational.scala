@@ -95,6 +95,17 @@ object Relational {
           grouping_id().as("gid"))
     }),
 
+    // CUBE: all 2^n grouping combinations in one pass — same
+    // Expand + single-hash-agg plan as the rollup (4 grouping sets here
+    // vs rollup's 3), never a per-combination rescan.
+    "q11_cube" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+    }),
+
     // PIVOT: wide-format aggregation — one column per l_linestatus value
     // with explicit pivot values (no extra distinct-discovery job; the
     // plan is a single hash aggregate over CASE projections, same shape
@@ -180,6 +191,11 @@ object Relational {
         | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
         | GROUPING_ID(l_returnflag, l_linestatus) AS gid
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q11_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
+        | GROUPING_ID(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q10_skew_join" ->
       """SELECT s_name, round(sum(l_quantity), 2) AS qty, count(*) AS n
         |FROM (SELECT CASE WHEN l_orderkey % 10 < 8 THEN 1 ELSE l_suppkey END AS k,
