@@ -124,6 +124,28 @@ object Events {
         .select(col("event_type"), col("day"), col("daily"), col("ma3"))
     }),
 
+    // Time-series gap filling: densify each event type's daily series
+    // over its own [min_day, max_day] span — missing days materialize
+    // with value 0 and a `filled` marker (the densification step feature
+    // pipelines run before windowed models). Scale shape: the only heavy
+    // shuffle is the daily pre-aggregation; the span/daily join then
+    // runs over |types|×|days| AGGREGATE rows (tiny at any corpus
+    // scale), and `sequence()` explodes per type — never per event.
+    "ev_gapfill" -> ((s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .select(col("event_type"),
+          expr(s"unix_micros(ts) div $DayUs").as("day"), col("value"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(round(sum(col("value")), 2).as("daily"))
+      val span = daily.groupBy(col("event_type"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+      span.join(daily, Seq("event_type", "day"), "left")
+        .selectExpr("event_type", "day",
+          "coalesce(daily, 0.0) AS daily",
+          "CASE WHEN daily IS NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS filled")
+    }),
+
     // Semi-structured extraction: the JSON `props` payload parsed per
     // row (`get_json_object` — Catalyst's incremental JSON path
     // evaluator, a narrow projection with no UDF) and aggregated. At
@@ -250,6 +272,20 @@ object Events {
          | round(avg(daily) OVER (PARTITION BY event_type ORDER BY day
          |   RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
          |FROM daily""".stripMargin,
+    "ev_gapfill" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // $DayUs AS day,
+         |   round(sum(value), 2) AS daily
+         |  FROM events GROUP BY 1, 2),
+         |span AS (
+         |  SELECT event_type, unnest(generate_series(d0, d1)) AS day
+         |  FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
+         |    FROM daily GROUP BY 1))
+         |SELECT s.event_type, s.day, coalesce(d.daily, 0.0) AS daily,
+         | CASE WHEN d.daily IS NULL THEN CAST(1 AS BIGINT)
+         |   ELSE CAST(0 AS BIGINT) END AS filled
+         |FROM span s LEFT JOIN daily d
+         |  ON d.event_type = s.event_type AND d.day = s.day""".stripMargin,
     "ev_json" ->
       """SELECT event_type, count(*) AS n,
         | round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k,
