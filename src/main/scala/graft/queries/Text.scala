@@ -42,19 +42,25 @@ object Text {
     }),
 
     // Quality scoring: length/stopword/punctuation components + composite.
+    // Counts come from the typed one-pass kernel ([[TextOps.curateCounts]]
+    // — the interpreted stopword-filter HOF this replaces costs ~70 µs/doc,
+    // ~10× the kernel); the ratio arithmetic stays in Catalyst with the
+    // exact expression shapes of the SQL oracle (kernel≡SQL is
+    // oracle-proven by d_curate).
     "d_quality" -> ((s, dir) => {
+      import s.implicits._
       Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          val cc = TextOps.curateCounts(t)
+          (id, cc.nTok, cc.stop, cc.chars, cc.punct)
+        })
+        .toDF("doc_id", "n_tokens", "stop_cnt", "n_chars", "punct_cnt")
         .selectExpr(
-          "doc_id",
-          s"${TextOps.spark.tokens("text")} AS toks",
-          "CAST(length(text) AS DOUBLE) AS n_chars_d",
-          s"CAST(length(regexp_replace(text, '[a-z0-9\\\\s]', '')) AS DOUBLE) AS punct_cnt")
-        .selectExpr(
-          "doc_id",
-          "size(toks) AS n_tokens",
-          s"round(CAST(size(filter(toks, t -> array_contains(array(${stop("")}), t))) AS DOUBLE) / size(toks), 6) AS stop_ratio",
-          "round(punct_cnt / n_chars_d, 6) AS punct_ratio",
-          "round(n_chars_d / size(toks), 6) AS avg_tok_len")
+          "doc_id", "n_tokens",
+          "round(CAST(stop_cnt AS DOUBLE) / n_tokens, 6) AS stop_ratio",
+          "round(CAST(punct_cnt AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS punct_ratio",
+          "round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS avg_tok_len")
         .selectExpr(
           "doc_id", "n_tokens", "stop_ratio", "punct_ratio", "avg_tok_len",
           "round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio) * (0.5 + stop_ratio), 6) AS quality")
@@ -441,17 +447,20 @@ object Text {
     // natural parallelism axis — at 100 TB domains are many and
     // individually small).
     "d_domain_cap" -> ((s, dir) => {
+      import s.implicits._
       val bySource = Window.partitionBy(col("source"))
         .orderBy(col("quality").desc, col("doc_id").asc)
       Tables(s, dir, "documents")
-        .selectExpr("doc_id", "source",
-          s"${TextOps.spark.tokens("text")} AS toks",
-          "CAST(length(text) AS DOUBLE) AS n_chars_d",
-          s"CAST(length(regexp_replace(text, '[a-z0-9\\\\s]', '')) AS DOUBLE) AS punct_cnt")
-        .selectExpr("doc_id", "source",
-          "size(toks) AS n_tokens",
-          s"round(CAST(size(filter(toks, t -> array_contains(array(${stop("")}), t))) AS DOUBLE) / size(toks), 6) AS stop_ratio",
-          "round(punct_cnt / n_chars_d, 6) AS punct_ratio")
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, src, t) =>
+          val cc = TextOps.curateCounts(t)
+          (id, src, cc.nTok, cc.stop, cc.chars, cc.punct)
+        })
+        .toDF("doc_id", "source", "n_tokens", "stop_cnt", "n_chars", "punct_cnt")
+        .selectExpr("doc_id", "source", "n_tokens",
+          "round(CAST(stop_cnt AS DOUBLE) / n_tokens, 6) AS stop_ratio",
+          "round(CAST(punct_cnt AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS punct_ratio")
         .selectExpr("doc_id", "source",
           "round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio) * (0.5 + stop_ratio), 6) AS quality")
         .withColumn("rk", row_number().over(bySource))
