@@ -136,6 +136,37 @@ object Relational {
         .agg(round(sum(col("l_quantity")), 2).as("qty"), count(lit(1)).as("n"))
     }),
 
+    // Bucketed co-located join: both fact tables are materialized
+    // CLUSTERED BY the join key into the same bucket count, so the
+    // sort-merge join reads bucket-aligned files and needs NO exchange on
+    // either side — the write-once/join-many pattern that amortizes the
+    // shuffle of a 100 TB fact table across every downstream join. The
+    // `merge` hint pins SMJ (a broadcast would also skip the shuffle here
+    // at test scale and hide the demonstration); the only exchange in the
+    // plan is the final small aggregation. Buckets land under
+    // java.io.tmpdir as external tables, overwritten per run.
+    "q12_bucket_join" -> ((s, dir) => {
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_buckets"
+      s.sql("DROP TABLE IF EXISTS graft_li_b")
+      s.sql("DROP TABLE IF EXISTS graft_ord_b")
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$tmp/li").saveAsTable("graft_li_b")
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$tmp/ord").saveAsTable("graft_ord_b")
+      val li = s.table("graft_li_b")
+      val o = s.table("graft_ord_b").hint("merge")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("total"),
+          count(lit(1)).as("n"))
+    }),
+
     // multi-way star join + grouped agg over dims (P5/J5 name-lookup shape).
     "q7_star_join" -> ((s, dir) => {
       val su = Tables(s, dir, "supplier")
@@ -196,6 +227,11 @@ object Relational {
         | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
         | GROUPING_ID(l_returnflag, l_linestatus) AS gid
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q12_bucket_join" ->
+      """SELECT o_orderstatus, round(sum(l_extendedprice), 2) AS total,
+        | count(*) AS n
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
     "q10_skew_join" ->
       """SELECT s_name, round(sum(l_quantity), 2) AS qty, count(*) AS n
         |FROM (SELECT CASE WHEN l_orderkey % 10 < 8 THEN 1 ELSE l_suppkey END AS k,
