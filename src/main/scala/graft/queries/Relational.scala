@@ -167,6 +167,56 @@ object Relational {
           count(lit(1)).as("n"))
     }),
 
+    // Bloom-filter pruned join: the selective dim filter (top ~10% of
+    // orders) is turned into a ~190 KB bloom sketch that prunes the fact
+    // scan BEFORE the join shuffle — the manual form of the runtime filter
+    // Spark's InjectRuntimeFilter injects for shuffle joins. At 100 TB the
+    // win is that non-matching fact rows never enter the exchange; the
+    // exact join afterwards removes the sketch's false positives, so the
+    // output (and oracle) are those of the plain join. The sketch is built
+    // with one pass over the already-filtered dim (the small side) and
+    // broadcast once per executor.
+    "q13_bloom_join" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .where(col("o_totalprice") > 450000.0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val nKeys = math.max(o.count(), 1000L)
+      val bf = o.stat.bloomFilter("o_orderkey", nKeys, 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .where(mightContain(col("l_orderkey")))
+        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("total"),
+          count(lit(1)).as("n"))
+    }),
+
+    // CDC MERGE/upsert: apply a delta (updates to existing keys + brand-new
+    // keys) onto a base snapshot — delta wins on key collision. The whole
+    // merge is ONE shuffle on the 8-byte key (the anti join); the union is
+    // exchange-free. At 100 TB the base is partitioned on the key and the
+    // rewrite touches only partitions the delta hits (partition-pruned
+    // overwrite); the delta itself is derived deterministically here so the
+    // oracle can re-state it in SQL. Updated rows bump o_totalprice by an
+    // exact IEEE add (no rounding divergence across engines).
+    "q14_merge" -> ((s, dir) => {
+      val base = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val updates = base.where(col("o_orderkey") % 7 === 3)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"))
+      val inserts = base.where(col("o_orderkey") % 11 === 5)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_custkey"), lit("N").as("o_orderstatus"), col("o_totalprice"))
+      val delta = updates.union(inserts)
+      base.join(delta.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+        .union(delta)
+    }),
+
     // multi-way star join + grouped agg over dims (P5/J5 name-lookup shape).
     "q7_star_join" -> ((s, dir) => {
       val su = Tables(s, dir, "supplier")
@@ -243,6 +293,24 @@ object Relational {
         | round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
         | round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q13_bloom_join" ->
+      """SELECT o_orderpriority, round(sum(l_extendedprice), 2) AS total,
+        | count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 450000.0
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q14_merge" ->
+      """WITH delta AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |         o_totalprice + 1000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice
+        |  FROM orders WHERE o_orderkey % 11 = 5)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+        |UNION ALL
+        |SELECT * FROM delta""".stripMargin,
     "q7_star_join" ->
       """SELECT r_name, n_name,
         | round(sum(l_extendedprice), 2) AS total_price, count(*) AS n_items

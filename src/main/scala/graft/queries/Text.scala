@@ -99,6 +99,33 @@ object Text {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 
+    // Incremental-snapshot dedup: a NEW ingestion batch (doc_id % 3 == 0
+    // here; in production the day's crawl) filtered against the EXISTING
+    // corpus by content — only documents whose text does not already
+    // appear survive. Same hash-first discipline as [[dedupGroups]]: the
+    // cross-snapshot collision check shuffles 8-byte xxhash64 keys only
+    // (two left-semi joins on `fp`), and full text re-shuffles solely for
+    // the fp values present on BOTH sides, where equality is verified
+    // exactly. At 100 TB the existing corpus contributes nothing but its
+    // fingerprint column to the comparison.
+    "d_incr_dedup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val fresh = docs.where(col("doc_id") % 3 === 0)
+      val known = docs.where(col("doc_id") % 3 =!= 0)
+      val freshH = fresh.select(col("doc_id"), col("text"),
+        xxhash64(col("text")).as("fp"))
+      val knownH = known.select(xxhash64(col("text")).as("fp"),
+        col("text").as("known_text"))
+      val candFps = freshH.select(col("fp"))
+        .join(knownH.select(col("fp")), Seq("fp"), "left_semi").distinct()
+      val dupIds = freshH.join(candFps, Seq("fp"), "left_semi")
+        .join(knownH.join(candFps, Seq("fp"), "left_semi"), Seq("fp"))
+        .where(col("text") === col("known_text"))
+        .select(col("doc_id")).distinct()
+      fresh.join(dupIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
     // Deterministic hash sampling: a reproducible SamplePct% subset keyed
     // by the document FINGERPRINT (content-keyed, so re-ingesting the
     // same corpus under different doc_ids samples the same documents).
@@ -739,6 +766,10 @@ object Text {
     "d_dedup_survivors" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""".stripMargin,
+    "d_incr_dedup" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id % 3 = 0 AND text NOT IN (
+        |  SELECT text FROM documents WHERE doc_id % 3 <> 0)""".stripMargin,
     "d_sample_hash" ->
       s"""SELECT doc_id, lang FROM (
          |  SELECT doc_id, lang, ${TextOps.duck.fingerprint("text")} AS fp
