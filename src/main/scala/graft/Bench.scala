@@ -33,13 +33,22 @@ object Bench {
     } catch { case _: Throwable => () }
     // deterministic name order: per-query timings are comparable across
     // rounds (Map hash order made the first-hashed query absorb JVM warmup).
+    val sc = spark.sparkContext
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val pinnedBefore = sc.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // the result is fully materialized — anything this query pinned
+      // (eager checkpoints, caches) is dead weight for the rest of the
+      // session; 80 queries' worth of leftovers is GC pressure that
+      // inflates every later measurement.
+      val now = sc.getPersistentRDDs
+      (now.keySet -- pinnedBefore).foreach(id => now.get(id).foreach(_.unpersist(false)))
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

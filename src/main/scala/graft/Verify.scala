@@ -26,12 +26,18 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    val sc = spark.sparkContext
     selected.foreach { case (name, fn) =>
+      val pinnedBefore = sc.getPersistentRDDs.keySet
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // result written — release anything this query pinned (same
+      // session-hygiene rationale as Bench).
+      val now = sc.getPersistentRDDs
+      (now.keySet -- pinnedBefore).foreach(id => now.get(id).foreach(_.unpersist(false)))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

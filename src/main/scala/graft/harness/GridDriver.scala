@@ -129,6 +129,9 @@ object GridDriver {
           }
         }
       }
-    } finally gnd.unpersist()
+    } finally {
+      gnd.unpersist()
+      runner.releaseEstimates()
+    }
   }
 }

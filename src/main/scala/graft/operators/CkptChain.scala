@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.SparkContext
+import org.apache.spark.sql.DataFrame
+
+/** Eager `localCheckpoint` chain for iterative superstep state.
+  *
+  * Every eager localCheckpoint pins its RDD in the block manager for the
+  * life of the session. In a superstep loop the generation-(N-1) snapshot
+  * is dead the moment generation N materializes, so the chain releases it
+  * then — otherwise a 100-iteration run leaves 100 state snapshots pinned
+  * (the regression a long-lived 1000-executor session cannot afford). The
+  * FINAL generation stays pinned: it backs the returned DataFrame; callers
+  * that also want that gone reap at the session level (see
+  * [[graft.Bench]]).
+  *
+  * One chain per state variable — generations of different variables don't
+  * invalidate each other.
+  */
+final class CkptChain(sc: SparkContext) {
+  private var live = Set.empty[Int]
+
+  /** Eagerly checkpoint `df`, releasing this chain's previous generation. */
+  def apply(df: DataFrame): DataFrame = apply(Seq(df)).head
+
+  /** Joint generation for loops with SEVERAL state variables that derive
+    * from each other's previous generation (e.g. push's residue+reserve):
+    * ALL of them are materialized first, and only then is the previous
+    * generation released — releasing after each one individually would
+    * pull a snapshot out from under the sibling still being computed.
+    */
+  def apply(dfs: Seq[DataFrame]): Seq[DataFrame] = {
+    val before = sc.getPersistentRDDs.keySet
+    val out = dfs.map(_.localCheckpoint(true))
+    val dead = live
+    live = (sc.getPersistentRDDs.keySet -- before).toSet
+    dead.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    out
+  }
+
+  /** Release the current (final) generation too — only after the caller
+    * has fully materialized everything derived from it.
+    */
+  def releaseAll(): Unit = {
+    live.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    live = Set.empty
+  }
+}

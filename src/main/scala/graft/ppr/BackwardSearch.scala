@@ -39,8 +39,10 @@ object BackwardSearch {
       maxSupersteps: Int = 0,
       checkpointEvery: Int = 1): DataFrame = {
     // see ForwardPush.run: residue feeds multiple branches per superstep;
-    // checkpoint each round to keep the plan linear.
+    // checkpoint each round to keep the plan linear, releasing the dead
+    // previous generation as each new one materializes.
     import spark.implicits._
+    val ckpt = new graft.operators.CkptChain(spark.sparkContext)
 
     val deg = GraphOps.outDegrees(edges).persist()
     val e = edges.persist()
@@ -68,8 +70,10 @@ object BackwardSearch {
         residue = pushed.union(retained).groupBy("id").agg(sum("r").as("r"))
         it += 1
         if (it % checkpointEvery == 0) {
-          residue = residue.localCheckpoint(true)
-          reserve = reserve.localCheckpoint(true)
+          // joint generation — see ForwardPush.run: both states derive
+          // from the previous residue.
+          val Seq(r2, p2) = ckpt(Seq(residue, reserve))
+          residue = r2; reserve = p2
         }
       }
     }

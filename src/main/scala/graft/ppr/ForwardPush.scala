@@ -47,7 +47,11 @@ object ForwardPush {
     // checkpointEvery=1: the per-superstep state feeds THREE branches
     // (eligible/retained/dangling), so an unbroken lineage grows ~3^steps
     // subplans — eager localCheckpoint each superstep keeps the plan flat.
+    // Chained checkpoints release the previous generation as the next one
+    // materializes; only the final state stays pinned (it backs the
+    // returned DataFrame).
     import spark.implicits._
+    val ckpt = new graft.operators.CkptChain(spark.sparkContext)
 
     val deg = GraphOps.outDegrees(edges).persist()
     val e = edges.persist()
@@ -90,8 +94,11 @@ object ForwardPush {
           .groupBy("id").agg(sum("r").as("r"))
         it += 1
         if (it % checkpointEvery == 0) {
-          residue = residue.localCheckpoint(true)
-          reserve = reserve.localCheckpoint(true)
+          // joint generation: residue and reserve both derive from the
+          // previous residue, so neither may be released until both new
+          // snapshots are materialized.
+          val Seq(r2, p2) = ckpt(Seq(residue, reserve))
+          residue = r2; reserve = p2
         }
       }
     }

@@ -79,14 +79,10 @@ object PageRank {
     e.unpersist()
     val base1 = (1.0 - damping) / n
 
-    var liveCkpt = Set.empty[Int]
-    def checkpoint(df: DataFrame): DataFrame = {
-      val (out, ids) = trackedCkpt(df)
-      val dead = liveCkpt
-      liveCkpt = ids
-      release(dead)
-      out
-    }
+    // chained per-iteration state checkpoints ([[graft.operators.CkptChain]]):
+    // generation N-1 is released as N materializes; the final generation
+    // backs the returned DataFrame and stays.
+    val checkpoint = new graft.operators.CkptChain(sc)
 
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")

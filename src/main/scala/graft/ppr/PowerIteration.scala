@@ -131,21 +131,12 @@ object PowerIteration {
       // final residue of the last push is discarded, matching [[runLocal]]:
       // reserve = alpha · Σ_{t=0}^{iterations-1} residue_t.
       //
-      // Each eager localCheckpoint pins its RDD in the block manager; the
-      // PREVIOUS iteration's checkpoint is dead the moment the next one
-      // materializes, so it is unpersisted here — otherwise a 100-iteration
-      // run leaves 100 state snapshots pinned for the life of the session.
-      // The final state stays persisted (it backs the returned DataFrame).
-      val sc = spark.sparkContext
-      var liveCkptIds = Set.empty[Int]
-      def checkpoint(df: DataFrame): DataFrame = {
-        val before = sc.getPersistentRDDs.keySet
-        val out = df.localCheckpoint(true)
-        val dead = liveCkptIds
-        liveCkptIds = (sc.getPersistentRDDs.keySet -- before).toSet
-        dead.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-        out
-      }
+      // Chained state checkpoints ([[graft.operators.CkptChain]]): the
+      // PREVIOUS iteration's pinned snapshot is released the moment the
+      // next one materializes — otherwise a 100-iteration run leaves 100
+      // state snapshots pinned for the life of the session. The final
+      // state stays persisted (it backs the returned DataFrame).
+      val checkpoint = new graft.operators.CkptChain(spark.sparkContext)
       var state = checkpoint(Seq((source, 1.0, 1.0)).toDF("id", "r", "acc"))
       var it = 1
       while (it < iterations) {

@@ -99,6 +99,16 @@ object Text {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 
+    // PII detection + redaction: count pattern hits per class, then
+    // replace them with typed placeholders — the scrub pass every public
+    // training corpus runs before anything else. Narrow per-row
+    // projection (regexp only — no shuffle, no UDF); patterns are applied
+    // in a fixed order (email → ssn → phone → ip) so overlapping classes
+    // resolve deterministically on both engines. The synthetic corpus
+    // contains no PII — the oracle validates the no-op identity and the
+    // zero counts; PiiSpec proves the redaction on injected PII.
+    "d_pii_redact" -> ((s, dir) => piiRedact(Tables(s, dir, "documents"))),
+
     // Incremental-snapshot dedup: a NEW ingestion batch (doc_id % 3 == 0
     // here; in production the day's crawl) filtered against the EXISTING
     // corpus by content — only documents whose text does not already
@@ -181,20 +191,11 @@ object Text {
     // shallow). cluster_id = min doc_id of the component; singleton
     // documents (no near-dup pair) are not emitted.
     "d_dup_clusters" -> ((s, dir) => {
-      val sc = s.sparkContext
-      // eager checkpoint that remembers which RDDs it pinned: each
+      // chained eager checkpoints ([[graft.operators.CkptChain]]): each
       // iteration's state is dead the moment the next materializes, and
       // must be released — otherwise every iteration leaks a pinned
       // snapshot for the life of the session.
-      var liveCkpt = Set.empty[Int]
-      def checkpoint(df: DataFrame): DataFrame = {
-        val before = sc.getPersistentRDDs.keySet
-        val out = df.localCheckpoint(true)
-        val dead = liveCkpt
-        liveCkpt = (sc.getPersistentRDDs.keySet -- before).toSet
-        dead.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-        out
-      }
+      val checkpoint = new graft.operators.CkptChain(s.sparkContext)
       val p = lshPairsDf(s, dir).select(col("doc_a"), col("doc_b"))
       val edges = p.unionAll(
           p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -531,6 +532,33 @@ object Text {
     Seq("en" -> 300, "de" -> 800, "fr" -> 800)
   val MixDefaultPermille = 1000
 
+  /** PII pattern classes for `d_pii_redact` — RE2-safe regexes (no
+    * backreferences or lookaround) so the Java-regex (Spark) and RE2
+    * (DuckDB) evaluations agree character-for-character. ORDER MATTERS and
+    * each class counts/redacts the text as left by the previous class:
+    * ssn runs before phone (the looser phone pattern would swallow the
+    * 3-2-4 digit groups), email before ip (an address's host part must
+    * not be re-matched as a bare IP).
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "phone" -> "\\+?\\d[\\d()\\- ]{7,}\\d",
+    "ip" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+
+  /** `d_pii_redact` body over any `(doc_id, text)` frame: per-class hit
+    * counts + the scrubbed text, one narrow codegen'd projection.
+    */
+  private[queries] def piiRedact(docs: DataFrame): DataFrame = {
+    val (counts, clean) = PiiPatterns
+      .foldLeft((Seq.empty[org.apache.spark.sql.Column], col("text"))) {
+        case ((acc, cur), (name, pat)) =>
+          (acc :+ size(regexp_extract_all(cur, lit(pat), lit(0))).as(s"n_$name"),
+            regexp_replace(cur, lit(pat), lit(s"<${name.toUpperCase}>")))
+      }
+    docs.select(col("doc_id") +: counts :+ clean.as("clean"): _*)
+  }
+
   /** Hash-first exact-dedup groups `(keep_id, n_copies)` — the
     * `d_dedup_exact` body, shared with `d_dedup_survivors`. The wide
     * shuffle groups on an 8-byte xxhash64 of the text; full documents are
@@ -770,6 +798,21 @@ object Text {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id % 3 = 0 AND text NOT IN (
         |  SELECT text FROM documents WHERE doc_id % 3 <> 0)""".stripMargin,
+    "d_pii_redact" -> {
+      // generated from the SAME PiiPatterns constant as the Spark side —
+      // one sequential CTE per class (each counts + redacts the text as
+      // left by the previous one, exactly like the Column fold).
+      val steps = PiiPatterns.zipWithIndex.map { case ((name, pat), i) =>
+        s"s${i + 1} AS (SELECT * EXCLUDE (t), " +
+          s"len(regexp_extract_all(t, '$pat')) AS n_$name, " +
+          s"regexp_replace(t, '$pat', '<${name.toUpperCase}>', 'g') AS t " +
+          s"FROM s$i)"
+      }
+      val names = PiiPatterns.map { case (n, _) => s"n_$n" }.mkString(", ")
+      s"""WITH s0 AS (SELECT doc_id, text AS t FROM documents),
+         |${steps.mkString(",\n")}
+         |SELECT doc_id, $names, t AS clean FROM s${PiiPatterns.length}""".stripMargin
+    },
     "d_sample_hash" ->
       s"""SELECT doc_id, lang FROM (
          |  SELECT doc_id, lang, ${TextOps.duck.fingerprint("text")} AS fp

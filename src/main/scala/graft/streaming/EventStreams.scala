@@ -110,6 +110,17 @@ object EventStreams {
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
   }
 
+  /** Stream-static enrichment join: each streaming event picks up the
+    * dimension row for its event_type. The static side is broadcast and
+    * re-planned per micro-batch — NO state store, no watermark, nothing
+    * to evict, which makes this the cheapest streaming join and the one
+    * to reach for whenever the right side is bounded (lookup tables,
+    * model registries, config). Left join: events with an unknown type
+    * pass through with NULL enrichment rather than silently dropping.
+    */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"), "left")
+
   /** Streaming exact dedup: keep the FIRST arrival per content
     * fingerprint inside the watermark horizon — the streaming twin of the
     * batch hash-first `d_dedup_exact` plan (the dedup key is the 8-byte

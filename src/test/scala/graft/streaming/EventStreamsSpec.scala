@@ -123,6 +123,46 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment equals the batch join, unknown types pass") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // static dim: one tier row per event_type seen in the batch table,
+    // deliberately MISSING one type to exercise the left-join passthrough.
+    val types = Tables(spark, sfDir, "events")
+      .select("event_type").distinct().as[String].collect().sorted
+    val dim = types.dropRight(1).zipWithIndex
+      .map { case (t, i) => (t, s"tier_$i") }.toSeq
+      .toDF("event_type", "tier")
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = enrich(df, dim).writeStream
+      .format("memory").queryName("enr").outputMode("append").start()
+    try {
+      val rows = Tables(spark, sfDir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .as[(Long, java.sql.Timestamp, String, Double)].collect()
+      input.addData(rows.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("enr")
+        .select(col("user_id"), col("event_type"), col("tier")).collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+        .sortBy(t => (t._1, t._2, t._3))
+      val want = enrich(
+        Tables(spark, sfDir, "events")
+          .select(col("user_id"), col("ts"), col("event_type"), col("value")),
+        dim)
+        .select(col("user_id"), col("event_type"), col("tier")).collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+        .sortBy(t => (t._1, t._2, t._3))
+      assert(got.length == want.length && got.sameElements(want))
+      // the type missing from the dim surfaces with NULL tier, not dropped.
+      assert(got.exists(_._3.isEmpty))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps the first arrival per content fingerprint") {
     val s = spark
     import s.implicits._
