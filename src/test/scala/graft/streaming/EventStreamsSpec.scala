@@ -163,6 +163,64 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed agg resumes exactly-once from a checkpoint across restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sout").toString
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    def start() = {
+      val df = input.toDF().toDF("user_id", "ts", "event_type", "value")
+      // file sink + append mode: a window row is written exactly once,
+      // when the watermark closes it — the production shape for
+      // aggregations that must survive failures.
+      windowedCounts(df).writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    val rows = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[(Long, java.sql.Timestamp, String, Double)].collect()
+      .sortBy(_._2.getTime)
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val maxTs = rows.map(_._2.getTime).max
+    // sentinel far past the data: advances the watermark beyond every real
+    // window's end so append mode flushes them all; its own window stays
+    // open and never reaches the sink.
+    val sentinel = (0L, new java.sql.Timestamp(maxTs + 24L * 3600 * 1000),
+      "zz_sentinel", 0.0)
+
+    val q1 = start()
+    try { input.addData(first.toSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    // restart from the SAME checkpoint: offsets + window state recover,
+    // the second half continues the same windows (the split cuts windows
+    // in half at the boundary, so recovered STATE — not just offsets — is
+    // what makes the counts come out right).
+    val q2 = start()
+    try {
+      input.addData(second.toSeq)
+      input.addData(Seq(sentinel))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // exactly-once: every (hour, type) window appears at most once.
+    assert(got.map(t => (t._1, t._2)).distinct.length == got.length,
+      "restart must not re-emit finalized windows")
+    val want = graft.queries.Events.queries("ev_window")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got.toSet == want,
+      "recovered stream must produce the batch result, nothing lost or doubled")
+  }
+
   test("streaming dedup keeps the first arrival per content fingerprint") {
     val s = spark
     import s.implicits._
