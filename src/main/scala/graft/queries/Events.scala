@@ -106,6 +106,28 @@ object Events {
           (col("p_us") - col("c_us")).as("lag_us"))
     }),
 
+    // Offset window functions — LAG / LEAD / FIRST_VALUE over the
+    // per-user event sequence: inter-event gap, value delta, and the
+    // user's first event type (the per-entity sequence features a
+    // behavioral model consumes). One shuffle on user_id; the frame is
+    // the default growing frame for FIRST_VALUE and physical offsets for
+    // LAG/LEAD, so no full-partition buffering. (event_id breaks ts ties
+    // deterministically — both engines sort the same.)
+    "ev_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+        .withColumn("gap_us", unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("value_delta", col("value") - lag(col("value"), 1).over(w))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .withColumn("first_type", first(col("event_type")).over(w))
+        .select(col("user_id"), col("event_id"), col("gap_us"),
+          col("value_delta"), col("next_type"), col("first_type"))
+    }),
+
     // Trailing moving average over a RANGE frame: daily revenue per
     // event_type, averaged over the 3 calendar days ending at each row.
     // RANGE (not ROWS) is the correct frame for time series with gaps —
@@ -263,6 +285,17 @@ object Events {
          | AND epoch_us(c.ts) > epoch_us(p.ts) - ${AttrWindowSec * 1000000L}
          | AND epoch_us(c.ts) <= epoch_us(p.ts)
          |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin,
+    "ev_lag" ->
+      """SELECT user_id, event_id,
+        | epoch_us(ts) - lag(epoch_us(ts), 1)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+        | value - lag(value, 1)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_delta,
+        | lead(event_type, 1)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+        | first_value(event_type)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_type
+        |FROM events""".stripMargin,
     "ev_moving_avg" ->
       s"""WITH daily AS (
          |  SELECT event_type, epoch_us(ts) // $DayUs AS day,
