@@ -86,9 +86,14 @@ object PageRank {
 
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // p == 1 ⇒ interpreted mode for the loop: fresh expression ids per
+    // iteration defeat the codegen cache, so every superstep would pay a
+    // Janino compile for a few thousand rows (see [[PowerIteration.run]]).
+    val prevCodegen = spark.conf.get("spark.sql.codegen.wholeStage")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", p.toString)
       spark.conf.set("spark.sql.adaptive.enabled", "false")
+      if (p == 1) spark.conf.set("spark.sql.codegen.wholeStage", "false")
       // size-guarded broadcast of the n-row state/push sides (same guard
       // rationale as [[PowerIteration.BroadcastNodeLimit]]): on a
       // broadcastable graph the per-iteration joins are shuffle-free; on
@@ -103,10 +108,15 @@ object PageRank {
       var it = 0
       while (it < iterations) {
         // dangling mass: rank sitting on out-degree-0 nodes this round —
-        // a 1-row conditional aggregate broadcast into the base term,
-        // never collected and never joined.
-        val dm = state
+        // a 1-row conditional aggregate folded into the base term, never
+        // collected. On the small path it joins as a PLAIN cross join so
+        // the whole superstep is ONE job (a BroadcastExchange would
+        // materialize dm as its own job — doubling the per-iteration job
+        // floor); at scale the broadcast is right (the 1-row side reaches
+        // every partition without a cartesian stage).
+        val dm0 = state
           .agg(coalesce(sum(when(col("dang"), col("r"))), lit(0.0)).as("dm"))
+        val dm = if (small) dm0 else broadcast(dm0)
         // one superstep = ONE shuffle (the PowerIteration union-carrier
         // shape): push contributions union node carrier rows (c = 0, so
         // group sums are bit-identical to contribution-only sums) and
@@ -118,7 +128,7 @@ object PageRank {
         state = checkpoint(
           contrib.union(carrier)
             .groupBy("id").agg(sum(col("c")).as("p"), max(col("dg")).as("dgi"))
-            .crossJoin(broadcast(dm))
+            .crossJoin(dm)
             .select(col("id"),
               (lit(base1) + lit(damping) * col("dm") / n + col("p")).as("r"),
               (col("dgi") === 1).as("dang")))
@@ -128,6 +138,7 @@ object PageRank {
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
       // the final state checkpoint (which backs the returned DataFrame)
       // no longer references the setup tables — release them.
       release(nodesIds)

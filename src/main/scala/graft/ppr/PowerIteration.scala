@@ -123,9 +123,17 @@ object PowerIteration {
     // AQE re-plans at every materialized shuffle; with the width already
     // sized above it only adds per-iteration latency here.
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // Every iteration plans over a fresh checkpoint root with fresh
+    // expression ids, so its generated code is textually new — the codegen
+    // cache never hits and each superstep pays a Janino compile. On a
+    // small graph (p == 1) interpreted evaluation of a few thousand rows
+    // is far cheaper than 25 compiles; a big graph keeps codegen (the
+    // compile amortizes over real task work).
+    val prevCodegen = spark.conf.get("spark.sql.codegen.wholeStage")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", p.toString)
       spark.conf.set("spark.sql.adaptive.enabled", "false")
+      if (p == 1) spark.conf.set("spark.sql.codegen.wholeStage", "false")
 
       // acc accumulates Σ_it residue_it (incl. the initial residue); the
       // final residue of the last push is discarded, matching [[runLocal]]:
@@ -157,6 +165,7 @@ object PowerIteration {
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
       ew.unpersist()
     }
   }
