@@ -173,20 +173,21 @@ object Relational {
     // Spark's InjectRuntimeFilter injects for shuffle joins. At 100 TB the
     // win is that non-matching fact rows never enter the exchange; the
     // exact join afterwards removes the sketch's false positives, so the
-    // output (and oracle) are those of the plain join. The sketch is built
-    // with one pass over the already-filtered dim (the small side) and
-    // broadcast once per executor.
+    // output (and oracle) are those of the plain join. The membership test
+    // is a codegen'd expression ([[graft.functions.BloomMightContain]]) —
+    // a Scala UDF here would break the fact scan's codegen span on every
+    // row — and the sketch is built with one pass over the
+    // already-filtered dim (the small side).
     "q13_bloom_join" -> ((s, dir) => {
       val o = Tables(s, dir, "orders")
         .where(col("o_totalprice") > 450000.0)
         .select(col("o_orderkey"), col("o_orderpriority"))
       val nKeys = math.max(o.count(), 1000L)
       val bf = o.stat.bloomFilter("o_orderkey", nKeys, 0.01)
-      val bfB = s.sparkContext.broadcast(bf)
-      val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
       Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_extendedprice"))
-        .where(mightContain(col("l_orderkey")))
+        .where(graft.functions.BloomFunctions
+          .mightContainLong(s, bf, col("l_orderkey")))
         .join(o, col("l_orderkey") === o("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice")), 2).as("total"),

@@ -175,6 +175,29 @@ object Text {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
     }),
 
+    // Training-shard export — the pipeline's last mile: assign every
+    // document to one of ExportShards shards by CONTENT fingerprint
+    // (re-ingesting the same corpus shards identically; adjacent doc_ids
+    // scatter, so shards are balanced without a shuffle), write the
+    // corpus as a shard-partitioned parquet store, and read the store
+    // back for per-shard manifest stats. The write is `partitionBy` on
+    // the shard column — the same partition-pruned layout as the PPR
+    // stores (S7/S8), so a trainer reading shard k touches k's files
+    // only. The stats read-back comes from the STORE, not the input:
+    // the driver row verifies the round trip.
+    "d_shard_export" -> ((s, dir) => {
+      val out = System.getProperty("java.io.tmpdir") + "/graft_shards"
+      val assigned = Tables(s, dir, "documents")
+        .selectExpr("doc_id", "lang",
+          s"size(${TextOps.spark.tokens("text")}) AS n_tok",
+          s"((${TextOps.spark.fingerprint("text")} % $ExportShards) + $ExportShards) % $ExportShards AS shard")
+      assigned.write.mode("overwrite").partitionBy("shard").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"))
+    }),
+
     // MinHash band signatures (the LSH bucketing key material).
     "d_minhash" -> ((s, dir) => bands(shingleDf(s, dir))),
 
@@ -512,6 +535,9 @@ object Text {
   /** Percent of documents kept by `d_sample_hash` (fingerprint mod 100). */
   val SamplePct = 10
 
+  /** Shard count for `d_shard_export`. */
+  val ExportShards = 8
+
   /** Training-sequence token budget for `d_pack_chunks`. */
   val ChunkTokens = 1000
 
@@ -813,6 +839,13 @@ object Text {
          |${steps.mkString(",\n")}
          |SELECT doc_id, $names, t AS clean FROM s${PiiPatterns.length}""".stripMargin
     },
+    "d_shard_export" ->
+      s"""SELECT shard, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+         | min(doc_id) AS first_doc FROM (
+         |  SELECT doc_id, len(${TextOps.duck.tokens("text")}) AS n_tok,
+         |   ((${TextOps.duck.fingerprint("text")} % $ExportShards) + $ExportShards) % $ExportShards AS shard
+         |  FROM documents)
+         |GROUP BY shard""".stripMargin,
     "d_sample_hash" ->
       s"""SELECT doc_id, lang FROM (
          |  SELECT doc_id, lang, ${TextOps.duck.fingerprint("text")} AS fp

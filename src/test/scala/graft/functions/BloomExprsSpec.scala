@@ -1,0 +1,47 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BloomExprsSpec extends SparkSpec {
+
+  test("bloom_might_contain: no false negatives, bounded false positives") {
+    import spark.implicits._
+    val members = (0L until 1000L).map(_ * 7L)
+    val bf = members.toDF("k").stat.bloomFilter("k", 1000L, 0.01)
+    val probe = (0L until 10000L).toDF("k")
+    val kept = probe
+      .where(BloomFunctions.mightContainLong(spark, bf, col("k")))
+      .collect().map(_.getLong(0)).toSet
+    val memberSet = members.toSet
+    assert(memberSet.subsetOf(kept), "a bloom filter never drops a member")
+    val fp = kept.size - memberSet.count(_ < 10000L)
+    assert(fp <= 10000 / 10, s"false-positive mass $fp far above the 1% design point")
+  }
+
+  test("expression stays inside whole-stage codegen over a real scan") {
+    import spark.implicits._
+    // a LocalTableScan folds filters at plan time — use the parquet scan
+    // the production query filters, and check the generated span.
+    val li = graft.Tables(spark, sfDir, "lineitem").select(col("l_orderkey"))
+    val keys = li.limit(10).collect().map(_.getLong(0))
+    val bf = keys.toSeq.toDF("k").stat.bloomFilter("k", 100L, 0.01)
+    val df = li.where(BloomFunctions.mightContainLong(spark, bf, col("l_orderkey")))
+    val plan = df.queryExecution.executedPlan.toString()
+    // `*(n)` marks a whole-stage-codegen span in the executed plan.
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Filter bloom_might_contain.*"),
+      s"pruning filter not in a codegen span:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF in the pruning path:\n$plan")
+    val kept = df.collect().map(_.getLong(0)).toSet
+    assert(keys.toSet.subsetOf(kept))
+  }
+
+  test("null keys propagate as filtered rows, no NPE") {
+    import spark.implicits._
+    val bf = Seq(1L, 2L).toDF("k").stat.bloomFilter("k", 100L, 0.01)
+    val got = Seq(Some(1L), Some(99L), None).toDF("k")
+      .where(BloomFunctions.mightContainLong(spark, bf, col("k")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L))
+  }
+}

@@ -32,6 +32,22 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("d_shard_export shards partition the corpus; store is shard-laid-out") {
+    val a = Text.queries("d_shard_export")(spark, sfDir).collect()
+    val total = graft.Tables(spark, sfDir, "documents").count()
+    assert(a.map(_.getAs[Long]("n_docs")).sum == total,
+      "every document lands in exactly one shard")
+    assert(a.map(_.getAs[Number]("shard").intValue()).distinct.length == a.length)
+    // content-keyed assignment: a re-run shards identically.
+    val b = Text.queries("d_shard_export")(spark, sfDir).collect()
+    assert(a.map(r => (r.getAs[Number]("shard").intValue(), r.getAs[Long]("n_docs"))).toSet ==
+      b.map(r => (r.getAs[Number]("shard").intValue(), r.getAs[Long]("n_docs"))).toSet)
+    // the write really is partitioned by shard (a trainer prunes to its own).
+    val dirs = new java.io.File(System.getProperty("java.io.tmpdir") + "/graft_shards")
+      .listFiles().filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(dirs.length == a.length, s"expected ${a.length} shard dirs")
+  }
+
   test("d_curate output respects its own gates and agrees with d_quality") {
     val cur = Text.queries("d_curate")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getAs[Int]("n_tokens"), r.getAs[Double]("quality")))
