@@ -146,6 +146,30 @@ object Events {
         .select(col("event_type"), col("day"), col("daily"), col("ma3"))
     }),
 
+    // Statistical anomaly detection: z-score each day's revenue against
+    // its event type's own distribution and flag |z| > 2 outliers — the
+    // monitoring pass a pipeline runs over ingest volumes. Shape: the
+    // heavy shuffle is the daily pre-aggregate; the per-type moments then
+    // reduce day-count rows, and the z projection joins two SMALL
+    // aggregates (types × days, types) — broadcast at any corpus scale.
+    // Daily totals round to 2dp BEFORE the moment computation so both
+    // engines aggregate identical inputs; z rounds at 4dp (well inside
+    // the driver compare's 9-significant-digit hash).
+    "ev_anomaly" -> ((s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .select(col("event_type"),
+          expr(s"unix_micros(ts) div $DayUs").as("day"), col("value"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(round(sum(col("value")), 2).as("daily"))
+      val stats = daily.groupBy(col("event_type"))
+        .agg(avg(col("daily")).as("mu"),
+          stddev_samp(col("daily")).as("sd"))
+      daily.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_type"), col("day"), col("daily"),
+          round((col("daily") - col("mu")) / col("sd"), 4).as("z"))
+        .where(abs((col("daily") - col("mu")) / col("sd")) > 2.0)
+    }),
+
     // Time-series gap filling: densify each event type's daily series
     // over its own [min_day, max_day] span — missing days materialize
     // with value 0 and a `filled` marker (the densification step feature
@@ -305,6 +329,18 @@ object Events {
          | round(avg(daily) OVER (PARTITION BY event_type ORDER BY day
          |   RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
          |FROM daily""".stripMargin,
+    "ev_anomaly" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // $DayUs AS day,
+         |   round(sum(value), 2) AS daily
+         |  FROM events GROUP BY 1, 2),
+         |stats AS (
+         |  SELECT event_type, avg(daily) AS mu, stddev_samp(daily) AS sd
+         |  FROM daily GROUP BY 1)
+         |SELECT d.event_type, d.day, d.daily,
+         | round((d.daily - s.mu) / s.sd, 4) AS z
+         |FROM daily d JOIN stats s ON s.event_type = d.event_type
+         |WHERE abs((d.daily - s.mu) / s.sd) > 2.0""".stripMargin,
     "ev_gapfill" ->
       s"""WITH daily AS (
          |  SELECT event_type, epoch_us(ts) // $DayUs AS day,
