@@ -146,6 +146,26 @@ object Events {
         .select(col("event_type"), col("day"), col("daily"), col("ma3"))
     }),
 
+    // Event-type transition matrix: bigram counts over each user's
+    // time-ordered event sequence plus the row-normalized transition
+    // probability — the Markov sketch session-replay and recommendation
+    // features start from. One user_id shuffle builds the sequences
+    // (LEAD); the bigram aggregate and the per-from normalization then
+    // run over |types|² rows.
+    "ev_markov" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val grid = Window.partitionBy(col("from_type"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n") / sum(col("n")).over(grid), 6))
+    }),
+
     // Statistical anomaly detection: z-score each day's revenue against
     // its event type's own distribution and flag |z| > 2 outliers — the
     // monitoring pass a pipeline runs over ingest volumes. Shape: the
@@ -329,6 +349,17 @@ object Events {
          | round(avg(daily) OVER (PARTITION BY event_type ORDER BY day
          |   RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
          |FROM daily""".stripMargin,
+    "ev_markov" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |   lead(event_type, 1) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |big AS (SELECT from_type, to_type, count(*) AS n FROM seq
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        | round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM big""".stripMargin,
     "ev_anomaly" ->
       s"""WITH daily AS (
          |  SELECT event_type, epoch_us(ts) // $DayUs AS day,

@@ -96,6 +96,31 @@ object Graph {
         .groupBy("node_id").agg(count(lit(1)).as("triangles"))
     }),
 
+    // k-hop neighborhood expansion: distinct nodes reachable from each
+    // batch source in exactly 1 and within 2 hops (directed) — the
+    // traversal primitive feature pipelines run for ego-network stats.
+    // Two integer equi-joins; the frontier (sources × neighbors) is the
+    // only thing that grows, the edge side shuffles once per hop on the
+    // 8-byte key. A distinct per hop keeps the frontier a SET, so the
+    // 2-hop join fans out from unique nodes only (the blowup guard at
+    // power-law scale).
+    "g_khop" -> ((s, dir) => {
+      import s.implicits._
+      val e = GraphOps.lineitemGraph(s, dir, Mod)
+      val src = BatchSources.toDF("s")
+      val hop1 = src.join(e, col("s") === e("src"))
+        .select(col("s"), col("dst").as("n1")).distinct()
+        .localCheckpoint(true)
+      val hop2 = hop1.join(e, hop1("n1") === e("src"))
+        .select(col("s"), col("dst").as("n2")).distinct()
+      val within2 = hop1.select(col("s"), col("n1").as("n"))
+        .union(hop2.select(col("s"), col("n2").as("n")))
+        .where(col("n") =!= col("s")).distinct()
+      hop1.groupBy(col("s")).agg(countDistinct(col("n1")).as("n_hop1"))
+        .join(within2.groupBy(col("s")).agg(count(lit(1)).as("n_within2")), Seq("s"))
+        .select(col("s").as("source"), col("n_hop1"), col("n_within2"))
+    }),
+
     // K1 distributed: single-source PPR by DataFrame superstep loop.
     "g_power_ppr" -> ((s, dir) => {
       val edges = GraphOps.lineitemGraph(s, dir, Mod)
@@ -307,6 +332,21 @@ object Graph {
                 BaseRmax, BaseSupersteps, BaseThreshold)}))
            |WHERE rk <= $TopK""".stripMargin,
       "g_edges" -> graphSql,
+      "g_khop" ->
+        s"""WITH e AS MATERIALIZED ($graphSql),
+           |src AS (SELECT CAST(s AS BIGINT) AS s FROM (VALUES ${BatchSources
+              .map(s => s"($s)").mkString(", ")}) v(s)),
+           |hop1 AS (SELECT DISTINCT src.s, e.dst AS n FROM src
+           |  JOIN e ON e.src = src.s),
+           |hop2 AS (SELECT DISTINCT h.s, e.dst AS n FROM hop1 h
+           |  JOIN e ON e.src = h.n),
+           |w2 AS (SELECT DISTINCT s, n FROM (
+           |  SELECT s, n FROM hop1 UNION ALL SELECT s, n FROM hop2) u
+           |  WHERE n <> s)
+           |SELECT h1.s AS source, h1.n_hop1, w.n_within2
+           |FROM (SELECT s, count(*) AS n_hop1 FROM hop1 GROUP BY s) h1
+           |JOIN (SELECT s, count(*) AS n_within2 FROM w2 GROUP BY s) w
+           |  USING (s)""".stripMargin,
       "g_degree" -> s"SELECT src AS id, count(*) AS deg FROM ($graphSql) GROUP BY src",
       "g_power_ppr" -> PowerIteration.oracleSql(graphSql, SingleSource, Alpha, Iters),
       "g_pagerank" -> PageRank.oracleSql(graphSql, PrDamping, PrIters),
