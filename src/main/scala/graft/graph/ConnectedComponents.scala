@@ -1,0 +1,141 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ppr.PowerIteration
+
+/** Distributed connected components — the per-node component labeling every
+  * corpus-scale dedup pipeline ends with (duplicate-pair edges → duplicate
+  * CLUSTERS; see `d_dup_clusters` for the in-query twin on LSH pairs). The
+  * reference engine has no CC kernel, but its whole-graph snapshot model
+  * (SURVEY §1.4.5 — undirected = both directed arcs) fixes the semantics:
+  * components of the symmetrized edge set.
+  *
+  * Algorithm: label propagation with POINTER JUMPING, a fixed round count.
+  * Each round r:
+  *
+  *   a(v) = min( lab(v), min_{u~v} lab(u) )     — neighbor-min, 1 shuffle
+  *   lab'(v) = a(a(v))                          — pointer jump, 1 join
+  *
+  * Plain neighbor-min needs diameter rounds (36 on the sf0.01 benchmark
+  * subgraph); the jump step contracts label chains toward their minimum,
+  * cutting that to ≤18 across the test scales — the hash-to-min idea of
+  * Rastogi et al. (ICDE'13) / the star-contraction family (Kiveris et al.,
+  * SoCC'14). Labels only decrease, and a label is always an existing node
+  * id (the min over some subset of the component), so the jump join always
+  * matches and the fixpoint is the component minimum.
+  *
+  * Scale shape (the 100 TB contract):
+  *  - the symmetrized adjacency is built once, hash-partitioned by `src`,
+  *    and reused every round — the neighbor-min then shuffles ONLY the
+  *    (dst, lab) contribution stream plus the n-row carrier, never the
+  *    edge list again;
+  *  - the state is n rows (node, label): broadcast below
+  *    [[PowerIteration.BroadcastNodeLimit]] (shuffle-free probes), a
+  *    co-partitioned shuffle join above it;
+  *  - per-round state snapshots chain through [[graft.operators.CkptChain]]
+  *    — generation N-1 is released as N lands, so a long run pins O(n),
+  *    not O(rounds·n);
+  *  - the round count is FIXED (deterministic schedule → the DuckDB
+  *    oracle replays it exactly as unrolled CTEs); production would stop
+  *    on an empty-delta check — one extra 1-row aggregate per round.
+  */
+object ConnectedComponents {
+
+  /** Run `rounds` jump-accelerated label-propagation supersteps over the
+    * symmetrized `(src, dst)` edge list. Returns `(node_id LONG,
+    * comp LONG)` — `comp` is the smallest node id in the component once
+    * converged (ScalaTest asserts convergence at the shipped round
+    * counts; the schedule itself is exact either way).
+    */
+  def run(spark: SparkSession, edges: DataFrame, rounds: Int): DataFrame = {
+    val sc = spark.sparkContext
+    def trackedCkpt(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+
+    val adj0 = GraphOps.symmetrize(edges)
+    val m = adj0.count()
+    // scoped shuffle width + small-path interpreted mode: same rationale
+    // as [[PageRank.run]] — rounds × near-empty reducers is scheduler
+    // overhead on a small graph, and fresh expression ids per round would
+    // pay a Janino compile for a few thousand rows.
+    val p = math.min(sc.defaultParallelism.toLong, m / 1000000L + 1L).toInt
+    val (adj, adjIds) = trackedCkpt(adj0.repartition(p, col("src")))
+    val n = adj.select(col("src")).distinct().count()
+
+    val checkpoint = new graft.operators.CkptChain(sc)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevCodegen = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      if (p == 1) spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val small = n <= PowerIteration.BroadcastNodeLimit
+      def sided(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+
+      var state = checkpoint(
+        adj.select(col("src").as("id")).distinct()
+          .select(col("id"), col("id").as("lab")))
+      var r = 0
+      while (r < rounds) {
+        // neighbor-min: push each node's label across its edges, union
+        // the state itself as the carrier (own label competes in the same
+        // min), fold in ONE groupBy — the only shuffle of the round.
+        // neighbor-min as aggregate + left join (not the union-carrier
+        // shape: a union whose children BOTH derive from the state trips
+        // Union constraint rewriting in analysis). Integer min is
+        // shape-independent — least(own, min-of-neighbors) is bit-equal
+        // to min over the union, which is what the oracle replays.
+        val nm = adj.join(sided(state), adj("src") === state("id"))
+          .select(adj("dst").as("nid"), col("lab").as("nlab"))
+          .groupBy("nid").agg(min(col("nlab")).as("nlab"))
+        val a = checkpoint(
+          state.join(nm, state("id") === nm("nid"), "left")
+            .select(state("id").as("id"),
+              least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab")))
+        // pointer jump: lab'(v) = a(a(v)). Labels are node ids, so the
+        // self-join always matches; broadcast one side on the small path.
+        val t = a.as("t")
+        val j = a.as("j")
+        state = checkpoint(
+          t.join(sided(j), col("t.lab") === col("j.id"))
+            .select(col("t.id").as("id"), col("j.lab").as("lab")))
+        r += 1
+      }
+      state.select(col("id").as("node_id"), col("lab").as("comp"))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
+      release(adjIds)
+    }
+  }
+
+  /** DuckDB oracle: the identical fixed schedule as unrolled CTEs.
+    * `graphSql` must yield `(src, dst)`; output `(node_id, comp)`.
+    */
+  def oracleSql(graphSql: String, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH edges AS MATERIALIZED ($graphSql),\n"
+    sb ++= "adj AS MATERIALIZED (SELECT src, dst FROM edges " +
+      "UNION SELECT dst AS src, src AS dst FROM edges),\n"
+    sb ++= "l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lab FROM adj),\n"
+    for (i <- 1 to rounds) {
+      val prev = s"l${i - 1}"
+      sb ++= s"a$i AS MATERIALIZED (SELECT id, min(lab) AS lab FROM (" +
+        s"SELECT a.dst AS id, t.lab FROM adj a JOIN $prev t ON a.src = t.id " +
+        s"UNION ALL SELECT id, lab FROM $prev) u GROUP BY id),\n"
+      sb ++= s"l$i AS MATERIALIZED (SELECT t.id, j.lab " +
+        s"FROM a$i t JOIN a$i j ON t.lab = j.id),\n"
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= s"\nSELECT id AS node_id, lab AS comp FROM l$rounds"
+    sb.toString
+  }
+}

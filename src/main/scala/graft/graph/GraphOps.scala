@@ -67,6 +67,31 @@ object GraphOps {
     s"SELECT DISTINCT l_orderkey % $mod AS src, l_partkey % $mod AS dst " +
       s"FROM lineitem WHERE (l_orderkey % $mod) <> (l_partkey % $mod)"
 
+  /** Sparse DISCONNECTED benchmark subgraph: [[lineitemGraph]] restricted
+    * to low-quantity lineitems. The full derivation is one giant component
+    * at every scale; the `l_quantity <= qtyMax` slice fragments it
+    * (sf0.01/mod 100003/q≤5: 6.3k nodes, 6.0k edges, 396 components) —
+    * the shape connected-components queries need to be non-trivial. The
+    * predicate reaches the parquet scan (PushedFilters), so the subgraph
+    * never reads the rows it drops.
+    */
+  def lineitemSubgraph(spark: SparkSession, sfDir: String, mod: Int,
+      qtyMax: Int): DataFrame = {
+    val li = graft.Tables(spark, sfDir, "lineitem")
+    li.where(col("l_quantity") <= qtyMax)
+      .select(
+        (col("l_orderkey") % mod).as("src"),
+        (col("l_partkey") % mod).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** SQL text of [[lineitemSubgraph]] for DuckDB oracles. */
+  def lineitemSubgraphSql(mod: Int, qtyMax: Int): String =
+    s"SELECT DISTINCT l_orderkey % $mod AS src, l_partkey % $mod AS dst " +
+      s"FROM lineitem WHERE l_quantity <= $qtyMax " +
+      s"AND (l_orderkey % $mod) <> (l_partkey % $mod)"
+
   /** S3/S4 — load-once snapshot cache: the reference opens the DB and
     * loads the HeavyGraph ONCE per run, and every query in the suite hits
     * the same in-memory snapshot (`PPR.java:136-152,186-194`). The Spark

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.graph.GraphOps
+import graft.graph.{ConnectedComponents, GraphOps}
 import graft.ppr.{Base, BackwardSearch, ForwardPush, Fora, Metrics, MonteCarlo, PageRank, PowerIteration, PprStore}
 
 /** Graph/PPR operator coverage over the deterministic lineitem-derived
@@ -47,6 +47,15 @@ object Graph {
   val BaseRmax = 1e-4
   val BaseSupersteps = 12
   val BaseThreshold = 1e-4
+
+  /** Connected-components runs on the sparse disconnected subgraph
+    * ([[GraphOps.lineitemSubgraph]]); 20 jump-accelerated rounds converge
+    * at every test scale (≤18 measured — ConnectedComponentsSpec asserts
+    * the fixpoint).
+    */
+  val CcMod = 100003
+  val CcQtyMax = 5
+  val CcRounds = 20
 
   private def graphSql: String = GraphOps.lineitemGraphSql(Mod)
 
@@ -120,6 +129,12 @@ object Graph {
         .join(within2.groupBy(col("s")).agg(count(lit(1)).as("n_within2")), Seq("s"))
         .select(col("s").as("source"), col("n_hop1"), col("n_within2"))
     }),
+
+    // Connected components over the sparse disconnected subgraph —
+    // jump-accelerated label propagation (see [[ConnectedComponents]]).
+    // Per node: its component id (= smallest node id in the component).
+    "g_concomp" -> ((s, dir) => ConnectedComponents.run(
+      s, GraphOps.lineitemSubgraph(s, dir, CcMod, CcQtyMax), CcRounds)),
 
     // K1 distributed: single-source PPR by DataFrame superstep loop.
     "g_power_ppr" -> ((s, dir) => {
@@ -332,6 +347,8 @@ object Graph {
                 BaseRmax, BaseSupersteps, BaseThreshold)}))
            |WHERE rk <= $TopK""".stripMargin,
       "g_edges" -> graphSql,
+      "g_concomp" -> ConnectedComponents.oracleSql(
+        GraphOps.lineitemSubgraphSql(CcMod, CcQtyMax), CcRounds),
       "g_khop" ->
         s"""WITH e AS MATERIALIZED ($graphSql),
            |src AS (SELECT CAST(s AS BIGINT) AS s FROM (VALUES ${BatchSources
