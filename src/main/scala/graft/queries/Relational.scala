@@ -106,6 +106,21 @@ object Relational {
           grouping_id().as("gid"))
     }),
 
+    // GROUPING SETS with an EXPLICIT set list — the mixed-subtotal shape
+    // (both one-dimension margins, no grand total) that neither rollup
+    // nor cube produces. Same one-pass Expand+HashAggregate physical plan
+    // as q8/q11: the input is read once and replicated per set.
+    "q15_grouping_sets" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+    }),
+
     // PIVOT: wide-format aggregation — one column per l_linestatus value
     // with explicit pivot values (no extra distinct-discovery job; the
     // plan is a single hash aggregate over CASE projections, same shape
@@ -278,6 +293,12 @@ object Relational {
         | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
         | GROUPING_ID(l_returnflag, l_linestatus) AS gid
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q15_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
+        | GROUPING_ID(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem GROUP BY GROUPING SETS (
+        |  (l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))""".stripMargin,
     "q12_bucket_join" ->
       """SELECT o_orderstatus, round(sum(l_extendedprice), 2) AS total,
         | count(*) AS n

@@ -490,6 +490,40 @@ object Text {
         .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rk"))
     }),
 
+    // Bigram language-model scoring — the statistical-LM quality filter
+    // (perplexity-style) corpus curation runs before training: fit an
+    // add-one-smoothed bigram model ON the corpus itself, then score each
+    // document by its mean log-likelihood under that model. Low scores =
+    // token sequences the corpus finds improbable (boilerplate, garbled
+    // encodings, word salad). Shape at 100 TB: the model tables are
+    // TERM-KEYED aggregates (map-side combinable), and scoring re-joins
+    // the per-doc bigram stream on those term keys — the dictionary is
+    // never broadcast (same contract as `d_tfidf`); the only broadcast is
+    // the 1-row vocabulary size. P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) with
+    // c(w1) = occurrences as bigram history and V = |history vocab|.
+    "d_bigram_lm" -> ((s, dir) => {
+      val big = Tables(s, dir, "documents")
+        .selectExpr("doc_id", s"${TextOps.spark.tokens("text")} AS toks")
+        .selectExpr("doc_id",
+          """explode(CASE WHEN size(toks) >= 2 THEN
+            |  transform(sequence(0, size(toks) - 2), i ->
+            |    struct(element_at(toks, i + 1) AS w1,
+            |           element_at(toks, i + 2) AS w2))
+            |  ELSE array() END) AS bg""".stripMargin)
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val c12 = big.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+      val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val v = c1.agg(count(lit(1)).as("v"))
+      big.join(c12, Seq("w1", "w2"))
+        .join(c1, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log((col("c12") + 1.0) / (col("c1") + col("v")))), 6)
+            .as("avg_logp"))
+    }),
+
     // Per-domain document cap: keep the DomainCapN best documents per
     // source by (quality DESC, doc_id ASC) — the domain-balancing step
     // that stops one crawl domain dominating the corpus. The rank tie
@@ -980,6 +1014,19 @@ object Text {
          |r AS (SELECT doc_id, term, tf, tfidf, row_number() OVER (
          |  PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk FROM sc)
          |SELECT doc_id, term, tf, tfidf, rk FROM r WHERE rk <= $TfidfK""".stripMargin,
+    "d_bigram_lm" ->
+      s"""WITH tk AS (SELECT doc_id, ${TextOps.duck.tokens("text")} AS toks
+         |  FROM documents),
+         |big AS (SELECT doc_id, toks[CAST(u.i AS INT) + 1] AS w1,
+         |    toks[CAST(u.i AS INT) + 2] AS w2
+         |  FROM tk, UNNEST(range(0, len(toks) - 1)) AS u(i)),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+         |v_t AS (SELECT count(*) AS v FROM c1)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         | round(avg(ln((c12 + 1.0) / (c1 + v))), 6) AS avg_logp
+         |FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v_t
+         |GROUP BY doc_id""".stripMargin,
     "d_rep_ratio" ->
       s"""WITH t AS (SELECT doc_id, ${TextOps.duck.tokens("text")} AS toks
          |  FROM documents)

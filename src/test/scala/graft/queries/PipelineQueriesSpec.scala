@@ -109,4 +109,22 @@ class PipelineQueriesSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getAs[Int]("cell")).toMap
     assert(a == b, "Lloyd's rounds are deterministic")
   }
+
+  test("d_bigram_lm scores are log-probs consistent with the token stream") {
+    val lm = Text.queries("d_bigram_lm")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("avg_logp"))).toMap
+    assert(lm.nonEmpty)
+    // smoothed conditionals are strict probabilities: (c12+1)/(c1+V) < 1
+    // whenever V > observed types, so every mean log is negative.
+    lm.values.foreach { case (n, s) => assert(n > 0 && s < 0.0) }
+    // bigram count is exactly n_ws - 1 for every multi-token document
+    // (same tokenizer as d_tokens), and docs with < 2 tokens are absent.
+    val ws = Text.queries("d_tokens")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("n_ws")).toMap
+    ws.foreach { case (id, n) =>
+      if (n >= 2) assert(lm(id)._1 == n - 1L, s"doc $id")
+      else assert(!lm.contains(id))
+    }
+  }
 }
