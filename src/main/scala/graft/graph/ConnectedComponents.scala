@@ -42,13 +42,80 @@ import graft.ppr.PowerIteration
   */
 object ConnectedComponents {
 
-  /** Run `rounds` jump-accelerated label-propagation supersteps over the
-    * symmetrized `(src, dst)` edge list. Returns `(node_id LONG,
-    * comp LONG)` — `comp` is the smallest node id in the component once
-    * converged (ScalaTest asserts convergence at the shipped round
-    * counts; the schedule itself is exact either way).
+  /** Edge-count ceiling for the single-task union-find path of [[run]]:
+    * ~16 bytes/edge collected, well inside driver memory, and milliseconds
+    * of linear-time work. Same two-regime philosophy as
+    * [[graft.ppr.PowerIteration]]'s batch-CSR sibling: when the graph fits
+    * one machine, a scan + union-find beats rounds of scheduled jobs by
+    * 10×; past the ceiling the superstep loop is the only shape that
+    * scales, and it takes over automatically.
+    */
+  val LocalEdgeLimit = 8000000L
+
+  /** Connected components of the symmetrized `(src, dst)` edge list.
+    * Returns `(node_id LONG, comp LONG)` — `comp` is the smallest node id
+    * in the component. Dispatches on graph size: union-find over a
+    * collected edge list below [[LocalEdgeLimit]], the
+    * [[runSupersteps]] loop above it. Both return the same labeling
+    * whenever `rounds` supersteps converge (ConnectedComponentsSpec
+    * asserts both the agreement and the convergence at the shipped
+    * round count).
     */
   def run(spark: SparkSession, edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist()
+    val m = e.count()
+    val out =
+      if (m <= LocalEdgeLimit) runLocal(spark, e)
+      else runSupersteps(spark, e, rounds)
+    e.unpersist()
+    out
+  }
+
+  /** Single-pass union-find over the collected edge list — the
+    * fits-on-one-machine regime. One scan job; linear work; exact
+    * component minima (no fixed schedule to converge).
+    */
+  private def runLocal(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val pairs = edges.collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path-halving
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp); x = gp; p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    var i = 0
+    while (i < pairs.length) {
+      val r = pairs(i)
+      val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+      i += 1
+    }
+    // canonicalize: every node labeled by its root (roots carry the class
+    // minimum because unions always point the larger root at the smaller)
+    val nodes = new java.util.HashSet[Long]()
+    pairs.foreach { r => nodes.add(r.getLong(0)); nodes.add(r.getLong(1)) }
+    val labels = new Array[(Long, Long)](nodes.size)
+    val it = nodes.iterator()
+    var k = 0
+    while (it.hasNext) {
+      val v = it.next(); labels(k) = (v, find(v)); k += 1
+    }
+    import spark.implicits._
+    spark.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(labels))
+      .toDF("node_id", "comp")
+  }
+
+  /** `rounds` jump-accelerated label-propagation supersteps — the
+    * past-one-machine regime. Deterministic fixed schedule (what
+    * [[oracleSql]] replays).
+    */
+  def runSupersteps(spark: SparkSession, edges: DataFrame, rounds: Int): DataFrame = {
     val sc = spark.sparkContext
     def trackedCkpt(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet
@@ -76,6 +143,8 @@ object ConnectedComponents {
       spark.conf.set("spark.sql.shuffle.partitions", p.toString)
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       if (p == 1) spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      // State sides broadcast below [[PowerIteration.BroadcastNodeLimit]]:
+      // the n-row state moves, the m-row adjacency never reshuffles.
       val small = n <= PowerIteration.BroadcastNodeLimit
       def sided(df: DataFrame): DataFrame = if (small) broadcast(df) else df
 
@@ -84,9 +153,6 @@ object ConnectedComponents {
           .select(col("id"), col("id").as("lab")))
       var r = 0
       while (r < rounds) {
-        // neighbor-min: push each node's label across its edges, union
-        // the state itself as the carrier (own label competes in the same
-        // min), fold in ONE groupBy — the only shuffle of the round.
         // neighbor-min as aggregate + left join (not the union-carrier
         // shape: a union whose children BOTH derive from the state trips
         // Union constraint rewriting in analysis). Integer min is
@@ -100,7 +166,7 @@ object ConnectedComponents {
             .select(state("id").as("id"),
               least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab")))
         // pointer jump: lab'(v) = a(a(v)). Labels are node ids, so the
-        // self-join always matches; broadcast one side on the small path.
+        // self-join always matches.
         val t = a.as("t")
         val j = a.as("j")
         state = checkpoint(
