@@ -502,18 +502,28 @@ object Text {
     // the 1-row vocabulary size. P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) with
     // c(w1) = occurrences as bigram history and V = |history vocab|.
     "d_bigram_lm" -> ((s, dir) => {
+      // the bigram stream feeds the model AND the scoring join —
+      // materialize it once, produced by a typed kernel (the
+      // transform/sequence/struct HOF chain evaluates interpreted and
+      // was 3× the query's cost; same fix as d_curate's counts kernel).
+      // Tokenizer = the d_tokens whitespace split, verbatim.
+      import s.implicits._
       val big = Tables(s, dir, "documents")
-        .selectExpr("doc_id", s"${TextOps.spark.tokens("text")} AS toks")
-        .selectExpr("doc_id",
-          """explode(CASE WHEN size(toks) >= 2 THEN
-            |  transform(sequence(0, size(toks) - 2), i ->
-            |    struct(element_at(toks, i + 1) AS w1,
-            |           element_at(toks, i + 2) AS w2))
-            |  ELSE array() END) AS bg""".stripMargin)
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, t) =>
+          val toks = t.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+          if (toks.length < 2) Iterator.empty
+          else (0 until toks.length - 1).iterator.map(i =>
+            (id, toks(i), toks(i + 1)))
+        })
+        .toDF("doc_id", "w1", "w2")
+        .localCheckpoint(true)
       val c12 = big.groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("c12"))
-      val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      // history counts fold from the bigram model, not a second corpus
+      // pass: c(w1) = Σ_w2 c(w1,w2), exactly
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
       val v = c1.agg(count(lit(1)).as("v"))
       big.join(c12, Seq("w1", "w2"))
         .join(c1, Seq("w1"))
