@@ -115,7 +115,9 @@ object Graph {
     // power-law scale).
     "g_khop" -> ((s, dir) => {
       import s.implicits._
-      val e = GraphOps.lineitemGraph(s, dir, Mod)
+      // both hops probe the same derived edge list — materialize it once
+      // (the 6M-row scan+distinct would otherwise run per hop)
+      val e = GraphOps.lineitemGraph(s, dir, Mod).localCheckpoint(true)
       val src = BatchSources.toDF("s")
       val hop1 = src.join(e, col("s") === e("src"))
         .select(col("s"), col("dst").as("n1")).distinct()
