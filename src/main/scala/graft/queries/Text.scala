@@ -205,6 +205,58 @@ object Text {
     // [[lshPairsDf]]).
     "d_lsh_pairs" -> ((s, dir) => lshPairsDf(s, dir)),
 
+    // Candidate-pair VERIFICATION by edit distance — the exact-check
+    // stage a near-dup pipeline runs on the (small) LSH candidate set
+    // before acting on it: per pair, the true Levenshtein distance and a
+    // length-normalized similarity. Shape at 100 TB: the quadratic-cost
+    // comparison runs ONLY on LSH survivors (the point of candidate
+    // generation), texts arrive by doc-id equi-joins against the corpus,
+    // and the O(|a|·|b|) DP executes distributed, one task batch per
+    // candidate partition.
+    "d_lsh_verify" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      lshPairsDf(s, dir)
+        .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+          Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("jac"),
+          levenshtein(col("ta"), col("tb")).as("edit_dist"),
+          round(lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
+            greatest(length(col("ta")), length(col("tb"))), 6).as("sim"))
+    }),
+
+    // Sub-document (passage-level) dedup — the C4/RefinedWeb-style pass
+    // that removes REPEATED SPANS across documents, not just whole-doc
+    // copies: the token-hash stream cut into consecutive 8-token
+    // windows, each window fingerprinted, first occurrence (smallest
+    // (doc_id, pos)) kept. Per document: passage count, passages that
+    // are globally duplicated, passages this document gets to keep.
+    // Shape at 100 TB: passages shuffle as 8-byte fingerprints (never
+    // text), the first-occurrence winner is one packed min per group
+    // (map-side combinable), and the per-doc rollup re-joins on the
+    // fingerprint key.
+    "d_passage_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val pas = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, t) =>
+          TextOps.passageHashes(t, PassageW).iterator.zipWithIndex
+            .map { case (h, pos) => (id, pos, h) }
+        })
+        .toDF("doc_id", "pos", "ph")
+        .localCheckpoint(true) // feeds the winner table AND the rollup
+      val firsts = pas.groupBy("ph")
+        .agg(min(col("doc_id") * PassagePack + col("pos")).as("first_pack"),
+          count(lit(1)).as("occ"))
+      pas.join(firsts, Seq("ph"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pass"),
+          sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup"),
+          sum(when(col("doc_id") * PassagePack + col("pos") === col("first_pack"),
+            1L).otherwise(0L)).as("n_kept"))
+    }),
+
     // Duplicate-cluster extraction: connected components over the LSH
     // near-dup pair graph — the step a dedup pipeline runs after pair
     // detection to pick one keeper per duplicate GROUP (pairs alone
@@ -682,6 +734,13 @@ object Text {
     */
   val SimhashHammingMax = 3
 
+  /** Passage window width (tokens) for `d_passage_dedup`, and the
+    * position-packing multiplier (`doc_id * pack + pos` must be injective:
+    * positions are bounded by tokens-per-document ≪ 2²⁰).
+    */
+  val PassageW = 8
+  val PassagePack = 1048576L
+
   /** doc_id + distinct shingle-hash array — typed per-partition kernel
     * ([[TextOps.shingles]]), one narrow pass per row; semantically the
     * tokenHashes→shinglesFromHashes expression chain (kept in [[TextOps]]
@@ -956,6 +1015,28 @@ object Text {
       s"""WITH $duckBandCte
          |SELECT doc_id, b0, b1, b2, b3 FROM band_t""".stripMargin,
     "d_lsh_pairs" -> duckLshPairsSql,
+    "d_lsh_verify" ->
+      s"""WITH pr AS MATERIALIZED ($duckLshPairsSql)
+         |SELECT pr.doc_a, pr.doc_b, pr.jac,
+         | levenshtein(a.text, b.text) AS edit_dist,
+         | round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+         |   greatest(length(a.text), length(b.text)), 6) AS sim
+         |FROM pr JOIN documents a ON a.doc_id = pr.doc_a
+         |JOIN documents b ON b.doc_id = pr.doc_b""".stripMargin,
+    "d_passage_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, ${TextOps.duck.tokenHashes("text")} AS hs
+         |  FROM documents),
+         |pl AS (SELECT doc_id,
+         |  ${TextOps.duck.passagesFromHashes("hs", PassageW)} AS ps FROM tk),
+         |pa AS (SELECT doc_id, unnest(ps) AS ph,
+         |  generate_subscripts(ps, 1) - 1 AS pos FROM pl),
+         |f AS (SELECT ph, min(doc_id * $PassagePack + pos) AS first_pack,
+         |  count(*) AS occ FROM pa GROUP BY ph)
+         |SELECT doc_id, count(*) AS n_pass,
+         | sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS n_dup,
+         | sum(CASE WHEN doc_id * $PassagePack + pos = first_pack
+         |   THEN 1 ELSE 0 END) AS n_kept
+         |FROM pa JOIN f USING (ph) GROUP BY doc_id""".stripMargin,
     // connected components as a transitive-closure recursive CTE: reach =
     // all (node, seed) pairs, cluster = min reachable seed. UNION (not
     // UNION ALL) dedups the working table, so the recursion terminates at

@@ -140,6 +140,32 @@ object TextOps {
     acc
   }
 
+  /** Non-overlapping passage fingerprints — the sub-document dedup
+    * feature space (`d_passage_dedup`): the token-hash stream cut into
+    * consecutive `w`-token windows, each window rolled with [[TokMul]]
+    * exactly like [[fingerprint]] rolls the whole document. Trailing
+    * tokens short of a full window contribute nothing (mirrored by the
+    * `len // w` bound in [[duck.passagesFromHashes]]). Typed twin of
+    * that DuckDB rendering; identical integer math.
+    */
+  def passageHashes(text: String, w: Int): Array[Long] = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    val n = toks.length / w
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var acc = 0L
+      var j = 0
+      while (j < w) {
+        acc = (acc * TokMul + tokenHash(toks(i * w + j))) % P
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    out
+  }
+
   /** One-pass curation counts for a document — the typed twin of the
     * `d_quality` expression chain's INTEGER inputs (token count, stopword
     * occurrences, char count, non-[a-z0-9\s] char count, content hash,
@@ -394,6 +420,16 @@ object TextOps {
 
     def minhash(sh: String, j: Int): String =
       s"list_min(list_transform($sh, x -> (${As(j)} * x + ${Bs(j)}) % $P))"
+
+    /** Passage fingerprints from a token-hash-array column `hs` — the
+      * oracle twin of [[TextOps.passageHashes]]: `len // w` consecutive
+      * `w`-wide windows, each rolled with [[TokMul]].
+      */
+    def passagesFromHashes(hs: String, w: Int): String =
+      s"list_transform(range(0, len($hs) // $w), i -> " +
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"$hs[CAST(i * $w + 1 AS INT):CAST(i * $w + $w AS INT)]), " +
+        s"(a, h) -> (a * $TokMul + h) % $P))"
 
     /** Codepoint array of lower(`c`) — step 1 of the n-gram oracle. */
     def charCodes(c: String): String =

@@ -110,6 +110,43 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(a == b, "Lloyd's rounds are deterministic")
   }
 
+  test("d_passage_dedup keeps each distinct passage exactly once") {
+    val rows = Text.queries("d_passage_dedup")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nPass, nDup, nKept) =>
+      assert(nPass > 0 && nDup <= nPass && nKept <= nPass, s"doc $id")
+      // non-duplicated passages are always kept
+      assert(nKept >= nPass - nDup, s"doc $id")
+    }
+    // global invariant: Σ n_kept = number of DISTINCT passage hashes
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+    val distinct = docs.flatMap(r =>
+      graft.text.TextOps.passageHashes(r.getString(1), Text.PassageW)).toSet
+    assert(rows.map(_._4).sum == distinct.size)
+    // only documents with at least one full window appear
+    val expectDocs = docs.filter(r =>
+      graft.text.TextOps.passageHashes(r.getString(1), Text.PassageW).nonEmpty)
+    assert(rows.length == expectDocs.length)
+  }
+
+  test("d_lsh_verify covers exactly the LSH candidate set with sane bounds") {
+    val ver = Text.queries("d_lsh_verify")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Double]("jac"), r.getAs[Int]("edit_dist"), r.getAs[Double]("sim")))
+      .toMap
+    val pairs = Text.queries("d_lsh_pairs")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ver.keySet == pairs)
+    ver.foreach { case (k, (jac, dist, sim)) =>
+      assert(jac >= 0.3 && dist >= 0 && sim <= 1.0, s"pair $k")
+      // near-dup candidates at this threshold are genuinely close in
+      // edit space — normalized similarity stays high
+      assert(sim >= 0.5, s"pair $k: sim $sim")
+    }
+  }
+
   test("d_bigram_lm scores are log-probs consistent with the token stream") {
     val lm = Text.queries("d_bigram_lm")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getAs[Long]("n_bigrams"),
