@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.graph.{ConnectedComponents, GraphOps}
+import graft.graph.{Bfs, ConnectedComponents, GraphOps}
 import graft.ppr.{Base, BackwardSearch, ForwardPush, Fora, Metrics, MonteCarlo, PageRank, PowerIteration, PprStore}
 
 /** Graph/PPR operator coverage over the deterministic lineitem-derived
@@ -56,6 +56,12 @@ object Graph {
   val CcMod = 100003
   val CcQtyMax = 5
   val CcRounds = 20
+
+  /** `g_bfs` depth bound — the mod-997 graph's diameter is ~3, so 4
+    * rounds reach everything reachable; the schedule is fixed and
+    * oracle-replayed either way.
+    */
+  val BfsDepth = 4
 
   private def graphSql: String = GraphOps.lineitemGraphSql(Mod)
 
@@ -137,6 +143,11 @@ object Graph {
     // Per node: its component id (= smallest node id in the component).
     "g_concomp" -> ((s, dir) => ConnectedComponents.run(
       s, GraphOps.lineitemSubgraph(s, dir, CcMod, CcQtyMax), CcRounds)),
+
+    // Depth-limited multi-source BFS distances over the broadcast CSR —
+    // hop labeling for the batch sources (see [[graft.graph.Bfs]]).
+    "g_bfs" -> ((s, dir) => Bfs.batch(
+      s, GraphOps.lineitemCsr(s, dir, Mod), BatchSources, BfsDepth)),
 
     // K1 distributed: single-source PPR by DataFrame superstep loop.
     "g_power_ppr" -> ((s, dir) => {
@@ -351,6 +362,7 @@ object Graph {
       "g_edges" -> graphSql,
       "g_concomp" -> ConnectedComponents.oracleSql(
         GraphOps.lineitemSubgraphSql(CcMod, CcQtyMax), CcRounds),
+      "g_bfs" -> Bfs.oracleSql(graphSql, BatchSources, BfsDepth),
       "g_khop" ->
         s"""WITH e AS MATERIALIZED ($graphSql),
            |src AS (SELECT CAST(s AS BIGINT) AS s FROM (VALUES ${BatchSources
