@@ -62,6 +62,15 @@ object Embeddings {
   val KmIters = 3
   val Dims = 64
 
+  /** Product-quantization layout for `e_pq`: [[PqM]] subspaces of
+    * `Dims / PqM` dims, [[KmK]] codewords each (codebook = KmK^PqM
+    * composite cells from 4×8 centroids), [[PqIters]] Lloyd rounds per
+    * subspace — same deterministic-init/rounded-centroid discipline as
+    * `e_kmeans`, run independently per dimension block.
+    */
+  val PqM = 4
+  val PqIters = 2
+
   /** `qv · v` via the native codegen'd [[graft.functions.VecDot]] kernel —
     * same left-to-right double fold as the former
     * `aggregate(zip_with(...))` higher-order formulation (and as DuckDB's
@@ -278,6 +287,47 @@ object Embeddings {
       assign(cent)
     }),
 
+    // Product quantization — the codebook compression behind
+    // billion-vector ANN indexes (64 float dims → PqM 3-bit codes here):
+    // each dimension block trains its OWN KmK-centroid Lloyd codebook
+    // (deterministic init + per-round 6-dp centroid rounding, exactly the
+    // e_kmeans discipline), and every vector is encoded as its per-block
+    // nearest-centroid ids. Shape at 100 TB: per block, assignment is a
+    // broadcast of KmK tiny centroids into a full scan (no shuffle on the
+    // vector side), update is one groupBy over the assignments; blocks
+    // are independent pipelines joined on vec_id at the end.
+    "e_pq" -> ((s, dir) => {
+      VectorFunctions.register(s)
+      val ds = Dims / PqM
+      val d2Expr = "vec_dot(v, v) - 2 * vec_dot(v, cv) + vec_dot(cv, cv)"
+      val cvArray = s"array(${(1 to ds).map(i => s"c$i").mkString(", ")}) AS cv"
+      def subspace(j: Int): DataFrame = {
+        val embj = embDf(s, dir)
+          .selectExpr("vec_id", s"slice(v, ${j * ds + 1}, $ds) AS v")
+          .localCheckpoint(true) // scanned every round
+        var cent = embj.where(col("vec_id") < KmK)
+          .selectExpr("CAST(vec_id AS INT) AS cid", "v AS cv")
+        def assign(c: DataFrame): DataFrame =
+          embj.crossJoin(broadcast(c))
+            .selectExpr("vec_id", "cid", d2Expr + " AS d2")
+            .groupBy("vec_id")
+            .agg(min(struct(col("d2"), col("cid"))).as("m"))
+            .selectExpr("vec_id", s"m.cid AS code$j")
+        for (_ <- 1 to PqIters) {
+          val avgs = (1 to ds)
+            .map(i => round(avg(element_at(col("v"), i)), 6).as(s"c$i"))
+          cent = assign(cent)
+            .withColumnRenamed(s"code$j", "cell")
+            .join(embj, Seq("vec_id"))
+            .groupBy(col("cell").as("cid"))
+            .agg(avgs.head, avgs.tail: _*)
+            .selectExpr("cid", cvArray)
+        }
+        assign(cent)
+      }
+      (0 until PqM).map(subspace).reduce(_.join(_, Seq("vec_id")))
+    }),
+
     // Scalar int8 quantization — the compression step an ANN index
     // applies before storage (4 bytes/dim → 1): per-vector min/max
     // affine scale to [0, 255]. Pure narrow projection, no shuffle; all
@@ -484,6 +534,45 @@ object Embeddings {
         s"PARTITION BY e.vec_id ORDER BY $d2 ASC, c.cid ASC) AS rn " +
         s"FROM emb e CROSS JOIN cent$KmIters c)\n"
       sb ++= "SELECT vec_id, cid AS cell FROM fin WHERE rn = 1"
+      sb.toString
+    },
+    "e_pq" -> {
+      val ds = Dims / PqM
+      // per-subspace slice view: dims j*ds+1 .. (j+1)*ds of the vector
+      def fold(body: String) =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"list_transform(range(1, ${ds + 1}), i -> $body)), (a, x) -> a + x)"
+      val d2 = s"${fold("e.v[i] * e.v[i]")} - 2 * ${fold("e.v[i] * c.cv[i]")}" +
+        s" + ${fold("c.cv[i] * c.cv[i]")}"
+      val cvList = (1 to ds).map(i => s"round(avg(e.v[$i]), 6)")
+        .mkString("[", ", ", "]")
+      val sb = new StringBuilder
+      sb ++= "WITH embf AS MATERIALIZED (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vf FROM embeddings),\n"
+      for (j <- 0 until PqM) {
+        sb ++= s"emb$j AS MATERIALIZED (SELECT vec_id, " +
+          s"vf[${j * ds + 1}:${(j + 1) * ds}] AS v FROM embf),\n"
+        sb ++= s"cent${j}_0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cid, " +
+          s"v AS cv FROM emb$j WHERE vec_id < $KmK),\n"
+        for (i <- 0 until PqIters) {
+          sb ++= s"as${j}_$i AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (" +
+            s"SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+            s"ORDER BY $d2 ASC, c.cid ASC) AS rn FROM emb$j e CROSS JOIN cent${j}_$i c) " +
+            "WHERE rn = 1),\n"
+          sb ++= s"cent${j}_${i + 1} AS MATERIALIZED (SELECT a.cell AS cid, " +
+            s"$cvList AS cv FROM as${j}_$i a JOIN emb$j e ON e.vec_id = a.vec_id " +
+            "GROUP BY a.cell),\n"
+        }
+        sb ++= s"fin$j AS MATERIALIZED (SELECT vec_id, cid AS code$j FROM (" +
+          s"SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+          s"ORDER BY $d2 ASC, c.cid ASC) AS rn FROM emb$j e CROSS JOIN cent${j}_$PqIters c) " +
+          "WHERE rn = 1),\n"
+      }
+      sb.setLength(sb.length - 2)
+      sb ++= "\nSELECT vec_id, " +
+        (0 until PqM).map(j => s"code$j").mkString(", ") +
+        " FROM fin0 " +
+        (1 until PqM).map(j => s"JOIN fin$j USING (vec_id)").mkString(" ")
       sb.toString
     },
     "e_quantize" ->

@@ -110,6 +110,27 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(a == b, "Lloyd's rounds are deterministic")
   }
 
+  test("e_pq encodes every vector with in-range per-subspace codes") {
+    val a = Embeddings.queries("e_pq")(spark, sfDir).collect()
+    val n = graft.Tables(spark, sfDir, "embeddings").count()
+    assert(a.length == n, "one code word per vector")
+    val codeCols = (0 until Embeddings.PqM).map(j => s"code$j")
+    a.foreach { r =>
+      codeCols.foreach { c =>
+        val v = r.getAs[Number](c).intValue()
+        assert(v >= 0 && v < Embeddings.KmK, s"$c out of range: $v")
+      }
+    }
+    // the codebooks genuinely partition the data: each subspace uses
+    // more than one centroid
+    codeCols.foreach { c =>
+      assert(a.map(_.getAs[Number](c).intValue()).distinct.length > 1, c)
+    }
+    val b = Embeddings.queries("e_pq")(spark, sfDir).collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted),
+      "Lloyd rounds are deterministic")
+  }
+
   test("d_passage_dedup keeps each distinct passage exactly once") {
     val rows = Text.queries("d_passage_dedup")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
