@@ -86,6 +86,38 @@ object GraphOps {
       .distinct()
   }
 
+  /** Weighted benchmark graph: [[lineitemGraph]]'s edge set with
+    * `w = min(l_quantity)` over the lineitems collapsing onto each
+    * `(src, dst)` pair — deterministic, integral-valued doubles (min-plus
+    * path sums stay exact across engines).
+    */
+  def lineitemWeightedGraph(spark: SparkSession, sfDir: String,
+      mod: Int): DataFrame = {
+    val li = graft.Tables(spark, sfDir, "lineitem")
+    li.select(
+        (col("l_orderkey") % mod).as("src"),
+        (col("l_partkey") % mod).as("dst"),
+        col("l_quantity"))
+      .where(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(org.apache.spark.sql.functions.min(col("l_quantity")).as("w"))
+  }
+
+  /** SQL text of [[lineitemWeightedGraph]] for DuckDB oracles. */
+  def lineitemWeightedGraphSql(mod: Int): String =
+    s"SELECT l_orderkey % $mod AS src, l_partkey % $mod AS dst, " +
+      s"min(l_quantity) AS w FROM lineitem " +
+      s"WHERE (l_orderkey % $mod) <> (l_partkey % $mod) GROUP BY 1, 2"
+
+  private val wcsrCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Sssp.WeightedCsr]
+
+  /** Load-once weighted snapshot (same rationale as [[lineitemCsr]]). */
+  def lineitemWeightedCsr(spark: SparkSession, sfDir: String,
+      mod: Int): Sssp.WeightedCsr =
+    wcsrCache.getOrElseUpdate((sfDir, mod),
+      Sssp.buildWeighted(lineitemWeightedGraph(spark, sfDir, mod)))
+
   /** SQL text of [[lineitemSubgraph]] for DuckDB oracles. */
   def lineitemSubgraphSql(mod: Int, qtyMax: Int): String =
     s"SELECT DISTINCT l_orderkey % $mod AS src, l_partkey % $mod AS dst " +

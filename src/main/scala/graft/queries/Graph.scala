@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.graph.{Bfs, ConnectedComponents, GraphOps}
+import graft.graph.{Bfs, ConnectedComponents, GraphOps, Sssp}
 import graft.ppr.{Base, BackwardSearch, ForwardPush, Fora, Metrics, MonteCarlo, PageRank, PowerIteration, PprStore}
 
 /** Graph/PPR operator coverage over the deterministic lineitem-derived
@@ -62,6 +62,11 @@ object Graph {
     * oracle-replayed either way.
     */
   val BfsDepth = 4
+
+  /** `g_sssp` hop bound: min-weight over paths of ≤ 6 edges (a weighted
+    * shortest path may use more hops than the unweighted diameter).
+    */
+  val SsspHops = 6
 
   private def graphSql: String = GraphOps.lineitemGraphSql(Mod)
 
@@ -148,6 +153,11 @@ object Graph {
     // hop labeling for the batch sources (see [[graft.graph.Bfs]]).
     "g_bfs" -> ((s, dir) => Bfs.batch(
       s, GraphOps.lineitemCsr(s, dir, Mod), BatchSources, BfsDepth)),
+
+    // Bounded-hop weighted shortest paths over the min-quantity-weighted
+    // edge set (see [[graft.graph.Sssp]]).
+    "g_sssp" -> ((s, dir) => Sssp.batch(
+      s, GraphOps.lineitemWeightedCsr(s, dir, Mod), BatchSources, SsspHops)),
 
     // K1 distributed: single-source PPR by DataFrame superstep loop.
     "g_power_ppr" -> ((s, dir) => {
@@ -363,6 +373,8 @@ object Graph {
       "g_concomp" -> ConnectedComponents.oracleSql(
         GraphOps.lineitemSubgraphSql(CcMod, CcQtyMax), CcRounds),
       "g_bfs" -> Bfs.oracleSql(graphSql, BatchSources, BfsDepth),
+      "g_sssp" -> Sssp.oracleSql(
+        GraphOps.lineitemWeightedGraphSql(Mod), BatchSources, SsspHops),
       "g_khop" ->
         s"""WITH e AS MATERIALIZED ($graphSql),
            |src AS (SELECT CAST(s AS BIGINT) AS s FROM (VALUES ${BatchSources
