@@ -79,6 +79,110 @@ object Embeddings {
     */
   private val dotExpr = "vec_dot(qv, v)"
 
+  /** DuckDB twin of [[pqModel]] — the codebook/assignment CTE chain,
+    * ending in the code table (`search = false`) or the ADC LUT-sum
+    * top-k (`search = true`).
+    */
+  private def pqOracleSql(search: Boolean): String = {
+    val ds = Dims / PqM
+    def fold(body: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, ${ds + 1}), i -> $body)), (a, x) -> a + x)"
+    val d2 = s"${fold("e.v[i] * e.v[i]")} - 2 * ${fold("e.v[i] * c.cv[i]")}" +
+      s" + ${fold("c.cv[i] * c.cv[i]")}"
+    val cvList = (1 to ds).map(i => s"round(avg(e.v[$i]), 6)")
+      .mkString("[", ", ", "]")
+    val sb = new StringBuilder
+    sb ++= "WITH embf AS MATERIALIZED (SELECT vec_id, " +
+      "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vf FROM embeddings),\n"
+    for (j <- 0 until PqM) {
+      sb ++= s"emb$j AS MATERIALIZED (SELECT vec_id, " +
+        s"vf[${j * ds + 1}:${(j + 1) * ds}] AS v FROM embf),\n"
+      sb ++= s"cent${j}_0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cid, " +
+        s"v AS cv FROM emb$j WHERE vec_id < $KmK),\n"
+      for (i <- 0 until PqIters) {
+        sb ++= s"as${j}_$i AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (" +
+          s"SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+          s"ORDER BY $d2 ASC, c.cid ASC) AS rn FROM emb$j e CROSS JOIN cent${j}_$i c) " +
+          "WHERE rn = 1),\n"
+        sb ++= s"cent${j}_${i + 1} AS MATERIALIZED (SELECT a.cell AS cid, " +
+          s"$cvList AS cv FROM as${j}_$i a JOIN emb$j e ON e.vec_id = a.vec_id " +
+          "GROUP BY a.cell),\n"
+      }
+      sb ++= s"fin$j AS MATERIALIZED (SELECT vec_id, cid AS code$j FROM (" +
+        s"SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        s"ORDER BY $d2 ASC, c.cid ASC) AS rn FROM emb$j e CROSS JOIN cent${j}_$PqIters c) " +
+        "WHERE rn = 1),\n"
+    }
+    val codesFrom = "FROM fin0 " +
+      (1 until PqM).map(j => s"JOIN fin$j USING (vec_id)").mkString(" ")
+    if (!search) {
+      sb.setLength(sb.length - 2)
+      sb ++= "\nSELECT vec_id, " +
+        (0 until PqM).map(j => s"code$j").mkString(", ") + " " + codesFrom
+    } else {
+      sb ++= "codes AS MATERIALIZED (SELECT vec_id, " +
+        (0 until PqM).map(j => s"code$j").mkString(", ") + s" $codesFrom),\n"
+      for (j <- 0 until PqM) {
+        sb ++= s"lut$j AS MATERIALIZED (SELECT e.q_id, c.cid, $d2 AS d FROM (" +
+          s"SELECT vec_id AS q_id, vf[${j * ds + 1}:${(j + 1) * ds}] AS v " +
+          s"FROM embf WHERE vec_id < $NumQueries) e " +
+          s"CROSS JOIN cent${j}_$PqIters c),\n"
+      }
+      sb ++= "sc AS (SELECT l0.q_id, v.vec_id, round(" +
+        (0 until PqM).map(j => s"l$j.d").mkString(" + ") +
+        ", 6) AS dist FROM codes v JOIN lut0 l0 ON l0.cid = v.code0 " +
+        (1 until PqM).map(j =>
+          s"JOIN lut$j l$j ON l$j.q_id = l0.q_id AND l$j.cid = v.code$j")
+          .mkString(" ") + ")\n"
+      sb ++= "SELECT q_id, vec_id, dist, rk FROM (SELECT q_id, vec_id, dist, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, vec_id ASC) " +
+        s"AS rk FROM sc) WHERE rk <= $TopK"
+    }
+    sb.toString
+  }
+
+  /** Product-quantization model shared by `e_pq` / `e_pq_search`: the
+    * per-vector code table `(vec_id, code0..code{PqM-1})` and each
+    * subspace's FINAL codebook `(cid, cv)`. Per subspace: deterministic
+    * init (vectors 0..KmK-1's slices), [[PqIters]] Lloyd rounds with
+    * 6-dp-rounded centroids (the e_kmeans cross-engine float discipline),
+    * then the final assignment.
+    */
+  private def pqModel(s: SparkSession,
+      dir: String): (DataFrame, Seq[DataFrame]) = {
+    VectorFunctions.register(s)
+    val ds = Dims / PqM
+    val d2Expr = "vec_dot(v, v) - 2 * vec_dot(v, cv) + vec_dot(cv, cv)"
+    val cvArray = s"array(${(1 to ds).map(i => s"c$i").mkString(", ")}) AS cv"
+    def subspace(j: Int): (DataFrame, DataFrame) = {
+      val embj = embDf(s, dir)
+        .selectExpr("vec_id", s"slice(v, ${j * ds + 1}, $ds) AS v")
+        .localCheckpoint(true) // scanned every round
+      var cent = embj.where(col("vec_id") < KmK)
+        .selectExpr("CAST(vec_id AS INT) AS cid", "v AS cv")
+      def assign(c: DataFrame): DataFrame =
+        embj.crossJoin(broadcast(c))
+          .selectExpr("vec_id", "cid", d2Expr + " AS d2")
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("cid"))).as("m"))
+          .selectExpr("vec_id", s"m.cid AS code$j")
+      for (_ <- 1 to PqIters) {
+        val avgs = (1 to ds)
+          .map(i => round(avg(element_at(col("v"), i)), 6).as(s"c$i"))
+        cent = assign(cent)
+          .withColumnRenamed(s"code$j", "cell")
+          .join(embj, Seq("vec_id"))
+          .groupBy(col("cell").as("cid"))
+          .agg(avgs.head, avgs.tail: _*)
+          .selectExpr("cid", cvArray)
+      }
+      (assign(cent), cent.selectExpr(s"cid AS cid$j", "cv"))
+    }
+    val subs = (0 until PqM).map(subspace)
+    (subs.map(_._1).reduce(_.join(_, Seq("vec_id"))), subs.map(_._2))
+  }
+
   private def embDf(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
     Tables(s, dir, "embeddings")
@@ -296,36 +400,41 @@ object Embeddings {
     // broadcast of KmK tiny centroids into a full scan (no shuffle on the
     // vector side), update is one groupBy over the assignments; blocks
     // are independent pipelines joined on vec_id at the end.
-    "e_pq" -> ((s, dir) => {
-      VectorFunctions.register(s)
+    "e_pq" -> ((s, dir) => pqModel(s, dir)._1),
+
+    // ADC (asymmetric distance) search over the PQ codes — how a
+    // compressed ANN index actually answers queries: per query and
+    // subspace, a KmK-entry lookup table of exact query-slice→centroid
+    // distances; each database vector's approximate distance is then a
+    // PqM-term table-lookup SUM — no touch of the original vectors.
+    // Shape at 100 TB: the LUTs are queries × KmK rows (broadcast), the
+    // code table is scanned once, and the top-k cut is a per-query
+    // window over the rounded score with a deterministic tie-break.
+    "e_pq_search" -> ((s, dir) => {
+      val (codes, cents) = pqModel(s, dir)
       val ds = Dims / PqM
-      val d2Expr = "vec_dot(v, v) - 2 * vec_dot(v, cv) + vec_dot(cv, cv)"
-      val cvArray = s"array(${(1 to ds).map(i => s"c$i").mkString(", ")}) AS cv"
-      def subspace(j: Int): DataFrame = {
-        val embj = embDf(s, dir)
-          .selectExpr("vec_id", s"slice(v, ${j * ds + 1}, $ds) AS v")
-          .localCheckpoint(true) // scanned every round
-        var cent = embj.where(col("vec_id") < KmK)
-          .selectExpr("CAST(vec_id AS INT) AS cid", "v AS cv")
-        def assign(c: DataFrame): DataFrame =
-          embj.crossJoin(broadcast(c))
-            .selectExpr("vec_id", "cid", d2Expr + " AS d2")
-            .groupBy("vec_id")
-            .agg(min(struct(col("d2"), col("cid"))).as("m"))
-            .selectExpr("vec_id", s"m.cid AS code$j")
-        for (_ <- 1 to PqIters) {
-          val avgs = (1 to ds)
-            .map(i => round(avg(element_at(col("v"), i)), 6).as(s"c$i"))
-          cent = assign(cent)
-            .withColumnRenamed(s"code$j", "cell")
-            .join(embj, Seq("vec_id"))
-            .groupBy(col("cell").as("cid"))
-            .agg(avgs.head, avgs.tail: _*)
-            .selectExpr("cid", cvArray)
-        }
-        assign(cent)
+      val d2 = "vec_dot(v, v) - 2 * vec_dot(v, cv) + vec_dot(cv, cv)"
+      val luts = (0 until PqM).map { j =>
+        embDf(s, dir).where(col("vec_id") < NumQueries)
+          .selectExpr("vec_id AS q_id", s"slice(v, ${j * ds + 1}, $ds) AS v")
+          .crossJoin(broadcast(cents(j)))
+          .selectExpr("q_id", s"cid$j", d2 + s" AS d$j")
       }
-      (0 until PqM).map(subspace).reduce(_.join(_, Seq("vec_id")))
+      val scored = luts.zipWithIndex.foldLeft(codes) { case (acc, (lut, j)) =>
+        if (j == 0)
+          acc.join(broadcast(lut), acc("code0") === lut("cid0")).drop("cid0")
+        else
+          acc.join(broadcast(lut),
+            acc("q_id") === lut("q_id") && acc(s"code$j") === lut(s"cid$j"))
+            .drop(lut("q_id")).drop(s"cid$j")
+      }
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+      scored
+        .select(col("q_id"), col("vec_id"),
+          round((0 until PqM).map(j => col(s"d$j")).reduce(_ + _), 6).as("dist"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= TopK)
     }),
 
     // Scalar int8 quantization — the compression step an ANN index
@@ -536,45 +645,8 @@ object Embeddings {
       sb ++= "SELECT vec_id, cid AS cell FROM fin WHERE rn = 1"
       sb.toString
     },
-    "e_pq" -> {
-      val ds = Dims / PqM
-      // per-subspace slice view: dims j*ds+1 .. (j+1)*ds of the vector
-      def fold(body: String) =
-        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-          s"list_transform(range(1, ${ds + 1}), i -> $body)), (a, x) -> a + x)"
-      val d2 = s"${fold("e.v[i] * e.v[i]")} - 2 * ${fold("e.v[i] * c.cv[i]")}" +
-        s" + ${fold("c.cv[i] * c.cv[i]")}"
-      val cvList = (1 to ds).map(i => s"round(avg(e.v[$i]), 6)")
-        .mkString("[", ", ", "]")
-      val sb = new StringBuilder
-      sb ++= "WITH embf AS MATERIALIZED (SELECT vec_id, " +
-        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vf FROM embeddings),\n"
-      for (j <- 0 until PqM) {
-        sb ++= s"emb$j AS MATERIALIZED (SELECT vec_id, " +
-          s"vf[${j * ds + 1}:${(j + 1) * ds}] AS v FROM embf),\n"
-        sb ++= s"cent${j}_0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cid, " +
-          s"v AS cv FROM emb$j WHERE vec_id < $KmK),\n"
-        for (i <- 0 until PqIters) {
-          sb ++= s"as${j}_$i AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (" +
-            s"SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
-            s"ORDER BY $d2 ASC, c.cid ASC) AS rn FROM emb$j e CROSS JOIN cent${j}_$i c) " +
-            "WHERE rn = 1),\n"
-          sb ++= s"cent${j}_${i + 1} AS MATERIALIZED (SELECT a.cell AS cid, " +
-            s"$cvList AS cv FROM as${j}_$i a JOIN emb$j e ON e.vec_id = a.vec_id " +
-            "GROUP BY a.cell),\n"
-        }
-        sb ++= s"fin$j AS MATERIALIZED (SELECT vec_id, cid AS code$j FROM (" +
-          s"SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
-          s"ORDER BY $d2 ASC, c.cid ASC) AS rn FROM emb$j e CROSS JOIN cent${j}_$PqIters c) " +
-          "WHERE rn = 1),\n"
-      }
-      sb.setLength(sb.length - 2)
-      sb ++= "\nSELECT vec_id, " +
-        (0 until PqM).map(j => s"code$j").mkString(", ") +
-        " FROM fin0 " +
-        (1 until PqM).map(j => s"JOIN fin$j USING (vec_id)").mkString(" ")
-      sb.toString
-    },
+    "e_pq" -> pqOracleSql(search = false),
+    "e_pq_search" -> pqOracleSql(search = true),
     "e_quantize" ->
       """WITH emb AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -131,6 +131,19 @@ class PipelineQueriesSpec extends SparkSpec {
       "Lloyd rounds are deterministic")
   }
 
+  test("e_pq_search returns full per-query top-k and self-retrieves at rank 1") {
+    val rows = Embeddings.queries("e_pq_search")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("rk")))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == Embeddings.NumQueries)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.sameElements(1 to Embeddings.TopK), s"q $q")
+      // ADC distance of a vector to its own code is just its quantization
+      // error — the query's own vector must win its ranking
+      assert(rs.exists(t => t._2 == q && t._3 == 1), s"q $q self-retrieval")
+    }
+  }
+
   test("d_passage_dedup keeps each distinct passage exactly once") {
     val rows = Text.queries("d_passage_dedup")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
