@@ -260,40 +260,19 @@ object Text {
     // Duplicate-cluster extraction: connected components over the LSH
     // near-dup pair graph — the step a dedup pipeline runs after pair
     // detection to pick one keeper per duplicate GROUP (pairs alone
-    // over-delete transitive clusters). Min-label propagation to
-    // fixpoint: each iteration is one join + one min-aggregate, state is
-    // (id, label), iterations = cluster diameter (near-dup clusters are
-    // shallow). cluster_id = min doc_id of the component; singleton
-    // documents (no near-dup pair) are not emitted.
-    "d_dup_clusters" -> ((s, dir) => {
-      // chained eager checkpoints ([[graft.operators.CkptChain]]): each
-      // iteration's state is dead the moment the next materializes, and
-      // must be released — otherwise every iteration leaks a pinned
-      // snapshot for the life of the session.
-      val checkpoint = new graft.operators.CkptChain(s.sparkContext)
-      val p = lshPairsDf(s, dir).select(col("doc_a"), col("doc_b"))
-      val edges = p.unionAll(
-          p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .persist()
-      var lbl = checkpoint(edges.select(col("doc_a").as("id")).distinct()
-        .withColumn("lbl", col("id")))
-      // labels only ever DECREASE under min-propagation, so Σlbl strictly
-      // decreases until the fixpoint — the convergence check is one cheap
-      // scalar aggregate over the just-checkpointed state, not a join
-      // against the previous iteration.
-      var prevSum = Long.MinValue
-      var sum = lbl.agg(org.apache.spark.sql.functions.sum("lbl")).head.getLong(0)
-      while (sum != prevSum) {
-        val prop = edges.join(lbl, edges("doc_a") === lbl("id"))
-          .select(col("doc_b").as("id"), col("lbl"))
-        lbl = checkpoint(lbl.select(col("id"), col("lbl")).unionAll(prop)
-          .groupBy("id").agg(min("lbl").as("lbl")))
-        prevSum = sum
-        sum = lbl.agg(org.apache.spark.sql.functions.sum("lbl")).head.getLong(0)
-      }
-      edges.unpersist()
-      lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-    }),
+    // over-delete transitive clusters). Delegates to the shared
+    // [[graft.graph.ConnectedComponents]] kernel: the candidate-pair
+    // graph is tiny relative to the corpus (that is the point of LSH), so
+    // it rides the single-task union-find regime; a pathological
+    // everything-duplicates corpus would cross the size guard onto the
+    // superstep path. cluster_id = min doc_id of the component;
+    // singleton documents (no near-dup pair) are not emitted.
+    "d_dup_clusters" -> ((s, dir) =>
+      graft.graph.ConnectedComponents.run(
+          s, lshPairsDf(s, dir).select(
+            col("doc_a").as("src"), col("doc_b").as("dst")),
+          rounds = DupClusterRounds)
+        .select(col("node_id").as("doc_id"), col("comp").as("cluster_id"))),
 
     // SimHash (32-bit, bit-majority over token hashes incl. duplicates) —
     // typed per-partition kernel (TextOps.simhash32): one narrow pass, no
@@ -740,6 +719,12 @@ object Text {
     */
   val PassageW = 8
   val PassagePack = 1048576L
+
+  /** Superstep budget for `d_dup_clusters` if the pair graph ever crosses
+    * the union-find size guard (near-dup clusters are shallow; 20
+    * jump-accelerated rounds cover diameter ≫ anything LSH produces).
+    */
+  val DupClusterRounds = 20
 
   /** doc_id + distinct shingle-hash array — typed per-partition kernel
     * ([[TextOps.shingles]]), one narrow pass per row; semantically the
