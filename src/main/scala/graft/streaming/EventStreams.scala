@@ -20,6 +20,14 @@ object EventStreams {
 
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
 
+  final case class TEv(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, event_type: String)
+
+  final case class LastEv(tsMs: Long, eventId: Long, eventType: String)
+
+  final case class Transition(user_id: Long, from_type: String,
+      to_type: String)
+
   final case class SessionState(
       sessionId: Long, startUs: Long, lastUs: Long, n: Long, sum: Double)
 
@@ -81,6 +89,39 @@ object EventStreams {
           }
           if (st != null) state.update(st)
           closed.result().iterator
+      }
+  }
+
+  /** Per-user event-type transition extraction with carried last-event
+    * state — the streaming stage under `ev_markov`'s bigram counts: each
+    * user's state is their last seen event, and every arrival emits one
+    * `(from_type, to_type)` row. Events inside a micro-batch sort by
+    * `(ts, event_id)` (the batch query's order) before folding, so a
+    * full single-batch replay reproduces the batch bigrams exactly, and
+    * a multi-batch feed does too whenever batches respect per-user
+    * event-time order (the deployment contract; out-of-order arrivals
+    * would need a watermark-delayed sort upstream). State is one small
+    * record per user — bounded, no timeout needed.
+    */
+  def transitions(events: Dataset[TEv]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEv, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, it, state: GroupState[LastEv]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val out = Seq.newBuilder[Transition]
+            var prev = state.getOption
+            sorted.foreach { e =>
+              prev.foreach(p => out += Transition(uid, p.eventType, e.event_type))
+              prev = Some(LastEv(e.ts.getTime, e.event_id, e.event_type))
+            }
+            state.update(prev.get)
+            out.result().iterator
+          }
       }
   }
 

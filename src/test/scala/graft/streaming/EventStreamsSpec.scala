@@ -250,4 +250,39 @@ class EventStreamsSpec extends SparkSpec {
       assert(ids.contains(6L), "re-arrival after state eviction is a new first")
     } finally q.stop()
   }
+
+  test("streaming transitions reproduce the batch bigram counts, " +
+    "including across batch boundaries") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val rows = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[TEv].collect().toSeq
+    val want = graft.queries.Events.queries("ev_markov")(spark, sfDir)
+      .select(col("from_type"), col("to_type"), col("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    def run(chunks: Seq[Seq[TEv]], name: String): Map[(String, String), Long] = {
+      val input = MemoryStream[TEv]
+      val q = transitions(input.toDS()).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try {
+        chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getString(1), r.getString(2)))
+          .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      } finally q.stop()
+    }
+
+    // single-batch full replay
+    assert(run(Seq(rows), "tr1") == want)
+    // two chunks split on global event time: per-user order is preserved,
+    // and the boundary transitions come from the CARRIED state
+    val cut = rows.map(_.ts.getTime).sorted.apply(rows.length / 2)
+    val (a, b) = rows.partition(_.ts.getTime < cut)
+    assert(a.nonEmpty && b.nonEmpty)
+    assert(run(Seq(a, b), "tr2") == want)
+  }
 }
