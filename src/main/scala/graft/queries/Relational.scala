@@ -217,6 +217,30 @@ object Relational {
     // overwrite); the delta itself is derived deterministically here so the
     // oracle can re-state it in SQL. Updated rows bump o_totalprice by an
     // exact IEEE add (no rounding divergence across engines).
+    // Correlated scalar subquery through the spark.sql entry point —
+    // Catalyst decorrelates it into an aggregate + left outer join (no
+    // per-row re-execution; .explain shows one Aggregate feeding one
+    // join). The filter on the outer side prunes before the join.
+    "q16_scalar_subquery" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT o_orderkey, round(o_totalprice, 2) AS total,
+          coalesce((SELECT round(sum(l_quantity), 2) FROM lineitem_v
+                    WHERE l_orderkey = o_orderkey), 0.0) AS qty
+        FROM orders_v WHERE o_totalprice > 400000""")
+    }),
+
+    // INTERSECT set semantics (§2.6): repeat customers — distinct buyer
+    // sets of two disjoint years intersected. One aggregate per branch
+    // plus a distinct set-op join; no row explosion.
+    "q17_intersect" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      o.where(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+        .intersect(
+          o.where(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
+    }),
+
     "q14_merge" -> ((s, dir) => {
       val base = Tables(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
@@ -293,6 +317,15 @@ object Relational {
         | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
         | GROUPING_ID(l_returnflag, l_linestatus) AS gid
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q16_scalar_subquery" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS total,
+        | coalesce((SELECT round(sum(l_quantity), 2) FROM lineitem
+        |           WHERE l_orderkey = o_orderkey), 0.0) AS qty
+        |FROM orders WHERE o_totalprice > 400000""".stripMargin,
+    "q17_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
     "q15_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
