@@ -43,12 +43,15 @@ import graft.ppr.PowerIteration
 object ConnectedComponents {
 
   /** Edge-count ceiling for the single-task union-find path of [[run]]:
-    * ~16 bytes/edge collected, well inside driver memory, and milliseconds
-    * of linear-time work. Same two-regime philosophy as
-    * [[graft.ppr.PowerIteration]]'s batch-CSR sibling: when the graph fits
-    * one machine, a scan + union-find beats rounds of scheduled jobs by
-    * 10×; past the ceiling the superstep loop is the only shape that
-    * scales, and it takes over automatically.
+    * the collect lands in specialized `(Long, Long)` tuples (~48
+    * bytes/edge with array + tuple headers) and the find structure is a
+    * primitive dense-int array over the sorted id universe — ~400 MB
+    * transient driver footprint at the ceiling, then linear-time work.
+    * Same two-regime philosophy as [[graft.ppr.PowerIteration]]'s
+    * batch-CSR sibling: when the graph fits one machine, a scan +
+    * union-find beats rounds of scheduled jobs by 10×; past the ceiling
+    * the superstep loop is the only shape that scales, and it takes over
+    * automatically.
     */
   val LocalEdgeLimit = 8000000L
 
@@ -76,37 +79,46 @@ object ConnectedComponents {
     * component minima (no fixed schedule to converge).
     */
   private def runLocal(spark: SparkSession, edges: DataFrame): DataFrame = {
-    val pairs = edges.collect()
-    val parent = new java.util.HashMap[Long, Long]()
-    def find(x0: Long): Long = {
+    import spark.implicits._
+    // primitive collect (specialized Tuple2[Long, Long] — no boxed Rows)
+    // and a dense-int union-find over the sorted id universe: no boxed
+    // HashMap, footprint matches the [[LocalEdgeLimit]] budget.
+    val pairs = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    val ids = {
+      val all = new Array[Long](pairs.length * 2)
+      var i = 0
+      while (i < pairs.length) {
+        all(2 * i) = pairs(i)._1; all(2 * i + 1) = pairs(i)._2; i += 1
+      }
+      java.util.Arrays.sort(all)
+      // unique in place
+      var n = 0
+      var j = 0
+      while (j < all.length) {
+        if (n == 0 || all(j) != all(n - 1)) { all(n) = all(j); n += 1 }
+        j += 1
+      }
+      java.util.Arrays.copyOf(all, n)
+    }
+    val parent = Array.tabulate(ids.length)(identity)
+    def find(x0: Int): Int = {
       var x = x0
-      var p = parent.getOrDefault(x, x)
-      while (p != x) { // path-halving
-        val gp = parent.getOrDefault(p, p)
-        parent.put(x, gp); x = gp; p = parent.getOrDefault(x, x)
+      while (parent(x) != x) { // path-halving
+        parent(x) = parent(parent(x)); x = parent(x)
       }
       x
     }
     var i = 0
     while (i < pairs.length) {
-      val r = pairs(i)
-      val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
-      if (ra != rb) {
-        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
-      }
+      val ra = find(java.util.Arrays.binarySearch(ids, pairs(i)._1))
+      val rb = find(java.util.Arrays.binarySearch(ids, pairs(i)._2))
+      // dense ids are id-ordered, so pointing the larger root at the
+      // smaller keeps every root the minimum node id of its class
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
       i += 1
     }
-    // canonicalize: every node labeled by its root (roots carry the class
-    // minimum because unions always point the larger root at the smaller)
-    val nodes = new java.util.HashSet[Long]()
-    pairs.foreach { r => nodes.add(r.getLong(0)); nodes.add(r.getLong(1)) }
-    val labels = new Array[(Long, Long)](nodes.size)
-    val it = nodes.iterator()
-    var k = 0
-    while (it.hasNext) {
-      val v = it.next(); labels(k) = (v, find(v)); k += 1
-    }
-    import spark.implicits._
+    val labels = Array.tabulate(ids.length)(v => (ids(v), ids(find(v))))
     spark.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(labels))
       .toDF("node_id", "comp")
   }

@@ -138,7 +138,9 @@ object Graph {
       val within2 = hop1.select(col("s"), col("n1").as("n"))
         .union(hop2.select(col("s"), col("n2").as("n")))
         .where(col("n") =!= col("s")).distinct()
-      hop1.groupBy(col("s")).agg(countDistinct(col("n1")).as("n_hop1"))
+      // hop1 is already distinct — a plain count is the dedup-free
+      // aggregate (the oracle counts the DISTINCT CTE the same way)
+      hop1.groupBy(col("s")).agg(count(lit(1)).as("n_hop1"))
         .join(within2.groupBy(col("s")).agg(count(lit(1)).as("n_within2")), Seq("s"))
         .select(col("s").as("source"), col("n_hop1"), col("n_within2"))
     }),
@@ -379,7 +381,7 @@ object Graph {
         s"""WITH e AS MATERIALIZED ($graphSql),
            |src AS (SELECT CAST(s AS BIGINT) AS s FROM (VALUES ${BatchSources
               .map(s => s"($s)").mkString(", ")}) v(s)),
-           |hop1 AS (SELECT DISTINCT src.s, e.dst AS n FROM src
+           |hop1 AS MATERIALIZED (SELECT DISTINCT src.s, e.dst AS n FROM src
            |  JOIN e ON e.src = src.s),
            |hop2 AS (SELECT DISTINCT h.s, e.dst AS n FROM hop1 h
            |  JOIN e ON e.src = h.n),

@@ -209,14 +209,6 @@ object Relational {
           count(lit(1)).as("n"))
     }),
 
-    // CDC MERGE/upsert: apply a delta (updates to existing keys + brand-new
-    // keys) onto a base snapshot — delta wins on key collision. The whole
-    // merge is ONE shuffle on the 8-byte key (the anti join); the union is
-    // exchange-free. At 100 TB the base is partitioned on the key and the
-    // rewrite touches only partitions the delta hits (partition-pruned
-    // overwrite); the delta itself is derived deterministically here so the
-    // oracle can re-state it in SQL. Updated rows bump o_totalprice by an
-    // exact IEEE add (no rounding divergence across engines).
     // Correlated scalar subquery through the spark.sql entry point —
     // Catalyst decorrelates it into an aggregate + left outer join (no
     // per-row re-execution; .explain shows one Aggregate feeding one
@@ -241,6 +233,14 @@ object Relational {
           o.where(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
     }),
 
+    // CDC MERGE/upsert: apply a delta (updates to existing keys + brand-new
+    // keys) onto a base snapshot — delta wins on key collision. The whole
+    // merge is ONE shuffle on the 8-byte key (the anti join); the union is
+    // exchange-free. At 100 TB the base is partitioned on the key and the
+    // rewrite touches only partitions the delta hits (partition-pruned
+    // overwrite); the delta itself is derived deterministically here so the
+    // oracle can re-state it in SQL. Updated rows bump o_totalprice by an
+    // exact IEEE add (no rounding divergence across engines).
     "q14_merge" -> ((s, dir) => {
       val base = Tables(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),

@@ -1013,7 +1013,7 @@ object Text {
          |  FROM documents),
          |pl AS (SELECT doc_id,
          |  ${TextOps.duck.passagesFromHashes("hs", PassageW)} AS ps FROM tk),
-         |pa AS (SELECT doc_id, unnest(ps) AS ph,
+         |pa AS MATERIALIZED (SELECT doc_id, unnest(ps) AS ph,
          |  generate_subscripts(ps, 1) - 1 AS pos FROM pl),
          |f AS (SELECT ph, min(doc_id * $PassagePack + pos) AS first_pack,
          |  count(*) AS occ FROM pa GROUP BY ph)
@@ -1093,11 +1093,12 @@ object Text {
     "d_bigram_lm" ->
       s"""WITH tk AS (SELECT doc_id, ${TextOps.duck.tokens("text")} AS toks
          |  FROM documents),
-         |big AS (SELECT doc_id, toks[CAST(u.i AS INT) + 1] AS w1,
+         |big AS MATERIALIZED (SELECT doc_id, toks[CAST(u.i AS INT) + 1] AS w1,
          |    toks[CAST(u.i AS INT) + 2] AS w2
          |  FROM tk, UNNEST(range(0, len(toks) - 1)) AS u(i)),
-         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
-         |c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+         |c12 AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM big
+         |  GROUP BY 1, 2),
+         |c1 AS MATERIALIZED (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
          |v_t AS (SELECT count(*) AS v FROM c1)
          |SELECT doc_id, count(*) AS n_bigrams,
          | round(avg(ln((c12 + 1.0) / (c1 + v))), 6) AS avg_logp

@@ -23,8 +23,6 @@ object EventStreams {
   final case class TEv(user_id: Long, ts: java.sql.Timestamp,
       event_id: Long, event_type: String)
 
-  final case class LastEv(tsMs: Long, eventId: Long, eventType: String)
-
   final case class Transition(user_id: Long, from_type: String,
       to_type: String)
 
@@ -105,19 +103,26 @@ object EventStreams {
     */
   def transitions(events: Dataset[TEv]): Dataset[Transition] = {
     import events.sparkSession.implicits._
+    // FULL timestamp precision for the sort: getTime truncates to
+    // milliseconds, and the batch query orders by the microsecond ts —
+    // same-millisecond events would fold in the wrong order. (epoch
+    // seconds, nanos-within-second, event_id) is the lossless total
+    // order; state is just the last event type (all a transition needs).
+    def key(e: TEv): (Long, Int, Long) =
+      (math.floorDiv(e.ts.getTime, 1000L), e.ts.getNanos, e.event_id)
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[LastEv, Transition](
+      .flatMapGroupsWithState[String, Transition](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid, it, state: GroupState[LastEv]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        (uid, it, state: GroupState[String]) =>
+          val sorted = it.toSeq.sortBy(key)
           if (sorted.isEmpty) Iterator.empty
           else {
             val out = Seq.newBuilder[Transition]
             var prev = state.getOption
             sorted.foreach { e =>
-              prev.foreach(p => out += Transition(uid, p.eventType, e.event_type))
-              prev = Some(LastEv(e.ts.getTime, e.event_id, e.event_type))
+              prev.foreach(p => out += Transition(uid, p, e.event_type))
+              prev = Some(e.event_type)
             }
             state.update(prev.get)
             out.result().iterator
