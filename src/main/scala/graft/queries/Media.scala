@@ -13,7 +13,23 @@ object Media {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_media_meta" -> ((s, dir) => MediaOps.metaDf(s, dir)),
     "m_media_frames" -> ((s, dir) => MediaOps.framesDf(s, dir)),
-    "m_media_resize" -> ((s, dir) => MediaOps.resizedDf(s, dir))
+    "m_media_resize" -> ((s, dir) => MediaOps.resizedDf(s, dir)),
+
+    // Binary-payload exact dedup — the multimodal twin of
+    // `d_dedup_exact`: group on the 8-byte (checksum, n_bytes) content
+    // key (payload bytes never shuffle), keep the smallest doc_id. At
+    // 100 TB of media this is THE dedup shape: the only wide exchange
+    // moves fixed-width hashes, and collision verification (byte compare
+    // within colliding groups) would bolt on exactly as the text side's
+    // fingerprint-group verify does.
+    "m_media_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      MediaOps.metaDf(s, dir)
+        .groupBy(col("checksum"), col("n_bytes"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_bytes"), col("n_copies"))
+    })
   )
 
   /** Rolling byte-hash fold over a char-code list expression. */
@@ -34,6 +50,13 @@ object Media {
          | CAST(checksum % 640 AS INT) AS width,
          | CAST((checksum // 640) % 480 AS INT) AS height
          |FROM h""".stripMargin,
+    "m_media_dedup" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_bytes,
+         |  ${fold(codesOf("text"))} AS checksum
+         |  FROM documents)
+         |SELECT min(doc_id) AS keep_id, n_bytes, count(*) AS n_copies
+         |FROM h GROUP BY checksum, n_bytes""".stripMargin,
     "m_media_frames" ->
       s"""WITH f AS (SELECT doc_id, text,
          |    unnest(range(0, (length(text) + ${MediaOps.FrameBytes - 1}) // ${MediaOps.FrameBytes})) AS fi

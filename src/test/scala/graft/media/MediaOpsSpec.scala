@@ -74,4 +74,14 @@ class MediaOpsSpec extends SparkSpec {
       assert(r.checksum == MediaOps.byteHash(kept))
     }
   }
+
+  test("payload dedup groups agree with the text-side exact dedup") {
+    // both key on document CONTENT (rolling byte checksum here, xxhash64
+    // of the text there) — keeper sets and copy counts must coincide
+    val media = graft.queries.Media.queries("m_media_dedup")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val text = graft.queries.Text.queries("d_dedup_exact")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(media == text)
+  }
 }
