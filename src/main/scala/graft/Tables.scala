@@ -26,3 +26,22 @@ object Tables {
     else df
   }
 }
+
+/** Per-application scratch namespace for queries that materialize stores
+  * (bucketed tables, shard exports, PPR prep stores). Paths and table
+  * names are suffixed with the Spark applicationId, so two concurrent
+  * runs (e.g. Bench and Verify, or parallel test JVMs) write disjoint
+  * locations instead of racing on a shared fixed path.
+  */
+object Scratch {
+  private def appTag(spark: SparkSession): String =
+    spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Scratch directory `<tmpdir>/graft_<appId>/<leaf>`. */
+  def dir(spark: SparkSession, leaf: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${appTag(spark)}/$leaf"
+
+  /** Application-unique catalog table name `<base>_<appId>`. */
+  def table(spark: SparkSession, base: String): String =
+    s"${base}_${appTag(spark)}"
+}

@@ -442,7 +442,9 @@ object Embeddings {
     // affine scale to [0, 255]. Pure narrow projection, no shuffle; all
     // arithmetic is per-row and identical in both engines, so the
     // quantized codes hash-match exactly. Degenerate constant vectors
-    // (max = min) map to code 0.
+    // (max = min) map to code 0. The code list is emitted as a canonical
+    // comma-joined string (not an array) so downstream comparators that
+    // only handle scalar columns can sort/hash the result.
     "e_quantize" -> ((s, dir) => {
       VectorFunctions.register(s)
       Tables(s, dir, "embeddings")
@@ -455,7 +457,8 @@ object Embeddings {
           "CASE WHEN hi = lo THEN transform(v, x -> 0) " +
             "ELSE transform(v, x -> CAST(round((x - lo) / ((hi - lo) / 255.0), 0) AS INT)) " +
             "END AS q")
-        .select(col("vec_id"), col("lo_r"), col("scale"), col("q"))
+        .selectExpr("vec_id", "lo_r", "scale",
+          "array_join(transform(q, x -> CAST(x AS STRING)), ',') AS q_codes")
     }),
 
     "e_embed_dups" -> ((s, dir) => {
@@ -650,13 +653,17 @@ object Embeddings {
     "e_quantize" ->
       """WITH emb AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |mm AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM emb)
-        |SELECT vec_id, round(lo, 6) AS lo_r,
+        |mm AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM emb),
+        |qq AS (SELECT vec_id, round(lo, 6) AS lo_r,
         | round((hi - lo) / 255.0, 9) AS scale,
         | CASE WHEN hi = lo THEN list_transform(v, x -> 0)
         |  ELSE list_transform(v, x -> CAST(round((x - lo) / ((hi - lo) / 255.0), 0) AS INT))
         | END AS q
-        |FROM mm""".stripMargin,
+        |FROM mm)
+        |SELECT vec_id, lo_r, scale,
+        | list_aggregate(list_transform(q, x -> CAST(x AS VARCHAR)),
+        |   'string_agg', ',') AS q_codes
+        |FROM qq""".stripMargin,
     "e_embed_dups" ->
       s"""WITH $duckBase,
          |$duckBucketed,

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.Scratch
 import graft.graph.{Bfs, ConnectedComponents, GraphOps, Sssp}
 import graft.ppr.{Base, BackwardSearch, ForwardPush, Fora, Metrics, MonteCarlo, PageRank, PowerIteration, PprStore}
 
@@ -268,7 +269,7 @@ object Graph {
           PushSupersteps)
         .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
         .where(col("score") =!= 0.0)
-      val store = s"${sys.props("java.io.tmpdir")}/graft_prep_fwdpush"
+      val store = Scratch.dir(s, "prep_fwdpush")
       PprStore.write(scores, store)
       PprStore.read(s, store, SingleSource)
     }),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.Tables
+import graft.{Scratch, Tables}
 
 /** Relational operator coverage (SURVEY §2.1/2.2/2.3/2.5/2.6): scans,
   * filter/projection with pushdown, equi joins (broadcast + shuffle),
@@ -161,21 +161,23 @@ object Relational {
     // plan is the final small aggregation. Buckets land under
     // java.io.tmpdir as external tables, overwritten per run.
     "q12_bucket_join" -> ((s, dir) => {
-      val tmp = System.getProperty("java.io.tmpdir") + "/graft_buckets"
-      s.sql("DROP TABLE IF EXISTS graft_li_b")
-      s.sql("DROP TABLE IF EXISTS graft_ord_b")
+      val tmp = Scratch.dir(s, "buckets")
+      val liTbl = Scratch.table(s, "graft_li_b")
+      val ordTbl = Scratch.table(s, "graft_ord_b")
+      s.sql(s"DROP TABLE IF EXISTS $liTbl")
+      s.sql(s"DROP TABLE IF EXISTS $ordTbl")
       Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_extendedprice"))
         .write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$tmp/li").saveAsTable("graft_li_b")
+        .option("path", s"$tmp/li").saveAsTable(liTbl)
       Tables(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"))
         .write.mode("overwrite")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$tmp/ord").saveAsTable("graft_ord_b")
-      val li = s.table("graft_li_b")
-      val o = s.table("graft_ord_b").hint("merge")
+        .option("path", s"$tmp/ord").saveAsTable(ordTbl)
+      val li = s.table(liTbl)
+      val o = s.table(ordTbl).hint("merge")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .groupBy(col("o_orderstatus"))
         .agg(round(sum(col("l_extendedprice")), 2).as("total"),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.Tables
+import graft.{Scratch, Tables}
 import graft.text.TextOps
 import graft.text.TextOps.{P, TokMul, K, Bands, RowsPerBand}
 
@@ -186,13 +186,16 @@ object Text {
     // only. The stats read-back comes from the STORE, not the input:
     // the driver row verifies the round trip.
     "d_shard_export" -> ((s, dir) => {
-      val out = System.getProperty("java.io.tmpdir") + "/graft_shards"
+      val out = Scratch.dir(s, "shards")
       val assigned = Tables(s, dir, "documents")
         .selectExpr("doc_id", "lang",
           s"size(${TextOps.spark.tokens("text")}) AS n_tok",
           s"((${TextOps.spark.fingerprint("text")} % $ExportShards) + $ExportShards) % $ExportShards AS shard")
       assigned.write.mode("overwrite").partitionBy("shard").parquet(out)
+      // the partition column is re-inferred as int32 on read-back; restore
+      // the BIGINT the oracle (and the pre-write schema) carries
       s.read.parquet(out)
+        .withColumn("shard", col("shard").cast("long"))
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"))
@@ -928,7 +931,7 @@ object Text {
          |SELECT doc_id, $names, t AS clean FROM s${PiiPatterns.length}""".stripMargin
     },
     "d_shard_export" ->
-      s"""SELECT shard, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+      s"""SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
          | min(doc_id) AS first_doc FROM (
          |  SELECT doc_id, len(${TextOps.duck.tokens("text")}) AS n_tok,
          |   ((${TextOps.duck.fingerprint("text")} % $ExportShards) + $ExportShards) % $ExportShards AS shard
@@ -994,7 +997,7 @@ object Text {
          |    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
          |SELECT lang, source,
          | CAST(floor((cum - n_tok) / $ChunkTokens.0) AS BIGINT) AS chunk_id,
-         | count(*) AS n_docs, sum(n_tok) AS sum_tokens
+         | count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
          |FROM c GROUP BY 1, 2, 3""".stripMargin,
     "d_minhash" ->
       s"""WITH $duckBandCte
@@ -1018,9 +1021,9 @@ object Text {
          |f AS (SELECT ph, min(doc_id * $PassagePack + pos) AS first_pack,
          |  count(*) AS occ FROM pa GROUP BY ph)
          |SELECT doc_id, count(*) AS n_pass,
-         | sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS n_dup,
-         | sum(CASE WHEN doc_id * $PassagePack + pos = first_pack
-         |   THEN 1 ELSE 0 END) AS n_kept
+         | CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         | CAST(sum(CASE WHEN doc_id * $PassagePack + pos = first_pack
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM pa JOIN f USING (ph) GROUP BY doc_id""".stripMargin,
     // connected components as a transitive-closure recursive CTE: reach =
     // all (node, seed) pairs, cluster = min reachable seed. UNION (not

@@ -43,7 +43,7 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(a.map(r => (r.getAs[Number]("shard").intValue(), r.getAs[Long]("n_docs"))).toSet ==
       b.map(r => (r.getAs[Number]("shard").intValue(), r.getAs[Long]("n_docs"))).toSet)
     // the write really is partitioned by shard (a trainer prunes to its own).
-    val dirs = new java.io.File(System.getProperty("java.io.tmpdir") + "/graft_shards")
+    val dirs = new java.io.File(graft.Scratch.dir(spark, "shards"))
       .listFiles().filter(f => f.isDirectory && f.getName.startsWith("shard="))
     assert(dirs.length == a.length, s"expected ${a.length} shard dirs")
   }
