@@ -34,14 +34,41 @@ object Tables {
   * locations instead of racing on a shared fixed path.
   */
 object Scratch {
+  private val hooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def appTag(spark: SparkSession): String =
     spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
 
-  /** Scratch directory `<tmpdir>/graft_<appId>/<leaf>`. */
-  def dir(spark: SparkSession, leaf: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${appTag(spark)}/$leaf"
+  private def root(spark: SparkSession): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${appTag(spark)}"
+
+  /** Scratch directory `<tmpdir>/graft_<appId>/<leaf>`. The application's
+    * whole scratch tree is deleted when the application ends (first call
+    * per app installs the cleanup listener), so per-app namespacing does
+    * not accumulate orphaned trees across runs.
+    */
+  def dir(spark: SparkSession, leaf: String): String = {
+    installCleanup(spark)
+    s"${root(spark)}/$leaf"
+  }
 
   /** Application-unique catalog table name `<base>_<appId>`. */
   def table(spark: SparkSession, base: String): String =
     s"${base}_${appTag(spark)}"
+
+  private def installCleanup(spark: SparkSession): Unit =
+    if (hooked.add(appTag(spark))) {
+      val target = new java.io.File(root(spark))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            deleteRec(target)
+        })
+    }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(): Unit
+  }
 }

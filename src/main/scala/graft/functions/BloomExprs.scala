@@ -51,10 +51,27 @@ case class BloomMightContain(child: Expression, filter: BloomFilter)
 object BloomFunctions {
 
   private val ids = new AtomicLong(0L)
+  /** Last bloom function name registered per session (weakly keyed by the
+    * session's FunctionRegistry) — dropped when the next one is
+    * registered, so a long-lived session pins at most ONE historical
+    * sketch instead of every sketch it ever built.
+    */
+  private val lastName = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[AnyRef, String]())
 
-  /** `filter.mightContainLong(key)` as a codegen'd Column predicate. */
+  /** `filter.mightContainLong(key)` as a codegen'd Column predicate.
+    *
+    * The registry entry only has to survive until the Column is analyzed
+    * (Dataset construction analyzes eagerly), so each new registration
+    * drops this helper's previous one — build-then-use the Column before
+    * creating the next sketch in the same session.
+    */
   def mightContainLong(spark: SparkSession, filter: BloomFilter, key: Column): Column = {
     val name = s"graft_bloom_might_contain_${ids.incrementAndGet()}"
+    val prev = lastName.put(spark.sessionState.functionRegistry, name)
+    if (prev != null)
+      spark.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(prev))
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,
       (children: Seq[Expression]) => BloomMightContain(children.head, filter),

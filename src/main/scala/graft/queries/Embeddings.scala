@@ -159,8 +159,12 @@ object Embeddings {
       val embj = embDf(s, dir)
         .selectExpr("vec_id", s"slice(v, ${j * ds + 1}, $ds) AS v")
         .localCheckpoint(true) // scanned every round
-      var cent = embj.where(col("vec_id") < KmK)
-        .selectExpr("CAST(vec_id AS INT) AS cid", "v AS cv")
+      // Same Lloyd checkpoint discipline as e_kmeans: each round's KmK-row
+      // codebook is eagerly checkpointed so the next round (and the final
+      // assignment) never re-derives prior rounds' crossJoin+agg lineage.
+      val ckpt = new graft.operators.CkptChain(s.sparkContext)
+      var cent = ckpt(embj.where(col("vec_id") < KmK)
+        .selectExpr("CAST(vec_id AS INT) AS cid", "v AS cv"))
       def assign(c: DataFrame): DataFrame =
         embj.crossJoin(broadcast(c))
           .selectExpr("vec_id", "cid", d2Expr + " AS d2")
@@ -170,12 +174,12 @@ object Embeddings {
       for (_ <- 1 to PqIters) {
         val avgs = (1 to ds)
           .map(i => round(avg(element_at(col("v"), i)), 6).as(s"c$i"))
-        cent = assign(cent)
+        cent = ckpt(assign(cent)
           .withColumnRenamed(s"code$j", "cell")
           .join(embj, Seq("vec_id"))
           .groupBy(col("cell").as("cid"))
           .agg(avgs.head, avgs.tail: _*)
-          .selectExpr("cid", cvArray)
+          .selectExpr("cid", cvArray))
       }
       (assign(cent), cent.selectExpr(s"cid AS cid$j", "cv"))
     }
@@ -369,11 +373,18 @@ object Embeddings {
     // summation-order noise cannot flip a later argmin. Output: the final
     // per-vector cell assignment.
     "e_kmeans" -> ((s, dir) => {
-      val emb = embDf(s, dir)
+      // emb is scanned twice per round (assign + update) and once more by
+      // the final assignment — materialize it once. Each round's k-row
+      // centroid table is eagerly checkpointed through CkptChain so round
+      // N's plan does not nest round N-1's crossJoin+agg lineage (and the
+      // final assign(cent) is a single broadcast join, not a re-derivation
+      // of every round).
+      val emb = embDf(s, dir).localCheckpoint(true)
+      val ckpt = new graft.operators.CkptChain(s.sparkContext)
       val d2Expr = "vec_dot(v, v) - 2 * vec_dot(v, cv) + vec_dot(cv, cv)"
       val cvArray = s"array(${(1 to Dims).map(i => s"c$i").mkString(", ")}) AS cv"
-      var cent = emb.where(col("vec_id") < KmK)
-        .selectExpr("CAST(vec_id AS INT) AS cid", "v AS cv")
+      var cent = ckpt(emb.where(col("vec_id") < KmK)
+        .selectExpr("CAST(vec_id AS INT) AS cid", "v AS cv"))
       def assign(c: DataFrame): DataFrame =
         emb.crossJoin(broadcast(c))
           .selectExpr("vec_id", "cid", d2Expr + " AS d2")
@@ -383,10 +394,10 @@ object Embeddings {
       for (_ <- 1 to KmIters) {
         val avgs = (1 to Dims)
           .map(i => round(avg(element_at(col("v"), i)), 6).as(s"c$i"))
-        cent = assign(cent).join(emb, Seq("vec_id"))
+        cent = ckpt(assign(cent).join(emb, Seq("vec_id"))
           .groupBy(col("cell").as("cid"))
           .agg(avgs.head, avgs.tail: _*)
-          .selectExpr("cid", cvArray)
+          .selectExpr("cid", cvArray))
       }
       assign(cent)
     }),

@@ -158,8 +158,9 @@ object Relational {
     // shuffle of a 100 TB fact table across every downstream join. The
     // `merge` hint pins SMJ (a broadcast would also skip the shuffle here
     // at test scale and hide the demonstration); the only exchange in the
-    // plan is the final small aggregation. Buckets land under
-    // java.io.tmpdir as external tables, overwritten per run.
+    // plan is the final small aggregation. Buckets land in the
+    // application's Scratch namespace (app-unique external tables and
+    // paths, removed when the application ends).
     "q12_bucket_join" -> ((s, dir) => {
       val tmp = Scratch.dir(s, "buckets")
       val liTbl = Scratch.table(s, "graft_li_b")
@@ -251,8 +252,14 @@ object Relational {
         .select(col("o_orderkey"), col("o_custkey"),
           lit("U").as("o_orderstatus"),
           (col("o_totalprice") + 1000.0).as("o_totalprice"))
+      // Insert keys are offset by max(o_orderkey) — strictly above every
+      // real key at ANY scale factor (a fixed offset would silently
+      // collide once the table outgrows it). The 1-row max aggregate is a
+      // broadcast, not a shuffle.
+      val mx = base.agg(max(col("o_orderkey")).as("mx"))
       val inserts = base.where(col("o_orderkey") % 11 === 5)
-        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        .crossJoin(broadcast(mx))
+        .select((col("o_orderkey") + col("mx")).as("o_orderkey"),
           col("o_custkey"), lit("N").as("o_orderstatus"), col("o_totalprice"))
       val delta = updates.union(inserts)
       base.join(delta.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
@@ -362,7 +369,8 @@ object Relational {
         |         o_totalprice + 1000.0 AS o_totalprice
         |  FROM orders WHERE o_orderkey % 7 = 3
         |  UNION ALL
-        |  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice
+        |  SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders),
+        |         o_custkey, 'N', o_totalprice
         |  FROM orders WHERE o_orderkey % 11 = 5)
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)

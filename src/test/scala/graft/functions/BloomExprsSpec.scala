@@ -36,6 +36,25 @@ class BloomExprsSpec extends SparkSpec {
     assert(keys.toSet.subsetOf(kept))
   }
 
+  test("repeated sketch builds don't grow the FunctionRegistry") {
+    import spark.implicits._
+    val bf = Seq(1L, 2L).toDF("k").stat.bloomFilter("k", 100L, 0.01)
+    def bloomEntries: Int = spark.sessionState.functionRegistry
+      .listFunction().count(_.funcName.startsWith("graft_bloom_might_contain"))
+    // build-then-use, as every production call site does
+    def run(): Unit = {
+      val n = Seq(1L, 2L, 3L).toDF("k")
+        .where(BloomFunctions.mightContainLong(spark, bf, col("k")))
+        .count()
+      assert(n >= 2)
+    }
+    run()
+    val after1 = bloomEntries
+    (1 to 5).foreach(_ => run())
+    assert(bloomEntries == after1 && after1 <= 1,
+      s"registry grew: $after1 -> $bloomEntries bloom entries pinned")
+  }
+
   test("null keys propagate as filtered rows, no NPE") {
     import spark.implicits._
     val bf = Seq(1L, 2L).toDF("k").stat.bloomFilter("k", 100L, 0.01)
