@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Long-running suites (full GOT parameter grid) are tagged graft.SlowTest
+// and excluded from the default `sbt test`; run them with
+//   GRAFT_SLOW=1 sbt "testOnly graft.harness.FullGridSpec"
+Test / testOptions ++= {
+  if (sys.env.contains("GRAFT_SLOW")) Seq.empty
+  else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.SlowTest"))
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -71,4 +71,57 @@ object Scratch {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
     f.delete(): Unit
   }
+
+  private[graft] def deleteRecursively(f: java.io.File): Unit = deleteRec(f)
+}
+
+/** Materialized verification artifacts for the seeded stochastic rows
+  * (`g_mc_ppr`, `g_fora_ppr`, `g_fora_topk`): the query materializes its
+  * kernel's walk/push internals as parquet, and the matching `oracleSql`
+  * replays the ENTIRE deterministic reduce over those tables in DuckDB
+  * (SURVEY A2: the stop-count aggregation is exact given the seeded walk
+  * table; walk GENERATION stays spec-territory — ForaSpec/MonteCarloSpec).
+  *
+  * Paths are application-scoped like [[Scratch]] (concurrent runs write
+  * disjoint trees) but deliberately OUTSIDE it: the driver's DuckDB
+  * compare reads these parquet dirs AFTER `spark.stop()`, so they must
+  * survive application end. Instead, stale sibling trees (> 1 day old) are
+  * swept on first use.
+  *
+  * The path/value registry bridges query → oracle: `oracleSql` is dumped
+  * by Verify AFTER the queries run, so the SQL embeds the run's actual
+  * artifact paths and derived constants (e.g. ω).
+  */
+object VerifyArtifacts {
+  private val vals = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val swept = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val MaxAgeMs = 24L * 3600 * 1000
+
+  /** Artifact directory `<tmpdir>/graft_verify_<appId>/<leaf>`, recorded
+    * under `dir:<leaf>` for the oracle renderer.
+    */
+  def dir(spark: SparkSession, leaf: String): String = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    if (swept.compareAndSet(false, true)) sweepStale(tmp)
+    val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val d = s"$tmp/graft_verify_$tag/$leaf"
+    vals.put(s"dir:$leaf", d)
+    d
+  }
+
+  /** Record a derived constant (e.g. ω) for the oracle renderer. */
+  def record(key: String, value: String): Unit = { vals.put(key, value): Unit }
+
+  /** Recorded value, or `default` when the query hasn't run in this JVM
+    * (static lint specs reading oracle text before any query runs).
+    */
+  def get(key: String, default: String): String = vals.getOrDefault(key, default)
+
+  private def sweepStale(tmp: String): Unit = {
+    val cutoff = System.currentTimeMillis() - MaxAgeMs
+    Option(new java.io.File(tmp).listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith("graft_verify_") && f.lastModified() < cutoff)
+        Scratch.deleteRecursively(f)
+    })
+  }
 }

@@ -42,7 +42,7 @@ object Main {
       | -label <arg>   The nodes' label type in the input database (Default: "Person"; no-op for the CSV loader)
       | -rel <arg>     The relationships' type in the input database (Default: "Relation"; no-op for the CSV loader)
       | -db <arg>      The directory of the input dataset (Default: the GOT CSV fixture)
-      | -grid <arg>    Parameter grid: got | smoke (Default: got)
+      | -grid <arg>    Parameter grid: got | smoke | blogcatalog | flickr | grqc | amazon (Default: got)
       | -log <arg>     Result file path (Default: <dbName>_AlgoPerfResults.txt)
       | -seed <arg>    RNG seed for query sampling and walks (Default: 42)
       | -help          Print information about command line inputs.""".stripMargin

@@ -71,10 +71,10 @@ final class PerfRunner(
       Fora.topkBatch(spark, csr, sources, k,
         Fora.Conf(alpha = alpha, epsilon = param, seed = seed))
     case "LIBRARY" =>
-      sources.map { s =>
-        GraphXPpr.run(spark, edges, s, alpha, param.toInt)
-          .select(lit(s).as("src"), col("node_id"), col("score"))
-      }.reduce(_.unionAll(_))
+      // one parallel GraphX run for the whole batch — a per-source driver
+      // loop here costs |sources| full runs per grid point (fatal for the
+      // 107-source preprocessing suite).
+      GraphXPpr.runBatch(spark, edges, sources, alpha, param.toInt)
     case other =>
       throw new IllegalArgumentException(s"no batch runner for '$other'")
   }

@@ -160,6 +160,140 @@ object Fora {
     }
   }
 
+  /** Verification-mode trace of one [[wholeGraphLocal]] run: the post-push
+    * state, the walk-bookkeeping scalars, and every residual walk's
+    * endpoint, as DATA — the `g_fora_ppr` driver row materializes these as
+    * parquet so the DuckDB oracle can replay the entire deterministic
+    * reduce (ω_v = ⌈r_c/rsum·ω⌉, a_v, per-walk credit, final scores) and
+    * hash-match it; walk GENERATION stays seeded-kernel territory (SURVEY
+    * §5.2). ForaSpec pins the trace's recomposed scores to
+    * [[wholeGraphLocal]]'s. Dense ids are resolved to original ids here.
+    */
+  final case class WholeTrace(
+      reserve: Array[Double],
+      residue: Array[Double],
+      rsum: Double,
+      numWalks: Long,
+      walks: Array[(Long, Long)]) // (walk start, endpoint) original ids
+
+  def wholeGraphTrace(csr: Csr, srcDense: Int, conf: Conf): WholeTrace = {
+    val n = csr.numNodes.toDouble
+    val m = csr.numEdges.toDouble
+    val alpha = conf.alpha
+    val eps = conf.epsilon
+    val pf = if (conf.pfail > 0) conf.pfail else 1.0 / n
+    val dl = if (conf.delta > 0) conf.delta else 1.0 / n
+    val rmax = eps * math.sqrt(dl / 3.0 / m / math.log(2.0 / pf)) / (1.0 - alpha)
+    val omega = (eps + 2.0) * math.log(2.0 / pf) / eps / eps / dl
+
+    val st = ForwardPush.runLocal(csr, srcDense, alpha, rmax)
+    val rsumLocal = st.residue.sum * (1.0 - alpha)
+    val numWalks = (omega * rsumLocal).toLong
+    val walks = Array.newBuilder[(Long, Long)]
+    if (numWalks > 0L) {
+      val srcKey = Rng.mix(conf.seed ^ (srcDense * 0x9E3779B97F4A7C15L))
+      var v = 0
+      while (v < csr.numNodes) {
+        val r = st.residue(v)
+        if (r != 0.0) {
+          val rc = (1.0 - alpha) * r
+          val omegaI = math.ceil(rc / rsumLocal * numWalks).toLong
+          var j = 0L
+          while (j < omegaI) {
+            val rng = new Rng.SplitMix(Rng.streamSeed(srcKey, v, j))
+            val dest = MonteCarlo.walkEndpoint(csr, v, alpha, rng, noZeroHop = true)
+            walks += ((csr.originalOf(v), csr.originalOf(dest)))
+            j += 1
+          }
+        }
+        v += 1
+      }
+    }
+    WholeTrace(st.reserve, st.residue, rsumLocal, numWalks, walks.result())
+  }
+
+  /** Verification-mode trace of [[topkLocal]]'s TERMINATING round: the
+    * carried post-push state, the round's walk count, and every walk's
+    * endpoint (original ids). The round-advance decision (kth score vs
+    * (1+ε′)·δ) is made by the kernel exactly as in [[topkLocal]]; the
+    * oracle replays only the terminating round's reduce and tie-inclusive
+    * cut. ForaSpec pins the recomposed cut to [[topkLocal]]'s.
+    */
+  final case class TopkTrace(
+      reserve: Array[Double],
+      residue: Array[Double],
+      numWalks: Long,
+      walks: Array[(Long, Long)])
+
+  def topkTrace(csr: Csr, srcDense: Int, k: Int, conf: Conf): TopkTrace = {
+    val n = csr.numNodes.toDouble
+    val m = csr.numEdges.toDouble
+    val alpha = conf.alpha
+    val eps = conf.epsilon * 0.5
+    val pf0 = if (conf.pfail > 0) conf.pfail else 1.0 / n
+    val pf = pf0 / n / n / math.log(n / k.toDouble)
+    val minDelta = 1.0 / n
+    var deltaLocal = 1.0 / k.toDouble
+
+    if (csr.outDegree(srcDense) == 0) {
+      val res = new Array[Double](csr.numNodes)
+      res(srcDense) = 1.0
+      return TopkTrace(res, new Array[Double](csr.numNodes), 0L,
+        Array.empty)
+    }
+
+    val srcKey = Rng.mix(conf.seed ^ (srcDense * 0xC2B2AE3D27D4EB4FL))
+    var carried = {
+      val init = new Array[Double](csr.numNodes)
+      init(srcDense) = 1.0
+      ForwardPush.PushState(new Array[Double](csr.numNodes), init, 1.0)
+    }
+    var round = 0
+    var result: TopkTrace = null
+    while (result == null) {
+      var rmax = eps * math.sqrt(deltaLocal / 3.0 / m / math.log(2.0 / pf))
+      val omega = (eps + 2.0) * math.log(2.0 / pf) / eps / eps / deltaLocal
+      rmax *= math.sqrt(m * rmax) * 3.0
+
+      carried = ForwardPush.runLocalFrom(csr, carried, srcDense, alpha, rmax)
+      val rsumRw = carried.residue.sum * (1.0 - alpha)
+      val numWalks = (omega * rsumRw).toLong
+
+      val est = carried.reserve.clone()
+      val walks = Array.newBuilder[(Long, Long)]
+      if (numWalks > 0) {
+        var v = 0
+        while (v < csr.numNodes) {
+          val r = carried.residue(v)
+          if (r != 0.0) {
+            val omegaI = math.ceil(r * numWalks).toLong
+            if (omegaI > 0) {
+              val incr = r / omegaI
+              var j = 0L
+              while (j < omegaI) {
+                val rng = new Rng.SplitMix(Rng.streamSeed(srcKey + round, v, j))
+                val dest = MonteCarlo.walkEndpoint(csr, v, alpha, rng, noZeroHop = false)
+                est(dest) += incr
+                walks += ((csr.originalOf(v), csr.originalOf(dest)))
+                j += 1
+              }
+            }
+          }
+          v += 1
+        }
+      }
+
+      val kth = kthLargest(est, k)
+      if (kth >= (1.0 + eps) * deltaLocal || deltaLocal <= minDelta)
+        result = TopkTrace(carried.reserve.clone(), carried.residue.clone(),
+          numWalks, walks.result())
+      else
+        deltaLocal = math.max(minDelta, deltaLocal / 4.0)
+      round += 1
+    }
+    result
+  }
+
   /** Batched whole-graph FORA. Returns (src, node_id, score). */
   def batch(
       spark: SparkSession,

@@ -49,4 +49,44 @@ object GraphXPpr {
         .localCheckpoint(true)
     } finally df.unpersist()
   }
+
+  /** Batched personalized PageRank: ONE GraphX run for the whole source
+    * batch (`PageRank.runParallelPersonalizedPageRank` — each vertex
+    * carries a score vector indexed by source position), returning
+    * `(src, node_id, score)` normalized to Σ=1 per source, zero rows
+    * omitted.
+    *
+    * This is the LIBRARY analogue of the other kernels' `batch` paths: the
+    * reference loops Neo4j's PageRank once per query node
+    * (`Neo4j_Method.java:67-99` driver loop), which at grid scale means
+    * |sources| full graph traversals per grid point; here the vector
+    * carrier makes it one.
+    */
+  def runBatch(
+      spark: SparkSession,
+      edges: DataFrame,
+      sources: Seq[Long],
+      alpha: Double = 0.15,
+      iterations: Int = 25): DataFrame = {
+    import spark.implicits._
+    val edgeRdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
+    val g = XGraph.fromEdges(edgeRdd, ())
+    val srcArr = sources.toArray
+    val ranks = org.apache.spark.graphx.lib.PageRank
+      .runParallelPersonalizedPageRank(g, iterations, alpha, srcArr)
+      .vertices
+    val df = ranks.flatMap { case (vid, vec) =>
+      srcArr.indices.iterator
+        .filter(i => vec(i) > 0.0)
+        .map(i => (srcArr(i), vid, vec(i)))
+    }.toDF("src", "node_id", "score").cache()
+    try {
+      val tot = df.groupBy("src").agg(sum("score").as("tot"))
+      df.join(broadcast(tot), Seq("src"))
+        .select(col("src"), col("node_id"),
+          (col("score") / col("tot")).as("score"))
+        .localCheckpoint(true)
+    } finally df.unpersist()
+  }
 }

@@ -175,4 +175,52 @@ object MonteCarlo {
       .groupBy("src", "node_id")
       .agg((sum("cnt") / lit(omega.toDouble)).as("score"))
   }
+
+  /** Verification-mode walk table: the SAME walks as [[sspprBatch]] (RNG
+    * streams keyed (seed, src, walkIdx) — identical for any slicing), but
+    * each walk's stop node is EMITTED as a row `(src, w, node_id)` instead
+    * of being counted in-task. O(ω) output by construction, so this is the
+    * oracle-replay surface the `g_mc_ppr` driver row materializes — NOT
+    * the production aggregation path (that stays [[sspprBatch]], whose
+    * shuffle volume is O(distinct stops × slices)); MonteCarloSpec pins
+    * the two paths to identical scores.
+    */
+  def sspprEndpoints(
+      spark: SparkSession,
+      csr: Csr,
+      sources: Seq[Long],
+      alpha: Double = 0.15,
+      epsilon: Double = 0.5,
+      pfail: Double = 0.0,
+      delta: Double = 0.0,
+      seed: Long = 42L,
+      slicesPerSource: Int = 0): DataFrame = {
+    import spark.implicits._
+    val n = csr.numNodes.toDouble
+    val pf = if (pfail > 0) pfail else 1.0 / n
+    val dl = if (delta > 0) delta else 1.0 / n
+    val omega = omegaFor(epsilon, pf, dl)
+    val bc = spark.sparkContext.broadcast(csr)
+    val perSource = if (slicesPerSource > 0) slicesPerSource
+      else math.max(1, spark.sparkContext.defaultParallelism /
+        math.max(1, sources.length) * 2)
+    val per = (omega + perSource - 1) / perSource
+    val tasks = for (s <- sources; k <- 0 until perSource) yield (s, k * per)
+    spark.sparkContext
+      .parallelize(tasks, tasks.length)
+      .flatMap { case (s, lo) =>
+        val g = bc.value
+        val sd = g.denseOf(s)
+        if (sd < 0) Iterator.empty
+        else {
+          val hi = math.min(omega, lo + per)
+          (lo until hi).iterator.map { w =>
+            val rng = new Rng.SplitMix(Rng.streamSeed(seed, s, w))
+            (s, w, g.originalOf(
+              walkEndpoint(g, sd, alpha, rng, noZeroHop = false)))
+          }
+        }
+      }
+      .toDF("src", "w", "node_id")
+  }
 }

@@ -3,9 +3,10 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.Scratch
 import graft.graph.Got
 import graft.harness.QuerySampler
-import graft.ppr.{ForwardPush, Metrics, PowerIteration}
+import graft.ppr.{Base, ForwardPush, Metrics, PowerIteration}
 
 /** The reference's own fixture, end to end: GOT CSV import (S1/S2),
   * name↔id resolution (P5/J5), symmetrize, PPR, top-k with names — the
@@ -32,6 +33,14 @@ object GotQueries {
   val GridSources: Seq[Long] =
     QuerySampler.denseIndices(107, GridQueries, GridSeed)
       .map(i => (i + 1).toLong).distinct
+
+  /** BASE threshold sweep (`got_grid_base`): the harness's backward-search
+    * residue bound (`PerfRunner.prepAndRead` rmax, reference
+    * `Base_Whole_Graph.java` prep) and a 2-point slice of the GOT BASE
+    * threshold grid (`Gen_Util.java:602-645`).
+    */
+  val GridBaseRmax = 1e-4
+  val GridBaseThresholds: Seq[Double] = Seq(5.0e-5, 5.0e-7)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1+S2+J5: load, resolve names→ids, symmetrize.
@@ -81,6 +90,44 @@ object GotQueries {
             round(col("avg_ndcg"), 9).as("avg_ndcg"),
             round(col("avg_max_err"), 9).as("avg_max_err"))
       }.reduce(_.unionAll(_))
+    }),
+
+    // H5 BASE branch of the grid (reference preprocessing sweep,
+    // `Gen_Util.java:602-645`): per threshold, BASE all-pair prep (K9,
+    // threshold on the rounded score), S7 source-major store write, S8
+    // partition-pruned read of the sampled sources, quality metrics vs the
+    // same power-method ground truth — one row per threshold with the
+    // store's row count (the DuckDB-checkable stand-in for the logged
+    // store bytes).
+    "got_grid_base" -> ((s, _) => {
+      val edges = Got.edges(s)
+      val csr = Got.cachedCsr(s)
+      val gnd = PowerIteration.batch(s, csr, GridSources, Got.Alpha, GridPmIters)
+        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
+        .localCheckpoint(true)
+      GridBaseThresholds.zipWithIndex.map { case (thres, i) =>
+        val ap = Base.allPairs(s, edges, Got.Alpha, GridBaseRmax,
+            GridSupersteps)
+          .select(col("src"), col("dst"), round(col("score"), 9).as("score"))
+          .where(col("score") >= thres)
+        val dir = Scratch.dir(s, s"got_base_grid/t$i")
+        Base.writeStore(ap, dir)
+        val store = s.read.parquet(dir)
+        // partition column comes back as INT — restore the id type before
+        // joining the ground truth.
+        val est = store
+          .where(col("src").isin(GridSources: _*))
+          .select(col("src").cast("long").as("src"), col("node_id"),
+            col("score"))
+          .localCheckpoint(true) // read once, referenced by 3 metrics
+        val cnt = store.agg(count(lit(1)).as("stored_rows"))
+        Metrics.summary(gnd, est, GridK)
+          .crossJoin(broadcast(cnt))
+          .select(lit(thres).as("thres"), col("stored_rows"),
+            round(col("avg_precision"), 9).as("avg_precision"),
+            round(col("avg_ndcg"), 9).as("avg_ndcg"),
+            round(col("avg_max_err"), 9).as("avg_max_err"))
+      }.reduce(_.unionAll(_))
     })
   )
 
@@ -106,7 +153,18 @@ object GotQueries {
            |   FROM ppr) p
            |JOIN got_nodes n ON n.id = p.node_id
            |WHERE p.rk <= ${Got.TopK}""".stripMargin,
-      "got_grid_fwdpush" -> gridSql
+      "got_grid_fwdpush" -> gridSql,
+      "got_grid_base" -> GridBaseThresholds.map { thres =>
+        val base = Base.oracleSql(Got.edgesSql(), Got.Alpha, GridBaseRmax,
+          GridSupersteps, thres)
+        val est = "SELECT src, dst AS node_id, score FROM base_t " +
+          s"WHERE src IN (${GridSources.mkString(", ")})"
+        val point = Metrics.sql.summarySql(gridGnd, est, GridK,
+          leadCols = s"CAST($thres AS DOUBLE) AS thres, " +
+            "(SELECT count(*) FROM base_t) AS stored_rows")
+        s"SELECT * FROM (WITH base_t AS MATERIALIZED ($base) " +
+          s"SELECT * FROM ($point))"
+      }.mkString("\nUNION ALL\n")
     )
   }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.Scratch
+import graft.{Scratch, VerifyArtifacts}
 import graft.graph.{Bfs, ConnectedComponents, GraphOps, Sssp}
 import graft.ppr.{Base, BackwardSearch, ForwardPush, Fora, Metrics, MonteCarlo, PageRank, PowerIteration, PprStore}
 
@@ -70,6 +70,103 @@ object Graph {
   val SsspHops = 6
 
   private def graphSql: String = GraphOps.lineitemGraphSql(Mod)
+
+  /** Materialize one FORA trace per source as the three artifact tables
+    * the replay SQL reads: `st(src, node_id, reserve, residue)` (nonzero
+    * rows only), `sc(src, rsum, num_walks)`, `wk(src, v, dest)`. One
+    * distributed pass per table — the trace is deterministic, so
+    * re-running it per table is exact; sources fan out one task each (the
+    * dense per-source kernel, same shape as [[Fora.batch]]).
+    */
+  private def foraArtifacts(
+      s: SparkSession,
+      csr: graft.graph.Csr,
+      root: String,
+      trace: Long => (Array[Double], Array[Double], Double, Long, Array[(Long, Long)])): Unit = {
+    import s.implicits._
+    val srcs = BatchSources.filter(csr.denseOf(_) >= 0)
+    s.sparkContext.parallelize(srcs, srcs.length).flatMap { src =>
+      val (rsv, rsd, _, _, _) = trace(src)
+      rsv.indices.iterator.collect {
+        case v if rsv(v) != 0.0 || rsd(v) != 0.0 =>
+          (src, csr.originalOf(v), rsv(v), rsd(v))
+      }
+    }.toDF("src", "node_id", "reserve", "residue")
+      .write.mode("overwrite").parquet(s"$root/st")
+    s.sparkContext.parallelize(srcs, srcs.length).map { src =>
+      val (_, _, rsum, nw, _) = trace(src)
+      (src, rsum, nw)
+    }.toDF("src", "rsum", "num_walks")
+      .write.mode("overwrite").parquet(s"$root/sc")
+    s.sparkContext.parallelize(srcs, srcs.length).flatMap { src =>
+      val (_, _, _, _, walks) = trace(src)
+      walks.iterator.map { case (v, d) => (src, v, d) }
+    }.toDF("src", "v", "dest")
+      .write.mode("overwrite").parquet(s"$root/wk")
+  }
+
+  /** Replay SQL for `g_fora_ppr` — the SAME text runs in Spark (over temp
+    * views of the read-back artifacts) and in DuckDB (over read_parquet
+    * CTEs passed as `st`/`sc`/`wk`), so both engines evaluate the
+    * identical IEEE expression chain. The per-node credit mirrors
+    * [[Fora.wholeGraphLocal]] token for token: ω_v = ⌈((1-α)·r/rsum)·ω⌉,
+    * a_v = ((1-α)·r/rsum·ω)/ω_v, credit = a_v/ω·rsum — all
+    * left-associative exactly as in the Scala source; the α-fold applies
+    * only when walks ran (ω > 0). Final scores rounded to 9 dp (the
+    * engine-order-noise discipline of every summed-double row).
+    */
+  private[queries] def foraWholeBody(st: String, sc: String, wk: String): String =
+    s"""WITH iv AS (
+       | SELECT st.src, st.node_id AS v,
+       |  (1.0 - $Alpha) * st.residue / sc.rsum * sc.num_walks
+       |    / CEIL((1.0 - $Alpha) * st.residue / sc.rsum * sc.num_walks)
+       |    / sc.num_walks * sc.rsum AS incr
+       | FROM $st st JOIN $sc sc ON sc.src = st.src
+       | WHERE st.residue <> 0.0 AND sc.num_walks > 0),
+       |wp AS (
+       | SELECT wk.src, wk.dest AS node_id, sum(iv.incr) AS part
+       | FROM $wk wk JOIN iv ON iv.src = wk.src AND iv.v = wk.v
+       | GROUP BY wk.src, wk.dest),
+       |rsv AS (
+       | SELECT st.src, st.node_id,
+       |  st.reserve + CASE WHEN sc.num_walks > 0 AND st.residue <> 0.0
+       |    THEN $Alpha * st.residue ELSE 0.0 END AS part
+       | FROM $st st JOIN $sc sc ON sc.src = st.src)
+       |SELECT coalesce(r.src, w.src) AS src,
+       |  coalesce(r.node_id, w.node_id) AS node_id,
+       |  round(coalesce(r.part, 0.0) + coalesce(w.part, 0.0), 9) AS score
+       |FROM rsv r FULL JOIN wp w ON w.src = r.src AND w.node_id = r.node_id
+       |WHERE coalesce(r.part, 0.0) + coalesce(w.part, 0.0) <> 0.0""".stripMargin
+
+  /** Replay SQL for `g_fora_topk`'s terminating round: est = carried
+    * reserve + per-walk credit r_v/⌈r_v·ω⌉ ([[Fora.topkLocal]] token for
+    * token — no rsum division and no α-fold in the top-k rounds), then the
+    * tie-inclusive RANK cut over the 9-dp-rounded estimate (rounding
+    * BEFORE ranking so cross-engine ulps cannot flip the cut — the
+    * `g_ppr_topk`/`g_base_topk` discipline).
+    */
+  private[queries] def foraTopkBody(st: String, sc: String, wk: String): String =
+    s"""WITH iv AS (
+       | SELECT st.src, st.node_id AS v,
+       |  st.residue / CEIL(st.residue * sc.num_walks) AS incr
+       | FROM $st st JOIN $sc sc ON sc.src = st.src
+       | WHERE st.residue <> 0.0 AND sc.num_walks > 0),
+       |wp AS (
+       | SELECT wk.src, wk.dest AS node_id, sum(iv.incr) AS part
+       | FROM $wk wk JOIN iv ON iv.src = wk.src AND iv.v = wk.v
+       | GROUP BY wk.src, wk.dest),
+       |rsv AS (
+       | SELECT src, node_id, reserve AS part FROM $st WHERE reserve <> 0.0),
+       |est AS (
+       | SELECT coalesce(r.src, w.src) AS src,
+       |  coalesce(r.node_id, w.node_id) AS node_id,
+       |  coalesce(r.part, 0.0) + coalesce(w.part, 0.0) AS est
+       | FROM rsv r FULL JOIN wp w ON w.src = r.src AND w.node_id = r.node_id),
+       |rnk AS (
+       | SELECT src, node_id, round(est, 9) AS score,
+       |  rank() OVER (PARTITION BY src ORDER BY round(est, 9) DESC) AS rk
+       | FROM est WHERE est > 0.0)
+       |SELECT src, node_id, score FROM rnk WHERE rk <= $TopK""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S4: graph load/derivation itself.
@@ -238,25 +335,66 @@ object Graph {
       Base.topkTable(ap, TopK)
     }),
 
-    // K5: seeded Monte-Carlo SSPPR — deterministic given the seed but not
-    // SQL-expressible; driver records a rows-only check, the statistical
-    // bound vs power iteration is asserted in MonteCarloSpec.
+    // K5: seeded Monte-Carlo SSPPR, oracle-checked via the materialized
+    // walk table (SURVEY A2): the seeded walk endpoints are dumped as
+    // parquet and BOTH engines aggregate stops(v)/ω over it — the
+    // stop-count aggregate is exact given the walk table; walk GENERATION
+    // stays spec-territory (MonteCarloSpec: determinism + Chernoff bound
+    // vs power iteration, and endpoints ≡ the production counting path).
+    // The production kernel remains [[MonteCarlo.sspprBatch]] (in-task
+    // counting, shuffle O(distinct stops), never O(ω)).
     "g_mc_ppr" -> ((s, dir) => {
       val csr = GraphOps.lineitemCsr(s, dir, Mod)
-      MonteCarlo.sspprBatch(s, csr, BatchSources, Alpha, epsilon = 0.5)
+      val n = csr.numNodes.toDouble
+      val omega = MonteCarlo.omegaFor(0.5, 1.0 / n, 1.0 / n)
+      val wdir = VerifyArtifacts.dir(s, "mc_walks")
+      MonteCarlo.sspprEndpoints(s, csr, BatchSources, Alpha, epsilon = 0.5)
+        .write.mode("overwrite").parquet(wdir)
+      VerifyArtifacts.record("mc_omega", omega.toString)
+      s.read.parquet(wdir)
+        .groupBy("src", "node_id")
+        .agg((count(lit(1)) / lit(omega.toDouble)).as("score"))
     }),
 
-    // K6: FORA whole-graph (push + residual walks), seeded; rows-only.
+    // K6: FORA whole-graph (push + residual walks), seeded. The kernel's
+    // internals — post-push (reserve, residue), the (rsum, ω) bookkeeping
+    // scalars, and every residual walk's endpoint — are materialized as
+    // parquet, and both engines replay the ENTIRE deterministic reduce
+    // (ω_v = ⌈r_c/rsum·ω⌉, a_v, per-walk credit, α-fold, final score) from
+    // that data through the SAME SQL text ([[foraWholeBody]]). ForaSpec
+    // pins the recomposed scores to [[Fora.wholeGraphLocal]]'s.
     "g_fora_ppr" -> ((s, dir) => {
       val csr = GraphOps.lineitemCsr(s, dir, Mod)
-      Fora.batch(s, csr, BatchSources, Fora.Conf(alpha = Alpha, epsilon = 0.5))
+      val conf = Fora.Conf(alpha = Alpha, epsilon = 0.5)
+      val root = VerifyArtifacts.dir(s, "fora_whole")
+      foraArtifacts(s, csr, root, { src =>
+        val t = Fora.wholeGraphTrace(csr, csr.denseOf(src), conf)
+        (t.reserve, t.residue, t.rsum, t.numWalks, t.walks)
+      })
+      s.read.parquet(s"$root/st").createOrReplaceTempView("g_fora_st")
+      s.read.parquet(s"$root/sc").createOrReplaceTempView("g_fora_sc")
+      s.read.parquet(s"$root/wk").createOrReplaceTempView("g_fora_wk")
+      s.sql(foraWholeBody("g_fora_st", "g_fora_sc", "g_fora_wk"))
     }),
 
-    // K7: FORA top-k (tie-inclusive), seeded; rows-only.
+    // K7: FORA top-k, seeded. Same materialized-trace scheme as
+    // `g_fora_ppr`, for the TERMINATING round of the δ-halving loop (the
+    // round-advance decision is the kernel's, exactly as in
+    // [[Fora.topkLocal]]); both engines replay the round's reduce and the
+    // tie-inclusive rank cut over the 9-dp-rounded estimate from the same
+    // SQL text ([[foraTopkBody]]).
     "g_fora_topk" -> ((s, dir) => {
       val csr = GraphOps.lineitemCsr(s, dir, Mod)
-      Fora.topkBatch(s, csr, BatchSources, TopK,
-        Fora.Conf(alpha = Alpha, epsilon = 0.5))
+      val conf = Fora.Conf(alpha = Alpha, epsilon = 0.5)
+      val root = VerifyArtifacts.dir(s, "fora_topk")
+      foraArtifacts(s, csr, root, { src =>
+        val t = Fora.topkTrace(csr, csr.denseOf(src), TopK, conf)
+        (t.reserve, t.residue, 0.0, t.numWalks, t.walks)
+      })
+      s.read.parquet(s"$root/st").createOrReplaceTempView("g_ftk_st")
+      s.read.parquet(s"$root/sc").createOrReplaceTempView("g_ftk_sc")
+      s.read.parquet(s"$root/wk").createOrReplaceTempView("g_ftk_wk")
+      s.sql(foraTopkBody("g_ftk_st", "g_ftk_sc", "g_ftk_wk"))
     }),
 
     // S7/S8 beyond BASE: the forward-push preprocessing store — batch
@@ -362,6 +500,33 @@ object Graph {
               graphSql, Seq(SingleSource), Alpha, PushRmax, PushSupersteps)})""",
       "g_bwdsearch" -> BackwardSearch.oracleSqlMulti(
         graphSql, targetsValues, Alpha, PushRmax, PushSupersteps),
+      // Stochastic rows: the oracle replays the deterministic reduce over
+      // the run's materialized walk/push artifacts (paths and ω recorded
+      // by the query via VerifyArtifacts when it ran — Verify dumps
+      // oracleSql AFTER running the queries, so the SQL embeds this run's
+      // actual paths).
+      "g_mc_ppr" -> {
+        val wdir = VerifyArtifacts.get("dir:mc_walks",
+          "/tmp/graft_verify_unset/mc_walks")
+        s"SELECT src, node_id, count(*) / ${VerifyArtifacts.get("mc_omega", "1")}.0 AS score\n" +
+          s"FROM read_parquet('$wdir/*.parquet') GROUP BY src, node_id"
+      },
+      "g_fora_ppr" -> {
+        val root = VerifyArtifacts.get("dir:fora_whole",
+          "/tmp/graft_verify_unset/fora_whole")
+        s"""WITH fst AS (SELECT * FROM read_parquet('$root/st/*.parquet')),
+           |fsc AS (SELECT * FROM read_parquet('$root/sc/*.parquet')),
+           |fwk AS (SELECT * FROM read_parquet('$root/wk/*.parquet'))
+           |SELECT * FROM (${foraWholeBody("fst", "fsc", "fwk")})""".stripMargin
+      },
+      "g_fora_topk" -> {
+        val root = VerifyArtifacts.get("dir:fora_topk",
+          "/tmp/graft_verify_unset/fora_topk")
+        s"""WITH tst AS (SELECT * FROM read_parquet('$root/st/*.parquet')),
+           |tsc AS (SELECT * FROM read_parquet('$root/sc/*.parquet')),
+           |twk AS (SELECT * FROM read_parquet('$root/wk/*.parquet'))
+           |SELECT * FROM (${foraTopkBody("tst", "tsc", "twk")})""".stripMargin
+      },
       "g_base_allpair" -> Base.oracleSql(
         GraphOps.lineitemGraphSql(BaseMod), Alpha, BaseRmax, BaseSupersteps,
         BaseThreshold),

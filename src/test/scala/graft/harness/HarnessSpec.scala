@@ -40,38 +40,13 @@ class HarnessSpec extends SparkSpec {
     intercept[IllegalArgumentException](Grids.byName("nope"))
   }
 
-  /** Normalize volatile fields: timestamp line → TS; per-shape duration
-    * fields → T and store-size fields → B (shapes documented in PerfLog).
-    */
-  private def normalize(lines: Seq[String]): Seq[String] = {
-    var testNo = 0
-    lines.map { line =>
-      if (line.matches("""\d{4}-\d{2}-\d{2} .*""")) "TS"
-      else if (line.startsWith("Test ")) {
-        testNo = line.stripPrefix("Test ").takeWhile(_.isDigit).toInt
-        line
-      } else if (line.contains(",") && !line.matches("""\d\.\d .*""")) {
-        val f = line.split(",", -1)
-        (testNo, f.length) match {
-          case (1, 3) => f(1) = "T"
-          case (1, 6) => f(2) = "T"; f(3) = "B"; f(4) = "T"
-          case (2, 5) => f(2) = "T"
-          case (2, 7) => f(2) = "T"; f(3) = "B"; f(4) = "T"
-          case (3, 5) => f(2) = "T"; f(3) = "B"
-          case other => fail(s"unexpected row shape $other: $line")
-        }
-        f.mkString(",")
-      } else line
-    }
-  }
-
   test("Main end-to-end: seeded GOT smoke grid matches the golden log " +
       "(H1+H4+H5+S10)") {
     spark // force the shared session so Main reuses it
     val log = Files.createTempDirectory("harness").toString + "/got_perf.txt"
     Main.main(Array("-query", "2", "-k", "5", "-grid", "smoke", "-log", log))
 
-    val produced = normalize(
+    val produced = GoldenLog.normalize(
       Source.fromFile(log).getLines().toSeq.filter(_.nonEmpty))
     val golden = Source.fromInputStream(
         getClass.getResourceAsStream("/got_smoke_golden.txt"))

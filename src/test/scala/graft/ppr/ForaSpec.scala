@@ -49,6 +49,47 @@ class ForaSpec extends SparkSpec {
     assert(scores.sum == 1.0)
   }
 
+  test("wholeGraphTrace recomposes to wholeGraphLocal's scores") {
+    val csr = GraphOps.buildCsr(edgesDf)
+    val conf = Fora.Conf(alpha = 0.15, epsilon = 0.3, seed = 42L)
+    val direct = Fora.wholeGraphLocal(csr, csr.denseOf(1L), conf)
+    val t = Fora.wholeGraphTrace(csr, csr.denseOf(1L), conf)
+    // recompose exactly as the replay SQL does: reserve (+ α-fold when
+    // walks ran) + per-walk credit a_v/ω·rsum, same expression chain.
+    val rec = t.reserve.clone()
+    if (t.numWalks > 0) {
+      for (v <- 0 until csr.numNodes; r = t.residue(v); if r != 0.0)
+        rec(v) += conf.alpha * r
+      for ((vOrig, dOrig) <- t.walks) {
+        val r = t.residue(csr.denseOf(vOrig))
+        val rc = (1.0 - conf.alpha) * r
+        val omegaI = math.ceil(rc / t.rsum * t.numWalks).toLong
+        rec(csr.denseOf(dOrig)) += rc / t.rsum * t.numWalks / omegaI / t.numWalks * t.rsum
+      }
+    }
+    val maxDiff = (0 until csr.numNodes)
+      .map(v => math.abs(rec(v) - direct(v))).max
+    assert(maxDiff < 1e-12, s"trace recomposition drifted: $maxDiff")
+  }
+
+  test("topkTrace recomposes to topkLocal's terminating estimate cut") {
+    val csr = GraphOps.buildCsr(edgesDf)
+    val k = 3
+    val conf = Fora.Conf(alpha = 0.15, epsilon = 0.5, seed = 42L)
+    val direct = Fora.topkLocal(csr, csr.denseOf(1L), k, conf)
+    val t = Fora.topkTrace(csr, csr.denseOf(1L), k, conf)
+    val rec = t.reserve.clone()
+    if (t.numWalks > 0)
+      for ((vOrig, dOrig) <- t.walks) {
+        val r = t.residue(csr.denseOf(vOrig))
+        val omegaI = math.ceil(r * t.numWalks).toLong
+        rec(csr.denseOf(dOrig)) += r / omegaI
+      }
+    val maxDiff = (0 until csr.numNodes)
+      .map(v => math.abs(rec(v) - direct(v))).max
+    assert(maxDiff < 1e-12, s"trace recomposition drifted: $maxDiff")
+  }
+
   test("batch APIs emit one vector per source") {
     val csr = GraphOps.buildCsr(edgesDf)
     val whole = Fora.batch(spark, csr, Seq(1L, 2L), Fora.Conf(epsilon = 0.5))

@@ -36,6 +36,21 @@ class MonteCarloSpec extends SparkSpec {
     assert(math.abs(est.values.sum - 1.0) < 1e-9) // stops are a distribution
   }
 
+  test("emitted endpoints aggregate to exactly the counting path's scores") {
+    import org.apache.spark.sql.functions._
+    val csr = GraphOps.buildCsr(edgesDf)
+    val srcs = Seq(1L, 2L)
+    val n = csr.numNodes.toDouble
+    val omega = MonteCarlo.omegaFor(0.5, 1.0 / n, 1.0 / n)
+    val viaCounts = MonteCarlo.sspprBatch(spark, csr, srcs, 0.15, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val viaRows = MonteCarlo.sspprEndpoints(spark, csr, srcs, 0.15, 0.5)
+      .groupBy("src", "node_id")
+      .agg((count(lit(1)) / lit(omega.toDouble)).as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(viaRows == viaCounts) // identical walks, identical division — exact
+  }
+
   test("out-degree-0 source returns itself; batch matches single") {
     val s = spark
     import s.implicits._

@@ -53,7 +53,10 @@ class MergeDedupSpec extends SparkSpec {
         assert(byKey(k) == ((cust, status, price)), s"untouched row $k")
       }
       if (k % 11 == 5) {
-        assert(byKey(k + 100000000L) == ((cust, "N", price)), s"insert row $k")
+        // insert keys are offset by max(o_orderkey) — above every real key
+        // at any scale factor
+        assert(byKey(k + base.keys.max) == ((cust, "N", price)),
+          s"insert row $k")
       }
     }
     val nInserts = base.keys.count(_ % 11 == 5)
