@@ -105,13 +105,18 @@ object GotQueries {
       val gnd = PowerIteration.batch(s, csr, GridSources, Got.Alpha, GridPmIters)
         .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
         .localCheckpoint(true)
+      // ONE all-pair computation, thresholded per grid point — the
+      // backward-search sweep over all 107 targets dominates this row, and
+      // the reference's per-threshold re-prep re-derives the identical
+      // table (the oracle replays the same filter-on-rounded-score either
+      // way).
+      val ap = Base.allPairs(s, edges, Got.Alpha, GridBaseRmax,
+          GridSupersteps)
+        .select(col("src"), col("dst"), round(col("score"), 9).as("score"))
+        .localCheckpoint(true)
       GridBaseThresholds.zipWithIndex.map { case (thres, i) =>
-        val ap = Base.allPairs(s, edges, Got.Alpha, GridBaseRmax,
-            GridSupersteps)
-          .select(col("src"), col("dst"), round(col("score"), 9).as("score"))
-          .where(col("score") >= thres)
         val dir = Scratch.dir(s, s"got_base_grid/t$i")
-        Base.writeStore(ap, dir)
+        Base.writeStore(ap.where(col("score") >= thres), dir)
         val store = s.read.parquet(dir)
         // partition column comes back as INT — restore the id type before
         // joining the ground truth.

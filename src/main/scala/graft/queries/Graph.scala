@@ -85,24 +85,28 @@ object Graph {
       trace: Long => (Array[Double], Array[Double], Double, Long, Array[(Long, Long)])): Unit = {
     import s.implicits._
     val srcs = BatchSources.filter(csr.denseOf(_) >= 0)
-    s.sparkContext.parallelize(srcs, srcs.length).flatMap { src =>
-      val (rsv, rsd, _, _, _) = trace(src)
-      rsv.indices.iterator.collect {
-        case v if rsv(v) != 0.0 || rsd(v) != 0.0 =>
-          (src, csr.originalOf(v), rsv(v), rsd(v))
-      }
-    }.toDF("src", "node_id", "reserve", "residue")
-      .write.mode("overwrite").parquet(s"$root/st")
-    s.sparkContext.parallelize(srcs, srcs.length).map { src =>
-      val (_, _, rsum, nw, _) = trace(src)
-      (src, rsum, nw)
-    }.toDF("src", "rsum", "num_walks")
-      .write.mode("overwrite").parquet(s"$root/sc")
-    s.sparkContext.parallelize(srcs, srcs.length).flatMap { src =>
-      val (_, _, _, _, walks) = trace(src)
-      walks.iterator.map { case (v, d) => (src, v, d) }
-    }.toDF("src", "v", "dest")
-      .write.mode("overwrite").parquet(s"$root/wk")
+    // ONE kernel execution per source: the traces are cached across the
+    // three table writes (push + walks dominate; re-running them per
+    // table tripled the row's cost).
+    val traces = s.sparkContext.parallelize(srcs, srcs.length)
+      .map(src => (src, trace(src)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      traces.flatMap { case (src, (rsv, rsd, _, _, _)) =>
+        rsv.indices.iterator.collect {
+          case v if rsv(v) != 0.0 || rsd(v) != 0.0 =>
+            (src, csr.originalOf(v), rsv(v), rsd(v))
+        }
+      }.toDF("src", "node_id", "reserve", "residue")
+        .write.mode("overwrite").parquet(s"$root/st")
+      traces.map { case (src, (_, _, rsum, nw, _)) => (src, rsum, nw) }
+        .toDF("src", "rsum", "num_walks")
+        .write.mode("overwrite").parquet(s"$root/sc")
+      traces.flatMap { case (src, (_, _, _, _, walks)) =>
+        walks.iterator.map { case (v, d) => (src, v, d) }
+      }.toDF("src", "v", "dest")
+        .write.mode("overwrite").parquet(s"$root/wk")
+    } finally traces.unpersist(false): Unit
   }
 
   /** Replay SQL for `g_fora_ppr` — the SAME text runs in Spark (over temp
