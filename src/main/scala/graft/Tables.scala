@@ -120,8 +120,17 @@ object VerifyArtifacts {
   private def sweepStale(tmp: String): Unit = {
     val cutoff = System.currentTimeMillis() - MaxAgeMs
     Option(new java.io.File(tmp).listFiles()).foreach(_.foreach { f =>
-      if (f.getName.startsWith("graft_verify_") && f.lastModified() < cutoff)
+      // age by the NEWEST mtime in the tree, not the root dir's — a
+      // still-running (or not-yet-compared) run older than the cutoff
+      // keeps writing leaves, and those leaves keep it alive.
+      if (f.getName.startsWith("graft_verify_") && newestMtime(f) < cutoff)
         Scratch.deleteRecursively(f)
     })
+  }
+
+  private def newestMtime(f: java.io.File): Long = {
+    val own = f.lastModified()
+    val kids = Option(f.listFiles()).getOrElse(Array.empty)
+    kids.foldLeft(own)((m, k) => math.max(m, newestMtime(k)))
   }
 }

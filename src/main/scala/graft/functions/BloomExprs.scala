@@ -51,28 +51,39 @@ case class BloomMightContain(child: Expression, filter: BloomFilter)
 object BloomFunctions {
 
   private val ids = new AtomicLong(0L)
-  /** Last bloom function name registered per session (weakly keyed by the
-    * session's FunctionRegistry) — dropped when the next one is
-    * registered, so a long-lived session pins at most ONE historical
-    * sketch instead of every sketch it ever built.
+  /** How many bloom registrations stay live per session. Registry entries
+    * only need to survive until the Column lands in an analyzed Dataset,
+    * but callers may build several sketch Columns before using the first
+    * (e.g. combining two sketches in one predicate) — so keep a small
+    * window instead of exactly one.
     */
-  private val lastName = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[AnyRef, String]())
+  val LiveWindow = 8
+  /** Recent bloom function names per session (weakly keyed by the
+    * session's FunctionRegistry), oldest dropped beyond [[LiveWindow]] —
+    * a long-lived session pins at most [[LiveWindow]] historical sketches
+    * instead of every sketch it ever built.
+    */
+  private val recent = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[AnyRef, scala.collection.mutable.Queue[String]]())
 
   /** `filter.mightContainLong(key)` as a codegen'd Column predicate.
     *
-    * The registry entry only has to survive until the Column is analyzed
-    * (Dataset construction analyzes eagerly), so each new registration
-    * drops this helper's previous one — build-then-use the Column before
-    * creating the next sketch in the same session.
+    * Registrations older than the last [[LiveWindow]] are dropped — place
+    * a built Column into a Dataset (analysis is eager) within
+    * [[LiveWindow]] subsequent sketch builds on the same session.
     */
   def mightContainLong(spark: SparkSession, filter: BloomFilter, key: Column): Column = {
     val name = s"graft_bloom_might_contain_${ids.incrementAndGet()}"
-    val prev = lastName.put(spark.sessionState.functionRegistry, name)
-    if (prev != null)
-      spark.sessionState.functionRegistry.dropFunction(
-        org.apache.spark.sql.catalyst.FunctionIdentifier(prev))
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    val registry = spark.sessionState.functionRegistry
+    recent.synchronized {
+      val q = recent.computeIfAbsent(registry,
+        _ => scala.collection.mutable.Queue.empty[String])
+      q.enqueue(name)
+      while (q.length > LiveWindow)
+        registry.dropFunction(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(q.dequeue()))
+    }
+    registry.createOrReplaceTempFunction(
       name,
       (children: Seq[Expression]) => BloomMightContain(children.head, filter),
       "scala_udf")

@@ -149,6 +149,9 @@ object Grids {
     prep = SuiteGrid(
       params = Map(
         "FORA_WHOLE_GRAPH" -> Seq(500.0, 200.0, 70.0, 50.0, 30.0),
+        // verbatim from rmax_arr_prep (Gen_Util.java:446) — the reference's
+        // array really is non-monotonic (1e-5, 5e-5, 1e-6, ...); do not
+        // "fix" the order, GridsSpec pins it.
         "FWDPUSH" -> Seq(1.0e-5, 5.0e-5, 1.0e-6, 5.0e-7, 3.0e-7),
         "LIBRARY" -> Seq(1),
         "MC" -> Seq(50.0, 20.0, 10.0, 7.0, 5.0)),

@@ -71,8 +71,11 @@ final class PerfRunner(
       Fora.topkBatch(spark, csr, sources, k,
         Fora.Conf(alpha = alpha, epsilon = param, seed = seed))
     case "LIBRARY" =>
-      // one parallel GraphX run for the whole batch — a per-source driver
-      // loop here costs |sources| full runs per grid point (fatal for the
+      // one GraphX traversal for the whole batch with exact per-source
+      // static semantics (runBatch refuses partial parallel batches —
+      // Spark's runParallelPersonalizedPageRank drops reachable mass on
+      // them; see GraphXPpr.runBatch) — a per-source driver loop here
+      // costs |sources| full runs per grid point (fatal for the
       // 107-source preprocessing suite).
       GraphXPpr.runBatch(spark, edges, sources, alpha, param.toInt)
     case other =>

@@ -50,43 +50,82 @@ object GraphXPpr {
     } finally df.unpersist()
   }
 
-  /** Batched personalized PageRank: ONE GraphX run for the whole source
-    * batch (`PageRank.runParallelPersonalizedPageRank` — each vertex
-    * carries a score vector indexed by source position), returning
+  /** Node-count ceiling for the all-sources parallel path in [[runBatch]]:
+    * that path carries a |V|-wide vector per vertex (O(|V|²) state) and
+    * ships |V|-wide messages per edge, so it is only for fixture-sized
+    * graphs (GOT: 107 nodes). Beyond it runBatch degrades to the
+    * per-source static loop — correct at any scale, one Pregel run per
+    * source (the reference's own Neo4j-loop shape).
+    */
+  val AllSourcesNodeLimit = 512
+
+  /** Batched personalized PageRank with per-source results IDENTICAL to
+    * [[run]]'s `staticPersonalizedPageRank`, returning
     * `(src, node_id, score)` normalized to Σ=1 per source, zero rows
     * omitted.
     *
     * This is the LIBRARY analogue of the other kernels' `batch` paths: the
     * reference loops Neo4j's PageRank once per query node
     * (`Neo4j_Method.java:67-99` driver loop), which at grid scale means
-    * |sources| full graph traversals per grid point; here the vector
-    * carrier makes it one.
+    * |sources| full graph traversals per grid point.
+    *
+    * Why NOT `runParallelPersonalizedPageRank` over just `sources`: Spark
+    * 4.1.2's parallel implementation is wrong for partial source batches —
+    * measured on the GOT fixture, a batch-of-one run from source 3 at 5
+    * iterations drops 8 vertices that BFS places at hop 4 (reachable mass
+    * silently lost in the breeze sparse-vector merge), and a source's
+    * scores change with which other sources are co-batched
+    * (max|Δ| 5.4e-2 between co-member sets {3,17} and {3,99}). The SAME
+    * call with sources = ALL vertices reproduces
+    * `staticPersonalizedPageRank` bit-for-bit, because no vertex starts
+    * from the shared empty sparse vector. So: on graphs up to
+    * [[AllSourcesNodeLimit]] nodes we run the parallel path once with
+    * every vertex as a source and keep the requested columns (one graph
+    * traversal per grid point, exact static semantics); above the limit we
+    * fall back to the per-source static loop rather than ever running a
+    * partial batch.
     */
   def runBatch(
       spark: SparkSession,
       edges: DataFrame,
       sources: Seq[Long],
       alpha: Double = 0.15,
-      iterations: Int = 25): DataFrame = {
+      iterations: Int = 25,
+      allSourcesNodeLimit: Int = AllSourcesNodeLimit): DataFrame = {
     import spark.implicits._
     val edgeRdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
-    val g = XGraph.fromEdges(edgeRdd, ())
-    val srcArr = sources.toArray
-    val ranks = org.apache.spark.graphx.lib.PageRank
-      .runParallelPersonalizedPageRank(g, iterations, alpha, srcArr)
-      .vertices
-    val df = ranks.flatMap { case (vid, vec) =>
-      srcArr.indices.iterator
-        .filter(i => vec(i) > 0.0)
-        .map(i => (srcArr(i), vid, vec(i)))
-    }.toDF("src", "node_id", "score").cache()
+    val g = XGraph.fromEdges(edgeRdd, ()).cache()
     try {
-      val tot = df.groupBy("src").agg(sum("score").as("tot"))
-      df.join(broadcast(tot), Seq("src"))
-        .select(col("src"), col("node_id"),
-          (col("score") / col("tot")).as("score"))
-        .localCheckpoint(true)
-    } finally df.unpersist()
+      val vertexIds = g.vertices.keys.collect().sorted
+      val wanted = sources.toSet
+      val raw =
+        if (vertexIds.length <= allSourcesNodeLimit) {
+          val ranks = org.apache.spark.graphx.lib.PageRank
+            .runParallelPersonalizedPageRank(g, iterations, alpha, vertexIds)
+            .vertices
+          ranks.flatMap { case (vid, vec) =>
+            vertexIds.indices.iterator
+              .filter(i => wanted(vertexIds(i)) && vec(i) > 0.0)
+              .map(i => (vertexIds(i), vid, vec(i)))
+          }.toDF("src", "node_id", "score")
+        } else {
+          sources.distinct.map { src =>
+            g.staticPersonalizedPageRank(src, iterations, alpha)
+              .vertices
+              .filter(_._2 > 0.0)
+              .map { case (vid, score) => (src, vid, score) }
+              .toDF("src", "node_id", "score")
+          }.reduce(_.unionAll(_))
+        }
+      val df = raw.cache()
+      try {
+        val tot = df.groupBy("src").agg(sum("score").as("tot"))
+        df.join(broadcast(tot), Seq("src"))
+          .select(col("src"), col("node_id"),
+            (col("score") / col("tot")).as("score"))
+          .localCheckpoint(true)
+      } finally df.unpersist()
+    } finally g.unpersist()
   }
 }

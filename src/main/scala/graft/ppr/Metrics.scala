@@ -153,5 +153,21 @@ object Metrics {
          |FROM prec_t p JOIN ndcg_t n ON n.src = p.src
          |  JOIN err_t e ON e.src = p.src""".stripMargin
     }
+
+    /** Top-k suite summary: one row `[leadCols,] avg_precision, avg_ndcg`
+      * — the two quality columns the reference's top-k test logs
+      * (`Gen_Util.java:509-563` rows carry precision and NDCG only, no
+      * max-err; [[graft.harness.PerfRunner.avgTopkQuality]] mirrors it).
+      */
+    def topkSummarySql(gndSql: String, estSql: String, k: Int,
+        leadCols: String = ""): String = {
+      val lead = if (leadCols.isEmpty) "" else s"$leadCols, "
+      s"""WITH gnd AS MATERIALIZED ($gndSql), est AS MATERIALIZED ($estSql),
+         |${precCtes(k)},
+         |${ndcgCtes(k)}
+         |SELECT ${lead}round(avg(p.prec), 9) AS avg_precision,
+         |  round(avg(n.ndcg), 9) AS avg_ndcg
+         |FROM prec_t p JOIN ndcg_t n ON n.src = p.src""".stripMargin
+    }
   }
 }

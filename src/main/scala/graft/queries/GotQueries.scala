@@ -92,6 +92,34 @@ object GotQueries {
       }.reduce(_.unionAll(_))
     }),
 
+    // H5 top-k suite branch of the grid (reference top-k test,
+    // `Gen_Util.java:504-563`): FWDPUSH — the suite's deterministic
+    // algorithm — at each grid rmax, scored by the two quality columns the
+    // reference's top-k rows log (precision@k and NDCG@k vs the
+    // power-method ground truth; PerfRunner.avgTopkQuality), one row per
+    // grid point. With this, all THREE reference suites have an
+    // oracle-checked driver row (whole-graph: got_grid_fwdpush,
+    // top-k: here, preprocessing: got_grid_base).
+    "got_grid_topk" -> ((s, _) => {
+      val csr = Got.cachedCsr(s)
+      val gnd = PowerIteration.batch(s, csr, GridSources, Got.Alpha, GridPmIters)
+        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
+        .localCheckpoint(true)
+      GridRmaxes.map { rmax =>
+        val est = ForwardPush.batch(s, csr, GridSources, Got.Alpha, rmax,
+            GridSupersteps)
+          .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
+          .where(col("score") =!= 0.0)
+          .localCheckpoint(true)
+        Metrics.precisionAtK(gnd, est, GridK)
+          .join(Metrics.ndcgAtK(gnd, est, GridK), Seq("src"))
+          .agg(avg("precision").as("p"), avg("ndcg").as("n"))
+          .select(lit(rmax).as("rmax"),
+            round(col("p"), 9).as("avg_precision"),
+            round(col("n"), 9).as("avg_ndcg"))
+      }.reduce(_.unionAll(_))
+    }),
+
     // H5 BASE branch of the grid (reference preprocessing sweep,
     // `Gen_Util.java:602-645`): per threshold, BASE all-pair prep (K9,
     // threshold on the rounded score), S7 source-major store write, S8
@@ -159,6 +187,13 @@ object GotQueries {
            |JOIN got_nodes n ON n.id = p.node_id
            |WHERE p.rk <= ${Got.TopK}""".stripMargin,
       "got_grid_fwdpush" -> gridSql,
+      "got_grid_topk" -> GridRmaxes.map { rmax =>
+        val est = ForwardPush.oracleSqlMulti(
+          Got.edgesSql(), GridSources, Got.Alpha, rmax, GridSupersteps)
+        val point = Metrics.sql.topkSummarySql(gridGnd, est, GridK,
+          leadCols = s"CAST($rmax AS DOUBLE) AS rmax")
+        s"SELECT * FROM ($point)"
+      }.mkString("\nUNION ALL\n"),
       "got_grid_base" -> GridBaseThresholds.map { thres =>
         val base = Base.oracleSql(Got.edgesSql(), Got.Alpha, GridBaseRmax,
           GridSupersteps, thres)

@@ -88,7 +88,7 @@ object Graph {
     // ONE kernel execution per source: the traces are cached across the
     // three table writes (push + walks dominate; re-running them per
     // table tripled the row's cost).
-    val traces = s.sparkContext.parallelize(srcs, srcs.length)
+    val traces = s.sparkContext.parallelize(srcs, math.max(1, srcs.length))
       .map(src => (src, trace(src)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

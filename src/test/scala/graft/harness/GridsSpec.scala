@@ -65,6 +65,11 @@ class GridsSpec extends AnyFunSuite {
     assert(g.wholeGraph.params("FORA_WHOLE_GRAPH") == Seq(50.0, 10.0, 5.0, 3.0, 1.0))
     assert(g.wholeGraph.baseThresholds == Seq(1.0e-4, 5.0e-5, 4.0e-5, 3.0e-5, 2.0e-5))
     assert(g.topk.baseThresholds == Seq(1.0e-3, 5.0e-4, 1.0e-4, 5.0e-5)) // 4 points
+    // NON-monotonic on purpose: the reference's rmax_arr_prep is literally
+    // {1.0E-5, 5.0E-5, 1.0E-6, 5.0E-7, 3.0E-7} (Gen_Util.java:446) — the
+    // only non-descending FWDPUSH array in any testset; pinned verbatim so
+    // a well-meaning "fix" of the ordering fails here.
+    assert(g.prep.params("FWDPUSH") == Seq(1.0e-5, 5.0e-5, 1.0e-6, 5.0e-7, 3.0e-7))
     assert(g.prep.params("LIBRARY") == Seq(1)) // iteration_arr_prep = {1}
     assert(g.prep.baseThresholds.isEmpty) // threshold_arr_base_prep = {}
   }

@@ -40,4 +40,31 @@ class PageRankSpec extends SparkSpec {
     for (v <- 1L to 3L)
       assert(math.abs(got(v) - r(v)) < 1e-12, s"node $v: ${got(v)} vs ${r(v)}")
   }
+
+  test("GraphXPpr.runBatch is per-source identical to the static library " +
+      "path on BOTH dispatch arms (K10 batch soundness)") {
+    // Spark 4.1.2's runParallelPersonalizedPageRank loses reachable mass
+    // on PARTIAL source batches (see GraphXPpr.runBatch scaladoc); this
+    // pins the contract that saves us from it: whatever the arm — the
+    // all-sources parallel run (GOT: 107 <= limit) or the per-source
+    // static loop (forced via allSourcesNodeLimit = 1) — each source's
+    // vector equals a solo staticPersonalizedPageRank run.
+    val edges = graft.graph.Got.edges(spark).localCheckpoint(true)
+    val srcs = Seq(3L, 17L, 99L)
+    val iters = 12
+    def toMap(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val solo = srcs.flatMap { src =>
+      GraphXPpr.run(spark, edges, src, 0.15, iters).collect()
+        .map(r => (src, r.getLong(0)) -> r.getDouble(1))
+    }.toMap
+    for (limit <- Seq(GraphXPpr.AllSourcesNodeLimit, 1)) {
+      val batch = toMap(GraphXPpr.runBatch(spark, edges, srcs, 0.15, iters,
+        allSourcesNodeLimit = limit))
+      assert(batch.keySet == solo.keySet,
+        s"limit=$limit support mismatch: ${(batch.keySet diff solo.keySet).take(5)} / ${(solo.keySet diff batch.keySet).take(5)}")
+      val maxDiff = solo.map { case (k, v) => math.abs(batch(k) - v) }.max
+      assert(maxDiff < 1e-12, s"limit=$limit maxDiff=$maxDiff")
+    }
+  }
 }
