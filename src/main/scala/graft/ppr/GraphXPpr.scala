@@ -97,10 +97,13 @@ object GraphXPpr {
       .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
     val g = XGraph.fromEdges(edgeRdd, ()).cache()
     try {
-      val vertexIds = g.vertices.keys.collect().sorted
+      // dispatch on a distributed COUNT — collecting vertex ids first
+      // would be O(|V|) driver memory on a graph that takes the fallback
+      // arm precisely because it is too big for driver-side state.
       val wanted = sources.toSet
       val raw =
-        if (vertexIds.length <= allSourcesNodeLimit) {
+        if (g.vertices.count() <= allSourcesNodeLimit) {
+          val vertexIds = g.vertices.keys.collect().sorted
           val ranks = org.apache.spark.graphx.lib.PageRank
             .runParallelPersonalizedPageRank(g, iterations, alpha, vertexIds)
             .vertices
