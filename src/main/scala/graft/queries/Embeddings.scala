@@ -62,6 +62,19 @@ object Embeddings {
   val KmIters = 3
   val Dims = 64
 
+  /** Cluster-scoped semantic-dedup cosine threshold for `e_semdedup`
+    * (6-dp-rounded cosine ≥ threshold within a k-means cell = duplicate).
+    */
+  val SemDupThreshold = 0.3
+
+  /** Two-stage truncated-dimension retrieval (`e_prefix_rerank`): the
+    * shortlist pass scores only the first [[PrefixDims]] dims and keeps
+    * [[PrefixShortlist]] candidates per query for the exact full-dim
+    * rerank.
+    */
+  val PrefixDims = 16
+  val PrefixShortlist = 30
+
   /** Product-quantization layout for `e_pq`: [[PqM]] subspaces of
     * `Dims / PqM` dims, [[KmK]] codewords each (codebook = KmK^PqM
     * composite cells from 4×8 centroids), [[PqIters]] Lloyd rounds per
@@ -81,9 +94,12 @@ object Embeddings {
 
   /** DuckDB twin of [[pqModel]] — the codebook/assignment CTE chain,
     * ending in the code table (`search = false`) or the ADC LUT-sum
-    * top-k (`search = true`).
+    * top-k (`search = true`). With `ivf = true` the ADC scan is
+    * restricted to each query's IVF-probed cells (the [[ivfParts]]
+    * structure, replayed as `i*`-prefixed CTEs) — the `e_ivfpq_search`
+    * twin.
     */
-  private def pqOracleSql(search: Boolean): String = {
+  private def pqOracleSql(search: Boolean, ivf: Boolean = false): String = {
     val ds = Dims / PqM
     def fold(body: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
@@ -95,6 +111,30 @@ object Embeddings {
     val sb = new StringBuilder
     sb ++= "WITH embf AS MATERIALIZED (SELECT vec_id, " +
       "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vf FROM embeddings),\n"
+    if (ivf) {
+      // IVF coarse-quantizer twin of ivfParts over the full 64-dim
+      // vectors: same fold order as vec_dot, same (cc DESC, cid ASC)
+      // tie-breaks.
+      val dotEC = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(range(1, 65), i -> e.vf[i] * c.cv[i])), (a, x) -> a + x)"
+      sb ++= "iembn AS MATERIALIZED (SELECT vec_id, vf, " +
+        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(vf, x -> x * x)), (a, x) -> a + x)) AS nrm FROM embf),\n"
+      sb ++= s"icent AS (SELECT CAST(vec_id - $NumQueries AS INT) AS cid, " +
+        "vf AS cv, nrm AS cnrm FROM iembn WHERE vec_id BETWEEN " +
+        s"$NumQueries AND ${NumQueries + IvfCentroids - 1}),\n"
+      sb ++= "iscored AS MATERIALIZED (SELECT e.vec_id, c.cid, " +
+        s"$dotEC / (e.nrm * c.cnrm) AS cc FROM iembn e CROSS JOIN icent c),\n"
+      sb ++= "iassign AS (SELECT vec_id, cid AS cell FROM (" +
+        "SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY cc DESC, cid ASC) AS rn FROM iscored) WHERE rn = 1),\n"
+      sb ++= s"iprobe AS (SELECT vec_id AS q_id, cid AS cell FROM (" +
+        "SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
+        s"ORDER BY cc DESC, cid ASC) AS rn FROM iscored WHERE vec_id < $NumQueries) " +
+        s"WHERE rn <= $IvfProbes),\n"
+      sb ++= "icand AS (SELECT p.q_id, a.vec_id FROM iprobe p " +
+        "JOIN iassign a ON a.cell = p.cell WHERE a.vec_id <> p.q_id),\n"
+    }
     for (j <- 0 until PqM) {
       sb ++= s"emb$j AS MATERIALIZED (SELECT vec_id, " +
         s"vf[${j * ds + 1}:${(j + 1) * ds}] AS v FROM embf),\n"
@@ -134,7 +174,9 @@ object Embeddings {
         ", 6) AS dist FROM codes v JOIN lut0 l0 ON l0.cid = v.code0 " +
         (1 until PqM).map(j =>
           s"JOIN lut$j l$j ON l$j.q_id = l0.q_id AND l$j.cid = v.code$j")
-          .mkString(" ") + ")\n"
+          .mkString(" ") +
+        (if (ivf) " JOIN icand ic ON ic.q_id = l0.q_id AND ic.vec_id = v.vec_id"
+         else "") + ")\n"
       sb ++= "SELECT q_id, vec_id, dist, rk FROM (SELECT q_id, vec_id, dist, " +
         "row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, vec_id ASC) " +
         s"AS rk FROM sc) WHERE rk <= $TopK"
@@ -187,6 +229,38 @@ object Embeddings {
     (subs.map(_._1).reduce(_.join(_, Seq("vec_id"))), subs.map(_._2))
   }
 
+  /** Final Lloyd cell assignment `(vec_id, cell)` shared by `e_kmeans` /
+    * `e_semdedup`. emb is scanned twice per round (assign + update) and
+    * once more by the final assignment — materialize it once. Each
+    * round's k-row centroid table is eagerly checkpointed through
+    * CkptChain so round N's plan does not nest round N-1's crossJoin+agg
+    * lineage (and the final assign(cent) is a single broadcast join, not
+    * a re-derivation of every round).
+    */
+  private def kmModel(s: SparkSession, dir: String): DataFrame = {
+    val emb = embDf(s, dir).localCheckpoint(true)
+    val ckpt = new graft.operators.CkptChain(s.sparkContext)
+    val d2Expr = "vec_dot(v, v) - 2 * vec_dot(v, cv) + vec_dot(cv, cv)"
+    val cvArray = s"array(${(1 to Dims).map(i => s"c$i").mkString(", ")}) AS cv"
+    var cent = ckpt(emb.where(col("vec_id") < KmK)
+      .selectExpr("CAST(vec_id AS INT) AS cid", "v AS cv"))
+    def assign(c: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(c))
+        .selectExpr("vec_id", "cid", d2Expr + " AS d2")
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .selectExpr("vec_id", "m.cid AS cell")
+    for (_ <- 1 to KmIters) {
+      val avgs = (1 to Dims)
+        .map(i => round(avg(element_at(col("v"), i)), 6).as(s"c$i"))
+      cent = ckpt(assign(cent).join(emb, Seq("vec_id"))
+        .groupBy(col("cell").as("cid"))
+        .agg(avgs.head, avgs.tail: _*)
+        .selectExpr("cid", cvArray))
+    }
+    assign(cent)
+  }
+
   private def embDf(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
     Tables(s, dir, "embeddings")
@@ -208,6 +282,38 @@ object Embeddings {
   private def bucketExpr(v: String, t: Int): String = (0 until LshBits)
     .map(b => s"(CASE WHEN element_at($v, ${t * LshBits + b + 1}) >= 0 THEN ${1 << b} ELSE 0 END)")
     .mkString(" + ")
+
+  /** IVF coarse-quantizer structure shared by `e_ann_ivf` /
+    * `e_ivfpq_search`: the per-vector cell assignment `(vec_id, cell)` and
+    * the per-query probe list `(q_id, cell)`. Fixed deterministic
+    * centroids (corpus vectors NumQueries..NumQueries+IvfCentroids-1);
+    * assignment is argmax cosine as a partial-aggregating max-struct
+    * (highest cosine, ties to the LOWEST centroid id — matches the
+    * oracle's ORDER BY cc DESC, cid ASC), probes are the IvfProbes
+    * nearest cells per query by row_number. assign ⋈ probe on `cell`
+    * yields structurally UNIQUE (q_id, vec_id) pairs: one cell per
+    * vector, distinct probed cells per query.
+    */
+  private def ivfParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = embDf(s, dir)
+    val cent = emb
+      .where(col("vec_id").between(NumQueries, NumQueries + IvfCentroids - 1))
+      .selectExpr(s"CAST(vec_id - $NumQueries AS INT) AS cid",
+        "v AS cv", "nrm AS cnrm")
+    val scored = emb.crossJoin(broadcast(cent))
+      .selectExpr("vec_id", "cid", "vec_dot(v, cv) / (nrm * cnrm) AS cc")
+    val assign = scored
+      .groupBy("vec_id")
+      .agg(max(struct(col("cc"), (-col("cid")).as("nc"))).as("m"))
+      .selectExpr("vec_id", "CAST(-m.nc AS INT) AS cell")
+    val wp = Window.partitionBy(col("q_id")).orderBy(col("cc").desc, col("cid").asc)
+    val probe = scored.where(col("vec_id") < NumQueries)
+      .withColumnRenamed("vec_id", "q_id")
+      .withColumn("rn", row_number().over(wp))
+      .where(col("rn") <= IvfProbes)
+      .select(col("q_id"), col("cid").as("cell"))
+    (assign, probe)
+  }
 
   /** `(vec_id, v, nrm, tbl, bkt)` — each vector appears once per table.
     * ONE corpus scan: all table buckets are computed in a single
@@ -286,26 +392,8 @@ object Embeddings {
     // aggregating argmax, NOT a window sort over corpus×C rows; the
     // candidate join shuffles on the cell id; probe table is broadcast.
     "e_ann_ivf" -> ((s, dir) => {
+      val (assign, probe) = ivfParts(s, dir)
       val emb = embDf(s, dir)
-      val cent = emb
-        .where(col("vec_id").between(NumQueries, NumQueries + IvfCentroids - 1))
-        .selectExpr(s"CAST(vec_id - $NumQueries AS INT) AS cid",
-          "v AS cv", "nrm AS cnrm")
-      val scored = emb.crossJoin(broadcast(cent))
-        .selectExpr("vec_id", "cid", "vec_dot(v, cv) / (nrm * cnrm) AS cc")
-      // argmax cell per vector: lexicographic max of (cc, -cid) — highest
-      // cosine, ties to the LOWEST centroid id (matches the oracle's
-      // ORDER BY cc DESC, cid ASC).
-      val assign = scored
-        .groupBy("vec_id")
-        .agg(max(struct(col("cc"), (-col("cid")).as("nc"))).as("m"))
-        .selectExpr("vec_id", "CAST(-m.nc AS INT) AS cell")
-      val wp = Window.partitionBy(col("q_id")).orderBy(col("cc").desc, col("cid").asc)
-      val probe = scored.where(col("vec_id") < NumQueries)
-        .withColumnRenamed("vec_id", "q_id")
-        .withColumn("rn", row_number().over(wp))
-        .where(col("rn") <= IvfProbes)
-        .select(col("q_id"), col("cid").as("cell"))
       val cand = assign.join(broadcast(probe), Seq("cell"))
         .where(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"))
@@ -372,35 +460,7 @@ object Embeddings {
     // centroid components round to 6 dp before the next round so
     // summation-order noise cannot flip a later argmin. Output: the final
     // per-vector cell assignment.
-    "e_kmeans" -> ((s, dir) => {
-      // emb is scanned twice per round (assign + update) and once more by
-      // the final assignment — materialize it once. Each round's k-row
-      // centroid table is eagerly checkpointed through CkptChain so round
-      // N's plan does not nest round N-1's crossJoin+agg lineage (and the
-      // final assign(cent) is a single broadcast join, not a re-derivation
-      // of every round).
-      val emb = embDf(s, dir).localCheckpoint(true)
-      val ckpt = new graft.operators.CkptChain(s.sparkContext)
-      val d2Expr = "vec_dot(v, v) - 2 * vec_dot(v, cv) + vec_dot(cv, cv)"
-      val cvArray = s"array(${(1 to Dims).map(i => s"c$i").mkString(", ")}) AS cv"
-      var cent = ckpt(emb.where(col("vec_id") < KmK)
-        .selectExpr("CAST(vec_id AS INT) AS cid", "v AS cv"))
-      def assign(c: DataFrame): DataFrame =
-        emb.crossJoin(broadcast(c))
-          .selectExpr("vec_id", "cid", d2Expr + " AS d2")
-          .groupBy("vec_id")
-          .agg(min(struct(col("d2"), col("cid"))).as("m"))
-          .selectExpr("vec_id", "m.cid AS cell")
-      for (_ <- 1 to KmIters) {
-        val avgs = (1 to Dims)
-          .map(i => round(avg(element_at(col("v"), i)), 6).as(s"c$i"))
-        cent = ckpt(assign(cent).join(emb, Seq("vec_id"))
-          .groupBy(col("cell").as("cid"))
-          .agg(avgs.head, avgs.tail: _*)
-          .selectExpr("cid", cvArray))
-      }
-      assign(cent)
-    }),
+    "e_kmeans" -> ((s, dir) => kmModel(s, dir)),
 
     // Product quantization — the codebook compression behind
     // billion-vector ANN indexes (64 float dims → PqM 3-bit codes here):
@@ -438,6 +498,48 @@ object Embeddings {
           acc.join(broadcast(lut),
             acc("q_id") === lut("q_id") && acc(s"code$j") === lut(s"cid$j"))
             .drop(lut("q_id")).drop(s"cid$j")
+      }
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+      scored
+        .select(col("q_id"), col("vec_id"),
+          round((0 until PqM).map(j => col(s"d$j")).reduce(_ + _), 6).as("dist"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= TopK)
+    }),
+
+    // IVF-ADC search — how a billion-vector compressed index actually
+    // serves queries: the IVF coarse quantizer restricts each query to
+    // its IvfProbes probed cells, and ONLY those candidates get the
+    // PqM-term ADC table-lookup distance; the original vectors are never
+    // touched at query time. Composes the two oracle-checked halves
+    // unchanged (e_ann_ivf's cell structure, e_pq_search's LUT sum).
+    // Shape at 100 TB: the candidate join shuffles 16-byte id pairs on
+    // the cell id (cells are the natural partition axis of the code
+    // store), the LUTs are queries × KmK rows (broadcast), and the ADC
+    // scan touches probed-cells/cells of the codes instead of all of
+    // them — that scan reduction is the entire point of IVF. cand is
+    // structurally unique per (q_id, vec_id) (see ivfParts), so no
+    // distinct is needed before the LUT joins.
+    "e_ivfpq_search" -> ((s, dir) => {
+      val (assign, probe) = ivfParts(s, dir)
+      val cand = assign.join(broadcast(probe), Seq("cell"))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"))
+      val (codes, cents) = pqModel(s, dir)
+      val ds = Dims / PqM
+      val d2 = "vec_dot(v, v) - 2 * vec_dot(v, cv) + vec_dot(cv, cv)"
+      val luts = (0 until PqM).map { j =>
+        embDf(s, dir).where(col("vec_id") < NumQueries)
+          .selectExpr("vec_id AS q_id", s"slice(v, ${j * ds + 1}, $ds) AS v")
+          .crossJoin(broadcast(cents(j)))
+          .selectExpr("q_id", s"cid$j", d2 + s" AS d$j")
+      }
+      val withCodes = cand.join(codes, Seq("vec_id"))
+      val scored = luts.zipWithIndex.foldLeft(withCodes) { case (acc, (lut, j)) =>
+        acc.join(broadcast(lut),
+          acc("q_id") === lut("q_id") && acc(s"code$j") === lut(s"cid$j"))
+          .drop(lut("q_id")).drop(s"cid$j")
       }
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("dist").asc, col("vec_id").asc)
@@ -487,6 +589,66 @@ object Embeddings {
           s"round($dotExpr / (qnrm * nrm), 6) AS cos")
         .where(col("cos") >= DupCosThreshold)
         .select(col("vec_a"), col("vec_b"), col("cos"))
+    }),
+
+    // SemDeDup-style semantic dedup: cluster the corpus with the k-means
+    // trainer, then look for near-duplicate pairs ONLY inside a cluster —
+    // the pruning that makes embedding dedup tractable at billion scale
+    // (in-cluster pairing is quadratic in CELL size, never corpus size;
+    // the cell is the shuffle key and the parallelism axis, and k scales
+    // with the corpus to bound cell sizes). A vector is dropped when a
+    // LOWER-id vector in the same cell has 6-dp-rounded cosine >=
+    // SemDupThreshold (greedy keep-first rule — deterministic, no
+    // transitive chasing). Output: every vector with its cell and an
+    // integer keep flag.
+    "e_semdedup" -> ((s, dir) => {
+      val asg = kmModel(s, dir).localCheckpoint(true) // read 3× below
+      val emb = embDf(s, dir)
+      val both = asg.join(emb.select(col("vec_id"), col("v"), col("nrm")),
+        Seq("vec_id"))
+      val dup = both.as("x").join(both.as("y"),
+          col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+        .where(expr("round(vec_dot(x.v, y.v) / (x.nrm * y.nrm), 6)")
+          >= SemDupThreshold)
+        .select(col("y.vec_id").as("vec_id"))
+        .distinct()
+      asg.join(dup.withColumn("d", lit(1)), Seq("vec_id"), "left")
+        .selectExpr("vec_id", "cell",
+          "CAST(CASE WHEN d IS NULL THEN 1 ELSE 0 END AS INT) AS kept")
+    }),
+
+    // Two-stage truncated-dimension retrieval (Matryoshka-style): a cheap
+    // shortlist pass scores only the first PrefixDims dims of each vector
+    // — at scale the prefix is a separate, 4× smaller column/store, so
+    // the full vectors stream through ONLY for the ≤ PrefixShortlist
+    // survivors per query — then the exact full-dim cosine reranks the
+    // shortlist. Recall < 1 vs e_cosine_topk by design; deterministic
+    // given the 6-dp-rounded prefix score + id tie-break, so the oracle
+    // replays it exactly.
+    "e_prefix_rerank" -> ((s, dir) => {
+      val emb = embDf(s, dir)
+      val pre = emb.selectExpr("vec_id", s"slice(v, 1, $PrefixDims) AS p")
+        .selectExpr("vec_id", "p", "sqrt(vec_dot(p, p)) AS pnrm")
+      val qp = pre.where(col("vec_id") < NumQueries)
+        .selectExpr("vec_id AS q_id", "p AS qp", "pnrm AS qpnrm")
+      val wS = Window.partitionBy(col("q_id"))
+        .orderBy(col("pcos").desc, col("vec_id").asc)
+      val short = pre.crossJoin(broadcast(qp))
+        .where(col("vec_id") =!= col("q_id"))
+        .selectExpr("q_id", "vec_id",
+          "round(vec_dot(qp, p) / (qpnrm * pnrm), 6) AS pcos")
+        .withColumn("rn", row_number().over(wS))
+        .where(col("rn") <= PrefixShortlist)
+        .select(col("q_id"), col("vec_id"))
+      val q = emb.selectExpr("vec_id AS q_id", "v AS qv", "nrm AS qnrm")
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc)
+      short.join(broadcast(q), Seq("q_id"))
+        .join(emb, Seq("vec_id"))
+        .selectExpr("q_id", "vec_id",
+          s"round($dotExpr / (qnrm * nrm), 6) AS cos")
+        .withColumn("rk", rank().over(w))
+        .where(col("rk") <= TopK)
+        .select(col("q_id"), col("vec_id"), col("cos"), col("rk"))
     }),
 
     // ANN recall evaluation: recall@LshTopK of the multi-table LSH index
@@ -563,6 +725,40 @@ object Embeddings {
        |    rank() OVER (PARTITION BY q_id ORDER BY cos DESC) AS rk FROM cosj)
        |WHERE rk <= $LshTopK""".stripMargin
 
+  /** DuckDB twin of [[kmModel]] — the Lloyd CTE chain, returned WITHOUT
+    * the leading `WITH`, ending in CTE `asg (vec_id, cell)` (MATERIALIZED:
+    * `e_semdedup` reads it twice). d2 between emb row e and centroid row c
+    * keeps the same three-fold shape (and evaluation order) as the Spark
+    * side; `emb` (64-dim double vectors) stays visible to callers.
+    */
+  private def kmeansAssignCtes: String = {
+    def fold(body: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, ${Dims + 1}), i -> $body)), (a, x) -> a + x)"
+    val d2 = s"${fold("e.v[i] * e.v[i]")} - 2 * ${fold("e.v[i] * c.cv[i]")}" +
+      s" + ${fold("c.cv[i] * c.cv[i]")}"
+    val cvList = (1 to Dims).map(i => s"round(avg(e.v[$i]), 6)")
+      .mkString("[", ", ", "]")
+    val sb = new StringBuilder
+    sb ++= s"emb AS MATERIALIZED (SELECT vec_id, " +
+      "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n"
+    sb ++= s"cent0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cid, v AS cv " +
+      s"FROM emb WHERE vec_id < $KmK),\n"
+    for (i <- 0 until KmIters) {
+      sb ++= s"as$i AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (" +
+        s"SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
+        s"ORDER BY $d2 ASC, c.cid ASC) AS rn FROM emb e CROSS JOIN cent$i c) " +
+        "WHERE rn = 1),\n"
+      sb ++= s"cent${i + 1} AS MATERIALIZED (SELECT a.cell AS cid, $cvList AS cv " +
+        s"FROM as$i a JOIN emb e ON e.vec_id = a.vec_id GROUP BY a.cell),\n"
+    }
+    sb ++= s"fin AS (SELECT e.vec_id, c.cid, row_number() OVER (" +
+      s"PARTITION BY e.vec_id ORDER BY $d2 ASC, c.cid ASC) AS rn " +
+      s"FROM emb e CROSS JOIN cent$KmIters c),\n"
+    sb ++= "asg AS MATERIALIZED (SELECT vec_id, cid AS cell FROM fin WHERE rn = 1)"
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
     "e_cosine_topk" -> duckCosineTopkSql,
     "e_ann_lsh" -> duckAnnLshSql,
@@ -630,37 +826,51 @@ object Embeddings {
            |  FROM scored) WHERE rn <= $KnnK""".stripMargin
       graft.ppr.PowerIteration.oracleSqlMulti(knnEdgesSql, KnnSources, KnnAlpha, KnnIters)
     },
-    "e_kmeans" -> {
-      // d2 between embn row e and centroid row c, same three-fold shape
-      // (and evaluation order) as the Spark side.
-      def fold(body: String) =
-        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-          s"list_transform(range(1, ${Dims + 1}), i -> $body)), (a, x) -> a + x)"
-      val d2 = s"${fold("e.v[i] * e.v[i]")} - 2 * ${fold("e.v[i] * c.cv[i]")}" +
-        s" + ${fold("c.cv[i] * c.cv[i]")}"
-      val cvList = (1 to Dims).map(i => s"round(avg(e.v[$i]), 6)")
-        .mkString("[", ", ", "]")
-      val sb = new StringBuilder
-      sb ++= s"WITH emb AS MATERIALIZED (SELECT vec_id, " +
-        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n"
-      sb ++= s"cent0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cid, v AS cv " +
-        s"FROM emb WHERE vec_id < $KmK),\n"
-      for (i <- 0 until KmIters) {
-        sb ++= s"as$i AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (" +
-          s"SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id " +
-          s"ORDER BY $d2 ASC, c.cid ASC) AS rn FROM emb e CROSS JOIN cent$i c) " +
-          "WHERE rn = 1),\n"
-        sb ++= s"cent${i + 1} AS MATERIALIZED (SELECT a.cell AS cid, $cvList AS cv " +
-          s"FROM as$i a JOIN emb e ON e.vec_id = a.vec_id GROUP BY a.cell),\n"
-      }
-      sb ++= s"fin AS (SELECT e.vec_id, c.cid, row_number() OVER (" +
-        s"PARTITION BY e.vec_id ORDER BY $d2 ASC, c.cid ASC) AS rn " +
-        s"FROM emb e CROSS JOIN cent$KmIters c)\n"
-      sb ++= "SELECT vec_id, cid AS cell FROM fin WHERE rn = 1"
-      sb.toString
+    "e_kmeans" -> s"WITH $kmeansAssignCtes\nSELECT vec_id, cell FROM asg",
+    "e_semdedup" -> {
+      val dot64 = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(range(1, 65), i -> x.v[i] * y.v[i])), (a, x) -> a + x)"
+      s"""WITH $kmeansAssignCtes,
+         |sembn AS MATERIALIZED (SELECT a.vec_id, a.cell, e.v,
+         |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(e.v, x -> x * x)), (a, x) -> a + x)) AS nrm
+         |  FROM asg a JOIN emb e ON e.vec_id = a.vec_id),
+         |sdup AS (SELECT DISTINCT y.vec_id FROM sembn x
+         |  JOIN sembn y ON y.cell = x.cell AND x.vec_id < y.vec_id
+         |  WHERE round($dot64 / (x.nrm * y.nrm), 6) >= $SemDupThreshold)
+         |SELECT a.vec_id, a.cell,
+         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+         |FROM asg a LEFT JOIN sdup d ON d.vec_id = a.vec_id""".stripMargin
+    },
+    "e_prefix_rerank" -> {
+      val dot16 = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, ${PrefixDims + 1}), i -> q.p[i] * c.p[i])), " +
+        "(a, x) -> a + x)"
+      s"""WITH $duckBase,
+         |pre0 AS (SELECT vec_id, v[1:$PrefixDims] AS p FROM emb),
+         |pre AS MATERIALIZED (SELECT vec_id, p,
+         |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(p, x -> x * x)), (a, x) -> a + x)) AS pnrm FROM pre0),
+         |shortl AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY pcos DESC, vec_id ASC) AS rn FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |      round($dot16 / (q.pnrm * c.pnrm), 6) AS pcos
+         |    FROM pre q JOIN pre c ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id < $NumQueries))
+         |  WHERE rn <= $PrefixShortlist),
+         |cosj AS (SELECT s.q_id, s.vec_id,
+         |  round($duckDot / (q.nrm * c.nrm), 6) AS cos
+         |  FROM shortl s JOIN embn q ON q.vec_id = s.q_id
+         |    JOIN embn c ON c.vec_id = s.vec_id)
+         |SELECT q_id, vec_id, cos, rk FROM (
+         |  SELECT q_id, vec_id, cos,
+         |    rank() OVER (PARTITION BY q_id ORDER BY cos DESC) AS rk FROM cosj)
+         |WHERE rk <= $TopK""".stripMargin
     },
     "e_pq" -> pqOracleSql(search = false),
     "e_pq_search" -> pqOracleSql(search = true),
+    "e_ivfpq_search" -> pqOracleSql(search = true, ivf = true),
     "e_quantize" ->
       """WITH emb AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

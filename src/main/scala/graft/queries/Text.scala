@@ -260,6 +260,25 @@ object Text {
             1L).otherwise(0L)).as("n_kept"))
     }),
 
+    // Overlapping sliding-window chunking — the context-window prep a
+    // RAG / training pipeline runs before embedding or packing:
+    // fixed-width token windows at a fixed stride (the overlap keeps
+    // span continuity across chunk boundaries), each chunk carrying its
+    // rolling fingerprint so downstream chunk-level dedup shuffles
+    // 8-byte keys instead of text. One narrow typed pass per document,
+    // no shuffle at all; chunk counts scale with tokens, not documents.
+    "d_chunk_overlap" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, t) =>
+          TextOps.chunkFps(t, ChunkW, ChunkStride).iterator.zipWithIndex
+            .map { case ((start, len, fp), ci) =>
+              (id, ci.toLong, start.toLong, len.toLong, fp) }
+        })
+        .toDF("doc_id", "chunk_id", "start_tok", "n_tok", "chunk_fp")
+    }),
+
     // Duplicate-cluster extraction: connected components over the LSH
     // near-dup pair graph — the step a dedup pipeline runs after pair
     // detection to pick one keeper per duplicate GROUP (pairs alone
@@ -723,6 +742,13 @@ object Text {
   val PassageW = 8
   val PassagePack = 1048576L
 
+  /** Sliding-window chunking (`d_chunk_overlap`): window width and stride
+    * in tokens — overlap = ChunkW - ChunkStride tokens carried across
+    * consecutive chunks.
+    */
+  val ChunkW = 64
+  val ChunkStride = 48
+
   /** Superstep budget for `d_dup_clusters` if the pair graph ever crosses
     * the union-find size guard (near-dup clusters are shallow; 20
     * jump-accelerated rounds cover diameter ≫ anything LSH produces).
@@ -1025,6 +1051,16 @@ object Text {
          | CAST(sum(CASE WHEN doc_id * $PassagePack + pos = first_pack
          |   THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM pa JOIN f USING (ph) GROUP BY doc_id""".stripMargin,
+    "d_chunk_overlap" ->
+      s"""WITH tk AS (SELECT doc_id, ${TextOps.duck.tokenHashes("text")} AS hs
+         |  FROM documents),
+         |cl AS (SELECT doc_id,
+         |  ${TextOps.duck.chunksFromHashes("hs", ChunkW, ChunkStride)} AS cs
+         |  FROM tk),
+         |cu AS (SELECT doc_id, unnest(cs) AS c,
+         |  generate_subscripts(cs, 1) - 1 AS chunk_id FROM cl)
+         |SELECT doc_id, chunk_id, c.start AS start_tok, c.ln AS n_tok,
+         | c.fp AS chunk_fp FROM cu""".stripMargin,
     // connected components as a transitive-closure recursive CTE: reach =
     // all (node, seed) pairs, cluster = min reachable seed. UNION (not
     // UNION ALL) dedups the working table, so the recursion terminates at

@@ -166,6 +166,36 @@ object TextOps {
     out
   }
 
+  /** Overlapping sliding-window chunk fingerprints — the RAG/training
+    * chunking feature space (`d_chunk_overlap`): window starts at every
+    * multiple of `stride` below the token count, each window spans
+    * `min(width, nTok - start)` tokens (the LAST window may be shorter
+    * than the overlap; always ≥ 1 token) and rolls its token hashes with
+    * [[TokMul]] exactly like [[passageHashes]]. Typed twin of
+    * [[duck.chunksFromHashes]]; identical integer math.
+    */
+  def chunkFps(text: String, width: Int, stride: Int): Array[(Int, Int, Long)] = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    val hs = toks.map(tokenHash)
+    val n = hs.length
+    val starts = (n - 1) / stride + 1
+    val out = new Array[(Int, Int, Long)](starts)
+    var i = 0
+    while (i < starts) {
+      val start = i * stride
+      val len = math.min(width, n - start)
+      var acc = 0L
+      var j = 0
+      while (j < len) {
+        acc = (acc * TokMul + hs(start + j)) % P
+        j += 1
+      }
+      out(i) = (start, len, acc)
+      i += 1
+    }
+    out
+  }
+
   /** One-pass curation counts for a document — the typed twin of the
     * `d_quality` expression chain's INTEGER inputs (token count, stopword
     * occurrences, char count, non-[a-z0-9\s] char count, content hash,
@@ -430,6 +460,20 @@ object TextOps {
         s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         s"$hs[CAST(i * $w + 1 AS INT):CAST(i * $w + $w AS INT)]), " +
         s"(a, h) -> (a * $TokMul + h) % $P))"
+
+    /** Overlapping chunk structs from a token-hash-array column `hs` —
+      * the oracle twin of [[TextOps.chunkFps]]: one struct
+      * `(start, ln, fp)` per stride-multiple start below `len(hs)`, the
+      * window capped at the token count, rolled with [[TokMul]].
+      */
+    def chunksFromHashes(hs: String, width: Int, stride: Int): String =
+      s"list_transform(range(0, (len($hs) - 1) // $stride + 1), i -> {" +
+        s"'start': i * $stride, " +
+        s"'ln': least($width, len($hs) - i * $stride), " +
+        s"'fp': list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"$hs[CAST(i * $stride + 1 AS INT):" +
+        s"CAST(i * $stride + least($width, len($hs) - i * $stride) AS INT)]), " +
+        s"(a, h) -> (a * $TokMul + h) % $P)})"
 
     /** Codepoint array of lower(`c`) — step 1 of the n-gram oracle. */
     def charCodes(c: String): String =

@@ -56,4 +56,69 @@ class EmbeddingsSpec extends SparkSpec {
     assert(keys.distinct.length == keys.length)
     assert(dups.forall(_.getDouble(2) >= Embeddings.DupCosThreshold))
   }
+
+  test("e_ivfpq_search: exactly top-k per query; ADC dists agree with the " +
+      "full-scan e_pq_search wherever pairs overlap") {
+    val ivfpq = Embeddings.queries("e_ivfpq_search")(spark, sfDir).collect()
+    assert(ivfpq.nonEmpty)
+    // row_number cut: exactly TopK rows per query (candidate sets at this
+    // sf are far larger than k).
+    val perQ = ivfpq.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perQ.values.forall(_ == Embeddings.TopK), s"per-query counts: ${perQ.toMap}")
+    // the IVF restriction changes WHICH vectors are scanned, never the ADC
+    // distance of a scanned vector — overlapping pairs must agree exactly.
+    val full = Embeddings.queries("e_pq_search")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val mismatches = ivfpq.collect {
+      case r if full.contains((r.getLong(0), r.getLong(1))) &&
+        full((r.getLong(0), r.getLong(1))) != r.getDouble(2) => r
+    }
+    assert(mismatches.isEmpty, s"ADC dist disagreement: ${mismatches.take(3).toSeq}")
+  }
+
+  test("e_semdedup: kept flag matches the brute-force greedy keep-first rule") {
+    val out = Embeddings.queries("e_semdedup")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val vecs = graft.Tables(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos6(a: Long, b: Long): Double = {
+      val (va, vb) = (vecs(a), vecs(b))
+      val c = dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb)))
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out.keySet == vecs.keySet) // one row per corpus vector
+    val byCell = out.toSeq.groupBy(_._2._1)
+    for ((_, members) <- byCell; (id, (_, kept)) <- members) {
+      val hasLowerDup = members.exists { case (other, _) =>
+        other < id && cos6(other, id) >= Embeddings.SemDupThreshold
+      }
+      assert(kept == (if (hasLowerDup) 0 else 1),
+        s"vec $id: kept=$kept but hasLowerDup=$hasLowerDup")
+    }
+    // the threshold actually bites at this sf — some rows on each side.
+    assert(out.values.exists(_._2 == 0) && out.values.exists(_._2 == 1))
+  }
+
+  test("e_prefix_rerank: reranked cosines are exact; shortlist recall < 1 " +
+      "is the only divergence from brute force") {
+    val rr = Embeddings.queries("e_prefix_rerank")(spark, sfDir)
+      .select(col("q_id"), col("vec_id"), col("cos")).collect()
+    assert(rr.nonEmpty)
+    val bf = brute
+      .select(col("q_id"), col("vec_id"), col("cos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the rerank stage uses the SAME full-dim kernel — any pair also in
+    // the brute-force top-k must carry the identical rounded cosine.
+    val mismatches = rr.collect {
+      case r if bf.contains((r.getLong(0), r.getLong(1))) &&
+        bf((r.getLong(0), r.getLong(1))) != r.getDouble(2) => r
+    }
+    assert(mismatches.isEmpty, s"cos disagreement: ${mismatches.take(3).toSeq}")
+  }
 }

@@ -131,6 +131,27 @@ class TextSpec extends SparkSpec {
     assert(got.forall { case (id, c) => c <= id })
   }
 
+  test("chunkFps: stride-aligned starts, full coverage, rolling fp consistency") {
+    val text = (1 to 150).map(i => s"tok$i").mkString(" ")
+    val w = 64; val st = 48
+    val chunks = TextOps.chunkFps(text, w, st)
+    // starts at every multiple of stride below the token count, in order.
+    assert(chunks.map(_._1).toSeq == Seq(0, 48, 96, 144))
+    // every window is width-capped, ≥ 1 token, and the LAST one ends at
+    // the token count (full coverage, no token beyond any window).
+    assert(chunks.forall { case (s0, l, _) => l >= 1 && l <= w && s0 + l <= 150 })
+    assert(chunks.last._1 + chunks.last._2 == 150)
+    // the fp is the same TokMul roll as passageHashes: a stride-aligned
+    // FULL window whose start is also a passage boundary must agree.
+    val aligned = TextOps.chunkFps(text, 8, 8) // width = stride = PassageW
+    val pas = TextOps.passageHashes(text, 8)
+    assert(aligned.take(pas.length).map(_._3).toSeq == pas.toSeq)
+    // degenerate inputs: empty/whitespace text still yields one chunk
+    // (the "" token), matching the tokenizer convention everywhere else.
+    assert(TextOps.chunkFps("", w, st).length == 1)
+    assert(TextOps.chunkFps("   ", w, st).nonEmpty)
+  }
+
   test("simhash32 edge cases: empty, whitespace-only, single token") {
     // empty string -> one empty token, hash 0 -> all bitSums = -1 -> 0.
     assert(TextOps.simhash32("") == 0L)
