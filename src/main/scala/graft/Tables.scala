@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -104,7 +106,15 @@ object VerifyArtifacts {
     val tmp = System.getProperty("java.io.tmpdir")
     if (swept.compareAndSet(false, true)) sweepStale(tmp)
     val tag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val d = s"$tmp/graft_verify_$tag/$leaf"
+    val root = new java.io.File(s"$tmp/graft_verify_$tag")
+    // ownership marker: the sweep skips trees whose writing JVM is still
+    // alive, so a shared tmpdir cannot lose a >1-day-old still-pending
+    // run's artifacts to another run's sweep.
+    if (root.mkdirs() || !new java.io.File(root, ".pid").exists())
+      try Files.writeString(root.toPath.resolve(".pid"),
+        ProcessHandle.current().pid().toString)
+      catch { case _: java.io.IOException => () }
+    val d = s"${root.getPath}/$leaf"
     vals.put(s"dir:$leaf", d)
     d
   }
@@ -117,16 +127,41 @@ object VerifyArtifacts {
     */
   def get(key: String, default: String): String = vals.getOrDefault(key, default)
 
+  /** Recorded value if the owning query ran in this JVM. */
+  def maybe(key: String): Option[String] = Option(vals.get(key))
+
+  /** Oracle body for a stochastic row whose artifacts were never
+    * materialized in this JVM: a query that FAILS LOUDLY at compare time
+    * with a self-describing message (DuckDB's `error()` raises it, so the
+    * driver reports the row red with this text as `err`) instead of a
+    * confusing missing-parquet path — correctness must not silently depend
+    * on Verify's run-then-dump ordering.
+    */
+  def failSql(row: String): String =
+    s"SELECT error('$row: verification artifacts not materialized in this " +
+      "JVM - the query must run before oracle_sql.json is dumped')"
+
   private def sweepStale(tmp: String): Unit = {
     val cutoff = System.currentTimeMillis() - MaxAgeMs
     Option(new java.io.File(tmp).listFiles()).foreach(_.foreach { f =>
       // age by the NEWEST mtime in the tree, not the root dir's — a
       // still-running (or not-yet-compared) run older than the cutoff
-      // keeps writing leaves, and those leaves keep it alive.
-      if (f.getName.startsWith("graft_verify_") && newestMtime(f) < cutoff)
+      // keeps writing leaves, and those leaves keep it alive. Trees whose
+      // writing JVM is detectably still alive are never swept.
+      if (f.getName.startsWith("graft_verify_") && newestMtime(f) < cutoff &&
+          !ownerAlive(f))
         Scratch.deleteRecursively(f)
     })
   }
+
+  private def ownerAlive(root: java.io.File): Boolean =
+    try {
+      val pidFile = root.toPath.resolve(".pid")
+      Files.exists(pidFile) && {
+        val pid = Files.readString(pidFile).trim.toLong
+        ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+      }
+    } catch { case _: Exception => false }
 
   private def newestMtime(f: java.io.File): Long = {
     val own = f.lastModified()

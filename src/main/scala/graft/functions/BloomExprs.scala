@@ -82,11 +82,15 @@ object BloomFunctions {
       while (q.length > LiveWindow)
         registry.dropFunction(
           org.apache.spark.sql.catalyst.FunctionIdentifier(q.dequeue()))
+      // register INSIDE the same critical section: with concurrent builds
+      // a name could otherwise be dequeued + dropFunction'd (a no-op)
+      // before its registration lands, leaving an orphan that is never
+      // evicted and transiently breaking the LiveWindow bound.
+      registry.createOrReplaceTempFunction(
+        name,
+        (children: Seq[Expression]) => BloomMightContain(children.head, filter),
+        "scala_udf")
     }
-    registry.createOrReplaceTempFunction(
-      name,
-      (children: Seq[Expression]) => BloomMightContain(children.head, filter),
-      "scala_udf")
     call_function(name, key)
   }
 }

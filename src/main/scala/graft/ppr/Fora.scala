@@ -32,8 +32,14 @@ object Fora {
       delta: Double = 0.0, // 0 → 1/n
       seed: Long = 42L)
 
-  /** Whole-graph FORA for one source (dense kernel). */
-  def wholeGraphLocal(csr: Csr, srcDense: Int, conf: Conf): Array[Double] = {
+  /** Shared whole-graph push phase: closed-form rmax(ε) push plus the
+    * (rsum, ω·rsum) walk-bookkeeping scalars. ONE body serves both the
+    * production kernel ([[wholeGraphLocal]]) and the verification trace
+    * ([[wholeGraphTrace]]) so a parameter-formula edit cannot silently
+    * diverge the oracle replay from production.
+    */
+  private def wholeGraphPush(
+      csr: Csr, srcDense: Int, conf: Conf): (ForwardPush.PushState, Double, Long) = {
     val n = csr.numNodes.toDouble
     val m = csr.numEdges.toDouble
     val alpha = conf.alpha
@@ -42,19 +48,34 @@ object Fora {
     val dl = if (conf.delta > 0) conf.delta else 1.0 / n
     val rmax = eps * math.sqrt(dl / 3.0 / m / math.log(2.0 / pf)) / (1.0 - alpha)
     val omega = (eps + 2.0) * math.log(2.0 / pf) / eps / eps / dl
-
     val st = ForwardPush.runLocal(csr, srcDense, alpha, rmax)
-    val reserve = st.reserve.clone()
     val rsumLocal = st.residue.sum * (1.0 - alpha) // Fora_Whole_Graph.java:101
     val numWalks = (omega * rsumLocal).toLong
-    if (numWalks <= 0L) return reserve
+    (st, rsumLocal, numWalks)
+  }
 
+  /** Shared whole-graph residual-walk loop. Per residual node v:
+    * `onResidual(v, r)` (production's α-fold), then ω_v = ⌈r_c/rsum·ω⌉
+    * seeded walks each reported via `onWalk(vDense, destDense, incr)` —
+    * the RNG stream keys and walk order are THE definition both the
+    * production reduce and the materialized trace replay.
+    */
+  private def wholeGraphWalks(
+      csr: Csr,
+      srcDense: Int,
+      residue: Array[Double],
+      rsumLocal: Double,
+      numWalks: Long,
+      conf: Conf,
+      onResidual: (Int, Double) => Unit,
+      onWalk: (Int, Int, Double) => Unit): Unit = {
+    val alpha = conf.alpha
     val srcKey = Rng.mix(conf.seed ^ (srcDense * 0x9E3779B97F4A7C15L))
     var v = 0
     while (v < csr.numNodes) {
-      val r = st.residue(v)
+      val r = residue(v)
       if (r != 0.0) {
-        reserve(v) += alpha * r               // Fora_Whole_Graph.java:122-127
+        onResidual(v, r)                      // Fora_Whole_Graph.java:122-127
         val rc = (1.0 - alpha) * r
         val omegaI = math.ceil(rc / rsumLocal * numWalks).toLong
         if (omegaI > 0) {
@@ -64,20 +85,40 @@ object Fora {
           while (j < omegaI) {
             val rng = new Rng.SplitMix(Rng.streamSeed(srcKey, v, j))
             val dest = MonteCarlo.walkEndpoint(csr, v, alpha, rng, noZeroHop = true)
-            reserve(dest) += incr
+            onWalk(v, dest, incr)
             j += 1
           }
         }
       }
       v += 1
     }
+  }
+
+  /** Whole-graph FORA for one source (dense kernel). */
+  def wholeGraphLocal(csr: Csr, srcDense: Int, conf: Conf): Array[Double] = {
+    val (st, rsumLocal, numWalks) = wholeGraphPush(csr, srcDense, conf)
+    val reserve = st.reserve.clone()
+    if (numWalks <= 0L) return reserve
+    wholeGraphWalks(csr, srcDense, st.residue, rsumLocal, numWalks, conf,
+      onResidual = (v, r) => reserve(v) += conf.alpha * r,
+      onWalk = (_, dest, incr) => reserve(dest) += incr)
     reserve
   }
 
-  /** K7 — top-k FORA for one source; returns the full estimate vector of
-    * the terminating round (caller applies tie-inclusive top-k).
+  /** Shared top-k δ-halving round loop — ONE body serves both the
+    * production kernel ([[topkLocal]]) and the verification trace
+    * ([[topkTrace]]), so rmax/ω formulas, RNG stream keys and the
+    * round-advance decision cannot drift between them. `onRound` fires at
+    * the start of each round (the trace resets its walk recorder there —
+    * only the TERMINATING round's walks feed the oracle replay); `onWalk`
+    * receives each walk's dense (start, endpoint) after the est credit.
+    * Returns the terminating round's (carried push state, walk count,
+    * estimate vector).
     */
-  def topkLocal(csr: Csr, srcDense: Int, k: Int, conf: Conf): Array[Double] = {
+  private def topkRun(
+      csr: Csr, srcDense: Int, k: Int, conf: Conf,
+      onRound: () => Unit,
+      onWalk: (Int, Int) => Unit): (ForwardPush.PushState, Long, Array[Double]) = {
     val n = csr.numNodes.toDouble
     val m = csr.numEdges.toDouble
     val alpha = conf.alpha
@@ -95,7 +136,8 @@ object Fora {
     if (csr.outDegree(srcDense) == 0) { // Fora_Topk.java:127-131
       val res = new Array[Double](csr.numNodes)
       res(srcDense) = 1.0
-      return res
+      return (ForwardPush.PushState(res, new Array[Double](csr.numNodes), 0.0),
+        0L, res)
     }
 
     val srcKey = Rng.mix(conf.seed ^ (srcDense * 0xC2B2AE3D27D4EB4FL))
@@ -105,8 +147,9 @@ object Fora {
       ForwardPush.PushState(new Array[Double](csr.numNodes), init, 1.0)
     }
     var round = 0
-    var result: Array[Double] = null
+    var result: (ForwardPush.PushState, Long, Array[Double]) = null
     while (result == null) {
+      onRound()
       var rmax = eps * math.sqrt(deltaLocal / 3.0 / m / math.log(2.0 / pf))
       val omega = (eps + 2.0) * math.log(2.0 / pf) / eps / eps / deltaLocal
       rmax *= math.sqrt(m * rmax) * 3.0 // Fora_Topk.java:133
@@ -129,6 +172,7 @@ object Fora {
                 val rng = new Rng.SplitMix(Rng.streamSeed(srcKey + round, v, j))
                 val dest = MonteCarlo.walkEndpoint(csr, v, alpha, rng, noZeroHop = false)
                 est(dest) += incr
+                onWalk(v, dest)
                 j += 1
               }
             }
@@ -139,13 +183,19 @@ object Fora {
 
       val kth = kthLargest(est, k)
       if (kth >= (1.0 + eps) * deltaLocal || deltaLocal <= minDelta)
-        result = est
+        result = (carried, numWalks, est)
       else
         deltaLocal = math.max(minDelta, deltaLocal / 4.0) // Fora_Topk.java:179
       round += 1
     }
     result
   }
+
+  /** K7 — top-k FORA for one source; returns the full estimate vector of
+    * the terminating round (caller applies tie-inclusive top-k).
+    */
+  def topkLocal(csr: Csr, srcDense: Int, k: Int, conf: Conf): Array[Double] =
+    topkRun(csr, srcDense, k, conf, () => (), (_, _) => ())._3
 
   /** kth largest value (0.0 when fewer than k nonzero entries) — the
     * `Algo_Util.kth_ppr` quickselect becomes a sort over the nonzero
@@ -177,38 +227,13 @@ object Fora {
       walks: Array[(Long, Long)]) // (walk start, endpoint) original ids
 
   def wholeGraphTrace(csr: Csr, srcDense: Int, conf: Conf): WholeTrace = {
-    val n = csr.numNodes.toDouble
-    val m = csr.numEdges.toDouble
-    val alpha = conf.alpha
-    val eps = conf.epsilon
-    val pf = if (conf.pfail > 0) conf.pfail else 1.0 / n
-    val dl = if (conf.delta > 0) conf.delta else 1.0 / n
-    val rmax = eps * math.sqrt(dl / 3.0 / m / math.log(2.0 / pf)) / (1.0 - alpha)
-    val omega = (eps + 2.0) * math.log(2.0 / pf) / eps / eps / dl
-
-    val st = ForwardPush.runLocal(csr, srcDense, alpha, rmax)
-    val rsumLocal = st.residue.sum * (1.0 - alpha)
-    val numWalks = (omega * rsumLocal).toLong
+    val (st, rsumLocal, numWalks) = wholeGraphPush(csr, srcDense, conf)
     val walks = Array.newBuilder[(Long, Long)]
-    if (numWalks > 0L) {
-      val srcKey = Rng.mix(conf.seed ^ (srcDense * 0x9E3779B97F4A7C15L))
-      var v = 0
-      while (v < csr.numNodes) {
-        val r = st.residue(v)
-        if (r != 0.0) {
-          val rc = (1.0 - alpha) * r
-          val omegaI = math.ceil(rc / rsumLocal * numWalks).toLong
-          var j = 0L
-          while (j < omegaI) {
-            val rng = new Rng.SplitMix(Rng.streamSeed(srcKey, v, j))
-            val dest = MonteCarlo.walkEndpoint(csr, v, alpha, rng, noZeroHop = true)
-            walks += ((csr.originalOf(v), csr.originalOf(dest)))
-            j += 1
-          }
-        }
-        v += 1
-      }
-    }
+    if (numWalks > 0L)
+      wholeGraphWalks(csr, srcDense, st.residue, rsumLocal, numWalks, conf,
+        onResidual = (_, _) => (),
+        onWalk = (v, dest, _) =>
+          walks += ((csr.originalOf(v), csr.originalOf(dest))))
     WholeTrace(st.reserve, st.residue, rsumLocal, numWalks, walks.result())
   }
 
@@ -226,72 +251,13 @@ object Fora {
       walks: Array[(Long, Long)])
 
   def topkTrace(csr: Csr, srcDense: Int, k: Int, conf: Conf): TopkTrace = {
-    val n = csr.numNodes.toDouble
-    val m = csr.numEdges.toDouble
-    val alpha = conf.alpha
-    val eps = conf.epsilon * 0.5
-    val pf0 = if (conf.pfail > 0) conf.pfail else 1.0 / n
-    val pf = pf0 / n / n / math.log(n / k.toDouble)
-    val minDelta = 1.0 / n
-    var deltaLocal = 1.0 / k.toDouble
-
-    if (csr.outDegree(srcDense) == 0) {
-      val res = new Array[Double](csr.numNodes)
-      res(srcDense) = 1.0
-      return TopkTrace(res, new Array[Double](csr.numNodes), 0L,
-        Array.empty)
-    }
-
-    val srcKey = Rng.mix(conf.seed ^ (srcDense * 0xC2B2AE3D27D4EB4FL))
-    var carried = {
-      val init = new Array[Double](csr.numNodes)
-      init(srcDense) = 1.0
-      ForwardPush.PushState(new Array[Double](csr.numNodes), init, 1.0)
-    }
-    var round = 0
-    var result: TopkTrace = null
-    while (result == null) {
-      var rmax = eps * math.sqrt(deltaLocal / 3.0 / m / math.log(2.0 / pf))
-      val omega = (eps + 2.0) * math.log(2.0 / pf) / eps / eps / deltaLocal
-      rmax *= math.sqrt(m * rmax) * 3.0
-
-      carried = ForwardPush.runLocalFrom(csr, carried, srcDense, alpha, rmax)
-      val rsumRw = carried.residue.sum * (1.0 - alpha)
-      val numWalks = (omega * rsumRw).toLong
-
-      val est = carried.reserve.clone()
-      val walks = Array.newBuilder[(Long, Long)]
-      if (numWalks > 0) {
-        var v = 0
-        while (v < csr.numNodes) {
-          val r = carried.residue(v)
-          if (r != 0.0) {
-            val omegaI = math.ceil(r * numWalks).toLong
-            if (omegaI > 0) {
-              val incr = r / omegaI
-              var j = 0L
-              while (j < omegaI) {
-                val rng = new Rng.SplitMix(Rng.streamSeed(srcKey + round, v, j))
-                val dest = MonteCarlo.walkEndpoint(csr, v, alpha, rng, noZeroHop = false)
-                est(dest) += incr
-                walks += ((csr.originalOf(v), csr.originalOf(dest)))
-                j += 1
-              }
-            }
-          }
-          v += 1
-        }
-      }
-
-      val kth = kthLargest(est, k)
-      if (kth >= (1.0 + eps) * deltaLocal || deltaLocal <= minDelta)
-        result = TopkTrace(carried.reserve.clone(), carried.residue.clone(),
-          numWalks, walks.result())
-      else
-        deltaLocal = math.max(minDelta, deltaLocal / 4.0)
-      round += 1
-    }
-    result
+    var walks = Array.newBuilder[(Long, Long)]
+    val (carried, numWalks, _) = topkRun(csr, srcDense, k, conf,
+      onRound = () => walks = Array.newBuilder[(Long, Long)],
+      onWalk = (v, dest) =>
+        walks += ((csr.originalOf(v), csr.originalOf(dest))))
+    TopkTrace(carried.reserve.clone(), carried.residue.clone(), numWalks,
+      walks.result())
   }
 
   /** Batched whole-graph FORA. Returns (src, node_id, score). */

@@ -93,6 +93,8 @@ object GraphXPpr {
       iterations: Int = 25,
       allSourcesNodeLimit: Int = AllSourcesNodeLimit): DataFrame = {
     import spark.implicits._
+    if (sources.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("src", "node_id", "score")
     val edgeRdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
     val g = XGraph.fromEdges(edgeRdd, ()).cache()
@@ -113,13 +115,19 @@ object GraphXPpr {
               .map(i => (vertexIds(i), vid, vec(i)))
           }.toDF("src", "node_id", "score")
         } else {
-          sources.distinct.map { src =>
+          // one static Pregel run per source is inherent to the library
+          // shape, but the combine must not be: a linear unionAll fold
+          // builds an O(|sources|)-deep logical plan that Catalyst
+          // re-analyzes whole at every step (driver-plan blowup for
+          // grid-scale source batches). Union in RDD space instead —
+          // sc.union is a single flat UnionRDD node regardless of arity.
+          val perSrc = sources.distinct.map { src =>
             g.staticPersonalizedPageRank(src, iterations, alpha)
               .vertices
               .filter(_._2 > 0.0)
               .map { case (vid, score) => (src, vid, score) }
-              .toDF("src", "node_id", "score")
-          }.reduce(_.unionAll(_))
+          }
+          spark.sparkContext.union(perSrc).toDF("src", "node_id", "score")
         }
       val df = raw.cache()
       try {

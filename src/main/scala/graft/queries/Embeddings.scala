@@ -67,6 +67,15 @@ object Embeddings {
     */
   val SemDupThreshold = 0.3
 
+  /** `e_semdedup` scale guard: max DISTINCT vectors per k-means cell
+    * before the query fails loudly — in-cell pairing is quadratic in this
+    * number by algorithm design (SemDeDup), and k is the documented knob
+    * that bounds it; a silent mega-cell must not reintroduce the
+    * all-pairs blowup. Exact duplicates don't count against the bound
+    * (they are pre-collapsed, see [[semDedup]]).
+    */
+  val MaxSemCellDistinct = 32768L
+
   /** Two-stage truncated-dimension retrieval (`e_prefix_rerank`): the
     * shortlist pass scores only the first [[PrefixDims]] dims and keeps
     * [[PrefixShortlist]] candidates per query for the exact full-dim
@@ -328,6 +337,69 @@ object Embeddings {
           .map(t => bucketExpr("v", t)).mkString("array(", ", ", ")"))))
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bkt")
+
+  /** Cluster-scoped semantic dedup (`e_semdedup` body) over assignments
+    * `asg (vec_id, cell)` and vectors `emb (vec_id, v, nrm)`; returns
+    * `(vec_id, cell, kept)` under the greedy keep-first rule: a vector is
+    * dropped iff a LOWER-id vector in the same cell has 6-dp-rounded
+    * cosine ≥ `threshold`.
+    *
+    * Exact-duplicate pre-collapse: bitwise-identical vectors in a cell
+    * form one group keyed by `(cell, v)` and only the min-id
+    * REPRESENTATIVE enters the quadratic pairing. This is
+    * result-IDENTICAL to pairing every vector (needs `threshold ≤ 1`):
+    * identical vectors share every rounded cosine bitwise (vec_dot is a
+    * fixed-order fold and commutes bitwise per element), so (a) a
+    * non-representative is always dropped — its representative witnesses
+    * at cosine 1.0 — and (b) any drop witness w for y implies
+    * rep(w) ≤ w is a witness too. So a pathological k-means collapse onto
+    * copies of one point (the all-identical corpus) costs ZERO pairs
+    * instead of N², and the oracle keeps the simple all-vectors form.
+    *
+    * The remaining quadratic axis — DISTINCT vectors per cell — is
+    * guarded by a plan-embedded `assert_true` over the per-cell distinct
+    * counts: above `maxDistinct` the query fails loudly naming k as the
+    * knob instead of silently reintroducing the all-pairs blowup. The
+    * guard column rides the (broadcast) size table into the pair join so
+    * column pruning cannot elide it.
+    */
+  private[queries] def semDedup(
+      asg: DataFrame,
+      emb: DataFrame,
+      threshold: Double,
+      maxDistinct: Long): DataFrame = {
+    require(threshold <= 1.0,
+      s"semDedup exact-dup pre-collapse assumes threshold <= 1 (got $threshold)")
+    VectorFunctions.register(asg.sparkSession)
+    val both = asg.join(emb.select(col("vec_id"), col("v"), col("nrm")),
+      Seq("vec_id"))
+    val grp = both.groupBy(col("cell"), col("v"))
+      .agg(min(col("vec_id")).as("rep"), min(col("nrm")).as("nrm"))
+    val sizes = grp.groupBy(col("cell"))
+      .agg(count(lit(1)).as("csz"))
+      .select(col("cell"),
+        assert_true(col("csz") <= maxDistinct,
+          concat(lit("e_semdedup: cell "), col("cell"), lit(" holds "),
+            col("csz"),
+            lit(s" distinct vectors > bound $maxDistinct — in-cell" +
+              " pairing is quadratic by design (SemDeDup); raise k to" +
+              " shrink cells"))).as("ok"))
+    val x = grp.select(col("cell"), col("v").as("xv"),
+      col("rep").as("xid"), col("nrm").as("xnrm"))
+    val y = grp.select(col("cell"), col("v").as("yv"),
+      col("rep").as("yid"), col("nrm").as("ynrm"))
+    val dup = x.join(y, Seq("cell"))
+      .join(broadcast(sizes), Seq("cell"))
+      .where(col("xid") < col("yid") && col("ok").isNull &&
+        expr("round(vec_dot(xv, yv) / (xnrm * ynrm), 6)") >= threshold)
+      .select(col("yid").as("rep"))
+      .distinct()
+    both.select(col("vec_id"), col("cell"), col("v"))
+      .join(grp.select(col("cell"), col("v"), col("rep")), Seq("cell", "v"))
+      .join(dup.withColumn("d", lit(1)), Seq("rep"), "left")
+      .selectExpr("vec_id", "cell",
+        "CAST(CASE WHEN vec_id <> rep THEN 0 WHEN d IS NULL THEN 1 ELSE 0 END AS INT) AS kept")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact cosine top-k per query (tie-inclusive RANK on the
@@ -601,21 +673,9 @@ object Embeddings {
     // SemDupThreshold (greedy keep-first rule — deterministic, no
     // transitive chasing). Output: every vector with its cell and an
     // integer keep flag.
-    "e_semdedup" -> ((s, dir) => {
-      val asg = kmModel(s, dir).localCheckpoint(true) // read 3× below
-      val emb = embDf(s, dir)
-      val both = asg.join(emb.select(col("vec_id"), col("v"), col("nrm")),
-        Seq("vec_id"))
-      val dup = both.as("x").join(both.as("y"),
-          col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
-        .where(expr("round(vec_dot(x.v, y.v) / (x.nrm * y.nrm), 6)")
-          >= SemDupThreshold)
-        .select(col("y.vec_id").as("vec_id"))
-        .distinct()
-      asg.join(dup.withColumn("d", lit(1)), Seq("vec_id"), "left")
-        .selectExpr("vec_id", "cell",
-          "CAST(CASE WHEN d IS NULL THEN 1 ELSE 0 END AS INT) AS kept")
-    }),
+    "e_semdedup" -> ((s, dir) =>
+      semDedup(kmModel(s, dir).localCheckpoint(true), embDf(s, dir),
+        SemDupThreshold, MaxSemCellDistinct)),
 
     // Two-stage truncated-dimension retrieval (Matryoshka-style): a cheap
     // shortlist pass scores only the first PrefixDims dims of each vector

@@ -3,10 +3,10 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.Scratch
+import graft.{Scratch, VerifyArtifacts}
 import graft.graph.Got
 import graft.harness.QuerySampler
-import graft.ppr.{Base, ForwardPush, Metrics, PowerIteration}
+import graft.ppr.{Base, Fora, ForwardPush, Metrics, MonteCarlo, PowerIteration}
 
 /** The reference's own fixture, end to end: GOT CSV import (S1/S2),
   * name↔id resolution (P5/J5), symmetrize, PPR, top-k with names — the
@@ -41,6 +41,14 @@ object GotQueries {
     */
   val GridBaseRmax = 1e-4
   val GridBaseThresholds: Seq[Double] = Seq(5.0e-5, 5.0e-7)
+
+  /** One-grid-point slices for the two stochastic algorithm families, so
+    * EVERY family of the reference grid (`Gen_Util.java:514-556`) has an
+    * oracle-checked driver row: the GOT grid's middle ε for whole-graph
+    * FORA (`Gen_Util.java:455`) and for MC (`Gen_Util.java:458`).
+    */
+  val GridForaEps = 0.5
+  val GridMcEps = 0.3
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1+S2+J5: load, resolve names→ids, symmetrize.
@@ -161,6 +169,63 @@ object GotQueries {
             round(col("avg_ndcg"), 9).as("avg_ndcg"),
             round(col("avg_max_err"), 9).as("avg_max_err"))
       }.reduce(_.unionAll(_))
+    }),
+
+    // H5 whole-graph suite, FORA family — one grid point (GridForaEps)
+    // through the SAME trace-replay scheme as `g_fora_ppr`: the seeded
+    // kernel's push state + walk endpoints are materialized, BOTH engines
+    // recompose the estimate from the identical SQL text, and the quality
+    // summary vs the power-method ground truth is the grid row
+    // (`Gen_Util.java:514-556` FORA_WHOLE_GRAPH branch on GOT).
+    "got_grid_fora" -> ((s, _) => {
+      val csr = Got.cachedCsr(s)
+      val gnd = PowerIteration.batch(s, csr, GridSources, Got.Alpha, GridPmIters)
+        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
+        .localCheckpoint(true)
+      val conf = Fora.Conf(alpha = Got.Alpha, epsilon = GridForaEps)
+      val root = VerifyArtifacts.dir(s, "fora_gotgrid")
+      Graph.foraArtifacts(s, csr, GridSources, root, { (g, src) =>
+        val t = Fora.wholeGraphTrace(g, g.denseOf(src), conf)
+        (t.reserve, t.residue, t.rsum, t.numWalks, t.walks)
+      })
+      s.read.parquet(s"$root/st").createOrReplaceTempView("gg_fora_st")
+      s.read.parquet(s"$root/sc").createOrReplaceTempView("gg_fora_sc")
+      s.read.parquet(s"$root/wk").createOrReplaceTempView("gg_fora_wk")
+      val est = s.sql(Graph.foraWholeBody("gg_fora_st", "gg_fora_sc", "gg_fora_wk"))
+        .localCheckpoint(true)
+      Metrics.summary(gnd, est, GridK)
+        .select(lit(GridForaEps).as("eps"),
+          round(col("avg_precision"), 9).as("avg_precision"),
+          round(col("avg_ndcg"), 9).as("avg_ndcg"),
+          round(col("avg_max_err"), 9).as("avg_max_err"))
+    }),
+
+    // H5 whole-graph suite, MC family — one grid point (GridMcEps) via
+    // the `g_mc_ppr` endpoints-table scheme: seeded walk endpoints are
+    // the data, stops(v)/ω is the estimate in both engines, quality
+    // summary vs the same ground truth (`Gen_Util.java:514-556` MC
+    // branch on GOT).
+    "got_grid_mc" -> ((s, _) => {
+      val csr = Got.cachedCsr(s)
+      val gnd = PowerIteration.batch(s, csr, GridSources, Got.Alpha, GridPmIters)
+        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
+        .localCheckpoint(true)
+      val n = csr.numNodes.toDouble
+      val omega = MonteCarlo.omegaFor(GridMcEps, 1.0 / n, 1.0 / n)
+      val wdir = VerifyArtifacts.dir(s, "mc_gotgrid")
+      MonteCarlo.sspprEndpoints(s, csr, GridSources, Got.Alpha,
+          epsilon = GridMcEps)
+        .write.mode("overwrite").parquet(wdir)
+      VerifyArtifacts.record("mc_gotgrid_omega", omega.toString)
+      val est = s.read.parquet(wdir)
+        .groupBy("src", "node_id")
+        .agg((count(lit(1)) / lit(omega.toDouble)).as("score"))
+        .localCheckpoint(true)
+      Metrics.summary(gnd, est, GridK)
+        .select(lit(GridMcEps).as("eps"),
+          round(col("avg_precision"), 9).as("avg_precision"),
+          round(col("avg_ndcg"), 9).as("avg_ndcg"),
+          round(col("avg_max_err"), 9).as("avg_max_err"))
     })
   )
 
@@ -204,7 +269,34 @@ object GotQueries {
             "(SELECT count(*) FROM base_t) AS stored_rows")
         s"SELECT * FROM (WITH base_t AS MATERIALIZED ($base) " +
           s"SELECT * FROM ($point))"
-      }.mkString("\nUNION ALL\n")
+      }.mkString("\nUNION ALL\n"),
+      // Stochastic grid rows: replayed from the run's materialized
+      // artifacts exactly like g_fora_ppr / g_mc_ppr (paths recorded via
+      // VerifyArtifacts when the query ran; Verify dumps oracleSql after).
+      "got_grid_fora" -> {
+        VerifyArtifacts.maybe("dir:fora_gotgrid") match {
+          case Some(root) =>
+            val est =
+              s"""WITH fst AS (SELECT * FROM read_parquet('$root/st/*.parquet')),
+                 |fsc AS (SELECT * FROM read_parquet('$root/sc/*.parquet')),
+                 |fwk AS (SELECT * FROM read_parquet('$root/wk/*.parquet'))
+                 |SELECT * FROM (${Graph.foraWholeBody("fst", "fsc", "fwk")})""".stripMargin
+            Metrics.sql.summarySql(gridGnd, est, GridK,
+              leadCols = s"CAST($GridForaEps AS DOUBLE) AS eps")
+          case None => VerifyArtifacts.failSql("got_grid_fora")
+        }
+      },
+      "got_grid_mc" -> {
+        VerifyArtifacts.maybe("dir:mc_gotgrid") match {
+          case Some(wdir) =>
+            val omega = VerifyArtifacts.get("mc_gotgrid_omega", "1")
+            val est = s"SELECT src, node_id, count(*) / $omega.0 AS score " +
+              s"FROM read_parquet('$wdir/*.parquet') GROUP BY src, node_id"
+            Metrics.sql.summarySql(gridGnd, est, GridK,
+              leadCols = s"CAST($GridMcEps AS DOUBLE) AS eps")
+          case None => VerifyArtifacts.failSql("got_grid_mc")
+        }
+      }
     )
   }
 }

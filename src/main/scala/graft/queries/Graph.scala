@@ -78,24 +78,30 @@ object Graph {
     * re-running it per table is exact; sources fan out one task each (the
     * dense per-source kernel, same shape as [[Fora.batch]]).
     */
-  private def foraArtifacts(
+  private[queries] def foraArtifacts(
       s: SparkSession,
       csr: graft.graph.Csr,
+      sources: Seq[Long],
       root: String,
-      trace: Long => (Array[Double], Array[Double], Double, Long, Array[(Long, Long)])): Unit = {
+      trace: (graft.graph.Csr, Long) => (Array[Double], Array[Double], Double, Long, Array[(Long, Long)])): Unit = {
     import s.implicits._
-    val srcs = BatchSources.filter(csr.denseOf(_) >= 0)
+    val srcs = sources.filter(csr.denseOf(_) >= 0)
+    // the CSR ships ONCE as a broadcast (the Fora.batch discipline) —
+    // captured in the task closure it would reserialize the whole graph
+    // per source task and again for each of the three table writes.
+    val bc = s.sparkContext.broadcast(csr)
     // ONE kernel execution per source: the traces are cached across the
     // three table writes (push + walks dominate; re-running them per
     // table tripled the row's cost).
     val traces = s.sparkContext.parallelize(srcs, math.max(1, srcs.length))
-      .map(src => (src, trace(src)))
+      .map(src => (src, trace(bc.value, src)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       traces.flatMap { case (src, (rsv, rsd, _, _, _)) =>
+        val g = bc.value
         rsv.indices.iterator.collect {
           case v if rsv(v) != 0.0 || rsd(v) != 0.0 =>
-            (src, csr.originalOf(v), rsv(v), rsd(v))
+            (src, g.originalOf(v), rsv(v), rsd(v))
         }
       }.toDF("src", "node_id", "reserve", "residue")
         .write.mode("overwrite").parquet(s"$root/st")
@@ -106,7 +112,10 @@ object Graph {
         walks.iterator.map { case (v, d) => (src, v, d) }
       }.toDF("src", "v", "dest")
         .write.mode("overwrite").parquet(s"$root/wk")
-    } finally traces.unpersist(false): Unit
+    } finally {
+      traces.unpersist(false)
+      bc.unpersist(false)
+    }
   }
 
   /** Replay SQL for `g_fora_ppr` — the SAME text runs in Spark (over temp
@@ -371,8 +380,8 @@ object Graph {
       val csr = GraphOps.lineitemCsr(s, dir, Mod)
       val conf = Fora.Conf(alpha = Alpha, epsilon = 0.5)
       val root = VerifyArtifacts.dir(s, "fora_whole")
-      foraArtifacts(s, csr, root, { src =>
-        val t = Fora.wholeGraphTrace(csr, csr.denseOf(src), conf)
+      foraArtifacts(s, csr, BatchSources, root, { (g, src) =>
+        val t = Fora.wholeGraphTrace(g, g.denseOf(src), conf)
         (t.reserve, t.residue, t.rsum, t.numWalks, t.walks)
       })
       s.read.parquet(s"$root/st").createOrReplaceTempView("g_fora_st")
@@ -391,8 +400,8 @@ object Graph {
       val csr = GraphOps.lineitemCsr(s, dir, Mod)
       val conf = Fora.Conf(alpha = Alpha, epsilon = 0.5)
       val root = VerifyArtifacts.dir(s, "fora_topk")
-      foraArtifacts(s, csr, root, { src =>
-        val t = Fora.topkTrace(csr, csr.denseOf(src), TopK, conf)
+      foraArtifacts(s, csr, BatchSources, root, { (g, src) =>
+        val t = Fora.topkTrace(g, g.denseOf(src), TopK, conf)
         (t.reserve, t.residue, 0.0, t.numWalks, t.walks)
       })
       s.read.parquet(s"$root/st").createOrReplaceTempView("g_ftk_st")
@@ -510,26 +519,32 @@ object Graph {
       // oracleSql AFTER running the queries, so the SQL embeds this run's
       // actual paths).
       "g_mc_ppr" -> {
-        val wdir = VerifyArtifacts.get("dir:mc_walks",
-          "/tmp/graft_verify_unset/mc_walks")
-        s"SELECT src, node_id, count(*) / ${VerifyArtifacts.get("mc_omega", "1")}.0 AS score\n" +
-          s"FROM read_parquet('$wdir/*.parquet') GROUP BY src, node_id"
+        VerifyArtifacts.maybe("dir:mc_walks") match {
+          case Some(wdir) =>
+            s"SELECT src, node_id, count(*) / ${VerifyArtifacts.get("mc_omega", "1")}.0 AS score\n" +
+              s"FROM read_parquet('$wdir/*.parquet') GROUP BY src, node_id"
+          case None => VerifyArtifacts.failSql("g_mc_ppr")
+        }
       },
       "g_fora_ppr" -> {
-        val root = VerifyArtifacts.get("dir:fora_whole",
-          "/tmp/graft_verify_unset/fora_whole")
-        s"""WITH fst AS (SELECT * FROM read_parquet('$root/st/*.parquet')),
-           |fsc AS (SELECT * FROM read_parquet('$root/sc/*.parquet')),
-           |fwk AS (SELECT * FROM read_parquet('$root/wk/*.parquet'))
-           |SELECT * FROM (${foraWholeBody("fst", "fsc", "fwk")})""".stripMargin
+        VerifyArtifacts.maybe("dir:fora_whole") match {
+          case Some(root) =>
+            s"""WITH fst AS (SELECT * FROM read_parquet('$root/st/*.parquet')),
+               |fsc AS (SELECT * FROM read_parquet('$root/sc/*.parquet')),
+               |fwk AS (SELECT * FROM read_parquet('$root/wk/*.parquet'))
+               |SELECT * FROM (${foraWholeBody("fst", "fsc", "fwk")})""".stripMargin
+          case None => VerifyArtifacts.failSql("g_fora_ppr")
+        }
       },
       "g_fora_topk" -> {
-        val root = VerifyArtifacts.get("dir:fora_topk",
-          "/tmp/graft_verify_unset/fora_topk")
-        s"""WITH tst AS (SELECT * FROM read_parquet('$root/st/*.parquet')),
-           |tsc AS (SELECT * FROM read_parquet('$root/sc/*.parquet')),
-           |twk AS (SELECT * FROM read_parquet('$root/wk/*.parquet'))
-           |SELECT * FROM (${foraTopkBody("tst", "tsc", "twk")})""".stripMargin
+        VerifyArtifacts.maybe("dir:fora_topk") match {
+          case Some(root) =>
+            s"""WITH tst AS (SELECT * FROM read_parquet('$root/st/*.parquet')),
+               |tsc AS (SELECT * FROM read_parquet('$root/sc/*.parquet')),
+               |twk AS (SELECT * FROM read_parquet('$root/wk/*.parquet'))
+               |SELECT * FROM (${foraTopkBody("tst", "tsc", "twk")})""".stripMargin
+          case None => VerifyArtifacts.failSql("g_fora_topk")
+        }
       },
       "g_base_allpair" -> Base.oracleSql(
         GraphOps.lineitemGraphSql(BaseMod), Alpha, BaseRmax, BaseSupersteps,

@@ -67,4 +67,33 @@ class PageRankSpec extends SparkSpec {
       assert(maxDiff < 1e-12, s"limit=$limit maxDiff=$maxDiff")
     }
   }
+
+  test("GraphXPpr.runBatch fallback arm: 64-source batch unions in RDD " +
+      "space (no linear unionAll plan blowup); empty sources is empty") {
+    val edges = graft.graph.Got.edges(spark).localCheckpoint(true)
+    // empty-sources guard: both arms, correct shape, no reduce() throw.
+    val empty = GraphXPpr.runBatch(spark, edges, Nil, 0.15, 1)
+    assert(empty.columns.toSeq == Seq("src", "node_id", "score"))
+    assert(empty.count() == 0)
+    val srcs = edges.select("src").distinct().collect()
+      .map(_.getLong(0)).sorted.take(64).toSeq
+    assert(srcs.length == 64)
+    // the per-source static loop is inherently one Pregel run per source;
+    // the COMBINE must stay flat. The old linear unionAll fold re-analyzed
+    // an O(n)-deep plan per source (O(n²) driver analysis); a flat
+    // sc.union keeps the whole batch inside a loose wall-time bound that
+    // the quadratic driver path blew through.
+    val t0 = System.nanoTime()
+    val out = GraphXPpr.runBatch(spark, edges, srcs, 0.15, iterations = 1,
+      allSourcesNodeLimit = 1)
+    val bySrc = out.collect().groupBy(_.getLong(0))
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(bySrc.keySet == srcs.toSet, "every source must appear")
+    // per-source Σ = 1 after normalization
+    bySrc.values.foreach { rows =>
+      val s = rows.map(_.getDouble(2)).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"per-source mass $s")
+    }
+    assert(dt < 180.0, s"64-source fallback batch took ${dt}s")
+  }
 }

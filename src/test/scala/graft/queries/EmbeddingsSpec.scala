@@ -105,6 +105,44 @@ class EmbeddingsSpec extends SparkSpec {
     assert(out.values.exists(_._2 == 0) && out.values.exists(_._2 == 1))
   }
 
+  test("semDedup: all-identical corpus (collapsed k-means mega-cell) " +
+      "pre-collapses to one representative and keeps only the min id") {
+    import spark.implicits._
+    val n = 64
+    val v = Array.tabulate(8)(j => 0.25 * (j + 1))
+    val emb = (0 until n).map(i => (i.toLong, v)).toDF("vec_id", "v")
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+    val asg = (0 until n).map(i => (i.toLong, 0)).toDF("vec_id", "cell")
+    // maxDistinct = 1: the exact-dup pre-collapse must reduce the
+    // mega-cell to ONE distinct vector or the bound trips — this IS the
+    // adversarial cell-size assertion (k-means collapsed onto one point).
+    val out = graft.queries.Embeddings
+      .semDedup(asg, emb, Embeddings.SemDupThreshold, maxDistinct = 1L)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out.size == n)
+    assert(out(0L) == 1, "min-id representative must be kept")
+    assert((1 until n).forall(i => out(i.toLong) == 0),
+      "every exact duplicate of a lower id must be dropped")
+  }
+
+  test("semDedup: the distinct-vector cell bound fails loudly, naming the knob") {
+    import spark.implicits._
+    val emb = (0 until 5).map(i =>
+        (i.toLong, Array.tabulate(8)(j => if (j == i) 1.0 else 0.0)))
+      .toDF("vec_id", "v")
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+    val asg = (0 until 5).map(i => (i.toLong, 0)).toDF("vec_id", "cell")
+    val e = intercept[Exception] {
+      graft.queries.Embeddings
+        .semDedup(asg, emb, Embeddings.SemDupThreshold, maxDistinct = 3L)
+        .collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + " | " + chain(t.getCause)
+    assert(chain(e).contains("quadratic by design"),
+      s"unexpected failure chain: ${chain(e).take(600)}")
+  }
+
   test("e_prefix_rerank: reranked cosines are exact; shortlist recall < 1 " +
       "is the only divergence from brute force") {
     val rr = Embeddings.queries("e_prefix_rerank")(spark, sfDir)
