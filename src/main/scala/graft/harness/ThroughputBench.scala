@@ -1,0 +1,104 @@
+package graft.harness
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.graph.{Got, GraphOps}
+import graft.ppr.{Base, Fora}
+
+/** BASELINE.md §BENCH axis 2 — the reference-shaped throughput
+  * measurement: batched multi-source FORA throughput (queries/min, both
+  * whole-graph and top-k) and all-pair BASE prep throughput (pairs/s), on
+  * GOT and on the synthetic BlogCatalog-scale graph (the mod-20011
+  * lineitem derivation `g_triangles` uses: ~10k nodes / ~600k directed
+  * edges at sf0.1; Dissertation Table 3's BlogCatalog is 10,312 nodes /
+  * 667,966 directed edges).
+  *
+  * Protocol mirrors the reference benchmark (`Gen_Util.java:99-107`,
+  * Dissertation §5.1.3/§5.1.5): 50 query sources drawn uniformly with
+  * replacement — SEEDED here (the H2 deviation note), k = 50, α = 0.15.
+  * Accuracy knobs are the matching dataset grid's middle point
+  * ([[Grids.Got]] / [[Grids.BlogCatalog]]); BASE prep uses the
+  * PerfRunner's rmax = 1e-4 with the grid-mid store threshold, and its
+  * timed span INCLUDES the source-major store write — the reference's
+  * prep cost is compute + one-file-per-source flush
+  * (`Base_Whole_Graph.java:58-164`).
+  *
+  * pairs/s denominates in the SWEPT all-pair space n² (the work the prep
+  * performs), with the stored (≥ threshold) pair count reported alongside.
+  *
+  * Prints ONE JSON line; committed as `BENCH_THROUGHPUT.json` and
+  * compared against the dissertation's prose targets in SURVEY §6.
+  */
+object ThroughputBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val out = new StringBuilder
+    def emit(kv: (String, Any)): Unit = {
+      if (out.nonEmpty) out ++= ","
+      out ++= "\"" + kv._1 + "\":" + (kv._2 match {
+        case s: String => "\"" + s + "\""
+        case v => v.toString
+      })
+    }
+
+    def measure(tag: String, edges: DataFrame, foraEps: Double,
+        topkEps: Double, baseThreshold: Double): Unit = {
+      val csr = GraphOps.buildCsr(edges)
+      val n = csr.numNodes.toLong
+      val srcs = QuerySampler.sourceIds(csr, 50, 42L)
+      emit(s"${tag}_nodes" -> n)
+      emit(s"${tag}_edges" -> csr.numEdges)
+
+      val t0 = System.nanoTime()
+      Fora.batch(spark, csr, srcs,
+        Fora.Conf(alpha = 0.15, epsilon = foraEps)).count()
+      val wgSec = (System.nanoTime() - t0) / 1e9
+      emit(s"${tag}_fora_whole_sec" -> f"$wgSec%.3f".toDouble)
+      emit(s"${tag}_fora_whole_qpm" -> f"${srcs.length * 60.0 / wgSec}%.1f".toDouble)
+
+      val t1 = System.nanoTime()
+      Fora.topkBatch(spark, csr, srcs, 50,
+        Fora.Conf(alpha = 0.15, epsilon = topkEps)).count()
+      val tkSec = (System.nanoTime() - t1) / 1e9
+      emit(s"${tag}_fora_topk_sec" -> f"$tkSec%.3f".toDouble)
+      emit(s"${tag}_fora_topk_qpm" -> f"${srcs.length * 60.0 / tkSec}%.1f".toDouble)
+
+      val store = graft.Scratch.dir(spark, s"thr_base_$tag")
+      val t2 = System.nanoTime()
+      Base.writeStore(
+        Base.allPairs(spark, edges, alpha = 0.15, rmax = 1e-4,
+          scoreThreshold = baseThreshold),
+        store)
+      val prepSec = (System.nanoTime() - t2) / 1e9
+      val stored = spark.read.parquet(store).count()
+      Base.deleteStore(spark, store)
+      emit(s"${tag}_base_prep_sec" -> f"$prepSec%.3f".toDouble)
+      emit(s"${tag}_base_pairs_per_sec" -> f"${n * n / prepSec}%.1f".toDouble)
+      emit(s"${tag}_base_stored_pairs" -> stored)
+    }
+
+    // GOT: the repo demo graph; grid mids ε=0.5 (whole + topk),
+    // threshold 5e-5 (Grids.Got).
+    measure("got", Got.edges(spark).localCheckpoint(true),
+      foraEps = 0.5, topkEps = 0.5, baseThreshold = 5.0e-5)
+    // BlogCatalog-scale synthetic: grid mids ε=5.0 (whole) / 0.1 (topk),
+    // threshold 5e-4 (Grids.BlogCatalog).
+    measure("syn", GraphOps.lineitemGraph(spark, sfDir,
+        graft.queries.Graph.TriMod).localCheckpoint(true),
+      foraEps = 5.0, topkEps = 0.1, baseThreshold = 5.0e-4)
+
+    println(s"""{"metric":"throughput","sf":"$sfDir",$out}""")
+    spark.stop()
+  }
+}
