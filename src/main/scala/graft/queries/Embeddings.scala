@@ -76,6 +76,18 @@ object Embeddings {
     */
   val MaxSemCellDistinct = 32768L
 
+  /** MMR-diversified retrieval (`e_mmr_rerank`): from a
+    * [[MmrShortlist]]-candidate shortlist per query, greedily select
+    * [[MmrK]] results maximizing λ·relevance − (1−λ)·max-similarity-to-
+    * already-selected (Carbonell & Goldstein's maximal marginal
+    * relevance). λ and 1−λ are BOTH literal constants so the two engines
+    * evaluate the identical IEEE expression (never 1.0-λ at runtime).
+    */
+  val MmrLambda = 0.7
+  val MmrOneMinusLambda = 0.3
+  val MmrShortlist = 20
+  val MmrK = 5
+
   /** Two-stage truncated-dimension retrieval (`e_prefix_rerank`): the
     * shortlist pass scores only the first [[PrefixDims]] dims and keeps
     * [[PrefixShortlist]] candidates per query for the exact full-dim
@@ -711,6 +723,69 @@ object Embeddings {
         .select(col("q_id"), col("vec_id"), col("cos"), col("rk"))
     }),
 
+    // MMR-diversified retrieval: greedy maximal-marginal-relevance
+    // selection of MmrK results from a MmrShortlist-candidate shortlist
+    // per query — the diversified-retrieval stage a RAG / training-data
+    // curation pipeline runs after ANN (near-identical top hits waste a
+    // context window / training batch). Deterministic given the
+    // 6-dp-rounded cosines + id tie-breaks, so the oracle replays the
+    // greedy EXACTLY (unrolled to MmrK steps in SQL).
+    //
+    // Scale shape: the shortlist here comes from the exact scorer (oracle
+    // checkability); at scale it composes with any of the ANN paths. The
+    // MMR stage itself only ever sees m = MmrShortlist rows per query:
+    // the pair-similarity self-join is keyed on q_id (m² bounded rows per
+    // query, never corpus-quadratic), and the greedy runs as a typed
+    // cogroup kernel — one task per query batch, O(k·m) comparisons and
+    // no float arithmetic beyond λ·rel − (1−λ)·maxsim over
+    // already-rounded inputs, so both engines rank bit-identically.
+    "e_mmr_rerank" -> ((s, dir) => {
+      VectorFunctions.register(s)
+      import s.implicits._
+      val wS = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val cand = cosineJoined(s, dir)
+        .withColumn("rn", row_number().over(wS))
+        .where(col("rn") <= MmrShortlist)
+        .select(col("q_id"), col("vec_id"), col("cos").as("rel"))
+        .localCheckpoint(true) // read twice: greedy input + pair sims
+      val withV = cand
+        .join(embDf(s, dir).select(col("vec_id"), col("v"), col("nrm")),
+          Seq("vec_id"))
+        .select(col("q_id"), col("vec_id"), col("v"), col("nrm"))
+      val pairs = withV.as("a").join(withV.as("b"),
+          col("a.q_id") === col("b.q_id") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .selectExpr("a.q_id AS q_id", "a.vec_id AS a_id", "b.vec_id AS b_id",
+          "round(vec_dot(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim")
+      val candKv = cand.as[(Long, Long, Double)].groupByKey(_._1)
+      val pairKv = pairs.as[(Long, Long, Long, Double)].groupByKey(_._1)
+      candKv.cogroup(pairKv) { (q, cs, ps) =>
+        val rel = cs.map(c => c._2 -> c._3).toMap
+        val sim = ps.map(p => (p._2, p._3) -> p._4).toMap
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+        var step = 1
+        while (step <= MmrK && selected.length < rel.size) {
+          var bestId = Long.MaxValue
+          var bestScore = Double.NegativeInfinity
+          for ((c, r) <- rel if !selected.contains(c)) {
+            val pen = if (selected.isEmpty) 0.0
+              else selected.iterator.map(sid => sim((c, sid))).max
+            val score = MmrLambda * r - MmrOneMinusLambda * pen
+            if (score > bestScore || (score == bestScore && c < bestId)) {
+              bestScore = score
+              bestId = c
+            }
+          }
+          out += ((q, bestId, step))
+          selected += bestId
+          step += 1
+        }
+        out.iterator
+      }.toDF("q_id", "vec_id", "rk")
+    }),
+
     // ANN recall evaluation: recall@LshTopK of the multi-table LSH index
     // against the exact cosine ground truth — the quality measurement any
     // production ANN deployment runs before trading exactness for speed.
@@ -901,6 +976,52 @@ object Embeddings {
          |SELECT a.vec_id, a.cell,
          |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
          |FROM asg a LEFT JOIN sdup d ON d.vec_id = a.vec_id""".stripMargin
+    },
+    "e_mmr_rerank" -> {
+      // dot between aliased candidate rows a and b (64 dims, same fold).
+      val dotAB = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(range(1, 65), i -> a.v[i] * b.v[i])), (a, x) -> a + x)"
+      val sb = new StringBuilder
+      sb ++= s"""WITH $duckBase,
+         |mcos AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |  round($duckDot / (q.nrm * c.nrm), 6) AS rel
+         |  FROM embn q JOIN embn c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries),
+         |mcand AS MATERIALIZED (SELECT q_id, vec_id, rel FROM (
+         |  SELECT q_id, vec_id, rel, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY rel DESC, vec_id ASC) AS rn FROM mcos)
+         |  WHERE rn <= $MmrShortlist),
+         |mc2 AS MATERIALIZED (SELECT m.q_id, m.vec_id, e.v, e.nrm
+         |  FROM mcand m JOIN embn e ON e.vec_id = m.vec_id),
+         |msim AS MATERIALIZED (SELECT a.q_id, a.vec_id AS a_id,
+         |  b.vec_id AS b_id, round($dotAB / (a.nrm * b.nrm), 6) AS sim
+         |  FROM mc2 a JOIN mc2 b ON b.q_id = a.q_id AND b.vec_id <> a.vec_id),
+         |s1 AS MATERIALIZED (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY rel DESC, vec_id ASC) AS rn FROM mcand)
+         |  WHERE rn = 1),
+         |p1 AS MATERIALIZED (SELECT q_id, vec_id FROM s1)""".stripMargin
+      for (i <- 2 to MmrK) {
+        sb ++= s""",
+           |s$i AS MATERIALIZED (SELECT q_id, vec_id FROM (
+           |  SELECT c.q_id, c.vec_id, row_number() OVER (PARTITION BY c.q_id
+           |    ORDER BY $MmrLambda * c.rel - $MmrOneMinusLambda * mx.m DESC,
+           |      c.vec_id ASC) AS rn
+           |  FROM mcand c
+           |  JOIN (SELECT s.q_id, s.a_id AS vec_id, max(s.sim) AS m
+           |        FROM msim s JOIN p${i - 1} p
+           |          ON p.q_id = s.q_id AND p.vec_id = s.b_id
+           |        GROUP BY s.q_id, s.a_id) mx
+           |    ON mx.q_id = c.q_id AND mx.vec_id = c.vec_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM p${i - 1} p
+           |    WHERE p.q_id = c.q_id AND p.vec_id = c.vec_id))
+           |  WHERE rn = 1),
+           |p$i AS MATERIALIZED (SELECT q_id, vec_id FROM p${i - 1}
+           |  UNION ALL SELECT q_id, vec_id FROM s$i)""".stripMargin
+      }
+      sb ++= "\n" + (1 to MmrK).map(i =>
+        s"SELECT q_id, vec_id, $i AS rk FROM s$i").mkString("\nUNION ALL\n")
+      sb.toString
     },
     "e_prefix_rerank" -> {
       val dot16 = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +

@@ -105,6 +105,45 @@ class EmbeddingsSpec extends SparkSpec {
     assert(out.values.exists(_._2 == 0) && out.values.exists(_._2 == 1))
   }
 
+  test("e_mmr_rerank: matches an independent brute-force MMR greedy") {
+    val out = Embeddings.queries("e_mmr_rerank")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val vecs = graft.Tables(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos6(a: Long, b: Long): Double = {
+      val (va, vb) = (vecs(a), vecs(b))
+      val c = dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb)))
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for (q <- 0L until Embeddings.NumQueries.toLong) {
+      // shortlist: top MmrShortlist by (cos desc, id asc)
+      val short = vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, cos6(q, c)))
+        .sortBy { case (c, r) => (-r, c) }
+        .take(Embeddings.MmrShortlist)
+      val rel = short.toMap
+      val sel = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for (step <- 1 to Embeddings.MmrK) {
+        val pick = short.filterNot { case (c, _) => sel.contains(c) }
+          .map { case (c, r) =>
+            val pen = if (sel.isEmpty) 0.0 else sel.map(s => cos6(c, s)).max
+            (c, Embeddings.MmrLambda * r - Embeddings.MmrOneMinusLambda * pen)
+          }
+          .minBy { case (c, sc) => (-sc, c) }._1
+        assert(out((q, step)) == pick,
+          s"q=$q step=$step: got ${out((q, step))}, brute-force picked $pick " +
+            s"(rel=${rel.get(pick)})")
+        sel += pick
+      }
+    }
+  }
+
   test("semDedup: all-identical corpus (collapsed k-means mega-cell) " +
       "pre-collapses to one representative and keeps only the min id") {
     import spark.implicits._
