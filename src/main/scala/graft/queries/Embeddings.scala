@@ -76,6 +76,18 @@ object Embeddings {
     */
   val MaxSemCellDistinct = 32768L
 
+  /** Binary-quantization search (`e_bq_search`): each 64-dim vector
+    * compresses to its 64 sign bits, stored as two BIGINT halves (32 bits
+    * each — a 64-bit pack would need bit 63, which overflows a signed
+    * BIGINT literal in SQL). The query scans CODES only (16 bytes/vector,
+    * a 64× compression of the double vectors), shortlists
+    * [[BqShortlist]] candidates per query by Hamming distance, then
+    * reranks the survivors by exact cosine — the modern
+    * binary-embedding retrieval shape.
+    */
+  val BqShortlist = 30
+  val BqTopK = 10
+
   /** MMR-diversified retrieval (`e_mmr_rerank`): from a
     * [[MmrShortlist]]-candidate shortlist per query, greedily select
     * [[MmrK]] results maximizing λ·relevance − (1−λ)·max-similarity-to-
@@ -298,6 +310,18 @@ object Embeddings {
       .selectExpr("q_id", "vec_id",
         s"round($dotExpr / (qnrm * nrm), 6) AS cos")
   }
+
+  /** 32 sign bits of dims off+1 .. off+32 of array column `v`, packed as
+    * one BIGINT (dual-rendered: Spark `element_at` / DuckDB `[]`).
+    */
+  private def bqPackSpark(v: String, off: Int): String = (0 until 32)
+    .map(b => s"(CASE WHEN element_at($v, ${off + b + 1}) >= 0 " +
+      s"THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    .mkString(" + ")
+  private def bqPackDuck(v: String, off: Int): String = (0 until 32)
+    .map(b => s"(CASE WHEN $v[${off + b + 1}] >= 0 " +
+      s"THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    .mkString(" + ")
 
   /** Sign bucket of dims t·LshBits+1 .. (t+1)·LshBits of array column `v`. */
   private def bucketExpr(v: String, t: Int): String = (0 until LshBits)
@@ -723,6 +747,46 @@ object Embeddings {
         .select(col("q_id"), col("vec_id"), col("cos"), col("rk"))
     }),
 
+    // Binary-quantization search: sign-bit codes (two BIGINT halves =
+    // 16 bytes/vector, 64× smaller than the doubles), Hamming-distance
+    // shortlist over the CODE columns only, exact-cosine rerank for the
+    // ≤ BqShortlist survivors per query.
+    //
+    // Scale shape: the shortlist pass never touches the vector column —
+    // at 100 TB the code store is its own 16-byte-wide table and the
+    // whole scan is two integer XOR+popcounts per row (codegen'd);
+    // queries are broadcast; full vectors stream through the rerank join
+    // only for survivors (the e_prefix_rerank discipline). Deterministic:
+    // integer Hamming + id tie-break for the shortlist, 6-dp-rounded
+    // cosine + id tie-break for the final cut.
+    "e_bq_search" -> ((s, dir) => {
+      VectorFunctions.register(s)
+      val emb = embDf(s, dir)
+      val codes = emb.selectExpr("vec_id",
+        s"${bqPackSpark("v", 0)} AS lo", s"${bqPackSpark("v", 32)} AS hi")
+      val qc = codes.where(col("vec_id") < NumQueries)
+        .selectExpr("vec_id AS q_id", "lo AS qlo", "hi AS qhi")
+      val wH = Window.partitionBy(col("q_id"))
+        .orderBy(col("ham").asc, col("vec_id").asc)
+      val short = codes.crossJoin(broadcast(qc))
+        .where(col("vec_id") =!= col("q_id"))
+        .selectExpr("q_id", "vec_id",
+          "CAST(bit_count(lo ^ qlo) + bit_count(hi ^ qhi) AS INT) AS ham")
+        .withColumn("rn", row_number().over(wH))
+        .where(col("rn") <= BqShortlist)
+        .select(col("q_id"), col("vec_id"), col("ham"))
+      val q = emb.selectExpr("vec_id AS q_id", "v AS qv", "nrm AS qnrm")
+      val wC = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      short.join(broadcast(q), Seq("q_id"))
+        .join(emb, Seq("vec_id"))
+        .selectExpr("q_id", "vec_id", "ham",
+          s"round($dotExpr / (qnrm * nrm), 6) AS cos")
+        .withColumn("rk", row_number().over(wC))
+        .where(col("rk") <= BqTopK)
+        .select(col("q_id"), col("vec_id"), col("ham"), col("cos"), col("rk"))
+    }),
+
     // MMR-diversified retrieval: greedy maximal-marginal-relevance
     // selection of MmrK results from a MmrShortlist-candidate shortlist
     // per query — the diversified-retrieval stage a RAG / training-data
@@ -977,6 +1041,27 @@ object Embeddings {
          |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
          |FROM asg a LEFT JOIN sdup d ON d.vec_id = a.vec_id""".stripMargin
     },
+    "e_bq_search" ->
+      s"""WITH $duckBase,
+         |bq AS MATERIALIZED (SELECT vec_id, ${bqPackDuck("v", 0)} AS lo,
+         |  ${bqPackDuck("v", 32)} AS hi FROM embn),
+         |qb AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM bq
+         |  WHERE vec_id < $NumQueries),
+         |shortl AS (SELECT q_id, vec_id, ham FROM (
+         |  SELECT q.q_id, c.vec_id,
+         |    CAST(bit_count(xor(c.lo, q.qlo)) + bit_count(xor(c.hi, q.qhi)) AS INT) AS ham,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY bit_count(xor(c.lo, q.qlo)) + bit_count(xor(c.hi, q.qhi)) ASC,
+         |        c.vec_id ASC) AS rn
+         |  FROM bq c JOIN qb q ON c.vec_id <> q.q_id) WHERE rn <= $BqShortlist),
+         |cosj AS (SELECT s.q_id, s.vec_id, s.ham,
+         |  round($duckDot / (q.nrm * c.nrm), 6) AS cos
+         |  FROM shortl s JOIN embn q ON q.vec_id = s.q_id
+         |    JOIN embn c ON c.vec_id = s.vec_id)
+         |SELECT q_id, vec_id, ham, cos, rk FROM (
+         |  SELECT q_id, vec_id, ham, cos, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk FROM cosj)
+         |WHERE rk <= $BqTopK""".stripMargin,
     "e_mmr_rerank" -> {
       // dot between aliased candidate rows a and b (64 dims, same fold).
       val dotAB = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +

@@ -503,6 +503,31 @@ object Text {
         .agg(count(lit(1)).as("n_hits"))
     }),
 
+    // Fractional decontamination score: per training doc, the fraction
+    // of its distinct shingles that appear in the held-out eval split,
+    // with the flag applied on the 6-dp-ROUNDED fraction (boundary
+    // values cannot flap across engines). Same scale shape as
+    // d_decontam — eval shingles broadcast, corpus streams map-side,
+    // the only shuffles are the two per-doc counts.
+    "d_decontam_frac" -> ((s, dir) => {
+      val sh = shingleDf(s, dir)
+      val ev = sh.where(col("doc_id") % DecontamEvalMod === 0)
+        .select(explode(col("sh")).as("h")).distinct()
+      val tr = sh.where(col("doc_id") % DecontamEvalMod =!= 0)
+        .select(col("doc_id"), explode(col("sh")).as("h"))
+        .localCheckpoint(true) // read twice: total + hit counts
+      val tot = tr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val hits = tr.join(broadcast(ev), Seq("h"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      tot.join(hits, Seq("doc_id"), "left")
+        .selectExpr("doc_id",
+          "CAST(n_sh AS BIGINT) AS n_sh",
+          "CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits",
+          "round(CAST(coalesce(n_hits, 0) AS DOUBLE) / n_sh, 6) AS frac",
+          "CAST(CASE WHEN round(CAST(coalesce(n_hits, 0) AS DOUBLE) / n_sh, 6)" +
+            s" >= $DecontamFracThreshold THEN 1 ELSE 0 END AS INT) AS flagged")
+    }),
+
     // Within-document repetition: duplicate-token fraction (the
     // Gopher-style repetition quality signal — high dup_frac marks
     // boilerplate/spam). Pure narrow projection, no shuffle.
@@ -622,6 +647,13 @@ object Text {
 
   /** Held-out eval split for `d_decontam`: docs with id ≡ 0 (mod this). */
   val DecontamEvalMod = 17
+
+  /** `d_decontam_frac` flag threshold: a training doc whose
+    * ROUNDED contaminated-shingle fraction reaches this is flagged
+    * (the fractional-overlap thresholding real decontamination
+    * pipelines apply, vs `d_decontam`'s raw hit count).
+    */
+  val DecontamFracThreshold = 0.1
 
   /** Documents kept per source by `d_domain_cap`. */
   val DomainCapN = 50
@@ -1115,6 +1147,21 @@ object Text {
          |  WHERE doc_id % $DecontamEvalMod <> 0)
          |SELECT tr.doc_id, count(*) AS n_hits
          |FROM tr JOIN ev USING (h) GROUP BY tr.doc_id""".stripMargin,
+    "d_decontam_frac" ->
+      s"""WITH $duckShingleCte,
+         |ev AS (SELECT DISTINCT unnest(sh) AS h FROM sh_t
+         |  WHERE doc_id % $DecontamEvalMod = 0),
+         |tr AS MATERIALIZED (SELECT doc_id, unnest(sh) AS h FROM sh_t
+         |  WHERE doc_id % $DecontamEvalMod <> 0),
+         |tot AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY doc_id),
+         |hits AS (SELECT tr.doc_id, count(*) AS n_hits FROM tr
+         |  JOIN ev USING (h) GROUP BY tr.doc_id)
+         |SELECT t.doc_id, CAST(t.n_sh AS BIGINT) AS n_sh,
+         |  CAST(coalesce(hi.n_hits, 0) AS BIGINT) AS n_hits,
+         |  round(CAST(coalesce(hi.n_hits, 0) AS DOUBLE) / t.n_sh, 6) AS frac,
+         |  CAST(CASE WHEN round(CAST(coalesce(hi.n_hits, 0) AS DOUBLE) / t.n_sh, 6)
+         |    >= $DecontamFracThreshold THEN 1 ELSE 0 END AS INT) AS flagged
+         |FROM tot t LEFT JOIN hits hi ON hi.doc_id = t.doc_id""".stripMargin,
     "d_tfidf" ->
       s"""WITH t AS (SELECT doc_id, unnest(${TextOps.duck.tokens("text")}) AS term
          |  FROM documents),

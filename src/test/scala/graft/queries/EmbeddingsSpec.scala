@@ -105,6 +105,40 @@ class EmbeddingsSpec extends SparkSpec {
     assert(out.values.exists(_._2 == 0) && out.values.exists(_._2 == 1))
   }
 
+  test("e_bq_search: Hamming distances match recomputed sign codes; " +
+      "reranked cosines are exact") {
+    val out = Embeddings.queries("e_bq_search")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val vecs = graft.Tables(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def ham(a: Array[Double], b: Array[Double]): Int =
+      a.indices.count(i => (a(i) >= 0) != (b(i) >= 0))
+    // per-row: the integer Hamming distance must equal the sign-bit
+    // disagreement count of the raw vectors (the code pack is lossless
+    // for this quantity).
+    out.foreach { r =>
+      val (q, c, h) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      assert(h == ham(vecs(q), vecs(c)), s"q=$q c=$c ham=$h")
+    }
+    // reranked cosines agree with brute force wherever the pair also
+    // appears in the exact top-k (same kernel, same rounding).
+    val bf = brute.select(col("q_id"), col("vec_id"), col("cos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val mismatches = out.collect {
+      case r if bf.contains((r.getLong(0), r.getLong(1))) &&
+        bf((r.getLong(0), r.getLong(1))) != r.getDouble(3) => r
+    }
+    assert(mismatches.isEmpty, s"cos disagreement: ${mismatches.take(3).toSeq}")
+    // exactly BqTopK rows per query (row_number cut), ranks 1..k
+    val perQ = out.groupBy(_.getLong(0))
+    perQ.values.foreach { rows =>
+      assert(rows.length == Embeddings.BqTopK)
+      assert(rows.map(_.getInt(4)).sorted.toSeq == (1 to Embeddings.BqTopK))
+    }
+  }
+
   test("e_mmr_rerank: matches an independent brute-force MMR greedy") {
     val out = Embeddings.queries("e_mmr_rerank")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap

@@ -144,6 +144,23 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("d_decontam_frac agrees with d_decontam's hit counts and bounds") {
+    val hits = Text.queries("d_decontam")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val frac = Text.queries("d_decontam_frac")(spark, sfDir).collect()
+    assert(frac.nonEmpty)
+    frac.foreach { r =>
+      val (id, nSh, nHits, f, flag) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))
+      // the fractional row's hit count IS d_decontam's (absent = 0)
+      assert(nHits == hits.getOrElse(id, 0L), s"doc $id")
+      assert(nHits <= nSh && f >= 0.0 && f <= 1.0)
+      assert((flag == 1) == (f >= Text.DecontamFracThreshold), s"doc $id flag")
+    }
+    // every doc d_decontam scored appears in the fractional table
+    assert(hits.keySet.subsetOf(frac.map(_.getLong(0)).toSet))
+  }
+
   test("d_passage_dedup keeps each distinct passage exactly once") {
     val rows = Text.queries("d_passage_dedup")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
