@@ -503,6 +503,35 @@ object Text {
         .agg(count(lit(1)).as("n_hits"))
     }),
 
+    // Vocabulary cardinality via a KMV (k-minimum-values) sketch, per
+    // language, next to the exact distinct count. The sketch is a custom
+    // TypedImperativeAggregate ([[graft.functions.KmvKth]]) whose buffer
+    // is k-BOUNDED with partial aggregation — each map task ships ≤ k
+    // longs per group, where exact distinct counting shuffles every
+    // distinct value (the 100 TB cardinality-estimation shape; the exact
+    // column here exists to oracle-check the sketch against reality and
+    // would be dropped at scale). The estimate (k−1)/u is computed from
+    // the returned integer by the SAME SQL text in both engines. On this
+    // corpus's short tokens the polynomial hash under-wraps P, so the
+    // estimate is biased — visible against n_exact by design; accuracy
+    // on well-mixed hashes is pinned by KmvAggSpec.
+    //
+    // NOTE (hash choice): tokenHash is used because it is THE
+    // dual-rendered token hash both engines share; a production KMV
+    // would hash with a full-range mixer.
+    "d_vocab_kmv" -> ((s, dir) => {
+      graft.functions.KmvFunctions.register(s)
+      Tables(s, dir, "documents")
+        .selectExpr("lang", s"explode(${TextOps.spark.tokens("text")}) AS t")
+        .selectExpr("lang", s"${TextOps.spark.tokenHash("t")} AS h")
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("h")).as("n_exact"),
+          graft.functions.KmvFunctions.kmvKth(col("h"), KmvK).as("kth_h"))
+        .where(col("kth_h").isNotNull)
+        .selectExpr("lang", "CAST(n_exact AS BIGINT) AS n_exact", "kth_h",
+          kmvEstSql("kth_h"))
+    }),
+
     // Fractional decontamination score: per training doc, the fraction
     // of its distinct shingles that appear in the held-out eval split,
     // with the flag applied on the 6-dp-ROUNDED fraction (boundary
@@ -657,6 +686,21 @@ object Text {
 
   /** Documents kept per source by `d_domain_cap`. */
   val DomainCapN = 50
+
+  /** KMV sketch size for `d_vocab_kmv` (the synthetic corpus has ~31
+    * distinct tokens per language, so the kth order statistic exists).
+    */
+  val KmvK = 16
+
+  /** KMV estimate from the kth-smallest distinct hash: [[TextOps]]'
+    * rolling hash lives in [0, P), so h_k maps to the unit interval as
+    * u = h_k/P and the estimate is (k−1)/u. ONE SQL text used verbatim
+    * by both engines, so the IEEE expression chain over the identical
+    * integer is identical.
+    */
+  private def kmvEstSql(col: String): String =
+    s"round(CAST(${KmvK - 1} AS DOUBLE) / " +
+      s"(CAST($col AS DOUBLE) / ${TextOps.P}.0), 4) AS est"
 
   /** Keywords kept per document by `d_tfidf`. */
   val TfidfK = 3
@@ -1147,6 +1191,19 @@ object Text {
          |  WHERE doc_id % $DecontamEvalMod <> 0)
          |SELECT tr.doc_id, count(*) AS n_hits
          |FROM tr JOIN ev USING (h) GROUP BY tr.doc_id""".stripMargin,
+    "d_vocab_kmv" ->
+      s"""WITH t AS (SELECT lang, unnest(${TextOps.duck.tokens("text")}) AS t
+         |  FROM documents),
+         |hh AS (SELECT lang, ${TextOps.duck.tokenHash("t")} AS h FROM t),
+         |d AS MATERIALIZED (SELECT DISTINCT lang, h FROM hh),
+         |kth AS (SELECT lang, h AS kth_h FROM (
+         |  SELECT lang, h, row_number() OVER (
+         |    PARTITION BY lang ORDER BY h ASC) AS rn FROM d)
+         |  WHERE rn = $KmvK),
+         |ex AS (SELECT lang, count(*) AS n_exact FROM d GROUP BY lang)
+         |SELECT ex.lang, CAST(ex.n_exact AS BIGINT) AS n_exact, k.kth_h,
+         |  ${kmvEstSql("k.kth_h")}
+         |FROM ex JOIN kth k ON k.lang = ex.lang""".stripMargin,
     "d_decontam_frac" ->
       s"""WITH $duckShingleCte,
          |ev AS (SELECT DISTINCT unnest(sh) AS h FROM sh_t
