@@ -81,11 +81,25 @@ object ThroughputBench {
           scoreThreshold = baseThreshold),
         store)
       val prepSec = (System.nanoTime() - t2) / 1e9
-      val stored = spark.read.parquet(store).count()
+      val storeDf = spark.read.parquet(store)
+      val stored = storeDf.count()
+      // BASE per-source query latency (the reference's headline BASE
+      // property: query time ≈ constant, one file read per source —
+      // Dissertation §5.3-5.4). The DataFrame is built ONCE (one
+      // partition discovery, the cataloged-table shape); each query is
+      // then a Catalyst partition-pruned single-directory scan.
+      val t3 = System.nanoTime()
+      srcs.foreach { s =>
+        storeDf.where(org.apache.spark.sql.functions.col("src") === s)
+          .count()
+      }
+      val readSec = (System.nanoTime() - t3) / 1e9
       Base.deleteStore(spark, store)
       emit(s"${tag}_base_prep_sec" -> f"$prepSec%.3f".toDouble)
       emit(s"${tag}_base_pairs_per_sec" -> f"${n * n / prepSec}%.1f".toDouble)
       emit(s"${tag}_base_stored_pairs" -> stored)
+      emit(s"${tag}_base_read_ms_per_query" ->
+        f"${readSec * 1000.0 / srcs.length}%.1f".toDouble)
     }
 
     // GOT: the repo demo graph; grid mids ε=0.5 (whole + topk),
