@@ -109,11 +109,18 @@ object VerifyArtifacts {
     val root = new java.io.File(s"$tmp/graft_verify_$tag")
     // ownership marker: the sweep skips trees whose writing JVM is still
     // alive, so a shared tmpdir cannot lose a >1-day-old still-pending
-    // run's artifacts to another run's sweep.
+    // run's artifacts to another run's sweep. pid AND process start time
+    // — a bare pid outlives its process across reboots/PID reuse and
+    // would exempt the tree forever.
     if (root.mkdirs() || !new java.io.File(root, ".pid").exists())
-      try Files.writeString(root.toPath.resolve(".pid"),
-        ProcessHandle.current().pid().toString)
-      catch { case _: java.io.IOException => () }
+      try {
+        val self = ProcessHandle.current()
+        val start = self.info().startInstant()
+          .map[java.lang.Long](i => java.lang.Long.valueOf(i.toEpochMilli))
+          .orElse(java.lang.Long.valueOf(0L))
+        Files.writeString(root.toPath.resolve(".pid"),
+          s"${self.pid()} $start")
+      } catch { case _: java.io.IOException => () }
     val d = s"${root.getPath}/$leaf"
     vals.put(s"dir:$leaf", d)
     d
@@ -158,8 +165,17 @@ object VerifyArtifacts {
     try {
       val pidFile = root.toPath.resolve(".pid")
       Files.exists(pidFile) && {
-        val pid = Files.readString(pidFile).trim.toLong
-        ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+        val parts = Files.readString(pidFile).trim.split("\\s+")
+        val pid = parts(0).toLong
+        val recordedStart = if (parts.length > 1) parts(1).toLong else 0L
+        ProcessHandle.of(pid).map[Boolean] { h =>
+          // same pid is not the same process after a reboot/PID wrap:
+          // the start instant must match too (0 = unknown, accept).
+          h.isAlive && (recordedStart == 0L ||
+            h.info().startInstant()
+              .map[Boolean](i => i.toEpochMilli == recordedStart)
+              .orElse(true))
+        }.orElse(false)
       }
     } catch { case _: Exception => false }
 

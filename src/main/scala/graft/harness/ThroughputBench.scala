@@ -30,18 +30,15 @@ import graft.ppr.{Base, Fora}
   */
 object ThroughputBench {
 
+  // locale-independent rounding for the JSON line (the `f` interpolator
+  // formats with the JVM default locale — a comma-decimal locale would
+  // break `.toDouble` after the whole benchmark already ran).
+  private def r3(x: Double): Double = math.rint(x * 1000) / 1000
+  private def r1(x: Double): Double = math.rint(x * 10) / 10
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .withExtensions(new graft.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.LocalSession.create()
 
     val out = new StringBuilder
     def emit(kv: (String, Any)): Unit = {
@@ -64,15 +61,15 @@ object ThroughputBench {
       Fora.batch(spark, csr, srcs,
         Fora.Conf(alpha = 0.15, epsilon = foraEps)).count()
       val wgSec = (System.nanoTime() - t0) / 1e9
-      emit(s"${tag}_fora_whole_sec" -> f"$wgSec%.3f".toDouble)
-      emit(s"${tag}_fora_whole_qpm" -> f"${srcs.length * 60.0 / wgSec}%.1f".toDouble)
+      emit(s"${tag}_fora_whole_sec" -> r3(wgSec))
+      emit(s"${tag}_fora_whole_qpm" -> r1(srcs.length * 60.0 / wgSec))
 
       val t1 = System.nanoTime()
       Fora.topkBatch(spark, csr, srcs, 50,
         Fora.Conf(alpha = 0.15, epsilon = topkEps)).count()
       val tkSec = (System.nanoTime() - t1) / 1e9
-      emit(s"${tag}_fora_topk_sec" -> f"$tkSec%.3f".toDouble)
-      emit(s"${tag}_fora_topk_qpm" -> f"${srcs.length * 60.0 / tkSec}%.1f".toDouble)
+      emit(s"${tag}_fora_topk_sec" -> r3(tkSec))
+      emit(s"${tag}_fora_topk_qpm" -> r1(srcs.length * 60.0 / tkSec))
 
       val store = graft.Scratch.dir(spark, s"thr_base_$tag")
       val t2 = System.nanoTime()
@@ -95,11 +92,11 @@ object ThroughputBench {
       }
       val readSec = (System.nanoTime() - t3) / 1e9
       Base.deleteStore(spark, store)
-      emit(s"${tag}_base_prep_sec" -> f"$prepSec%.3f".toDouble)
-      emit(s"${tag}_base_pairs_per_sec" -> f"${n * n / prepSec}%.1f".toDouble)
+      emit(s"${tag}_base_prep_sec" -> r3(prepSec))
+      emit(s"${tag}_base_pairs_per_sec" -> r1(n.toDouble * n / prepSec))
       emit(s"${tag}_base_stored_pairs" -> stored)
       emit(s"${tag}_base_read_ms_per_query" ->
-        f"${readSec * 1000.0 / srcs.length}%.1f".toDouble)
+        r1(readSec * 1000.0 / srcs.length))
     }
 
     // GOT: the repo demo graph; grid mids ε=0.5 (whole + topk),

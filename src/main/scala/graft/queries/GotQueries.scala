@@ -191,7 +191,8 @@ object GotQueries {
       s.read.parquet(s"$root/st").createOrReplaceTempView("gg_fora_st")
       s.read.parquet(s"$root/sc").createOrReplaceTempView("gg_fora_sc")
       s.read.parquet(s"$root/wk").createOrReplaceTempView("gg_fora_wk")
-      val est = s.sql(Graph.foraWholeBody("gg_fora_st", "gg_fora_sc", "gg_fora_wk"))
+      val est = s.sql(Graph.foraWholeBody("gg_fora_st", "gg_fora_sc",
+          "gg_fora_wk", alpha = Got.Alpha))
         .localCheckpoint(true)
       Metrics.summary(gnd, est, GridK)
         .select(lit(GridForaEps).as("eps"),
@@ -280,7 +281,8 @@ object GotQueries {
               s"""WITH fst AS (SELECT * FROM read_parquet('$root/st/*.parquet')),
                  |fsc AS (SELECT * FROM read_parquet('$root/sc/*.parquet')),
                  |fwk AS (SELECT * FROM read_parquet('$root/wk/*.parquet'))
-                 |SELECT * FROM (${Graph.foraWholeBody("fst", "fsc", "fwk")})""".stripMargin
+                 |SELECT * FROM (${Graph.foraWholeBody("fst", "fsc", "fwk",
+                      alpha = Got.Alpha)})""".stripMargin
             Metrics.sql.summarySql(gridGnd, est, GridK,
               leadCols = s"CAST($GridForaEps AS DOUBLE) AS eps")
           case None => VerifyArtifacts.failSql("got_grid_fora")

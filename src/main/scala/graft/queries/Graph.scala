@@ -128,11 +128,16 @@ object Graph {
     * only when walks ran (ω > 0). Final scores rounded to 9 dp (the
     * engine-order-noise discipline of every summed-double row).
     */
-  private[queries] def foraWholeBody(st: String, sc: String, wk: String): String =
+  private[queries] def foraWholeBody(st: String, sc: String, wk: String,
+      alpha: Double = Alpha): String =
+    // `alpha` is the α of the kernel that MADE the artifacts — callers on
+    // other fixtures (got_grid_fora: Got.Alpha) must pass theirs; a
+    // captured mod-997 constant would silently mis-replay both engines
+    // identically if the fixture configs ever diverged.
     s"""WITH iv AS (
        | SELECT st.src, st.node_id AS v,
-       |  (1.0 - $Alpha) * st.residue / sc.rsum * sc.num_walks
-       |    / CEIL((1.0 - $Alpha) * st.residue / sc.rsum * sc.num_walks)
+       |  (1.0 - $alpha) * st.residue / sc.rsum * sc.num_walks
+       |    / CEIL((1.0 - $alpha) * st.residue / sc.rsum * sc.num_walks)
        |    / sc.num_walks * sc.rsum AS incr
        | FROM $st st JOIN $sc sc ON sc.src = st.src
        | WHERE st.residue <> 0.0 AND sc.num_walks > 0),
@@ -143,7 +148,7 @@ object Graph {
        |rsv AS (
        | SELECT st.src, st.node_id,
        |  st.reserve + CASE WHEN sc.num_walks > 0 AND st.residue <> 0.0
-       |    THEN $Alpha * st.residue ELSE 0.0 END AS part
+       |    THEN $alpha * st.residue ELSE 0.0 END AS part
        | FROM $st st JOIN $sc sc ON sc.src = st.src)
        |SELECT coalesce(r.src, w.src) AS src,
        |  coalesce(r.node_id, w.node_id) AS node_id,
