@@ -868,6 +868,27 @@ object Embeddings {
         .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
         .selectExpr("q_id", "n_exact", "n_hit",
           "round(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall")
+    }),
+
+    // Recall@k of the binary-quantization search vs the exact
+    // (tie-inclusive) cosine top-k — the quality number that justifies
+    // (or vetoes) the 64× compression; same composition shape as
+    // e_ann_recall. On THIS corpus's near-uniform random vectors it
+    // measures ≈ 0.5 (sign-bit Hamming carries the 1−θ/π per-dim signal
+    // but top-10-of-corpus from a 30-shortlist is a hard target on
+    // unclustered data) — exactly the number a practitioner needs
+    // BEFORE deploying the compressed path; real embedding spaces
+    // cluster and score far higher.
+    "e_bq_recall" -> ((s, dir) => {
+      val exact = queries("e_cosine_topk")(s, dir)
+        .select(col("q_id"), col("vec_id"))
+      val bq = queries("e_bq_search")(s, dir)
+        .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+      exact.join(bq, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+        .selectExpr("q_id", "n_exact", "n_hit",
+          "round(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall")
     })
   )
 
@@ -958,6 +979,29 @@ object Embeddings {
     sb.toString
   }
 
+  /** Full `e_bq_search` oracle statement — shared with `e_bq_recall`. */
+  private lazy val duckBqSearchSql =
+    s"""WITH $duckBase,
+       |bq AS MATERIALIZED (SELECT vec_id, ${bqPackDuck("v", 0)} AS lo,
+       |  ${bqPackDuck("v", 32)} AS hi FROM embn),
+       |qb AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM bq
+       |  WHERE vec_id < $NumQueries),
+       |shortl AS (SELECT q_id, vec_id, ham FROM (
+       |  SELECT q.q_id, c.vec_id,
+       |    CAST(bit_count(xor(c.lo, q.qlo)) + bit_count(xor(c.hi, q.qhi)) AS INT) AS ham,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY bit_count(xor(c.lo, q.qlo)) + bit_count(xor(c.hi, q.qhi)) ASC,
+       |        c.vec_id ASC) AS rn
+       |  FROM bq c JOIN qb q ON c.vec_id <> q.q_id) WHERE rn <= $BqShortlist),
+       |cosj AS (SELECT s.q_id, s.vec_id, s.ham,
+       |  round($duckDot / (q.nrm * c.nrm), 6) AS cos
+       |  FROM shortl s JOIN embn q ON q.vec_id = s.q_id
+       |    JOIN embn c ON c.vec_id = s.vec_id)
+       |SELECT q_id, vec_id, ham, cos, rk FROM (
+       |  SELECT q_id, vec_id, ham, cos, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk FROM cosj)
+       |WHERE rk <= $BqTopK""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "e_cosine_topk" -> duckCosineTopkSql,
     "e_ann_lsh" -> duckAnnLshSql,
@@ -1041,27 +1085,14 @@ object Embeddings {
          |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
          |FROM asg a LEFT JOIN sdup d ON d.vec_id = a.vec_id""".stripMargin
     },
-    "e_bq_search" ->
-      s"""WITH $duckBase,
-         |bq AS MATERIALIZED (SELECT vec_id, ${bqPackDuck("v", 0)} AS lo,
-         |  ${bqPackDuck("v", 32)} AS hi FROM embn),
-         |qb AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM bq
-         |  WHERE vec_id < $NumQueries),
-         |shortl AS (SELECT q_id, vec_id, ham FROM (
-         |  SELECT q.q_id, c.vec_id,
-         |    CAST(bit_count(xor(c.lo, q.qlo)) + bit_count(xor(c.hi, q.qhi)) AS INT) AS ham,
-         |    row_number() OVER (PARTITION BY q.q_id
-         |      ORDER BY bit_count(xor(c.lo, q.qlo)) + bit_count(xor(c.hi, q.qhi)) ASC,
-         |        c.vec_id ASC) AS rn
-         |  FROM bq c JOIN qb q ON c.vec_id <> q.q_id) WHERE rn <= $BqShortlist),
-         |cosj AS (SELECT s.q_id, s.vec_id, s.ham,
-         |  round($duckDot / (q.nrm * c.nrm), 6) AS cos
-         |  FROM shortl s JOIN embn q ON q.vec_id = s.q_id
-         |    JOIN embn c ON c.vec_id = s.vec_id)
-         |SELECT q_id, vec_id, ham, cos, rk FROM (
-         |  SELECT q_id, vec_id, ham, cos, row_number() OVER (
-         |    PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk FROM cosj)
-         |WHERE rk <= $BqTopK""".stripMargin,
+    "e_bq_search" -> duckBqSearchSql,
+    "e_bq_recall" ->
+      s"""WITH ex AS (SELECT q_id, vec_id FROM ($duckCosineTopkSql)),
+         |an AS (SELECT q_id, vec_id, 1 AS hit FROM ($duckBqSearchSql))
+         |SELECT ex.q_id, count(*) AS n_exact, count(an.hit) AS n_hit,
+         | round(CAST(count(an.hit) AS DOUBLE) / count(*), 6) AS recall
+         |FROM ex LEFT JOIN an ON an.q_id = ex.q_id AND an.vec_id = ex.vec_id
+         |GROUP BY ex.q_id""".stripMargin,
     "e_mmr_rerank" -> {
       // dot between aliased candidate rows a and b (64 dims, same fold).
       val dotAB = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
