@@ -12,14 +12,10 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
       else SparkEntry.queries.keys.toSeq.sorted
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the SHARED session recipe — the audit must show the plans the
+    // board actually runs (GraftExtensions' TopKRewrite included;
+    // a bare session under-reported the engine here before).
+    val spark = LocalSession.create()
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- names) {
       println(s"\n===================== $n =====================")
