@@ -503,6 +503,30 @@ object Text {
         .agg(count(lit(1)).as("n_hits"))
     }),
 
+    // Weighted sampling without replacement (Efraimidis-Spirakis A-Res):
+    // keep the top-K docs per language by key u^(1/w), where w is the
+    // document's weight (length here — any quality signal plugs in) and
+    // u ∈ (0,1] derives from the content fingerprint — so the sample is
+    // seeded, reproducible, and content-keyed like d_sample_hash, but
+    // length-BIASED: inclusion probability scales with w, the
+    // quality-weighted subsampling real curation pipelines run. Key
+    // rounded to 9 dp before ranking + doc_id tie-break (the rounded-
+    // score ranking discipline); the row_number filter compiles to
+    // WindowGroupLimit, so each map task ships only its local top-K per
+    // language — no global sort.
+    "d_weighted_sample" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("skey").desc, col("doc_id").asc)
+      Tables(s, dir, "documents")
+        .selectExpr("doc_id", "lang",
+          "greatest(n_chars, 1) AS wt",
+          s"round(pow((${TextOps.spark.fingerprint("text")} + 1.0) / ${TextOps.P + 1}.0, " +
+            "1.0 / greatest(n_chars, 1)), 9) AS skey")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= WeightedSampleK)
+        .select(col("doc_id"), col("lang"), col("wt"), col("skey"), col("rk"))
+    }),
+
     // Vocabulary cardinality via a KMV (k-minimum-values) sketch, per
     // language, next to the exact distinct count. The sketch is a custom
     // TypedImperativeAggregate ([[graft.functions.KmvKth]]) whose buffer
@@ -691,6 +715,9 @@ object Text {
     * distinct tokens per language, so the kth order statistic exists).
     */
   val KmvK = 16
+
+  /** Documents kept per language by `d_weighted_sample`. */
+  val WeightedSampleK = 20
 
   /** KMV estimate from the kth-smallest distinct hash: [[TextOps]]'
     * rolling hash lives in [0, P), so h_k maps to the unit interval as
@@ -1191,6 +1218,15 @@ object Text {
          |  WHERE doc_id % $DecontamEvalMod <> 0)
          |SELECT tr.doc_id, count(*) AS n_hits
          |FROM tr JOIN ev USING (h) GROUP BY tr.doc_id""".stripMargin,
+    "d_weighted_sample" ->
+      s"""SELECT doc_id, lang, wt, skey, rk FROM (
+         |  SELECT doc_id, lang, wt, skey, row_number() OVER (
+         |    PARTITION BY lang ORDER BY skey DESC, doc_id ASC) AS rk
+         |  FROM (SELECT doc_id, lang, greatest(n_chars, 1) AS wt,
+         |    round(pow((${TextOps.duck.fingerprint("text")} + 1.0) / ${TextOps.P + 1}.0,
+         |      1.0 / greatest(n_chars, 1)), 9) AS skey
+         |    FROM documents))
+         |WHERE rk <= $WeightedSampleK""".stripMargin,
     "d_vocab_kmv" ->
       s"""WITH t AS (SELECT lang, unnest(${TextOps.duck.tokens("text")}) AS t
          |  FROM documents),

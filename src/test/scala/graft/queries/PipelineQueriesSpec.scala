@@ -144,6 +144,38 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("d_weighted_sample: exact K per language, keys replayed, " +
+      "length-biased, map-side group limit in the plan") {
+    val df = Text.queries("d_weighted_sample")(spark, sfDir)
+    val out = df.collect()
+    val perLang = out.groupBy(_.getString(1))
+    perLang.values.foreach(rows =>
+      assert(rows.length == Text.WeightedSampleK))
+    // keys replay independently: u^(1/w) from the fingerprint kernel
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .selectExpr("doc_id", "text", "greatest(n_chars, 1) AS wt").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    out.foreach { r =>
+      val (id, wt, skey) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      val (text, w) = docs(id)
+      assert(w == wt)
+      val u = (graft.text.TextOps.fingerprint(text) + 1.0) /
+        (graft.text.TextOps.P + 1.0)
+      val expect = BigDecimal(math.pow(u, 1.0 / w))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(skey == expect, s"doc $id key $skey vs $expect")
+    }
+    // the point of weighting: the sample is length-biased — sampled docs
+    // average a larger weight than their language's corpus average.
+    val corpusAvg = docs.values.map(_._2.toDouble).sum / docs.size
+    val sampleAvg = out.map(_.getLong(2).toDouble).sum / out.length
+    assert(sampleAvg > corpusAvg,
+      s"sample avg wt $sampleAvg vs corpus $corpusAvg")
+    // scale shape: the row_number cut must compile to WindowGroupLimit
+    // (map-side per-group top-K), not a full window sort.
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("d_decontam_frac agrees with d_decontam's hit counts and bounds") {
     val hits = Text.queries("d_decontam")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
