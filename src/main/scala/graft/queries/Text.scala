@@ -503,6 +503,29 @@ object Text {
         .agg(count(lit(1)).as("n_hits"))
     }),
 
+    // Train/val/test split leakage audit: near-duplicate pairs whose
+    // members land in DIFFERENT splits of a content-keyed 80/10/10
+    // split — the eval-hygiene check that catches test answers leaking
+    // into training data through near-dups (exact dups are caught by
+    // dedup; NEAR-dups crossing the split are the insidious case).
+    // Composes the verified LSH pair set with the fingerprint-derived
+    // split; joins are id-keyed (texts never reshuffle).
+    "d_split_leakage" -> ((s, dir) => {
+      val split = Tables(s, dir, "documents")
+        .selectExpr("doc_id", s"${TextOps.spark.fingerprint("text")} AS fp")
+        .selectExpr("doc_id",
+          "CASE WHEN fp % 10 < 8 THEN 'train' WHEN fp % 10 = 8 THEN 'val' " +
+            "ELSE 'test' END AS split")
+      lshPairsDf(s, dir)
+        .join(split.selectExpr("doc_id AS doc_a", "split AS split_a"),
+          Seq("doc_a"))
+        .join(split.selectExpr("doc_id AS doc_b", "split AS split_b"),
+          Seq("doc_b"))
+        .where(col("split_a") =!= col("split_b"))
+        .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+          col("jac"))
+    }),
+
     // Weighted sampling without replacement (Efraimidis-Spirakis A-Res):
     // keep the top-K docs per language by key u^(1/w), where w is the
     // document's weight (length here — any quality signal plugs in) and
@@ -1218,6 +1241,18 @@ object Text {
          |  WHERE doc_id % $DecontamEvalMod <> 0)
          |SELECT tr.doc_id, count(*) AS n_hits
          |FROM tr JOIN ev USING (h) GROUP BY tr.doc_id""".stripMargin,
+    "d_split_leakage" ->
+      s"""WITH pr AS MATERIALIZED ($duckLshPairsSql),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN fp % 10 < 8 THEN 'train' WHEN fp % 10 = 8 THEN 'val'
+         |    ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, ${TextOps.duck.fingerprint("text")} AS fp
+         |    FROM documents))
+         |SELECT pr.doc_a, pr.doc_b, a.split AS split_a, b.split AS split_b,
+         |  pr.jac
+         |FROM pr JOIN sp a ON a.doc_id = pr.doc_a
+         |  JOIN sp b ON b.doc_id = pr.doc_b
+         |WHERE a.split <> b.split""".stripMargin,
     "d_weighted_sample" ->
       s"""SELECT doc_id, lang, wt, skey, rk FROM (
          |  SELECT doc_id, lang, wt, skey, row_number() OVER (

@@ -144,6 +144,29 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("d_split_leakage: exactly the cross-split subset of the verified " +
+      "near-dup pairs, splits replayed from fingerprints") {
+    val leaks = Text.queries("d_split_leakage")(spark, sfDir).collect()
+    assert(leaks.nonEmpty, "fixture should contain cross-split near-dups")
+    val pairs = Text.queries("d_lsh_pairs")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val split = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val m = graft.text.TextOps.fingerprint(r.getString(1)) % 10
+        r.getLong(0) -> (if (m < 8) "train" else if (m == 8) "val" else "test")
+      }.toMap
+    leaks.foreach { r =>
+      val (a, b, sa, sb) = (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3))
+      assert(pairs((a, b)), s"($a,$b) not a verified near-dup pair")
+      assert(sa != sb && split(a) == sa && split(b) == sb, s"($a,$b) splits")
+    }
+    // completeness: every cross-split near-dup pair is reported
+    val expected = pairs.count { case (a, b) => split(a) != split(b) }
+    assert(leaks.length == expected)
+  }
+
   test("d_weighted_sample: exact K per language, keys replayed, " +
       "length-biased, map-side group limit in the plan") {
     val df = Text.queries("d_weighted_sample")(spark, sfDir)
