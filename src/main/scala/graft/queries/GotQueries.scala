@@ -42,13 +42,17 @@ object GotQueries {
   val GridBaseRmax = 1e-4
   val GridBaseThresholds: Seq[Double] = Seq(5.0e-5, 5.0e-7)
 
-  /** One-grid-point slices for the two stochastic algorithm families, so
-    * EVERY family of the reference grid (`Gen_Util.java:514-556`) has an
-    * oracle-checked driver row: the GOT grid's middle ε for whole-graph
-    * FORA (`Gen_Util.java:455`) and for MC (`Gen_Util.java:458`).
+  /** Full ε axes for the stochastic algorithm families — the reference's
+    * GOT grid arrays VERBATIM, so every (family × suite) cell of the grid
+    * (`Gen_Util.java:514-556` whole-graph loop, `:559-599` top-k loop)
+    * has an oracle-checked driver row covering the entire axis:
+    * whole-graph FORA (`Gen_Util.java:463`), whole-graph MC (`:466`),
+    * top-k FORA (`:455`). Each point replays through the same
+    * materialized-trace scheme as the single-point r7 rows.
     */
-  val GridForaEps = 0.5
-  val GridMcEps = 0.3
+  val GridForaEpsilons: Seq[Double] = Seq(10.0, 5.0, 0.5, 0.1, 0.05)
+  val GridMcEpsilons: Seq[Double] = Seq(1.0, 0.5, 0.3, 0.1, 0.05)
+  val GridForaTopkEpsilons: Seq[Double] = Seq(10.0, 5.0, 0.5, 0.1, 0.05)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1+S2+J5: load, resolve names→ids, symmetrize.
@@ -171,62 +175,101 @@ object GotQueries {
       }.reduce(_.unionAll(_))
     }),
 
-    // H5 whole-graph suite, FORA family — one grid point (GridForaEps)
-    // through the SAME trace-replay scheme as `g_fora_ppr`: the seeded
+    // H5 whole-graph suite, FORA family — the FULL GOT ε axis through the
+    // SAME trace-replay scheme as `g_fora_ppr`: per grid point the seeded
     // kernel's push state + walk endpoints are materialized, BOTH engines
     // recompose the estimate from the identical SQL text, and the quality
-    // summary vs the power-method ground truth is the grid row
-    // (`Gen_Util.java:514-556` FORA_WHOLE_GRAPH branch on GOT).
+    // summary vs the power-method ground truth is the point's row
+    // (`Gen_Util.java:514-556` FORA_WHOLE_GRAPH branch over the GOT array
+    // `:463`).
     "got_grid_fora" -> ((s, _) => {
       val csr = Got.cachedCsr(s)
       val gnd = PowerIteration.batch(s, csr, GridSources, Got.Alpha, GridPmIters)
         .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
         .localCheckpoint(true)
-      val conf = Fora.Conf(alpha = Got.Alpha, epsilon = GridForaEps)
-      val root = VerifyArtifacts.dir(s, "fora_gotgrid")
-      Graph.foraArtifacts(s, csr, GridSources, root, { (g, src) =>
-        val t = Fora.wholeGraphTrace(g, g.denseOf(src), conf)
-        (t.reserve, t.residue, t.rsum, t.numWalks, t.walks)
-      })
-      s.read.parquet(s"$root/st").createOrReplaceTempView("gg_fora_st")
-      s.read.parquet(s"$root/sc").createOrReplaceTempView("gg_fora_sc")
-      s.read.parquet(s"$root/wk").createOrReplaceTempView("gg_fora_wk")
-      val est = s.sql(Graph.foraWholeBody("gg_fora_st", "gg_fora_sc",
-          "gg_fora_wk", alpha = Got.Alpha))
-        .localCheckpoint(true)
-      Metrics.summary(gnd, est, GridK)
-        .select(lit(GridForaEps).as("eps"),
-          round(col("avg_precision"), 9).as("avg_precision"),
-          round(col("avg_ndcg"), 9).as("avg_ndcg"),
-          round(col("avg_max_err"), 9).as("avg_max_err"))
+      GridForaEpsilons.zipWithIndex.map { case (eps, i) =>
+        val conf = Fora.Conf(alpha = Got.Alpha, epsilon = eps)
+        val root = VerifyArtifacts.dir(s, s"fora_gotgrid_e$i")
+        Graph.foraArtifacts(s, csr, GridSources, root, { (g, src) =>
+          val t = Fora.wholeGraphTrace(g, g.denseOf(src), conf)
+          (t.reserve, t.residue, t.rsum, t.numWalks, t.walks)
+        })
+        s.read.parquet(s"$root/st").createOrReplaceTempView(s"gg_fora_st_$i")
+        s.read.parquet(s"$root/sc").createOrReplaceTempView(s"gg_fora_sc_$i")
+        s.read.parquet(s"$root/wk").createOrReplaceTempView(s"gg_fora_wk_$i")
+        val est = s.sql(Graph.foraWholeBody(s"gg_fora_st_$i", s"gg_fora_sc_$i",
+            s"gg_fora_wk_$i", alpha = Got.Alpha))
+          .localCheckpoint(true)
+        Metrics.summary(gnd, est, GridK)
+          .select(lit(eps).as("eps"),
+            round(col("avg_precision"), 9).as("avg_precision"),
+            round(col("avg_ndcg"), 9).as("avg_ndcg"),
+            round(col("avg_max_err"), 9).as("avg_max_err"))
+      }.reduce(_.unionAll(_))
     }),
 
-    // H5 whole-graph suite, MC family — one grid point (GridMcEps) via
-    // the `g_mc_ppr` endpoints-table scheme: seeded walk endpoints are
-    // the data, stops(v)/ω is the estimate in both engines, quality
-    // summary vs the same ground truth (`Gen_Util.java:514-556` MC
-    // branch on GOT).
+    // H5 whole-graph suite, MC family — the FULL GOT ε axis via the
+    // `g_mc_ppr` endpoints-table scheme: per grid point the seeded walk
+    // endpoints are the data, stops(v)/ω is the estimate in both engines,
+    // quality summary vs the same ground truth (`Gen_Util.java:514-556`
+    // MC branch over the GOT array `:466`).
     "got_grid_mc" -> ((s, _) => {
       val csr = Got.cachedCsr(s)
       val gnd = PowerIteration.batch(s, csr, GridSources, Got.Alpha, GridPmIters)
         .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
         .localCheckpoint(true)
       val n = csr.numNodes.toDouble
-      val omega = MonteCarlo.omegaFor(GridMcEps, 1.0 / n, 1.0 / n)
-      val wdir = VerifyArtifacts.dir(s, "mc_gotgrid")
-      MonteCarlo.sspprEndpoints(s, csr, GridSources, Got.Alpha,
-          epsilon = GridMcEps)
-        .write.mode("overwrite").parquet(wdir)
-      VerifyArtifacts.record("mc_gotgrid_omega", omega.toString)
-      val est = s.read.parquet(wdir)
-        .groupBy("src", "node_id")
-        .agg((count(lit(1)) / lit(omega.toDouble)).as("score"))
+      GridMcEpsilons.zipWithIndex.map { case (eps, i) =>
+        val omega = MonteCarlo.omegaFor(eps, 1.0 / n, 1.0 / n)
+        val wdir = VerifyArtifacts.dir(s, s"mc_gotgrid_e$i")
+        MonteCarlo.sspprEndpoints(s, csr, GridSources, Got.Alpha,
+            epsilon = eps)
+          .write.mode("overwrite").parquet(wdir)
+        VerifyArtifacts.record(s"mc_gotgrid_omega_e$i", omega.toString)
+        val est = s.read.parquet(wdir)
+          .groupBy("src", "node_id")
+          .agg((count(lit(1)) / lit(omega.toDouble)).as("score"))
+          .localCheckpoint(true)
+        Metrics.summary(gnd, est, GridK)
+          .select(lit(eps).as("eps"),
+            round(col("avg_precision"), 9).as("avg_precision"),
+            round(col("avg_ndcg"), 9).as("avg_ndcg"),
+            round(col("avg_max_err"), 9).as("avg_max_err"))
+      }.reduce(_.unionAll(_))
+    }),
+
+    // H5 top-k suite, FORA_TOPK family — the FULL GOT ε axis of the
+    // reference top-k loop (`Gen_Util.java:559-599` FORA_TOPK branch over
+    // the array `:455`) via the `g_fora_topk` terminating-round trace
+    // replay: the δ-halving round-advance decision is the kernel's, both
+    // engines recompose the terminating round's estimate + tie-inclusive
+    // cut from the same SQL text, scored by the two quality columns the
+    // reference's top-k rows log (precision@k, NDCG@k).
+    "got_grid_fora_topk" -> ((s, _) => {
+      val csr = Got.cachedCsr(s)
+      val gnd = PowerIteration.batch(s, csr, GridSources, Got.Alpha, GridPmIters)
+        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
         .localCheckpoint(true)
-      Metrics.summary(gnd, est, GridK)
-        .select(lit(GridMcEps).as("eps"),
-          round(col("avg_precision"), 9).as("avg_precision"),
-          round(col("avg_ndcg"), 9).as("avg_ndcg"),
-          round(col("avg_max_err"), 9).as("avg_max_err"))
+      GridForaTopkEpsilons.zipWithIndex.map { case (eps, i) =>
+        val conf = Fora.Conf(alpha = Got.Alpha, epsilon = eps)
+        val root = VerifyArtifacts.dir(s, s"fora_gottopk_e$i")
+        Graph.foraArtifacts(s, csr, GridSources, root, { (g, src) =>
+          val t = Fora.topkTrace(g, g.denseOf(src), GridK, conf)
+          (t.reserve, t.residue, 0.0, t.numWalks, t.walks)
+        })
+        s.read.parquet(s"$root/st").createOrReplaceTempView(s"gg_ftk_st_$i")
+        s.read.parquet(s"$root/sc").createOrReplaceTempView(s"gg_ftk_sc_$i")
+        s.read.parquet(s"$root/wk").createOrReplaceTempView(s"gg_ftk_wk_$i")
+        val est = s.sql(Graph.foraTopkBody(s"gg_ftk_st_$i", s"gg_ftk_sc_$i",
+            s"gg_ftk_wk_$i", k = GridK))
+          .localCheckpoint(true)
+        Metrics.precisionAtK(gnd, est, GridK)
+          .join(Metrics.ndcgAtK(gnd, est, GridK), Seq("src"))
+          .agg(avg("precision").as("p"), avg("ndcg").as("n"))
+          .select(lit(eps).as("eps"),
+            round(col("p"), 9).as("avg_precision"),
+            round(col("n"), 9).as("avg_ndcg"))
+      }.reduce(_.unionAll(_))
     })
   )
 
@@ -274,30 +317,59 @@ object GotQueries {
       // Stochastic grid rows: replayed from the run's materialized
       // artifacts exactly like g_fora_ppr / g_mc_ppr (paths recorded via
       // VerifyArtifacts when the query ran; Verify dumps oracleSql after).
+      // One UNION ALL branch per grid point; any point whose artifacts
+      // are missing fails the WHOLE row loudly (failSql) — a partially
+      // materialized grid must not silently verify its surviving points.
       "got_grid_fora" -> {
-        VerifyArtifacts.maybe("dir:fora_gotgrid") match {
-          case Some(root) =>
+        val points = GridForaEpsilons.zipWithIndex.map { case (eps, i) =>
+          VerifyArtifacts.maybe(s"dir:fora_gotgrid_e$i").map { root =>
             val est =
               s"""WITH fst AS (SELECT * FROM read_parquet('$root/st/*.parquet')),
                  |fsc AS (SELECT * FROM read_parquet('$root/sc/*.parquet')),
                  |fwk AS (SELECT * FROM read_parquet('$root/wk/*.parquet'))
                  |SELECT * FROM (${Graph.foraWholeBody("fst", "fsc", "fwk",
                       alpha = Got.Alpha)})""".stripMargin
-            Metrics.sql.summarySql(gridGnd, est, GridK,
-              leadCols = s"CAST($GridForaEps AS DOUBLE) AS eps")
-          case None => VerifyArtifacts.failSql("got_grid_fora")
+            val point = Metrics.sql.summarySql(gridGnd, est, GridK,
+              leadCols = s"CAST($eps AS DOUBLE) AS eps")
+            s"SELECT * FROM ($point)"
+          }
         }
+        if (points.forall(_.isDefined))
+          points.flatten.mkString("\nUNION ALL\n")
+        else VerifyArtifacts.failSql("got_grid_fora")
       },
       "got_grid_mc" -> {
-        VerifyArtifacts.maybe("dir:mc_gotgrid") match {
-          case Some(wdir) =>
-            val omega = VerifyArtifacts.get("mc_gotgrid_omega", "1")
+        val points = GridMcEpsilons.zipWithIndex.map { case (eps, i) =>
+          VerifyArtifacts.maybe(s"dir:mc_gotgrid_e$i").map { wdir =>
+            val omega = VerifyArtifacts.get(s"mc_gotgrid_omega_e$i", "1")
             val est = s"SELECT src, node_id, count(*) / $omega.0 AS score " +
               s"FROM read_parquet('$wdir/*.parquet') GROUP BY src, node_id"
-            Metrics.sql.summarySql(gridGnd, est, GridK,
-              leadCols = s"CAST($GridMcEps AS DOUBLE) AS eps")
-          case None => VerifyArtifacts.failSql("got_grid_mc")
+            val point = Metrics.sql.summarySql(gridGnd, est, GridK,
+              leadCols = s"CAST($eps AS DOUBLE) AS eps")
+            s"SELECT * FROM ($point)"
+          }
         }
+        if (points.forall(_.isDefined))
+          points.flatten.mkString("\nUNION ALL\n")
+        else VerifyArtifacts.failSql("got_grid_mc")
+      },
+      "got_grid_fora_topk" -> {
+        val points = GridForaTopkEpsilons.zipWithIndex.map { case (eps, i) =>
+          VerifyArtifacts.maybe(s"dir:fora_gottopk_e$i").map { root =>
+            val est =
+              s"""WITH tst AS (SELECT * FROM read_parquet('$root/st/*.parquet')),
+                 |tsc AS (SELECT * FROM read_parquet('$root/sc/*.parquet')),
+                 |twk AS (SELECT * FROM read_parquet('$root/wk/*.parquet'))
+                 |SELECT * FROM (${Graph.foraTopkBody("tst", "tsc", "twk",
+                      k = GridK)})""".stripMargin
+            val point = Metrics.sql.topkSummarySql(gridGnd, est, GridK,
+              leadCols = s"CAST($eps AS DOUBLE) AS eps")
+            s"SELECT * FROM ($point)"
+          }
+        }
+        if (points.forall(_.isDefined))
+          points.flatten.mkString("\nUNION ALL\n")
+        else VerifyArtifacts.failSql("got_grid_fora_topk")
       }
     )
   }

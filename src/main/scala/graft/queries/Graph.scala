@@ -163,7 +163,10 @@ object Graph {
     * BEFORE ranking so cross-engine ulps cannot flip the cut — the
     * `g_ppr_topk`/`g_base_topk` discipline).
     */
-  private[queries] def foraTopkBody(st: String, sc: String, wk: String): String =
+  private[queries] def foraTopkBody(st: String, sc: String, wk: String,
+      k: Int = TopK): String =
+    // `k` is the k of the kernel run that MADE the artifacts — callers on
+    // other fixtures (got_grid_fora_topk: GotQueries.GridK) pass theirs.
     s"""WITH iv AS (
        | SELECT st.src, st.node_id AS v,
        |  st.residue / CEIL(st.residue * sc.num_walks) AS incr
@@ -184,7 +187,7 @@ object Graph {
        | SELECT src, node_id, round(est, 9) AS score,
        |  rank() OVER (PARTITION BY src ORDER BY round(est, 9) DESC) AS rk
        | FROM est WHERE est > 0.0)
-       |SELECT src, node_id, score FROM rnk WHERE rk <= $TopK""".stripMargin
+       |SELECT src, node_id, score FROM rnk WHERE rk <= $k""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S4: graph load/derivation itself.
