@@ -88,6 +88,16 @@ object Embeddings {
   val BqShortlist = 30
   val BqTopK = 10
 
+  /** `e_bq_search` scale guard: max query-code rows the shortlist pass
+    * may BROADCAST before the query fails loudly — the query side rides a
+    * broadcast into every corpus-scan task by design (that is the
+    * scan-codes-only shape), and each code row is ~24 bytes, so 2²⁰ rows
+    * ≈ 24 MB is a sane executor-memory ceiling; past it the right plan is
+    * a bucketed equi-join on a coarse code prefix, not a bigger
+    * broadcast. Same loud-failure discipline as [[MaxSemCellDistinct]].
+    */
+  val MaxBqQueryBroadcast = 1048576L
+
   /** MMR-diversified retrieval (`e_mmr_rerank`): from a
     * [[MmrShortlist]]-candidate shortlist per query, greedily select
     * [[MmrK]] results maximizing λ·relevance − (1−λ)·max-similarity-to-
@@ -437,6 +447,55 @@ object Embeddings {
         "CAST(CASE WHEN vec_id <> rep THEN 0 WHEN d IS NULL THEN 1 ELSE 0 END AS INT) AS kept")
   }
 
+  /** `e_bq_search` body (see the queries-map entry for the operator
+    * story). Split out so the spec can drive the broadcast guard with a
+    * tiny bound: the query-code side is broadcast into every corpus-scan
+    * task BY DESIGN (the scan touches code columns only), which is safe
+    * exactly as long as that side stays small — so its row count is
+    * checked by a plan-embedded `assert_true` (the [[semDedup]]
+    * discipline) that fails loudly past `maxQueryBroadcast` instead of
+    * silently shipping an oversized broadcast to every task. The guard
+    * column rides the 1-row count aggregate (itself a broadcast scalar)
+    * into the shortlist join, so column pruning cannot elide it.
+    */
+  private[queries] def bqSearch(
+      s: SparkSession,
+      emb: DataFrame,
+      maxQueryBroadcast: Long): DataFrame = {
+    VectorFunctions.register(s)
+    val codes = emb.selectExpr("vec_id",
+      s"${bqPackSpark("v", 0)} AS lo", s"${bqPackSpark("v", 32)} AS hi")
+    val qc = codes.where(col("vec_id") < NumQueries)
+      .selectExpr("vec_id AS q_id", "lo AS qlo", "hi AS qhi")
+    val nq = qc.agg(count(lit(1)).as("nq"))
+      .select(
+        assert_true(col("nq") <= maxQueryBroadcast,
+          concat(lit("e_bq_search: "), col("nq"),
+            lit(s" query codes > broadcast bound $maxQueryBroadcast — " +
+              "the shortlist pass broadcasts the query side by design; " +
+              "past this bound route queries through a bucketed " +
+              "equi-join instead"))).as("qok"))
+    val wH = Window.partitionBy(col("q_id"))
+      .orderBy(col("ham").asc, col("vec_id").asc)
+    val short = codes.crossJoin(broadcast(qc)).crossJoin(broadcast(nq))
+      .where(col("vec_id") =!= col("q_id") && col("qok").isNull)
+      .selectExpr("q_id", "vec_id",
+        "CAST(bit_count(lo ^ qlo) + bit_count(hi ^ qhi) AS INT) AS ham")
+      .withColumn("rn", row_number().over(wH))
+      .where(col("rn") <= BqShortlist)
+      .select(col("q_id"), col("vec_id"), col("ham"))
+    val q = emb.selectExpr("vec_id AS q_id", "v AS qv", "nrm AS qnrm")
+    val wC = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    short.join(broadcast(q), Seq("q_id"))
+      .join(emb, Seq("vec_id"))
+      .selectExpr("q_id", "vec_id", "ham",
+        s"round($dotExpr / (qnrm * nrm), 6) AS cos")
+      .withColumn("rk", row_number().over(wC))
+      .where(col("rk") <= BqTopK)
+      .select(col("q_id"), col("vec_id"), col("ham"), col("cos"), col("rk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact cosine top-k per query (tie-inclusive RANK on the
     // rounded score so cross-engine float noise cannot flip the cut).
@@ -759,33 +818,8 @@ object Embeddings {
     // only for survivors (the e_prefix_rerank discipline). Deterministic:
     // integer Hamming + id tie-break for the shortlist, 6-dp-rounded
     // cosine + id tie-break for the final cut.
-    "e_bq_search" -> ((s, dir) => {
-      VectorFunctions.register(s)
-      val emb = embDf(s, dir)
-      val codes = emb.selectExpr("vec_id",
-        s"${bqPackSpark("v", 0)} AS lo", s"${bqPackSpark("v", 32)} AS hi")
-      val qc = codes.where(col("vec_id") < NumQueries)
-        .selectExpr("vec_id AS q_id", "lo AS qlo", "hi AS qhi")
-      val wH = Window.partitionBy(col("q_id"))
-        .orderBy(col("ham").asc, col("vec_id").asc)
-      val short = codes.crossJoin(broadcast(qc))
-        .where(col("vec_id") =!= col("q_id"))
-        .selectExpr("q_id", "vec_id",
-          "CAST(bit_count(lo ^ qlo) + bit_count(hi ^ qhi) AS INT) AS ham")
-        .withColumn("rn", row_number().over(wH))
-        .where(col("rn") <= BqShortlist)
-        .select(col("q_id"), col("vec_id"), col("ham"))
-      val q = emb.selectExpr("vec_id AS q_id", "v AS qv", "nrm AS qnrm")
-      val wC = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("vec_id").asc)
-      short.join(broadcast(q), Seq("q_id"))
-        .join(emb, Seq("vec_id"))
-        .selectExpr("q_id", "vec_id", "ham",
-          s"round($dotExpr / (qnrm * nrm), 6) AS cos")
-        .withColumn("rk", row_number().over(wC))
-        .where(col("rk") <= BqTopK)
-        .select(col("q_id"), col("vec_id"), col("ham"), col("cos"), col("rk"))
-    }),
+    "e_bq_search" -> ((s, dir) =>
+      bqSearch(s, embDf(s, dir), MaxBqQueryBroadcast)),
 
     // MMR-diversified retrieval: greedy maximal-marginal-relevance
     // selection of MmrK results from a MmrShortlist-candidate shortlist

@@ -216,6 +216,32 @@ class EmbeddingsSpec extends SparkSpec {
       s"unexpected failure chain: ${chain(e).take(600)}")
   }
 
+  test("e_bq_search: the query-side broadcast bound fails loudly past it " +
+      "and searches normally within it") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val emb = (0 until 32).map(i =>
+        (i.toLong, Array.fill(Embeddings.Dims)(rnd.nextDouble() - 0.5)))
+      .toDF("vec_id", "v")
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+    // NumQueries (20) query codes > bound 8 → the plan-embedded guard
+    // must fail the query loudly, naming the equi-join reroute.
+    val e = intercept[Exception] {
+      graft.queries.Embeddings.bqSearch(spark, emb, maxQueryBroadcast = 8L)
+        .collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + " | " + chain(t.getCause)
+    assert(chain(e).contains("broadcast bound"),
+      s"unexpected failure chain: ${chain(e).take(600)}")
+    // ...and the same corpus within the bound returns a full result set.
+    val ok = graft.queries.Embeddings
+      .bqSearch(spark, emb, maxQueryBroadcast = 32L)
+      .collect()
+    assert(ok.nonEmpty && ok.length <= Embeddings.NumQueries * Embeddings.BqTopK)
+  }
+
   test("e_prefix_rerank: reranked cosines are exact; shortlist recall < 1 " +
       "is the only divergence from brute force") {
     val rr = Embeddings.queries("e_prefix_rerank")(spark, sfDir)
