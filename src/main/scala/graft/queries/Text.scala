@@ -558,22 +558,24 @@ object Text {
     // distinct value (the 100 TB cardinality-estimation shape; the exact
     // column here exists to oracle-check the sketch against reality and
     // would be dropped at scale). The estimate (k−1)/u is computed from
-    // the returned integer by the SAME SQL text in both engines. On this
-    // corpus's short tokens the polynomial hash under-wraps P, so the
-    // estimate is biased — visible against n_exact by design; accuracy
-    // on well-mixed hashes is pinned by KmvAggSpec.
+    // the returned integer by the SAME SQL text in both engines.
     //
-    // NOTE (hash choice): tokenHash is used because it is THE
-    // dual-rendered token hash both engines share; a production KMV
-    // would hash with a full-range mixer.
+    // Hash choice: raw tokenHash under-wraps P on short tokens (hashes
+    // cluster near 0 → the r7 row visibly overshot n_exact, documented
+    // then as by-design-visible), so the sketch key is tokenHash mapped
+    // through [[TextOps.kmvMix]] — a dual-rendered full-range
+    // (xor-whitened multiply-mod-P, range P² ≈ 2⁶⁰) mixer; with it the
+    // estimate tracks n_exact inside the KMV error band (KmvAggSpec pins
+    // both the mixed-accuracy band and the raw-hash bias it repairs).
     "d_vocab_kmv" -> ((s, dir) => {
       graft.functions.KmvFunctions.register(s)
       Tables(s, dir, "documents")
         .selectExpr("lang", s"explode(${TextOps.spark.tokens("text")}) AS t")
         .selectExpr("lang", s"${TextOps.spark.tokenHash("t")} AS h")
+        .selectExpr("lang", "h", s"${TextOps.spark.kmvMix("h")} AS hm")
         .groupBy(col("lang"))
         .agg(countDistinct(col("h")).as("n_exact"),
-          graft.functions.KmvFunctions.kmvKth(col("h"), KmvK).as("kth_h"))
+          graft.functions.KmvFunctions.kmvKth(col("hm"), KmvK).as("kth_h"))
         .where(col("kth_h").isNotNull)
         .selectExpr("lang", "CAST(n_exact AS BIGINT) AS n_exact", "kth_h",
           kmvEstSql("kth_h"))
@@ -742,15 +744,19 @@ object Text {
   /** Documents kept per language by `d_weighted_sample`. */
   val WeightedSampleK = 20
 
-  /** KMV estimate from the kth-smallest distinct hash: [[TextOps]]'
-    * rolling hash lives in [0, P), so h_k maps to the unit interval as
-    * u = h_k/P and the estimate is (k−1)/u. ONE SQL text used verbatim
-    * by both engines, so the IEEE expression chain over the identical
-    * integer is identical.
+  /** KMV estimate from the kth-smallest distinct MIXED hash:
+    * [[graft.text.TextOps.kmvMix]] keys live in [0, P²), so h_k maps to
+    * the unit interval as u = (h_k+1)/P² (the +1 guards the measure-zero
+    * h_k = 0 corner) and the estimate is (k−1)/u. ONE SQL text used
+    * verbatim by both engines, so the IEEE expression chain over the
+    * identical integer is identical.
     */
   private def kmvEstSql(col: String): String =
+    // P² is spelled as a DOUBLE product (not a `P.0` literal): DuckDB
+    // parses `1000000007.0` as DECIMAL and overflows the decimal multiply.
     s"round(CAST(${KmvK - 1} AS DOUBLE) / " +
-      s"(CAST($col AS DOUBLE) / ${TextOps.P}.0), 4) AS est"
+      s"((CAST($col AS DOUBLE) + 1.0) / " +
+      s"(CAST(${TextOps.P} AS DOUBLE) * CAST(${TextOps.P} AS DOUBLE))), 4) AS est"
 
   /** Keywords kept per document by `d_tfidf`. */
   val TfidfK = 3
@@ -1267,9 +1273,11 @@ object Text {
          |  FROM documents),
          |hh AS (SELECT lang, ${TextOps.duck.tokenHash("t")} AS h FROM t),
          |d AS MATERIALIZED (SELECT DISTINCT lang, h FROM hh),
-         |kth AS (SELECT lang, h AS kth_h FROM (
-         |  SELECT lang, h, row_number() OVER (
-         |    PARTITION BY lang ORDER BY h ASC) AS rn FROM d)
+         |dm AS (SELECT DISTINCT lang, ${TextOps.duck.kmvMix("h")} AS hm
+         |  FROM d),
+         |kth AS (SELECT lang, hm AS kth_h FROM (
+         |  SELECT lang, hm, row_number() OVER (
+         |    PARTITION BY lang ORDER BY hm ASC) AS rn FROM dm)
          |  WHERE rn = $KmvK),
          |ex AS (SELECT lang, count(*) AS n_exact FROM d GROUP BY lang)
          |SELECT ex.lang, CAST(ex.n_exact AS BIGINT) AS n_exact, k.kth_h,

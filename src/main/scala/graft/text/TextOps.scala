@@ -49,6 +49,17 @@ object TextOps {
   val As: Seq[Long] = (0 until K).map(j => 2L * j * j + 3L * j + 7L)
   val Bs: Seq[Long] = (0 until K).map(j => 5L * j * j + j + 11L)
 
+  /** KMV full-range mixer constants: two independent multiply-mod-P
+    * universal hashes with LARGE multipliers (arbitrary fixed values in
+    * [1, P); P prime makes each a permutation of Z_P). [[kmvMix]]
+    * combines them into one value in [0, P²) ≈ [0, 2⁶⁰) — see there for
+    * why the raw [[tokenHash]] cannot feed a KMV estimate directly.
+    */
+  val KmvA1 = 768614337L
+  val KmvB1 = 404720439L
+  val KmvA2 = 523123711L
+  val KmvB2 = 987654323L
+
   /** Shingle width for near-dup (token 3-grams). */
   val ShingleW = 3
 
@@ -123,6 +134,28 @@ object TextOps {
       j += Character.charCount(cp)
     }
     h
+  }
+
+  /** KMV mixer — the typed twin of [[spark.kmvMix]] / [[duck.kmvMix]].
+    *
+    * [[tokenHash]] values are NOT uniform on [0, P): a short token's
+    * polynomial never wraps P, so short-token corpora cluster near 0 and
+    * the order-statistic estimate (k−1)/(h_k/P) overshoots by orders of
+    * magnitude (the r7 `d_vocab_kmv` bias). This maps each hash through
+    * two independent multiply-mod-P universal hashes of an xor-shift
+    * whitening of h — pairwise-independent spreading, the assumption the
+    * KMV bound (Bar-Yossef et al. 2002) actually needs — and packs them
+    * as z₁·P + z₂ ∈ [0, P²), a full-range key both engines can compute
+    * exactly: every intermediate stays below 2⁶³ (no 64-bit wrap, which
+    * ANSI Spark and DuckDB would both reject), using only *, %, xor and
+    * right-shift — all dual-renderable. Injective up to the ~2⁻³⁰
+    * per-pair chance that the whitened values differ by exactly P; both
+    * engines dedup AFTER mixing, so even a collision cannot diverge them.
+    */
+  def kmvMix(h: Long): Long = {
+    val z1 = (KmvA1 * (h ^ (h >>> 16)) + KmvB1) % P
+    val z2 = (KmvA2 * (h ^ (h >>> 8)) + KmvB2) % P
+    z1 * P + z2
   }
 
   /** Document fingerprint — the typed twin of [[spark.fingerprint]] (and
@@ -408,6 +441,13 @@ object TextOps {
         s"+ element_at($hs, i + 3)) % $P) " +
         s"ELSE slice(transform(sequence(0, 0), i -> CAST(0 AS BIGINT)), 1, 0) END)"
 
+    /** KMV full-range mixer over a token-hash expression `h` — see the
+      * typed [[TextOps.kmvMix]] for the semantics and range argument.
+      */
+    def kmvMix(h: String): String =
+      s"(($KmvA1 * (($h) ^ shiftright($h, 16)) + $KmvB1) % $P) * $P + " +
+        s"(($KmvA2 * (($h) ^ shiftright($h, 8)) + $KmvB2) % $P)"
+
     /** MinHash signature entry j over a shingle-array expression `sh`. */
     def minhash(sh: String, j: Int): String =
       s"array_min(transform($sh, x -> (${As(j)} * x + ${Bs(j)}) % $P))"
@@ -447,6 +487,15 @@ object TextOps {
         s"list_transform(range(0, len($hs) - ${ShingleW - 1}), i -> " +
         s"(($hs[i + 1] * $TokMul + $hs[i + 2]) * $TokMul + $hs[i + 3]) % $P) " +
         s"ELSE [] END)"
+
+    /** KMV full-range mixer — mirrors [[spark.kmvMix]] exactly (DuckDB
+      * spells bitwise xor as `xor()`; `>>` matches `shiftright` on
+      * non-negative inputs).
+      */
+    def kmvMix(h: String): String =
+      s"((CAST($KmvA1 AS BIGINT) * xor($h, $h >> 16) + $KmvB1) % $P) * " +
+        s"CAST($P AS BIGINT) + " +
+        s"((CAST($KmvA2 AS BIGINT) * xor($h, $h >> 8) + $KmvB2) % $P)"
 
     def minhash(sh: String, j: Int): String =
       s"list_min(list_transform($sh, x -> (${As(j)} * x + ${Bs(j)}) % $P))"

@@ -55,4 +55,27 @@ class KmvAggSpec extends SparkSpec {
     assert(est > rows.length / 3.0 && est < rows.length * 3.0,
       s"est=$est for n=${rows.length}")
   }
+
+  test("kmvMix repairs the short-token bias (the d_vocab_kmv mapping)") {
+    val ops = graft.text.TextOps
+    // SHORT tokens: the rolling polynomial never wraps P, hashes cluster
+    // near 0, and the raw order-statistic estimate overshoots wildly —
+    // the r7 d_vocab_kmv defect this mixer exists to fix.
+    val n = 5000
+    val k = 256
+    val hashes = (0 until n).map(i => ops.tokenHash("t" + i)).distinct
+    def estimate(keys: Seq[Long], range: Double): Double = {
+      val kth = keys.distinct.sorted.apply(k - 1)
+      (k - 1) / ((kth.toDouble + 1.0) / range)
+    }
+    val rawEst = estimate(hashes, ops.P.toDouble)
+    val mixEst = estimate(hashes.map(ops.kmvMix), ops.P.toDouble * ops.P.toDouble)
+    assert(rawEst > hashes.length * 10.0,
+      s"raw short-token estimate should be badly biased, got $rawEst")
+    assert(mixEst > hashes.length / 1.5 && mixEst < hashes.length * 1.5,
+      s"mixed estimate outside the KMV band: $mixEst for n=${hashes.length}")
+    // range sanity: every mixed key fits [0, P²) — the SQL renderings
+    // depend on no intermediate exceeding 2⁶³.
+    assert(hashes.map(ops.kmvMix).forall(z => z >= 0 && z < ops.P * ops.P))
+  }
 }
