@@ -11,6 +11,13 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    // Contamination telemetry (see README "Reading a bench artifact"):
+    // the warmup below is FIXED work, so its wall time is a
+    // machine-interference probe that rides along for free; the OS load
+    // average bounds it from the other side.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
+    val warmT0 = System.nanoTime()
     // untimed warmup: one scan + shuffle agg + join exercises the parquet
     // reader, codegen and shuffle paths so the alphabetically-first timed
     // query doesn't absorb JVM/JIT warmup (r2/r3 showed the first query
@@ -55,10 +62,11 @@ object Bench {
         .toDF("doc_id", "w1", "w2")
         .groupBy("w1", "w2").count().count()
     } catch { case _: Throwable => () }
+    val warmupSec = (System.nanoTime() - warmT0) / 1e9
     // deterministic name order: per-query timings are comparable across
     // rounds (Map hash order made the first-hashed query absorb JVM warmup).
     val sc = spark.sparkContext
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val pinnedBefore = sc.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
@@ -72,12 +80,36 @@ object Bench {
       // inflates every later measurement.
       val now = sc.getPersistentRDDs
       (now.keySet -- pinnedBefore).foreach(id => now.get(id).foreach(_.unpersist(false)))
-      name -> dt
+      dt
     }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> timed(name, fn)
+    }
+    // Contamination recheck: re-run the FIRST timed query after the board
+    // completes. Interference from a co-resident JVM (the r6/r7 committed
+    // artifacts' failure mode) inflates in-board times but has usually
+    // drained by the tail, so board_sec/tail_sec ≫ 1 marks a contaminated
+    // artifact from the artifact alone; ≈ 1 (tail re-runs are warm, so
+    // slightly below 1 is normal) marks a quiet one.
+    val recheck = results.headOption.map { case (name, boardSec) =>
+      val tailSec = timed(name, selected(name))
+      (name, boardSec, tailSec)
+    }
+    val loadEnd = osBean.getSystemLoadAverage
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val env = {
+      val rc = recheck.map { case (name, b, t) =>
+        s""","recheck_query":"$name","recheck_board_sec":${r3(b)}""" +
+          s""","recheck_tail_sec":${r3(t)}""" +
+          s""","recheck_ratio":${r3(if (t > 0) b / t else 0.0)}"""
+      }.getOrElse("")
+      s"""{"warmup_sec":${r3(warmupSec)},"load_avg_start":${r3(loadStart)}""" +
+        s""","load_avg_end":${r3(loadEnd)}$rc}"""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","env":$env}""")
     spark.stop()
   }
 }
