@@ -118,6 +118,27 @@ object GraphOps {
     wcsrCache.getOrElseUpdate((sfDir, mod),
       Sssp.buildWeighted(lineitemWeightedGraph(spark, sfDir, mod)))
 
+  /** Com-Amazon-scale benchmark graph: `src = l_orderkey % mod`,
+    * `dst = (l_orderkey·7 + l_partkey) % mod`. sf0.1 orderkeys are dense
+    * in [1, 150000] and partkeys in [1, 20000], so the plain
+    * [[lineitemGraph]] derivation tops out near 167 k distinct nodes no
+    * matter the mod; mixing the orderkey into the dst spreads the 600 k
+    * (orderkey, partkey) pairs across the full mod range. At
+    * mod = 334863 (Com-Amazon's node count, BASELINE.md Table 3) this
+    * yields 301,160 nodes / 599,935 directed edges from sf0.1 —
+    * node-count parity with Com-Amazon (0.9×), edge count ~1/3 of its
+    * 1.85 M directed. Deterministic, like every benchmark derivation.
+    */
+  def lineitemMixGraph(spark: SparkSession, sfDir: String,
+      mod: Int): DataFrame = {
+    val li = graft.Tables(spark, sfDir, "lineitem")
+    li.select(
+        (col("l_orderkey") % mod).as("src"),
+        ((col("l_orderkey") * 7 + col("l_partkey")) % mod).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
   /** SQL text of [[lineitemSubgraph]] for DuckDB oracles. */
   def lineitemSubgraphSql(mod: Int, qtyMax: Int): String =
     s"SELECT DISTINCT l_orderkey % $mod AS src, l_partkey % $mod AS dst " +

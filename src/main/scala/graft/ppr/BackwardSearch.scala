@@ -125,8 +125,121 @@ object BackwardSearch {
     reserve
   }
 
+  /** Reusable per-task scratch for [[runLocalSparse]]: three full-size
+    * double arrays plus growable index lists. One Workspace per TASK (not
+    * per target) bounds the allocation churn of the all-pair fan-out — the
+    * dense kernel's per-target `new Array[Double](n)` is O(n · targets)
+    * allocation, which at Com-Amazon scale (~300 k nodes × ~300 k targets)
+    * is terabytes of garbage. All arrays are zero between calls (the
+    * kernel zeroes exactly the entries it touched before returning).
+    */
+  final class Workspace(n: Int) {
+    private[ppr] var residue = new Array[Double](n)
+    private[ppr] var next = new Array[Double](n)
+    private[ppr] val reserve = new Array[Double](n)
+    private[ppr] var cur = new Array[Int](math.min(n, 1024))
+    private[ppr] var nxt = new Array[Int](math.min(n, 1024))
+    private[ppr] var res = new Array[Int](math.min(n, 1024))
+  }
+
+  private def grown(a: Array[Int], len: Int): Array[Int] =
+    if (len < a.length) a
+    else java.util.Arrays.copyOf(a, a.length * 2)
+
+  /** Sparse-frontier twin of [[runLocal]]: identical superstep schedule and
+    * bit-identical floating-point results (the frontier is processed in
+    * ascending dense-id order, matching the dense kernel's 0..n-1 scan, so
+    * every accumulation happens in the same order on the same values), but
+    * per-superstep cost is O(frontier · log frontier + pushed edges)
+    * instead of O(n). This is what makes BASE all-pair prep viable past
+    * ~10^5 nodes: per-target push work with rmax = 1e-4 touches hundreds of
+    * nodes, not the whole graph. Returns (denseId, score) pairs sorted by
+    * dense id, reserve > 0 only; `ws` is restored to all-zeros.
+    */
+  def runLocalSparse(
+      rcsr: Csr,
+      fwdDeg: Array[Int],
+      targetDense: Int,
+      alpha: Double,
+      rmax: Double,
+      maxSupersteps: Int = 0,
+      ws: Workspace): Array[(Int, Double)] = {
+    var residue = ws.residue
+    var next = ws.next
+    val reserve = ws.reserve
+    var cur = ws.cur
+    var nxtIdx = ws.nxt
+    var resIdx = ws.res
+
+    residue(targetDense) = 1.0
+    cur(0) = targetDense
+    var curLen = 1
+    var resLen = 0
+    var it = 0
+    var active = true
+    while (active && (maxSupersteps <= 0 || it < maxSupersteps)) {
+      active = false
+      java.util.Arrays.sort(cur, 0, curLen)
+      var nxtLen = 0
+      var i = 0
+      while (i < curLen) {
+        val v = cur(i)
+        val r = residue(v)
+        residue(v) = 0.0
+        if (r != 0.0) {
+          if (r > rmax) {
+            active = true
+            if (reserve(v) == 0.0) {
+              resIdx = grown(resIdx, resLen); resIdx(resLen) = v; resLen += 1
+            }
+            reserve(v) += alpha * r
+            val m = (1.0 - alpha) * r
+            rcsr.foreachNeighbor(v) { u =>
+              if (next(u) == 0.0) {
+                nxtIdx = grown(nxtIdx, nxtLen); nxtIdx(nxtLen) = u; nxtLen += 1
+              }
+              next(u) += m / fwdDeg(u)
+            }
+          } else {
+            if (next(v) == 0.0) {
+              nxtIdx = grown(nxtIdx, nxtLen); nxtIdx(nxtLen) = v; nxtLen += 1
+            }
+            next(v) += r
+          }
+        }
+        i += 1
+      }
+      // the consumed residue array is now all-zeros — it becomes the next
+      // pass's accumulator; swap index lists alongside.
+      val ta = residue; residue = next; next = ta
+      val ti = cur; cur = nxtIdx; nxtIdx = ti
+      curLen = nxtLen
+      it += 1
+    }
+    // collect the reserve (ascending dense id, like the dense kernel's
+    // output scan), then zero every touched entry so ws is clean.
+    java.util.Arrays.sort(resIdx, 0, resLen)
+    val out = new Array[(Int, Double)](resLen)
+    var i = 0
+    while (i < resLen) {
+      val v = resIdx(i)
+      out(i) = (v, reserve(v))
+      reserve(v) = 0.0
+      i += 1
+    }
+    i = 0
+    while (i < curLen) { residue(cur(i)) = 0.0; i += 1 }
+    ws.residue = residue; ws.next = next
+    ws.cur = cur; ws.nxt = nxtIdx; ws.res = resIdx
+    out
+  }
+
   /** Batched multi-target backward search over a broadcast reversed CSR.
     * Returns (dst LONG, node_id LONG, score DOUBLE): score ≈ π(node_id, dst).
+    * Runs the sparse kernel with one reused [[Workspace]] per task —
+    * results are bit-identical to the dense [[runLocal]] (pinned by
+    * BackwardSearchSpec), only the allocation and per-superstep scan cost
+    * change.
     */
   def batch(
       spark: SparkSession,
@@ -144,15 +257,15 @@ object BackwardSearch {
       else math.min(math.max(1, targets.length), spark.sparkContext.defaultParallelism)
     spark.sparkContext
       .parallelize(targets, nSlices)
-      .flatMap { t =>
+      .mapPartitions { ts =>
         val g = bcG.value
-        val td = g.denseOf(t)
-        if (td < 0) Iterator.empty
-        else {
-          val scores = runLocal(g, bcD.value, td, alpha, rmax, maxSupersteps)
-          scores.iterator.zipWithIndex.collect {
-            case (p, v) if p != 0.0 => (t, g.originalOf(v), p)
-          }
+        val d = bcD.value
+        val ws = new Workspace(g.numNodes)
+        ts.flatMap { t =>
+          val td = g.denseOf(t)
+          if (td < 0) Iterator.empty
+          else runLocalSparse(g, d, td, alpha, rmax, maxSupersteps, ws)
+            .iterator.map { case (v, p) => (t, g.originalOf(v), p) }
         }
       }
       .toDF("dst", "node_id", "score")

@@ -53,6 +53,11 @@ object GotQueries {
   val GridForaEpsilons: Seq[Double] = Seq(10.0, 5.0, 0.5, 0.1, 0.05)
   val GridMcEpsilons: Seq[Double] = Seq(1.0, 0.5, 0.3, 0.1, 0.05)
   val GridForaTopkEpsilons: Seq[Double] = Seq(10.0, 5.0, 0.5, 0.1, 0.05)
+  // top-k MC (`Gen_Util.java:456`) — for GOT the array equals the
+  // whole-graph one, but the SUITE differs: the top-k loop scores
+  // precision@k/NDCG@k on the tie-inclusive kth cut of the whole-graph
+  // estimate (`Monte_Carlo.java:277-319` computeTopKPPR → retrieveTopK).
+  val GridMcTopkEpsilons: Seq[Double] = Seq(1.0, 0.5, 0.3, 0.1, 0.05)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1+S2+J5: load, resolve names→ids, symmetrize.
@@ -270,6 +275,40 @@ object GotQueries {
             round(col("p"), 9).as("avg_precision"),
             round(col("n"), 9).as("avg_ndcg"))
       }.reduce(_.unionAll(_))
+    }),
+
+    // H5 top-k suite, MC family — the last stochastic (family × suite)
+    // cell of the reference grid (`Gen_Util.java:559-599` MC branch over
+    // the GOT array `:456`). The reference's MC top-k IS whole-graph MC
+    // followed by the tie-inclusive kth cut (`Monte_Carlo.java:277-319`),
+    // so the row reuses the seeded-endpoints scheme of `got_grid_mc` with
+    // its own artifacts and scores the two top-k quality columns (the
+    // tie-inclusive cut lives inside the precision/NDCG metrics, same as
+    // `got_grid_topk`'s FWDPUSH branch).
+    "got_grid_mc_topk" -> ((s, _) => {
+      val csr = Got.cachedCsr(s)
+      val gnd = PowerIteration.batch(s, csr, GridSources, Got.Alpha, GridPmIters)
+        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
+        .localCheckpoint(true)
+      val n = csr.numNodes.toDouble
+      GridMcTopkEpsilons.zipWithIndex.map { case (eps, i) =>
+        val omega = MonteCarlo.omegaFor(eps, 1.0 / n, 1.0 / n)
+        val wdir = VerifyArtifacts.dir(s, s"mc_gottopk_e$i")
+        MonteCarlo.sspprEndpoints(s, csr, GridSources, Got.Alpha,
+            epsilon = eps)
+          .write.mode("overwrite").parquet(wdir)
+        VerifyArtifacts.record(s"mc_gottopk_omega_e$i", omega.toString)
+        val est = s.read.parquet(wdir)
+          .groupBy("src", "node_id")
+          .agg((count(lit(1)) / lit(omega.toDouble)).as("score"))
+          .localCheckpoint(true)
+        Metrics.precisionAtK(gnd, est, GridK)
+          .join(Metrics.ndcgAtK(gnd, est, GridK), Seq("src"))
+          .agg(avg("precision").as("p"), avg("ndcg").as("n"))
+          .select(lit(eps).as("eps"),
+            round(col("p"), 9).as("avg_precision"),
+            round(col("n"), 9).as("avg_ndcg"))
+      }.reduce(_.unionAll(_))
     })
   )
 
@@ -370,6 +409,21 @@ object GotQueries {
         if (points.forall(_.isDefined))
           points.flatten.mkString("\nUNION ALL\n")
         else VerifyArtifacts.failSql("got_grid_fora_topk")
+      },
+      "got_grid_mc_topk" -> {
+        val points = GridMcTopkEpsilons.zipWithIndex.map { case (eps, i) =>
+          VerifyArtifacts.maybe(s"dir:mc_gottopk_e$i").map { wdir =>
+            val omega = VerifyArtifacts.get(s"mc_gottopk_omega_e$i", "1")
+            val est = s"SELECT src, node_id, count(*) / $omega.0 AS score " +
+              s"FROM read_parquet('$wdir/*.parquet') GROUP BY src, node_id"
+            val point = Metrics.sql.topkSummarySql(gridGnd, est, GridK,
+              leadCols = s"CAST($eps AS DOUBLE) AS eps")
+            s"SELECT * FROM ($point)"
+          }
+        }
+        if (points.forall(_.isDefined))
+          points.flatten.mkString("\nUNION ALL\n")
+        else VerifyArtifacts.failSql("got_grid_mc_topk")
       }
     )
   }

@@ -532,7 +532,12 @@ object Text {
     // u ∈ (0,1] derives from the content fingerprint — so the sample is
     // seeded, reproducible, and content-keyed like d_sample_hash, but
     // length-BIASED: inclusion probability scales with w, the
-    // quality-weighted subsampling real curation pipelines run. Key
+    // quality-weighted subsampling real curation pipelines run. Note:
+    // u and w both derive from the text (fingerprint vs length), so they
+    // are not strictly independent — fine for a deterministic demo row,
+    // but a production sampler would salt the key stream (e.g.
+    // fingerprint(salt || text)) so u is independent of any weight
+    // signal computed from the same content. Key
     // rounded to 9 dp before ranking + doc_id tie-break (the rounded-
     // score ranking discipline); the row_number filter compiles to
     // WindowGroupLimit, so each map task ships only its local top-K per

@@ -40,6 +40,35 @@ class BackwardSearchSpec extends SparkSpec {
     }
   }
 
+  test("sparse kernel is bit-identical to dense, workspace reused across targets") {
+    // seeded random digraph, large enough that frontiers grow, shrink and
+    // revisit nodes across supersteps.
+    val rnd = new scala.util.Random(7L)
+    val pairs = Seq.fill(4000)((rnd.nextInt(500).toLong, rnd.nextInt(500).toLong))
+      .filter { case (s, d) => s != d }.distinct
+    val s0 = spark
+    import s0.implicits._
+    val edges = pairs.toDF("src", "dst")
+    val (_, rcsr, fwdDeg) = kernels(edges)
+    val ws = new BackwardSearch.Workspace(rcsr.numNodes)
+    for {
+      t <- Seq(0L, 17L, 123L, 499L)
+      (rmax, steps) <- Seq((1e-3, 0), (1e-4, 0), (1e-4, 6), (1e-2, 3))
+    } {
+      val td = rcsr.denseOf(t)
+      val dense = BackwardSearch.runLocal(rcsr, fwdDeg, td, alpha, rmax, steps)
+      val sparse = BackwardSearch.runLocalSparse(rcsr, fwdDeg, td, alpha, rmax, steps, ws)
+      val sparseMap = sparse.toMap
+      for (v <- 0 until rcsr.numNodes) {
+        // == not ≈: the sparse kernel replays the dense schedule exactly.
+        assert(dense(v) == sparseMap.getOrElse(v, 0.0),
+          s"t=$t rmax=$rmax steps=$steps v=$v: dense=${dense(v)} sparse=${sparseMap.getOrElse(v, 0.0)}")
+      }
+      assert(sparse.map(_._1).toSeq == sparse.map(_._1).toSeq.sorted, "ascending dense id")
+      assert(sparse.forall(_._2 != 0.0), "nonzero reserves only")
+    }
+  }
+
   test("distributed run matches dense kernel at fixed supersteps") {
     val (csr, rcsr, fwdDeg) = kernels(edgesDf)
     val t = 1L
