@@ -153,8 +153,14 @@ object BackwardSearch {
     * per-superstep cost is O(frontier · log frontier + pushed edges)
     * instead of O(n). This is what makes BASE all-pair prep viable past
     * ~10^5 nodes: per-target push work with rmax = 1e-4 touches hundreds of
-    * nodes, not the whole graph. Returns (denseId, score) pairs sorted by
-    * dense id, reserve > 0 only; `ws` is restored to all-zeros.
+    * nodes, not the whole graph. ADAPTIVE per superstep: when the frontier
+    * holds more than ~1/8 of all nodes, sorting it would cost more than the
+    * dense 0..n-1 scan it emulates, so the superstep falls back to exactly
+    * that scan (ascending order for free, no sort) while still tracking the
+    * next frontier sparsely — small graphs with saturated frontiers (GOT,
+    * the 20k synthetic at rmax 1e-4) keep dense-kernel speed, large graphs
+    * get the sparse win. Returns (denseId, score) pairs sorted by dense id,
+    * reserve > 0 only; `ws` is restored to all-zeros.
     */
   def runLocalSparse(
       rcsr: Csr,
@@ -177,13 +183,20 @@ object BackwardSearch {
     var resLen = 0
     var it = 0
     var active = true
+    val n = rcsr.numNodes
     while (active && (maxSupersteps <= 0 || it < maxSupersteps)) {
       active = false
-      java.util.Arrays.sort(cur, 0, curLen)
       var nxtLen = 0
+      val dense = curLen >= n / 8
+      if (!dense) java.util.Arrays.sort(cur, 0, curLen)
       var i = 0
-      while (i < curLen) {
-        val v = cur(i)
+      val lim = if (dense) n else curLen
+      while (i < lim) {
+        // dense pass: ascend over every node (the frontier list is a
+        // superset-unordered view of the same nonzero entries, so reading
+        // the residue array directly visits them in the identical
+        // ascending order the sorted sparse pass would).
+        val v = if (dense) i else cur(i)
         val r = residue(v)
         residue(v) = 0.0
         if (r != 0.0) {
