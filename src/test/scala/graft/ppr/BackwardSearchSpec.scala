@@ -69,6 +69,35 @@ class BackwardSearchSpec extends SparkSpec {
     }
   }
 
+  test("adaptive kernel: tiny graph (always-dense path) and low-degree sparse path") {
+    val s0 = spark
+    import s0.implicits._
+    // n=6 ring: n/8 == 0, every superstep takes the dense fallback.
+    val ring = (0L until 6L).map(i => (i, (i + 1) % 6)).toDF("src", "dst")
+    val (_, rr, rd) = kernels(ring)
+    val wsR = new BackwardSearch.Workspace(rr.numNodes)
+    for (t <- 0L until 6L; rmax <- Seq(1e-2, 1e-5)) {
+      val td = rr.denseOf(t)
+      val dense = BackwardSearch.runLocal(rr, rd, td, alpha, rmax, 0)
+      val sp = BackwardSearch.runLocalSparse(rr, rd, td, alpha, rmax, 0, wsR).toMap
+      for (v <- 0 until rr.numNodes)
+        assert(dense(v) == sp.getOrElse(v, 0.0), s"ring t=$t rmax=$rmax v=$v")
+    }
+    // 1500-node binary tree (each node -> parent): frontiers are one
+    // root-ward path + fan-in, far under n/8 — the sorted sparse path
+    // runs every superstep.
+    val tree = (1L until 1500L).map(i => (i, (i - 1) / 2)).toDF("src", "dst")
+    val (_, rt, td2) = kernels(tree)
+    val wsT = new BackwardSearch.Workspace(rt.numNodes)
+    for (t <- Seq(0L, 3L, 747L, 1499L); rmax <- Seq(1e-3, 1e-6)) {
+      val tdense = rt.denseOf(t)
+      val dense = BackwardSearch.runLocal(rt, td2, tdense, alpha, rmax, 0)
+      val sp = BackwardSearch.runLocalSparse(rt, td2, tdense, alpha, rmax, 0, wsT).toMap
+      for (v <- 0 until rt.numNodes)
+        assert(dense(v) == sp.getOrElse(v, 0.0), s"tree t=$t rmax=$rmax v=$v")
+    }
+  }
+
   test("distributed run matches dense kernel at fixed supersteps") {
     val (csr, rcsr, fwdDeg) = kernels(edgesDf)
     val t = 1L
