@@ -722,6 +722,82 @@ object Text {
         .withColumn("rk", row_number().over(bySource))
         .where(col("rk") <= DomainCapN)
         .select(col("source"), col("doc_id"), col("quality"), col("rk"))
+    }),
+
+    // DSIR-style importance resampling (Xie et al. 2023): select raw
+    // documents whose hashed-n-gram distribution looks like a target
+    // domain. Bag-of-hashed-bigrams models (DsirBuckets buckets, add-α
+    // smoothing) are fit on the target split (source = DsirTarget) and
+    // the raw remainder; each raw doc scores the MEAN per-bigram
+    // log-ratio ln(p_target(b)) − ln(p_raw(b)) over its own bigram
+    // stream (mean, not the paper's sum, so the demo score is
+    // length-unbiased — the paper resamples fixed-length chunks
+    // instead), then DsirK docs are drawn by Gumbel-top-k: key =
+    // logw + Gumbel(u) with u seeded from the content fingerprint
+    // through the full-range KMV mixer — deterministic, reproducible,
+    // and a faithful weighted-without-replacement sample. Shape at
+    // 100 TB: the bucket models are DsirBuckets-row aggregates
+    // (map-side combinable, broadcast back: the model is ≤ a few KB
+    // regardless of corpus size); scoring is a bucket-keyed join of the
+    // per-doc bigram stream — texts never reshuffle; the global top-K
+    // window compiles to WindowGroupLimit, so each map task ships only
+    // K candidate rows (docs with < 2 tokens have no bigram stream and
+    // are out of scope on both engines).
+    "d_dsir_resample" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+        .as[(Long, String, String, String)]
+        .mapPartitions(_.map { case (id, src, lang, t) =>
+          // tokenizer = d_tokens' whitespace split; fingerprint = the
+          // d_fingerprint fold (token-hash rolling hash, empties
+          // included) so the Gumbel seed equals the corpus-wide content
+          // key; bigram buckets go through the full-range mixer so the
+          // raw rolling hash's short-token bias cannot skew bucket load.
+          val toks = t.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+          val hs = toks.map(TextOps.tokenHash)
+          var fp = 0L
+          hs.foreach(h => fp = (fp * TextOps.TokMul + h) % TextOps.P)
+          val bs =
+            if (hs.length < 2) Array.empty[Long]
+            else Array.tabulate(hs.length - 1) { i =>
+              TextOps.kmvMix(
+                (hs(i) * TextOps.TokMul + hs(i + 1)) % TextOps.P) % DsirBuckets
+            }
+          (id, src, lang, fp, bs)
+        })
+        .toDF("doc_id", "source", "lang", "fp", "bs")
+        .localCheckpoint(true) // feeds the two models AND the scoring join
+      val bg = docs.select(col("doc_id"), col("source"),
+        explode(col("bs")).as("b"))
+      val isTgt = col("source") === DsirTarget
+      val tm = bg.where(isTgt).groupBy("b").agg(count(lit(1)).as("tc"))
+      val rm = bg.where(!isTgt).groupBy("b").agg(count(lit(1)).as("rc"))
+      val tot = bg.agg(
+        sum(when(isTgt, 1L).otherwise(0L)).as("tt"),
+        sum(when(isTgt, 0L).otherwise(1L)).as("rt"))
+      val aB = DsirAlpha * DsirBuckets
+      val scored = bg.where(!isTgt)
+        .join(tm, Seq("b"), "left")
+        .join(rm, Seq("b"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_big"),
+          round(avg(
+            log((coalesce(col("tc"), lit(0L)) + DsirAlpha) / (col("tt") + aB)) -
+              log((col("rc") + DsirAlpha) / (col("rt") + aB))), 6).as("logw"))
+      val gum = docs.where(!isTgt)
+        .selectExpr("doc_id", "source", "lang",
+          // P² as a DOUBLE product of CASTs — same spelling as the
+          // DuckDB twin (a `P.0` literal is DECIMAL there and overflows).
+          s"round(-ln(-ln((${TextOps.spark.kmvMix("fp")} + 1.0) / " +
+            s"(CAST(${TextOps.P} AS DOUBLE) * CAST(${TextOps.P} AS DOUBLE)))), 9) AS g")
+      val w = Window.orderBy(col("gkey").desc, col("doc_id").asc)
+      scored.join(gum, Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("lang"), col("n_big"),
+          col("logw"), round(col("logw") + col("g"), 6).as("gkey"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= DsirK)
     })
   )
 
@@ -748,6 +824,18 @@ object Text {
 
   /** Documents kept per language by `d_weighted_sample`. */
   val WeightedSampleK = 20
+
+  /** `d_dsir_resample` — DSIR-style importance resampling (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): hashed-bigram bucket count, target-domain proxy,
+    * add-α smoothing, and the resample size. Buckets chosen so the
+    * demo corpus populates most of them; α = 0.5 is the paper's
+    * Laplace-style smoothing shape.
+    */
+  val DsirBuckets = 512
+  val DsirAlpha = 0.5
+  val DsirTarget = "src0"
+  val DsirK = 40
 
   /** KMV estimate from the kth-smallest distinct MIXED hash:
     * [[graft.text.TextOps.kmvMix]] keys live in [0, P²), so h_k maps to
@@ -1351,6 +1439,40 @@ object Text {
          |  FROM u),
          |r AS (SELECT source, doc_id, quality, row_number() OVER (
          |  PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rk FROM g)
-         |SELECT source, doc_id, quality, rk FROM r WHERE rk <= $DomainCapN""".stripMargin
+         |SELECT source, doc_id, quality, rk FROM r WHERE rk <= $DomainCapN""".stripMargin,
+    "d_dsir_resample" -> {
+      val aB = DsirAlpha * DsirBuckets
+      s"""WITH tk AS (SELECT doc_id, source, lang,
+         |  ${TextOps.duck.tokenHashes("text")} AS hs,
+         |  ${TextOps.duck.fingerprint("text")} AS fp FROM documents),
+         |bg AS MATERIALIZED (SELECT doc_id, source,
+         |  ${TextOps.duck.kmvMix(
+               s"(hs[CAST(u.i AS INT) + 1] * ${TextOps.TokMul} + " +
+                 s"hs[CAST(u.i AS INT) + 2]) % ${TextOps.P}")} % $DsirBuckets AS b
+         |  FROM tk, UNNEST(range(0, len(hs) - 1)) AS u(i)),
+         |tm AS MATERIALIZED (SELECT b, count(*) AS tc FROM bg
+         |  WHERE source = '$DsirTarget' GROUP BY 1),
+         |rm AS MATERIALIZED (SELECT b, count(*) AS rc FROM bg
+         |  WHERE source <> '$DsirTarget' GROUP BY 1),
+         |tot AS (SELECT
+         |  CAST(sum(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END) AS BIGINT) AS tt,
+         |  CAST(sum(CASE WHEN source = '$DsirTarget' THEN 0 ELSE 1 END) AS BIGINT) AS rt
+         |  FROM bg),
+         |sc AS (SELECT doc_id, count(*) AS n_big,
+         |  round(avg(ln((coalesce(tc, 0) + $DsirAlpha) / (tt + $aB)) -
+         |            ln((rc + $DsirAlpha) / (rt + $aB))), 6) AS logw
+         |  FROM bg LEFT JOIN tm USING (b) JOIN rm USING (b) CROSS JOIN tot
+         |  WHERE source <> '$DsirTarget' GROUP BY doc_id),
+         |gu AS (SELECT doc_id, source, lang,
+         |  round(-ln(-ln((${TextOps.duck.kmvMix("fp")} + 1.0) /
+         |    (CAST(${TextOps.P} AS DOUBLE) * CAST(${TextOps.P} AS DOUBLE)))), 9) AS g
+         |  FROM tk WHERE source <> '$DsirTarget'),
+         |j AS (SELECT s.doc_id, g.source, g.lang, s.n_big, s.logw,
+         |  round(s.logw + g.g, 6) AS gkey FROM sc s JOIN gu g USING (doc_id)),
+         |r AS (SELECT *, row_number() OVER (
+         |  ORDER BY gkey DESC, doc_id ASC) AS rk FROM j)
+         |SELECT doc_id, source, lang, n_big, logw, gkey, rk FROM r
+         |WHERE rk <= $DsirK""".stripMargin
+    }
   )
 }

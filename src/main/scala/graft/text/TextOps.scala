@@ -445,8 +445,9 @@ object TextOps {
       * typed [[TextOps.kmvMix]] for the semantics and range argument.
       */
     def kmvMix(h: String): String =
-      s"(($KmvA1 * (($h) ^ shiftright($h, 16)) + $KmvB1) % $P) * $P + " +
-        s"(($KmvA2 * (($h) ^ shiftright($h, 8)) + $KmvB2) % $P)"
+      // outer parens for the same append-safety as the DuckDB twin.
+      s"((($KmvA1 * (($h) ^ shiftright($h, 16)) + $KmvB1) % $P) * $P + " +
+        s"(($KmvA2 * (($h) ^ shiftright($h, 8)) + $KmvB2) % $P))"
 
     /** MinHash signature entry j over a shingle-array expression `sh`. */
     def minhash(sh: String, j: Int): String =
@@ -493,9 +494,13 @@ object TextOps {
       * non-negative inputs).
       */
     def kmvMix(h: String): String =
-      s"((CAST($KmvA1 AS BIGINT) * xor($h, $h >> 16) + $KmvB1) % $P) * " +
+      // `h` and the whole expression are defensively parenthesized: a
+      // composite argument must not re-associate under `>>`'s lower
+      // precedence, and a caller appending e.g. `% B` must modulate the
+      // full mixed value, not the last addend.
+      s"(((CAST($KmvA1 AS BIGINT) * xor(($h), ($h) >> 16) + $KmvB1) % $P) * " +
         s"CAST($P AS BIGINT) + " +
-        s"((CAST($KmvA2 AS BIGINT) * xor($h, $h >> 8) + $KmvB2) % $P)"
+        s"((CAST($KmvA2 AS BIGINT) * xor(($h), ($h) >> 8) + $KmvB2) % $P))"
 
     def minhash(sh: String, j: Int): String =
       s"list_min(list_transform($sh, x -> (${As(j)} * x + ${Bs(j)}) % $P))"
