@@ -27,6 +27,13 @@ object Events {
   /** One day in microseconds (`ev_moving_avg` granularity). */
   val DayUs = 24L * 3600 * 1000000L
 
+  /** KMV sketch size for `ev_daily_kmv` (every daily window has ≥ 11
+    * distinct users at the smallest test scale, so the kth order
+    * statistic exists; production would size k for the target relative
+    * error ≈ 1/√k).
+    */
+  val EvKmvK = 8
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour window per event_type.
     "ev_window" -> ((s, dir) => {
@@ -286,6 +293,35 @@ object Events {
           round(sum(col("value")), 2).as("sum_value"),
           round(max(col("ts").cast("double")) - min(col("ts").cast("double")), 6)
             .as("duration_sec"))
+    }),
+
+    // Approximate distinct users per daily window via the KMV sketch
+    // aggregate — the sketch-in-window composition a streaming
+    // dashboard runs (distinct-count state per window bounded at k
+    // longs instead of one entry per user; the same agg runs under a
+    // watermarked streaming groupBy). The exact count rides along to
+    // oracle-check the estimate; at scale it is the column you DROP.
+    // User ids hash through the full-range mixer so the estimate's
+    // uniformity assumption holds regardless of id distribution.
+    "ev_daily_kmv" -> ((s, dir) => {
+      graft.functions.KmvFunctions.register(s)
+      val P = graft.text.TextOps.P
+      Tables(s, dir, "events")
+        .selectExpr("date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day",
+          s"user_id % $P AS h")
+        .selectExpr("day", "h",
+          s"${graft.text.TextOps.spark.kmvMix("h")} AS hm")
+        .groupBy(col("day"))
+        .agg(countDistinct(col("h")).as("n_exact"),
+          graft.functions.KmvFunctions.kmvKth(col("hm"), EvKmvK).as("kth_h"))
+        .where(col("kth_h").isNotNull)
+        .selectExpr("day", "CAST(n_exact AS BIGINT) AS n_exact", "kth_h",
+          // (k−1)/u with u = (kth+1)/P² — the same estimate text as
+          // d_vocab_kmv, P² spelled as a DOUBLE product (a `P.0`
+          // literal is DECIMAL in DuckDB and overflows the multiply).
+          s"round(CAST(${EvKmvK - 1} AS DOUBLE) / " +
+            s"((CAST(kth_h AS DOUBLE) + 1.0) / " +
+            s"(CAST($P AS DOUBLE) * CAST($P AS DOUBLE))), 4) AS est")
     })
   )
 
@@ -436,6 +472,24 @@ object Events {
          |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
          | round(sum(value), 2) AS sum_value,
          | round(max(epoch(ts)) - min(epoch(ts)), 6) AS duration_sec
-         |FROM sess GROUP BY user_id, session_id""".stripMargin
+         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "ev_daily_kmv" -> {
+      val P = graft.text.TextOps.P
+      s"""WITH h AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         |  user_id % $P AS h FROM events),
+         |d AS MATERIALIZED (SELECT DISTINCT day, h FROM h),
+         |dm AS (SELECT DISTINCT day, ${graft.text.TextOps.duck.kmvMix("h")} AS hm
+         |  FROM d),
+         |kth AS (SELECT day, hm AS kth_h FROM (
+         |  SELECT day, hm, row_number() OVER (
+         |    PARTITION BY day ORDER BY hm ASC) AS rn FROM dm)
+         |  WHERE rn = $EvKmvK),
+         |ex AS (SELECT day, count(*) AS n_exact FROM d GROUP BY day)
+         |SELECT ex.day, CAST(ex.n_exact AS BIGINT) AS n_exact, k.kth_h,
+         |  round(CAST(${EvKmvK - 1} AS DOUBLE) /
+         |    ((CAST(k.kth_h AS DOUBLE) + 1.0) /
+         |     (CAST($P AS DOUBLE) * CAST($P AS DOUBLE))), 4) AS est
+         |FROM ex JOIN kth k ON k.day = ex.day""".stripMargin
+    }
   )
 }

@@ -55,6 +55,33 @@ object EventStreams {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Approximate distinct users per daily window — streaming twin of the
+    * batch `ev_daily_kmv` row, emitting ONLY the sketch columns: exact
+    * distinct aggregation does not stream (it would need unbounded
+    * per-window value state), while the KMV buffer is k longs per window
+    * regardless of user count — the reason the sketch is the streaming
+    * dashboard's distinct-count primitive. Same hash → mix → kth-min →
+    * estimate text as the batch row, so EventStreamsSpec asserts
+    * stream ≡ batch on (day, kth_h, est).
+    */
+  def dailyDistinctKmv(events: DataFrame): DataFrame = {
+    graft.functions.KmvFunctions.register(events.sparkSession)
+    val P = graft.text.TextOps.P
+    val k = graft.queries.Events.EvKmvK
+    events
+      .withWatermark("ts", "2 days")
+      .selectExpr("ts", s"user_id % $P AS h")
+      .selectExpr("ts", s"${graft.text.TextOps.spark.kmvMix("h")} AS hm")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(graft.functions.KmvFunctions.kmvKth(col("hm"), k).as("kth_h"))
+      .where(col("kth_h").isNotNull)
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("kth_h"))
+      .selectExpr("day", "kth_h",
+        s"round(CAST(${k - 1} AS DOUBLE) / ((CAST(kth_h AS DOUBLE) + 1.0) / " +
+          s"(CAST($P AS DOUBLE) * CAST($P AS DOUBLE))), 4) AS est")
+  }
+
   /** Gap-based sessionization over per-user state. Emits a session row when
     * the gap to the next event exceeds `gapSec` (the still-open session per
     * user stays in state; a real pipeline closes it by event-time timeout).

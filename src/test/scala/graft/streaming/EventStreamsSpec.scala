@@ -33,6 +33,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming daily KMV sketch equals the batch row's sketch columns") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = input.toDF().toDF("user_id", "ts")
+    val q = dailyDistinctKmv(df).writeStream
+      .format("memory").queryName("dkmv").outputMode("complete").start()
+    try {
+      val rows = Tables(spark, sfDir, "events")
+        .select(col("user_id"), col("ts"))
+        .as[(Long, java.sql.Timestamp)].collect()
+      // two batches: the sketch state must merge across micro-batches
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+      val got = spark.table("dkmv").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = graft.queries.Events.queries("ev_daily_kmv")(spark, sfDir)
+        .select(col("day"), col("kth_h"), col("est")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streaming hopping-window counts equal the batch query on full replay") {
     val s = spark
     import s.implicits._
