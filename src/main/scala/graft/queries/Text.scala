@@ -798,6 +798,53 @@ object Text {
           col("logw"), round(col("logw") + col("g"), 6).as("gkey"))
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= DsirK)
+    }),
+
+    // BPE vocabulary induction (Sennrich et al. 2016) — tokenizer
+    // training, the step that turns a text corpus into the merge table
+    // a trained tokenizer applies. Classic shape: ONE corpus pass folds
+    // the text into a (word, freq) dictionary (vocabulary-sized, not
+    // corpus-sized — the only corpus-scale shuffle); each round then
+    // counts adjacent symbol pairs over the dictionary weighted by
+    // word frequency (distributed agg with map-side combine), picks the
+    // most frequent pair (1-row driver argmax with a deterministic
+    // (count DESC, pair ASC) tie-break — the size-guarded dispatch
+    // pattern), and rewrites the symbol sequences with a greedy
+    // non-overlapping merge ([[bpeApply]]). Output = the merge table
+    // itself, one row per round. Rounds are inherently sequential;
+    // each round's work is the distributed pair count.
+    "d_bpe_vocab" -> ((s, dir) => {
+      import s.implicits._
+      var words = Tables(s, dir, "documents")
+        .select(col("text")).as[String]
+        .flatMap(_.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1))
+        .filter(_.nonEmpty)
+        .groupByKey(identity).count()
+        .map { case (wd, f) => (wd.split("").filter(_.nonEmpty), f) }
+        .localCheckpoint(true)
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      for (r <- 1 to BpeRounds) {
+        val best = words
+          .flatMap { case (syms, f) =>
+            (0 until syms.length - 1).iterator.map(i =>
+              ((syms(i), syms(i + 1)), f))
+          }
+          .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+          .map { case ((a, b), c) => (a, b, c) }
+          .toDF("a", "b", "cnt")
+          .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()
+        // a corpus whose words are all single symbols before BpeRounds
+        // merges would silently desync from the unrolled oracle — fail
+        // loudly instead (cannot happen on the driver corpus).
+        require(best.nonEmpty, s"d_bpe_vocab: no pairs left at round $r")
+        val (a, b, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, a, b, c))
+        words = words.map { case (syms, f) => (bpeApply(syms, a, b), f) }
+          .localCheckpoint(true)
+      }
+      merges.result().toDF("rk", "p1", "p2", "cnt")
     })
   )
 
@@ -824,6 +871,31 @@ object Text {
 
   /** Documents kept per language by `d_weighted_sample`. */
   val WeightedSampleK = 20
+
+  /** `d_bpe_vocab` merge rounds. Six is enough to exercise cascading
+    * merges (a round-r merged symbol participating in a later pair) on
+    * the demo vocabulary; production BPE runs tens of thousands of
+    * rounds over the same per-round shape.
+    */
+  val BpeRounds = 6
+
+  /** One greedy left-to-right non-overlapping merge pass — the BPE
+    * rewrite step. "aaa" under (a,a) becomes [aa, a]: a consumed symbol
+    * cannot start the next match. The oracle replays the same semantics
+    * with a window-function run-alternation (candidate runs take
+    * positions 1,3,5,…).
+    */
+  private[queries] def bpeApply(s: Array[String], a: String,
+      b: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.result()
+  }
 
   /** `d_dsir_resample` — DSIR-style importance resampling (Xie et al.
     * 2023, "Data Selection for Language Models via Importance
@@ -1473,6 +1545,54 @@ object Text {
          |  ORDER BY gkey DESC, doc_id ASC) AS rk FROM j)
          |SELECT doc_id, source, lang, n_big, logw, gkey, rk FROM r
          |WHERE rk <= $DsirK""".stripMargin
+    },
+    // Unrolled BPE rounds. Per round r: pc = freq-weighted adjacent-pair
+    // counts over the round-(r-1) symbol table; b = the deterministic
+    // argmax; then the greedy non-overlapping rewrite as window
+    // functions — candidate positions (sym, next) = (a, b) form runs of
+    // consecutive positions, a run merges at its 1st, 3rd, … candidates
+    // (`tk`), and the symbol AFTER a merge (`ptk = 1`) is consumed.
+    "d_bpe_vocab" -> {
+      val sb = new StringBuilder
+      sb ++= s"""WITH w0 AS MATERIALIZED (SELECT word, count(*) AS freq FROM (
+         |  SELECT unnest(${TextOps.duck.tokens("text")}) AS word
+         |  FROM documents) t WHERE word <> '' GROUP BY word),
+         |s0 AS MATERIALIZED (SELECT word, freq,
+         |  list_filter(string_split(word, ''), c -> c <> '') AS s FROM w0),
+         |""".stripMargin
+      for (r <- 1 to BpeRounds) {
+        val p = r - 1
+        sb ++= s"""pc$r AS (SELECT s[CAST(u.i AS INT) + 1] AS a,
+           |  s[CAST(u.i AS INT) + 2] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM s$p, UNNEST(range(0, len(s) - 1)) AS u(i) GROUP BY 1, 2),
+           |b$r AS MATERIALIZED (SELECT a, b, cnt FROM pc$r
+           |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+           |e$r AS (SELECT word, freq, CAST(u.i AS INT) + 1 AS pos,
+           |  s[CAST(u.i AS INT) + 1] AS sym
+           |  FROM s$p, UNNEST(range(0, len(s))) AS u(i)),
+           |c$r AS (SELECT word, freq, pos, sym, lead(sym) OVER wpw AS nxt,
+           |  CASE WHEN sym = (SELECT a FROM b$r)
+           |    AND lead(sym) OVER wpw = (SELECT b FROM b$r)
+           |    THEN 1 ELSE 0 END AS cand
+           |  FROM e$r WINDOW wpw AS (PARTITION BY word ORDER BY pos)),
+           |g$r AS (SELECT *, CASE WHEN cand = 1 THEN pos - row_number()
+           |  OVER (PARTITION BY word, cand ORDER BY pos) END AS run FROM c$r),
+           |k$r AS (SELECT *, CASE WHEN cand = 1 AND row_number() OVER (
+           |  PARTITION BY word, run ORDER BY pos) % 2 = 1
+           |  THEN 1 ELSE 0 END AS tk FROM g$r),
+           |o$r AS (SELECT word, freq, pos, sym, nxt, tk,
+           |  lag(tk) OVER (PARTITION BY word ORDER BY pos) AS ptk FROM k$r),
+           |s$r AS MATERIALIZED (SELECT word, freq,
+           |  list(CASE WHEN tk = 1 THEN sym || nxt ELSE sym END
+           |    ORDER BY pos) AS s
+           |  FROM o$r WHERE coalesce(ptk, 0) = 0 GROUP BY word, freq),
+           |""".stripMargin
+      }
+      sb ++= "fin AS (SELECT 1 AS one)\n"
+      sb ++= (1 to BpeRounds)
+        .map(r => s"SELECT $r AS rk, a AS p1, b AS p2, cnt FROM b$r")
+        .mkString("\nUNION ALL\n")
+      sb.toString
     }
   )
 }

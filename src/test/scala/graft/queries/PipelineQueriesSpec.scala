@@ -238,6 +238,51 @@ class PipelineQueriesSpec extends SparkSpec {
       plan.contains("TakeOrderedAndProject"))
   }
 
+  test("bpeApply: greedy non-overlapping merge semantics") {
+    def ap(s: String, a: String, b: String) =
+      Text.bpeApply(s.split("").filter(_.nonEmpty), a, b).toSeq
+    assert(ap("aaa", "a", "a") == Seq("aa", "a"))
+    assert(ap("aaaa", "a", "a") == Seq("aa", "aa"))
+    assert(ap("abab", "a", "b") == Seq("ab", "ab"))
+    assert(ap("xaby", "a", "b") == Seq("x", "ab", "y"))
+    assert(ap("ab", "b", "a") == Seq("a", "b"))
+    // merged symbols are single units afterward: "ab"+"a" ≠ "a"+"ba"
+    assert(Text.bpeApply(Array("ab", "a", "b"), "a", "b").toSeq ==
+      Seq("ab", "ab"))
+  }
+
+  test("d_bpe_vocab reproduces an independent in-memory BPE trainer") {
+    val rows = Text.queries("d_bpe_vocab")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to Text.BpeRounds))
+    // merging only removes or re-labels pair occurrences, so the best
+    // count cannot grow across rounds
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 >= b._4, s"$a then $b")
+      case _ => ()
+    }
+    // ground truth: plain-Scala BPE over the collected word dictionary
+    var dict: Map[Seq[String], Long] = graft.Tables(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("text")).collect()
+      .flatMap(_.getString(0).toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+", -1)).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .map { case (w, f) => w.split("").filter(_.nonEmpty).toSeq -> f }
+    for ((rk, p1, p2, cnt) <- rows) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- dict; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      val (bp, bc) = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.head
+      assert((bp._1, bp._2, bc) == ((p1, p2, cnt)), s"round $rk")
+      dict = dict.groupBy { case (syms, _) =>
+        Text.bpeApply(syms.toArray, bp._1, bp._2).toSeq
+      }.view.mapValues(_.values.sum).toMap
+    }
+  }
+
   test("d_decontam_frac agrees with d_decontam's hit counts and bounds") {
     val hits = Text.queries("d_decontam")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
