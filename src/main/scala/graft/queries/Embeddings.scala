@@ -36,6 +36,15 @@ object Embeddings {
   /** Exact-verify cosine threshold for `e_embed_dups`. */
   val DupCosThreshold = 0.3
 
+  /** `e_hard_negatives`: negatives kept per query, and the near-dup
+    * ceiling — a candidate at cosine ≥ this is a probable duplicate /
+    * mislabeled positive, not a useful hard negative (the standard
+    * mining guard; a no-op on this random-vector corpus, where cosines
+    * stay far below it, but load-bearing on real embeddings).
+    */
+  val HnK = 5
+  val HnDupMax = 0.95
+
   /** IVF config: cells = nearest of [[IvfCentroids]] fixed centroid
     * vectors (deterministic "training": the corpus vectors with
     * `vec_id ∈ [NumQueries, NumQueries+C)` stand in for k-means centers —
@@ -834,6 +843,37 @@ object Embeddings {
     // MMR stage itself only ever sees m = MmrShortlist rows per query:
     // the pair-similarity self-join is keyed on q_id (m² bounded rows per
     // query, never corpus-quadratic), and the greedy runs as a typed
+    // Hard-negative mining for embedding-model training: per query, the
+    // HnK most-similar vectors with a DIFFERENT label (same label =
+    // positive; near-duplicates above HnDupMax are excluded as probable
+    // mislabeled positives). These are the negatives contrastive /
+    // triplet training actually learns from — random negatives are too
+    // easy. Shape: the label column rides the existing broadcast-query
+    // cosine pass (one corpus scan, queries broadcast); the tie-inclusive
+    // per-query cut is the same rank discipline as e_cosine_topk. At
+    // corpus scale the candidate generator swaps for the ANN shortlist
+    // (e_ann_lsh / e_bq_search) without changing the mining semantics.
+    "e_hard_negatives" -> ((s, dir) => {
+      VectorFunctions.register(s)
+      val lab = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+      val emb = embDf(s, dir).join(lab, Seq("vec_id"))
+      val q = emb.where(col("vec_id") < NumQueries)
+        .selectExpr("vec_id AS q_id", "v AS qv", "nrm AS qnrm",
+          "label AS q_label")
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc)
+      emb.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id") &&
+          col("label") =!= col("q_label"))
+        .selectExpr("q_id", "vec_id", "label",
+          s"round($dotExpr / (qnrm * nrm), 6) AS cos")
+        .where(col("cos") < HnDupMax)
+        .withColumn("rk", rank().over(w))
+        .where(col("rk") <= HnK)
+        .select(col("q_id"), col("vec_id"), col("label"), col("cos"),
+          col("rk"))
+    }),
+
     // cogroup kernel — one task per query batch, O(k·m) comparisons and
     // no float arithmetic beyond λ·rel − (1−λ)·maxsim over
     // already-rounded inputs, so both engines rank bit-identically.
@@ -1038,6 +1078,19 @@ object Embeddings {
 
   def oracleSql: Map[String, String] = Map(
     "e_cosine_topk" -> duckCosineTopkSql,
+    "e_hard_negatives" ->
+      s"""WITH $duckBase,
+         |cosj AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id, cl.label,
+         |  round($duckDot / (q.nrm * c.nrm), 6) AS cos
+         |  FROM embn q JOIN embn c ON c.vec_id <> q.vec_id
+         |  JOIN embeddings ql ON ql.vec_id = q.vec_id
+         |  JOIN embeddings cl ON cl.vec_id = c.vec_id
+         |  WHERE q.vec_id < $NumQueries AND cl.label <> ql.label),
+         |f AS (SELECT * FROM cosj WHERE cos < $HnDupMax)
+         |SELECT q_id, vec_id, label, cos, rk FROM (
+         |  SELECT q_id, vec_id, label, cos,
+         |    rank() OVER (PARTITION BY q_id ORDER BY cos DESC) AS rk FROM f)
+         |WHERE rk <= $HnK""".stripMargin,
     "e_ann_lsh" -> duckAnnLshSql,
     "e_ann_recall" ->
       s"""WITH ex AS (SELECT q_id, vec_id FROM ($duckCosineTopkSql)

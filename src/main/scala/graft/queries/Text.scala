@@ -800,6 +800,44 @@ object Text {
         .where(col("rk") <= DsirK)
     }),
 
+    // Exact-substring duplicate spans: rolling SpanW-token windows at
+    // every position, hashed by the shared rolling fold; report the
+    // SpanTopN most-duplicated cross-document spans. This is the
+    // diagnostic view of suffix-array-style exact-substring dedup (Lee
+    // et al. 2022) — boilerplate, license headers and templated text
+    // show up here long before they dominate near-dup clusters. Shape
+    // at 100 TB: the span stream is W·corpus rows of 8-byte hashes
+    // (texts never reshuffle), the agg map-side-combines, and the
+    // report's global top-N compiles to a bounded TakeOrderedAndProject.
+    "d_span_dups" -> ((s, dir) => {
+      import s.implicits._
+      val sp = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, t) =>
+          // token stream = duck.tokenHashes semantics (empties included)
+          val hs = t.toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+", -1).map(TextOps.tokenHash)
+          (0 to hs.length - SpanW).iterator.map { i =>
+            var x = 0L
+            var j = i
+            while (j < i + SpanW) {
+              x = (x * TextOps.TokMul + hs(j)) % TextOps.P; j += 1
+            }
+            (id, x)
+          }
+        })
+        .toDF("doc_id", "sh")
+      val w = Window.orderBy(col("n_occ").desc, col("n_docs").desc,
+        col("sh").asc)
+      sp.groupBy(col("sh"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
+        .where(col("n_docs") > 1)
+        .selectExpr("sh", "CAST(n_docs AS BIGINT) AS n_docs", "n_occ")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= SpanTopN)
+    }),
+
     // BPE vocabulary induction (Sennrich et al. 2016) — tokenizer
     // training, the step that turns a text corpus into the merge table
     // a trained tokenizer applies. Classic shape: ONE corpus pass folds
@@ -871,6 +909,17 @@ object Text {
 
   /** Documents kept per language by `d_weighted_sample`. */
   val WeightedSampleK = 20
+
+  /** `d_span_dups` — exact-substring duplicate spans (the Lee et al.
+    * 2022 "Deduplicating Training Data Makes Language Models Better"
+    * signal, at rolling granularity): window width in tokens and the
+    * size of the most-duplicated-spans report. Rolling spans start at
+    * EVERY token position, so cross-document repeats are caught at any
+    * alignment — the case fixed passage boundaries (d_passage_dedup)
+    * structurally miss.
+    */
+  val SpanW = 5
+  val SpanTopN = 30
 
   /** `d_bpe_vocab` merge rounds. Six is enough to exercise cascading
     * merges (a round-r merged symbol participating in a later pair) on
@@ -1545,6 +1594,21 @@ object Text {
          |  ORDER BY gkey DESC, doc_id ASC) AS rk FROM j)
          |SELECT doc_id, source, lang, n_big, logw, gkey, rk FROM r
          |WHERE rk <= $DsirK""".stripMargin
+    },
+    "d_span_dups" -> {
+      val fold = (1 to SpanW).foldLeft("CAST(0 AS BIGINT)") { (acc, k) =>
+        s"(($acc * ${TokMul} + hs[CAST(u.i AS INT) + $k]) % $P)"
+      }
+      s"""WITH tk AS (SELECT doc_id, ${TextOps.duck.tokenHashes("text")} AS hs
+         |  FROM documents),
+         |sp AS MATERIALIZED (SELECT doc_id, $fold AS sh
+         |  FROM tk, UNNEST(range(0, len(hs) - ${SpanW - 1})) AS u(i)),
+         |ag AS (SELECT sh, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_occ FROM sp GROUP BY sh),
+         |f AS (SELECT * FROM ag WHERE n_docs > 1),
+         |r AS (SELECT *, row_number() OVER (
+         |  ORDER BY n_occ DESC, n_docs DESC, sh ASC) AS rk FROM f)
+         |SELECT sh, n_docs, n_occ, rk FROM r WHERE rk <= $SpanTopN""".stripMargin
     },
     // Unrolled BPE rounds. Per round r: pc = freq-weighted adjacent-pair
     // counts over the round-(r-1) symbol table; b = the deterministic

@@ -283,6 +283,63 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("e_hard_negatives: different-label top-k per query, under the dup cap") {
+    val rows = graft.queries.Embeddings.queries("e_hard_negatives")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+        r.getInt(4)))
+    val labels = graft.Tables(spark, sfDir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.map(_._1).distinct.length ==
+      graft.queries.Embeddings.NumQueries)
+    rows.foreach { case (q, v, lab, cos, rk) =>
+      assert(labels(v) == lab && lab != labels(q), s"q=$q v=$v")
+      assert(cos < graft.queries.Embeddings.HnDupMax)
+      assert(rk >= 1 && rk <= graft.queries.Embeddings.HnK)
+      assert(v != q)
+    }
+    // within each query the ranked list is non-increasing in cosine
+    rows.groupBy(_._1).values.foreach { g =>
+      g.sortBy(_._5).sliding(2).foreach {
+        case Array(a, b) => assert(a._4 >= b._4)
+        case _ => ()
+      }
+    }
+  }
+
+  test("d_span_dups equals the brute-force rolling-span duplicate report") {
+    val got = Text.queries("d_span_dups")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(_._4)
+    assert(got.length == Text.SpanTopN)
+    // brute force over the collected corpus with the same hash fold
+    val spans = collection.mutable.Map.empty[Long, (Set[Long], Long)]
+    graft.Tables(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .foreach { r =>
+        val (id, t) = (r.getLong(0), r.getString(1))
+        val hs = t.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+", -1).map(graft.text.TextOps.tokenHash)
+        for (i <- 0 to hs.length - Text.SpanW) {
+          var x = 0L
+          for (j <- i until i + Text.SpanW)
+            x = (x * graft.text.TextOps.TokMul + hs(j)) % graft.text.TextOps.P
+          val (ds, c) = spans.getOrElse(x, (Set.empty[Long], 0L))
+          spans(x) = (ds + id, c + 1)
+        }
+      }
+    val want = spans.toSeq
+      .map { case (sh, (ds, c)) => (sh, ds.size.toLong, c) }
+      .filter(_._2 > 1)
+      .sortBy { case (sh, d, c) => (-c, -d, sh) }
+      .take(Text.SpanTopN).zipWithIndex
+      .map { case ((sh, d, c), i) => (sh, d, c, i + 1) }
+    assert(got.toSeq == want)
+  }
+
   test("d_decontam_frac agrees with d_decontam's hit counts and bounds") {
     val hits = Text.queries("d_decontam")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
