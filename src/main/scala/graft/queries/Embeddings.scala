@@ -45,6 +45,9 @@ object Embeddings {
   val HnK = 5
   val HnDupMax = 0.95
 
+  /** `e_cluster_balance`: vectors kept per semantic cell. */
+  val CbPerCell = 25
+
   /** IVF config: cells = nearest of [[IvfCentroids]] fixed centroid
     * vectors (deterministic "training": the corpus vectors with
     * `vec_id ∈ [NumQueries, NumQueries+C)` stand in for k-means centers —
@@ -843,6 +846,27 @@ object Embeddings {
     // MMR stage itself only ever sees m = MmrShortlist rows per query:
     // the pair-similarity self-join is keyed on q_id (m² bounded rows per
     // query, never corpus-quadratic), and the greedy runs as a typed
+    // Cluster-balanced corpus subsetting: cap each semantic k-means
+    // cell at CbPerCell vectors, drawing the survivors by a seeded
+    // per-id key (the mixed id — a production run salts a content
+    // fingerprint instead, cf. d_weighted_sample) — the
+    // diversity-preserving downsampling that stops over-represented
+    // semantic clusters (boilerplate-heavy crawl slices) from
+    // dominating a training mix while tail clusters survive intact.
+    // Shape: rides the k-means assignment (cell = shuffle key); the
+    // per-cell cut is a WindowGroupLimit, each map task ships at most
+    // CbPerCell rows per cell.
+    "e_cluster_balance" -> ((s, dir) => {
+      val asg = kmModel(s, dir).localCheckpoint(true)
+      val w = Window.partitionBy(col("cell"))
+        .orderBy(col("skey").asc, col("vec_id").asc)
+      asg.selectExpr("vec_id", "cell",
+          s"${graft.text.TextOps.spark.kmvMix(
+            s"(vec_id % ${graft.text.TextOps.P})")} AS skey")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= CbPerCell)
+    }),
+
     // Hard-negative mining for embedding-model training: per query, the
     // HnK most-similar vectors with a DIFFERENT label (same label =
     // positive; near-duplicates above HnDupMax are excluded as probable
@@ -1157,6 +1181,13 @@ object Embeddings {
       graft.ppr.PowerIteration.oracleSqlMulti(knnEdgesSql, KnnSources, KnnAlpha, KnnIters)
     },
     "e_kmeans" -> s"WITH $kmeansAssignCtes\nSELECT vec_id, cell FROM asg",
+    "e_cluster_balance" ->
+      s"""WITH $kmeansAssignCtes,
+         |sk AS (SELECT vec_id, cell, ${graft.text.TextOps.duck.kmvMix(
+             s"(vec_id % ${graft.text.TextOps.P})")} AS skey FROM asg),
+         |r AS (SELECT *, row_number() OVER (
+         |  PARTITION BY cell ORDER BY skey ASC, vec_id ASC) AS rk FROM sk)
+         |SELECT vec_id, cell, skey, rk FROM r WHERE rk <= $CbPerCell""".stripMargin,
     "e_semdedup" -> {
       val dot64 = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
         "list_transform(range(1, 65), i -> x.v[i] * y.v[i])), (a, x) -> a + x)"

@@ -309,6 +309,29 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("e_cluster_balance caps every cell, keeps small cells whole, stays " +
+      "consistent with the kmeans assignment") {
+    val E = graft.queries.Embeddings
+    val df = E.queries("e_cluster_balance")(spark, sfDir)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    val cells = E.queries("e_kmeans")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cellSizes = cells.groupBy(_._2).view.mapValues(_.size).toMap
+    rows.foreach { case (v, c, _, rk) =>
+      assert(cells(v) == c, s"vec $v cell drifted")
+      assert(rk >= 1 && rk <= E.CbPerCell)
+    }
+    rows.groupBy(_._2).foreach { case (c, g) =>
+      assert(g.length == math.min(E.CbPerCell, cellSizes(c)),
+        s"cell $c kept ${g.length} of ${cellSizes(c)}")
+    }
+    // the cap binds somewhere on this corpus (otherwise the row tests
+    // nothing) — and the per-cell cut is a map-side group limit.
+    assert(cellSizes.values.exists(_ > E.CbPerCell))
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("d_span_dups equals the brute-force rolling-span duplicate report") {
     val got = Text.queries("d_span_dups")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
