@@ -96,7 +96,7 @@ object Bench {
       (name, boardSec, tailSec)
     }
     val loadEnd = osBean.getSystemLoadAverage
-    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    import graft.harness.Fmt.r3
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -119,11 +119,13 @@ object GraphOps {
       Sssp.buildWeighted(lineitemWeightedGraph(spark, sfDir, mod)))
 
   /** Com-Amazon-scale benchmark graph: `src = l_orderkey % mod`,
-    * `dst = (l_orderkey·7 + l_partkey) % mod`. sf0.1 orderkeys are dense
-    * in [1, 150000] and partkeys in [1, 20000], so the plain
-    * [[lineitemGraph]] derivation tops out near 167 k distinct nodes no
-    * matter the mod; mixing the orderkey into the dst spreads the 600 k
-    * (orderkey, partkey) pairs across the full mod range. At
+    * `dst = (l_orderkey·7 + l_partkey) % mod`. The DRIVER-generated
+    * sf0.1 lineitem has orderkeys dense in [1, 150000] (measured:
+    * max 149,999, 147 k distinct — unlike real dbgen's sparse
+    * 8-per-32 runs over a 4× range) and partkeys in [1, 20000], so the
+    * plain [[lineitemGraph]] derivation tops out near 167 k distinct
+    * nodes no matter the mod; mixing the orderkey into the dst spreads
+    * the 600 k (orderkey, partkey) pairs across the full mod range. At
     * mod = 334863 (Com-Amazon's node count, BASELINE.md Table 3) this
     * yields 301,160 nodes / 599,935 directed edges from sf0.1 —
     * node-count parity with Com-Amazon (0.9×), edge count ~1/3 of its

@@ -33,11 +33,7 @@ import graft.ppr.{Base, Fora}
   */
 object ThroughputBench {
 
-  // locale-independent rounding for the JSON line (the `f` interpolator
-  // formats with the JVM default locale — a comma-decimal locale would
-  // break `.toDouble` after the whole benchmark already ran).
-  private def r3(x: Double): Double = math.rint(x * 1000) / 1000
-  private def r1(x: Double): Double = math.rint(x * 10) / 10
+  import Fmt.{r1, r3}
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -833,19 +833,6 @@ object Embeddings {
     "e_bq_search" -> ((s, dir) =>
       bqSearch(s, embDf(s, dir), MaxBqQueryBroadcast)),
 
-    // MMR-diversified retrieval: greedy maximal-marginal-relevance
-    // selection of MmrK results from a MmrShortlist-candidate shortlist
-    // per query — the diversified-retrieval stage a RAG / training-data
-    // curation pipeline runs after ANN (near-identical top hits waste a
-    // context window / training batch). Deterministic given the
-    // 6-dp-rounded cosines + id tie-breaks, so the oracle replays the
-    // greedy EXACTLY (unrolled to MmrK steps in SQL).
-    //
-    // Scale shape: the shortlist here comes from the exact scorer (oracle
-    // checkability); at scale it composes with any of the ANN paths. The
-    // MMR stage itself only ever sees m = MmrShortlist rows per query:
-    // the pair-similarity self-join is keyed on q_id (m² bounded rows per
-    // query, never corpus-quadratic), and the greedy runs as a typed
     // Cluster-balanced corpus subsetting: cap each semantic k-means
     // cell at CbPerCell vectors, drawing the survivors by a seeded
     // per-id key (the mixed id — a production run salts a content
@@ -898,6 +885,19 @@ object Embeddings {
           col("rk"))
     }),
 
+    // MMR-diversified retrieval: greedy maximal-marginal-relevance
+    // selection of MmrK results from a MmrShortlist-candidate shortlist
+    // per query — the diversified-retrieval stage a RAG / training-data
+    // curation pipeline runs after ANN (near-identical top hits waste a
+    // context window / training batch). Deterministic given the
+    // 6-dp-rounded cosines + id tie-breaks, so the oracle replays the
+    // greedy EXACTLY (unrolled to MmrK steps in SQL).
+    //
+    // Scale shape: the shortlist here comes from the exact scorer (oracle
+    // checkability); at scale it composes with any of the ANN paths. The
+    // MMR stage itself only ever sees m = MmrShortlist rows per query:
+    // the pair-similarity self-join is keyed on q_id (m² bounded rows per
+    // query, never corpus-quadratic), and the greedy runs as a typed
     // cogroup kernel — one task per query batch, O(k·m) comparisons and
     // no float arithmetic beyond λ·rel − (1−λ)·maxsim over
     // already-rounded inputs, so both engines rank bit-identically.

@@ -316,12 +316,7 @@ object Events {
           graft.functions.KmvFunctions.kmvKth(col("hm"), EvKmvK).as("kth_h"))
         .where(col("kth_h").isNotNull)
         .selectExpr("day", "CAST(n_exact AS BIGINT) AS n_exact", "kth_h",
-          // (k−1)/u with u = (kth+1)/P² — the same estimate text as
-          // d_vocab_kmv, P² spelled as a DOUBLE product (a `P.0`
-          // literal is DECIMAL in DuckDB and overflows the multiply).
-          s"round(CAST(${EvKmvK - 1} AS DOUBLE) / " +
-            s"((CAST(kth_h AS DOUBLE) + 1.0) / " +
-            s"(CAST($P AS DOUBLE) * CAST($P AS DOUBLE))), 4) AS est")
+          graft.text.TextOps.kmvEstSql("kth_h", EvKmvK))
     })
   )
 
@@ -486,9 +481,7 @@ object Events {
          |  WHERE rn = $EvKmvK),
          |ex AS (SELECT day, count(*) AS n_exact FROM d GROUP BY day)
          |SELECT ex.day, CAST(ex.n_exact AS BIGINT) AS n_exact, k.kth_h,
-         |  round(CAST(${EvKmvK - 1} AS DOUBLE) /
-         |    ((CAST(k.kth_h AS DOUBLE) + 1.0) /
-         |     (CAST($P AS DOUBLE) * CAST($P AS DOUBLE))), 4) AS est
+         |  ${graft.text.TextOps.kmvEstSql("k.kth_h", EvKmvK)}
          |FROM ex JOIN kth k ON k.day = ex.day""".stripMargin
     }
   )

@@ -284,7 +284,13 @@ object GotQueries {
     // so the row reuses the seeded-endpoints scheme of `got_grid_mc` with
     // its own artifacts and scores the two top-k quality columns (the
     // tie-inclusive cut lives inside the precision/NDCG metrics, same as
-    // `got_grid_topk`'s FWDPUSH branch).
+    // `got_grid_topk`'s FWDPUSH branch). The GOT top-k ε array equals
+    // the whole-graph one, so the seeded endpoint tables regenerate
+    // bit-identically to got_grid_mc's — DELIBERATE duplication: every
+    // row must be independently runnable (SPARK_GRAFT_ONLY subsets, the
+    // driver's per-row harness) and its oracle replays its OWN recorded
+    // artifacts, so sharing the other row's tree would couple their
+    // lifecycles for ~2 s of seeded-walk regeneration per board.
     "got_grid_mc_topk" -> ((s, _) => {
       val csr = Got.cachedCsr(s)
       val gnd = PowerIteration.batch(s, csr, GridSources, Got.Alpha, GridPmIters)

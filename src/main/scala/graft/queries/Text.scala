@@ -958,19 +958,10 @@ object Text {
   val DsirTarget = "src0"
   val DsirK = 40
 
-  /** KMV estimate from the kth-smallest distinct MIXED hash:
-    * [[graft.text.TextOps.kmvMix]] keys live in [0, P²), so h_k maps to
-    * the unit interval as u = (h_k+1)/P² (the +1 guards the measure-zero
-    * h_k = 0 corner) and the estimate is (k−1)/u. ONE SQL text used
-    * verbatim by both engines, so the IEEE expression chain over the
-    * identical integer is identical.
+  /** Shared estimate text, pinned to this file's sketch size — see
+    * [[TextOps.kmvEstSql]].
     */
-  private def kmvEstSql(col: String): String =
-    // P² is spelled as a DOUBLE product (not a `P.0` literal): DuckDB
-    // parses `1000000007.0` as DECIMAL and overflows the decimal multiply.
-    s"round(CAST(${KmvK - 1} AS DOUBLE) / " +
-      s"((CAST($col AS DOUBLE) + 1.0) / " +
-      s"(CAST(${TextOps.P} AS DOUBLE) * CAST(${TextOps.P} AS DOUBLE))), 4) AS est"
+  private def kmvEstSql(col: String): String = TextOps.kmvEstSql(col, KmvK)
 
   /** Keywords kept per document by `d_tfidf`. */
   val TfidfK = 3

@@ -77,9 +77,7 @@ object EventStreams {
       .where(col("kth_h").isNotNull)
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("kth_h"))
-      .selectExpr("day", "kth_h",
-        s"round(CAST(${k - 1} AS DOUBLE) / ((CAST(kth_h AS DOUBLE) + 1.0) / " +
-          s"(CAST($P AS DOUBLE) * CAST($P AS DOUBLE))), 4) AS est")
+      .selectExpr("day", "kth_h", graft.text.TextOps.kmvEstSql("kth_h", k))
   }
 
   /** Gap-based sessionization over per-user state. Emits a session row when
