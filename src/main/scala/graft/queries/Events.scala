@@ -34,6 +34,16 @@ object Events {
     */
   val EvKmvK = 8
 
+  /** `ev_cms_freq` Count-Min geometry: d independent hash rows × w
+    * buckets (error ≤ e·N/w with probability 1 − e^−d), and the salt
+    * that derives row j's hash from the shared mixer. Small on purpose
+    * so collisions actually happen on the demo corpus and the
+    * overestimate property is visible, not vacuous.
+    */
+  val CmsD = 4
+  val CmsW = 64
+  val CmsSalt = 715827883L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour window per event_type.
     "ev_window" -> ((s, dir) => {
@@ -317,6 +327,45 @@ object Events {
         .where(col("kth_h").isNotNull)
         .selectExpr("day", "CAST(n_exact AS BIGINT) AS n_exact", "kth_h",
           graft.text.TextOps.kmvEstSql("kth_h", EvKmvK))
+    }),
+
+    // Count-Min per-key frequency estimation — the frequency sibling of
+    // ev_daily_kmv's cardinality sketch: per day a d×w counter matrix
+    // estimates every user's event count as min over d hash rows of the
+    // bucket counts. Built here in its TABLE form — the matrix is d·w
+    // aggregate rows per day (256 longs regardless of user count, the
+    // bounded-state property), produced by a plain groupBy with
+    // map-side combine; no custom aggregate needed, and the same shape
+    // runs under a watermarked streaming groupBy. Exact counts ride
+    // along to oracle-check the estimate (and would be the dropped
+    // column at scale). CMS can only overestimate (est ≥ n_exact) —
+    // pinned in the spec; the small w makes collisions real at sf0.01+
+    // (~60% of keys overestimate there) rather than vacuously exact.
+    "ev_cms_freq" -> ((s, dir) => {
+      val P = graft.text.TextOps.P
+      def bucket(j: Int): String =
+        s"${graft.text.TextOps.spark.kmvMix(
+          s"((user_id + ${j * CmsSalt}) % $P)")} % $CmsW"
+      val ev = Tables(s, dir, "events")
+        .selectExpr("date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day",
+          "user_id")
+        .localCheckpoint(true) // feeds the matrix, the keys and exact
+      val cms = (0 until CmsD).map { j =>
+          ev.selectExpr("day", s"$j AS j", s"${bucket(j)} AS b")
+        }.reduce(_.unionAll(_))
+        .groupBy(col("day"), col("j"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      val exact = ev.groupBy(col("day"), col("user_id"))
+        .agg(count(lit(1)).as("n_exact"))
+      val keys = (0 until CmsD).map { j =>
+          exact.selectExpr("day", "user_id", s"$j AS j", s"${bucket(j)} AS b")
+        }.reduce(_.unionAll(_))
+      keys.join(cms, Seq("day", "j", "b"))
+        .groupBy(col("day"), col("user_id"))
+        .agg(min(col("c")).as("est"))
+        .join(exact, Seq("day", "user_id"))
+        .selectExpr("day", "user_id", "CAST(n_exact AS BIGINT) AS n_exact",
+          "CAST(est AS BIGINT) AS est")
     })
   )
 
@@ -483,6 +532,35 @@ object Events {
          |SELECT ex.day, CAST(ex.n_exact AS BIGINT) AS n_exact, k.kth_h,
          |  ${graft.text.TextOps.kmvEstSql("k.kth_h", EvKmvK)}
          |FROM ex JOIN kth k ON k.day = ex.day""".stripMargin
+    },
+    "ev_cms_freq" -> {
+      val P = graft.text.TextOps.P
+      def bucket(j: Int): String =
+        s"${graft.text.TextOps.duck.kmvMix(
+          s"((user_id + ${j * CmsSalt}) % $P)")} % $CmsW"
+      val rows = (0 until CmsD)
+        .map(j => s"SELECT day, $j AS j, ${bucket(j)} AS b FROM ev")
+        .mkString("\nUNION ALL\n")
+      val keys = (0 until CmsD)
+        .map(j => s"SELECT day, user_id, $j AS j, ${bucket(j)} AS b FROM ex")
+        .mkString("\nUNION ALL\n")
+      s"""WITH ev AS MATERIALIZED (SELECT
+         |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id
+         |  FROM events),
+         |cms AS MATERIALIZED (SELECT day, j, b, count(*) AS c FROM (
+         |$rows
+         |) GROUP BY day, j, b),
+         |ex AS MATERIALIZED (SELECT day, user_id, count(*) AS n_exact
+         |  FROM ev GROUP BY day, user_id),
+         |ks AS (
+         |$keys
+         |),
+         |est AS (SELECT ks.day, ks.user_id, min(c.c) AS est
+         |  FROM ks JOIN cms c ON c.day = ks.day AND c.j = ks.j AND c.b = ks.b
+         |  GROUP BY ks.day, ks.user_id)
+         |SELECT e.day, e.user_id, CAST(e.n_exact AS BIGINT) AS n_exact,
+         |  CAST(s.est AS BIGINT) AS est
+         |FROM ex e JOIN est s ON s.day = e.day AND s.user_id = e.user_id""".stripMargin
     }
   )
 }

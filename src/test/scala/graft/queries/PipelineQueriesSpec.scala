@@ -309,6 +309,26 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("ev_cms_freq: CMS never underestimates and matches exact counts " +
+      "replayed from the raw events") {
+    val rows = graft.queries.Events.queries("ev_cms_freq")(spark, sfDir)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+    assert(rows.nonEmpty)
+    // the defining one-sided error: min over d rows of bucket counts
+    // includes every one of the key's own increments
+    rows.foreach { case (k, (exact, est)) =>
+      assert(est >= exact, s"$k: est $est < exact $exact")
+    }
+    // exact column replays from the raw table
+    val want = graft.Tables(spark, sfDir, "events")
+      .selectExpr("date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day",
+        "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.map { case (k, (exact, _)) => k -> exact }.toMap == want)
+  }
+
   test("e_cluster_balance caps every cell, keeps small cells whole, stays " +
       "consistent with the kmeans assignment") {
     val E = graft.queries.Embeddings
