@@ -1,6 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** README's trust bound on `recheck_ratio`, now ENFORCED: a full
+    * board reading above it is re-run (once) instead of shipped.
+    */
+  val RecheckBound = 1.3
+  val MaxBoardAttempts = 2
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = LocalSession.create()
@@ -82,19 +88,45 @@ object Bench {
       (now.keySet -- pinnedBefore).foreach(id => now.get(id).foreach(_.unpersist(false)))
       dt
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> timed(name, fn)
-    }
     // Contamination recheck: re-run the FIRST timed query after the board
     // completes. Interference from a co-resident JVM (the r6/r7 committed
     // artifacts' failure mode) inflates in-board times but has usually
     // drained by the tail, so board_sec/tail_sec ≫ 1 marks a contaminated
     // artifact from the artifact alone; ≈ 1 (tail re-runs are warm, so
     // slightly below 1 is normal) marks a quiet one.
-    val recheck = results.headOption.map { case (name, boardSec) =>
-      val tailSec = timed(name, selected(name))
-      (name, boardSec, tailSec)
+    def runBoard(): (Seq[(String, Double)], Option[(String, Double, Double)]) = {
+      val rs = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+        name -> timed(name, fn)
+      }
+      val rc = rs.headOption.map { case (name, boardSec) =>
+        (name, boardSec, timed(name, selected(name)))
+      }
+      (rs, rc)
     }
+    // Contamination GATE (README "Reading a bench artifact"): a FULL
+    // board whose own recheck_ratio exceeds the documented trust bound
+    // was measured under external interference — re-run it instead of
+    // shipping a poisoned headline artifact (the r8 failure mode: a
+    // self-convicting but still-committed BENCH_r0N.json). One retry is
+    // enough in practice: by then the interfering process has drained
+    // and every kernel is JIT-warm. Subset runs (SPARK_GRAFT_ONLY) skip
+    // the gate — their first row absorbs kernel JIT by construction and
+    // reads a high ratio even on a quiet box. If the retry is STILL hot
+    // the artifact prints with its high ratio intact (self-convicting)
+    // plus a stderr warning — never silently.
+    var attempt = 1
+    var (results, recheck) = runBoard()
+    def ratio: Double = recheck
+      .map { case (_, b, t) => if (t > 0) b / t else 0.0 }.getOrElse(0.0)
+    while (only.isEmpty && ratio > RecheckBound && attempt < MaxBoardAttempts) {
+      System.err.println(f"[bench] contaminated board (recheck_ratio $ratio%.3f" +
+        f" > $RecheckBound) — re-running, attempt ${attempt + 1}/$MaxBoardAttempts")
+      attempt += 1
+      val rr = runBoard(); results = rr._1; recheck = rr._2
+    }
+    if (only.isEmpty && ratio > RecheckBound)
+      System.err.println(f"[bench] WARNING: recheck_ratio $ratio%.3f still" +
+        f" > $RecheckBound after $attempt attempts — DO NOT trust this artifact")
     val loadEnd = osBean.getSystemLoadAverage
     import graft.harness.Fmt.r3
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -107,7 +139,8 @@ object Bench {
           s""","recheck_ratio":${r3(if (t > 0) b / t else 0.0)}"""
       }.getOrElse("")
       s"""{"warmup_sec":${r3(warmupSec)},"load_avg_start":${r3(loadStart)}""" +
-        s""","load_avg_end":${r3(loadEnd)}$rc}"""
+        s""","load_avg_end":${r3(loadEnd)},"attempts":$attempt""" +
+        s""","gate_bound":$RecheckBound$rc}"""
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","env":$env}""")
     spark.stop()

@@ -136,7 +136,10 @@ object GraphOps {
     val li = graft.Tables(spark, sfDir, "lineitem")
     li.select(
         (col("l_orderkey") % mod).as("src"),
-        ((col("l_orderkey") * 7 + col("l_partkey")) % mod).as("dst"))
+        // widen BEFORE the multiply: a 32-bit parquet orderkey at real
+        // dbgen scale (~6M·SF) would overflow Int under ·7 and wrap to
+        // negative node ids.
+        ((col("l_orderkey").cast("long") * 7 + col("l_partkey")) % mod).as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
   }

@@ -44,6 +44,30 @@ object Events {
   val CmsW = 64
   val CmsSalt = 715827883L
 
+  /** Row-j CMS bucket of `user_id` — Spark SQL text, shared by the
+    * batch row, the per-key estimate join and (via the column-`j`
+    * generic form) the streaming twin's matrix.
+    */
+  private[graft] def cmsBucketSql(j: Int): String = {
+    val P = graft.text.TextOps.P
+    s"${graft.text.TextOps.spark.kmvMix(
+      s"((user_id + ${j * CmsSalt}) % $P)")} % $CmsW"
+  }
+
+  /** The CMS counter matrix of a `(day, user_id)` event table: one row
+    * per (day, hash row j, bucket) with its count — d·w aggregate rows
+    * per day regardless of user count. Shared by the batch `ev_cms_freq`
+    * row and pinned equal to the streaming twin's full-replay output
+    * ([[graft.streaming.EventStreams.dailyCmsMatrix]]) in
+    * EventStreamsSpec.
+    */
+  private[graft] def cmsMatrix(ev: DataFrame): DataFrame =
+    (0 until CmsD).map { j =>
+        ev.selectExpr("day", s"$j AS j", s"${cmsBucketSql(j)} AS b")
+      }.reduce(_.unionAll(_))
+      .groupBy(col("day"), col("j"), col("b"))
+      .agg(count(lit(1)).as("c"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour window per event_type.
     "ev_window" -> ((s, dir) => {
@@ -312,17 +336,20 @@ object Events {
     // watermarked streaming groupBy). The exact count rides along to
     // oracle-check the estimate; at scale it is the column you DROP.
     // User ids hash through the full-range mixer so the estimate's
-    // uniformity assumption holds regardless of id distribution.
+    // uniformity assumption holds regardless of id distribution;
+    // n_exact counts RAW ids (the % P reduction exists only to feed the
+    // mixer — ids at or above P must not collide in the exact baseline
+    // the estimate is judged against).
     "ev_daily_kmv" -> ((s, dir) => {
       graft.functions.KmvFunctions.register(s)
       val P = graft.text.TextOps.P
       Tables(s, dir, "events")
         .selectExpr("date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day",
-          s"user_id % $P AS h")
-        .selectExpr("day", "h",
+          "user_id", s"user_id % $P AS h")
+        .selectExpr("day", "user_id",
           s"${graft.text.TextOps.spark.kmvMix("h")} AS hm")
         .groupBy(col("day"))
-        .agg(countDistinct(col("h")).as("n_exact"),
+        .agg(countDistinct(col("user_id")).as("n_exact"),
           graft.functions.KmvFunctions.kmvKth(col("hm"), EvKmvK).as("kth_h"))
         .where(col("kth_h").isNotNull)
         .selectExpr("day", "CAST(n_exact AS BIGINT) AS n_exact", "kth_h",
@@ -342,23 +369,16 @@ object Events {
     // pinned in the spec; the small w makes collisions real at sf0.01+
     // (~60% of keys overestimate there) rather than vacuously exact.
     "ev_cms_freq" -> ((s, dir) => {
-      val P = graft.text.TextOps.P
-      def bucket(j: Int): String =
-        s"${graft.text.TextOps.spark.kmvMix(
-          s"((user_id + ${j * CmsSalt}) % $P)")} % $CmsW"
       val ev = Tables(s, dir, "events")
         .selectExpr("date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day",
           "user_id")
         .localCheckpoint(true) // feeds the matrix, the keys and exact
-      val cms = (0 until CmsD).map { j =>
-          ev.selectExpr("day", s"$j AS j", s"${bucket(j)} AS b")
-        }.reduce(_.unionAll(_))
-        .groupBy(col("day"), col("j"), col("b"))
-        .agg(count(lit(1)).as("c"))
+      val cms = cmsMatrix(ev)
       val exact = ev.groupBy(col("day"), col("user_id"))
         .agg(count(lit(1)).as("n_exact"))
       val keys = (0 until CmsD).map { j =>
-          exact.selectExpr("day", "user_id", s"$j AS j", s"${bucket(j)} AS b")
+          exact.selectExpr("day", "user_id", s"$j AS j",
+            s"${cmsBucketSql(j)} AS b")
         }.reduce(_.unionAll(_))
       keys.join(cms, Seq("day", "j", "b"))
         .groupBy(col("day"), col("user_id"))
@@ -520,15 +540,15 @@ object Events {
     "ev_daily_kmv" -> {
       val P = graft.text.TextOps.P
       s"""WITH h AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-         |  user_id % $P AS h FROM events),
-         |d AS MATERIALIZED (SELECT DISTINCT day, h FROM h),
+         |  user_id, user_id % $P AS h FROM events),
+         |d AS MATERIALIZED (SELECT DISTINCT day, user_id, h FROM h),
          |dm AS (SELECT DISTINCT day, ${graft.text.TextOps.duck.kmvMix("h")} AS hm
          |  FROM d),
          |kth AS (SELECT day, hm AS kth_h FROM (
          |  SELECT day, hm, row_number() OVER (
          |    PARTITION BY day ORDER BY hm ASC) AS rn FROM dm)
          |  WHERE rn = $EvKmvK),
-         |ex AS (SELECT day, count(*) AS n_exact FROM d GROUP BY day)
+         |ex AS (SELECT day, count(DISTINCT user_id) AS n_exact FROM d GROUP BY day)
          |SELECT ex.day, CAST(ex.n_exact AS BIGINT) AS n_exact, k.kth_h,
          |  ${graft.text.TextOps.kmvEstSql("k.kth_h", EvKmvK)}
          |FROM ex JOIN kth k ON k.day = ex.day""".stripMargin

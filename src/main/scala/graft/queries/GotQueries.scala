@@ -59,6 +59,35 @@ object GotQueries {
   // estimate (`Monte_Carlo.java:277-319` computeTopKPPR → retrieveTopK).
   val GridMcTopkEpsilons: Seq[Double] = Seq(1.0, 0.5, 0.3, 0.1, 0.05)
 
+  /** All seven grid rows score against the SAME deterministic
+    * power-method ground truth (GridSources × GridPmIters over the GOT
+    * CSR); each row used to recompute it — ~7 identical kernel runs per
+    * board. The memo holds the COLLECTED tuples on the driver (≤
+    * |GridSources|·107 ≈ 535 rows — the csrCache dispensation: a
+    * deterministic kernel over an immutable fixture). Each row still
+    * builds its OWN DataFrame from the memo — a LocalRelation, free to
+    * re-evaluate, so no eager checkpoint to pin — which keeps row and
+    * artifact lifecycles fully independent: sharing one checkpointed
+    * DataFrame instead would die under Bench's per-query unpersist
+    * sweep (a localCheckpoint's truncated lineage cannot be recomputed
+    * once unpersisted). The oracle side is untouched: DuckDB replays
+    * the full unrolled power iteration per row as before.
+    */
+  @volatile private var gndMemo: Array[(Long, Long, Double)] = _
+
+  private def gridGroundTruth(s: SparkSession): DataFrame = {
+    import s.implicits._
+    if (gndMemo == null) synchronized {
+      if (gndMemo == null)
+        gndMemo = PowerIteration.batch(s, Got.cachedCsr(s), GridSources,
+            Got.Alpha, GridPmIters)
+          .select(col("src"), col("node_id"),
+            round(col("score"), 9).as("score"))
+          .as[(Long, Long, Double)].collect()
+    }
+    gndMemo.toSeq.toDF("src", "node_id", "score")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1+S2+J5: load, resolve names→ids, symmetrize.
     "got_edges" -> ((s, _) => Got.edges(s)),
@@ -89,12 +118,9 @@ object GotQueries {
     // `Gen_Util.java:109-257`, over the GOT grid `:451-478`).
     "got_grid_fwdpush" -> ((s, _) => {
       val csr = Got.cachedCsr(s)
-      // eager checkpoints: gnd is referenced by every grid point × 3
-      // metrics, each est by 3 metrics — materialize the small per-source
-      // vectors once instead of re-running the kernels per reference.
-      val gnd = PowerIteration.batch(s, csr, GridSources, Got.Alpha, GridPmIters)
-        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
-        .localCheckpoint(true)
+      // est is eagerly checkpointed (referenced by 3 metrics — run the
+      // kernel once, not per reference); gnd comes from the driver memo.
+      val gnd = gridGroundTruth(s)
       GridRmaxes.map { rmax =>
         val est = ForwardPush.batch(s, csr, GridSources, Got.Alpha, rmax,
             GridSupersteps)
@@ -119,9 +145,7 @@ object GotQueries {
     // top-k: here, preprocessing: got_grid_base).
     "got_grid_topk" -> ((s, _) => {
       val csr = Got.cachedCsr(s)
-      val gnd = PowerIteration.batch(s, csr, GridSources, Got.Alpha, GridPmIters)
-        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
-        .localCheckpoint(true)
+      val gnd = gridGroundTruth(s)
       GridRmaxes.map { rmax =>
         val est = ForwardPush.batch(s, csr, GridSources, Got.Alpha, rmax,
             GridSupersteps)
@@ -146,10 +170,7 @@ object GotQueries {
     // store bytes).
     "got_grid_base" -> ((s, _) => {
       val edges = Got.edges(s)
-      val csr = Got.cachedCsr(s)
-      val gnd = PowerIteration.batch(s, csr, GridSources, Got.Alpha, GridPmIters)
-        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
-        .localCheckpoint(true)
+      val gnd = gridGroundTruth(s)
       // ONE all-pair computation, thresholded per grid point — the
       // backward-search sweep over all 107 targets dominates this row, and
       // the reference's per-threshold re-prep re-derives the identical
@@ -189,9 +210,7 @@ object GotQueries {
     // `:463`).
     "got_grid_fora" -> ((s, _) => {
       val csr = Got.cachedCsr(s)
-      val gnd = PowerIteration.batch(s, csr, GridSources, Got.Alpha, GridPmIters)
-        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
-        .localCheckpoint(true)
+      val gnd = gridGroundTruth(s)
       GridForaEpsilons.zipWithIndex.map { case (eps, i) =>
         val conf = Fora.Conf(alpha = Got.Alpha, epsilon = eps)
         val root = VerifyArtifacts.dir(s, s"fora_gotgrid_e$i")
@@ -220,9 +239,7 @@ object GotQueries {
     // MC branch over the GOT array `:466`).
     "got_grid_mc" -> ((s, _) => {
       val csr = Got.cachedCsr(s)
-      val gnd = PowerIteration.batch(s, csr, GridSources, Got.Alpha, GridPmIters)
-        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
-        .localCheckpoint(true)
+      val gnd = gridGroundTruth(s)
       val n = csr.numNodes.toDouble
       GridMcEpsilons.zipWithIndex.map { case (eps, i) =>
         val omega = MonteCarlo.omegaFor(eps, 1.0 / n, 1.0 / n)
@@ -252,9 +269,7 @@ object GotQueries {
     // reference's top-k rows log (precision@k, NDCG@k).
     "got_grid_fora_topk" -> ((s, _) => {
       val csr = Got.cachedCsr(s)
-      val gnd = PowerIteration.batch(s, csr, GridSources, Got.Alpha, GridPmIters)
-        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
-        .localCheckpoint(true)
+      val gnd = gridGroundTruth(s)
       GridForaTopkEpsilons.zipWithIndex.map { case (eps, i) =>
         val conf = Fora.Conf(alpha = Got.Alpha, epsilon = eps)
         val root = VerifyArtifacts.dir(s, s"fora_gottopk_e$i")
@@ -293,9 +308,7 @@ object GotQueries {
     // lifecycles for ~2 s of seeded-walk regeneration per board.
     "got_grid_mc_topk" -> ((s, _) => {
       val csr = Got.cachedCsr(s)
-      val gnd = PowerIteration.batch(s, csr, GridSources, Got.Alpha, GridPmIters)
-        .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
-        .localCheckpoint(true)
+      val gnd = gridGroundTruth(s)
       val n = csr.numNodes.toDouble
       GridMcTopkEpsilons.zipWithIndex.map { case (eps, i) =>
         val omega = MonteCarlo.omegaFor(eps, 1.0 / n, 1.0 / n)

@@ -850,7 +850,18 @@ object Text {
     // pattern), and rewrites the symbol sequences with a greedy
     // non-overlapping merge ([[bpeApply]]). Output = the merge table
     // itself, one row per round. Rounds are inherently sequential;
-    // each round's work is the distributed pair count.
+    // each round's work is the distributed pair count. SCALE AXIS: the
+    // demo's [[BpeRounds]] = 6 exercises the per-round shape, but
+    // production tokenizer training is 30k+ merges — this driver loop
+    // would serialize 30k Spark jobs at a fixed per-job floor. The
+    // production path keeps the SAME first stage (the one corpus-scale
+    // shuffle folding 100 TB to a vocabulary-sized dictionary), then
+    // either runs the merge loop on the broadcast dictionary in one
+    // driver/executor-local pass (the dictionary is MBs once the corpus
+    // is folded — the standard trainer shape) or batches non-adjacent
+    // merges per round; the per-round distributed count shown here is
+    // the shape you fall back to only when the dictionary itself
+    // cannot fit one machine.
     "d_bpe_vocab" -> ((s, dir) => {
       import s.implicits._
       var words = Tables(s, dir, "documents")
@@ -858,7 +869,7 @@ object Text {
         .flatMap(_.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1))
         .filter(_.nonEmpty)
         .groupByKey(identity).count()
-        .map { case (wd, f) => (wd.split("").filter(_.nonEmpty), f) }
+        .map { case (wd, f) => (codePointSyms(wd), f) }
         .localCheckpoint(true)
       val merges = Seq.newBuilder[(Int, String, String, Long)]
       for (r <- 1 to BpeRounds) {
@@ -927,6 +938,24 @@ object Text {
     * rounds over the same per-round shape.
     */
   val BpeRounds = 6
+
+  /** Initial BPE symbolization: one symbol per Unicode CODE POINT —
+    * the same unit DuckDB's `string_split(word, '')` produces, so the
+    * two engines stay in sync on non-BMP input (UTF-16 `split("")`
+    * would shear emoji/astral CJK into surrogate halves on the Spark
+    * side only). Identical to `split("")` on BMP-only corpora like the
+    * driver's.
+    */
+  private[queries] def codePointSyms(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
 
   /** One greedy left-to-right non-overlapping merge pass — the BPE
     * rewrite step. "aaa" under (a,a) becomes [aa, a]: a consumed symbol

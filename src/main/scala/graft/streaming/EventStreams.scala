@@ -80,6 +80,35 @@ object EventStreams {
       .selectExpr("day", "kth_h", graft.text.TextOps.kmvEstSql("kth_h", k))
   }
 
+  /** Count-Min counter matrix per daily window — streaming twin of the
+    * batch `ev_cms_freq` row's SKETCH STATE (the d×w bucket counts):
+    * the same bounded-state argument as [[dailyDistinctKmv]], here
+    * CmsD·CmsW longs per window regardless of user count. The per-key
+    * min-over-rows estimate is the query-time READ path over this
+    * matrix, not streaming state, so the twin emits the matrix itself.
+    * Bucket math is the batch row's [[graft.queries.Events.cmsBucketSql]]
+    * text in its column-`j` generic form (each event explodes into its
+    * CmsD row assignments — d state updates per arrival, the CMS
+    * contract); EventStreamsSpec asserts full-replay stream ≡ batch
+    * matrix, which pins the two j-spellings to the same math.
+    */
+  def dailyCmsMatrix(events: DataFrame): DataFrame = {
+    val P = graft.text.TextOps.P
+    val E = graft.queries.Events
+    events
+      .withWatermark("ts", "2 days")
+      .select(col("ts"), col("user_id"),
+        explode(sequence(lit(0), lit(E.CmsD - 1))).as("j"))
+      .selectExpr("ts", "j",
+        s"${graft.text.TextOps.spark.kmvMix(
+          s"((user_id + j * CAST(${E.CmsSalt} AS BIGINT)) % $P)")}" +
+          s" % ${E.CmsW} AS b")
+      .groupBy(window(col("ts"), "1 day"), col("j"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("j"), col("b"), col("c"))
+  }
+
   /** Gap-based sessionization over per-user state. Emits a session row when
     * the gap to the next event exceeds `gapSec` (the still-open session per
     * user stays in state; a real pipeline closes it by event-time timeout).

@@ -238,6 +238,15 @@ class PipelineQueriesSpec extends SparkSpec {
       plan.contains("TakeOrderedAndProject"))
   }
 
+  test("codePointSyms splits by code point, not UTF-16 unit") {
+    assert(Text.codePointSyms("abc").toSeq == Seq("a", "b", "c"))
+    assert(Text.codePointSyms("").toSeq == Seq.empty)
+    // astral-plane character (surrogate pair) stays one symbol — the
+    // DuckDB string_split(word, '') unit.
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(Text.codePointSyms(s"a${emoji}b").toSeq == Seq("a", emoji, "b"))
+  }
+
   test("bpeApply: greedy non-overlapping merge semantics") {
     def ap(s: String, a: String, b: String) =
       Text.bpeApply(s.split("").filter(_.nonEmpty), a, b).toSeq
@@ -353,10 +362,19 @@ class PipelineQueriesSpec extends SparkSpec {
   }
 
   test("d_span_dups equals the brute-force rolling-span duplicate report") {
-    val got = Text.queries("d_span_dups")(spark, sfDir).collect()
+    val df = Text.queries("d_span_dups")(spark, sfDir)
+    val got = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
       .sortBy(_._4)
     assert(got.length == Text.SpanTopN)
+    // scale shape: the global top-N cut must stay map-side-bounded —
+    // either InferWindowGroupLimit fires on the partition-less
+    // row_number window (what Spark picks here) or the plan is a
+    // TakeOrderedAndProject; a plain global WindowExec would funnel
+    // every duplicated-span aggregate row through one partition.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") ||
+      plan.contains("TakeOrderedAndProject"), plan.take(2000))
     // brute force over the collected corpus with the same hash fold
     val spans = collection.mutable.Map.empty[Long, (Set[Long], Long)]
     graft.Tables(spark, sfDir, "documents")

@@ -59,6 +59,45 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming daily CMS matrix equals the batch row's counter matrix") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = input.toDF().toDF("user_id", "ts")
+    val q = dailyCmsMatrix(df).writeStream
+      .format("memory").queryName("dcms").outputMode("complete").start()
+    try {
+      val rows = Tables(spark, sfDir, "events")
+        .select(col("user_id"), col("ts"))
+        .as[(Long, java.sql.Timestamp)].collect()
+      // two batches: the per-(window, j, bucket) counts must merge
+      // across micro-batches.
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+      val got = spark.table("dcms").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // the batch matrix via the literal-j union shape — equality here
+      // pins the twin's column-j spelling to the same bucket math.
+      val want = graft.queries.Events.cmsMatrix(
+          Tables(spark, sfDir, "events").selectExpr(
+            "date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day",
+            "user_id"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == want)
+      // bounded state: the matrix never exceeds d·w rows per day.
+      got.groupBy(_._1).foreach { case (day, g) =>
+        assert(g.size <= graft.queries.Events.CmsD * graft.queries.Events.CmsW,
+          s"day $day has ${g.size} matrix rows")
+      }
+    } finally q.stop()
+  }
+
   test("streaming hopping-window counts equal the batch query on full replay") {
     val s = spark
     import s.implicits._
