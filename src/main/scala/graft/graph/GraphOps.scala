@@ -144,6 +144,42 @@ object GraphOps {
       .distinct()
   }
 
+  /** Flickr-scale EDGE-HEAVY benchmark graph: ~80.5k nodes and ~11-12 M
+    * directed edges with power-law-ish hub skew — the edge-density octave
+    * no other scale here exercises (BASELINE.md Table 3: Flickr 80,513
+    * nodes / 11,799,764 directed edges, avg degree ~147, vs ≤ ~30 for
+    * GOT/BlogCatalog/Com-Amazon analogs). Each sf0.1 lineitem row fans
+    * out into `fan` hashed pairs: src is uniform over [0, mod); dst =
+    * ⌊u²·mod⌋ for a second uniform hash u ∈ [0,1) — the quadratic map
+    * concentrates mass at low ids with in-degree(i) ∝ 1/√(i·mod), i.e. a
+    * few ~15-20k-degree hubs decaying to ~100 at the tail, the
+    * social-graph profile (and the hub-skew regime SURVEY §7.4.6 flags
+    * for the push kernels). Pairs are symmetrized (reference datasets
+    * are undirected) and deduped. Deterministic like every benchmark
+    * derivation: both hashes go through the full-range kmvMix, no RNG.
+    */
+  def lineitemFlickrGraph(spark: SparkSession, sfDir: String,
+      mod: Int = 80513, fan: Int = 10): DataFrame = {
+    val P = graft.text.TextOps.P
+    val mix = graft.text.TextOps.spark
+    val li = graft.Tables(spark, sfDir, "lineitem")
+    // kmvMix keys live in [0, P²) — normalize by the DOUBLE product
+    // (see TextOps.kmvEstSql for the same spelling rationale).
+    val u = s"(h2 / (CAST($P AS DOUBLE) * CAST($P AS DOUBLE)))"
+    val half = li
+      .select(col("l_orderkey").cast("long").as("ok"),
+        col("l_partkey").cast("long").as("pk"),
+        explode(sequence(lit(0), lit(fan - 1))).as("j"))
+      .selectExpr(
+        s"${mix.kmvMix(s"((ok * 1000003 + pk * 7919 + j * 104729) % $P)")} AS h1")
+      .selectExpr(s"h1 % $mod AS src",
+        s"${mix.kmvMix(s"((h1 + 40503) % $P)")} AS h2")
+      .selectExpr("src", s"CAST(floor($u * $u * $mod) AS BIGINT) AS dst")
+      .where(col("src") =!= col("dst"))
+    half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
   /** SQL text of [[lineitemSubgraph]] for DuckDB oracles. */
   def lineitemSubgraphSql(mod: Int, qtyMax: Int): String =
     s"SELECT DISTINCT l_orderkey % $mod AS src, l_partkey % $mod AS dst " +

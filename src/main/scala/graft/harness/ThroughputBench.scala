@@ -10,10 +10,15 @@ import graft.ppr.{Base, Fora}
   * GOT, on the synthetic BlogCatalog-scale graph (the mod-20011 lineitem
   * derivation `g_triangles` uses: ~20k nodes / ~600k directed edges at
   * sf0.1 — edge-count parity with Dissertation Table 3's BlogCatalog at
-  * 10,312 nodes / 667,966 directed edges, ~2× its node count), and on a
+  * 10,312 nodes / 667,966 directed edges, ~2× its node count), on a
   * Com-Amazon-scale synthetic ([[GraphOps.lineitemMixGraph]] mod 334863:
   * ~301k nodes / ~600k directed edges vs Com-Amazon's 334,863 nodes) —
-  * the third scale octave, 187× GOT's node count.
+  * the third scale octave, 187× GOT's node count — and on a
+  * Flickr-scale EDGE-HEAVY synthetic ([[GraphOps.lineitemFlickrGraph]]:
+  * ~80.5k nodes / ~11.9M directed edges with ~18.6k-degree hubs,
+  * node+edge parity with Flickr's 80,513 / 11,799,764) — the
+  * edge-density octave, ~150 avg degree where every other scale is
+  * ≤ 30.
   *
   * Protocol mirrors the reference benchmark (`Gen_Util.java:99-107`,
   * Dissertation §5.1.3/§5.1.5): 50 query sources drawn uniformly with
@@ -115,6 +120,18 @@ object ThroughputBench {
     measure("amz", GraphOps.lineitemMixGraph(spark, sfDir, 334863)
         .localCheckpoint(true),
       foraEps = 5.0, topkEps = 5.0, baseThreshold = 4.0e-5)
+    // Flickr-scale synthetic — the EDGE-HEAVY octave: ~80.5k nodes /
+    // ~11.9M directed edges (Flickr is 80,513 / 11,799,764 — parity
+    // within 1.2%) with real hub skew (max degree ~18.6k vs median 129,
+    // GraphOps.lineitemFlickrGraph) — 20× the edge density of any other
+    // scale here and the regime where the kernels' broadcast-CSR memory
+    // contract meaningfully binds (~49 MB of the documented ~100 MB
+    // guard, SURVEY §4.4). Grid mids from Grids.Flickr: whole-graph
+    // ε=5.0 (mid of its 7-point axis), top-k ε=1.0, BASE store
+    // threshold 5e-4 (prep-grid mid, store stays sandbox-sized).
+    measure("fli", GraphOps.lineitemFlickrGraph(spark, sfDir)
+        .localCheckpoint(true),
+      foraEps = 5.0, topkEps = 1.0, baseThreshold = 5.0e-4)
 
     println(s"""{"metric":"throughput","sf":"$sfDir",$out}""")
     spark.stop()
