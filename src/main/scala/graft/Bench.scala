@@ -7,6 +7,13 @@ object Bench {
   val RecheckBound = 1.3
   val MaxBoardAttempts = 2
 
+  /** The gate decision, pure so BenchGateSpec can pin it: re-run only a
+    * FULL board (subset runs read high ratios by construction), only
+    * while attempts remain, and only past the bound.
+    */
+  def gateRerun(subsetRun: Boolean, ratio: Double, attempt: Int): Boolean =
+    !subsetRun && ratio > RecheckBound && attempt < MaxBoardAttempts
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = LocalSession.create()
@@ -118,7 +125,7 @@ object Bench {
     var (results, recheck) = runBoard()
     def ratio: Double = recheck
       .map { case (_, b, t) => if (t > 0) b / t else 0.0 }.getOrElse(0.0)
-    while (only.isEmpty && ratio > RecheckBound && attempt < MaxBoardAttempts) {
+    while (gateRerun(only.nonEmpty, ratio, attempt)) {
       System.err.println(f"[bench] contaminated board (recheck_ratio $ratio%.3f" +
         f" > $RecheckBound) — re-running, attempt ${attempt + 1}/$MaxBoardAttempts")
       attempt += 1
