@@ -68,6 +68,59 @@ object Events {
       .groupBy(col("day"), col("j"), col("b"))
       .agg(count(lit(1)).as("c"))
 
+  /** `ev_daily_hll` geometry: m = [[HllM]] registers addressed by the low
+    * bits of the full-range mixed hash, with the rank-of-leftmost-1-bit
+    * (ρ) taken over the remaining [[HllW]] bits. The mixed key lives in
+    * [0, P²) ⊂ [0, 2⁶⁰), so hm / m < 2⁵⁶ — hence W = 56 and
+    * ρ ∈ [1, W + 1]. m = 16 (α₁₆ = 0.673, Flajolet et al. 2007 Fig. 3 —
+    * the smallest standard geometry) keeps the small-range
+    * linear-counting branch REAL at sf0.001 (a dozen users/day leave
+    * empty registers) while sf0.01's ~130 users/day fill all 16 and take
+    * the raw-estimate branch — both correction branches are exercised by
+    * the dual-scale verify, not vacuous.
+    */
+  val HllM = 16
+  val HllW = 56
+
+  /** Per-(day, bucket) HLL register table of a `(day, hm)` event stream:
+    * max-ρ per bucket — ONE long of state per register under map-side
+    * combine, m rows per day total, the bounded-state property. ρ is
+    * computed bit-exactly in BOTH engines as W + 1 − bitlen(w) via
+    * `length(bin(w))` (no floating log2, whose libm rounding could
+    * desync the engines at exact powers of two). Shared by the batch
+    * `ev_daily_hll` row and the streaming twin's register matrix
+    * ([[graft.streaming.EventStreams.dailyHllRegisters]]).
+    */
+  private[graft] def hllRegisters(ev: DataFrame): DataFrame =
+    ev.selectExpr("day", s"hm % $HllM AS b", s"hm div $HllM AS w")
+      .selectExpr("day", "b",
+        s"CASE WHEN w = 0 THEN ${HllW + 1} " +
+          s"ELSE ${HllW + 1} - length(bin(w)) END AS rho")
+      .groupBy(col("day"), col("b"))
+      .agg(max(col("rho")).as("mj"))
+
+  /** HLL estimate over prepared `(n_exact, v_zero, s_scaled)` columns —
+    * ONE SQL text shared by the batch row and the DuckDB oracle (both
+    * engines run the identical IEEE chain). The register sum
+    * Σ 2^−M_j is carried as the INTEGER Σ 2^(W+1−M_j) (`s_scaled`,
+    * ≤ m·2⁵⁷ < 2⁶³): long addition is exact and order-free, where a
+    * float Σ 2^−M_j could round differently under Spark's
+    * partition-dependent add order vs DuckDB's scan order. The single
+    * trailing CAST to DOUBLE of the exact integer is deterministic.
+    * Small-range correction per the paper: raw E = α·m²/S ≤ 2.5m with
+    * empty registers → linear counting m·ln(m/V).
+    */
+  private[graft] def hllEstSql: String = {
+    val alphaMM = 0.673 * HllM * HllM // exact ×2⁸ scaling: prints 172.288
+    val pw = 1L << (HllW + 1)
+    val raw = s"(CAST($alphaMM AS DOUBLE) / " +
+      s"(CAST(s_scaled AS DOUBLE) / CAST($pw AS DOUBLE)))"
+    s"round(CASE WHEN $raw <= CAST(${2.5 * HllM} AS DOUBLE) AND v_zero > 0 " +
+      s"THEN CAST($HllM AS DOUBLE) * " +
+      s"ln(CAST($HllM AS DOUBLE) / CAST(v_zero AS DOUBLE)) " +
+      s"ELSE $raw END, 4) AS est"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour window per event_type.
     "ev_window" -> ((s, dir) => {
@@ -386,6 +439,41 @@ object Events {
         .join(exact, Seq("day", "user_id"))
         .selectExpr("day", "user_id", "CAST(n_exact AS BIGINT) AS n_exact",
           "CAST(est AS BIGINT) AS est")
+    }),
+
+    // HyperLogLog distinct users per daily window — the register-based
+    // cardinality sketch completing the family (KMV = order statistics,
+    // CMS = frequency, HLL = the one production systems actually run):
+    // m = 16 one-long registers per day regardless of user count, built
+    // by a plain two-level groupBy with map-side combine — max-ρ per
+    // (day, bucket), then the m-row fold to the estimate. Zero registers
+    // are exactly the ABSENT buckets (ρ ≥ 1 whenever a bucket is hit),
+    // so no bucket scaffold table is needed: V = m − n_present. The
+    // exact count rides along to oracle-check the estimate; at scale it
+    // is the column you DROP. All register math is integer (see
+    // hllEstSql's order-free-sum argument); both correction branches are
+    // real across the dual-scale verify.
+    "ev_daily_hll" -> ((s, dir) => {
+      val P = graft.text.TextOps.P
+      val pw = 1L << (HllW + 1)
+      val ev = Tables(s, dir, "events")
+        .selectExpr("date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day",
+          "user_id", s"user_id % $P AS h")
+        .selectExpr("day", "user_id",
+          s"${graft.text.TextOps.spark.kmvMix("h")} AS hm")
+        .localCheckpoint(true) // feeds the registers and the exact count
+      val agg = hllRegisters(ev)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_present"),
+          sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllW + 1} - mj)"))
+            .as("s_reg"))
+        .selectExpr("day", s"CAST($HllM - n_present AS BIGINT) AS v_zero",
+          s"s_reg + ($HllM - n_present) * CAST($pw AS BIGINT) AS s_scaled")
+      ev.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+        .join(agg, Seq("day"))
+        .selectExpr("day", "CAST(n_exact AS BIGINT) AS n_exact", "v_zero",
+          hllEstSql)
     })
   )
 
@@ -581,6 +669,26 @@ object Events {
          |SELECT e.day, e.user_id, CAST(e.n_exact AS BIGINT) AS n_exact,
          |  CAST(s.est AS BIGINT) AS est
          |FROM ex e JOIN est s ON s.day = e.day AND s.user_id = e.user_id""".stripMargin
+    },
+    "ev_daily_hll" -> {
+      val P = graft.text.TextOps.P
+      val pw = 1L << (HllW + 1)
+      s"""WITH h AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         |  user_id, user_id % $P AS h FROM events),
+         |hm AS MATERIALIZED (SELECT day, user_id,
+         |  ${graft.text.TextOps.duck.kmvMix("h")} AS hm FROM h),
+         |reg AS (SELECT day, hm % $HllM AS b,
+         |  CASE WHEN hm // $HllM = 0 THEN ${HllW + 1}
+         |       ELSE ${HllW + 1} - length(bin(hm // $HllM)) END AS rho FROM hm),
+         |mj AS (SELECT day, b, max(rho) AS mj FROM reg GROUP BY 1, 2),
+         |agg AS (SELECT day, CAST($HllM - count(*) AS BIGINT) AS v_zero,
+         |  CAST(sum(CAST(1 AS BIGINT) << (${HllW + 1} - mj)) AS BIGINT)
+         |    + ($HllM - count(*)) * CAST($pw AS BIGINT) AS s_scaled
+         |  FROM mj GROUP BY 1),
+         |ex AS (SELECT day, count(DISTINCT user_id) AS n_exact FROM hm GROUP BY 1)
+         |SELECT ex.day, CAST(ex.n_exact AS BIGINT) AS n_exact, a.v_zero,
+         |  $hllEstSql
+         |FROM ex JOIN agg a ON a.day = ex.day""".stripMargin
     }
   )
 }

@@ -109,6 +109,34 @@ object EventStreams {
         col("j"), col("b"), col("c"))
   }
 
+  /** HyperLogLog register matrix per daily window — streaming twin of the
+    * batch `ev_daily_hll` row's SKETCH STATE (the m max-ρ registers):
+    * same bounded-state argument as [[dailyCmsMatrix]], here
+    * [[graft.queries.Events.HllM]] longs per window regardless of user
+    * count, and max is the idempotent merge a watermarked groupBy
+    * maintains incrementally. The α-corrected estimate is the
+    * query-time READ path over this matrix (a per-window m-row fold),
+    * not streaming state, so the twin emits the registers themselves.
+    * ρ math is the batch row's bit-exact `length(bin(w))` spelling;
+    * EventStreamsSpec asserts full-replay stream ≡ batch registers.
+    */
+  def dailyHllRegisters(events: DataFrame): DataFrame = {
+    val P = graft.text.TextOps.P
+    val E = graft.queries.Events
+    events
+      .withWatermark("ts", "2 days")
+      .selectExpr("ts", s"user_id % $P AS h")
+      .selectExpr("ts", s"${graft.text.TextOps.spark.kmvMix("h")} AS hm")
+      .selectExpr("ts", s"hm % ${E.HllM} AS b", s"hm div ${E.HllM} AS w")
+      .selectExpr("ts", "b",
+        s"CASE WHEN w = 0 THEN ${E.HllW + 1} " +
+          s"ELSE ${E.HllW + 1} - length(bin(w)) END AS rho")
+      .groupBy(window(col("ts"), "1 day"), col("b"))
+      .agg(max(col("rho")).as("mj"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("b"), col("mj"))
+  }
+
   /** Gap-based sessionization over per-user state. Emits a session row when
     * the gap to the next event exceeds `gapSec` (the still-open session per
     * user stays in state; a real pipeline closes it by event-time timeout).

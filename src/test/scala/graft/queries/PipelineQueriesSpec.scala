@@ -338,6 +338,45 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(rows.map { case (k, (exact, _)) => k -> exact }.toMap == want)
   }
 
+  test("ev_daily_hll equals an independent in-memory HLL replay of the " +
+      "raw events") {
+    val E = graft.queries.Events
+    val rows = E.queries("ev_daily_hll")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.nonEmpty)
+    // replay: same mixer, registers and correction computed straight in
+    // Scala (numberOfLeadingZeros instead of the SQL bin-length spelling)
+    val P = graft.text.TextOps.P
+    val raw = graft.Tables(spark, sfDir, "events")
+      .selectExpr("date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day",
+        "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = raw.groupBy(_._1).map { case (day, evs) =>
+      val regs = new Array[Int](E.HllM)
+      evs.foreach { case (_, uid) =>
+        val hm = graft.text.TextOps.kmvMix(uid % P)
+        val b = (hm % E.HllM).toInt
+        val w = hm / E.HllM
+        val rho =
+          if (w == 0) E.HllW + 1
+          else E.HllW + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > regs(b)) regs(b) = rho
+      }
+      val v = regs.count(_ == 0)
+      val sScaled = regs.map(m => 1L << (E.HllW + 1 - m)).sum
+      val rawEst = (0.673 * E.HllM * E.HllM) /
+        (sScaled.toDouble / (1L << (E.HllW + 1)).toDouble)
+      val est =
+        if (rawEst <= 2.5 * E.HllM && v > 0) E.HllM * math.log(E.HllM.toDouble / v)
+        else rawEst
+      val est4 = BigDecimal(est)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      day -> ((evs.map(_._2).distinct.size.toLong, v.toLong, est4))
+    }
+    assert(rows == want)
+  }
+
   test("e_cluster_balance caps every cell, keeps small cells whole, stays " +
       "consistent with the kmeans assignment") {
     val E = graft.queries.Embeddings

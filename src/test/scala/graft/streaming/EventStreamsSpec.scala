@@ -98,6 +98,45 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming daily HLL registers equal the batch row's register table") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = input.toDF().toDF("user_id", "ts")
+    val q = dailyHllRegisters(df).writeStream
+      .format("memory").queryName("dhll").outputMode("complete").start()
+    try {
+      val rows = Tables(spark, sfDir, "events")
+        .select(col("user_id"), col("ts"))
+        .as[(Long, java.sql.Timestamp)].collect()
+      // two batches: max-ρ register state must merge across micro-batches
+      // (max is the idempotent merge the sketch relies on).
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+      val got = spark.table("dhll").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      val P = graft.text.TextOps.P
+      val want = graft.queries.Events.hllRegisters(
+          Tables(spark, sfDir, "events")
+            .selectExpr(
+              "date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day",
+              s"user_id % $P AS h")
+            .selectExpr("day",
+              s"${graft.text.TextOps.spark.kmvMix("h")} AS hm"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want)
+      // bounded state: never more than m registers per day.
+      got.groupBy(_._1).foreach { case (day, g) =>
+        assert(g.size <= graft.queries.Events.HllM,
+          s"day $day has ${g.size} registers")
+      }
+    } finally q.stop()
+  }
+
   test("streaming hopping-window counts equal the batch query on full replay") {
     val s = spark
     import s.implicits._
