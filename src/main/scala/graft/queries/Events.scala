@@ -474,8 +474,74 @@ object Events {
         .join(agg, Seq("day"))
         .selectExpr("day", "CAST(n_exact AS BIGINT) AS n_exact", "v_zero",
           hllEstSql)
+    }),
+
+    // Sketched percentiles per daily window — the quantile member of the
+    // sketch family: a deterministic uniform sample (the EvQK events
+    // with the SMALLEST mixed event_id hash — bottom-k-by-hash is an
+    // order-free, mergeable, exactly-reproducible sample, unlike
+    // rand()) feeds rank-based p50/p90/p99. Selection-only semantics —
+    // quantile = value at rank floor(q·(n−1))+1 of the sorted multiset,
+    // no interpolation — so every output value is a raw parquet double
+    // and the cross-engine compare is float-arithmetic-free. The exact
+    // quantiles ride along to oracle-check the sample (they need the
+    // full per-day sort that the sketch exists to avoid — the columns
+    // you DROP at scale, as with the other sketch rows); the sample cut
+    // itself is a per-day WindowGroupLimit (plan-asserted in spec), so
+    // each map task ships at most EvQK rows per day.
+    "ev_value_quantiles" -> ((s, dir) => {
+      val P = graft.text.TextOps.P
+      val ev = Tables(s, dir, "events")
+        .selectExpr("date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day",
+          "event_id", "value", s"event_id % $P AS h")
+        .selectExpr("day", "event_id", "value",
+          s"${graft.text.TextOps.spark.kmvMix("h")} AS hm")
+        .localCheckpoint(true) // feeds the exact and the sampled path
+      val exact = quantileSelect(
+        ev, Window.partitionBy(col("day")).orderBy(col("value"), col("event_id")),
+        "ex")
+      val sample = quantileSelect(
+        ev.withColumn("rs", row_number().over(
+            Window.partitionBy(col("day")).orderBy(col("hm"), col("event_id"))))
+          .where(col("rs") <= EvQK).drop("rs"),
+        Window.partitionBy(col("day")).orderBy(col("value"), col("event_id")),
+        "sp")
+      exact.join(sample, Seq("day"))
+        .selectExpr("day", "CAST(ex_n AS BIGINT) AS n",
+          "ex_p50", "ex_p90", "ex_p99", "sp_p50", "sp_p90", "sp_p99")
     })
   )
+
+  /** `ev_value_quantiles` sample size: 64 events per day — bigger than
+    * sf0.001's ~30 events/day (sample ≡ population there, sampled =
+    * exact) and a real 1-in-5 subsample at sf0.01's ~330/day; production
+    * sizes k for the quantile error ~1/√k as usual.
+    */
+  val EvQK = 64
+
+  /** Rank-based quantile selection at [[QuantileQs]] over a per-day value
+    * table: value at rank floor(q·(n−1))+1 of `w`'s total order —
+    * conditional aggregation over row_number, shared by the exact and
+    * sampled paths (identical selection rule is the point: the sample's
+    * only difference IS the sample).
+    */
+  private val QuantileQs = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+  private def quantileSelect(ev: DataFrame,
+      w: org.apache.spark.sql.expressions.WindowSpec,
+      pfx: String): DataFrame = {
+    val ranked = ev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("day"))))
+    val aggs = max(col("n")).as(s"${pfx}_n") +:
+      QuantileQs.map { case (nm, q) =>
+        max(when(col("rn") ===
+          (floor(lit(q) * (col("n") - 1).cast("double")).cast("long") + 1),
+          col("value"))).as(s"${pfx}_$nm")
+      }
+    ranked.groupBy(col("day")).agg(aggs.head, aggs.tail: _*)
+  }
 
   def oracleSql: Map[String, String] = Map(
     "ev_window" ->
@@ -689,6 +755,40 @@ object Events {
          |SELECT ex.day, CAST(ex.n_exact AS BIGINT) AS n_exact, a.v_zero,
          |  $hllEstSql
          |FROM ex JOIN agg a ON a.day = ex.day""".stripMargin
+    },
+    "ev_value_quantiles" -> {
+      val P = graft.text.TextOps.P
+      // same rank rule as the Spark quantileSelect: all-DOUBLE floor math
+      // (a bare 0.5 literal would run DECIMAL arithmetic in DuckDB and
+      // could floor differently from Spark's double product).
+      def sel(pfx: String) = QuantileQs.map { case (nm, q) =>
+        s"max(CASE WHEN rn = CAST(floor(CAST($q AS DOUBLE) * " +
+          s"CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 " +
+          s"THEN value END) AS ${pfx}_$nm"
+      }.mkString(",\n  ")
+      s"""WITH e AS MATERIALIZED (SELECT
+         |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         |  event_id, value, ${graft.text.TextOps.duck.kmvMix(
+              s"(event_id % $P)")} AS hm FROM events),
+         |exr AS (SELECT day, value,
+         |  row_number() OVER (PARTITION BY day ORDER BY value, event_id) AS rn,
+         |  count(*) OVER (PARTITION BY day) AS n FROM e),
+         |exq AS (SELECT day, max(n) AS ex_n,
+         |  ${sel("ex")}
+         |  FROM exr GROUP BY day),
+         |smp AS (SELECT day, event_id, value FROM (
+         |  SELECT day, event_id, value, row_number() OVER (
+         |    PARTITION BY day ORDER BY hm, event_id) AS rs FROM e)
+         |  WHERE rs <= $EvQK),
+         |sxr AS (SELECT day, value,
+         |  row_number() OVER (PARTITION BY day ORDER BY value, event_id) AS rn,
+         |  count(*) OVER (PARTITION BY day) AS n FROM smp),
+         |sq AS (SELECT day,
+         |  ${sel("sp")}
+         |  FROM sxr GROUP BY day)
+         |SELECT x.day, CAST(x.ex_n AS BIGINT) AS n,
+         |  x.ex_p50, x.ex_p90, x.ex_p99, s.sp_p50, s.sp_p90, s.sp_p99
+         |FROM exq x JOIN sq s ON s.day = x.day""".stripMargin
     }
   )
 }

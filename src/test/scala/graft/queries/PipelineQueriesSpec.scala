@@ -377,6 +377,36 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(rows == want)
   }
 
+  test("ev_value_quantiles: exact columns replay from raw values by the " +
+      "rank rule, sample degenerates to exact when a day fits the sample, " +
+      "and the sample cut is a WindowGroupLimit") {
+    val E = graft.queries.Events
+    val df = E.queries("ev_value_quantiles")(spark, sfDir)
+    // scale shape: the bottom-k-by-hash sample cut must stay map-side
+    // bounded like its sibling rows' cuts.
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    val rows = df.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), (r.getDouble(2), r.getDouble(3), r.getDouble(4)),
+        (r.getDouble(5), r.getDouble(6), r.getDouble(7))))).toMap
+    assert(rows.nonEmpty)
+    val raw = graft.Tables(spark, sfDir, "events")
+      .selectExpr("date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day",
+        "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def rank(q: Double, n: Int): Int = math.floor(q * (n - 1)).toInt
+    rows.foreach { case (day, (n, ex, sp)) =>
+      val vs = raw(day)
+      assert(n == vs.length, s"$day: n $n vs ${vs.length}")
+      val want = (vs(rank(0.5, vs.length)), vs(rank(0.9, vs.length)),
+        vs(rank(0.99, vs.length)))
+      assert(ex == want, s"$day: exact $ex vs replay $want")
+      // sf0.001 days are all smaller than the sample: the deterministic
+      // sample IS the population, so the sketch must equal the truth.
+      if (n <= E.EvQK) assert(sp == ex, s"$day: sample $sp vs exact $ex")
+    }
+  }
+
   test("e_cluster_balance caps every cell, keeps small cells whole, stays " +
       "consistent with the kmeans assignment") {
     val E = graft.queries.Embeddings
