@@ -19,6 +19,26 @@ object Text {
   private def stop(qs: String) =
     TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** DuckDB CTE chain producing `scored(doc_id, n_bigrams, avg_logp)` —
+    * the oracle twin of [[bigramScore]], shared by the `d_bigram_lm` and
+    * `d_ccnet_buckets` oracles so the LM-score spelling cannot drift
+    * between them.
+    */
+  private def bigramScoredCte: String =
+    s"""WITH tk AS (SELECT doc_id, ${TextOps.duck.tokens("text")} AS toks
+       |  FROM documents),
+       |big AS MATERIALIZED (SELECT doc_id, toks[CAST(u.i AS INT) + 1] AS w1,
+       |    toks[CAST(u.i AS INT) + 2] AS w2
+       |  FROM tk, UNNEST(range(0, len(toks) - 1)) AS u(i)),
+       |c12 AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM big
+       |  GROUP BY 1, 2),
+       |c1 AS MATERIALIZED (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+       |v_t AS (SELECT count(*) AS v FROM c1),
+       |scored AS MATERIALIZED (SELECT doc_id, count(*) AS n_bigrams,
+       |  round(avg(ln((c12 + 1.0) / (c1 + v))), 6) AS avg_logp
+       |  FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v_t
+       |  GROUP BY doc_id)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + BPE-ish regex pieces.
     "d_tokens" -> ((s, dir) => {
@@ -662,37 +682,45 @@ object Text {
     // never broadcast (same contract as `d_tfidf`); the only broadcast is
     // the 1-row vocabulary size. P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) with
     // c(w1) = occurrences as bigram history and V = |history vocab|.
-    "d_bigram_lm" -> ((s, dir) => {
-      // the bigram stream feeds the model AND the scoring join —
-      // materialize it once, produced by a typed kernel (the
-      // transform/sequence/struct HOF chain evaluates interpreted and
-      // was 3× the query's cost; same fix as d_curate's counts kernel).
-      // Tokenizer = the d_tokens whitespace split, verbatim.
-      import s.implicits._
-      val big = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .mapPartitions(_.flatMap { case (id, t) =>
-          val toks = t.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
-          if (toks.length < 2) Iterator.empty
-          else (0 until toks.length - 1).iterator.map(i =>
-            (id, toks(i), toks(i + 1)))
-        })
-        .toDF("doc_id", "w1", "w2")
-        .localCheckpoint(true)
-      val c12 = big.groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).as("c12"))
-      // history counts fold from the bigram model, not a second corpus
-      // pass: c(w1) = Σ_w2 c(w1,w2), exactly
-      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-      val v = c1.agg(count(lit(1)).as("v"))
-      big.join(c12, Seq("w1", "w2"))
-        .join(c1, Seq("w1"))
-        .crossJoin(broadcast(v))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(avg(log((col("c12") + 1.0) / (col("c1") + col("v")))), 6)
-            .as("avg_logp"))
+    "d_bigram_lm" -> ((s, dir) => bigramScore(s, dir)),
+
+    // CCNet-style corpus partition by LM quality: every scored document
+    // labeled head / middle / tail against tercile thresholds of the
+    // add-one-smoothed bigram-LM score (d_bigram_lm's avg_logp,
+    // recomputed here — rows stay independent). The thresholds come from
+    // the deterministic bottom-k-by-hash document sample, NOT a global
+    // ntile: an exact-tercile window would sort every per-doc score on
+    // one partition, while the sampled thresholds are a
+    // TakeOrderedAndProject over CcnetSampleK rows plus a broadcast
+    // 1-row crossJoin — the corpus-scale pass stays a map-side CASE.
+    // Same rank rule as ev_value_quantiles (value at
+    // floor(q·(k−1))+1, all-DOUBLE floor math); boundary docs equal to a
+    // threshold land in the better bucket (>= head cut → head,
+    // >= tail cut → middle), deterministic on the 6-dp-rounded score.
+    "d_ccnet_buckets" -> ((s, dir) => {
+      val scored = bigramScore(s, dir)
+        .selectExpr("doc_id", "avg_logp",
+          s"${TextOps.spark.kmvMix(s"(doc_id % $P)")} AS hm")
+        .localCheckpoint(true) // feeds the sample and the labeling pass
+      val sample = scored.orderBy(col("hm"), col("doc_id"))
+        .limit(CcnetSampleK)
+      val thr = sample
+        .crossJoin(broadcast(sample.agg(count(lit(1)).as("k"))))
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("avg_logp"), col("doc_id"))))
+        .agg(
+          max(when(col("rn") ===
+            (floor((col("k") - 1).cast("double") / 3.0).cast("long") + 1),
+            col("avg_logp"))).as("t_lo"),
+          max(when(col("rn") ===
+            (floor(((col("k") - 1).cast("double") * 2.0) / 3.0).cast("long")
+              + 1),
+            col("avg_logp"))).as("t_hi"))
+      scored.crossJoin(broadcast(thr))
+        .selectExpr("doc_id", "avg_logp",
+          "CASE WHEN avg_logp >= t_hi THEN 'head' " +
+            "WHEN avg_logp < t_lo THEN 'tail' " +
+            "ELSE 'middle' END AS bucket")
     }),
 
     // Per-domain document cap: keep the DomainCapN best documents per
@@ -931,6 +959,49 @@ object Text {
     */
   val SpanW = 5
   val SpanTopN = 30
+
+  /** `d_ccnet_buckets` threshold-sample size: covers the whole corpus at
+    * sf0.001 (thresholds = exact terciles there) and is a real 64-of-500
+    * subsample at sf0.01; production sizes it for tercile-boundary error
+    * like any quantile sketch.
+    */
+  val CcnetSampleK = 64
+
+  /** Per-document add-one-smoothed bigram-LM score — the `d_bigram_lm`
+    * row body, shared with `d_ccnet_buckets`' labeling pass. The bigram
+    * stream feeds the model AND the scoring join — materialized once,
+    * produced by a typed kernel (the transform/sequence/struct HOF chain
+    * evaluates interpreted and was 3× the query's cost; same fix as
+    * d_curate's counts kernel). Tokenizer = the d_tokens whitespace
+    * split, verbatim.
+    */
+  private def bigramScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        val toks = t.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+        if (toks.length < 2) Iterator.empty
+        else (0 until toks.length - 1).iterator.map(i =>
+          (id, toks(i), toks(i + 1)))
+      })
+      .toDF("doc_id", "w1", "w2")
+      .localCheckpoint(true)
+    val c12 = big.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    // history counts fold from the bigram model, not a second corpus
+    // pass: c(w1) = Σ_w2 c(w1,w2), exactly
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = c1.agg(count(lit(1)).as("v"))
+    big.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c12") + 1.0) / (col("c1") + col("v")))), 6)
+          .as("avg_logp"))
+  }
 
   /** `d_bpe_vocab` merge rounds. Six is enough to exercise cascading
     * merges (a round-r merged symbol participating in a later pair) on
@@ -1547,19 +1618,30 @@ object Text {
          |  PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk FROM sc)
          |SELECT doc_id, term, tf, tfidf, rk FROM r WHERE rk <= $TfidfK""".stripMargin,
     "d_bigram_lm" ->
-      s"""WITH tk AS (SELECT doc_id, ${TextOps.duck.tokens("text")} AS toks
-         |  FROM documents),
-         |big AS MATERIALIZED (SELECT doc_id, toks[CAST(u.i AS INT) + 1] AS w1,
-         |    toks[CAST(u.i AS INT) + 2] AS w2
-         |  FROM tk, UNNEST(range(0, len(toks) - 1)) AS u(i)),
-         |c12 AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM big
-         |  GROUP BY 1, 2),
-         |c1 AS MATERIALIZED (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
-         |v_t AS (SELECT count(*) AS v FROM c1)
-         |SELECT doc_id, count(*) AS n_bigrams,
-         | round(avg(ln((c12 + 1.0) / (c1 + v))), 6) AS avg_logp
-         |FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v_t
-         |GROUP BY doc_id""".stripMargin,
+      s"""$bigramScoredCte
+         |SELECT doc_id, n_bigrams, avg_logp FROM scored""".stripMargin,
+    "d_ccnet_buckets" ->
+      s"""$bigramScoredCte,
+         |sc AS MATERIALIZED (SELECT doc_id, avg_logp,
+         |  ${TextOps.duck.kmvMix(s"(doc_id % $P)")} AS hm FROM scored),
+         |smp AS (SELECT doc_id, avg_logp FROM (
+         |  SELECT doc_id, avg_logp, row_number() OVER (
+         |    ORDER BY hm, doc_id) AS rs FROM sc)
+         |  WHERE rs <= $CcnetSampleK),
+         |kk AS (SELECT count(*) AS k FROM smp),
+         |rk AS (SELECT avg_logp, row_number() OVER (
+         |  ORDER BY avg_logp, doc_id) AS rn FROM smp),
+         |thr AS (SELECT
+         |  max(CASE WHEN rn = CAST(floor(CAST(k - 1 AS DOUBLE) / 3.0)
+         |    AS BIGINT) + 1 THEN avg_logp END) AS t_lo,
+         |  max(CASE WHEN rn = CAST(floor((CAST(k - 1 AS DOUBLE) * 2.0) / 3.0)
+         |    AS BIGINT) + 1 THEN avg_logp END) AS t_hi
+         |  FROM rk CROSS JOIN kk)
+         |SELECT doc_id, avg_logp,
+         |  CASE WHEN avg_logp >= t_hi THEN 'head'
+         |       WHEN avg_logp < t_lo THEN 'tail'
+         |       ELSE 'middle' END AS bucket
+         |FROM sc CROSS JOIN thr""".stripMargin,
     "d_rep_ratio" ->
       s"""WITH t AS (SELECT doc_id, ${TextOps.duck.tokens("text")} AS toks
          |  FROM documents)

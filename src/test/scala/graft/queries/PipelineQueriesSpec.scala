@@ -407,6 +407,25 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("d_ccnet_buckets: scores match d_bigram_lm, buckets are " +
+      "score-ordered and all three are inhabited") {
+    val T = graft.queries.Text
+    val rows = T.queries("d_ccnet_buckets")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    // the labeling pass must not drift from the scoring row it embeds
+    val lm = T.queries("d_bigram_lm")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    rows.foreach { case (id, s, _) => assert(lm(id) == s, s"doc $id") }
+    assert(rows.map(_._1).toSet == lm.keySet)
+    // threshold semantics: every head score is >= every middle score,
+    // every middle >= every tail (buckets are half-open score intervals)
+    val byB = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byB.keySet == Set("head", "middle", "tail"))
+    assert(byB("head").min >= byB("middle").max)
+    assert(byB("middle").min > byB("tail").max)
+  }
+
   test("e_cluster_balance caps every cell, keeps small cells whole, stays " +
       "consistent with the kmeans assignment") {
     val E = graft.queries.Embeddings
