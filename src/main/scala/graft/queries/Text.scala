@@ -892,38 +892,83 @@ object Text {
     // cannot fit one machine.
     "d_bpe_vocab" -> ((s, dir) => {
       import s.implicits._
-      var words = Tables(s, dir, "documents")
-        .select(col("text")).as[String]
-        .flatMap(_.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1))
-        .filter(_.nonEmpty)
-        .groupByKey(identity).count()
-        .map { case (wd, f) => (codePointSyms(wd), f) }
-        .localCheckpoint(true)
-      val merges = Seq.newBuilder[(Int, String, String, Long)]
-      for (r <- 1 to BpeRounds) {
-        val best = words
-          .flatMap { case (syms, f) =>
-            (0 until syms.length - 1).iterator.map(i =>
-              ((syms(i), syms(i + 1)), f))
-          }
-          .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
-          .map { case ((a, b), c) => (a, b, c) }
-          .toDF("a", "b", "cnt")
-          .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-          .limit(1).collect()
-        // a corpus whose words are all single symbols before BpeRounds
-        // merges would silently desync from the unrolled oracle — fail
-        // loudly instead (cannot happen on the driver corpus).
-        require(best.nonEmpty, s"d_bpe_vocab: no pairs left at round $r")
-        val (a, b, c) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((r, a, b, c))
-        words = words.map { case (syms, f) => (bpeApply(syms, a, b), f) }
-          .localCheckpoint(true)
-      }
-      merges.result().toDF("rk", "p1", "p2", "cnt")
+      bpeTrain(s, dir)._1.toDF("rk", "p1", "p2", "cnt")
+    }),
+
+    // BPE tokenizer APPLY — per-document token counts under the
+    // d_bpe_vocab-induced merges (the tokenizer-fertility measurement a
+    // data pipeline runs before committing to a vocabulary). The apply
+    // path is word-level memoization: training already folded the corpus
+    // to the (word, merged-symbols) dictionary, so encoding costs one
+    // broadcast of the vocabulary-sized word → symbol-count map plus one
+    // corpus map pass — per-word work ∝ distinct words, NOT corpus
+    // tokens, which is what makes apply tractable at 100 TB. Rows stay
+    // independent: this re-runs the demo training loop rather than
+    // reading d_bpe_vocab's output (same reasoning as the grid rows'
+    // artifact independence).
+    "d_bpe_encode" -> ((s, dir) => {
+      import s.implicits._
+      val dict = bpeTrain(s, dir)._2
+        .map { case (wd, syms, _) => (wd, syms.length.toLong) }
+        .toDF("word", "n_syms")
+      val dw = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          t.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+            .filter(_.nonEmpty).iterator.map(w => (id, w))
+        }
+        .toDF("doc_id", "word")
+      dw.join(broadcast(dict), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_tokens"))
+        .selectExpr("doc_id", "CAST(n_words AS BIGINT) AS n_words",
+          "CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens")
     })
   )
+
+  /** The `d_bpe_vocab` training loop, shared with `d_bpe_encode`'s apply
+    * path: returns the BpeRounds greedy merges and the trained word
+    * dictionary (word, merged symbols, freq). One corpus pass folds to
+    * the (word, freq) dictionary — the only corpus-scale shuffle; per
+    * round a distributed freq-weighted pair count + 1-row driver argmax
+    * with deterministic tie-break.
+    */
+  private def bpeTrain(s: SparkSession, dir: String):
+      (Seq[(Int, String, String, Long)],
+        org.apache.spark.sql.Dataset[(String, Array[String], Long)]) = {
+    import s.implicits._
+    var words = Tables(s, dir, "documents")
+      .select(col("text")).as[String]
+      .flatMap(_.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1))
+      .filter(_.nonEmpty)
+      .groupByKey(identity).count()
+      .map { case (wd, f) => (wd, codePointSyms(wd), f) }
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to BpeRounds) {
+      val best = words
+        .flatMap { case (_, syms, f) =>
+          (0 until syms.length - 1).iterator.map(i =>
+            ((syms(i), syms(i + 1)), f))
+        }
+        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .map { case ((a, b), c) => (a, b, c) }
+        .toDF("a", "b", "cnt")
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      // a corpus whose words are all single symbols before BpeRounds
+      // merges would silently desync from the unrolled oracle — fail
+      // loudly instead (cannot happen on the driver corpus).
+      require(best.nonEmpty, s"d_bpe_vocab: no pairs left at round $r")
+      val (a, b, c) =
+        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      merges += ((r, a, b, c))
+      words = words.map { case (wd, syms, f) => (wd, bpeApply(syms, a, b), f) }
+        .localCheckpoint(true)
+    }
+    (merges.result(), words)
+  }
 
   /** Exact-verify threshold for [[queries]]' `d_ngram_pairs`. */
   val NgramJacThreshold = 0.5
@@ -1718,47 +1763,70 @@ object Text {
     // functions — candidate positions (sym, next) = (a, b) form runs of
     // consecutive positions, a run merges at its 1st, 3rd, … candidates
     // (`tk`), and the symbol AFTER a merge (`ptk = 1`) is consumed.
-    "d_bpe_vocab" -> {
-      val sb = new StringBuilder
-      sb ++= s"""WITH w0 AS MATERIALIZED (SELECT word, count(*) AS freq FROM (
-         |  SELECT unnest(${TextOps.duck.tokens("text")}) AS word
-         |  FROM documents) t WHERE word <> '' GROUP BY word),
-         |s0 AS MATERIALIZED (SELECT word, freq,
-         |  list_filter(string_split(word, ''), c -> c <> '') AS s FROM w0),
-         |""".stripMargin
-      for (r <- 1 to BpeRounds) {
-        val p = r - 1
-        sb ++= s"""pc$r AS (SELECT s[CAST(u.i AS INT) + 1] AS a,
-           |  s[CAST(u.i AS INT) + 2] AS b, CAST(sum(freq) AS BIGINT) AS cnt
-           |  FROM s$p, UNNEST(range(0, len(s) - 1)) AS u(i) GROUP BY 1, 2),
-           |b$r AS MATERIALIZED (SELECT a, b, cnt FROM pc$r
-           |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-           |e$r AS (SELECT word, freq, CAST(u.i AS INT) + 1 AS pos,
-           |  s[CAST(u.i AS INT) + 1] AS sym
-           |  FROM s$p, UNNEST(range(0, len(s))) AS u(i)),
-           |c$r AS (SELECT word, freq, pos, sym, lead(sym) OVER wpw AS nxt,
-           |  CASE WHEN sym = (SELECT a FROM b$r)
-           |    AND lead(sym) OVER wpw = (SELECT b FROM b$r)
-           |    THEN 1 ELSE 0 END AS cand
-           |  FROM e$r WINDOW wpw AS (PARTITION BY word ORDER BY pos)),
-           |g$r AS (SELECT *, CASE WHEN cand = 1 THEN pos - row_number()
-           |  OVER (PARTITION BY word, cand ORDER BY pos) END AS run FROM c$r),
-           |k$r AS (SELECT *, CASE WHEN cand = 1 AND row_number() OVER (
-           |  PARTITION BY word, run ORDER BY pos) % 2 = 1
-           |  THEN 1 ELSE 0 END AS tk FROM g$r),
-           |o$r AS (SELECT word, freq, pos, sym, nxt, tk,
-           |  lag(tk) OVER (PARTITION BY word ORDER BY pos) AS ptk FROM k$r),
-           |s$r AS MATERIALIZED (SELECT word, freq,
-           |  list(CASE WHEN tk = 1 THEN sym || nxt ELSE sym END
-           |    ORDER BY pos) AS s
-           |  FROM o$r WHERE coalesce(ptk, 0) = 0 GROUP BY word, freq),
-           |""".stripMargin
-      }
-      sb ++= "fin AS (SELECT 1 AS one)\n"
-      sb ++= (1 to BpeRounds)
-        .map(r => s"SELECT $r AS rk, a AS p1, b AS p2, cnt FROM b$r")
-        .mkString("\nUNION ALL\n")
-      sb.toString
-    }
+    "d_bpe_vocab" ->
+      (bpeChainCte + "fin AS (SELECT 1 AS one)\n" +
+        (1 to BpeRounds)
+          .map(r => s"SELECT $r AS rk, a AS p1, b AS p2, cnt FROM b$r")
+          .mkString("\nUNION ALL\n")),
+    // Apply = read the trained symbol table s{BpeRounds} back per word
+    // and fold per document; the chain CTE is shared with d_bpe_vocab so
+    // the two rows replay the identical merges.
+    "d_bpe_encode" ->
+      (bpeChainCte +
+        s"""enc AS (SELECT word, len(s) AS n_syms FROM s$BpeRounds),
+           |dw AS (SELECT doc_id, word FROM (
+           |  SELECT doc_id, unnest(${TextOps.duck.tokens("text")}) AS word
+           |  FROM documents) t WHERE word <> '')
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
+           |FROM dw JOIN enc USING (word) GROUP BY doc_id""".stripMargin)
   )
+
+  /** Unrolled-BPE CTE chain shared by the `d_bpe_vocab` and
+    * `d_bpe_encode` oracles: per round r a freq-weighted pair count
+    * (pc), the deterministic argmax (b), and the greedy non-overlapping
+    * rewrite as window functions — candidate positions (sym, next) =
+    * (a, b) form runs of consecutive positions, a run merges at its 1st,
+    * 3rd, … candidates (`tk`), and the symbol AFTER a merge (`ptk` = 1)
+    * is consumed. Ends comma-terminated so callers append their own
+    * final CTEs/select.
+    */
+  private def bpeChainCte: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH w0 AS MATERIALIZED (SELECT word, count(*) AS freq FROM (
+       |  SELECT unnest(${TextOps.duck.tokens("text")}) AS word
+       |  FROM documents) t WHERE word <> '' GROUP BY word),
+       |s0 AS MATERIALIZED (SELECT word, freq,
+       |  list_filter(string_split(word, ''), c -> c <> '') AS s FROM w0),
+       |""".stripMargin
+    for (r <- 1 to BpeRounds) {
+      val p = r - 1
+      sb ++= s"""pc$r AS (SELECT s[CAST(u.i AS INT) + 1] AS a,
+         |  s[CAST(u.i AS INT) + 2] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM s$p, UNNEST(range(0, len(s) - 1)) AS u(i) GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (SELECT a, b, cnt FROM pc$r
+         |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |e$r AS (SELECT word, freq, CAST(u.i AS INT) + 1 AS pos,
+         |  s[CAST(u.i AS INT) + 1] AS sym
+         |  FROM s$p, UNNEST(range(0, len(s))) AS u(i)),
+         |c$r AS (SELECT word, freq, pos, sym, lead(sym) OVER wpw AS nxt,
+         |  CASE WHEN sym = (SELECT a FROM b$r)
+         |    AND lead(sym) OVER wpw = (SELECT b FROM b$r)
+         |    THEN 1 ELSE 0 END AS cand
+         |  FROM e$r WINDOW wpw AS (PARTITION BY word ORDER BY pos)),
+         |g$r AS (SELECT *, CASE WHEN cand = 1 THEN pos - row_number()
+         |  OVER (PARTITION BY word, cand ORDER BY pos) END AS run FROM c$r),
+         |k$r AS (SELECT *, CASE WHEN cand = 1 AND row_number() OVER (
+         |  PARTITION BY word, run ORDER BY pos) % 2 = 1
+         |  THEN 1 ELSE 0 END AS tk FROM g$r),
+         |o$r AS (SELECT word, freq, pos, sym, nxt, tk,
+         |  lag(tk) OVER (PARTITION BY word ORDER BY pos) AS ptk FROM k$r),
+         |s$r AS MATERIALIZED (SELECT word, freq,
+         |  list(CASE WHEN tk = 1 THEN sym || nxt ELSE sym END
+         |    ORDER BY pos) AS s
+         |  FROM o$r WHERE coalesce(ptk, 0) = 0 GROUP BY word, freq),
+         |""".stripMargin
+    }
+    sb.toString
+  }
 }

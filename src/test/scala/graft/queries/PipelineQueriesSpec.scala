@@ -292,6 +292,47 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("d_bpe_encode equals an independent in-memory train-then-apply") {
+    val rows = Text.queries("d_bpe_encode")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.nonEmpty)
+    // in-memory trainer: same loop as the d_bpe_vocab ground truth
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+", -1).filter(_.nonEmpty).toSeq)
+    var dict: Map[Seq[String], Long] = docs.flatMap(_._2)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .map { case (w, f) => w.split("").filter(_.nonEmpty).toSeq -> f }
+    val merges = Seq.newBuilder[(String, String)]
+    for (_ <- 1 to Text.BpeRounds) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- dict; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      val (bp, _) = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.head
+      merges += bp
+      dict = dict.groupBy { case (syms, _) =>
+        Text.bpeApply(syms.toArray, bp._1, bp._2).toSeq
+      }.view.mapValues(_.values.sum).toMap
+    }
+    // apply: per word the merge cascade, per doc the (n_words, Σ syms)
+    val ms = merges.result()
+    val enc = collection.mutable.Map.empty[String, Long]
+    def nSyms(w: String): Long = enc.getOrElseUpdate(w, {
+      var syms = w.split("").filter(_.nonEmpty)
+      for ((a, b) <- ms) syms = Text.bpeApply(syms, a, b)
+      syms.length.toLong
+    })
+    val want = docs.collect { case (id, ws) if ws.nonEmpty =>
+      id -> ((ws.length.toLong, ws.map(nSyms).sum))
+    }.toMap
+    assert(rows == want)
+  }
+
   test("e_hard_negatives: different-label top-k per query, under the dup cap") {
     val rows = graft.queries.Embeddings.queries("e_hard_negatives")(spark, sfDir)
       .collect()
