@@ -643,6 +643,30 @@ object Text {
           "round(1.0 - CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks), 6) AS dup_frac")
     }),
 
+    // Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    // occurrence-weighted spelling — see TextOps.gopherRepCounts): the
+    // char fraction of the single most frequent word 2-gram and of all
+    // duplicated word 5-grams, plus the filter flag at the published
+    // 0.20 / 0.15 thresholds. Complements d_rep_ratio's token-level
+    // dup fraction with the n-gram signals that actually catch
+    // boilerplate and template spam. Scale shape: the kernel is one
+    // narrow per-document map pass emitting three longs — no shuffle at
+    // all; the flag/fraction SQL text is shared verbatim with the
+    // oracle so the only float op (one division) cannot drift.
+    "d_gopher_rep" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          val (tot, top2, dup5) = TextOps.gopherRepCounts(t)
+          (id, tot, top2, dup5)
+        })
+        .toDF("doc_id", "tot", "top2", "dup5")
+        .selectExpr("doc_id", gopherFracSql("top2"), gopherFracSql("dup5"))
+        .selectExpr("doc_id", "frac_top2", "frac_dup5", gopherFlagSql)
+    }),
+
     // TF-IDF keyword extraction: top terms per document by
     // tf · ln(N/df). Unlike d_top_terms (corpus-global frequencies) this
     // exercises the corpus-level document-frequency join: df aggregates
@@ -1004,6 +1028,24 @@ object Text {
     */
   val SpanW = 5
   val SpanTopN = 30
+
+  /** `d_gopher_rep` filter thresholds — the published Gopher values for
+    * the top-2-gram and duplicate-5-gram char fractions.
+    */
+  val GopherTop2Max = 0.2
+  val GopherDup5Max = 0.15
+
+  /** Fraction + flag SQL for `d_gopher_rep`, shared verbatim by the
+    * Spark row and the DuckDB oracle over identical integer columns.
+    */
+  private def gopherFracSql(num: String): String =
+    s"round(CASE WHEN tot = 0 THEN CAST(0.0 AS DOUBLE) " +
+      s"ELSE $num / CAST(tot AS DOUBLE) END, 6) AS frac_$num"
+
+  private def gopherFlagSql: String =
+    s"CASE WHEN frac_top2 > CAST($GopherTop2Max AS DOUBLE) OR " +
+      s"frac_dup5 > CAST($GopherDup5Max AS DOUBLE) THEN 1 ELSE 0 END" +
+      " AS flagged"
 
   /** `d_ccnet_buckets` threshold-sample size: covers the whole corpus at
     * sf0.001 (thresholds = exact terciles there) and is a real 64-of-500
@@ -1662,6 +1704,38 @@ object Text {
          |r AS (SELECT doc_id, term, tf, tfidf, row_number() OVER (
          |  PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk FROM sc)
          |SELECT doc_id, term, tf, tfidf, rk FROM r WHERE rk <= $TfidfK""".stripMargin,
+    "d_gopher_rep" ->
+      s"""WITH t AS MATERIALIZED (SELECT doc_id,
+         |  list_filter(${TextOps.duck.tokens("text")}, x -> x <> '') AS toks
+         |  FROM documents),
+         |tc AS (SELECT doc_id, CAST(coalesce(list_sum(
+         |  list_transform(toks, x -> CAST(length(x) AS BIGINT))), 0)
+         |  AS BIGINT) AS tot FROM t),
+         |g2 AS (SELECT doc_id, toks[CAST(u.i AS INT) + 1] AS w1,
+         |  toks[CAST(u.i AS INT) + 2] AS w2
+         |  FROM t, UNNEST(range(0, len(toks) - 1)) AS u(i)),
+         |c2 AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM g2
+         |  GROUP BY 1, 2, 3),
+         |t2 AS (SELECT doc_id,
+         |  CAST(cnt * (length(w1) + length(w2)) AS BIGINT) AS top2 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY cnt DESC, w1 ASC, w2 ASC) AS rn FROM c2) WHERE rn = 1),
+         |g5 AS (SELECT doc_id, toks[CAST(u.i AS INT) + 1] AS w1,
+         |  toks[CAST(u.i AS INT) + 2] AS w2, toks[CAST(u.i AS INT) + 3] AS w3,
+         |  toks[CAST(u.i AS INT) + 4] AS w4, toks[CAST(u.i AS INT) + 5] AS w5
+         |  FROM t, UNNEST(range(0, len(toks) - 4)) AS u(i)),
+         |c5 AS (SELECT doc_id, w1, w2, w3, w4, w5, count(*) AS cnt FROM g5
+         |  GROUP BY 1, 2, 3, 4, 5, 6),
+         |t5 AS (SELECT doc_id, CAST(coalesce(sum(CASE WHEN cnt > 1 THEN
+         |  cnt * (length(w1) + length(w2) + length(w3) + length(w4) +
+         |    length(w5)) END), 0) AS BIGINT) AS dup5
+         |  FROM c5 GROUP BY doc_id),
+         |j AS (SELECT tc.doc_id, tc.tot, coalesce(t2.top2, 0) AS top2,
+         |  coalesce(t5.dup5, 0) AS dup5
+         |  FROM tc LEFT JOIN t2 USING (doc_id) LEFT JOIN t5 USING (doc_id)),
+         |f AS (SELECT doc_id, ${gopherFracSql("top2")},
+         |  ${gopherFracSql("dup5")} FROM j)
+         |SELECT doc_id, frac_top2, frac_dup5, $gopherFlagSql FROM f""".stripMargin,
     "d_bigram_lm" ->
       s"""$bigramScoredCte
          |SELECT doc_id, n_bigrams, avg_logp FROM scored""".stripMargin,

@@ -214,6 +214,52 @@ object TextOps {
     out
   }
 
+  /** Gopher-style repetition counts (`d_gopher_rep`): over the
+    * whitespace-lower token stream, (total word chars, occurrence chars
+    * of the single most frequent word 2-gram, occurrence chars of all
+    * word 5-grams occurring more than once). All-INTEGER outputs — the
+    * fraction division happens once in shared SQL text, so the typed
+    * kernel and the DuckDB oracle cannot diverge on float math. Tie on
+    * the top 2-gram count breaks by (w1 ASC, w2 ASC) — the tie-break is
+    * load-bearing here because different 2-grams have different char
+    * lengths. "Occurrence chars" is the occurrence-weighted spelling of
+    * Gopher's §A1.1 repetition signals (overlapping occurrences each
+    * count; the common reimplementation), documented as the row's
+    * semantics rather than positional character coverage.
+    */
+  def gopherRepCounts(text: String): (Long, Long, Long) = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+      .filter(_.nonEmpty)
+    val tot = toks.foldLeft(0L)(_ + _.length)
+    var top2 = 0L
+    if (toks.length >= 2) {
+      val c2 = collection.mutable.Map.empty[(String, String), Long]
+      var i = 0
+      while (i < toks.length - 1) {
+        val k = (toks(i), toks(i + 1))
+        c2(k) = c2.getOrElse(k, 0L) + 1
+        i += 1
+      }
+      val ((w1, w2), cnt) = c2.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.head
+      top2 = cnt * (w1.length + w2.length)
+    }
+    var dup5 = 0L
+    if (toks.length >= 5) {
+      val c5 = collection.mutable.Map.empty[Seq[String], Long]
+      var i = 0
+      while (i < toks.length - 4) {
+        val k = toks.slice(i, i + 5).toSeq
+        c5(k) = c5.getOrElse(k, 0L) + 1
+        i += 1
+      }
+      c5.foreach { case (g, c) =>
+        if (c > 1) dup5 += c * g.foldLeft(0L)(_ + _.length)
+      }
+    }
+    (tot, top2, dup5)
+  }
+
   /** Overlapping sliding-window chunk fingerprints — the RAG/training
     * chunking feature space (`d_chunk_overlap`): window starts at every
     * multiple of `stride` below the token count, each window spans

@@ -292,6 +292,50 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("gopherRepCounts: hand-computed repetition counts, incl. the " +
+      "dup-5-gram signal the demo corpus never trips") {
+    val T = graft.text.TextOps
+    // "a b c d e a b c d e": tot=10 one-char words; (a,b) wins the
+    // 2-gram tie lexically at cnt 2 → top2 = 2·(1+1); the 5-gram
+    // (a,b,c,d,e) occurs twice → dup5 = 2·5.
+    assert(T.gopherRepCounts("a b c d e a b c d e") == ((10L, 4L, 10L)))
+    // no repeats: top-2-gram falls to the lexically-first pair at cnt 1
+    // ("five six" → 1·(4+3)), dup signal zero
+    assert(T.gopherRepCounts("one two three four five six") ==
+      ((22L, 7L, 0L)))
+    // tie-break is load-bearing: "bb cc" (cnt 1) vs "a a" (cnt 2)
+    assert(T.gopherRepCounts("a a a bb cc") == ((7L, 2L * 2L, 0L)))
+    // short/empty docs
+    assert(T.gopherRepCounts("word") == ((4L, 0L, 0L)))
+    assert(T.gopherRepCounts("") == ((0L, 0L, 0L)))
+  }
+
+  test("d_gopher_rep: fractions replay from the kernel, flag matches the " +
+      "thresholds on rounded values") {
+    val rows = Text.queries("d_gopher_rep")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (id, f2, f5, fl) =>
+      val (tot, top2, dup5) = graft.text.TextOps.gopherRepCounts(docs(id))
+      val (w2, w5) =
+        (if (tot == 0) 0.0 else r6(top2.toDouble / tot),
+          if (tot == 0) 0.0 else r6(dup5.toDouble / tot))
+      assert((f2, f5) == ((w2, w5)), s"doc $id")
+      assert(fl == (if (f2 > Text.GopherTop2Max || f5 > Text.GopherDup5Max) 1
+        else 0), s"doc $id flag")
+      assert(f2 >= 0 && f2 <= 1 && f5 >= 0 && f5 <= 1)
+    }
+    // the corpus actually exercises the flag
+    assert(rows.exists(_._4 == 1) && rows.exists(_._4 == 0))
+  }
+
   test("d_bpe_encode equals an independent in-memory train-then-apply") {
     val rows = Text.queries("d_bpe_encode")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
