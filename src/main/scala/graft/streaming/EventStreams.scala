@@ -137,6 +137,39 @@ object EventStreams {
         col("b"), col("mj"))
   }
 
+  /** Sampled daily value percentiles — streaming twin of the batch
+    * `ev_value_quantiles` row's SKETCH columns: the bounded
+    * [[graft.functions.BottomKSample]] aggregate maintains the k
+    * smallest-hash (value-carrying) rows per daily window — ≤ k
+    * (hash, id, value) triples of state however many events arrive, the
+    * same mergeable-sample argument as the other sketch twins — and the
+    * read path applies the identical rank rule over the sorted sample
+    * array. Exact quantiles do not stream (they would need every value
+    * as per-window state), which is the reason the sample is the
+    * streaming percentile primitive; EventStreamsSpec pins full-replay
+    * stream ≡ batch on (day, n_sample, sp_*).
+    */
+  def dailyValueQuantiles(events: DataFrame): DataFrame = {
+    graft.functions.SampleFunctions.register(events.sparkSession)
+    val P = graft.text.TextOps.P
+    val E = graft.queries.Events
+    def sel(nm: String, q: Double): String =
+      s"element_at(vals, CAST(floor(CAST($q AS DOUBLE) * " +
+        s"CAST(size(vals) - 1 AS DOUBLE)) AS INT) + 1) AS sp_$nm"
+    events
+      .withWatermark("ts", "2 days")
+      .selectExpr("ts", "event_id", "value", s"event_id % $P AS h")
+      .selectExpr("ts", "event_id", "value",
+        s"${graft.text.TextOps.spark.kmvMix("h")} AS hm")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(graft.functions.SampleFunctions.bottomKSample(
+        col("hm"), col("event_id"), col("value"), E.EvQK).as("vals"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("vals"))
+      .selectExpr("day", "size(vals) AS n_sample",
+        sel("p50", 0.5), sel("p90", 0.9), sel("p99", 0.99))
+  }
+
   /** Gap-based sessionization over per-user state. Emits a session row when
     * the gap to the next event exceeds `gapSec` (the still-open session per
     * user stays in state; a real pipeline closes it by event-time timeout).

@@ -137,6 +137,39 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming daily sampled quantiles equal the batch row's sketch " +
+      "columns") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "value")
+    val q = dailyValueQuantiles(df).writeStream
+      .format("memory").queryName("dvq").outputMode("complete").start()
+    try {
+      val rows = Tables(spark, sfDir, "events")
+        .select(col("event_id"), col("ts"), col("value"))
+        .as[(Long, java.sql.Timestamp, Double)].collect()
+      // two batches: the bounded sample state must merge across
+      // micro-batches (bottom-k by (hash, id) is order-free).
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+      val got = spark.table("dvq").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+      val E = graft.queries.Events
+      val want = E.queries("ev_value_quantiles")(spark, sfDir)
+        .selectExpr("day",
+          s"CAST(least(n, ${E.EvQK}) AS INT) AS n_sample",
+          "sp_p50", "sp_p90", "sp_p99").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streaming hopping-window counts equal the batch query on full replay") {
     val s = spark
     import s.implicits._
