@@ -337,7 +337,12 @@ class PipelineQueriesSpec extends SparkSpec {
   }
 
   test("d_bpe_encode equals an independent in-memory train-then-apply") {
-    val rows = Text.queries("d_bpe_encode")(spark, sfDir).collect()
+    val df = Text.queries("d_bpe_encode")(spark, sfDir)
+    // scale shape: the word→symbol-count dictionary joins as a
+    // broadcast; a shuffled join here would re-shuffle the corpus on a
+    // string key.
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val rows = df.collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(rows.nonEmpty)
     // in-memory trainer: same loop as the d_bpe_vocab ground truth
@@ -495,7 +500,14 @@ class PipelineQueriesSpec extends SparkSpec {
   test("d_ccnet_buckets: scores match d_bigram_lm, buckets are " +
       "score-ordered and all three are inhabited") {
     val T = graft.queries.Text
-    val rows = T.queries("d_ccnet_buckets")(spark, sfDir).collect()
+    val df = T.queries("d_ccnet_buckets")(spark, sfDir)
+    // scale shape: the sample is a bounded TakeOrderedAndProject and the
+    // thresholds join back as a broadcast 1-row nested loop — no global
+    // sort of per-doc scores anywhere.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject") &&
+      plan.contains("BroadcastNestedLoopJoin"))
+    val rows = df.collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
     assert(rows.nonEmpty)
     // the labeling pass must not drift from the scoring row it embeds
