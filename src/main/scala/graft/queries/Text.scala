@@ -667,6 +667,36 @@ object Text {
         .selectExpr("doc_id", "frac_top2", "frac_dup5", gopherFlagSql)
     }),
 
+    // Corpus n-gram diversity per source: distinct/total ratios for
+    // word 1/2/3-grams — the diversity diagnostic a data report runs to
+    // catch template-heavy or model-generated sources (low distinct-n).
+    // Scale shape: distinct-by-grouping, NOT countDistinct — the gram
+    // dictionary is the shuffle key of the FIRST map-side-combined
+    // groupBy, and the second agg runs over one row per distinct gram;
+    // a countDistinct here would re-shuffle every occurrence. The
+    // per-source output is 3 rows regardless of corpus size.
+    "d_ngram_diversity" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("source"), col("text"))
+        .as[(String, String)]
+        .mapPartitions(_.flatMap { case (src, t) =>
+          val toks = t.toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+", -1).filter(_.nonEmpty)
+          (1 to 3).iterator.flatMap(n =>
+            (0 to toks.length - n).iterator.map(i =>
+              (src, n, toks.slice(i, i + n).mkString(" "))))
+        })
+        .toDF("source", "n", "gram")
+        .groupBy(col("source"), col("n"), col("gram"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"), col("n"))
+        .agg(count(lit(1)).as("n_distinct"), sum(col("c")).as("total"))
+        .selectExpr("source", "n", "CAST(total AS BIGINT) AS total",
+          "CAST(n_distinct AS BIGINT) AS n_distinct",
+          "round(n_distinct / CAST(total AS DOUBLE), 6) AS ratio")
+    }),
+
     // TF-IDF keyword extraction: top terms per document by
     // tf · ln(N/df). Unlike d_top_terms (corpus-global frequencies) this
     // exercises the corpus-level document-frequency join: df aggregates
@@ -1704,6 +1734,26 @@ object Text {
          |r AS (SELECT doc_id, term, tf, tfidf, row_number() OVER (
          |  PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk FROM sc)
          |SELECT doc_id, term, tf, tfidf, rk FROM r WHERE rk <= $TfidfK""".stripMargin,
+    "d_ngram_diversity" ->
+      s"""WITH t AS MATERIALIZED (SELECT source,
+         |  list_filter(${TextOps.duck.tokens("text")}, x -> x <> '') AS toks
+         |  FROM documents),
+         |g AS MATERIALIZED (
+         |  SELECT source, 1 AS n, toks[CAST(u.i AS INT) + 1] AS gram
+         |  FROM t, UNNEST(range(0, len(toks))) AS u(i)
+         |  UNION ALL
+         |  SELECT source, 2, toks[CAST(u.i AS INT) + 1] || ' ' ||
+         |    toks[CAST(u.i AS INT) + 2]
+         |  FROM t, UNNEST(range(0, len(toks) - 1)) AS u(i)
+         |  UNION ALL
+         |  SELECT source, 3, toks[CAST(u.i AS INT) + 1] || ' ' ||
+         |    toks[CAST(u.i AS INT) + 2] || ' ' || toks[CAST(u.i AS INT) + 3]
+         |  FROM t, UNNEST(range(0, len(toks) - 2)) AS u(i)),
+         |d AS (SELECT source, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3)
+         |SELECT source, n, CAST(sum(c) AS BIGINT) AS total,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS ratio
+         |FROM d GROUP BY 1, 2""".stripMargin,
     "d_gopher_rep" ->
       s"""WITH t AS MATERIALIZED (SELECT doc_id,
          |  list_filter(${TextOps.duck.tokens("text")}, x -> x <> '') AS toks

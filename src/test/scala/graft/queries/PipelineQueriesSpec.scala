@@ -292,6 +292,35 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("d_ngram_diversity equals a brute-force per-source replay") {
+    val rows = Text.queries("d_ngram_diversity")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows.nonEmpty)
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)
+        .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+        .filter(_.nonEmpty).toSeq))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = (for {
+      (src, ds) <- docs.groupBy(_._1)
+      n <- 1 to 3
+    } yield {
+      val grams = ds.flatMap(_._2.sliding(n).filter(_.length == n).toSeq)
+      (src, n) -> ((grams.length.toLong, grams.distinct.length.toLong,
+        r6(grams.distinct.length.toDouble / grams.length)))
+    }).toMap
+    assert(rows == want)
+    // structural sanity on any natural-ish corpus: diversity grows in n
+    rows.keys.map(_._1).foreach { src =>
+      assert(rows((src, 1))._3 < rows((src, 2))._3 &&
+        rows((src, 2))._3 < rows((src, 3))._3)
+    }
+  }
+
   test("gopherRepCounts: hand-computed repetition counts, incl. the " +
       "dup-5-gram signal the demo corpus never trips") {
     val T = graft.text.TextOps
