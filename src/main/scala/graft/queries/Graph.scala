@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Scratch, VerifyArtifacts}
-import graft.graph.{Bfs, ConnectedComponents, GraphOps, Sssp}
+import graft.graph.{Bfs, ConnectedComponents, GraphOps, LabelProp, Sssp}
 import graft.ppr.{Base, BackwardSearch, ForwardPush, Fora, Metrics, MonteCarlo, PageRank, PowerIteration, PprStore}
 
 /** Graph/PPR operator coverage over the deterministic lineitem-derived
@@ -57,6 +57,11 @@ object Graph {
   val CcMod = 100003
   val CcQtyMax = 5
   val CcRounds = 20
+
+  /** `g_label_prop` synchronous rounds — a fixed horizon (sync LPA can
+    * 2-cycle, so the round count IS part of the operator's semantics).
+    */
+  val LpRounds = 4
 
   /** `g_bfs` depth bound — the mod-997 graph's diameter is ~3, so 4
     * rounds reach everything reachable; the schedule is fixed and
@@ -269,6 +274,13 @@ object Graph {
     // Per node: its component id (= smallest node id in the component).
     "g_concomp" -> ((s, dir) => ConnectedComponents.run(
       s, GraphOps.lineitemSubgraph(s, dir, CcMod, CcQtyMax), CcRounds)),
+
+    // Deterministic synchronous label-propagation communities over the
+    // same fragmented subgraph as g_concomp (the full derivation is one
+    // giant component — communities there are trivial); fixed LpRounds
+    // horizon, smallest-label tie-break (see [[graft.graph.LabelProp]]).
+    "g_label_prop" -> ((s, dir) => LabelProp.run(
+      s, GraphOps.lineitemSubgraph(s, dir, CcMod, CcQtyMax), LpRounds)),
 
     // Depth-limited multi-source BFS distances over the broadcast CSR —
     // hop labeling for the batch sources (see [[graft.graph.Bfs]]).
@@ -567,6 +579,8 @@ object Graph {
       "g_edges" -> graphSql,
       "g_concomp" -> ConnectedComponents.oracleSql(
         GraphOps.lineitemSubgraphSql(CcMod, CcQtyMax), CcRounds),
+      "g_label_prop" -> LabelProp.oracleSql(
+        GraphOps.lineitemSubgraphSql(CcMod, CcQtyMax), LpRounds),
       "g_bfs" -> Bfs.oracleSql(graphSql, BatchSources, BfsDepth),
       "g_sssp" -> Sssp.oracleSql(
         GraphOps.lineitemWeightedGraphSql(Mod), BatchSources, SsspHops),
