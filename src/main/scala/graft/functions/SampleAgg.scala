@@ -10,34 +10,43 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
-/** Bounded bottom-k sample buffer of [[BottomKSample]]: the k pairs with
-  * the smallest (hash, id) total-order key, each carrying a double
-  * payload. Never holds more than k entries, so a partial aggregate
-  * ships at most k (16-byte key + 8-byte value) rows per group however
-  * large the group — the mergeable-uniform-sample property that lets the
+/** Bounded bottom-k sample buffer of [[BottomKSample]]: the k ROWS with
+  * the smallest (hash, id, value) total-order key, kept as a MULTISET
+  * (key → multiplicity) — duplicate (hash, id) rows, e.g. replayed
+  * events sharing an event_id, must each count exactly as the batch
+  * window's `rs <= k` cut counts them, and the value joins the order key
+  * so which duplicate survives the boundary is deterministic rather
+  * than merge-order-dependent. Never holds more than k total rows, so a
+  * partial aggregate ships at most k entries per group however large
+  * the group — the mergeable-uniform-sample property that lets the
   * quantile sketch stream.
   */
 final class SampleBuffer(val k: Int) {
-  val map = collection.mutable.TreeMap.empty[(Long, Long), Double]
+  val map = collection.mutable.TreeMap.empty[(Long, Long, Double), Long]
+  private var n = 0L
 
   def add(h: Long, id: Long, v: Double): Unit = {
-    val key = (h, id)
-    if (map.size < k) { map(key) = v; () }
-    else if (Ordering[(Long, Long)].lt(key, map.lastKey) &&
-        !map.contains(key)) {
-      map(key) = v
-      map.remove(map.lastKey): Unit
+    val key = (h, id, v)
+    if (n < k) {
+      map(key) = map.getOrElse(key, 0L) + 1
+      n += 1
+    } else if (Ordering[(Long, Long, Double)].lt(key, map.lastKey)) {
+      map(key) = map.getOrElse(key, 0L) + 1
+      val last = map.lastKey
+      val c = map(last)
+      if (c == 1L) map.remove(last): Unit else map(last) = c - 1
     }
   }
 }
 
 /** Deterministic bottom-k-by-hash sample as a custom Catalyst aggregate:
-  * keeps the values of the k rows with the smallest (hash, id) key per
-  * group and returns them SORTED ASCENDING BY VALUE — exactly the
-  * multiset the batch `ev_value_quantiles` sample cut (`ORDER BY hm,
-  * event_id LIMIT k`) selects, ready for rank-based quantile selection
-  * with `element_at`. The id rides along only to break hash ties the
-  * same way the batch window does.
+  * keeps the values of the k rows with the smallest (hash, id, value)
+  * key per group and returns them SORTED ASCENDING BY VALUE — exactly
+  * the multiset the batch `ev_value_quantiles` sample cut (`rs <= k`
+  * over `ORDER BY hm, event_id, value`) selects, ready for rank-based
+  * quantile selection with `element_at`. The id and value ride along in
+  * the order key so hash ties — and duplicate-id rows — resolve
+  * identically in both engines and independently of merge order.
   *
   * Scale story: the same argument as [[KmvKth]] — a k-bounded buffer
   * with map-side combine where an exact per-group quantile would shuffle
@@ -81,18 +90,23 @@ case class BottomKSample(
   }
 
   override def merge(buf: SampleBuffer, other: SampleBuffer): SampleBuffer = {
-    other.map.foreach { case ((h, id), v) => buf.add(h, id, v) }
+    other.map.foreach { case ((h, id, v), c) =>
+      var j = 0L
+      while (j < c) { buf.add(h, id, v); j += 1 }
+    }
     buf
   }
 
   override def eval(buf: SampleBuffer): Any =
-    new GenericArrayData(buf.map.values.toArray.sorted)
+    new GenericArrayData(buf.map.iterator
+      .flatMap { case ((_, _, v), c) => Iterator.fill(c.toInt)(v) }
+      .toArray.sorted)
 
   override def serialize(buf: SampleBuffer): Array[Byte] = {
-    val bb = ByteBuffer.allocate(8 + 24 * buf.map.size)
+    val bb = ByteBuffer.allocate(8 + 32 * buf.map.size)
     bb.putInt(buf.k).putInt(buf.map.size)
-    buf.map.foreach { case ((h, id), v) =>
-      bb.putLong(h).putLong(id).putDouble(v): Unit
+    buf.map.foreach { case ((h, id, v), c) =>
+      bb.putLong(h).putLong(id).putDouble(v).putLong(c): Unit
     }
     bb.array()
   }
@@ -100,10 +114,13 @@ case class BottomKSample(
   override def deserialize(bytes: Array[Byte]): SampleBuffer = {
     val bb = ByteBuffer.wrap(bytes)
     val buf = new SampleBuffer(bb.getInt())
-    val n = bb.getInt()
+    val entries = bb.getInt()
     var i = 0
-    while (i < n) {
-      buf.add(bb.getLong(), bb.getLong(), bb.getDouble())
+    while (i < entries) {
+      val (h, id, v) = (bb.getLong(), bb.getLong(), bb.getDouble())
+      val c = bb.getLong()
+      var j = 0L
+      while (j < c) { buf.add(h, id, v); j += 1 }
       i += 1
     }
     buf

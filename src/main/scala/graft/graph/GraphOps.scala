@@ -174,8 +174,17 @@ object GraphOps {
         s"${mix.kmvMix(s"((ok * 1000003 + pk * 7919 + j * 104729) % $P)")} AS h1")
       .selectExpr(s"h1 % $mod AS src",
         s"${mix.kmvMix(s"((h1 + 40503) % $P)")} AS h2")
-      .selectExpr("src", s"CAST(floor($u * $u * $mod) AS BIGINT) AS dst")
+      // least() guards the u → 1.0 corner: h2 within ~55 of P²−1 rounds
+      // the DOUBLE quotient to exactly 1.0 and floor(1.0²·mod) = mod,
+      // one past the documented [0, mod) id range (and past any
+      // numNodes-sized kernel array). Astronomically rare, cheap to close.
+      .selectExpr("src",
+        s"least(CAST(floor($u * $u * $mod) AS BIGINT), ${mod - 1}) AS dst")
       .where(col("src") =!= col("dst"))
+      // checkpoint before the self-union: both union branches would
+      // otherwise re-derive the ~fan·|lineitem|-row hash chain from the
+      // raw scan — the dominant cost of the prep, paid twice.
+      .localCheckpoint(true)
     half.union(half.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
   }

@@ -44,15 +44,18 @@ object Events {
   val CmsW = 64
   val CmsSalt = 715827883L
 
-  /** Row-j CMS bucket of `user_id` — Spark SQL text, shared by the
-    * batch row, the per-key estimate join and (via the column-`j`
-    * generic form) the streaming twin's matrix.
+  /** Row-j CMS bucket of `user_id` — ONE Spark SQL text shared by the
+    * batch row, the per-key estimate join (literal-`j` overload) and the
+    * streaming twin's matrix (column-`j` generic form): an edit to the
+    * bucket math lands in every caller or none.
     */
-  private[graft] def cmsBucketSql(j: Int): String = {
+  private[graft] def cmsBucketSql(jExpr: String): String = {
     val P = graft.text.TextOps.P
     s"${graft.text.TextOps.spark.kmvMix(
-      s"((user_id + ${j * CmsSalt}) % $P)")} % $CmsW"
+      s"((user_id + ($jExpr) * CAST($CmsSalt AS BIGINT)) % $P)")} % $CmsW"
   }
+
+  private[graft] def cmsBucketSql(j: Int): String = cmsBucketSql(j.toString)
 
   /** The CMS counter matrix of a `(day, user_id)` event table: one row
     * per (day, hash row j, bucket) with its count — d·w aggregate rows
@@ -501,8 +504,12 @@ object Events {
         ev, Window.partitionBy(col("day")).orderBy(col("value"), col("event_id")),
         "ex")
       val sample = quantileSelect(
+        // value joins the cut's order key so duplicate (hm, event_id)
+        // rows — replayed events — resolve the boundary deterministically
+        // and identically to the streaming twin's multiset buffer.
         ev.withColumn("rs", row_number().over(
-            Window.partitionBy(col("day")).orderBy(col("hm"), col("event_id"))))
+            Window.partitionBy(col("day"))
+              .orderBy(col("hm"), col("event_id"), col("value"))))
           .where(col("rs") <= EvQK).drop("rs"),
         Window.partitionBy(col("day")).orderBy(col("value"), col("event_id")),
         "sp")
@@ -778,7 +785,7 @@ object Events {
          |  FROM exr GROUP BY day),
          |smp AS (SELECT day, event_id, value FROM (
          |  SELECT day, event_id, value, row_number() OVER (
-         |    PARTITION BY day ORDER BY hm, event_id) AS rs FROM e)
+         |    PARTITION BY day ORDER BY hm, event_id, value) AS rs FROM e)
          |  WHERE rs <= $EvQK),
          |sxr AS (SELECT day, value,
          |  row_number() OVER (PARTITION BY day ORDER BY value, event_id) AS rn,

@@ -93,16 +93,12 @@ object EventStreams {
     * matrix, which pins the two j-spellings to the same math.
     */
   def dailyCmsMatrix(events: DataFrame): DataFrame = {
-    val P = graft.text.TextOps.P
     val E = graft.queries.Events
     events
       .withWatermark("ts", "2 days")
       .select(col("ts"), col("user_id"),
         explode(sequence(lit(0), lit(E.CmsD - 1))).as("j"))
-      .selectExpr("ts", "j",
-        s"${graft.text.TextOps.spark.kmvMix(
-          s"((user_id + j * CAST(${E.CmsSalt} AS BIGINT)) % $P)")}" +
-          s" % ${E.CmsW} AS b")
+      .selectExpr("ts", "j", s"${E.cmsBucketSql("j")} AS b")
       .groupBy(window(col("ts"), "1 day"), col("j"), col("b"))
       .agg(count(lit(1)).as("c"))
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
@@ -153,9 +149,13 @@ object EventStreams {
     graft.functions.SampleFunctions.register(events.sparkSession)
     val P = graft.text.TextOps.P
     val E = graft.queries.Events
+    // the empty-sample guard matters: a window whose events all carry a
+    // null value yields an empty array, and element_at's 1-based index
+    // would reject position 0 instead of emitting null quantiles.
     def sel(nm: String, q: Double): String =
-      s"element_at(vals, CAST(floor(CAST($q AS DOUBLE) * " +
-        s"CAST(size(vals) - 1 AS DOUBLE)) AS INT) + 1) AS sp_$nm"
+      s"CASE WHEN size(vals) = 0 THEN CAST(NULL AS DOUBLE) " +
+        s"ELSE element_at(vals, CAST(floor(CAST($q AS DOUBLE) * " +
+        s"CAST(size(vals) - 1 AS DOUBLE)) AS INT) + 1) END AS sp_$nm"
     events
       .withWatermark("ts", "2 days")
       .selectExpr("ts", "event_id", "value", s"event_id % $P AS h")

@@ -226,11 +226,20 @@ object TextOps {
     * Gopher's §A1.1 repetition signals (overlapping occurrences each
     * count; the common reimplementation), documented as the row's
     * semantics rather than positional character coverage.
+    *
+    * Char counts are CODE POINTS (`codePointCount`), matching DuckDB's
+    * `length()` — UTF-16 `String.length` would double-count astral
+    * characters on the Spark side only (the same cross-engine shear
+    * `codePointSyms` closes for BPE). The count-tie ORDER still compares
+    * strings as UTF-16 vs DuckDB's code-point order, which can disagree
+    * only when an astral token ties a U+E000..U+FFFF token on count —
+    * documented BMP corpus precondition, as for the tokenizer rows.
     */
   def gopherRepCounts(text: String): (Long, Long, Long) = {
     val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
       .filter(_.nonEmpty)
-    val tot = toks.foldLeft(0L)(_ + _.length)
+    def cps(s: String): Long = s.codePointCount(0, s.length).toLong
+    val tot = toks.foldLeft(0L)(_ + cps(_))
     var top2 = 0L
     if (toks.length >= 2) {
       val c2 = collection.mutable.Map.empty[(String, String), Long]
@@ -242,7 +251,7 @@ object TextOps {
       }
       val ((w1, w2), cnt) = c2.toSeq
         .sortBy { case ((a, b), c) => (-c, a, b) }.head
-      top2 = cnt * (w1.length + w2.length)
+      top2 = cnt * (cps(w1) + cps(w2))
     }
     var dup5 = 0L
     if (toks.length >= 5) {
@@ -254,7 +263,7 @@ object TextOps {
         i += 1
       }
       c5.foreach { case (g, c) =>
-        if (c > 1) dup5 += c * g.foldLeft(0L)(_ + _.length)
+        if (c > 1) dup5 += c * g.foldLeft(0L)(_ + cps(_))
       }
     }
     (tot, top2, dup5)

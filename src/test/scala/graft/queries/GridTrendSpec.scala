@@ -19,7 +19,7 @@ import graft.SparkSpec
 class GridTrendSpec extends SparkSpec {
 
   /** Rows of (knob, precision, ndcg, maxErr?) ordered loose → tight. */
-  private def rows(name: String, knobCol: Int = 0): Seq[(Double, Double, Double, Option[Double])] = {
+  private def rows(name: String): Seq[(Double, Double, Double, Option[Double])] = {
     val out = GotQueries.queries(name)(spark, "ignored").collect()
     val ordered = out.map { r =>
       val knob = r.getDouble(0)
