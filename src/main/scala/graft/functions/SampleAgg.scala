@@ -26,7 +26,12 @@ final class SampleBuffer(val k: Int) {
   private var n = 0L
 
   def add(h: Long, id: Long, v: Double): Unit = {
-    val key = (h, id, v)
+    // normalize -0.0 → 0.0 BEFORE keying: Scala's Ordering[Double]
+    // (java.lang.Double.compare) sorts -0.0 < 0.0, while Spark SQL's sort
+    // (SQLOrderingUtil) — the order the batch rs <= k cut uses — treats
+    // them equal, so a zero-signed boundary row could otherwise pick a
+    // different survivor here than in the batch window.
+    val key = (h, id, if (v == 0.0) 0.0 else v)
     if (n < k) {
       map(key) = map.getOrElse(key, 0L) + 1
       n += 1
@@ -139,8 +144,10 @@ case class BottomKSample(
 /** Column + SQL-registry surface for [[BottomKSample]]. */
 object SampleFunctions {
 
-  /** Values of the k rows with the smallest (h, id) per group, sorted
-    * ascending (k a literal). Requires [[register]].
+  /** Values of the k rows with the smallest (h, id, value) total-order
+    * key per group, sorted ascending (k a literal) — the value is part of
+    * the order key (the deterministic-boundary tie-break documented on
+    * [[BottomKSample]]), not just a payload. Requires [[register]].
     */
   def bottomKSample(h: Column, id: Column, v: Column, k: Int): Column =
     call_function("bottom_k_sample", h, id, v,

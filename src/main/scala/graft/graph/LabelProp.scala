@@ -32,19 +32,27 @@ object LabelProp {
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      val cand = und
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"), col("label"))
-      labels = cand.groupBy(col("id"), col("label"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("id"))
-            .orderBy(col("c").desc, col("label").asc)))
-        .where(col("rn") === 1)
-        .select(col("id"), col("label"))
-        .localCheckpoint(true)
+      labels = step(und, labels).localCheckpoint(true)
     }
     labels
+  }
+
+  /** One synchronous round: neighbor-label candidate counts (map-side-
+    * combined groupBy) + the rn=1 argmax cut. Exposed pre-checkpoint so
+    * LabelPropSpec can assert the cut compiles to WindowGroupLimit (the
+    * map-side per-group limit) rather than a full per-node window sort.
+    */
+  private[graft] def step(und: DataFrame, labels: DataFrame): DataFrame = {
+    val cand = und
+      .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+      .select(col("dst").as("id"), col("label"))
+    cand.groupBy(col("id"), col("label"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("c").desc, col("label").asc)))
+      .where(col("rn") === 1)
+      .select(col("id"), col("label"))
   }
 
   /** DuckDB oracle: the same rounds unrolled as CTEs over the same edge

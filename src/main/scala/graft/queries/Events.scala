@@ -492,32 +492,47 @@ object Events {
     // you DROP at scale, as with the other sketch rows); the sample cut
     // itself is a per-day WindowGroupLimit (plan-asserted in spec), so
     // each map task ships at most EvQK rows per day.
-    "ev_value_quantiles" -> ((s, dir) => {
-      val P = graft.text.TextOps.P
-      val ev = Tables(s, dir, "events")
-        .selectExpr("date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day",
-          "event_id", "value", s"event_id % $P AS h")
-        .selectExpr("day", "event_id", "value",
-          s"${graft.text.TextOps.spark.kmvMix("h")} AS hm")
-        .localCheckpoint(true) // feeds the exact and the sampled path
-      val exact = quantileSelect(
-        ev, Window.partitionBy(col("day")).orderBy(col("value"), col("event_id")),
-        "ex")
-      val sample = quantileSelect(
-        // value joins the cut's order key so duplicate (hm, event_id)
-        // rows — replayed events — resolve the boundary deterministically
-        // and identically to the streaming twin's multiset buffer.
-        ev.withColumn("rs", row_number().over(
-            Window.partitionBy(col("day"))
-              .orderBy(col("hm"), col("event_id"), col("value"))))
-          .where(col("rs") <= EvQK).drop("rs"),
-        Window.partitionBy(col("day")).orderBy(col("value"), col("event_id")),
-        "sp")
-      exact.join(sample, Seq("day"))
-        .selectExpr("day", "CAST(ex_n AS BIGINT) AS n",
-          "ex_p50", "ex_p90", "ex_p99", "sp_p50", "sp_p90", "sp_p99")
-    })
+    "ev_value_quantiles" -> ((s, dir) =>
+      evValueQuantiles(Tables(s, dir, "events")))
   )
+
+  /** `ev_value_quantiles` body over any `(ts, event_id, value)` events
+    * frame — extracted so the null-value contract below is unit-testable
+    * against the streaming twin on a synthetic frame.
+    */
+  private[graft] def evValueQuantiles(events: DataFrame): DataFrame = {
+    val P = graft.text.TextOps.P
+    val ev = events
+      .selectExpr("date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day",
+        "event_id", "value", s"event_id % $P AS h")
+      .selectExpr("day", "event_id", "value",
+        s"${graft.text.TextOps.spark.kmvMix("h")} AS hm")
+      .localCheckpoint(true) // feeds the exact and the sampled path
+    val exact = quantileSelect(
+      ev, Window.partitionBy(col("day")).orderBy(col("value"), col("event_id")),
+      "ex")
+    val sample = quantileSelect(
+      // value joins the cut's order key so duplicate (hm, event_id)
+      // rows — replayed events — resolve the boundary deterministically
+      // and identically to the streaming twin's multiset buffer. The
+      // null-value filter matches the twin's BottomKSample.update, which
+      // skips null-valued rows — without it a null row would consume one
+      // of the k sample slots here and not in the stream, silently
+      // narrowing the stream≡batch contract to non-null corpora. (The
+      // exact ex_* companions are the documented drop-at-scale oracle
+      // ride-alongs and assume non-null values, like the raw order-by
+      // they need.)
+      ev.where(col("value").isNotNull)
+        .withColumn("rs", row_number().over(
+          Window.partitionBy(col("day"))
+            .orderBy(col("hm"), col("event_id"), col("value"))))
+        .where(col("rs") <= EvQK).drop("rs"),
+      Window.partitionBy(col("day")).orderBy(col("value"), col("event_id")),
+      "sp")
+    exact.join(sample, Seq("day"))
+      .selectExpr("day", "CAST(ex_n AS BIGINT) AS n",
+        "ex_p50", "ex_p90", "ex_p99", "sp_p50", "sp_p90", "sp_p99")
+  }
 
   /** `ev_value_quantiles` sample size: 64 events per day — bigger than
     * sf0.001's ~30 events/day (sample ≡ population there, sampled =
@@ -785,7 +800,8 @@ object Events {
          |  FROM exr GROUP BY day),
          |smp AS (SELECT day, event_id, value FROM (
          |  SELECT day, event_id, value, row_number() OVER (
-         |    PARTITION BY day ORDER BY hm, event_id, value) AS rs FROM e)
+         |    PARTITION BY day ORDER BY hm, event_id, value) AS rs FROM e
+         |  WHERE value IS NOT NULL)
          |  WHERE rs <= $EvQK),
          |sxr AS (SELECT day, value,
          |  row_number() OVER (PARTITION BY day ORDER BY value, event_id) AS rn,

@@ -36,6 +36,24 @@ class SampleAggSpec extends SparkSpec {
     got.values.foreach(vs => assert(vs.length == k))
   }
 
+  test("-0.0 normalizes to 0.0 in the buffer: a zero-signed boundary row " +
+      "cannot select a different survivor than Spark SQL's sort") {
+    // Spark's sort (SQLOrderingUtil) treats -0.0 == 0.0; the buffer's
+    // Scala Ordering would sort -0.0 FIRST. Without normalization the
+    // second add below would evict the first (distinct key, lt = true);
+    // with it the key is identical and the full buffer drops the row.
+    val b = new SampleBuffer(1)
+    b.add(1L, 1L, 0.0)
+    b.add(1L, 1L, -0.0)
+    assert(b.map.size == 1)
+    assert(b.map.head._2 == 1L)
+    assert(java.lang.Double.doubleToRawLongBits(b.map.head._1._3) == 0L)
+    // and -0.0 arriving FIRST still surfaces as +0.0 bits
+    val c = new SampleBuffer(1)
+    c.add(1L, 1L, -0.0)
+    assert(java.lang.Double.doubleToRawLongBits(c.map.head._1._3) == 0L)
+  }
+
   test("duplicate-id rows each count, exactly like the batch rs <= k cut") {
     SampleFunctions.register(spark)
     import spark.implicits._

@@ -26,6 +26,16 @@ class LabelPropSpec extends SparkSpec {
       10L -> 10L, 11L -> 11L))
   }
 
+  test("the per-round argmax cut compiles to WindowGroupLimit, not a " +
+      "full per-node window sort") {
+    val und = GraphOps.symmetrize(toyEdges)
+    val labels = und.select(col("src").as("id"))
+      .distinct().select(col("id"), col("id").as("label"))
+    val plan = LabelProp.step(und, labels)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("g_label_prop: labels refine connected components and the run is " +
       "deterministic") {
     val Q = graft.queries.Graph

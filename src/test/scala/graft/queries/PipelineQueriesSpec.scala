@@ -314,10 +314,16 @@ class PipelineQueriesSpec extends SparkSpec {
         r6(grams.distinct.length.toDouble / grams.length)))
     }).toMap
     assert(rows == want)
-    // structural sanity on any natural-ish corpus: diversity grows in n
+    // structural sanity on any natural-ish corpus: diversity grows in n —
+    // non-strictly, because a small or fully-distinct source saturates a
+    // ratio at 1.0 and consecutive ratios legitimately tie there.
     rows.keys.map(_._1).foreach { src =>
-      assert(rows((src, 1))._3 < rows((src, 2))._3 &&
-        rows((src, 2))._3 < rows((src, 3))._3)
+      assert(rows((src, 1))._3 <= rows((src, 2))._3 &&
+        rows((src, 2))._3 <= rows((src, 3))._3)
+      assert(rows((src, 1))._3 < rows((src, 2))._3 ||
+        rows((src, 2))._3 == 1.0)
+      assert(rows((src, 2))._3 < rows((src, 3))._3 ||
+        rows((src, 3))._3 == 1.0)
     }
   }
 

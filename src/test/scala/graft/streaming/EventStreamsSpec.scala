@@ -170,6 +170,51 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("null-valued events consume no sample slot in EITHER engine: the " +
+      "batch cut's null filter matches the twin's update skip") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val E = graft.queries.Events
+    val T = graft.text.TextOps
+    val ts = java.sql.Timestamp.valueOf("2024-03-05 10:00:00")
+    // 100 events on one day, ids 0..99: ids ≡ 0,1,2 (mod 10) carry a NULL
+    // value, the rest value = id. Fixture sanity below proves at least one
+    // null id lands INSIDE the bottom-EvQK hash cut, i.e. without the
+    // batch-side null filter the null row would claim a sample slot there
+    // (evicting a real value) while the stream twin skips it.
+    val rows = (0L until 100L).map { id =>
+      (id, ts, if (id % 10 < 3) None else Some(id.toDouble))
+    }
+    val nullIds = rows.filter(_._3.isEmpty).map(_._1).toSet
+    val bottomK = rows.map(_._1).sortBy(id => T.kmvMix(id % T.P))
+      .take(E.EvQK).toSet
+    assert((bottomK & nullIds).nonEmpty, "fixture lost its point")
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Option[Double])]
+    val df = input.toDF().toDF("event_id", "ts", "value")
+    val q = dailyValueQuantiles(df).writeStream
+      .format("memory").queryName("dvq_null").outputMode("complete").start()
+    val got = try {
+      input.addData(rows)
+      q.processAllAvailable()
+      spark.table("dvq_null").collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4))).toSet
+    } finally q.stop()
+
+    val nonNull = rows.count(_._3.nonEmpty)
+    val batch = E.evValueQuantiles(
+        rows.toDF("event_id", "ts", "value"))
+      .selectExpr("day", s"CAST(${math.min(nonNull, E.EvQK)} AS INT) AS n_sample",
+        "sp_p50", "sp_p90", "sp_p99").collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4))).toSet
+    assert(got == batch)
+    assert(got.head._2 == E.EvQK) // the day sampled k NON-null rows
+  }
+
   test("streaming hopping-window counts equal the batch query on full replay") {
     val s = spark
     import s.implicits._
