@@ -1,56 +1,79 @@
 package graft.media
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.ByteBuffer
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (beyond-reference roadmap, SURVEY §7.5):
-  * image/audio/video payloads are opaque `binary` columns with typed
-  * metadata; decode / feature-extraction run as per-partition batch
-  * kernels over the bytes.
+  * image/video payloads are opaque `binary` columns with typed metadata;
+  * decode / resize / frame-sample / feature-extraction run as narrow
+  * per-partition kernels over the bytes, and payloads NEVER shuffle —
+  * every wide exchange downstream moves fixed-width metadata (dims,
+  * checksums), the only topology that survives 100 TB of media.
   *
-  * The container has no image/audio codecs, so [[decodeStub]] is a
-  * clearly-marked DETERMINISTIC FAKE (a rolling byte hash standing in for
-  * a real decoder); everything around it — the binary schema, the
-  * partition-parallel batch shape, the typed output schema — is the real
-  * production plumbing and is tested. Swap `fakeDecode` for a codec call
-  * (e.g. JNI image decode) without touching the Spark topology.
+  * The codecs are REAL: payloads are valid PNG images encoded and decoded
+  * with the JDK's `javax.imageio` (offline-safe, no external codec
+  * libraries), "video" payloads are a length-prefixed PNG frame sequence
+  * parsed and per-frame decoded. What keeps the rows ORACLE-CHECKABLE is
+  * the fixture construction: the corpus has no image files, so each
+  * document deterministically GENERATES its image — dimensions and pixels
+  * are pure integer functions of the document text's rolling byte hash —
+  * and PNG is lossless, so the decoded raster must reproduce the
+  * generative formula bit-for-bit. The DuckDB oracle replays the formula
+  * (never touching PNG), which makes the hash compare an end-to-end test
+  * of the ENCODE → DECODE round trip: a channel swap, row-order bug,
+  * stride error or lossy step anywhere in the codec path breaks the row.
   *
-  * Scale shape: payloads never visit the driver; decode is a narrow
-  * per-partition map (no shuffle); metadata columns are pruned
-  * independently of payload bytes by Parquet column pruning.
+  * The checksum/byte folds are ASCII-equal to the oracle's char-level
+  * fold over `text` (the corpus is pure ASCII — documented precondition,
+  * same as the text rows).
   */
 object MediaOps {
 
   final case class Media(doc_id: Long, kind: String, payload: Array[Byte])
   final case class MediaMeta(
-      doc_id: Long, n_bytes: Long, checksum: Long, width: Int, height: Int)
-  final case class MediaFeature(doc_id: Long, feature: Array[Float])
+      doc_id: Long, width: Int, height: Int, channels: Int,
+      n_pixels: Long, checksum: Long)
   final case class MediaFrame(
-      doc_id: Long, frame_idx: Int, n_bytes: Long, checksum: Long)
-  final case class MediaResized(doc_id: Long, n_bytes: Long, checksum: Long)
+      doc_id: Long, frame_idx: Int, width: Int, height: Int, checksum: Long)
+  final case class MediaResized(
+      doc_id: Long, width: Int, height: Int, checksum: Long)
+  final case class MediaFeature(doc_id: Long, feature: Array[Float])
 
   val P = 1000000007L
 
-  /** Frame size (bytes) and keep-every-N stride for [[frameSample]]. */
-  val FrameBytes = 256
+  /** Generative image model — the deterministic fixture both engines can
+    * compute. From the text hash `th`:
+    *   width  = 16 + th % 17          ∈ [16, 32]
+    *   height = 12 + (th / 17) % 13   ∈ [12, 24]
+    *   pixel channel value at linear index i (row-major, RGB interleaved,
+    *   i = (y·width + x)·3 + c) of frame f:
+    *     v = ((th·(i+1) + 7919·f) mod P) mod 256
+    *   frames = 1 + th % MaxFrames    ∈ [1, MaxFrames]
+    * The multiply-mod-P keeps the pixel stream a FULL-RANGE function of
+    * th: two documents generate the same image only if their text hashes
+    * collide outright. (An additive `(s0 + c·i) mod 256` form only sees
+    * s0 mod 256 and is geometry-blind — 500 docs produced 5 spurious
+    * image collisions against the text-side dedup.) th·(i+1) ≤ P·2305,
+    * far below 2⁶³, so both engines evaluate it exactly.
+    */
+  val MaxFrames = 4
+
+  /** Keep-every-N frame stride for [[frameSample]]. */
   val FrameEvery = 2
 
-  /** Target payload size for [[resizeStub]]. */
-  val ResizeTarget = 1024
+  /** Nearest-neighbor resize target for [[resize]]. */
+  val ResizeW = 8
+  val ResizeH = 8
 
-  /** Build a binary media table from the documents table (the corpus's
-    * stand-in payload: UTF-8 bytes of the text).
-    */
-  def fromDocuments(spark: SparkSession, sfDir: String): Dataset[Media] = {
-    import spark.implicits._
-    graft.Tables(spark, sfDir, "documents")
-      .select(col("doc_id"), lit("text/plain").as("kind"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as[Media]
-  }
-
-  /** Rolling byte hash mod [[P]] — the deterministic checksum used in
-    * place of a real decoder's output.
+  /** Rolling byte hash mod [[P]] over the UTF-8 text bytes — the content
+    * key every generative parameter derives from (duplicate documents →
+    * identical images, which is what makes `m_media_dedup` meaningful).
     */
   def byteHash(bytes: Array[Byte]): Long = {
     var h = 0L
@@ -62,111 +85,229 @@ object MediaOps {
     h
   }
 
-  /** ----- STUBBED DECODE -----
-    * A real implementation would parse the container format and return
-    * true (width, height). No codec ships in this environment, so the
-    * dimensions are a deterministic function of the bytes. The Spark
-    * plumbing (binary in, typed struct out, per-partition batching) is
-    * the production shape.
-    */
-  def fakeDecode(payload: Array[Byte]): (Int, Int) = {
-    val h = byteHash(payload)
-    ((h % 640).toInt, ((h / 640) % 480).toInt)
-  }
+  def widthOf(th: Long): Int = 16 + (th % 17).toInt
+  def heightOf(th: Long): Int = 12 + ((th / 17) % 13).toInt
+  def framesOf(th: Long): Int = 1 + (th % MaxFrames).toInt
 
-  /** Decode metadata per partition (narrow map over the binary column). */
-  def decodeStub(media: Dataset[Media]): Dataset[MediaMeta] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { it =>
-      it.map { m =>
-        val (w, h) = fakeDecode(m.payload)
-        MediaMeta(m.doc_id, m.payload.length.toLong, byteHash(m.payload), w, h)
+  def pixelValue(th: Long, frame: Int, i: Long): Int =
+    (((th * (i + 1) + 7919L * frame) % P) % 256).toInt
+
+  /** Render frame `f` of the generative model and ENCODE it as real PNG
+    * bytes via `javax.imageio` (deterministic within a JRE; downstream
+    * rows never key on the encoded bytes, only on decoded pixels).
+    */
+  def encodePng(th: Long, frame: Int): Array[Byte] = {
+    val (w, h) = (widthOf(th), heightOf(th))
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y.toLong * w + x) * 3
+        val r = pixelValue(th, frame, i)
+        val g = pixelValue(th, frame, i + 1)
+        val b = pixelValue(th, frame, i + 2)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
       }
+      y += 1
     }
+    ImageIO.setUseCache(false) // in-memory streams; no temp-file cache
+    val bos = new ByteArrayOutputStream()
+    require(ImageIO.write(img, "png", bos), "no PNG encoder in this JRE")
+    bos.toByteArray
   }
 
-  /** Feature extraction stub: 8 deterministic floats per payload (the
-    * batch shape a real embedding model would use — batched per
-    * partition, fixed-width output).
+  /** Decode PNG bytes back to a raster (real `javax.imageio` parse). */
+  def decodePng(bytes: Array[Byte]): BufferedImage = {
+    ImageIO.setUseCache(false)
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a decodable image")
+    img
+  }
+
+  /** Rolling checksum over the DECODED raster: R, G, B per pixel in
+    * row-major order, folded as (acc·31 + v) mod [[P]] — the quantity the
+    * oracle recomputes from the generative formula.
     */
-  def featureStub(media: Dataset[Media]): Dataset[MediaFeature] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { it =>
-      it.map { m =>
-        val f = new Array[Float](8)
-        var h = byteHash(m.payload)
-        var i = 0
-        while (i < 8) {
-          h = (h * 31 + i + 1) % P
-          f(i) = (h % 1000).toFloat / 1000f
-          i += 1
-        }
-        MediaFeature(m.doc_id, f)
+  def pixelChecksum(img: BufferedImage): Long = {
+    var acc = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        acc = (acc * 31 + ((rgb >> 16) & 0xff)) % P
+        acc = (acc * 31 + ((rgb >> 8) & 0xff)) % P
+        acc = (acc * 31 + (rgb & 0xff)) % P
+        x += 1
       }
+      y += 1
     }
+    acc
   }
 
-  /** ----- FRAME SAMPLING -----
-    * Video-style frame sampling over the opaque payload: the byte stream
-    * is cut into [[FrameBytes]]-sized frames and every [[FrameEvery]]-th
-    * frame is emitted as its own row — the flatMap (explode) shape real
-    * frame extraction uses, one row per kept frame, payload never on the
-    * driver. A real implementation would seek keyframes in the container;
-    * the fixed-stride cut is the deterministic stand-in.
+  /** Image table: one real PNG payload per document (frame 0 of the
+    * generative model). Narrow per-partition kernel; the payload column
+    * is `binary` and never shuffles downstream.
     */
-  def frameSample(media: Dataset[Media],
-      frameBytes: Int = FrameBytes, every: Int = FrameEvery): Dataset[MediaFrame] = {
-    import media.sparkSession.implicits._
-    media.flatMap { m =>
-      val n = m.payload.length
-      val frames = (n + frameBytes - 1) / frameBytes
-      (0 until frames).iterator
-        .filter(_ % every == 0)
-        .map { i =>
-          val from = i * frameBytes
-          val until = math.min(from + frameBytes, n)
-          val frame = java.util.Arrays.copyOfRange(m.payload, from, until)
-          MediaFrame(m.doc_id, i, frame.length.toLong, byteHash(frame))
+  def imagesFromDocuments(spark: SparkSession, sfDir: String): Dataset[Media] = {
+    import spark.implicits._
+    graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val th = byteHash(text.getBytes("UTF-8"))
+        Media(id, "image/png", encodePng(th, 0))
+      })
+  }
+
+  /** Video table: a length-prefixed PNG frame sequence per document —
+    * `frames` copies of [4-byte big-endian length][PNG bytes]. A trivial
+    * but REAL container format: [[frameSample]] must parse it and decode
+    * each kept frame.
+    */
+  def videosFromDocuments(spark: SparkSession, sfDir: String): Dataset[Media] = {
+    import spark.implicits._
+    graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val th = byteHash(text.getBytes("UTF-8"))
+        val bos = new ByteArrayOutputStream()
+        var f = 0
+        val n = framesOf(th)
+        while (f < n) {
+          val png = encodePng(th, f)
+          bos.write(ByteBuffer.allocate(4).putInt(png.length).array())
+          bos.write(png)
+          f += 1
         }
-    }
+        Media(id, "video/png-seq", bos.toByteArray)
+      })
   }
 
-  /** ----- STUBBED RESIZE -----
-    * Downsample the payload to at most [[ResizeTarget]] bytes by keeping
-    * every stride-th byte (stride = ceil(n/target)) — a pixel-decimation
-    * stand-in with the production topology: binary in, binary-derived
-    * metadata out, narrow per-partition map, no shuffle.
+  /** Decode metadata per partition: REAL PNG parse → width / height /
+    * channel count straight from the decoded image, plus the raster
+    * checksum. Narrow map over the binary column.
     */
-  def resizeStub(media: Dataset[Media], target: Int = ResizeTarget): Dataset[MediaResized] = {
+  def decodeMeta(media: Dataset[Media]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
-      val n = m.payload.length
-      val stride = math.max(1, (n + target - 1) / target)
-      val kept = new Array[Byte]((n + stride - 1) / stride)
-      var i = 0
-      while (i < kept.length) { kept(i) = m.payload(i * stride); i += 1 }
-      MediaResized(m.doc_id, kept.length.toLong, byteHash(kept))
+      val img = decodePng(m.payload)
+      MediaMeta(m.doc_id, img.getWidth, img.getHeight,
+        img.getColorModel.getNumComponents,
+        img.getWidth.toLong * img.getHeight, pixelChecksum(img))
     })
   }
 
-  /** Metadata DataFrame for the query surface (checksum/byte-count are
-    * ASCII-equal to a char-level fold, which is what the DuckDB oracle
-    * replays — the corpus is pure ASCII).
+  /** Deterministic nearest-neighbor resize of the DECODED raster to
+    * [[ResizeW]]×[[ResizeH]]: source pixel (tx·w/W, ty·h/H) by integer
+    * division — bit-reproducible (no area averaging, no float math), so
+    * the oracle can replay the source-index arithmetic exactly.
     */
-  def metaDf(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    decodeStub(fromDocuments(spark, sfDir)).toDF()
+  def resize(media: Dataset[Media]): Dataset[MediaResized] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val img = decodePng(m.payload)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new BufferedImage(ResizeW, ResizeH, BufferedImage.TYPE_INT_RGB)
+      var ty = 0
+      while (ty < ResizeH) {
+        var tx = 0
+        while (tx < ResizeW) {
+          out.setRGB(tx, ty, img.getRGB(tx * w / ResizeW, ty * h / ResizeH))
+          tx += 1
+        }
+        ty += 1
+      }
+      MediaResized(m.doc_id, ResizeW, ResizeH, pixelChecksum(out))
+    })
   }
+
+  /** Frame sampling over the video container: parse the length-prefixed
+    * sequence, DECODE every [[FrameEvery]]-th frame with the real codec,
+    * emit one metadata row per kept frame — the flatMap (explode) shape
+    * real keyframe extraction uses; payload bytes never leave the task.
+    */
+  def frameSample(media: Dataset[Media],
+      every: Int = FrameEvery): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val bb = ByteBuffer.wrap(m.payload)
+      val frames = Iterator.continually {
+        if (bb.remaining() < 4) None
+        else {
+          val len = bb.getInt()
+          val png = new Array[Byte](len)
+          bb.get(png)
+          Some(png)
+        }
+      }.takeWhile(_.isDefined).map(_.get).toArray
+      frames.iterator.zipWithIndex
+        .filter { case (_, f) => f % every == 0 }
+        .map { case (png, f) =>
+          val img = decodePng(png)
+          MediaFrame(m.doc_id, f, img.getWidth, img.getHeight,
+            pixelChecksum(img))
+        }
+    }
+  }
+
+  /** Feature extraction over REAL decoded pixels: 8 floats per image —
+    * per-channel means (3), overall luminance mean (1), and the four
+    * quadrant luminance means — the fixed-width per-partition batch shape
+    * an embedding model would use. Pixel sums are integers; only the
+    * final divisions are float, so the vector is deterministic.
+    */
+  def features(media: Dataset[Media]): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val img = decodePng(m.payload)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val chan = new Array[Long](3)
+      val quad = new Array[Long](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          chan(0) += r; chan(1) += g; chan(2) += b
+          quad((if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)) +=
+            (r + g + b)
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val f = new Array[Float](8)
+      f(0) = chan(0).toFloat / n; f(1) = chan(1).toFloat / n
+      f(2) = chan(2).toFloat / n
+      f(3) = (chan(0) + chan(1) + chan(2)).toFloat / (3 * n)
+      // quadrant sizes: ceil/floor split along each axis
+      val (hw0, hh0) = ((w + 1) / 2, (h + 1) / 2)
+      val sizes = Array(hw0.toLong * hh0, (w - hw0).toLong * hh0,
+        hw0.toLong * (h - hh0), (w - hw0).toLong * (h - hh0))
+      var q = 0
+      while (q < 4) {
+        f(4 + q) = if (sizes(q) == 0) 0f else quad(q).toFloat / (3 * sizes(q))
+        q += 1
+      }
+      MediaFeature(m.doc_id, f)
+    })
+  }
+
+  /** Metadata DataFrame for the query surface. */
+  def metaDf(spark: SparkSession, sfDir: String): DataFrame =
+    decodeMeta(imagesFromDocuments(spark, sfDir)).toDF()
 
   /** Frame-sample DataFrame for the query surface. */
-  def framesDf(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    frameSample(fromDocuments(spark, sfDir)).toDF()
-  }
+  def framesDf(spark: SparkSession, sfDir: String): DataFrame =
+    frameSample(videosFromDocuments(spark, sfDir)).toDF()
 
   /** Resize DataFrame for the query surface. */
-  def resizedDf(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    resizeStub(fromDocuments(spark, sfDir)).toDF()
-  }
+  def resizedDf(spark: SparkSession, sfDir: String): DataFrame =
+    resize(imagesFromDocuments(spark, sfDir)).toDF()
 }

@@ -1,83 +1,179 @@
 package graft.media
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+
+import javax.imageio.ImageIO
+
 import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
 class MediaOpsSpec extends SparkSpec {
 
-  test("binary payload round-trips the document bytes") {
-    val media = MediaOps.fromDocuments(spark, sfDir).collect()
+  /** Formula-side checksum: what the DuckDB oracle computes — folds the
+    * GENERATIVE channel values, never touching PNG.
+    */
+  private def formulaChecksum(th: Long, frame: Int): Long = {
+    val n = MediaOps.widthOf(th).toLong * MediaOps.heightOf(th) * 3
+    var (acc, i) = (0L, 0L)
+    while (i < n) {
+      acc = (acc * 31 + MediaOps.pixelValue(th, frame, i)) % MediaOps.P
+      i += 1
+    }
+    acc
+  }
+
+  test("payloads are REAL PNGs: magic bytes, decodable, dims from the " +
+      "generative model") {
+    val media = MediaOps.imagesFromDocuments(spark, sfDir).collect()
     val texts = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(media.length == texts.size)
     media.take(20).foreach { m =>
-      assert(new String(m.payload, "UTF-8") == texts(m.doc_id))
+      val sig = m.payload.take(8).map(_ & 0xff)
+      assert(sig.sameElements(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a,
+        0x1a, 0x0a)), "not a PNG signature")
+      val th = MediaOps.byteHash(texts(m.doc_id).getBytes("UTF-8"))
+      val img = MediaOps.decodePng(m.payload)
+      assert(img.getWidth == MediaOps.widthOf(th))
+      assert(img.getHeight == MediaOps.heightOf(th))
     }
   }
 
-  test("decode stub emits deterministic typed metadata") {
-    val meta = MediaOps.decodeStub(MediaOps.fromDocuments(spark, sfDir))
-      .collect().map(m => m.doc_id -> m).toMap
+  test("encode → decode round-trips the generated raster exactly: decoded " +
+      "checksum equals the formula fold the oracle replays") {
+    val meta = graft.queries.Media.queries("m_media_meta")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r).toMap
     val texts = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     texts.take(20).foreach { case (id, t) =>
-      val m = meta(id)
-      assert(m.n_bytes == t.getBytes("UTF-8").length)
-      assert(m.checksum == MediaOps.byteHash(t.getBytes("UTF-8")))
-      assert(m.width == (m.checksum % 640).toInt)
-      assert(m.height == ((m.checksum / 640) % 480).toInt)
+      val th = MediaOps.byteHash(t.getBytes("UTF-8"))
+      val row = meta(id)
+      assert(row.getInt(1) == MediaOps.widthOf(th))
+      assert(row.getInt(2) == MediaOps.heightOf(th))
+      assert(row.getInt(3) == 3) // decoded PNG RGB channel count
+      assert(row.getLong(4) ==
+        MediaOps.widthOf(th).toLong * MediaOps.heightOf(th))
+      assert(row.getLong(5) == formulaChecksum(th, 0))
     }
   }
 
-  test("feature stub is fixed-width and deterministic") {
-    val a = MediaOps.featureStub(MediaOps.fromDocuments(spark, sfDir))
-      .collect().map(f => f.doc_id -> f.feature.toSeq).toMap
-    val b = MediaOps.featureStub(MediaOps.fromDocuments(spark, sfDir))
-      .collect().map(f => f.doc_id -> f.feature.toSeq).toMap
-    assert(a == b)
-    assert(a.values.forall(_.length == 8))
+  /** A REAL image fixture built with plain ImageIO in the test — NOT via
+    * MediaOps.encodePng — so the decode kernel is exercised on bytes it
+    * did not produce.
+    */
+  private def handPng(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, "png", bos))
+    bos.toByteArray
   }
 
-  test("frame sampling: kept frames cover every-Nth stride, checksums match bytes") {
-    val media = MediaOps.fromDocuments(spark, sfDir)
-    val frames = MediaOps.frameSample(media).collect()
-      .groupBy(_.doc_id).view.mapValues(_.sortBy(_.frame_idx)).toMap
-    val payloads = media.collect().map(m => m.doc_id -> m.payload).toMap
-    payloads.take(20).foreach { case (id, bytes) =>
-      val total = (bytes.length + MediaOps.FrameBytes - 1) / MediaOps.FrameBytes
-      val kept = (0 until total).filter(_ % MediaOps.FrameEvery == 0)
-      val got = frames.getOrElse(id, Array.empty[MediaOps.MediaFrame])
-      assert(got.map(_.frame_idx).toSeq == kept)
-      got.foreach { fr =>
-        val from = fr.frame_idx * MediaOps.FrameBytes
-        val until = math.min(from + MediaOps.FrameBytes, bytes.length)
-        val expect = java.util.Arrays.copyOfRange(bytes, from, until)
-        assert(fr.n_bytes == expect.length.toLong)
-        assert(fr.checksum == MediaOps.byteHash(expect))
+  test("decodeMeta on a hand-built real PNG: exact dims, channels and " +
+      "pixel checksum") {
+    val s = spark
+    import s.implicits._
+    // 2×2: red, green / blue, white
+    val png = handPng(2, 2, {
+      case (0, 0) => 0xff0000; case (1, 0) => 0x00ff00
+      case (0, 1) => 0x0000ff; case _ => 0xffffff
+    })
+    val got = MediaOps.decodeMeta(
+      Seq(MediaOps.Media(7L, "image/png", png)).toDS()).collect()(0)
+    val expect = Seq(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255)
+      .foldLeft(0L)((a, v) => (a * 31 + v) % MediaOps.P)
+    assert(got == MediaOps.MediaMeta(7L, 2, 2, 3, 4L, expect))
+  }
+
+  test("resize is exact nearest-neighbor: hand-replayed source indices on " +
+      "a hand-built PNG") {
+    val s = spark
+    import s.implicits._
+    // 4×2 gradient: value encodes (x, y) so NN picks are identifiable
+    def v(x: Int, y: Int) = (y * 4 + x) * 20
+    val png = handPng(4, 2, (x, y) => { val g = v(x, y); (g << 16) | (g << 8) | g })
+    val got = MediaOps.resize(
+      Seq(MediaOps.Media(3L, "image/png", png)).toDS()).collect()(0)
+    var acc = 0L
+    for (ty <- 0 until MediaOps.ResizeH; tx <- 0 until MediaOps.ResizeW) {
+      val g = v(tx * 4 / MediaOps.ResizeW, ty * 2 / MediaOps.ResizeH)
+      for (_ <- 0 until 3) acc = (acc * 31 + g) % MediaOps.P
+    }
+    assert(got == MediaOps.MediaResized(3L, MediaOps.ResizeW,
+      MediaOps.ResizeH, acc))
+  }
+
+  test("frameSample parses the container and decodes every kept frame") {
+    val s = spark
+    import s.implicits._
+    // hand-built 3-frame container with distinct dims per frame
+    val pngs = Seq(handPng(2, 2, (_, _) => 0x102030),
+      handPng(3, 2, (_, _) => 0x405060), handPng(2, 3, (_, _) => 0x708090))
+    val bos = new ByteArrayOutputStream()
+    pngs.foreach { p =>
+      bos.write(ByteBuffer.allocate(4).putInt(p.length).array()); bos.write(p)
+    }
+    val got = MediaOps.frameSample(
+        Seq(MediaOps.Media(9L, "video/png-seq", bos.toByteArray)).toDS())
+      .collect().sortBy(_.frame_idx)
+    def cks(v: Seq[Int], n: Int) =
+      Seq.fill(n)(v).flatten.foldLeft(0L)((a, x) => (a * 31 + x) % MediaOps.P)
+    assert(got.toSeq == Seq(
+      MediaOps.MediaFrame(9L, 0, 2, 2, cks(Seq(0x10, 0x20, 0x30), 4)),
+      MediaOps.MediaFrame(9L, 2, 2, 3, cks(Seq(0x70, 0x80, 0x90), 6))))
+  }
+
+  test("video payloads: frame count from the model, per-frame checksums " +
+      "equal the formula fold") {
+    val frames = graft.queries.Media.queries("m_media_frames")(spark, sfDir)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1))).toMap
+    val texts = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.take(20).foreach { case (id, t) =>
+      val th = MediaOps.byteHash(t.getBytes("UTF-8"))
+      val kept = (0 until MediaOps.framesOf(th))
+        .filter(_ % MediaOps.FrameEvery == 0)
+      val got = frames(id)
+      assert(got.map(_.getInt(1)).toSeq == kept)
+      got.foreach { r =>
+        assert(r.getLong(4) == formulaChecksum(th, r.getInt(1)))
       }
     }
   }
 
-  test("resize stub bounds output size and is stride-exact") {
-    val media = MediaOps.fromDocuments(spark, sfDir)
-    val resized = MediaOps.resizeStub(media).collect().map(r => r.doc_id -> r).toMap
-    val payloads = media.collect().map(m => m.doc_id -> m.payload).toMap
-    payloads.take(20).foreach { case (id, bytes) =>
-      val r = resized(id)
-      assert(r.n_bytes <= MediaOps.ResizeTarget)
-      val stride = math.max(1, (bytes.length + MediaOps.ResizeTarget - 1) / MediaOps.ResizeTarget)
-      val kept = (0 until (bytes.length + stride - 1) / stride)
-        .map(i => bytes(i * stride)).toArray
-      assert(r.n_bytes == kept.length.toLong)
-      assert(r.checksum == MediaOps.byteHash(kept))
-    }
+  test("features are real pixel statistics: channel means on a hand-built " +
+      "PNG, fixed width, deterministic") {
+    val s = spark
+    import s.implicits._
+    val png = handPng(2, 2, {
+      case (0, 0) => 0xff0000; case (1, 0) => 0x00ff00
+      case (0, 1) => 0x0000ff; case _ => 0xffffff
+    })
+    val f = MediaOps.features(
+      Seq(MediaOps.Media(1L, "image/png", png)).toDS()).collect()(0).feature
+    assert(f.length == 8)
+    assert(f(0) == 510f / 4 && f(1) == 510f / 4 && f(2) == 510f / 4)
+    assert(f(3) == 1530f / 12)
+    // quadrants of a 2×2 are single pixels: luma mean = pixel mean
+    assert(f(4) == 255f / 3 && f(5) == 255f / 3 && f(6) == 255f / 3 &&
+      f(7) == 255f)
+    val again = MediaOps.features(MediaOps.imagesFromDocuments(spark, sfDir))
+      .collect().map(x => x.doc_id -> x.feature.toSeq).toMap
+    val first = MediaOps.features(MediaOps.imagesFromDocuments(spark, sfDir))
+      .collect().map(x => x.doc_id -> x.feature.toSeq).toMap
+    assert(again == first)
   }
 
   test("payload dedup groups agree with the text-side exact dedup") {
-    // both key on document CONTENT (rolling byte checksum here, xxhash64
-    // of the text there) — keeper sets and copy counts must coincide
+    // both key on document CONTENT (decoded-raster checksum here — equal
+    // texts generate equal images — xxhash64 of the text there): keeper
+    // sets and copy counts must coincide
     val media = graft.queries.Media.queries("m_media_dedup")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     val text = graft.queries.Text.queries("d_dedup_exact")(spark, sfDir)
