@@ -189,6 +189,53 @@ object GraphOps {
       .distinct()
   }
 
+  /** SQL text of [[lineitemFlickrGraph]] for DuckDB oracles — the same
+    * hash chain through [[graft.text.TextOps.duck.kmvMix]] (the engines'
+    * two kmvMix spellings are spec-pinned equal), the same DOUBLE
+    * quotient, quadratic map, least() guard, self-loop filter and
+    * symmetrize+dedup. This is what lets a correctness row run a PPR
+    * kernel over the HUB-SKEWED regime and still be hash-checked: the
+    * oracle derives the identical skewed edge set inside DuckDB.
+    */
+  def lineitemFlickrGraphSql(mod: Int, fan: Int): String = {
+    val P = graft.text.TextOps.P
+    val duck = graft.text.TextOps.duck
+    val u = s"(h2 / (CAST($P AS DOUBLE) * CAST($P AS DOUBLE)))"
+    // nested WITH (legal in a DuckDB subquery, so callers can embed this
+    // as `AS MATERIALIZED (...)` like every other graph derivation);
+    // `half` itself MATERIALIZED — the symmetrize union reads it twice.
+    s"""WITH fl_half AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src,
+       |      least(CAST(floor($u * $u * $mod) AS BIGINT), ${mod - 1}) AS dst
+       |    FROM (
+       |      SELECT h1 % $mod AS src,
+       |        ${duck.kmvMix(s"((h1 + 40503) % $P)")} AS h2
+       |      FROM (
+       |        SELECT ${duck.kmvMix(
+                  s"((ok * 1000003 + pk * 7919 + j * 104729) % $P)")} AS h1
+       |        FROM (
+       |          SELECT CAST(l_orderkey AS BIGINT) AS ok,
+       |            CAST(l_partkey AS BIGINT) AS pk,
+       |            unnest(range(0, $fan)) AS j
+       |          FROM lineitem) e0) h1t) h2t) d
+       |  WHERE src <> dst)
+       |SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM fl_half
+       |  UNION ALL SELECT dst AS src, src AS dst FROM fl_half) u0""".stripMargin
+  }
+
+  private val flickrCsrCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Csr]
+
+  /** Load-once CSR of [[lineitemFlickrGraph]] (symmetric, so the same
+    * snapshot serves forward and reverse adjacency).
+    */
+  def lineitemFlickrCsr(spark: SparkSession, sfDir: String, mod: Int,
+      fan: Int): Csr =
+    flickrCsrCache.getOrElseUpdate((sfDir, mod, fan),
+      buildCsr(lineitemFlickrGraph(spark, sfDir, mod, fan)))
+
   /** SQL text of [[lineitemSubgraph]] for DuckDB oracles. */
   def lineitemSubgraphSql(mod: Int, qtyMax: Int): String =
     s"SELECT DISTINCT l_orderkey % $mod AS src, l_partkey % $mod AS dst " +

@@ -41,6 +41,24 @@ object Graph {
   // schedule, replayed exactly by the unrolled-SQL oracles).
   val PushRmax = 1e-5
   val PushSupersteps = 20
+
+  /** `g_bwdsearch_skew` — the HUB-SKEW octave's oracle-checked row: the
+    * quadratic power-law derivation ([[GraphOps.lineitemFlickrGraph]])
+    * downscaled to mod 1009 / fan 4 so the unrolled DuckDB replay stays
+    * tractable while keeping the saturated-hub degree profile (max degree
+    * ≈ the node count, ~10-40× the tail — GraphOpsSpec pins the ratio).
+    * Every other correctness row runs on ≤ ~30-avg-degree graphs; a
+    * kernel bug only visible under hub skew (accumulation order, degree
+    * division at the hubs) is invisible to those. Targets: both saturated
+    * hubs (0, 1) and a tail node. Fewer supersteps than `g_bwdsearch` —
+    * the dense graph saturates the frontier immediately, so each oracle
+    * round joins ~|E| rows per target and 10 rounds bound the replay.
+    */
+  val SkewMod = 1009
+  val SkewFan = 4
+  val SkewTargets: Seq[Long] = Seq(0L, 1L, 500L)
+  val SkewRmax = 1e-4
+  val SkewSupersteps = 10
   // BASE all-pair runs on a smaller graph (mod 101) so the all-targets
   // DuckDB oracle stays cheap; threshold applied on the ROUNDED score on
   // both sides to avoid boundary flapping.
@@ -348,6 +366,19 @@ object Graph {
         .where(col("score") =!= 0.0)
     }),
 
+    // K8 on the hub-skewed octave (see [[SkewMod]]'s scaladoc): the same
+    // batched sparse kernel over the symmetric power-law snapshot — the
+    // reverse adjacency IS the forward adjacency there, and out-degree
+    // equals in-degree, so one CSR serves both kernel inputs.
+    "g_bwdsearch_skew" -> ((s, dir) => {
+      val csr = GraphOps.lineitemFlickrCsr(s, dir, SkewMod, SkewFan)
+      val fwdDeg = Array.tabulate(csr.numNodes)(csr.outDegree)
+      BackwardSearch.batch(s, csr, fwdDeg, SkewTargets, Alpha, SkewRmax,
+          SkewSupersteps)
+        .select(col("dst"), col("node_id"), round(col("score"), 9).as("score"))
+        .where(col("score") =!= 0.0)
+    }),
+
     // K9: BASE all-pair preprocessing table (threshold on rounded score).
     "g_base_allpair" -> ((s, dir) => {
       val edges = GraphOps.lineitemGraph(s, dir, BaseMod)
@@ -533,6 +564,11 @@ object Graph {
               graphSql, Seq(SingleSource), Alpha, PushRmax, PushSupersteps)})""",
       "g_bwdsearch" -> BackwardSearch.oracleSqlMulti(
         graphSql, targetsValues, Alpha, PushRmax, PushSupersteps),
+      "g_bwdsearch_skew" -> BackwardSearch.oracleSqlMulti(
+        GraphOps.lineitemFlickrGraphSql(SkewMod, SkewFan),
+        "SELECT CAST(t AS BIGINT) AS t FROM (VALUES " +
+          SkewTargets.map(t => s"($t)").mkString(", ") + ") v(t)",
+        Alpha, SkewRmax, SkewSupersteps),
       // Stochastic rows: the oracle replays the deterministic reduce over
       // the run's materialized walk/push artifacts (paths and ω recorded
       // by the query via VerifyArtifacts when it ran — Verify dumps

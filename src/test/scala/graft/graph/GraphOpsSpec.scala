@@ -70,4 +70,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.lineitemFlickrGraph(spark, sfDir)
       .exceptAll(g).count() == 0)
   }
+
+  test("the g_bwdsearch_skew fixture keeps the hub-skew profile at its " +
+      "downscaled mod, and every oracle target exists in the snapshot") {
+    val Q = graft.queries.Graph
+    val g = GraphOps.lineitemFlickrGraph(spark, sfDir, Q.SkewMod, Q.SkewFan)
+      .localCheckpoint(true)
+    // hub skew survives the downscale: the quadratic map saturates the
+    // low-id hubs near mod while the tail stays sparse
+    val degs = g.groupBy("src").agg(count(lit(1)).as("d"))
+      .select(max(col("d")), expr("percentile_approx(d, 0.5)")).collect()(0)
+    val (maxD, medD) = (degs.getLong(0), degs.getLong(1))
+    assert(maxD >= 10 * math.max(1L, medD), s"max $maxD median $medD")
+    // every skew target exists in the snapshot (the oracle seeds them
+    // unconditionally, so a missing one would silently drop rows)
+    val csr = GraphOps.lineitemFlickrCsr(spark, sfDir, Q.SkewMod, Q.SkewFan)
+    Q.SkewTargets.foreach(t => assert(csr.denseOf(t) >= 0, s"target $t"))
+    // (the DuckDB-dialect twin SQL cannot execute under Spark — xor()/>>
+    // spellings differ by design; edge-set equality across engines is
+    // pinned END TO END by the g_bwdsearch_skew correctness row, whose
+    // oracle derives the graph in DuckDB and hash-matches the kernel
+    // output over it at both verify scales)
+  }
 }
