@@ -988,15 +988,25 @@ object Text {
     * round a distributed freq-weighted pair count + 1-row driver argmax
     * with deterministic tie-break.
     */
-  private def bpeTrain(s: SparkSession, dir: String):
-      (Seq[(Int, String, String, Long)],
-        org.apache.spark.sql.Dataset[(String, Array[String], Long)]) = {
+  /** Stage 1 of BOTH trainer paths: the one corpus-scale shuffle folding
+    * the text into the (word, freq) dictionary — vocabulary-sized, not
+    * corpus-sized.
+    */
+  private[queries] def bpeFoldCorpus(s: SparkSession, dir: String):
+      org.apache.spark.sql.Dataset[(String, Long)] = {
     import s.implicits._
-    var words = Tables(s, dir, "documents")
+    Tables(s, dir, "documents")
       .select(col("text")).as[String]
       .flatMap(_.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1))
       .filter(_.nonEmpty)
       .groupByKey(identity).count()
+  }
+
+  private def bpeTrain(s: SparkSession, dir: String):
+      (Seq[(Int, String, String, Long)],
+        org.apache.spark.sql.Dataset[(String, Array[String], Long)]) = {
+    import s.implicits._
+    var words = bpeFoldCorpus(s, dir)
       .map { case (wd, f) => (wd, codePointSyms(wd), f) }
       .localCheckpoint(true)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
@@ -1022,6 +1032,78 @@ object Text {
         .localCheckpoint(true)
     }
     (merges.result(), words)
+  }
+
+  /** PRODUCTION-PATH BPE trainer (the shape `d_bpe_vocab`'s scaladoc
+    * documents): the SAME stage-1 corpus fold ([[bpeFoldCorpus]] — the
+    * only corpus-scale work at 100 TB), then the ENTIRE merge loop runs
+    * driver-locally over the collected vocabulary-sized dictionary —
+    * zero Spark jobs per round, so 30k merges cost 30k in-memory passes
+    * over the dictionary instead of 30k distributed jobs at a fixed
+    * per-job floor. Spec-pinned equal to [[bpeTrain]]'s distributed
+    * per-round path on the demo corpus, and run for 200+ merges there
+    * (PipelineQueriesSpec) to demonstrate the round count the
+    * distributed demo loop cannot afford. Stops early when no adjacent
+    * pair remains (the natural trainer exit; the fixed-round distributed
+    * path fails loudly instead because its unrolled oracle needs the
+    * full schedule).
+    */
+  private[queries] def bpeTrainLocal(s: SparkSession, dir: String,
+      rounds: Int): Seq[(Int, String, String, Long)] =
+    bpeLocalMerges(bpeFoldCorpus(s, dir).collect(), rounds)
+
+  /** The driver-local merge loop over a folded (word, freq) dictionary.
+    * Identical semantics to the distributed rounds: freq-weighted
+    * adjacent-pair counts, argmax with the (count DESC, a ASC, b ASC)
+    * tie-break under CODE-POINT string order (== Spark's binary UTF8
+    * sort; Java's compareTo is UTF-16 and would diverge on supplementary
+    * characters), greedy non-overlapping rewrite via [[bpeApply]].
+    */
+  private[queries] def bpeLocalMerges(dict: Array[(String, Long)],
+      rounds: Int): Seq[(Int, String, String, Long)] = {
+    // code-point comparison == UTF-8 byte order == Spark UTF8String sort
+    def cpLt(x: String, y: String): Boolean = {
+      var i = 0
+      var j = 0
+      while (i < x.length && j < y.length) {
+        val cx = x.codePointAt(i)
+        val cy = y.codePointAt(j)
+        if (cx != cy) return cx < cy
+        i += Character.charCount(cx)
+        j += Character.charCount(cy)
+      }
+      x.length - i < y.length - j
+    }
+    var words = dict.map { case (wd, f) => (codePointSyms(wd), f) }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.foreach { e =>
+          if (best == null || e._2 > best._2 ||
+            (e._2 == best._2 && (cpLt(e._1._1, best._1._1) ||
+              (e._1._1 == best._1._1 && cpLt(e._1._2, best._1._2)))))
+            best = e
+        }
+        val ((a, b), c) = best
+        merges += ((r, a, b, c))
+        words = words.map { case (syms, f) => (bpeApply(syms, a, b), f) }
+        r += 1
+      }
+    }
+    merges.result()
   }
 
   /** Exact-verify threshold for [[queries]]' `d_ngram_pairs`. */

@@ -371,6 +371,30 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(rows.exists(_._4 == 1) && rows.exists(_._4 == 0))
   }
 
+  test("production-path BPE: the driver-local merge loop equals the " +
+      "distributed per-round path and affords a 200-merge schedule") {
+    val demo = Text.queries("d_bpe_vocab")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // same stage-1 fold, merge loop on the collected dictionary: merges
+    // identical to the distributed rounds, tie-breaks included
+    assert(Text.bpeTrainLocal(spark, sfDir, Text.BpeRounds) == demo)
+    // the production round count the per-round distributed loop cannot
+    // afford (200 sequential Spark jobs): the local loop is a prefix-
+    // stable greedy, so the first BpeRounds merges must coincide
+    val long = Text.bpeTrainLocal(spark, sfDir, 200)
+    assert(long.take(Text.BpeRounds) == demo)
+    assert(long.length > Text.BpeRounds)
+    // greedy invariant: the picked pair count never increases round over
+    // round (a post-merge pair's count is bounded by the merged pair's)
+    long.sliding(2).foreach {
+      case Seq(x, y) => assert(y._4 <= x._4, s"$x then $y")
+      case _ =>
+    }
+    // deterministic end to end
+    assert(Text.bpeTrainLocal(spark, sfDir, 200) == long)
+  }
+
   test("d_bpe_encode equals an independent in-memory train-then-apply") {
     val df = Text.queries("d_bpe_encode")(spark, sfDir)
     // scale shape: the word→symbol-count dictionary joins as a
