@@ -83,4 +83,45 @@ class GridTrendSpec extends SparkSpec {
     checkTrend("got_grid_mc", rows("got_grid_mc"), stepTol = 0.05)
     checkTrend("got_grid_mc_topk", rows("got_grid_mc_topk"), stepTol = 0.05)
   }
+
+  /** LIBRARY (GraphX) is the one family whose grid evidence lives in the
+    * committed golden log rather than an oracle-checked query row (its
+    * reproduction is FullGridSpec's byte-for-byte check). Its knob is an
+    * iteration COUNT — more iterations must not degrade quality. Parsed
+    * straight from the golden, so the asserted numbers are exactly the
+    * ones the slow spec proves the engine reproduces.
+    */
+  test("LIBRARY quality is non-degrading as iterations grow (golden rows)") {
+    val lines = scala.io.Source.fromInputStream(
+        getClass.getResourceAsStream("/got_full_golden.txt")).getLines().toSeq
+    def section(tag: String): Seq[Array[String]] = {
+      val from = lines.indexWhere(_.endsWith(tag))
+      assert(from >= 0, s"golden section $tag missing")
+      lines.drop(from + 1).takeWhile(_.trim.nonEmpty).map(_.split(","))
+    }
+    // Test 1 whole-graph: iters, T, max_err — err non-increasing
+    val wg = section("1.3 LIBRARY").map(c => (c(0).toInt, c(2).toDouble))
+    assert(wg.map(_._1) == wg.map(_._1).sorted && wg.size >= 5)
+    wg.sliding(2).foreach {
+      case Seq((i0, e0), (i1, e1)) =>
+        assert(e1 <= e0, s"whole-graph max_err rose $e0 -> $e1 at $i0 -> $i1")
+      case _ => ()
+    }
+    // Test 2 top-k: iters, k, T, precision, ndcg — both non-decreasing
+    val tk = section("2.3 LIBRARY")
+      .map(c => (c(0).toInt, c(3).toDouble, c(4).toDouble))
+    tk.sliding(2).foreach {
+      case Seq((i0, p0, n0), (i1, p1, n1)) =>
+        assert(p1 >= p0, s"top-k precision dropped $p0 -> $p1 at $i0 -> $i1")
+        assert(n1 >= n0, s"top-k ndcg dropped $n0 -> $n1 at $i0 -> $i1")
+      case _ => ()
+    }
+    // Test 3 prep: iters, -1.0, T, B, max_err — err non-increasing
+    val pr = section("3.3 LIBRARY").map(c => (c(0).toInt, c(4).toDouble))
+    pr.sliding(2).foreach {
+      case Seq((i0, e0), (i1, e1)) =>
+        assert(e1 <= e0, s"prep max_err rose $e0 -> $e1 at $i0 -> $i1")
+      case _ => ()
+    }
+  }
 }
