@@ -44,6 +44,7 @@ object MediaOps {
   final case class MediaResized(
       doc_id: Long, width: Int, height: Int, checksum: Long)
   final case class MediaFeature(doc_id: Long, feature: Array[Float])
+  final case class MediaHash(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
 
   val P = 1000000007L
 
@@ -53,14 +54,18 @@ object MediaOps {
     *   height = 12 + (th / 17) % 13   ∈ [12, 24]
     *   pixel channel value at linear index i (row-major, RGB interleaved,
     *   i = (y·width + x)·3 + c) of frame f:
-    *     v = ((th·(i+1) + 7919·f) mod P) mod 256
+    *     v = kmvMix((th + 7919·f + i) mod P) mod 256
     *   frames = 1 + th % MaxFrames    ∈ [1, MaxFrames]
-    * The multiply-mod-P keeps the pixel stream a FULL-RANGE function of
-    * th: two documents generate the same image only if their text hashes
-    * collide outright. (An additive `(s0 + c·i) mod 256` form only sees
-    * s0 mod 256 and is geometry-blind — 500 docs produced 5 spurious
-    * image collisions against the text-side dedup.) th·(i+1) ≤ P·2305,
-    * far below 2⁶³, so both engines evaluate it exactly.
+    * The kmvMix whitening (the dual-rendered multiply-xor-shift hash
+    * every sketch row shares, [[graft.text.TextOps.kmvMix]]) makes the
+    * pixel stream NONLINEAR in both th and i. Earlier forms failed in
+    * instructive ways: `(s0 + c·i) mod 256` only sees s0 mod 256 and is
+    * geometry-blind (5 spurious image collisions against the text-side
+    * dedup in 500 docs), and `(th·(i+1) mod P) mod 256` — full-range for
+    * the checksum — still made two documents' rasters DIFFER by a linear
+    * progression mod 256, which correlates thresholded aHash bits enough
+    * to fake near-duplicates at Hamming 3-8. With the mix, the minimum
+    * distinct-text aHash distance measures 16 at both verify scales.
     */
   val MaxFrames = 4
 
@@ -90,7 +95,7 @@ object MediaOps {
   def framesOf(th: Long): Int = 1 + (th % MaxFrames).toInt
 
   def pixelValue(th: Long, frame: Int, i: Long): Int =
-    (((th * (i + 1) + 7919L * frame) % P) % 256).toInt
+    (graft.text.TextOps.kmvMix((th + 7919L * frame + i) % P) % 256).toInt
 
   /** Render frame `f` of the generative model and ENCODE it as real PNG
     * bytes via `javax.imageio` (deterministic within a JRE; downstream
@@ -147,20 +152,23 @@ object MediaOps {
     acc
   }
 
-  /** Image table: one real PNG payload per document (frame 0 of the
-    * generative model). Narrow per-partition kernel; the payload column
-    * is `binary` and never shuffles downstream.
+  /** Image table over any `(doc_id, text)` frame: one real PNG payload
+    * per row (frame 0 of the generative model). Narrow per-partition
+    * kernel; the payload column is `binary` and never shuffles
+    * downstream.
     */
-  def imagesFromDocuments(spark: SparkSession, sfDir: String): Dataset[Media] = {
-    import spark.implicits._
-    graft.Tables(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text"))
+  def imagesFrom(docs: DataFrame): Dataset[Media] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val th = byteHash(text.getBytes("UTF-8"))
         Media(id, "image/png", encodePng(th, 0))
       })
   }
+
+  def imagesFromDocuments(spark: SparkSession, sfDir: String): Dataset[Media] =
+    imagesFrom(graft.Tables(spark, sfDir, "documents"))
 
   /** Video table: a length-prefixed PNG frame sequence per document —
     * `frames` copies of [4-byte big-endian length][PNG bytes]. A trivial
@@ -254,6 +262,48 @@ object MediaOps {
     }
   }
 
+  /** Perceptual average-hash (aHash) over the REAL decoded raster — the
+    * standard near-duplicate signature for images: nearest-neighbor
+    * resize to 8×8 (the same integer source-index arithmetic as
+    * [[resize]]), integer grayscale (r+g+b)/3 per target pixel, threshold
+    * at the integer mean (Σ/64), bit k (row-major target index) set iff
+    * gray(k) > mean. The 64 bits are returned as FOUR 16-bit band values
+    * — the LSH banding the near-dup join buckets on — assembled
+    * non-negative by construction, so neither engine ever shifts a signed
+    * 64-bit value (arithmetic-shift sign semantics cannot diverge).
+    * All-integer end to end; the DuckDB oracle replays it from the
+    * generative pixel model.
+    */
+  def aHashBands(img: BufferedImage): Array[Int] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val gray = new Array[Int](64)
+    var sum = 0
+    var k = 0
+    while (k < 64) {
+      val rgb = img.getRGB((k % 8) * w / 8, (k / 8) * h / 8)
+      gray(k) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+      sum += gray(k)
+      k += 1
+    }
+    val mean = sum / 64
+    val bands = new Array[Int](4)
+    k = 0
+    while (k < 64) {
+      if (gray(k) > mean) bands(k / 16) |= 1 << (k % 16)
+      k += 1
+    }
+    bands
+  }
+
+  /** Per-document perceptual hash rows (narrow decode + aHash kernel). */
+  def perceptualHash(media: Dataset[Media]): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val b = aHashBands(decodePng(m.payload))
+      MediaHash(m.doc_id, b(0), b(1), b(2), b(3))
+    })
+  }
+
   /** Feature extraction over REAL decoded pixels: 8 floats per image —
     * per-channel means (3), overall luminance mean (1), and the four
     * quadrant luminance means — the fixed-width per-partition batch shape
@@ -302,6 +352,10 @@ object MediaOps {
   /** Metadata DataFrame for the query surface. */
   def metaDf(spark: SparkSession, sfDir: String): DataFrame =
     decodeMeta(imagesFromDocuments(spark, sfDir)).toDF()
+
+  /** Perceptual-hash DataFrame for the query surface. */
+  def hashDf(spark: SparkSession, sfDir: String): DataFrame =
+    perceptualHash(imagesFromDocuments(spark, sfDir)).toDF()
 
   /** Frame-sample DataFrame for the query surface. */
   def framesDf(spark: SparkSession, sfDir: String): DataFrame =

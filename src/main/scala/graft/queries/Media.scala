@@ -16,10 +16,77 @@ import graft.media.MediaOps
   */
 object Media {
 
+  /** `m_media_neardup` verify threshold: duplicate images land at
+    * Hamming 0 while unrelated whitened rasters measure ≥ 16 at both
+    * verify scales, so the band-collision candidates the LSH join
+    * surfaces are decisively rejected (the split is pinned in
+    * MediaOpsSpec).
+    */
+  val NearDupMaxHamming = 6
+
+  /** The verify corpora contain no duplicate documents (sf0.001/sf0.01
+    * measure zero repeated texts), so the near-dup row would be
+    * vacuously empty there. Its fixture therefore RE-INGESTS a
+    * deterministic subset — every doc with id ≡ [[ReplicaRes]] (mod
+    * [[ReplicaMod]]) re-enters under id + [[ReplicaOffset]] with the same
+    * text — the "same image re-crawled under a new key" case a real
+    * media pipeline dedups. Both engines apply the identical union, so
+    * the row stays hash-checked with ~|docs|/29 true-positive pairs at
+    * every scale.
+    */
+  val ReplicaMod = 29
+  val ReplicaRes = 3
+  val ReplicaOffset = 1000000L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_media_meta" -> ((s, dir) => MediaOps.metaDf(s, dir)),
     "m_media_frames" -> ((s, dir) => MediaOps.framesDf(s, dir)),
     "m_media_resize" -> ((s, dir) => MediaOps.resizedDf(s, dir)),
+
+    // Per-image perceptual hash (aHash over the decoded raster) as four
+    // 16-bit LSH bands — the fixed-width signature the near-dup join
+    // buckets on. The image twin of the text side's MinHash signature
+    // table.
+    "m_media_phash" -> ((s, dir) => MediaOps.hashDf(s, dir)),
+
+    // Image NEAR-duplicate pairs — the multimodal twin of d_minhash_lsh:
+    // banded candidate generation (equi-join on any shared 16-bit band;
+    // at 100 TB the only wide exchange moves (band, id) pairs — never an
+    // all-pairs comparison, never pixel data) + exact Hamming verify over
+    // the full 64-bit signature on the candidate set only. Exact dupes
+    // collide on all 4 bands and verify at Hamming 0; random band
+    // collisions (~1 per 2^16 pairs per band) verify near 32 and are
+    // rejected by [[NearDupMaxHamming]].
+    "m_media_neardup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val withReplicas = docs.unionAll(
+        docs.where(col("doc_id") % ReplicaMod === ReplicaRes)
+          .select((col("doc_id") + ReplicaOffset).as("doc_id"), col("text")))
+      // reused by the band explode and both verify joins: checkpoint so
+      // the decode+hash kernel runs once, not four times
+      val h = MediaOps.perceptualHash(MediaOps.imagesFrom(withReplicas))
+        .toDF().localCheckpoint(true)
+      val lng = Seq("b0", "b1", "b2", "b3").zipWithIndex.map { case (c, i) =>
+        h.select(col("doc_id"), lit(i).as("bi"), col(c).as("bv"))
+      }.reduce(_.unionAll(_))
+      val cand = lng.as("x").join(lng.as("y"),
+          col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val ha = h.select(col("doc_id").as("doc_a"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+      val hb = h.select(col("doc_id").as("doc_b"), col("b0").as("c0"),
+        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+      cand.join(ha, Seq("doc_a")).join(hb, Seq("doc_b"))
+        .withColumn("hamming", expr(
+          "CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+            "bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS INT)"))
+        .where(col("hamming") <= NearDupMaxHamming)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    }),
 
     // Binary-payload exact dedup — the multimodal twin of
     // `d_dedup_exact`: group on the fixed-width (checksum, n_pixels)
@@ -48,40 +115,91 @@ object Media {
   private def codesOf(strExpr: String): String =
     s"list_transform(string_split($strExpr, ''), ch -> CAST(ord(ch) AS BIGINT))"
 
+  /** One generative pixel value — the oracle twin of
+    * [[MediaOps.pixelValue]]: kmvMix((th + 7919·f + i) mod P) mod 256.
+    * Expects column `th` in scope.
+    */
+  private def pix(i: String, f: String = "0"): String =
+    s"(${graft.text.TextOps.duck.kmvMix(
+      s"((th + 7919 * ($f) + ($i)) % ${MediaOps.P})")} % 256)"
+
   /** Raster checksum of frame `f` under the generative model: fold over
-    * the w·ih·3 channel values v(i) = ((th·(i+1) + 7919·f) mod P) mod 256
-    * — the full-range pixel function of [[MediaOps.pixelValue]]. Expects
-    * columns `w`, `ih`, `th` in scope.
+    * the w·ih·3 channel values. Expects columns `w`, `ih`, `th` in scope.
     */
   private def rasterChecksum(f: String): String =
-    fold(s"list_transform(range(0, w * ih * 3), " +
-      s"i -> ((th * (i + 1) + 7919 * ($f)) % ${MediaOps.P}) % 256)")
+    fold(s"list_transform(range(0, w * ih * 3), i -> ${pix("i", f)})")
 
-  /** The generative-parameter CTE chain shared by all four oracles:
+  /** The generative-parameter CTE chain shared by all media oracles:
     * th (text hash) → w, ih — the mirror of [[MediaOps.widthOf]] /
-    * heightOf.
+    * heightOf. `docsSql` is the (doc_id, text) source — `documents` for
+    * most rows, the replica-augmented union for the near-dup row.
     */
-  private def paramsCte: String =
+  private def paramsCte(
+      docsSql: String = "SELECT doc_id, text FROM documents"): String =
     s"""WITH th_t AS (SELECT doc_id, ${fold(codesOf("text"))} AS th
-       |  FROM documents),
+       |  FROM ($docsSql)),
        |p AS (SELECT doc_id, th, 16 + th % 17 AS w,
        |  12 + (th // 17) % 13 AS ih FROM th_t)""".stripMargin
 
+  private def replicaDocsSql: String =
+    s"""SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + $ReplicaOffset AS doc_id, text
+       |  FROM documents WHERE doc_id % $ReplicaMod = $ReplicaRes""".stripMargin
+
+  /** aHash replay: gray(k) for target pixel k under the nearest-neighbor
+    * 8×8 resize of the generative raster; band j assembles bits 16j..16j+15
+    * non-negative (no signed-shift semantics in either engine).
+    */
+  private def phashCte(
+      docsSql: String = "SELECT doc_id, text FROM documents"): String = {
+    val base = "((((k // 8) * ih) // 8) * w + (((k % 8) * w) // 8)) * 3"
+    val gray = s"((${pix(s"$base + 0")} + ${pix(s"$base + 1")} + " +
+      s"${pix(s"$base + 2")}) // 3)"
+    def band(j: Int): String =
+      s"CAST(list_sum(list_transform(range(0, 16), t -> " +
+        s"CASE WHEN gray[${j * 16} + t + 1] > mean THEN (1 << t) " +
+        s"ELSE 0 END)) AS INT)"
+    s"""${paramsCte(docsSql)},
+       |pg AS (SELECT doc_id,
+       |  list_transform(range(0, 64), k -> $gray) AS gray FROM p),
+       |pm AS (SELECT doc_id, gray, list_sum(gray) // 64 AS mean FROM pg),
+       |ph AS MATERIALIZED (SELECT doc_id, ${band(0)} AS b0, ${band(1)} AS b1,
+       |  ${band(2)} AS b2, ${band(3)} AS b3 FROM pm)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "m_media_phash" -> s"${phashCte()}\nSELECT doc_id, b0, b1, b2, b3 FROM ph",
+    "m_media_neardup" ->
+      s"""${phashCte(replicaDocsSql)},
+         |lng AS (SELECT doc_id, 0 AS bi, b0 AS bv FROM ph
+         |  UNION ALL SELECT doc_id, 1, b1 FROM ph
+         |  UNION ALL SELECT doc_id, 2, b2 FROM ph
+         |  UNION ALL SELECT doc_id, 3, b3 FROM ph),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM lng x JOIN lng y
+         |  ON y.bi = x.bi AND y.bv = x.bv AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+         |      bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+         |      AS INT) AS hamming
+         |  FROM cand c JOIN ph a ON a.doc_id = c.doc_a
+         |  JOIN ph b ON b.doc_id = c.doc_b) v
+         |WHERE hamming <= $NearDupMaxHamming""".stripMargin,
     "m_media_meta" ->
-      s"""$paramsCte
+      s"""${paramsCte()}
          |SELECT doc_id, CAST(w AS INT) AS width, CAST(ih AS INT) AS height,
          |  3 AS channels, CAST(w * ih AS BIGINT) AS n_pixels,
          |  ${rasterChecksum("0")} AS checksum
          |FROM p""".stripMargin,
     "m_media_dedup" ->
-      s"""$paramsCte,
+      s"""${paramsCte()},
          |meta AS (SELECT doc_id, CAST(w * ih AS BIGINT) AS n_pixels,
          |  ${rasterChecksum("0")} AS checksum FROM p)
          |SELECT min(doc_id) AS keep_id, n_pixels, count(*) AS n_copies
          |FROM meta GROUP BY checksum, n_pixels""".stripMargin,
     "m_media_frames" ->
-      s"""$paramsCte,
+      s"""${paramsCte()},
          |fr AS (SELECT doc_id, w, ih, th,
          |  unnest(range(0, 1 + th % ${MediaOps.MaxFrames})) AS f FROM p)
          |SELECT doc_id, CAST(f AS INT) AS frame_idx,
@@ -96,11 +214,10 @@ object Media {
       val n = tw * thh * 3
       val sy = s"(((j // ${tw * 3}) * ih) // $thh)"
       val sx = s"((((j % ${tw * 3}) // 3) * w) // $tw)"
-      s"""$paramsCte
+      s"""${paramsCte()}
          |SELECT doc_id, $tw AS width, $thh AS height,
          |  ${fold(s"list_transform(range(0, $n), j -> " +
-              s"((th * (($sy * w + $sx) * 3 + j % 3 + 1)) % ${MediaOps.P})" +
-              s" % 256)")} AS checksum
+              pix(s"($sy * w + $sx) * 3 + j % 3") + ")")} AS checksum
          |FROM p""".stripMargin
     }
   )

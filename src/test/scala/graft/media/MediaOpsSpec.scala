@@ -170,6 +170,43 @@ class MediaOpsSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("aHash: uniform raster hashes to all-zero bands; a half-bright " +
+      "raster sets exactly the bright target columns") {
+    val uni = MediaOps.decodePng(handPng(10, 6, (_, _) => 0x808080))
+    assert(MediaOps.aHashBands(uni).toSeq == Seq(0, 0, 0, 0))
+    // 16×8, left half white, right half black: NN picks sx = 2·tx, so
+    // target columns 0-3 are bright in every row → per-row bit pattern
+    // 0x0F, two rows per 16-bit band → every band 0x0F0F
+    val half = MediaOps.decodePng(
+      handPng(16, 8, (x, _) => if (x < 8) 0xffffff else 0x000000))
+    assert(MediaOps.aHashBands(half).toSeq == Seq(0x0f0f, 0x0f0f, 0x0f0f, 0x0f0f))
+  }
+
+  test("m_media_neardup finds exactly the identical-image pairs: banded " +
+      "candidates verify at Hamming 0, random band collisions are rejected") {
+    val M = graft.queries.Media
+    val got = M.queries("m_media_neardup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    got.foreach { case (_, _, h) => assert(h == 0) } // whitened rasters
+    // expected pairs: rows of the replica-augmented doc set sharing the
+    // exact text generate identical images (all C(k,2) pairs per
+    // duplicate-text group, smaller id first)
+    val base = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val all = base ++ base.collect {
+      case (id, t) if id % M.ReplicaMod == M.ReplicaRes =>
+        (id + M.ReplicaOffset, t)
+    }
+    val want = all.groupBy(_._2).values.flatMap { g =>
+      val ids = g.map(_._1).sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length)
+        yield (ids(i), ids(j), 0)
+    }.toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fixture has no duplicate images — test is vacuous")
+  }
+
   test("payload dedup groups agree with the text-side exact dedup") {
     // both key on document CONTENT (decoded-raster checksum here — equal
     // texts generate equal images — xxhash64 of the text there): keeper
