@@ -127,19 +127,27 @@ object GraphOps {
     * nodes no matter the mod; mixing the orderkey into the dst spreads
     * the 600 k (orderkey, partkey) pairs across the full mod range. At
     * mod = 334863 (Com-Amazon's node count, BASELINE.md Table 3) this
-    * yields 301,160 nodes / 599,935 directed edges from sf0.1 —
-    * node-count parity with Com-Amazon (0.9×), edge count ~1/3 of its
-    * 1.85 M directed. Deterministic, like every benchmark derivation.
+    * yields 301,160 nodes / 599,935 directed edges from sf0.1 at fan 1 —
+    * node-count parity with Com-Amazon (0.9×). `fan` emits that many
+    * j-shifted pairs per lineitem row (j = 0 reproduces the fan-1
+    * derivation exactly): fan 3 at sf0.1 reaches 1.79 M directed edges /
+    * 325 k nodes — node AND edge parity with Com-Amazon's 334,863 /
+    * 1.85 M directed (edges within 3%). Deterministic, like every
+    * benchmark derivation.
     */
   def lineitemMixGraph(spark: SparkSession, sfDir: String,
-      mod: Int): DataFrame = {
+      mod: Int, fan: Int = 1): DataFrame = {
     val li = graft.Tables(spark, sfDir, "lineitem")
     li.select(
-        (col("l_orderkey") % mod).as("src"),
+        col("l_orderkey").cast("long").as("ok"),
+        col("l_partkey").cast("long").as("pk"),
+        explode(sequence(lit(0), lit(fan - 1))).as("j"))
+      .select(
+        ((col("ok") + col("j") * 97561L) % mod).as("src"),
         // widen BEFORE the multiply: a 32-bit parquet orderkey at real
         // dbgen scale (~6M·SF) would overflow Int under ·7 and wrap to
         // negative node ids.
-        ((col("l_orderkey").cast("long") * 7 + col("l_partkey")) % mod).as("dst"))
+        ((col("ok") * 7 + col("pk") + col("j") * 40503L) % mod).as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
   }

@@ -11,9 +11,11 @@ import graft.ppr.{Base, Fora}
   * derivation `g_triangles` uses: ~20k nodes / ~600k directed edges at
   * sf0.1 — edge-count parity with Dissertation Table 3's BlogCatalog at
   * 10,312 nodes / 667,966 directed edges, ~2× its node count), on a
-  * Com-Amazon-scale synthetic ([[GraphOps.lineitemMixGraph]] mod 334863:
-  * ~301k nodes / ~600k directed edges vs Com-Amazon's 334,863 nodes) —
-  * the third scale octave, 187× GOT's node count — and on a
+  * Com-Amazon-scale synthetic ([[GraphOps.lineitemMixGraph]] mod 334863
+  * fan 3: ~325k nodes / ~1.79M directed edges vs Com-Amazon's 334,863
+  * nodes / 1.85M directed — node AND edge parity since round 10; the
+  * fan-1 round-9 octave measured the same node count at 1/3 the edges) —
+  * the third scale octave, ~200× GOT's node count — and on a
   * Flickr-scale EDGE-HEAVY synthetic ([[GraphOps.lineitemFlickrGraph]]:
   * ~80.5k nodes / ~11.9M directed edges with ~18.6k-degree hubs,
   * node+edge parity with Flickr's 80,513 / 11,799,764) — the
@@ -117,7 +119,7 @@ object ThroughputBench {
     // the reference's Com-Amazon BASE PREP grid is empty because BASE
     // prep OOMs there, Dissertation §5.3 — completing it here at all is
     // the structurally-OOM-free claim's second octave).
-    measure("amz", GraphOps.lineitemMixGraph(spark, sfDir, 334863)
+    measure("amz", GraphOps.lineitemMixGraph(spark, sfDir, 334863, fan = 3)
         .localCheckpoint(true),
       foraEps = 5.0, topkEps = 5.0, baseThreshold = 4.0e-5)
     // Flickr-scale synthetic — the EDGE-HEAVY octave: ~80.5k nodes /
