@@ -207,6 +207,34 @@ class MediaOpsSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture has no duplicate images — test is vacuous")
   }
 
+  test("codec idempotence: decode → re-encode → decode preserves every " +
+      "pixel, and the kernels handle non-toy rasters") {
+    // re-encoding a decoded image and decoding again must reproduce the
+    // raster exactly (PNG is lossless both ways) — pins that no stage of
+    // the codec path quantizes, color-manages or subsamples
+    (0 until 10).foreach { k =>
+      val png = MediaOps.encodePng(1000003L * (k + 1) + 17, k % 3)
+      val img = MediaOps.decodePng(png)
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, "png", bos))
+      val again = MediaOps.decodePng(bos.toByteArray)
+      assert(MediaOps.pixelChecksum(again) == MediaOps.pixelChecksum(img))
+      assert(MediaOps.aHashBands(again).toSeq ==
+        MediaOps.aHashBands(img).toSeq)
+    }
+    // the kernels are not bounded to the fixture's 32×24: a 1024×768
+    // hand-built PNG decodes, resizes and hashes fine
+    val big = handPng(1024, 768, (x, y) => ((x ^ y) & 0xff) * 0x010101)
+    val img = MediaOps.decodePng(big)
+    assert(img.getWidth == 1024 && img.getHeight == 768)
+    assert(MediaOps.aHashBands(img).length == 4)
+    val s = spark
+    import s.implicits._
+    val r = MediaOps.resize(
+      Seq(MediaOps.Media(1L, "image/png", big)).toDS()).collect()(0)
+    assert(r.width == MediaOps.ResizeW && r.height == MediaOps.ResizeH)
+  }
+
   test("payload dedup groups agree with the text-side exact dedup") {
     // both key on document CONTENT (decoded-raster checksum here — equal
     // texts generate equal images — xxhash64 of the text there): keeper
