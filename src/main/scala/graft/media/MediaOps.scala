@@ -45,6 +45,8 @@ object MediaOps {
       doc_id: Long, width: Int, height: Int, checksum: Long)
   final case class MediaFeature(doc_id: Long, feature: Array[Float])
   final case class MediaHash(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+  final case class FrameHash(
+      doc_id: Long, frame_idx: Int, b0: Int, b1: Int, b2: Int, b3: Int)
 
   val P = 1000000007L
 
@@ -170,15 +172,15 @@ object MediaOps {
   def imagesFromDocuments(spark: SparkSession, sfDir: String): Dataset[Media] =
     imagesFrom(graft.Tables(spark, sfDir, "documents"))
 
-  /** Video table: a length-prefixed PNG frame sequence per document —
-    * `frames` copies of [4-byte big-endian length][PNG bytes]. A trivial
-    * but REAL container format: [[frameSample]] must parse it and decode
-    * each kept frame.
+  /** Video table over any `(doc_id, text)` frame: a length-prefixed PNG
+    * frame sequence per row — `frames` copies of [4-byte big-endian
+    * length][PNG bytes]. A trivial but REAL container format:
+    * [[frameSample]] / [[frameHashes]] must parse it and decode each
+    * frame.
     */
-  def videosFromDocuments(spark: SparkSession, sfDir: String): Dataset[Media] = {
-    import spark.implicits._
-    graft.Tables(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text"))
+  def videosFrom(docs: DataFrame): Dataset[Media] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val th = byteHash(text.getBytes("UTF-8"))
@@ -194,6 +196,9 @@ object MediaOps {
         Media(id, "video/png-seq", bos.toByteArray)
       })
   }
+
+  def videosFromDocuments(spark: SparkSession, sfDir: String): Dataset[Media] =
+    videosFrom(graft.Tables(spark, sfDir, "documents"))
 
   /** Decode metadata per partition: REAL PNG parse → width / height /
     * channel count straight from the decoded image, plus the raster
@@ -238,27 +243,45 @@ object MediaOps {
     * emit one metadata row per kept frame — the flatMap (explode) shape
     * real keyframe extraction uses; payload bytes never leave the task.
     */
+  /** Parse the length-prefixed PNG sequence into its frame byte blocks. */
+  def parseFrames(payload: Array[Byte]): Array[Array[Byte]] = {
+    val bb = ByteBuffer.wrap(payload)
+    Iterator.continually {
+      if (bb.remaining() < 4) None
+      else {
+        val len = bb.getInt()
+        val png = new Array[Byte](len)
+        bb.get(png)
+        Some(png)
+      }
+    }.takeWhile(_.isDefined).map(_.get).toArray
+  }
+
   def frameSample(media: Dataset[Media],
       every: Int = FrameEvery): Dataset[MediaFrame] = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
-      val bb = ByteBuffer.wrap(m.payload)
-      val frames = Iterator.continually {
-        if (bb.remaining() < 4) None
-        else {
-          val len = bb.getInt()
-          val png = new Array[Byte](len)
-          bb.get(png)
-          Some(png)
-        }
-      }.takeWhile(_.isDefined).map(_.get).toArray
-      frames.iterator.zipWithIndex
+      parseFrames(m.payload).iterator.zipWithIndex
         .filter { case (_, f) => f % every == 0 }
         .map { case (png, f) =>
           val img = decodePng(png)
           MediaFrame(m.doc_id, f, img.getWidth, img.getHeight,
             pixelChecksum(img))
         }
+    }
+  }
+
+  /** Per-frame perceptual hash over EVERY frame of the container — the
+    * signature table video near-dup buckets on (one fixed-width row per
+    * frame, payloads never leave the task).
+    */
+  def frameHashes(media: Dataset[Media]): Dataset[FrameHash] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      parseFrames(m.payload).iterator.zipWithIndex.map { case (png, f) =>
+        val b = aHashBands(decodePng(png))
+        FrameHash(m.doc_id, f, b(0), b(1), b(2), b(3))
+      }
     }
   }
 

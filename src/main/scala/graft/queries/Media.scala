@@ -88,6 +88,59 @@ object Media {
         .select(col("doc_a"), col("doc_b"), col("hamming"))
     }),
 
+    // Video NEAR-duplicate pairs via frame-hash overlap — the standard
+    // video-dedup composition: per-frame aHash signatures (every frame
+    // REALLY decoded from the container), banded LSH candidates on
+    // (frame_idx, band) — aligned-frame comparison, the re-encoded-copy
+    // case — exact Hamming verify per candidate frame pair, then a video
+    // verdict when ≥ half the longer video's frames match
+    // (2·n_match ≥ max(nf_a, nf_b), kept integer so the compare is
+    // float-free). Same replica re-ingest as m_media_neardup for
+    // non-vacuity at the verify scales; same 100 TB shape — wide
+    // exchanges move (frame, band, id) tuples and per-doc frame counts,
+    // never pixels.
+    "m_media_video_neardup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val withReplicas = docs.unionAll(
+        docs.where(col("doc_id") % ReplicaMod === ReplicaRes)
+          .select((col("doc_id") + ReplicaOffset).as("doc_id"), col("text")))
+      val fh = MediaOps.frameHashes(MediaOps.videosFrom(withReplicas))
+        .toDF().localCheckpoint(true)
+      val lng = Seq("b0", "b1", "b2", "b3").zipWithIndex.map { case (c, i) =>
+        fh.select(col("doc_id"), col("frame_idx"), lit(i).as("bi"),
+          col(c).as("bv"))
+      }.reduce(_.unionAll(_))
+      val cand = lng.as("x").join(lng.as("y"),
+          col("x.frame_idx") === col("y.frame_idx") &&
+            col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.frame_idx").as("f"))
+        .distinct()
+      val ha = fh.select(col("doc_id").as("doc_a"),
+        col("frame_idx").as("f"), col("b0").as("a0"), col("b1").as("a1"),
+        col("b2").as("a2"), col("b3").as("a3"))
+      val hb = fh.select(col("doc_id").as("doc_b"),
+        col("frame_idx").as("f"), col("b0").as("c0"), col("b1").as("c1"),
+        col("b2").as("c2"), col("b3").as("c3"))
+      val matched = cand.join(ha, Seq("doc_a", "f")).join(hb, Seq("doc_b", "f"))
+        .where(expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)") <= NearDupMaxHamming)
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_match"))
+      val nf = fh.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+      matched
+        .join(nf.select(col("doc_id").as("doc_a"), col("nf").as("nf_a")),
+          Seq("doc_a"))
+        .join(nf.select(col("doc_id").as("doc_b"), col("nf").as("nf_b")),
+          Seq("doc_b"))
+        .where(col("n_match") * 2 >= greatest(col("nf_a"), col("nf_b")))
+        .selectExpr("doc_a", "doc_b", "CAST(n_match AS BIGINT) AS n_match",
+          "CAST(nf_a AS BIGINT) AS nf_a", "CAST(nf_b AS BIGINT) AS nf_b")
+    }),
+
     // Binary-payload exact dedup — the multimodal twin of
     // `d_dedup_exact`: group on the fixed-width (checksum, n_pixels)
     // CONTENT key computed from the decoded raster (payload bytes never
@@ -150,25 +203,71 @@ object Media {
     * 8×8 resize of the generative raster; band j assembles bits 16j..16j+15
     * non-negative (no signed-shift semantics in either engine).
     */
-  private def phashCte(
-      docsSql: String = "SELECT doc_id, text FROM documents"): String = {
+  /** NN-sampled grayscale of target pixel k for frame `f` (expects
+    * columns `w`, `ih`, `th` in scope).
+    */
+  private def graySql(f: String): String = {
     val base = "((((k // 8) * ih) // 8) * w + (((k % 8) * w) // 8)) * 3"
-    val gray = s"((${pix(s"$base + 0")} + ${pix(s"$base + 1")} + " +
-      s"${pix(s"$base + 2")}) // 3)"
-    def band(j: Int): String =
-      s"CAST(list_sum(list_transform(range(0, 16), t -> " +
-        s"CASE WHEN gray[${j * 16} + t + 1] > mean THEN (1 << t) " +
-        s"ELSE 0 END)) AS INT)"
+    s"((${pix(s"$base + 0", f)} + ${pix(s"$base + 1", f)} + " +
+      s"${pix(s"$base + 2", f)}) // 3)"
+  }
+
+  /** Band j of the aHash from `gray`/`mean` columns. */
+  private def bandSql(j: Int): String =
+    s"CAST(list_sum(list_transform(range(0, 16), t -> " +
+      s"CASE WHEN gray[${j * 16} + t + 1] > mean THEN (1 << t) " +
+      s"ELSE 0 END)) AS INT)"
+
+  private def phashCte(
+      docsSql: String = "SELECT doc_id, text FROM documents"): String =
     s"""${paramsCte(docsSql)},
        |pg AS (SELECT doc_id,
-       |  list_transform(range(0, 64), k -> $gray) AS gray FROM p),
+       |  list_transform(range(0, 64), k -> ${graySql("0")}) AS gray FROM p),
        |pm AS (SELECT doc_id, gray, list_sum(gray) // 64 AS mean FROM pg),
-       |ph AS MATERIALIZED (SELECT doc_id, ${band(0)} AS b0, ${band(1)} AS b1,
-       |  ${band(2)} AS b2, ${band(3)} AS b3 FROM pm)""".stripMargin
-  }
+       |ph AS MATERIALIZED (SELECT doc_id, ${bandSql(0)} AS b0,
+       |  ${bandSql(1)} AS b1, ${bandSql(2)} AS b2, ${bandSql(3)} AS b3
+       |  FROM pm)""".stripMargin
+
+  /** Per-(doc, frame) signature table `vph` over `docsSql`. */
+  private def framePhashCte(docsSql: String): String =
+    s"""${paramsCte(docsSql)},
+       |vfr AS (SELECT doc_id, w, ih, th,
+       |  unnest(range(0, 1 + th % ${MediaOps.MaxFrames})) AS f FROM p),
+       |vg AS (SELECT doc_id, f,
+       |  list_transform(range(0, 64), k -> ${graySql("f")}) AS gray
+       |  FROM vfr),
+       |vm AS (SELECT doc_id, f, gray, list_sum(gray) // 64 AS mean FROM vg),
+       |vph AS MATERIALIZED (SELECT doc_id, f, ${bandSql(0)} AS b0,
+       |  ${bandSql(1)} AS b1, ${bandSql(2)} AS b2, ${bandSql(3)} AS b3
+       |  FROM vm)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "m_media_phash" -> s"${phashCte()}\nSELECT doc_id, b0, b1, b2, b3 FROM ph",
+    "m_media_video_neardup" ->
+      s"""${framePhashCte(replicaDocsSql)},
+         |lngv AS (SELECT doc_id, f, 0 AS bi, b0 AS bv FROM vph
+         |  UNION ALL SELECT doc_id, f, 1, b1 FROM vph
+         |  UNION ALL SELECT doc_id, f, 2, b2 FROM vph
+         |  UNION ALL SELECT doc_id, f, 3, b3 FROM vph),
+         |candv AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    x.f AS f
+         |  FROM lngv x JOIN lngv y
+         |  ON y.f = x.f AND y.bi = x.bi AND y.bv = x.bv
+         |    AND x.doc_id < y.doc_id),
+         |fm AS (SELECT c.doc_a, c.doc_b, count(*) AS n_match
+         |  FROM candv c
+         |  JOIN vph a ON a.doc_id = c.doc_a AND a.f = c.f
+         |  JOIN vph b ON b.doc_id = c.doc_b AND b.f = c.f
+         |  WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+         |    bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+         |    <= $NearDupMaxHamming
+         |  GROUP BY 1, 2),
+         |nfv AS (SELECT doc_id, count(*) AS nf FROM vph GROUP BY 1)
+         |SELECT doc_a, doc_b, CAST(n_match AS BIGINT) AS n_match,
+         |  CAST(na.nf AS BIGINT) AS nf_a, CAST(nb.nf AS BIGINT) AS nf_b
+         |FROM fm JOIN nfv na ON na.doc_id = fm.doc_a
+         |JOIN nfv nb ON nb.doc_id = fm.doc_b
+         |WHERE n_match * 2 >= greatest(na.nf, nb.nf)""".stripMargin,
     "m_media_neardup" ->
       s"""${phashCte(replicaDocsSql)},
          |lng AS (SELECT doc_id, 0 AS bi, b0 AS bv FROM ph

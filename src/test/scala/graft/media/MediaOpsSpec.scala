@@ -207,6 +207,45 @@ class MediaOpsSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture has no duplicate images — test is vacuous")
   }
 
+  test("frameHashes: every container frame decoded, per-frame bands equal " +
+      "the image-level aHash of that frame") {
+    val s = spark
+    import s.implicits._
+    val pngs = Seq(handPng(16, 8, (x, _) => if (x < 8) 0xffffff else 0),
+      handPng(10, 6, (_, _) => 0x808080))
+    val bos = new ByteArrayOutputStream()
+    pngs.foreach { p =>
+      bos.write(ByteBuffer.allocate(4).putInt(p.length).array()); bos.write(p)
+    }
+    val got = MediaOps.frameHashes(
+        Seq(MediaOps.Media(5L, "video/png-seq", bos.toByteArray)).toDS())
+      .collect().sortBy(_.frame_idx)
+    assert(got.length == 2)
+    got.zip(pngs).foreach { case (fhash, png) =>
+      val b = MediaOps.aHashBands(MediaOps.decodePng(png))
+      assert(Seq(fhash.b0, fhash.b1, fhash.b2, fhash.b3) == b.toSeq)
+    }
+  }
+
+  test("m_media_video_neardup: replica videos match on every frame and " +
+      "nothing else crosses the half-overlap verdict") {
+    val M = graft.queries.Media
+    val got = M.queries("m_media_video_neardup")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val replicaIds = Tables(spark, sfDir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+      .filter(_ % M.ReplicaMod == M.ReplicaRes).sorted
+    assert(replicaIds.nonEmpty)
+    // every emitted pair is a replica pair with FULL frame overlap
+    got.foreach { case (a, b, n, nfa, nfb) =>
+      assert(b == a + M.ReplicaOffset, s"unexpected pair $a, $b")
+      assert(n == nfa && n == nfb, s"partial overlap on a replica: $n $nfa")
+    }
+    assert(got.map(_._1) == replicaIds.toSet)
+  }
+
   test("codec idempotence: decode → re-encode → decode preserves every " +
       "pixel, and the kernels handle non-toy rasters") {
     // re-encoding a decoded image and decoding again must reproduce the
