@@ -372,6 +372,116 @@ object MediaOps {
     })
   }
 
+  // ----------------------------------------------------------------- audio
+
+  final case class AudioMeta(
+      doc_id: Long, sample_rate: Int, channels: Int, bits: Int,
+      n_samples: Long, zero_crossings: Long, energy: Long, checksum: Long)
+  final case class AudioResampled(doc_id: Long, n_out: Long, checksum: Long)
+
+  /** Generative audio model: 16-bit mono PCM at 8 kHz,
+    *   n = 400 + th % 800 samples,
+    *   unsigned sample u(i) = kmvMix((th + 524287 + i) mod P) mod 65536
+    *   (signed value s = u − 32768),
+    * encoded as a REAL RIFF/WAV file via `javax.sound.sampled` and parsed
+    * back with the real decoder — the audio sibling of the PNG model,
+    * same whitening argument, same lossless-round-trip oracle story.
+    */
+  def audioSamplesOf(th: Long): Int = 400 + (th % 800).toInt
+
+  /** Unsigned 16-bit sample u(i) ∈ [0, 65535]. */
+  def audioSample(th: Long, i: Long): Int =
+    (graft.text.TextOps.kmvMix((th + 524287L + i) % P) % 65536L).toInt
+
+  /** Encode the generative PCM as real WAV bytes. */
+  def encodeWav(th: Long): Array[Byte] = {
+    val n = audioSamplesOf(th)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = audioSample(th, i) - 32768
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Audio table over any `(doc_id, text)` frame: real WAV payloads. */
+  def audiosFrom(docs: DataFrame): Dataset[Media] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        Media(id, "audio/wav", encodeWav(byteHash(text.getBytes("UTF-8"))))
+      })
+  }
+
+  /** REAL WAV parse → decoded signed PCM samples. */
+  def decodeWav(payload: Array[Byte]): (javax.sound.sampled.AudioFormat, Array[Int]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(payload))
+    val f = ais.getFormat
+    require(f.getSampleSizeInBits == 16 && !f.isBigEndian &&
+      f.getChannels == 1, s"unsupported WAV layout: $f")
+    val pcm = ais.readAllBytes()
+    val n = pcm.length / 2
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+      i += 1
+    }
+    (f, out)
+  }
+
+  /** Decode + per-clip signal stats (all integer: zero-crossing count,
+    * Σ s² energy, rolling checksum over the unsigned samples) — the
+    * audio decode/feature kernel, narrow like its image siblings.
+    */
+  def decodeAudioMeta(media: Dataset[Media]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val (f, s) = decodeWav(m.payload)
+      var (zc, energy, acc) = (0L, 0L, 0L)
+      var i = 0
+      while (i < s.length) {
+        if (i > 0 && (s(i - 1) < 0) != (s(i) < 0)) zc += 1
+        energy += s(i).toLong * s(i)
+        acc = (acc * 31 + (s(i) + 32768)) % P
+        i += 1
+      }
+      AudioMeta(m.doc_id, f.getSampleRate.toInt, f.getChannels,
+        f.getSampleSizeInBits, s.length.toLong, zc, energy, acc)
+    })
+  }
+
+  /** Decimating downsample (keep every `factor`-th decoded sample) — the
+    * audio sibling of the image nearest-neighbor resize: integer index
+    * arithmetic only, oracle-replayable.
+    */
+  def downsampleAudio(media: Dataset[Media],
+      factor: Int = 2): Dataset[AudioResampled] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val (_, s) = decodeWav(m.payload)
+      var (acc, k) = (0L, 0L)
+      var i = 0
+      while (i < s.length) {
+        acc = (acc * 31 + (s(i) + 32768)) % P
+        k += 1
+        i += factor
+      }
+      AudioResampled(m.doc_id, k, acc)
+    })
+  }
+
   /** Metadata DataFrame for the query surface. */
   def metaDf(spark: SparkSession, sfDir: String): DataFrame =
     decodeMeta(imagesFromDocuments(spark, sfDir)).toDF()

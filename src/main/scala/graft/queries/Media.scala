@@ -141,6 +141,29 @@ object Media {
           "CAST(nf_a AS BIGINT) AS nf_a", "CAST(nf_b AS BIGINT) AS nf_b")
     }),
 
+    // Audio decode + signal features — the third modality (real RIFF/WAV
+    // parse via javax.sound.sampled): sample rate / channels / bit depth
+    // from the DECODED format, plus all-integer clip features (zero
+    // crossings, Σ s² energy, rolling sample checksum). WAV PCM is
+    // lossless, so the oracle's generative replay proves the encode →
+    // parse → sample-reconstruction path exactly, as with PNG.
+    "m_media_audio_meta" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      MediaOps.decodeAudioMeta(MediaOps.audiosFrom(
+        graft.Tables(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .toDF()
+    }),
+
+    // Decimating audio downsample over the decoded samples — the audio
+    // sibling of the image nearest-neighbor resize (integer index
+    // arithmetic, narrow kernel, payloads never shuffle).
+    "m_media_audio_downsample" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      MediaOps.downsampleAudio(MediaOps.audiosFrom(
+        graft.Tables(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .toDF()
+    }),
+
     // Binary-payload exact dedup — the multimodal twin of
     // `d_dedup_exact`: group on the fixed-width (checksum, n_pixels)
     // CONTENT key computed from the decoded raster (payload bytes never
@@ -241,7 +264,40 @@ object Media {
        |  ${bandSql(1)} AS b1, ${bandSql(2)} AS b2, ${bandSql(3)} AS b3
        |  FROM vm)""".stripMargin
 
+  /** Unsigned generative sample u(i) — oracle twin of
+    * [[MediaOps.audioSample]]. Expects `th` in scope.
+    */
+  private def sampleSql(i: String): String =
+    s"(${graft.text.TextOps.duck.kmvMix(
+      s"((th + 524287 + ($i)) % ${MediaOps.P})")} % 65536)"
+
+  /** Per-doc CTE `au(doc_id, n, us)` with the unsigned sample list. */
+  private def audioCte: String =
+    s"""${paramsCte()},
+       |an AS (SELECT doc_id, th, 400 + th % 800 AS n FROM p),
+       |au AS MATERIALIZED (SELECT doc_id, n,
+       |  list_transform(range(0, n), i -> ${sampleSql("i")}) AS us
+       |  FROM an)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "m_media_audio_meta" ->
+      s"""$audioCte
+         |SELECT doc_id, 8000 AS sample_rate, 1 AS channels, 16 AS bits,
+         |  CAST(n AS BIGINT) AS n_samples,
+         |  CAST(list_sum(list_transform(range(1, n), i ->
+         |    CASE WHEN (us[CAST(i AS INT)] < 32768) <>
+         |      (us[CAST(i + 1 AS INT)] < 32768) THEN 1 ELSE 0 END))
+         |    AS BIGINT) AS zero_crossings,
+         |  CAST(list_sum(list_transform(us, u ->
+         |    (u - 32768) * (u - 32768))) AS BIGINT) AS energy,
+         |  ${fold("us")} AS checksum
+         |FROM au""".stripMargin,
+    "m_media_audio_downsample" ->
+      s"""$audioCte
+         |SELECT doc_id, CAST((n + 1) // 2 AS BIGINT) AS n_out,
+         |  ${fold(s"list_transform(range(0, (n + 1) // 2), " +
+              s"j -> us[CAST(2 * j + 1 AS INT)])")} AS checksum
+         |FROM au""".stripMargin,
     "m_media_phash" -> s"${phashCte()}\nSELECT doc_id, b0, b1, b2, b3 FROM ph",
     "m_media_video_neardup" ->
       s"""${framePhashCte(replicaDocsSql)},

@@ -274,6 +274,51 @@ class MediaOpsSpec extends SparkSpec {
     assert(r.width == MediaOps.ResizeW && r.height == MediaOps.ResizeH)
   }
 
+  test("audio: hand-built WAV decodes to exact hand-computed stats, and " +
+      "the generative clip matches the formula the oracle replays") {
+    val s = spark
+    import s.implicits._
+    // hand-built 6-sample clip through plain javax.sound — NOT encodeWav
+    val samples = Array(100, -200, 300, -1, 0, 32000)
+    val pcm = new Array[Byte](12)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      pcm(2 * i) = (v & 0xff).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 6L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val got = MediaOps.decodeAudioMeta(
+      Seq(MediaOps.Media(4L, "audio/wav", bos.toByteArray)).toDS()).collect()(0)
+    // sign flips: 100→-200, -200→300, 300→-1, -1→0 (0 is non-negative)
+    val zc = 4L
+    val energy = samples.map(v => v.toLong * v).sum
+    val cks = samples.foldLeft(0L)((a, v) => (a * 31 + (v + 32768)) % MediaOps.P)
+    assert(got == MediaOps.AudioMeta(4L, 8000, 1, 16, 6L, zc, energy, cks))
+    // downsample keeps indices 0, 2, 4
+    val ds = MediaOps.downsampleAudio(
+      Seq(MediaOps.Media(4L, "audio/wav", bos.toByteArray)).toDS()).collect()(0)
+    val dcks = Seq(100, 300, 0).foldLeft(0L)((a, v) =>
+      (a * 31 + (v + 32768)) % MediaOps.P)
+    assert(ds == MediaOps.AudioResampled(4L, 3L, dcks))
+    // generative clips decode back to the formula (the oracle's replay)
+    val metas = graft.queries.Media.queries("m_media_audio_meta")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val texts = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.take(10).foreach { case (id, t) =>
+      val th = MediaOps.byteHash(t.getBytes("UTF-8"))
+      val n = MediaOps.audioSamplesOf(th)
+      val want = (0 until n).foldLeft(0L)((a, i) =>
+        (a * 31 + MediaOps.audioSample(th, i)) % MediaOps.P)
+      assert(metas(id).getLong(4) == n.toLong)
+      assert(metas(id).getLong(7) == want)
+    }
+  }
+
   test("payload dedup groups agree with the text-side exact dedup") {
     // both key on document CONTENT (decoded-raster checksum here — equal
     // texts generate equal images — xxhash64 of the text there): keeper
