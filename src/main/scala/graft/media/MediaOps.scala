@@ -32,6 +32,12 @@ import org.apache.spark.sql.functions._
   * The checksum/byte folds are ASCII-equal to the oracle's char-level
   * fold over `text` (the corpus is pure ASCII — documented precondition,
   * same as the text rows).
+  *
+  * Python-ecosystem codecs (PIL/ffmpeg/torchaudio) would use the SAME
+  * topology through `mapInPandas` — per-partition batches of binary
+  * payloads in, fixed-width typed metadata out; the JDK codecs here are
+  * JVM-native, so no Python worker boundary (or its serialization tax)
+  * is needed, but nothing in the row contracts assumes it.
   */
 object MediaOps {
 
