@@ -124,7 +124,90 @@ object Events {
       s"ELSE $raw END, 4) AS est"
   }
 
+  /** `ev_heavy_hitters` geometry. `HhK` Misra-Gries counters per task;
+    * a key qualifies when `cnt · HhRatio ≥ n` (share ≥ 1/HhRatio = 5%).
+    * The prefilter's no-false-negative guarantee needs
+    * `HhK · T > P · max_p n_p` (see [[hhCandidates]]); with balanced
+    * partitions that is `HhK / HhRatio > 1`, so 256/20 = 12.8× headroom
+    * for partition imbalance before the exact fallback engages.
+    */
+  val HhK = 256
+  val HhRatio = 20L
+
+  /** The heavy-hitter KEY: `floor(sqrt(user_id))` — bucket `b` covers the
+    * ~2b+1 users in [b², (b+1)²), a deterministic linear-skew frequency
+    * profile. Chosen because every natural key in the synthetic corpus is
+    * uniform (event types are a flat 5-way split and per-user counts
+    * cluster at ~67 at every sf), which would make a φ-share heavy-hitter
+    * row either all-pass or empty; under this key the qualifying set is a
+    * strict, scale-dependent subset (sf0.01: 9 of 13 buckets; sf0.1: 2 of
+    * 38). Both engines evaluate the same IEEE sqrt.
+    */
+  private[graft] val HhBucketSql = "CAST(floor(sqrt(user_id)) AS BIGINT)"
+
+  /** Misra-Gries candidate pass for `ev_heavy_hitters`: fold each
+    * partition of `keys` into ≤ [[HhK]] (bucket, n_p) candidate rows —
+    * the full key universe never crosses an exchange. Returns the
+    * candidate buckets plus whether the no-false-negative pigeonhole
+    * guarantee held: a key with global count ≥ T has per-partition count
+    * ≥ T/P somewhere (pigeonhole over the P partitions), and Misra-Gries
+    * retains any key with partition count > n_p/HhK — so
+    * `HhK · T > P · max_p n_p` (all exact longs) makes the candidate set
+    * a proven superset of the true heavy hitters. When the data is too
+    * skewed across partitions for the guard, the caller falls back to the
+    * exact full groupBy: the OUTPUT is identical either way (the exact
+    * verify pass removes all false positives), only the shuffle width
+    * changes — partitioning can never alter the answer.
+    */
+  private[graft] def hhCandidates(s: SparkSession, keys: DataFrame,
+      threshold: Long): (DataFrame, Boolean) = {
+    import s.implicits._
+    val numParts = keys.rdd.getNumPartitions.toLong
+    val parts = keys.as[Long].mapPartitions { it =>
+      val mg = new graft.operators.MisraGries(HhK)
+      it.foreach(mg.add)
+      mg.entries.map { case (b, _) => (b, mg.processed) }
+    }.toDF("bucket", "np")
+      .localCheckpoint(true) // ≤ HhK rows/task — tiny, read 3 times below
+    // 1-row driver read of the guard aggregate (the documented 1-row
+    // collect dispensation); numParts is an upper bound on the pigeonhole
+    // P, which only STRENGTHENS the condition.
+    val maxNp = parts.agg(max(col("np"))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    (parts.select(col("bucket")).distinct(), HhK * threshold > numParts * maxNp)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact heavy hitters with a Misra-Gries prefilter — the
+    // frequent-items member of the sketch family (KMV/CMS/HLL/quantiles
+    // cover cardinality/point-frequency/percentiles; this finds WHICH
+    // keys are frequent without shuffling the key universe). Pass 1 folds
+    // each partition into ≤ HhK candidate counters (mapPartitions,
+    // bounded state, no exchange of non-candidates); pass 2 exact-counts
+    // ONLY the ≤ HhK·P candidate buckets behind a broadcast semi-join and
+    // applies the share filter in integer math (cnt·HhRatio ≥ n — no
+    // float threshold to flap). Self-guarding: if the pigeonhole guard
+    // cannot prove the candidate superset (pathological partition skew),
+    // it falls back to the plain exact groupBy — same answer, wider
+    // shuffle — so correctness never depends on partitioning.
+    "ev_heavy_hitters" -> ((s, dir) => {
+      val keys = Tables(s, dir, "events")
+        .where(col("user_id").isNotNull)
+        .selectExpr(s"$HhBucketSql AS bucket")
+        .localCheckpoint(true) // feeds count, candidate pass, exact pass
+      val n = keys.count()
+      val threshold = (n + HhRatio - 1) / HhRatio // T = ceil(n / ratio)
+      val (cand, guaranteed) = hhCandidates(s, keys, threshold)
+      val base =
+        if (guaranteed) keys.join(broadcast(cand), Seq("bucket"), "left_semi")
+        else keys
+      base.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") * HhRatio >= n)
+    }),
+
     // Tumbling 1-hour window per event_type.
     "ev_window" -> ((s, dir) => {
       Tables(s, dir, "events")
@@ -566,6 +649,14 @@ object Events {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // The oracle is the definition the two-pass plan must equal: exact
+    // group-count + integer share filter over the same bucket key.
+    "ev_heavy_hitters" ->
+      s"""WITH b AS MATERIALIZED (SELECT $HhBucketSql AS bucket
+         |  FROM events WHERE user_id IS NOT NULL),
+         |t AS (SELECT count(*) AS n FROM b)
+         |SELECT bucket, count(*) AS cnt FROM b, t
+         |GROUP BY bucket, t.n HAVING count(*) * $HhRatio >= t.n""".stripMargin,
     "ev_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hr, event_type,
         | count(*) AS n, round(sum(value), 2) AS sum_value

@@ -27,6 +27,32 @@ object Graph {
     */
   val TriMod = 20011
 
+  /** `g_linkpred_cn` center-degree cap: wedge enumeration for
+    * common-neighbor scoring is Σ deg(w)² over wedge centers — on a
+    * power-law graph the hubs alone make that corpus-quadratic, so
+    * centers with deg > cap are excluded BY CONTRACT (the capped score is
+    * a lower bound; hub centers carry the least link-prediction signal —
+    * the same discount Adamic-Adar's 1/log(deg) makes continuous). Work
+    * is then ≤ cap·2|E| regardless of skew. At every test scale the
+    * TriMod graph's max degree (≤ 93) is under the cap, so the row's
+    * checked answer IS the exact common-neighbor count.
+    */
+  val LpCnDegCap = 256
+  /** `g_linkpred_cn` report size (global top-N, total-ordered). */
+  val LpCnTopN = 20
+
+  /** `g_kcore` threshold and fixed peel horizon. K = 5 leaves a strict
+    * nontrivial core at the small scales (sf0.001: 659 of 1,476 nodes;
+    * sf0.01: 6,794 of 14,794) while the denser sf0.1 graph survives
+    * whole; peeling reaches its fixpoint in ≤ 2 rounds at every test
+    * scale, so 4 fixed rounds carry 2 spare (KcoreSpec asserts the
+    * fixpoint — a 5th peel is a no-op). The horizon is part of the
+    * operator's semantics, replayed exactly by the unrolled oracle
+    * (the LPA/CC discipline).
+    */
+  val KcoreK = 5
+  val KcoreRounds = 4
+
   /** Global-PageRank damping and iteration count (`g_pagerank`). The
     * schedule is fixed (oracle-replayed), sized like the K1 `Iters` — the
     * query demonstrates the distributed loop, not convergence.
@@ -93,6 +119,34 @@ object Graph {
   val SsspHops = 6
 
   private def graphSql: String = GraphOps.lineitemGraphSql(Mod)
+
+  /** `g_linkpred_cn` body over an undirected distinct edge set `und`
+    * (`a < b` orientation): top-`topN` non-adjacent pairs by capped
+    * common-neighbor count + neighborhood Jaccard. Separated from the
+    * row so LinkPredSpec can exercise a BINDING cap on a toy graph (on
+    * the bench graph the cap is pure 100 TB armor — max degree ≤ 93).
+    */
+  private[queries] def linkPredCn(und: DataFrame, cap: Int,
+      topN: Int): DataFrame = {
+    val adj = und.select(col("a").as("w"), col("b").as("n"))
+      .unionAll(und.select(col("b").as("w"), col("a").as("n")))
+    val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("dg"))
+      .localCheckpoint(true) // read 3× (cap filter + two score joins)
+    val capped = adj
+      .join(deg.where(col("dg") <= cap).select(col("w")), Seq("w"))
+    val cn = capped.as("x").join(capped.as("y"),
+        col("x.w") === col("y.w") && col("x.n") < col("y.n"))
+      .groupBy(col("x.n").as("u"), col("y.n").as("v"))
+      .agg(count(lit(1)).as("cn"))
+    cn.join(und.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+      .join(deg.select(col("w").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("w").as("v"), col("dg").as("dv")), Seq("v"))
+      .selectExpr("u", "v", "cn", "du", "dv",
+        "CAST(cn AS DOUBLE) / CAST(du + dv - cn AS DOUBLE) AS jaccard")
+      .orderBy(col("cn").desc, col("u"), col("v"))
+      .limit(topN)
+  }
 
   /** Materialize one FORA trace per source as the three artifact tables
     * the replay SQL reads: `st(src, node_id, reserve, residue)` (nonzero
@@ -256,6 +310,53 @@ object Graph {
         und.select(col("a").as("tb"), col("b").as("tc")), Seq("tb", "tc"), "left_semi")
       tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("node_id"))
         .groupBy("node_id").agg(count(lit(1)).as("triangles"))
+    }),
+
+    // Common-neighbor link prediction: the top-N non-adjacent node pairs
+    // by shared-neighbor count, with the neighborhood-Jaccard ratio
+    // riding along. Wedges are enumerated per center (both neighbors of
+    // w pair up), centers capped at LpCnDegCap so hub centers cannot go
+    // quadratic (see the cap's scaladoc); the pair count is one
+    // map-side-combined groupBy on the 16-byte (u, v) key, existing
+    // edges leave via an anti-join, degrees re-join for the Jaccard
+    // denominator (du + dv − cn: exact integers, ONE float division
+    // spelled identically in the oracle), and the global top-N cut is
+    // orderBy+limit — TakeOrderedAndProject, map-side partial top-N,
+    // never a full sort. Tie-break (cn desc, u, v) is a total order
+    // because (u, v) pairs are unique.
+    "g_linkpred_cn" -> ((s, dir) => {
+      val e = GraphOps.lineitemGraph(s, dir, TriMod)
+      val und = e.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+        .localCheckpoint(true) // feeds adjacency, the anti-join, degrees
+      linkPredCn(und, LpCnDegCap, LpCnTopN)
+    }),
+
+    // k-core decomposition (fixed-horizon synchronous peeling): repeat
+    // "drop every node with degree < K" until the fixed round budget;
+    // report the surviving core with in-core degrees. Per round ONE
+    // map-side-combined degree aggregate + two semi-joins against the
+    // alive set (node-count rows — broadcastable), with a localCheckpoint
+    // truncating lineage (the CC/LPA iterative economics: cost is
+    // rounds × job floor, not data size). Degeneracy ordering at 100 TB
+    // would run the same loop with increasing K; the fixed-K core is the
+    // building block.
+    "g_kcore" -> ((s, dir) => {
+      val e = GraphOps.lineitemGraph(s, dir, TriMod)
+      var und = e.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+        .localCheckpoint(true)
+      def degrees(u: DataFrame): DataFrame =
+        u.select(col("a").as("id")).unionAll(u.select(col("b").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("dg"))
+      for (_ <- 1 to KcoreRounds) {
+        val alive = degrees(und).where(col("dg") >= KcoreK).select("id")
+        und = und
+          .join(alive.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+          .join(alive.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+          .localCheckpoint(true)
+      }
+      degrees(und).withColumnRenamed("dg", "core_deg")
     }),
 
     // k-hop neighborhood expansion: distinct nodes reachable from each
@@ -658,6 +759,47 @@ object Graph {
            |  SELECT ta AS node_id FROM tri
            |  UNION ALL SELECT tb FROM tri UNION ALL SELECT tc FROM tri)
            |GROUP BY node_id""".stripMargin,
+      "g_linkpred_cn" ->
+        s"""WITH e AS MATERIALIZED (${GraphOps.lineitemGraphSql(TriMod)}),
+           |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+           |  greatest(src, dst) AS b FROM e),
+           |adj AS MATERIALIZED (SELECT a AS w, b AS n FROM und
+           |  UNION ALL SELECT b AS w, a AS n FROM und),
+           |deg AS MATERIALIZED (SELECT w, count(*) AS dg FROM adj GROUP BY w),
+           |cap AS MATERIALIZED (SELECT adj.w, adj.n FROM adj
+           |  JOIN deg ON deg.w = adj.w AND deg.dg <= $LpCnDegCap),
+           |cns AS (SELECT x.n AS u, y.n AS v, count(*) AS cn
+           |  FROM cap x JOIN cap y ON y.w = x.w AND x.n < y.n GROUP BY 1, 2)
+           |SELECT c.u, c.v, c.cn, du.dg AS du, dv.dg AS dv,
+           |  CAST(c.cn AS DOUBLE) / CAST(du.dg + dv.dg - c.cn AS DOUBLE)
+           |    AS jaccard
+           |FROM cns c
+           |JOIN deg du ON du.w = c.u JOIN deg dv ON dv.w = c.v
+           |WHERE NOT EXISTS (SELECT 1 FROM und
+           |  WHERE und.a = c.u AND und.b = c.v)
+           |ORDER BY c.cn DESC, c.u, c.v LIMIT $LpCnTopN""".stripMargin,
+      "g_kcore" -> {
+        // unrolled peel rounds — each round re-derives degrees over the
+        // previous survivor edge set and keeps edges with both endpoints
+        // alive (MATERIALIZED: DuckDB would otherwise inline each CTE
+        // twice per later round, exponentially).
+        def degSql(u: String): String =
+          s"SELECT id, count(*) AS dg FROM (SELECT a AS id FROM $u " +
+            s"UNION ALL SELECT b FROM $u) GROUP BY id"
+        val rounds = (1 to KcoreRounds).map { r =>
+          s"""d$r AS MATERIALIZED (${degSql(s"u${r - 1}")}),
+             |u$r AS MATERIALIZED (SELECT u.a, u.b FROM u${r - 1} u
+             |  JOIN d$r x ON x.id = u.a AND x.dg >= $KcoreK
+             |  JOIN d$r y ON y.id = u.b AND y.dg >= $KcoreK)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS MATERIALIZED (${GraphOps.lineitemGraphSql(TriMod)}),
+           |u0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+           |  greatest(src, dst) AS b FROM e),
+           |$rounds
+           |SELECT id, count(*) AS core_deg FROM (
+           |  SELECT a AS id FROM u$KcoreRounds
+           |  UNION ALL SELECT b FROM u$KcoreRounds) GROUP BY id""".stripMargin
+      },
       "g_ppr_batch" -> multi,
       "g_ppr_topk" ->
         s"""SELECT src, node_id, score, rk FROM (
