@@ -170,6 +170,39 @@ object EventStreams {
         sel("p50", 0.5), sel("p90", 0.9), sel("p99", 0.99))
   }
 
+  /** Per-day heavy-hitter CANDIDATE summaries — streaming twin of the
+    * batch `ev_heavy_hitters` prefilter: a watermarked daily window
+    * maintains one Misra-Gries summary (≤ k (bucket, lb) pairs of state
+    * however many events arrive — the key universe never becomes window
+    * state) via the [[graft.functions.MisraGriesAgg]] bounded aggregate.
+    * Exactly like the batch row, the summary is the no-false-negative
+    * CANDIDATE stage: every bucket with in-window share > 1/(k+1) is
+    * guaranteed present for any micro-batch split (the mergeable-
+    * summaries guarantee), and an exact verify pass over the candidates
+    * is the batch-side read path. Unlike the other four sketch twins the
+    * internal counter VALUES are merge-order-dependent by construction
+    * (see [[graft.operators.MisraGries.merge]]), so EventStreamsSpec
+    * pins the order-free properties — candidate superset of the true
+    * per-window hitters, lower-bound counters within n_w/(k+1), bounded
+    * state — and full stream ≡ batch equality in the k ≥ distinct-keys
+    * regime where no cancellation fires and the summary degenerates to
+    * the exact per-window count table.
+    */
+  def dailyHhCandidates(events: DataFrame,
+      k: Int = graft.queries.Events.HhK): DataFrame = {
+    graft.functions.MgFunctions.register(events.sparkSession)
+    val E = graft.queries.Events
+    events
+      .withWatermark("ts", "2 days")
+      .where(col("user_id").isNotNull)
+      .selectExpr("ts", s"${E.HhBucketSql} AS bucket")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(graft.functions.MgFunctions.misraGries(col("bucket"), k).as("mg"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        explode(col("mg")).as("e"))
+      .selectExpr("day", "e.bucket AS bucket", "e.lb AS lb")
+  }
+
   /** Gap-based sessionization over per-user state. Emits a session row when
     * the gap to the next event exceeds `gapSec` (the still-open session per
     * user stays in state; a real pipeline closes it by event-time timeout).

@@ -467,4 +467,61 @@ class EventStreamsSpec extends SparkSpec {
     assert(a.nonEmpty && b.nonEmpty)
     assert(run(Seq(a, b), "tr2") == want)
   }
+
+  test("streaming daily Misra-Gries candidates: exact equality in the " +
+      "no-cancellation regime, MG guarantees under a tiny k") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // exact per-day bucket counts (the truth the guarantees quote)
+    val exact = Tables(spark, sfDir, "events")
+      .selectExpr(
+        "date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day",
+        graft.queries.Events.HhBucketSql + " AS bucket")
+      .groupBy(col("day"), col("bucket")).agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val dayN = exact.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+
+    def run(k: Int, name: String): Map[(String, Long), Long] = {
+      val input = MemoryStream[(Long, java.sql.Timestamp)]
+      val df = input.toDF().toDF("user_id", "ts")
+      val q = dailyHhCandidates(df, k).writeStream
+        .format("memory").queryName(name).outputMode("complete").start()
+      try {
+        val rows = Tables(spark, sfDir, "events")
+          .select(col("user_id"), col("ts"))
+          .as[(Long, java.sql.Timestamp)].collect()
+        // three micro-batches: summaries must merge across batches
+        val chunks = rows.grouped((rows.length + 2) / 3).toSeq
+        chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      } finally q.stop()
+    }
+
+    // k = HhK (256) ≥ distinct buckets per day: no cancellation ever
+    // fires, the summary IS the exact count table — full equality, the
+    // stream ≡ batch pin the other sketch twins carry.
+    assert(run(graft.queries.Events.HhK, "mg1") == exact)
+
+    // k = 2 < distinct buckets: bounded state (≤ 2 rows/day), counters
+    // are lower bounds within the merged-summary error n_day/(k+1), and
+    // every bucket above that share bar survives (no false negatives
+    // for any micro-batch split — the mergeable-summaries guarantee).
+    val tiny = run(2, "mg2")
+    tiny.groupBy(_._1._1).foreach { case (day, g) =>
+      assert(g.size <= 2, s"day $day kept ${g.size} > k counters")
+    }
+    tiny.foreach { case ((day, b), lb) =>
+      val tru = exact((day, b))
+      assert(lb <= tru, s"($day,$b) lb $lb above true $tru")
+      assert(tru - lb <= dayN(day) / 3, s"($day,$b) undercount > n/(k+1)")
+    }
+    exact.foreach { case ((day, b), tru) =>
+      if (tru > dayN(day) / 3)
+        assert(tiny.contains((day, b)), s"lost frequent ($day,$b) tru=$tru")
+    }
+  }
 }
