@@ -59,6 +59,12 @@ object Graph {
     */
   val PrDamping = 0.85
   val PrIters = 20
+
+  /** `g_hits` fixed iteration count — like [[PrIters]], the schedule is
+    * part of the semantics (oracle-replayed); 6 mutual-recursion rounds
+    * demonstrate the distributed loop, not convergence.
+    */
+  val HitsIters = 6
   val SingleSource = 1L
   val BatchSources: Seq[Long] = Seq(1L, 2L, 3L, 5L, 8L)
   val TopK = 10
@@ -428,6 +434,17 @@ object Graph {
         .select(col("node_id"), round(col("score"), 9).as("score"))
     }),
 
+    // HITS hubs & authorities: the mutually-recursive global ranking
+    // pair (see [[graft.graph.Hits]]) — one map-side-combined shuffle
+    // per half-step, single trailing L1 normalization (per-step
+    // normalization is a scalar no-op on a linear recurrence).
+    "g_hits" -> ((s, dir) => {
+      val edges = GraphOps.lineitemGraph(s, dir, Mod)
+      graft.graph.Hits.run(s, edges, HitsIters)
+        .select(col("node_id"), round(col("hub"), 9).as("hub"),
+          round(col("auth"), 9).as("auth"))
+    }),
+
     // K1 batched: multi-source PPR over broadcast CSR (zero per-iteration
     // shuffle; the 100 TB-shaped strategy for batch workloads).
     "g_ppr_batch" -> ((s, dir) => {
@@ -739,6 +756,7 @@ object Graph {
       "g_degree" -> s"SELECT src AS id, count(*) AS deg FROM ($graphSql) GROUP BY src",
       "g_power_ppr" -> PowerIteration.oracleSql(graphSql, SingleSource, Alpha, Iters),
       "g_pagerank" -> PageRank.oracleSql(graphSql, PrDamping, PrIters),
+      "g_hits" -> graft.graph.Hits.oracleSql(graphSql, HitsIters),
       "g_triangles" ->
         s"""WITH e AS MATERIALIZED (${GraphOps.lineitemGraphSql(TriMod)}),
            |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
