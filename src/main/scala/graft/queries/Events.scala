@@ -113,15 +113,25 @@ object Events {
     * Small-range correction per the paper: raw E = α·m²/S ≤ 2.5m with
     * empty registers → linear counting m·ln(m/V).
     */
-  private[graft] def hllEstSql: String = {
+  private[graft] def hllEstSql: String =
+    hllEstSqlAs("s_scaled", "v_zero", "est")
+
+  /** Column-parameterized form of the estimate — `g_hyperball` reads TWO
+    * register folds (radius 1 and 2) per row, so the shared spelling
+    * takes its input/output names; the default instance above is
+    * byte-identical to the pre-refactor text (ev_daily_hll's oracle hash
+    * is unchanged).
+    */
+  private[graft] def hllEstSqlAs(sCol: String, vCol: String,
+      alias: String): String = {
     val alphaMM = 0.673 * HllM * HllM // exact ×2⁸ scaling: prints 172.288
     val pw = 1L << (HllW + 1)
     val raw = s"(CAST($alphaMM AS DOUBLE) / " +
-      s"(CAST(s_scaled AS DOUBLE) / CAST($pw AS DOUBLE)))"
-    s"round(CASE WHEN $raw <= CAST(${2.5 * HllM} AS DOUBLE) AND v_zero > 0 " +
+      s"(CAST($sCol AS DOUBLE) / CAST($pw AS DOUBLE)))"
+    s"round(CASE WHEN $raw <= CAST(${2.5 * HllM} AS DOUBLE) AND $vCol > 0 " +
       s"THEN CAST($HllM AS DOUBLE) * " +
-      s"ln(CAST($HllM AS DOUBLE) / CAST(v_zero AS DOUBLE)) " +
-      s"ELSE $raw END, 4) AS est"
+      s"ln(CAST($HllM AS DOUBLE) / CAST($vCol AS DOUBLE)) " +
+      s"ELSE $raw END, 4) AS $alias"
   }
 
   /** `ev_heavy_hitters` geometry. `HhK` Misra-Gries counters per task;

@@ -65,6 +65,15 @@ object Graph {
     * demonstrate the distributed loop, not convergence.
     */
   val HitsIters = 6
+
+  /** `g_hyperball` radius bound: out-neighborhood-size HLL sketches at
+    * r = 1 and r = 2 (Boldi & Vigna 2013's HyperBall primitive — the
+    * neighborhood function this library's centrality work would build
+    * on). Two rounds keep the unrolled oracle and the board row cheap
+    * while exercising the register-merge recurrence; the radii share one
+    * pipeline (round 2 folds round 1's registers).
+    */
+  val HbRounds = 2
   val SingleSource = 1L
   val BatchSources: Seq[Long] = Seq(1L, 2L, 3L, 5L, 8L)
   val TopK = 10
@@ -445,6 +454,58 @@ object Graph {
           round(col("auth"), 9).as("auth"))
     }),
 
+    // HyperBall neighborhood-size sketches: per node an HLL register set
+    // of its ≤ r-hop OUT-ball, grown by the register-merge recurrence
+    // reg_r(v) = max(reg_{r-1}(v), max over v→u of reg_{r-1}(u)) — the
+    // web-scale neighborhood-function/centrality primitive (Boldi &
+    // Vigna 2013) that the integer HLL machinery of ev_daily_hll makes
+    // exactly cross-engine-checkable: registers are max-merged INTEGERS
+    // (no float order anywhere), so the whole recurrence hash-compares,
+    // and the two estimates run the shared hllEstSqlAs spelling. Scale
+    // shape: per round ONE map-side-combined (id, b) groupBy over
+    // ≤ m·|E| register rows (m = 16); an exact r-hop ball size would be
+    // a Σdeg² distinct-pair explosion — the sketch IS the scale path,
+    // so no exact ride-along column here (HyperBallSpec replays exact
+    // balls in memory at sf0.001 instead).
+    "g_hyperball" -> ((s, dir) => {
+      val P = graft.text.TextOps.P
+      val E = graft.queries.Events
+      val pw = 1L << (E.HllW + 1)
+      val edges = GraphOps.lineitemGraph(s, dir, Mod).localCheckpoint(true)
+      val nodes = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+      val reg0 = nodes
+        .selectExpr("id", s"id % $P AS h")
+        .selectExpr("id", s"${graft.text.TextOps.spark.kmvMix("h")} AS hm")
+        .selectExpr("id", s"hm % ${E.HllM} AS b", s"hm div ${E.HllM} AS w")
+        .selectExpr("id", "b",
+          s"CASE WHEN w = 0 THEN ${E.HllW + 1} " +
+            s"ELSE ${E.HllW + 1} - length(bin(w)) END AS mj")
+        .localCheckpoint(true)
+      def step(reg: DataFrame): DataFrame =
+        edges.join(reg, edges("dst") === reg("id"))
+          .select(edges("src").as("id"), col("b"), col("mj"))
+          .unionAll(reg.select(col("id"), col("b"), col("mj")))
+          .groupBy("id", "b").agg(max(col("mj")).as("mj"))
+          .localCheckpoint(true)
+      def fold(reg: DataFrame, sfx: String): DataFrame =
+        reg.groupBy(col("id"))
+          .agg(count(lit(1)).as("n_present"),
+            sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${E.HllW + 1} - mj)"))
+              .as("s_reg"))
+          .selectExpr("id",
+            s"CAST(${E.HllM} - n_present AS BIGINT) AS v_zero$sfx",
+            s"s_reg + (${E.HllM} - n_present) * CAST($pw AS BIGINT) " +
+              s"AS s_scaled$sfx")
+      val r1 = step(reg0)
+      val r2 = step(r1)
+      fold(r1, "1").join(fold(r2, "2"), Seq("id"))
+        .selectExpr("id AS node_id", "v_zero1", "s_scaled1",
+          E.hllEstSqlAs("s_scaled1", "v_zero1", "est1"),
+          "v_zero2", "s_scaled2",
+          E.hllEstSqlAs("s_scaled2", "v_zero2", "est2"))
+    }),
+
     // K1 batched: multi-source PPR over broadcast CSR (zero per-iteration
     // shuffle; the 100 TB-shaped strategy for batch workloads).
     "g_ppr_batch" -> ((s, dir) => {
@@ -757,6 +818,38 @@ object Graph {
       "g_power_ppr" -> PowerIteration.oracleSql(graphSql, SingleSource, Alpha, Iters),
       "g_pagerank" -> PageRank.oracleSql(graphSql, PrDamping, PrIters),
       "g_hits" -> graft.graph.Hits.oracleSql(graphSql, HitsIters),
+      "g_hyperball" -> {
+        val P = graft.text.TextOps.P
+        val E = graft.queries.Events
+        val pw = 1L << (E.HllW + 1)
+        def stepSql(prev: String): String =
+          s"""SELECT id, b, max(mj) AS mj FROM (
+             |  SELECT e.src AS id, r.b, r.mj FROM e JOIN $prev r ON r.id = e.dst
+             |  UNION ALL SELECT id, b, mj FROM $prev) GROUP BY id, b""".stripMargin
+        def foldSql(reg: String, sfx: String): String =
+          s"""SELECT id, CAST(${E.HllM} - count(*) AS BIGINT) AS v_zero$sfx,
+             |  CAST(sum(CAST(1 AS BIGINT) << (${E.HllW + 1} - mj)) AS BIGINT)
+             |    + (${E.HllM} - count(*)) * CAST($pw AS BIGINT) AS s_scaled$sfx
+             |  FROM $reg GROUP BY id""".stripMargin
+        s"""WITH e AS MATERIALIZED ($graphSql),
+           |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+           |hm AS MATERIALIZED (SELECT id,
+           |  ${graft.text.TextOps.duck.kmvMix("h")} AS hm FROM (
+           |  SELECT id, id % $P AS h FROM nodes)),
+           |r0 AS MATERIALIZED (SELECT id, hm % ${E.HllM} AS b,
+           |  CASE WHEN hm // ${E.HllM} = 0 THEN ${E.HllW + 1}
+           |       ELSE ${E.HllW + 1} - length(bin(hm // ${E.HllM})) END AS mj
+           |  FROM hm),
+           |r1 AS MATERIALIZED (${stepSql("r0")}),
+           |r2 AS MATERIALIZED (${stepSql("r1")}),
+           |f1 AS MATERIALIZED (${foldSql("r1", "1")}),
+           |f2 AS MATERIALIZED (${foldSql("r2", "2")})
+           |SELECT f1.id AS node_id, v_zero1, s_scaled1,
+           |  ${E.hllEstSqlAs("s_scaled1", "v_zero1", "est1")},
+           |  v_zero2, s_scaled2,
+           |  ${E.hllEstSqlAs("s_scaled2", "v_zero2", "est2")}
+           |FROM f1 JOIN f2 ON f2.id = f1.id""".stripMargin
+      },
       "g_triangles" ->
         s"""WITH e AS MATERIALIZED (${GraphOps.lineitemGraphSql(TriMod)}),
            |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,

@@ -1,0 +1,67 @@
+package graft.graph
+
+import graft.SparkSpec
+import graft.queries.{Events, Graph}
+import graft.text.TextOps
+
+class HyperBallSpec extends SparkSpec {
+
+  private def rho(w: Long): Int =
+    if (w == 0L) Events.HllW + 1
+    else Events.HllW + 1 - java.lang.Long.toBinaryString(w).length
+
+  test("g_hyperball registers equal the exact in-memory replay (integer " +
+      "end-to-end), grow monotonically, and the r=2 estimate tracks the " +
+      "true ball size") {
+    val got = Graph.queries("g_hyperball")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)),
+        (r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+
+    val edges = GraphOps.lineitemGraph(spark, sfDir, Graph.Mod).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      .withDefaultValue(Set.empty[Long])
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    assert(got.size == nodes.length)
+
+    // exact balls by the register recurrence's set twin:
+    // B_r(v) = B_{r-1}(v) ∪ ∪_{v→u} B_{r-1}(u)
+    var ball = nodes.map(v => v -> Set(v)).toMap
+    val balls = (1 to 2).map { _ =>
+      ball = ball.map { case (v, b) =>
+        v -> out(v).foldLeft(b)((acc, u) => acc ++ ball(u))
+      }
+      ball
+    }
+
+    val m = Events.HllM
+    val pw = 1L << (Events.HllW + 1)
+    def foldRegs(b: Set[Long]): (Long, Long) = {
+      val regs = b.groupMapReduce(w => TextOps.kmvMix(w % TextOps.P) % m)(
+        w => rho(TextOps.kmvMix(w % TextOps.P) / m))(math.max)
+      val vZero = (m - regs.size).toLong
+      val sScaled = regs.values.map(mj => 1L << (Events.HllW + 1 - mj)).sum +
+        (m - regs.size) * pw
+      (vZero, sScaled)
+    }
+
+    nodes.foreach { v =>
+      val ((vz1, ss1, est1), (vz2, ss2, est2)) = got(v)
+      assert((vz1, ss1) == foldRegs(balls(0)(v)), s"node $v r1 registers")
+      assert((vz2, ss2) == foldRegs(balls(1)(v)), s"node $v r2 registers")
+      // registers only grow with radius — exact integer monotonicity
+      assert(vz2 <= vz1 && ss2 <= ss1, s"node $v registers shrank")
+      assert(est1 > 0.0 && est2 > 0.0)
+    }
+
+    // sketch accuracy: m = 16 gives ~26% σ; the mean relative error of
+    // the r=2 estimate against the true ball size must sit well inside
+    // a loose 0.4 band (a broken recurrence lands far outside).
+    val relErrs = nodes.map { v =>
+      val tru = balls(1)(v).size.toDouble
+      math.abs(got(v)._2._3 - tru) / tru
+    }
+    val mre = relErrs.sum / relErrs.length
+    assert(mre < 0.4, s"mean relative error $mre")
+  }
+}
