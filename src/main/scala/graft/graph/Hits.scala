@@ -40,15 +40,26 @@ object Hits {
     */
   def run(spark: SparkSession, edges: DataFrame, iterations: Int): DataFrame = {
     val sc = spark.sparkContext
+    // tracked setup checkpoints, released in the finally (the PageRank
+    // discipline): the returned DataFrame's final generations no longer
+    // reference nodes/ew, so a long-lived session must not keep them.
+    def trackedCkpt(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+
     val e = edges.persist()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct()
-      .localCheckpoint(true)
+    val (nodes, nodesIds) = trackedCkpt(
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+        .distinct())
     val m = e.count()
     // shuffle width scoped to graph size (the PowerIteration rationale)
     val p = math.min(sc.defaultParallelism.toLong, m / 1000000L + 1L).toInt
-    val ew = e.repartition(p, col("src")).localCheckpoint(true)
+    val (ew, ewIds) = trackedCkpt(e.repartition(p, col("src")))
     e.unpersist()
     val n = nodes.count().toDouble
 
@@ -103,6 +114,9 @@ object Hits {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
+      // the returned plan reads only the final hub/auth generations
+      release(nodesIds)
+      release(ewIds)
     }
   }
 
