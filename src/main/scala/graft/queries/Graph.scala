@@ -365,7 +365,11 @@ object Graph {
         u.select(col("a").as("id")).unionAll(u.select(col("b").as("id")))
           .groupBy("id").agg(count(lit(1)).as("dg"))
       for (_ <- 1 to KcoreRounds) {
+        // materialized once per round: both semi-join sides reference it,
+        // and un-checkpointed the degree shuffle would execute twice
+        // (plus the known size lets both semi-joins broadcast).
         val alive = degrees(und).where(col("dg") >= KcoreK).select("id")
+          .localCheckpoint(true)
         und = und
           .join(alive.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
           .join(alive.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
