@@ -149,10 +149,17 @@ object Graph {
       .localCheckpoint(true) // read 3× (cap filter + two score joins)
     val capped = adj
       .join(deg.where(col("dg") <= cap).select(col("w")), Seq("w"))
+    // the wedge stream is the row's irreducible core (Σ deg(w)² rows —
+    // 36.5 M at sf0.1); packing the pair into ONE 8-byte key narrows
+    // every exchanged row and hashes one long instead of two in the
+    // map-side combine. Node ids are nonnegative mod-derived ints
+    // < 2³¹ on every library graph, so u<<32 | v is lossless.
     val cn = capped.as("x").join(capped.as("y"),
         col("x.w") === col("y.w") && col("x.n") < col("y.n"))
-      .groupBy(col("x.n").as("u"), col("y.n").as("v"))
-      .agg(count(lit(1)).as("cn"))
+      .select((shiftleft(col("x.n"), 32) + col("y.n")).as("uv"))
+      .groupBy(col("uv")).agg(count(lit(1)).as("cn"))
+      .select(shiftright(col("uv"), 32).as("u"),
+        col("uv").bitwiseAND(lit(0xFFFFFFFFL)).as("v"), col("cn"))
     cn.join(und.select(col("a").as("u"), col("b").as("v")),
         Seq("u", "v"), "left_anti")
       .join(deg.select(col("w").as("u"), col("dg").as("du")), Seq("u"))
