@@ -170,6 +170,73 @@ object Graph {
       .limit(topN)
   }
 
+  /** `g_hyperball` body over a directed `(src, dst)` edge DataFrame
+    * (pre-checkpointed by the caller — it feeds node derivation and both
+    * rounds), reusable on any graph (OctaveBench runs it on the
+    * Flickr-scale octave). See the row comment for the recurrence.
+    */
+  private[graft] def hyperBallRun(edges: DataFrame): DataFrame = {
+    val P = graft.text.TextOps.P
+    val E = graft.queries.Events
+    val pw = 1L << (E.HllW + 1)
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val reg0 = nodes
+      .selectExpr("id", s"id % $P AS h")
+      .selectExpr("id", s"${graft.text.TextOps.spark.kmvMix("h")} AS hm")
+      .selectExpr("id", s"hm % ${E.HllM} AS b", s"hm div ${E.HllM} AS w")
+      .selectExpr("id", "b",
+        s"CASE WHEN w = 0 THEN ${E.HllW + 1} " +
+          s"ELSE ${E.HllW + 1} - length(bin(w)) END AS mj")
+      .localCheckpoint(true)
+    def step(reg: DataFrame): DataFrame =
+      edges.join(reg, edges("dst") === reg("id"))
+        .select(edges("src").as("id"), col("b"), col("mj"))
+        .unionAll(reg.select(col("id"), col("b"), col("mj")))
+        .groupBy("id", "b").agg(max(col("mj")).as("mj"))
+        .localCheckpoint(true)
+    def fold(reg: DataFrame, sfx: String): DataFrame =
+      reg.groupBy(col("id"))
+        .agg(count(lit(1)).as("n_present"),
+          sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${E.HllW + 1} - mj)"))
+            .as("s_reg"))
+        .selectExpr("id",
+          s"CAST(${E.HllM} - n_present AS BIGINT) AS v_zero$sfx",
+          s"s_reg + (${E.HllM} - n_present) * CAST($pw AS BIGINT) " +
+            s"AS s_scaled$sfx")
+    val r1 = step(reg0)
+    val r2 = step(r1)
+    fold(r1, "1").join(fold(r2, "2"), Seq("id"))
+      .selectExpr("id AS node_id", "v_zero1", "s_scaled1",
+        E.hllEstSqlAs("s_scaled1", "v_zero1", "est1"),
+        "v_zero2", "s_scaled2",
+        E.hllEstSqlAs("s_scaled2", "v_zero2", "est2"))
+  }
+
+  /** `g_kcore` body over an undirected distinct edge set `und` (`a < b`
+    * orientation), reusable on any graph (OctaveBench runs it on the
+    * Flickr-scale octave). See the row comment for the peel semantics.
+    */
+  private[graft] def kcoreRun(und0: DataFrame, kMin: Int,
+      rounds: Int): DataFrame = {
+    var und = und0
+    def degrees(u: DataFrame): DataFrame =
+      u.select(col("a").as("id")).unionAll(u.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("dg"))
+    for (_ <- 1 to rounds) {
+      // materialized once per round: both semi-join sides reference it,
+      // and un-checkpointed the degree shuffle would execute twice
+      // (plus the known size lets both semi-joins broadcast).
+      val alive = degrees(und).where(col("dg") >= kMin).select("id")
+        .localCheckpoint(true)
+      und = und
+        .join(alive.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+        .join(alive.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+    }
+    degrees(und).withColumnRenamed("dg", "core_deg")
+  }
+
   /** Materialize one FORA trace per source as the three artifact tables
     * the replay SQL reads: `st(src, node_id, reserve, residue)` (nonzero
     * rows only), `sc(src, rsum, num_walks)`, `wk(src, v, dest)`. One
@@ -365,24 +432,10 @@ object Graph {
     // building block.
     "g_kcore" -> ((s, dir) => {
       val e = GraphOps.lineitemGraph(s, dir, TriMod)
-      var und = e.select(least(col("src"), col("dst")).as("a"),
+      val und = e.select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b")).distinct()
         .localCheckpoint(true)
-      def degrees(u: DataFrame): DataFrame =
-        u.select(col("a").as("id")).unionAll(u.select(col("b").as("id")))
-          .groupBy("id").agg(count(lit(1)).as("dg"))
-      for (_ <- 1 to KcoreRounds) {
-        // materialized once per round: both semi-join sides reference it,
-        // and un-checkpointed the degree shuffle would execute twice
-        // (plus the known size lets both semi-joins broadcast).
-        val alive = degrees(und).where(col("dg") >= KcoreK).select("id")
-          .localCheckpoint(true)
-        und = und
-          .join(alive.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
-          .join(alive.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
-          .localCheckpoint(true)
-      }
-      degrees(und).withColumnRenamed("dg", "core_deg")
+      kcoreRun(und, KcoreK, KcoreRounds)
     }),
 
     // k-hop neighborhood expansion: distinct nodes reachable from each
@@ -478,44 +531,8 @@ object Graph {
     // a Σdeg² distinct-pair explosion — the sketch IS the scale path,
     // so no exact ride-along column here (HyperBallSpec replays exact
     // balls in memory at sf0.001 instead).
-    "g_hyperball" -> ((s, dir) => {
-      val P = graft.text.TextOps.P
-      val E = graft.queries.Events
-      val pw = 1L << (E.HllW + 1)
-      val edges = GraphOps.lineitemGraph(s, dir, Mod).localCheckpoint(true)
-      val nodes = edges.select(col("src").as("id"))
-        .union(edges.select(col("dst").as("id"))).distinct()
-      val reg0 = nodes
-        .selectExpr("id", s"id % $P AS h")
-        .selectExpr("id", s"${graft.text.TextOps.spark.kmvMix("h")} AS hm")
-        .selectExpr("id", s"hm % ${E.HllM} AS b", s"hm div ${E.HllM} AS w")
-        .selectExpr("id", "b",
-          s"CASE WHEN w = 0 THEN ${E.HllW + 1} " +
-            s"ELSE ${E.HllW + 1} - length(bin(w)) END AS mj")
-        .localCheckpoint(true)
-      def step(reg: DataFrame): DataFrame =
-        edges.join(reg, edges("dst") === reg("id"))
-          .select(edges("src").as("id"), col("b"), col("mj"))
-          .unionAll(reg.select(col("id"), col("b"), col("mj")))
-          .groupBy("id", "b").agg(max(col("mj")).as("mj"))
-          .localCheckpoint(true)
-      def fold(reg: DataFrame, sfx: String): DataFrame =
-        reg.groupBy(col("id"))
-          .agg(count(lit(1)).as("n_present"),
-            sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${E.HllW + 1} - mj)"))
-              .as("s_reg"))
-          .selectExpr("id",
-            s"CAST(${E.HllM} - n_present AS BIGINT) AS v_zero$sfx",
-            s"s_reg + (${E.HllM} - n_present) * CAST($pw AS BIGINT) " +
-              s"AS s_scaled$sfx")
-      val r1 = step(reg0)
-      val r2 = step(r1)
-      fold(r1, "1").join(fold(r2, "2"), Seq("id"))
-        .selectExpr("id AS node_id", "v_zero1", "s_scaled1",
-          E.hllEstSqlAs("s_scaled1", "v_zero1", "est1"),
-          "v_zero2", "s_scaled2",
-          E.hllEstSqlAs("s_scaled2", "v_zero2", "est2"))
-    }),
+    "g_hyperball" -> ((s, dir) =>
+      hyperBallRun(GraphOps.lineitemGraph(s, dir, Mod).localCheckpoint(true))),
 
     // K1 batched: multi-source PPR over broadcast CSR (zero per-iteration
     // shuffle; the 100 TB-shaped strategy for batch workloads).
