@@ -438,6 +438,37 @@ object Graph {
       kcoreRun(und, KcoreK, KcoreRounds)
     }),
 
+    // Degree assortativity (Newman 2002): the Pearson correlation of
+    // endpoint degrees over all directed adjacency pairs of the
+    // undirected graph — positive = hubs attach to hubs, negative =
+    // hub-to-leaf (the disassortative profile most real graphs show).
+    // Every moment is an exact INTEGER sum over the adj pairs (S_jk =
+    // Σ du·dv, S_j = Σ du, S_jj = Σ du², M = pair count) folded
+    // map-side in one aggregate after two degree joins; r =
+    // (M·S_jk − S_j²) / (M·S_jj − S_j²) is the ONE float division,
+    // spelled identically in the oracle — engines cannot desync on an
+    // integer-exact numerator/denominator. The integer moments ride
+    // along (they are the mergeable 100 TB state; r folds from them).
+    "g_assortativity" -> ((s, dir) => {
+      val e = GraphOps.lineitemGraph(s, dir, TriMod)
+      val und = e.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+      val adj = und.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint(true) // feeds degrees and the pair scan
+      val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+      val pairs = adj
+        .join(deg.select(col("u"), col("dg").as("du")), Seq("u"))
+        .join(deg.select(col("u").as("v"), col("dg").as("dv")), Seq("v"))
+      pairs.agg(count(lit(1)).as("m_pairs"),
+          sum(col("du") * col("dv")).as("s_jk"),
+          sum(col("du")).as("s_j"),
+          sum(col("du") * col("du")).as("s_jj"))
+        .selectExpr("m_pairs", "s_jk", "s_j", "s_jj",
+          "CAST(m_pairs * s_jk - s_j * s_j AS DOUBLE) / " +
+            "CAST(m_pairs * s_jj - s_j * s_j AS DOUBLE) AS r")
+    }),
+
     // k-hop neighborhood expansion: distinct nodes reachable from each
     // batch source in exactly 1 and within 2 hops (directed) — the
     // traversal primitive feature pipelines run for ego-network stats.
@@ -917,6 +948,20 @@ object Graph {
            |WHERE NOT EXISTS (SELECT 1 FROM und
            |  WHERE und.a = c.u AND und.b = c.v)
            |ORDER BY c.cn DESC, c.u, c.v LIMIT $LpCnTopN""".stripMargin,
+      "g_assortativity" ->
+        s"""WITH e AS MATERIALIZED (${GraphOps.lineitemGraphSql(TriMod)}),
+           |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+           |  greatest(src, dst) AS b FROM e),
+           |adj AS MATERIALIZED (SELECT a AS u, b AS v FROM und
+           |  UNION ALL SELECT b AS u, a AS v FROM und),
+           |deg AS MATERIALIZED (SELECT u, count(*) AS dg FROM adj GROUP BY u),
+           |mom AS (SELECT count(*) AS m_pairs, sum(x.dg * y.dg) AS s_jk,
+           |  sum(x.dg) AS s_j, sum(x.dg * x.dg) AS s_jj
+           |  FROM adj JOIN deg x ON x.u = adj.u JOIN deg y ON y.u = adj.v)
+           |SELECT m_pairs, s_jk, s_j, s_jj,
+           |  CAST(m_pairs * s_jk - s_j * s_j AS DOUBLE) /
+           |    CAST(m_pairs * s_jj - s_j * s_j AS DOUBLE) AS r
+           |FROM mom""".stripMargin,
       "g_kcore" -> {
         // unrolled peel rounds — each round re-derives degrees over the
         // previous survivor edge set and keeps edges with both endpoints
