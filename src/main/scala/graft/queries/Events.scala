@@ -34,6 +34,16 @@ object Events {
     */
   val EvKmvK = 8
 
+  /** `ev_kmv_overlap` sketch size — larger than [[EvKmvK]] because the
+    * overlap estimate's granularity is 1/k (k = 8 would quantize Jaccard
+    * to eighths); 64 distinct-min hashes per day is still constant state
+    * per window. At sf0.001 the per-day universe (≤ 15 users) is smaller
+    * than k, so the sketch IS the set and the estimate collapses to the
+    * exact Jaccard — degenerate but correct; sf0.01+ exercises the
+    * genuinely sampled regime.
+    */
+  val EvOvK = 64
+
   /** `ev_cms_freq` Count-Min geometry: d independent hash rows × w
     * buckets (error ≤ e·N/w with probability 1 − e^−d), and the salt
     * that derives row j's hash from the shared mixer. Small on purpose
@@ -489,6 +499,75 @@ object Events {
     // n_exact counts RAW ids (the % P reduction exists only to feed the
     // mixer — ids at or above P must not collide in the exact baseline
     // the estimate is judged against).
+    // Day-over-day audience overlap from KMV sketches — the SET-OPERATION
+    // member of the sketch family (the others estimate per-window scalars;
+    // this one estimates BETWEEN windows): for each consecutive day pair,
+    // the bottom-k distinct-min-hash sketches of the two days combine into
+    // the union's bottom-k, and the fraction of those union-sketch hashes
+    // present in BOTH days estimates Jaccard (Beyer et al. 2007, the
+    // theta-sketch a∩b/a∪b rule). Everything that crosses a shuffle is a
+    // k-row integer hash set per day — the pair computation never touches
+    // raw users, which is what makes cross-window audience overlap
+    // streamable at 100 TB; the exact intersection/union/Jaccard ride
+    // along as the drop-at-scale oracle columns (the ev_daily_hll
+    // discipline). Per-day bottom-k cuts are rank-over-window rows
+    // (WindowGroupLimit-eligible); the single float division per column
+    // is spelled identically in the oracle.
+    "ev_kmv_overlap" -> ((s, dir) => {
+      val P = graft.text.TextOps.P
+      val du = Tables(s, dir, "events")
+        .selectExpr("date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day",
+          "user_id", s"user_id % $P AS h")
+        .selectExpr("day", "user_id",
+          s"${graft.text.TextOps.spark.kmvMix("h")} AS hm")
+        .select("day", "user_id", "hm").distinct()
+        .localCheckpoint(true) // feeds sketches and the exact columns
+      val w = Window.partitionBy(col("day")).orderBy(col("hm"))
+      val sk = du.select(col("day"), col("hm")).distinct()
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= EvOvK).select("day", "hm")
+        .localCheckpoint(true) // k rows per day — the only pair-stage input
+      val pairs = sk.select(col("day")).distinct()
+        .select(col("day"), date_format(date_add(to_date(col("day")), 1),
+          "yyyy-MM-dd").as("day2"))
+        .join(sk.select(col("day").as("day2")).distinct(), Seq("day2"),
+          "left_semi")
+      // union sketch per pair: distinct hm of both days, bottom-k again.
+      // Two equi-joins (day side, day2 side) unioned — never an OR-join
+      // nested loop.
+      val aSide = pairs.join(sk, Seq("day"))
+        .select(col("day"), col("day2"), col("hm"),
+          lit(1).as("in_a"), lit(0).as("in_b"))
+      val bSide = pairs.join(sk.withColumnRenamed("day", "day2"), Seq("day2"))
+        .select(col("day"), col("day2"), col("hm"),
+          lit(0).as("in_a"), lit(1).as("in_b"))
+      val both = aSide.unionByName(bSide)
+        .groupBy(col("day"), col("day2"), col("hm"))
+        .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      val wp = Window.partitionBy(col("day"), col("day2")).orderBy(col("hm"))
+      val est = both.withColumn("rn", row_number().over(wp))
+        .where(col("rn") <= EvOvK)
+        .groupBy(col("day"), col("day2"))
+        .agg(count(lit(1)).as("k_union"),
+          sum(col("in_a") * col("in_b")).as("overlap"))
+      val exact = du.select(col("day"), col("user_id")).distinct().as("x")
+        .join(du.select(
+            date_format(date_add(to_date(col("day")), -1), "yyyy-MM-dd")
+              .as("day"), col("user_id")).distinct().as("y"),
+          Seq("day", "user_id"), "full")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_union"),
+          sum(when(col("x.user_id").isNotNull &&
+            col("y.user_id").isNotNull, 1L).otherwise(0L)).as("n_inter"))
+      est.join(exact, Seq("day"))
+        .selectExpr("day", "day2", "CAST(k_union AS BIGINT) AS k_union",
+          "CAST(overlap AS BIGINT) AS overlap",
+          "CAST(overlap AS DOUBLE) / CAST(k_union AS DOUBLE) AS jac_est",
+          "CAST(n_inter AS BIGINT) AS n_inter",
+          "CAST(n_union AS BIGINT) AS n_union",
+          "CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jac_exact")
+    }),
+
     "ev_daily_kmv" -> ((s, dir) => {
       graft.functions.KmvFunctions.register(s)
       val P = graft.text.TextOps.P
@@ -814,6 +893,51 @@ object Events {
          | round(sum(value), 2) AS sum_value,
          | round(max(epoch(ts)) - min(epoch(ts)), 6) AS duration_sec
          |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "ev_kmv_overlap" -> {
+      val P = graft.text.TextOps.P
+      s"""WITH h AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         |  user_id, user_id % $P AS h FROM events),
+         |du AS MATERIALIZED (SELECT DISTINCT day, user_id,
+         |  ${graft.text.TextOps.duck.kmvMix("h")} AS hm FROM h),
+         |sk AS MATERIALIZED (SELECT day, hm FROM (
+         |  SELECT day, hm, row_number() OVER (
+         |    PARTITION BY day ORDER BY hm) AS rn
+         |  FROM (SELECT DISTINCT day, hm FROM du)) WHERE rn <= $EvOvK),
+         |days AS (SELECT DISTINCT day FROM sk),
+         |pairs AS (SELECT d.day,
+         |  strftime(CAST(d.day AS DATE) + 1, '%Y-%m-%d') AS day2 FROM days d
+         |  WHERE EXISTS (SELECT 1 FROM days e
+         |    WHERE e.day = strftime(CAST(d.day AS DATE) + 1, '%Y-%m-%d'))),
+         |sides AS (
+         |  SELECT p.day, p.day2, s.hm, 1 AS in_a, 0 AS in_b
+         |  FROM pairs p JOIN sk s ON s.day = p.day
+         |  UNION ALL
+         |  SELECT p.day, p.day2, s.hm, 0 AS in_a, 1 AS in_b
+         |  FROM pairs p JOIN sk s ON s.day = p.day2),
+         |merged AS (SELECT day, day2, hm, max(in_a) AS in_a,
+         |  max(in_b) AS in_b FROM sides GROUP BY 1, 2, 3),
+         |unionk AS (SELECT * FROM (SELECT day, day2, in_a, in_b,
+         |  row_number() OVER (PARTITION BY day, day2 ORDER BY hm) AS rn
+         |  FROM merged) WHERE rn <= $EvOvK),
+         |est AS (SELECT day, day2, count(*) AS k_union,
+         |  sum(in_a * in_b) AS overlap FROM unionk GROUP BY 1, 2),
+         |x AS (SELECT DISTINCT day, user_id FROM du),
+         |y AS (SELECT DISTINCT strftime(CAST(day AS DATE) - 1, '%Y-%m-%d')
+         |  AS day, user_id FROM du),
+         |ex AS (SELECT coalesce(x.day, y.day) AS day, count(*) AS n_union,
+         |  sum(CASE WHEN x.user_id IS NOT NULL AND y.user_id IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS n_inter
+         |  FROM x FULL JOIN y ON y.day = x.day AND y.user_id = x.user_id
+         |  GROUP BY 1)
+         |SELECT e.day, e.day2, CAST(e.k_union AS BIGINT) AS k_union,
+         |  CAST(e.overlap AS BIGINT) AS overlap,
+         |  CAST(e.overlap AS DOUBLE) / CAST(e.k_union AS DOUBLE) AS jac_est,
+         |  CAST(ex.n_inter AS BIGINT) AS n_inter,
+         |  CAST(ex.n_union AS BIGINT) AS n_union,
+         |  CAST(ex.n_inter AS DOUBLE) / CAST(ex.n_union AS DOUBLE)
+         |    AS jac_exact
+         |FROM est e JOIN ex ON ex.day = e.day""".stripMargin
+    },
     "ev_daily_kmv" -> {
       val P = graft.text.TextOps.P
       s"""WITH h AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
