@@ -203,6 +203,34 @@ object EventStreams {
       .selectExpr("day", "e.bucket AS bucket", "e.lb AS lb")
   }
 
+  /** Per-day KMV sketch SET — the streaming state behind
+    * `ev_kmv_overlap`'s pair stage: the k smallest distinct mixed hashes
+    * of each daily window as ≤ k longs of window state however many
+    * events arrive, via the new [[graft.functions.BottomKLongs]] bounded
+    * aggregate (exact long channel — mixed hashes live in [0, P²) ≈ 2⁶⁰,
+    * which a double payload would round; and set semantics dedup
+    * in-aggregate, so no separate distinct stage is needed and the merge
+    * is order-free — stream ≡ batch holds byte-exactly). The
+    * overlap/Jaccard computation is the query-time READ path over two
+    * windows' sketch sets (the batch row), not streaming state.
+    * EventStreamsSpec pins stream ≡ batch sketch sets across micro-batch
+    * splits.
+    */
+  def dailySketchSet(events: DataFrame,
+      k: Int = graft.queries.Events.EvOvK): DataFrame = {
+    graft.functions.LongSetFunctions.register(events.sparkSession)
+    val P = graft.text.TextOps.P
+    events
+      .withWatermark("ts", "2 days")
+      .selectExpr("ts", s"user_id % $P AS h")
+      .selectExpr("ts", s"${graft.text.TextOps.spark.kmvMix("h")} AS hm")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(graft.functions.LongSetFunctions.bottomKLongs(col("hm"), k)
+        .as("vals"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        explode(col("vals")).as("hm"))
+  }
+
   /** Gap-based sessionization over per-user state. Emits a session row when
     * the gap to the next event exceeds `gapSec` (the still-open session per
     * user stays in state; a real pipeline closes it by event-time timeout).

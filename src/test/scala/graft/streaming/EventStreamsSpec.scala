@@ -468,6 +468,47 @@ class EventStreamsSpec extends SparkSpec {
     assert(run(Seq(a, b), "tr2") == want)
   }
 
+  test("streaming daily KMV sketch sets equal the batch bottom-k " +
+      "distinct hashes across micro-batch splits") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = input.toDF().toDF("user_id", "ts")
+    val q = dailySketchSet(df).writeStream
+      .format("memory").queryName("dsk").outputMode("complete").start()
+    try {
+      val rows = Tables(spark, sfDir, "events")
+        .select(col("user_id"), col("ts"))
+        .as[(Long, java.sql.Timestamp)].collect()
+      val chunks = rows.grouped((rows.length + 2) / 3).toSeq
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val got = spark.table("dsk").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+
+      val P = graft.text.TextOps.P
+      val want = Tables(spark, sfDir, "events")
+        .selectExpr(
+          "date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day",
+          s"user_id % $P AS h")
+        .selectExpr("day", s"${graft.text.TextOps.spark.kmvMix("h")} AS hm")
+        .distinct()
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("day"))
+            .orderBy(col("hm"))))
+        .where(col("rn") <= graft.queries.Events.EvOvK)
+        .select(col("day"), col("hm"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == want)
+      // bounded state: ≤ k sketch members per day
+      got.groupBy(_._1).foreach { case (day, g) =>
+        assert(g.size <= graft.queries.Events.EvOvK,
+          s"day $day kept ${g.size} > k hashes")
+      }
+    } finally q.stop()
+  }
+
   test("streaming daily Misra-Gries candidates: exact equality in the " +
       "no-cancellation regime, MG guarantees under a tiny k") {
     val s = spark
