@@ -7,12 +7,33 @@ object Bench {
   val RecheckBound = 1.3
   val MaxBoardAttempts = 2
 
+  /** Trust bound on `floor_ratio` = tail-vs-pre-board job-floor probe
+    * (see [[gateRerun]]). Looser than [[RecheckBound]]: empty-job floors
+    * are scheduler-noisy even on a quiet host, and the 20-job aggregate
+    * only needs to catch multiples (the round-10 discarded board read
+    * floor-dominated rows at 3× under load that arrived mid-board).
+    */
+  val FloorBound = 2.0
+
   /** The gate decision, pure so BenchGateSpec can pin it: re-run only a
     * FULL board (subset runs read high ratios by construction), only
-    * while attempts remain, and only past the bound.
+    * while attempts remain, and only past a bound. TWO contamination
+    * signals, either sufficient:
+    *   - `ratio` (in-board first row vs its tail re-run) catches "hot
+    *     during the board, drained by the tail" — the r6/r7 co-resident
+    *     JVM mode;
+    *   - `floorRatio` (tail job-floor probe vs pre-board probe) catches
+    *     the inverse "quiet at start, load arrived mid-board" mode the
+    *     row recheck is blind to when the recheck row is compute-bound:
+    *     the round-10 discarded 230 s board read recheck_ratio 0.67
+    *     while its checkpoint-floor rows (g_power_ppr) sat at 3× —
+    *     pure scheduler-floor inflation, exactly what an empty-job
+    *     probe measures.
     */
-  def gateRerun(subsetRun: Boolean, ratio: Double, attempt: Int): Boolean =
-    !subsetRun && ratio > RecheckBound && attempt < MaxBoardAttempts
+  def gateRerun(subsetRun: Boolean, ratio: Double, attempt: Int,
+      floorRatio: Double = 0.0): Boolean =
+    !subsetRun && (ratio > RecheckBound || floorRatio > FloorBound) &&
+      attempt < MaxBoardAttempts
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -101,14 +122,29 @@ object Bench {
     // drained by the tail, so board_sec/tail_sec ≫ 1 marks a contaminated
     // artifact from the artifact alone; ≈ 1 (tail re-runs are warm, so
     // slightly below 1 is normal) marks a quiet one.
-    def runBoard(): (Seq[(String, Double)], Option[(String, Double, Double)]) = {
+    // Job-floor probe: 20 empty jobs measure the per-job scheduling
+    // floor (what the iterative rows' cost is MADE of — they run
+    // supersteps of tiny tasks). A few throwaway jobs first so the probe
+    // itself is JIT-warm on attempt 1.
+    def floorProbe(): Double = {
+      var i = 0
+      while (i < 5) { spark.range(1).count(): Unit; i += 1 }
+      val t0 = System.nanoTime()
+      i = 0
+      while (i < 20) { spark.range(1).count(): Unit; i += 1 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def runBoard(): (Seq[(String, Double)],
+        Option[(String, Double, Double)], Double, Double) = {
+      val preFloor = floorProbe()
       val rs = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> timed(name, fn)
       }
       val rc = rs.headOption.map { case (name, boardSec) =>
         (name, boardSec, timed(name, selected(name)))
       }
-      (rs, rc)
+      val tailFloor = floorProbe()
+      (rs, rc, preFloor, tailFloor)
     }
     // Contamination GATE (README "Reading a bench artifact"): a FULL
     // board whose own recheck_ratio exceeds the documented trust bound
@@ -122,18 +158,22 @@ object Bench {
     // the artifact prints with its high ratio intact (self-convicting)
     // plus a stderr warning — never silently.
     var attempt = 1
-    var (results, recheck) = runBoard()
+    var (results, recheck, preFloor, tailFloor) = runBoard()
     def ratio: Double = recheck
       .map { case (_, b, t) => if (t > 0) b / t else 0.0 }.getOrElse(0.0)
-    while (gateRerun(only.nonEmpty, ratio, attempt)) {
+    def floorRatio: Double = if (preFloor > 0) tailFloor / preFloor else 0.0
+    while (gateRerun(only.nonEmpty, ratio, attempt, floorRatio)) {
       System.err.println(f"[bench] contaminated board (recheck_ratio $ratio%.3f" +
-        f" > $RecheckBound) — re-running, attempt ${attempt + 1}/$MaxBoardAttempts")
+        f" bound $RecheckBound; floor_ratio $floorRatio%.3f bound $FloorBound)" +
+        f" — re-running, attempt ${attempt + 1}/$MaxBoardAttempts")
       attempt += 1
-      val rr = runBoard(); results = rr._1; recheck = rr._2
+      val rr = runBoard()
+      results = rr._1; recheck = rr._2; preFloor = rr._3; tailFloor = rr._4
     }
-    if (only.isEmpty && ratio > RecheckBound)
-      System.err.println(f"[bench] WARNING: recheck_ratio $ratio%.3f still" +
-        f" > $RecheckBound after $attempt attempts — DO NOT trust this artifact")
+    if (only.isEmpty && (ratio > RecheckBound || floorRatio > FloorBound))
+      System.err.println(f"[bench] WARNING: recheck_ratio $ratio%.3f /" +
+        f" floor_ratio $floorRatio%.3f still past bounds after $attempt" +
+        " attempts — DO NOT trust this artifact")
     val loadEnd = osBean.getSystemLoadAverage
     import graft.harness.Fmt.r3
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -147,7 +187,9 @@ object Bench {
       }.getOrElse("")
       s"""{"warmup_sec":${r3(warmupSec)},"load_avg_start":${r3(loadStart)}""" +
         s""","load_avg_end":${r3(loadEnd)},"attempts":$attempt""" +
-        s""","gate_bound":$RecheckBound$rc}"""
+        s""","gate_bound":$RecheckBound,"floor_pre_sec":${r3(preFloor)}""" +
+        s""","floor_tail_sec":${r3(tailFloor)}""" +
+        s""","floor_ratio":${r3(floorRatio)},"floor_bound":$FloorBound$rc}"""
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","env":$env}""")
     spark.stop()
