@@ -15,6 +15,23 @@ object Bench {
     */
   val FloorBound = 2.0
 
+  /** Per-row floor sampling (the third signal): ONE empty job is timed
+    * before every board row, and a row whose probe reads ≥
+    * [[FloorSpikeX]] × the board's median probe ran under an inflated
+    * scheduling floor. The bracketing pre/tail probes miss a transient
+    * that rises and drains INSIDE the board (observed: a 306 s board
+    * with g_pagerank at 10× while floor_ratio read 0.99 and
+    * recheck_ratio 0.68 — both endpoints quiet); the per-row samples
+    * are co-located with the rows themselves, so a spike cannot hide
+    * between them. A board is gated when more than [[FloorHotFracBound]]
+    * of its rows were measured hot — isolated scheduler hiccups on a
+    * quiet box stay under it, a multi-row interference window does not.
+    * Cost: ~90 ms × rows ≈ 7% of a quiet sf0.1 board, disclosed via the
+    * floor_row_* env fields.
+    */
+  val FloorSpikeX = 3.0
+  val FloorHotFracBound = 0.15
+
   /** The gate decision, pure so BenchGateSpec can pin it: re-run only a
     * FULL board (subset runs read high ratios by construction), only
     * while attempts remain, and only past a bound. TWO contamination
@@ -31,9 +48,23 @@ object Bench {
     *     probe measures.
     */
   def gateRerun(subsetRun: Boolean, ratio: Double, attempt: Int,
-      floorRatio: Double = 0.0): Boolean =
-    !subsetRun && (ratio > RecheckBound || floorRatio > FloorBound) &&
+      floorRatio: Double = 0.0, floorHotFrac: Double = 0.0): Boolean =
+    !subsetRun && (ratio > RecheckBound || floorRatio > FloorBound ||
+      floorHotFrac > FloorHotFracBound) &&
       attempt < MaxBoardAttempts
+
+  /** Fraction of per-row floor probes ≥ [[FloorSpikeX]] × their median
+    * — pure so BenchGateSpec can pin it. Empty input (subset of 0 rows)
+    * reads 0.
+    */
+  def floorHotFrac(probes: Seq[Double]): Double =
+    if (probes.isEmpty) 0.0
+    else {
+      val sorted = probes.sorted
+      val med = sorted(sorted.length / 2)
+      if (med <= 0) 0.0
+      else probes.count(_ >= FloorSpikeX * med).toDouble / probes.length
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -135,16 +166,20 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     def runBoard(): (Seq[(String, Double)],
-        Option[(String, Double, Double)], Double, Double) = {
-      val preFloor = floorProbe()
+        Option[(String, Double, Double)], Double, Double, Seq[Double]) = {
+      val preFloor = floorProbe() // also JIT-warms the per-row probes
+      val rowFloors = Seq.newBuilder[Double]
       val rs = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val f0 = System.nanoTime()
+        spark.range(1).count(): Unit
+        rowFloors += (System.nanoTime() - f0) / 1e9
         name -> timed(name, fn)
       }
       val rc = rs.headOption.map { case (name, boardSec) =>
         (name, boardSec, timed(name, selected(name)))
       }
       val tailFloor = floorProbe()
-      (rs, rc, preFloor, tailFloor)
+      (rs, rc, preFloor, tailFloor, rowFloors.result())
     }
     // Contamination GATE (README "Reading a bench artifact"): a FULL
     // board whose own recheck_ratio exceeds the documented trust bound
@@ -158,22 +193,26 @@ object Bench {
     // the artifact prints with its high ratio intact (self-convicting)
     // plus a stderr warning — never silently.
     var attempt = 1
-    var (results, recheck, preFloor, tailFloor) = runBoard()
+    var (results, recheck, preFloor, tailFloor, rowFloors) = runBoard()
     def ratio: Double = recheck
       .map { case (_, b, t) => if (t > 0) b / t else 0.0 }.getOrElse(0.0)
     def floorRatio: Double = if (preFloor > 0) tailFloor / preFloor else 0.0
-    while (gateRerun(only.nonEmpty, ratio, attempt, floorRatio)) {
+    def hotFrac: Double = floorHotFrac(rowFloors)
+    while (gateRerun(only.nonEmpty, ratio, attempt, floorRatio, hotFrac)) {
       System.err.println(f"[bench] contaminated board (recheck_ratio $ratio%.3f" +
-        f" bound $RecheckBound; floor_ratio $floorRatio%.3f bound $FloorBound)" +
+        f" bound $RecheckBound; floor_ratio $floorRatio%.3f bound $FloorBound;" +
+        f" floor_hot_frac $hotFrac%.3f bound $FloorHotFracBound)" +
         f" — re-running, attempt ${attempt + 1}/$MaxBoardAttempts")
       attempt += 1
       val rr = runBoard()
       results = rr._1; recheck = rr._2; preFloor = rr._3; tailFloor = rr._4
+      rowFloors = rr._5
     }
-    if (only.isEmpty && (ratio > RecheckBound || floorRatio > FloorBound))
+    if (only.isEmpty && (ratio > RecheckBound || floorRatio > FloorBound ||
+        hotFrac > FloorHotFracBound))
       System.err.println(f"[bench] WARNING: recheck_ratio $ratio%.3f /" +
-        f" floor_ratio $floorRatio%.3f still past bounds after $attempt" +
-        " attempts — DO NOT trust this artifact")
+        f" floor_ratio $floorRatio%.3f / floor_hot_frac $hotFrac%.3f still" +
+        f" past bounds after $attempt attempts — DO NOT trust this artifact")
     val loadEnd = osBean.getSystemLoadAverage
     import graft.harness.Fmt.r3
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -189,7 +228,20 @@ object Bench {
         s""","load_avg_end":${r3(loadEnd)},"attempts":$attempt""" +
         s""","gate_bound":$RecheckBound,"floor_pre_sec":${r3(preFloor)}""" +
         s""","floor_tail_sec":${r3(tailFloor)}""" +
-        s""","floor_ratio":${r3(floorRatio)},"floor_bound":$FloorBound$rc}"""
+        s""","floor_ratio":${r3(floorRatio)},"floor_bound":$FloorBound""" + {
+          val sorted = rowFloors.sorted
+          if (sorted.isEmpty) ""
+          else {
+            val med = sorted(sorted.length / 2)
+            val p90 = sorted(math.min(sorted.length - 1,
+              (sorted.length * 9) / 10))
+            s""","floor_row_med_sec":${r3(med)}""" +
+              s""","floor_row_p90_sec":${r3(p90)}""" +
+              s""","floor_row_max_sec":${r3(sorted.last)}""" +
+              s""","floor_hot_frac":${r3(hotFrac)}""" +
+              s""","floor_hot_bound":$FloorHotFracBound"""
+          }
+        } + s"""$rc}"""
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","env":$env}""")
     spark.stop()

@@ -449,6 +449,9 @@ object Graph {
     // spelled identically in the oracle — engines cannot desync on an
     // integer-exact numerator/denominator. The integer moments ride
     // along (they are the mergeable 100 TB state; r folds from them).
+    // Range honesty: M·S_jk stays under 2⁶³ through ~1e9 pairs at 1e4
+    // max degree; a web-scale run (1e12 pairs, 1e6-degree hubs) widens
+    // the moments to DECIMAL(38) — same plan shape, wider cells.
     "g_assortativity" -> ((s, dir) => {
       val e = GraphOps.lineitemGraph(s, dir, TriMod)
       val und = e.select(least(col("src"), col("dst")).as("a"),

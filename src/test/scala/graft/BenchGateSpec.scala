@@ -45,4 +45,24 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.gateRerun(subsetRun = false, ratio = 2.0, attempt = 1,
       floorRatio = 1.0))
   }
+
+  test("per-row floor sampling gates a mid-board transient both " +
+      "bracketing probes miss, and floorHotFrac is robust") {
+    // the observed 306 s board: recheck 0.68, floor_ratio 0.99, but a
+    // multi-row window of ≥3× probes mid-board
+    assert(Bench.gateRerun(subsetRun = false, ratio = 0.68, attempt = 1,
+      floorRatio = 0.99, floorHotFrac = 0.3))
+    assert(!Bench.gateRerun(subsetRun = false, ratio = 0.68, attempt = 1,
+      floorRatio = 0.99, floorHotFrac = Bench.FloorHotFracBound))
+    // quiet board: uniform probes, zero hot fraction
+    val quiet = Seq.fill(100)(0.08) ++ Seq(0.09, 0.1, 0.07)
+    assert(Bench.floorHotFrac(quiet) == 0.0)
+    // one isolated scheduler hiccup on a quiet box stays under the bound
+    val hiccup = Seq.fill(99)(0.08) :+ 0.5
+    assert(Bench.floorHotFrac(hiccup) <= Bench.FloorHotFracBound)
+    // a 30-row interference window at 4× trips it
+    val transient = Seq.fill(100)(0.08) ++ Seq.fill(30)(0.32)
+    assert(Bench.floorHotFrac(transient) > Bench.FloorHotFracBound)
+    assert(Bench.floorHotFrac(Nil) == 0.0)
+  }
 }
