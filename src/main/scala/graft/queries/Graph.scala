@@ -472,6 +472,35 @@ object Graph {
             "CAST(m_pairs * s_jj - s_j * s_j AS DOUBLE) AS r")
     }),
 
+    // Edge reciprocity: the fraction of directed edges whose reverse
+    // edge also exists — the direction-structure scalar (social graphs
+    // ~0.5-0.8, citation/web graphs ≪ that). One left-semi self-join on
+    // the swapped key pair counts mutual edges; integer counts + the one
+    // float division shared with the oracle.
+    "g_reciprocity" -> ((s, dir) => {
+      val e = GraphOps.lineitemGraph(s, dir, Mod).localCheckpoint(true)
+      val mutual = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      e.agg(count(lit(1)).as("m_edges"))
+        .crossJoin(mutual.agg(count(lit(1)).as("m_mutual")))
+        .selectExpr("m_edges", "m_mutual",
+          "CAST(m_mutual AS DOUBLE) / CAST(m_edges AS DOUBLE) AS reciprocity")
+    }),
+
+    // Log2-bucketed degree histogram: the corpus-profile report a 100 TB
+    // graph ingest runs first (is this power-law? where do the hubs
+    // start?). Bucket = bit length of the out-degree — pure integer via
+    // length(bin(deg)), the HLL rows' no-libm discipline — so the
+    // histogram is one map-side-combined groupBy over node-count rows.
+    "g_degree_hist" -> ((s, dir) => {
+      val e = GraphOps.lineitemGraph(s, dir, Mod)
+      GraphOps.outDegrees(e)
+        .selectExpr("length(bin(deg)) AS bucket")
+        .groupBy(col("bucket")).agg(count(lit(1)).as("nodes"))
+        .selectExpr("CAST(bucket AS BIGINT) AS bucket", "nodes")
+    }),
+
     // k-hop neighborhood expansion: distinct nodes reachable from each
     // batch source in exactly 1 and within 2 hops (directed) — the
     // traversal primitive feature pipelines run for ego-network stats.
@@ -951,6 +980,19 @@ object Graph {
            |WHERE NOT EXISTS (SELECT 1 FROM und
            |  WHERE und.a = c.u AND und.b = c.v)
            |ORDER BY c.cn DESC, c.u, c.v LIMIT $LpCnTopN""".stripMargin,
+      "g_reciprocity" ->
+        s"""WITH e AS MATERIALIZED ($graphSql)
+           |SELECT (SELECT count(*) FROM e) AS m_edges,
+           |  count(*) AS m_mutual,
+           |  CAST(count(*) AS DOUBLE) /
+           |    CAST((SELECT count(*) FROM e) AS DOUBLE) AS reciprocity
+           |FROM e WHERE EXISTS (SELECT 1 FROM e r
+           |  WHERE r.src = e.dst AND r.dst = e.src)""".stripMargin,
+      "g_degree_hist" ->
+        s"""WITH e AS MATERIALIZED ($graphSql),
+           |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src)
+           |SELECT CAST(length(bin(deg)) AS BIGINT) AS bucket,
+           |  count(*) AS nodes FROM d GROUP BY 1""".stripMargin,
       "g_assortativity" ->
         s"""WITH e AS MATERIALIZED (${GraphOps.lineitemGraphSql(TriMod)}),
            |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
