@@ -801,6 +801,39 @@ object Graph {
     (gnd, est)
   }
 
+  /** Web-scale widening path for `g_assortativity`: the identical plan
+    * with the three integer moments folded as DECIMAL(38,0) instead of
+    * BIGINT — the spelled-out form of the range-honesty note on the
+    * narrow query (1e12 pairs × 1e6-degree hubs overflow int64; a 38-digit
+    * decimal holds Σdu·dv to ~1e38). Same two degree joins, same one
+    * map-side-combined fold, same single float division; both renderings
+    * of each moment are exact integers, so the DOUBLE cast of the
+    * numerator/denominator — and therefore `r` — is bit-identical to the
+    * narrow query's (spec-pinned by AssortativitySpec). Not a board row:
+    * the demo-scale contract is the BIGINT spelling.
+    */
+  def assortativityWide(s: SparkSession, dir: String): DataFrame = {
+    val e = GraphOps.lineitemGraph(s, dir, TriMod)
+    val und = e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+    val pairs = adj
+      .join(deg.select(col("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("dg").as("dv")), Seq("v"))
+      .selectExpr("CAST(du AS DECIMAL(18,0)) AS du",
+        "CAST(dv AS DECIMAL(18,0)) AS dv")
+    pairs.agg(count(lit(1)).as("m_pairs"),
+        sum(expr("du * dv")).cast("decimal(38,0)").as("s_jk"),
+        sum(col("du")).cast("decimal(38,0)").as("s_j"),
+        sum(expr("du * du")).cast("decimal(38,0)").as("s_jj"))
+      .selectExpr("m_pairs", "s_jk", "s_j", "s_jj",
+        "CAST(m_pairs * s_jk - s_j * s_j AS DOUBLE) / " +
+          "CAST(m_pairs * s_jj - s_j * s_j AS DOUBLE) AS r")
+  }
+
   def oracleSql: Map[String, String] = {
     val multi = PowerIteration.oracleSqlMulti(graphSql, BatchSources, Alpha, Iters)
     val fwd = ForwardPush.oracleSqlMulti(
@@ -1003,7 +1036,8 @@ object Graph {
            |mom AS (SELECT count(*) AS m_pairs, sum(x.dg * y.dg) AS s_jk,
            |  sum(x.dg) AS s_j, sum(x.dg * x.dg) AS s_jj
            |  FROM adj JOIN deg x ON x.u = adj.u JOIN deg y ON y.u = adj.v)
-           |SELECT m_pairs, s_jk, s_j, s_jj,
+           |SELECT m_pairs, CAST(s_jk AS BIGINT) AS s_jk,
+           |  CAST(s_j AS BIGINT) AS s_j, CAST(s_jj AS BIGINT) AS s_jj,
            |  CAST(m_pairs * s_jk - s_j * s_j AS DOUBLE) /
            |    CAST(m_pairs * s_jj - s_j * s_j AS DOUBLE) AS r
            |FROM mom""".stripMargin,

@@ -23,5 +23,26 @@ class AssortativitySpec extends SparkSpec {
     val want = (m * sJk - sJ * sJ).toDouble / (m * sJj - sJ * sJ).toDouble
     assert(r.getDouble(4) == want) // same exact integer operands → same double
     assert(want >= -1.0 && want <= 1.0)
+
+    // Range honesty, enforced: the r numerator/denominator products must
+    // sit well inside int64 (the scaladoc's documented headroom). Checked
+    // exactly in BigInt so an overflow-then-wrap can't self-certify.
+    val headroom = BigInt(1) << 62
+    assert(BigInt(m) * BigInt(sJj) < headroom)
+    assert(BigInt(m) * BigInt(sJk) < headroom)
+    assert(BigInt(sJ) * BigInt(sJ) < headroom)
+  }
+
+  test("assortativityWide (DECIMAL(38,0) moments) reproduces the narrow " +
+      "query's moments and bit-identical r") {
+    val narrow = Graph.queries("g_assortativity")(spark, sfDir).collect()(0)
+    val wide = Graph.assortativityWide(spark, sfDir).collect()(0)
+    assert(wide.getLong(0) == narrow.getLong(0))
+    for (i <- 1 to 3)
+      assert(wide.getDecimal(i).toBigInteger == BigInt(narrow.getLong(i)).bigInteger)
+    // both renderings fold exact integers → the one DOUBLE division is
+    // bit-identical, not merely close
+    assert(java.lang.Double.doubleToLongBits(wide.getDouble(4)) ==
+      java.lang.Double.doubleToLongBits(narrow.getDouble(4)))
   }
 }
