@@ -543,6 +543,40 @@ object Graph {
     "g_label_prop" -> ((s, dir) => LabelProp.run(
       s, GraphOps.lineitemSubgraph(s, dir, CcMod, CcQtyMax), LpRounds)),
 
+    // Newman modularity Q of the g_label_prop communities — the
+    // community-quality scalar a graph pipeline reports next to the
+    // partition itself (Newman & Girvan 2004). Over the symmetrized
+    // adjacency (2m directed pairs): Q = (2m·Σ_c E_c − Σ_c D_c²)/(2m)²
+    // where E_c counts intra-community directed pairs and D_c sums
+    // member degrees. Same integer-moment discipline as g_assortativity:
+    // m2/s_intra/s_dd are exact BIGINTs folded map-side (two broadcast-
+    // size label joins + one groupBy on the community id), and Q is the
+    // ONE float division, spelled identically in the oracle. The moments
+    // are the mergeable 100 TB state; range honesty: m2·s_intra ≤ (2m)²
+    // stays under 2⁶³ through ~2e9 directed pairs, past which the
+    // moments widen to DECIMAL(38,0) like assortativityWide.
+    "g_modularity" -> ((s, dir) => {
+      val edges = GraphOps.lineitemSubgraph(s, dir, CcMod, CcQtyMax)
+      val e = edges.select(col("src"), col("dst"))
+      val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint(true)
+      val lab = LabelProp.run(s, edges, LpRounds).localCheckpoint(true)
+      val deg = und.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      val sDd = deg.join(lab.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("label")).agg(sum(col("dg")).as("dc"))
+        .agg(sum(expr("dc * dc")).as("s_dd"))
+      val sIntra = und
+        .join(lab.select(col("id").as("src"), col("label").as("ls")), Seq("src"))
+        .join(lab.select(col("id").as("dst"), col("label").as("ld")), Seq("dst"))
+        .where(col("ls") === col("ld"))
+        .agg(count(lit(1)).as("s_intra"))
+      und.agg(count(lit(1)).as("m2"))
+        .crossJoin(sIntra).crossJoin(sDd) // three 1-row aggregates
+        .selectExpr("m2", "s_intra", "s_dd",
+          "CAST(m2 * s_intra - s_dd AS DOUBLE) / " +
+            "CAST(m2 * m2 AS DOUBLE) AS q")
+    }),
+
     // Depth-limited multi-source BFS distances over the broadcast CSR —
     // hop labeling for the batch sources (see [[graft.graph.Bfs]]).
     "g_bfs" -> ((s, dir) => Bfs.batch(
@@ -920,6 +954,26 @@ object Graph {
         GraphOps.lineitemSubgraphSql(CcMod, CcQtyMax), CcRounds),
       "g_label_prop" -> LabelProp.oracleSql(
         GraphOps.lineitemSubgraphSql(CcMod, CcQtyMax), LpRounds),
+      // the LPA oracle nests as a parenthesized WITH-subquery; DuckDB's
+      // sum() HUGEINT widening is cast back to BIGINT (driver hash parity)
+      "g_modularity" ->
+        s"""WITH lp AS MATERIALIZED (
+           |${LabelProp.oracleSql(GraphOps.lineitemSubgraphSql(CcMod, CcQtyMax), LpRounds)}),
+           |e0 AS MATERIALIZED (${GraphOps.lineitemSubgraphSql(CcMod, CcQtyMax)}),
+           |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+           |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0) u),
+           |deg AS (SELECT src, count(*) AS dg FROM und GROUP BY src),
+           |dc AS (SELECT l.label, sum(d.dg) AS dc FROM deg d
+           |  JOIN lp l ON l.id = d.src GROUP BY 1),
+           |mom AS (SELECT
+           |  (SELECT count(*) FROM und) AS m2,
+           |  (SELECT count(*) FROM und u JOIN lp a ON a.id = u.src
+           |     JOIN lp b ON b.id = u.dst WHERE a.label = b.label) AS s_intra,
+           |  (SELECT CAST(sum(dc * dc) AS BIGINT) FROM dc) AS s_dd)
+           |SELECT m2, s_intra, s_dd,
+           |  CAST(m2 * s_intra - s_dd AS DOUBLE) /
+           |    CAST(m2 * m2 AS DOUBLE) AS q
+           |FROM mom""".stripMargin,
       "g_bfs" -> Bfs.oracleSql(graphSql, BatchSources, BfsDepth),
       "g_sssp" -> Sssp.oracleSql(
         GraphOps.lineitemWeightedGraphSql(Mod), BatchSources, SsspHops),
