@@ -57,6 +57,13 @@ object OctaveBench {
         .collect()(0)
     }
 
+    // LPA + Newman-Q moments (the g_modularity body): per LPA round one
+    // map-side-combined groupBy + WindowGroupLimit argmax over ~12M
+    // candidate rows — the shuffle shape under test at hub skew.
+    val (mod, modSec) = timed {
+      GQ.modularityRun(spark, edges, GQ.LpRounds).collect()(0)
+    }
+
     println(s"""{"metric":"octave_ops","sf":"$sfDir"""" +
       s""","fli_nodes":$n,"fli_edges":$m""" +
       s""","kcore_sec":${r1(kcoreSec)},"kcore_k":$kcoreK""" +
@@ -65,7 +72,9 @@ object OctaveBench {
       s""","hits_top_hub":${hitsTop.getLong(0)}""" +
       s""","hyperball_sec":${r1(hbSec)}""" +
       s""","hyperball_mean_est1":${r1(hb.getDouble(1))}""" +
-      s""","hyperball_mean_est2":${r1(hb.getDouble(0))}}""")
+      s""","hyperball_mean_est2":${r1(hb.getDouble(0))}""" +
+      s""","modularity_sec":${r1(modSec)},"lpa_rounds":${GQ.LpRounds}""" +
+      s""","modularity_q":${mod.getDouble(3)}}""")
     spark.stop()
   }
 }

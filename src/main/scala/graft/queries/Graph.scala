@@ -555,27 +555,8 @@ object Graph {
     // are the mergeable 100 TB state; range honesty: m2·s_intra ≤ (2m)²
     // stays under 2⁶³ through ~2e9 directed pairs, past which the
     // moments widen to DECIMAL(38,0) like assortativityWide.
-    "g_modularity" -> ((s, dir) => {
-      val edges = GraphOps.lineitemSubgraph(s, dir, CcMod, CcQtyMax)
-      val e = edges.select(col("src"), col("dst"))
-      val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().localCheckpoint(true)
-      val lab = LabelProp.run(s, edges, LpRounds).localCheckpoint(true)
-      val deg = und.groupBy(col("src")).agg(count(lit(1)).as("dg"))
-      val sDd = deg.join(lab.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("label")).agg(sum(col("dg")).as("dc"))
-        .agg(sum(expr("dc * dc")).as("s_dd"))
-      val sIntra = und
-        .join(lab.select(col("id").as("src"), col("label").as("ls")), Seq("src"))
-        .join(lab.select(col("id").as("dst"), col("label").as("ld")), Seq("dst"))
-        .where(col("ls") === col("ld"))
-        .agg(count(lit(1)).as("s_intra"))
-      und.agg(count(lit(1)).as("m2"))
-        .crossJoin(sIntra).crossJoin(sDd) // three 1-row aggregates
-        .selectExpr("m2", "s_intra", "s_dd",
-          "CAST(m2 * s_intra - s_dd AS DOUBLE) / " +
-            "CAST(m2 * m2 AS DOUBLE) AS q")
-    }),
+    "g_modularity" -> ((s, dir) => modularityRun(
+      s, GraphOps.lineitemSubgraph(s, dir, CcMod, CcQtyMax), LpRounds)),
 
     // Depth-limited multi-source BFS distances over the broadcast CSR —
     // hop labeling for the batch sources (see [[graft.graph.Bfs]]).
@@ -833,6 +814,32 @@ object Graph {
       .where(col("score") =!= 0.0)
       .localCheckpoint(true)
     (gnd, est)
+  }
+
+  /** Shared body of `g_modularity` (also measured by OctaveBench at the
+    * 11.9M-edge hub-skew octave): LPA labels + the three Newman-Q integer
+    * moments. See the `g_modularity` entry's scaladoc for the math and
+    * the range-honesty bound.
+    */
+  def modularityRun(s: SparkSession, edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    val lab = LabelProp.run(s, edges, rounds).localCheckpoint(true)
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+    val sDd = deg.join(lab.withColumnRenamed("id", "src"), Seq("src"))
+      .groupBy(col("label")).agg(sum(col("dg")).as("dc"))
+      .agg(sum(expr("dc * dc")).as("s_dd"))
+    val sIntra = und
+      .join(lab.select(col("id").as("src"), col("label").as("ls")), Seq("src"))
+      .join(lab.select(col("id").as("dst"), col("label").as("ld")), Seq("dst"))
+      .where(col("ls") === col("ld"))
+      .agg(count(lit(1)).as("s_intra"))
+    und.agg(count(lit(1)).as("m2"))
+      .crossJoin(sIntra).crossJoin(sDd) // three 1-row aggregates
+      .selectExpr("m2", "s_intra", "s_dd",
+        "CAST(m2 * s_intra - s_dd AS DOUBLE) / " +
+          "CAST(m2 * m2 AS DOUBLE) AS q")
   }
 
   /** Web-scale widening path for `g_assortativity`: the identical plan
