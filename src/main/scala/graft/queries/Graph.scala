@@ -401,6 +401,46 @@ object Graph {
         .groupBy("node_id").agg(count(lit(1)).as("triangles"))
     }),
 
+    // Global clustering coefficient (transitivity): C = 3T/W — the
+    // closed fraction of all length-2 paths, the third scalar of the
+    // standard graph profile (with assortativity and reciprocity).
+    // Same degree-ordered triangle pipeline as g_triangles but folded to
+    // ONE row; the wedge denominator is Σ dg·(dg−1) = 2W folded over the
+    // degree table (node-count rows — the cheap side), so C = 6T/S₂ and
+    // NO integer division exists anywhere: two exact BIGINT moments and
+    // the ONE float division, spelled identically in the oracle. At
+    // 100 TB both moments are mergeable partials; T inherits the
+    // O(√m)-bounded wedge join from the triangle row.
+    "g_clustering" -> ((s, dir) => {
+      val e = GraphOps.lineitemGraph(s, dir, TriMod)
+      val und = e.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+        .localCheckpoint(true)
+      val deg = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("dg"))
+        .localCheckpoint(true) // feeds orientation AND the wedge moment
+      val oriented = und
+        .join(deg.select(col("id").as("a"), col("dg").as("da")), Seq("a"))
+        .join(deg.select(col("id").as("b"), col("dg").as("db")), Seq("b"))
+        .select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("a"))
+            .otherwise(col("b")).as("u"),
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("b"))
+            .otherwise(col("a")).as("v"))
+        .localCheckpoint(true)
+      val tri = oriented.as("x").join(oriented.as("y"),
+          col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+        .select(col("x.v").as("tb"), col("y.v").as("tc"))
+        .join(und.select(col("a").as("tb"), col("b").as("tc")),
+          Seq("tb", "tc"), "left_semi")
+      tri.agg(count(lit(1)).as("n_tri"))
+        .crossJoin(deg.agg(sum(expr("dg * (dg - 1)")).as("s_deg2")))
+        .selectExpr("n_tri", "s_deg2",
+          "CAST(6 * n_tri AS DOUBLE) / CAST(s_deg2 AS DOUBLE) AS c")
+    }),
+
     // Common-neighbor link prediction: the top-N non-adjacent node pairs
     // by shared-neighbor count, with the neighborhood-Jaccard ratio
     // riding along. Wedges are enumerated per center (both neighbors of
@@ -1055,6 +1095,28 @@ object Graph {
            |  SELECT ta AS node_id FROM tri
            |  UNION ALL SELECT tb FROM tri UNION ALL SELECT tc FROM tri)
            |GROUP BY node_id""".stripMargin,
+      // sum() HUGEINT widening cast back to BIGINT (driver hash parity)
+      "g_clustering" ->
+        s"""WITH e AS MATERIALIZED (${GraphOps.lineitemGraphSql(TriMod)}),
+           |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+           |  greatest(src, dst) AS b FROM e),
+           |deg AS MATERIALIZED (SELECT id, count(*) AS dg FROM (
+           |  SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+           |  GROUP BY id),
+           |ori AS MATERIALIZED (SELECT
+           |  CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+           |    THEN u.a ELSE u.b END AS u,
+           |  CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+           |    THEN u.b ELSE u.a END AS v
+           |  FROM und u JOIN deg da ON da.id = u.a JOIN deg db ON db.id = u.b),
+           |mom AS (SELECT
+           |  (SELECT count(*) FROM ori x JOIN ori y ON y.u = x.u AND x.v < y.v
+           |     WHERE EXISTS (SELECT 1 FROM und w
+           |       WHERE w.a = x.v AND w.b = y.v)) AS n_tri,
+           |  (SELECT CAST(sum(dg * (dg - 1)) AS BIGINT) FROM deg) AS s_deg2)
+           |SELECT n_tri, s_deg2,
+           |  CAST(6 * n_tri AS DOUBLE) / CAST(s_deg2 AS DOUBLE) AS c
+           |FROM mom""".stripMargin,
       "g_linkpred_cn" ->
         s"""WITH e AS MATERIALIZED (${GraphOps.lineitemGraphSql(TriMod)}),
            |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
