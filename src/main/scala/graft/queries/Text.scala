@@ -462,6 +462,30 @@ object Text {
           round(expr("percentile(n_tok, 0.99)"), 6).as("p99"))
     }),
 
+    // Corpus length inequality: the exact Gini coefficient of document
+    // char lengths — the skew scalar a curation run reads next to the
+    // percentiles (a high-Gini corpus is dominated by a few huge docs;
+    // mixture rebalancing targets it). Exact rank formulation
+    // G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over lengths sorted by
+    // (n_chars, doc_id) — deterministic total order, so the rank is
+    // engine-independent; the three moments are exact BIGINTs and G is
+    // the ONE float division, spelled identically in the oracle. The
+    // global sort is the honest exact path (node-count rows); at 100 TB
+    // the same moments fold from a range-partitioned sort's per-range
+    // prefix sums — same algebra, no single-partition window.
+    "d_len_gini" -> ((s, dir) => {
+      val ranked = Tables(s, dir, "documents")
+        .select(col("n_chars"), col("doc_id"))
+        .withColumn("i", row_number().over(
+          Window.orderBy(col("n_chars"), col("doc_id"))))
+      ranked.agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("s_x"),
+          sum(expr("i * n_chars")).as("s_ix"))
+        .selectExpr("n_docs", "s_x", "s_ix",
+          "CAST(2 * s_ix - (n_docs + 1) * s_x AS DOUBLE) / " +
+            "CAST(n_docs * s_x AS DOUBLE) AS gini")
+    }),
+
     // Top terms per language: explode → (lang, term) count → top-K. The
     // rank key is (count DESC, term ASC) — integers + strings, so the
     // cut is deterministic across engines (no float-ordering ties). The
@@ -1642,6 +1666,17 @@ object Text {
          | round(quantile_cont(n_tok, 0.9), 6) AS p90,
          | round(quantile_cont(n_tok, 0.99), 6) AS p99
          |FROM t GROUP BY lang""".stripMargin,
+    // sum() HUGEINT widening cast back to BIGINT (driver hash parity)
+    "d_len_gini" ->
+      s"""WITH d AS (SELECT n_chars, row_number()
+         |    OVER (ORDER BY n_chars, doc_id) AS i FROM documents),
+         |mom AS (SELECT count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS s_x,
+         |  CAST(sum(i * n_chars) AS BIGINT) AS s_ix FROM d)
+         |SELECT n_docs, s_x, s_ix,
+         |  CAST(2 * s_ix - (n_docs + 1) * s_x AS DOUBLE) /
+         |    CAST(n_docs * s_x AS DOUBLE) AS gini
+         |FROM mom""".stripMargin,
     "d_top_terms" ->
       s"""WITH t AS (SELECT lang, unnest(${TextOps.duck.tokens("text")}) AS term
          |  FROM documents),
