@@ -468,6 +468,38 @@ object MediaOps {
     })
   }
 
+  final case class AudioGate(
+      doc_id: Long, n_samples: Long, peak: Long, n_clipped: Long,
+      energy: Long, rms: Double)
+
+  /** Decode + loudness-gate features — the silence/clipping filter an
+    * audio ingest runs before training: peak |s|, full-scale clipped
+    * sample count (s = ±32768-scale rails), Σ s² energy, and
+    * RMS = sqrt(energy/n). Every moment is an exact integer off the
+    * decoded PCM; RMS is the ONE float step — a division then a sqrt,
+    * BOTH IEEE-correctly-rounded (unlike log/exp, sqrt is exactly
+    * rounded by JVM Math.sqrt and DuckDB alike; energy ≤ n·2³⁰ sits far
+    * inside double's 2⁵³ integer range), so the row hash-compares with
+    * no float dispensation.
+    */
+  def decodeAudioGate(media: Dataset[Media]): Dataset[AudioGate] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val (_, s) = decodeWav(m.payload)
+      var (peak, clipped, energy) = (0L, 0L, 0L)
+      var i = 0
+      while (i < s.length) {
+        val a = math.abs(s(i).toLong)
+        if (a > peak) peak = a
+        if (s(i) == 32767 || s(i) == -32768) clipped += 1
+        energy += s(i).toLong * s(i)
+        i += 1
+      }
+      AudioGate(m.doc_id, s.length.toLong, peak, clipped, energy,
+        math.sqrt(energy.toDouble / s.length))
+    })
+  }
+
   /** Decimating downsample (keep every `factor`-th decoded sample) — the
     * audio sibling of the image nearest-neighbor resize: integer index
     * arithmetic only, oracle-replayable.

@@ -164,6 +164,18 @@ object Media {
         .toDF()
     }),
 
+    // Audio loudness gate — the silence/clipping filter an audio ingest
+    // runs before training (see [[MediaOps.decodeAudioGate]]): integer
+    // peak/clip-count/energy moments plus RMS, whose division-then-sqrt
+    // is IEEE-exactly-rounded on both engines (the one sketch-free float
+    // column on the media board that hash-compares with no rounding).
+    "m_media_audio_gate" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      MediaOps.decodeAudioGate(MediaOps.audiosFrom(
+        graft.Tables(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .toDF()
+    }),
+
     // Binary-payload exact dedup — the multimodal twin of
     // `d_dedup_exact`: group on the fixed-width (checksum, n_pixels)
     // CONTENT key computed from the decoded raster (payload bytes never
@@ -291,6 +303,20 @@ object Media {
          |  CAST(list_sum(list_transform(us, u ->
          |    (u - 32768) * (u - 32768))) AS BIGINT) AS energy,
          |  ${fold("us")} AS checksum
+         |FROM au""".stripMargin,
+    "m_media_audio_gate" ->
+      s"""$audioCte
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+         |  CAST(list_max(list_transform(us, u -> abs(u - 32768)))
+         |    AS BIGINT) AS peak,
+         |  CAST(list_sum(list_transform(us, u ->
+         |    CASE WHEN u = 0 OR u = 65535 THEN 1 ELSE 0 END))
+         |    AS BIGINT) AS n_clipped,
+         |  CAST(list_sum(list_transform(us, u ->
+         |    (u - 32768) * (u - 32768))) AS BIGINT) AS energy,
+         |  sqrt(CAST(list_sum(list_transform(us, u ->
+         |    (u - 32768) * (u - 32768))) AS DOUBLE) / CAST(n AS DOUBLE))
+         |    AS rms
          |FROM au""".stripMargin,
     "m_media_audio_downsample" ->
       s"""$audioCte

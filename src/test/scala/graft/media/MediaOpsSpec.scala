@@ -319,6 +319,54 @@ class MediaOpsSpec extends SparkSpec {
     }
   }
 
+  test("audio gate: hand-built clip with rail samples yields exact " +
+      "peak/clip/energy and an IEEE-exact RMS; generative clips match " +
+      "the oracle formula") {
+    val s = spark
+    import s.implicits._
+    // both rails present: -32768 clips, 32767 clips, 32000 does not
+    val samples = Array(100, -32768, 32767, -1, 0, 32000)
+    val pcm = new Array[Byte](12)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      pcm(2 * i) = (v & 0xff).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 6L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val got = MediaOps.decodeAudioGate(
+      Seq(MediaOps.Media(7L, "audio/wav", bos.toByteArray)).toDS()).collect()(0)
+    val energy = samples.map(v => v.toLong * v).sum
+    assert(got == MediaOps.AudioGate(7L, 6L, 32768L, 2L, energy,
+      math.sqrt(energy.toDouble / 6)))
+
+    // generative clips: the gate row must equal the formula the oracle
+    // replays (peak/clip-count/energy from audioSample directly)
+    val gates = graft.queries.Media.queries("m_media_audio_gate")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val texts = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    var clippedTotal = 0L
+    texts.foreach { case (id, t) =>
+      val th = MediaOps.byteHash(t.getBytes("UTF-8"))
+      val n = MediaOps.audioSamplesOf(th)
+      val ss = (0 until n).map(i => MediaOps.audioSample(th, i) - 32768)
+      val peak = ss.map(v => math.abs(v.toLong)).max
+      val clipped = ss.count(v => v == 32767 || v == -32768).toLong
+      val en = ss.map(v => v.toLong * v).sum
+      val g = gates(id)
+      assert((g.getLong(1), g.getLong(2), g.getLong(3), g.getLong(4)) ==
+        ((n.toLong, peak, clipped, en)))
+      assert(g.getDouble(5) == math.sqrt(en.toDouble / n))
+      clippedTotal += clipped
+    }
+    // the gate must be non-vacuous on the corpus: some clip hits a rail
+    assert(clippedTotal > 0)
+  }
+
   test("payload dedup groups agree with the text-side exact dedup") {
     // both key on document CONTENT (decoded-raster checksum here — equal
     // texts generate equal images — xxhash64 of the text there): keeper
