@@ -170,6 +170,43 @@ object Graph {
       .limit(topN)
   }
 
+  /** `g_adamic_adar` body: top-`topN` non-adjacent pairs by the
+    * Adamic–Adar index Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)) (Adamic & Adar
+    * 2003), wedge centers capped exactly like [[linkPredCn]]. The
+    * per-center weight is attached BEFORE the wedge self-join — one
+    * extra double rides the Σdeg² wedge stream instead of a post-agg
+    * re-join (the pair group loses center identity, so the weight MUST
+    * travel with the wedge). Degree-1 centers are filtered (they form
+    * no wedge anyway, and 1/ln(1) is a division by zero), the pair fold
+    * is one map-side-combined sum on the packed 8-byte key, and the cut
+    * orders by the ROUNDED score (round 6) with a (u, v) tie-break — a
+    * total order both engines replay identically, where a raw-float
+    * order could diverge in the last ulp across engines.
+    */
+  private[queries] def adamicAdar(und: DataFrame, cap: Int,
+      topN: Int): DataFrame = {
+    val adj = und.select(col("a").as("w"), col("b").as("n"))
+      .unionAll(und.select(col("b").as("w"), col("a").as("n")))
+    val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("dg"))
+    val capped = adj
+      .join(deg.where(col("dg").between(2, cap)), Seq("w"))
+      .select(col("w"), col("n"), (lit(1.0) / log(col("dg"))).as("wt"))
+      .localCheckpoint(true) // both sides of the wedge self-join
+    val aa = capped.as("x").join(capped.as("y"),
+        col("x.w") === col("y.w") && col("x.n") < col("y.n"))
+      .select((shiftleft(col("x.n"), 32) + col("y.n")).as("uv"),
+        col("x.wt"))
+      .groupBy(col("uv"))
+      .agg(count(lit(1)).as("cn"), sum(col("wt")).as("aa_raw"))
+      .select(shiftright(col("uv"), 32).as("u"),
+        col("uv").bitwiseAND(lit(0xFFFFFFFFL)).as("v"),
+        col("cn"), round(col("aa_raw"), 6).as("aa"))
+    aa.join(und.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+      .orderBy(col("aa").desc, col("u"), col("v"))
+      .limit(topN)
+  }
+
   /** `g_hyperball` body over a directed `(src, dst)` edge DataFrame
     * (pre-checkpointed by the caller — it feeds node derivation and both
     * rounds), reusable on any graph (OctaveBench runs it on the
@@ -459,6 +496,21 @@ object Graph {
           greatest(col("src"), col("dst")).as("b")).distinct()
         .localCheckpoint(true) // feeds adjacency, the anti-join, degrees
       linkPredCn(und, LpCnDegCap, LpCnTopN)
+    }),
+
+    // Adamic–Adar link prediction: same wedge enumeration and cap as
+    // `g_linkpred_cn`, but each common neighbor contributes 1/ln(deg)
+    // instead of 1 — rare shared neighbors count more. Plan shape is
+    // identical (one map-side-combined fold on the packed pair key +
+    // anti-join + TakeOrderedAndProject); the only delta is the weight
+    // column riding the wedge stream. See `adamicAdar`'s scaladoc for
+    // the rounded-score ordering discipline.
+    "g_adamic_adar" -> ((s, dir) => {
+      val e = GraphOps.lineitemGraph(s, dir, TriMod)
+      val und = e.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+        .localCheckpoint(true) // feeds adjacency and the anti-join
+      adamicAdar(und, LpCnDegCap, LpCnTopN)
     }),
 
     // k-core decomposition (fixed-horizon synchronous peeling): repeat
@@ -1136,6 +1188,23 @@ object Graph {
            |WHERE NOT EXISTS (SELECT 1 FROM und
            |  WHERE und.a = c.u AND und.b = c.v)
            |ORDER BY c.cn DESC, c.u, c.v LIMIT $LpCnTopN""".stripMargin,
+      "g_adamic_adar" ->
+        s"""WITH e AS MATERIALIZED (${GraphOps.lineitemGraphSql(TriMod)}),
+           |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+           |  greatest(src, dst) AS b FROM e),
+           |adj AS MATERIALIZED (SELECT a AS w, b AS n FROM und
+           |  UNION ALL SELECT b AS w, a AS n FROM und),
+           |deg AS MATERIALIZED (SELECT w, count(*) AS dg FROM adj GROUP BY w),
+           |cap AS MATERIALIZED (SELECT adj.w, adj.n,
+           |  CAST(1 AS DOUBLE) / ln(CAST(deg.dg AS DOUBLE)) AS wt FROM adj
+           |  JOIN deg ON deg.w = adj.w AND deg.dg BETWEEN 2 AND $LpCnDegCap),
+           |aa AS (SELECT x.n AS u, y.n AS v, count(*) AS cn,
+           |  round(sum(x.wt), 6) AS aa
+           |  FROM cap x JOIN cap y ON y.w = x.w AND x.n < y.n GROUP BY 1, 2)
+           |SELECT u, v, cn, aa FROM aa
+           |WHERE NOT EXISTS (SELECT 1 FROM und
+           |  WHERE und.a = aa.u AND und.b = aa.v)
+           |ORDER BY aa DESC, u, v LIMIT $LpCnTopN""".stripMargin,
       "g_reciprocity" ->
         s"""WITH e AS MATERIALIZED ($graphSql)
            |SELECT (SELECT count(*) FROM e) AS m_edges,

@@ -43,6 +43,61 @@ class LinkPredSpec extends SparkSpec {
       .contains("TakeOrderedAndProject"))
   }
 
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def bruteAa(und: Seq[(Long, Long)], cap: Int, topN: Int)
+      : Seq[(Long, Long, Long, Double)] = {
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val edges = und.toSet
+    val acc = scala.collection.mutable.Map
+      .empty[(Long, Long), (Long, Double)].withDefaultValue((0L, 0.0))
+    for ((w, ns) <- adj; if deg(w) >= 2 && deg(w) <= cap;
+         u <- ns; v <- ns; if u < v) {
+      val (c, s) = acc((u, v))
+      acc((u, v)) = (c + 1, s + 1.0 / math.log(deg(w).toDouble))
+    }
+    acc.toSeq.collect { case ((u, v), (c, s)) if !edges.contains((u, v)) =>
+      (u, v, c, round6(s))
+    }.sortBy { case (u, v, _, s) => (-s, u, v) }.take(topN)
+  }
+
+  test("g_adamic_adar matches brute force on the bench graph and " +
+      "ranks rare shared neighbors above hub-only overlap") {
+    val df = Graph.queries("g_adamic_adar")(spark, sfDir)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3))).toSeq
+
+    val und = GraphOps.lineitemGraph(spark, sfDir, Graph.TriMod).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).distinct.toSeq
+    val want = bruteAa(und, Graph.LpCnDegCap, Graph.LpCnTopN)
+    assert(want.size == Graph.LpCnTopN, "fixture must fill the report")
+    assert(got == want)
+    // each AA score is bounded by cn/ln(2) (every center has deg >= 2)
+    got.foreach { case (_, _, c, s) =>
+      assert(c >= 1L && s > 0.0 && s <= c.toDouble / math.log(2.0) + 1e-9)
+    }
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
+  test("adamic-adar weights: a degree-d center contributes 1/ln(d) " +
+      "per pair, and degree-1 centers contribute nothing") {
+    import spark.implicits._
+    // center 0 with neighbors {1,2,3} (degree 3) plus a pendant 4-5
+    // (both degree-1 — must produce no wedge and no div-by-zero).
+    val und = (Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 5L))).toDF("a", "b")
+    val got = Graph.adamicAdar(und, cap = 100, topN = 100).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2),
+        r.getDouble(3)))).toMap
+    val w = round6(1.0 / math.log(3.0))
+    assert(got == Map((1L, 2L) -> ((1L, w)), (1L, 3L) -> ((1L, w)),
+      (2L, 3L) -> ((1L, w))))
+  }
+
   test("a binding degree cap excludes hub centers by contract") {
     import spark.implicits._
     // star hub 0 -- {1..5} (degree 5) plus an off-hub wedge 6-8-7
