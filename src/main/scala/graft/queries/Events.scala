@@ -306,6 +306,43 @@ object Events {
           (col("p_us") - col("c_us")).as("lag_us"))
     }),
 
+    // Linear multi-touch attribution: each purchase's value splits
+    // EQUALLY across the same user's clicks inside the attribution
+    // window, and each click reports its total credited revenue. Money
+    // is integer micro-cents end-to-end — cents = round(value·100),
+    // per-click credit = (cents·10000) div n_clicks — so the split, the
+    // per-click fold, and the cross-engine hash are exact integer math
+    // (the assortativity moment discipline applied to revenue; the div
+    // remainder, ≤ n−1 µ¢ per purchase, is the documented contract).
+    // Plan: the ev_interval bucketed equi-join finds (purchase, click)
+    // pairs, ONE window over purchase_id sizes each split, one
+    // map-side-combined groupBy on click_id folds the credits — three
+    // narrow shuffles, every exchanged row a handful of longs.
+    "ev_attrib_linear" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val bucketUs = AttrWindowSec * 1000000L
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("c_us"))
+        .withColumn("bkt", expr(s"c_us div $bucketUs"))
+      val purch = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("p_us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("bkt",
+          explode(array(expr(s"p_us div $bucketUs"), expr(s"p_us div $bucketUs - 1"))))
+      purch.join(clicks, Seq("user_id", "bkt"))
+        .where(col("c_us") > col("p_us") - bucketUs && col("c_us") <= col("p_us"))
+        .select(col("purchase_id"), col("click_id"), col("user_id"),
+          col("cents"))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("purchase_id"))))
+        .withColumn("credit_uc", expr("cents * 10000 div n"))
+        .groupBy(col("click_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_purch"),
+          sum(col("credit_uc")).as("credit_ucents"))
+    }),
+
     // Offset window functions — LAG / LEAD / FIRST_VALUE over the
     // per-user event sequence: inter-event gap, value delta, and the
     // user's first event type (the per-entity sequence features a
@@ -785,6 +822,22 @@ object Events {
          | AND epoch_us(c.ts) > epoch_us(p.ts) - ${AttrWindowSec * 1000000L}
          | AND epoch_us(c.ts) <= epoch_us(p.ts)
          |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin,
+    "ev_attrib_linear" ->
+      s"""WITH j AS (
+         |  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+         |   c.user_id, CAST(round(p.value * 100) AS BIGINT) AS cents
+         |  FROM events p JOIN events c
+         |    ON c.user_id = p.user_id
+         |   AND epoch_us(c.ts) > epoch_us(p.ts) - ${AttrWindowSec * 1000000L}
+         |   AND epoch_us(c.ts) <= epoch_us(p.ts)
+         |  WHERE p.event_type = 'purchase' AND c.event_type = 'click'),
+         |w AS (SELECT click_id, user_id,
+         |  (cents * 10000) // count(*) OVER (PARTITION BY purchase_id)
+         |    AS credit_uc
+         |  FROM j)
+         |SELECT click_id, user_id, count(*) AS n_purch,
+         |  CAST(sum(credit_uc) AS BIGINT) AS credit_ucents
+         |FROM w GROUP BY 1, 2""".stripMargin,
     "ev_lag" ->
       """SELECT user_id, event_id,
         | epoch_us(ts) - lag(epoch_us(ts), 1)

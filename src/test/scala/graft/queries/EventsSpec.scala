@@ -36,4 +36,51 @@ class EventsSpec extends SparkSpec {
     assert(got(24L) == ((Some(us(200)), 2L)), "latest of two clicks + count")
     assert(got.keySet == Set(10L, 12L, 22L, 24L), "one row per purchase only")
   }
+
+  test("ev_attrib_linear: equal micro-cent split across in-window " +
+      "clicks, div-floor remainder, exact integer folds") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evattr").toString
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val W = Events.AttrWindowSec
+    // user 1: purchase of 1.00 (100 cents) with THREE in-window clicks —
+    // 1,000,000 µ¢ div 3 = 333,333 each (remainder 1 dropped by contract);
+    // one click sits exactly at p_ts - W (EXCLUDED: window is open on the
+    // left) and one exactly at p_ts (included). user 2: two purchases
+    // sharing one click (credits add), plus an out-of-window click.
+    Seq(
+      (1L, ts(1000L - W), 1L, "click", 0.0, "{}"), // exactly -W: excluded
+      (2L, ts(900), 1L, "click", 0.0, "{}"),
+      (3L, ts(950), 1L, "click", 0.0, "{}"),
+      (4L, ts(1000), 1L, "click", 0.0, "{}"), // exactly at p_ts: included
+      (5L, ts(1000), 1L, "purchase", 1.0, "{}"),
+      (10L, ts(5000), 2L, "click", 0.0, "{}"),
+      (11L, ts(5100), 2L, "purchase", 2.0, "{}"),
+      (12L, ts(5200), 2L, "purchase", 0.5, "{}"),
+      (13L, ts(500000), 2L, "click", 0.0, "{}")) // far future: no credit
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = Events.queries("ev_attrib_linear")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      2L -> ((1L, 333333L)), 3L -> ((1L, 333333L)), 4L -> ((1L, 333333L)),
+      10L -> ((2L, 2000000L + 500000L))))
+  }
+
+  test("ev_attrib_linear on the bench table: per-purchase credit " +
+      "conservation (sum within n-1 microcents of the purchase)") {
+    val credits = Events.queries("ev_attrib_linear")(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("credit_ucents"))
+      .collect()(0).getLong(0)
+    // every credited µ¢ must trace to a purchase: total credited ≤ total
+    // purchase µ¢, and > 0 on the bench table (clicks and purchases
+    // interleave every few minutes at sf0.001 vs the 1800 s window).
+    val totalPurch = graft.Tables(spark, sfDir, "events")
+      .where(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .selectExpr("CAST(round(value * 100) AS BIGINT) * 10000 AS uc")
+      .agg(org.apache.spark.sql.functions.sum("uc")).collect()(0).getLong(0)
+    assert(credits > 0L && credits <= totalPurch)
+  }
 }
