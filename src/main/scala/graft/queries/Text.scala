@@ -61,6 +61,26 @@ object Text {
         .toDF("doc_id", "fp")
     }),
 
+    // Token-distribution Shannon entropy per document — the
+    // repetitiveness signal LM curation cuts on (a low-entropy doc is
+    // boilerplate/template spam even when d_rep_ratio's adjacent-token
+    // test misses it), plus the vocab-normalized efficiency. Typed
+    // per-partition kernel like d_fingerprint — ZERO shuffle, one narrow
+    // projection in, four scalars out; at 100 TB this is a pure map over
+    // the document scan, no exploded token rows ever cross an exchange
+    // (the oracle's UNNEST is DuckDB-side replay only). Float discipline
+    // in [[TextOps.tokenEntropy]]'s scaladoc.
+    "d_tok_entropy" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          val (n, v, h, hn) = TextOps.tokenEntropy(t)
+          (id, n, v, h, hn)
+        })
+        .toDF("doc_id", "n_toks", "n_vocab", "entropy_bits", "norm_entropy")
+    }),
+
     // Quality scoring: length/stopword/punctuation components + composite.
     // Counts come from the typed one-pass kernel ([[TextOps.curateCounts]]
     // — the interpreted stopword-filter HOF this replaces costs ~70 µs/doc,
@@ -1565,6 +1585,23 @@ object Text {
          |FROM documents""".stripMargin,
     "d_fingerprint" ->
       s"SELECT doc_id, ${TextOps.duck.fingerprint("text")} AS fp FROM documents",
+    "d_tok_entropy" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |  unnest(${TextOps.duck.tokens("text")}) AS w FROM documents),
+         |tc AS MATERIALIZED (SELECT doc_id, w, count(*) AS c FROM tk
+         |  GROUP BY 1, 2),
+         |mom AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+         |  count(*) AS n_vocab, sum(c * ln(CAST(c AS DOUBLE))) AS s
+         |  FROM tc GROUP BY 1)
+         |SELECT doc_id, n_toks, n_vocab,
+         |  round((ln(CAST(n_toks AS DOUBLE)) - s / n_toks)
+         |    / ln(CAST(2 AS DOUBLE)), 6) AS entropy_bits,
+         |  CASE WHEN n_vocab > 1 THEN
+         |    round(((ln(CAST(n_toks AS DOUBLE)) - s / n_toks)
+         |      / ln(CAST(2 AS DOUBLE)))
+         |      / (ln(CAST(n_vocab AS DOUBLE)) / ln(CAST(2 AS DOUBLE))), 6)
+         |  ELSE CAST(0 AS DOUBLE) END AS norm_entropy
+         |FROM mom""".stripMargin,
     "d_quality" ->
       s"""WITH t AS (SELECT doc_id, ${TextOps.duck.tokens("text")} AS toks,
          |  CAST(length(text) AS DOUBLE) AS n_chars_d,

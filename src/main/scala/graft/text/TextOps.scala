@@ -188,6 +188,38 @@ object TextOps {
     acc
   }
 
+  /** Half-away-from-zero 6-dp rounding — the same pin Spark's
+    * `functions.round` and DuckDB's `round(x, 6)` apply, for typed
+    * kernels that round driver-free.
+    */
+  def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Per-document token-distribution Shannon entropy (`d_tok_entropy`):
+    * H = log2(n) − (1/n)·Σ c·ln(c)/ln(2) over token counts c, plus the
+    * vocab-normalized efficiency H / log2(vocab). The count fold runs in
+    * ascending token order so the Spark-side float sum has ONE
+    * deterministic order; DuckDB's group order differs only below the
+    * round-6 pin (≤ ~600 terms of magnitude ≤ c·ln c ≈ 40). The
+    * normalizer divides the UNROUNDED H — the oracle spells the same
+    * expression, so the quotient cannot double-round apart. Returns
+    * (n_toks, n_vocab, entropy_bits, norm_entropy).
+    */
+  def tokenEntropy(text: String): (Long, Long, Double, Double) = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    val n = toks.length.toLong
+    val counts = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      .toArray.sortBy(_._1)
+    var s = 0.0
+    counts.foreach { case (_, c) => s += c * math.log(c.toDouble) }
+    val hRaw = (math.log(n.toDouble) - s / n) / math.log(2.0)
+    val v = counts.length.toLong
+    val norm =
+      if (v > 1) round6(hRaw / (math.log(v.toDouble) / math.log(2.0)))
+      else 0.0
+    (n, v, round6(hRaw), norm)
+  }
+
   /** Non-overlapping passage fingerprints — the sub-document dedup
     * feature space (`d_passage_dedup`): the token-hash stream cut into
     * consecutive `w`-token windows, each window rolled with [[TokMul]]
