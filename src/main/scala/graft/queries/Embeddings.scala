@@ -29,6 +29,12 @@ object Embeddings {
 
   val NumQueries = 20 // query vectors: vec_id < NumQueries
   val TopK = 10
+
+  /** `e_range_search` cosine radius: chosen so every query matches at
+    * sf0.001 (67 pairs) and sf0.01 (89) on the synthetic corpus — the
+    * threshold regime of the same scan `e_cosine_topk` ranks.
+    */
+  val RangeTau = 0.3
   val LshBits = 8
   /** Independent sign-LSH tables; table t hashes dims t·8+1 .. t·8+8. */
   val LshTables = 4
@@ -532,6 +538,23 @@ object Embeddings {
         .withColumn("rk", rank().over(w))
         .where(col("rk") <= TopK) // belt-and-braces: identical cut by proof above
         .select(col("q_id"), col("vec_id"), col("cos"), col("rk"))
+    }),
+
+    // Exact cosine range (radius) search — the threshold sibling of
+    // top-k every vector store exposes: all corpus vectors with
+    // cos ≥ RangeTau of each query, plus the per-query match count.
+    // Scale shape is DIFFERENT from top-k: no kth-score aggregate and no
+    // rank window over the full score table — the τ-filter is evaluated
+    // map-side inside the broadcast-scan (whole-stage codegen'd vec_dot
+    // + filter), so the only exchange carries the ~|matches| surviving
+    // 24-byte rows into the tiny per-query count window. The threshold
+    // compares the ROUNDED score so the cut cannot flip on cross-engine
+    // float noise at the boundary.
+    "e_range_search" -> ((s, dir) => {
+      val w = Window.partitionBy(col("q_id"))
+      cosineJoined(s, dir)
+        .where(col("cos") >= RangeTau)
+        .withColumn("n_in_range", count(lit(1)).over(w))
     }),
 
     // Multi-table LSH ANN: candidates share any of the LshTables sign-bit
@@ -1102,6 +1125,16 @@ object Embeddings {
 
   def oracleSql: Map[String, String] = Map(
     "e_cosine_topk" -> duckCosineTopkSql,
+    "e_range_search" ->
+      s"""WITH $duckBase,
+         |cosj AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |  round($duckDot / (q.nrm * c.nrm), 6) AS cos
+         |  FROM embn q JOIN embn c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries),
+         |hits AS (SELECT q_id, vec_id, cos FROM cosj WHERE cos >= $RangeTau)
+         |SELECT q_id, vec_id, cos,
+         |  count(*) OVER (PARTITION BY q_id) AS n_in_range
+         |FROM hits""".stripMargin,
     "e_hard_negatives" ->
       s"""WITH $duckBase,
          |cosj AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id, cl.label,

@@ -258,4 +258,25 @@ class EmbeddingsSpec extends SparkSpec {
     }
     assert(mismatches.isEmpty, s"cos disagreement: ${mismatches.take(3).toSeq}")
   }
+
+  test("e_range_search: exactly the pairs at cos >= tau, counts match, " +
+      "and scores agree with the top-k scan") {
+    val rs = Embeddings.queries("e_range_search")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rs.nonEmpty)
+    rs.foreach { case (_, _, cos, _) => assert(cos >= Embeddings.RangeTau) }
+    // n_in_range is the per-query group size
+    val sizes = rs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    rs.foreach { case (q, _, _, n) => assert(n == sizes(q)) }
+    // completeness + score agreement vs the brute top-k scan: every
+    // top-k pair at cos >= tau must appear here with the same score
+    // (both rows share cosineJoined, so a miss means the filter dropped
+    // a qualifying pair).
+    val rsMap = rs.map(t => (t._1, t._2) -> t._3).toMap
+    brute.collect().foreach { r =>
+      val (q, v, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      if (c >= Embeddings.RangeTau)
+        assert(rsMap.get((q, v)).contains(c), s"missing/mismatched ($q,$v)")
+    }
+  }
 }
