@@ -521,6 +521,55 @@ object MediaOps {
   }
 
   /** Metadata DataFrame for the query surface. */
+  case class MediaEntropy(
+      doc_id: Long, n_vals: Long, n_distinct: Long, entropy_bits: Double)
+
+  /** Channel-value Shannon entropy over the DECODED raster — the
+    * flat/synthetic-image quality gate (a solid-color or low-palette
+    * image scores near 0 bits; the whitened generative rasters measure
+    * near 8). R, G, B per pixel feed a 256-bin histogram; the float fold
+    * runs in ascending bin order, so the Spark side has ONE
+    * deterministic sum order and the round-6 pin absorbs DuckDB's
+    * different group order (≤ 256 terms). Narrow per-partition kernel —
+    * payload bytes never leave the task; the oracle replays the
+    * generative pixel model, never the PNG.
+    */
+  def pixelEntropy(media: Dataset[Media]): Dataset[MediaEntropy] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val img = decodePng(m.payload)
+      val hist = new Array[Long](256)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          hist((rgb >> 16) & 0xff) += 1
+          hist((rgb >> 8) & 0xff) += 1
+          hist(rgb & 0xff) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = img.getWidth.toLong * img.getHeight * 3
+      var s = 0.0
+      var v = 0L
+      var b = 0
+      while (b < 256) {
+        val c = hist(b)
+        if (c > 0) { s += c * math.log(c.toDouble); v += 1 }
+        b += 1
+      }
+      val bits = graft.text.TextOps.round6(
+        (math.log(n.toDouble) - s / n) / math.log(2.0))
+      MediaEntropy(m.doc_id, n, v, bits)
+    })
+  }
+
+  /** Pixel-entropy DataFrame for the query surface. */
+  def entropyDf(spark: SparkSession, sfDir: String): DataFrame =
+    pixelEntropy(imagesFromDocuments(spark, sfDir)).toDF()
+
   def metaDf(spark: SparkSession, sfDir: String): DataFrame =
     decodeMeta(imagesFromDocuments(spark, sfDir)).toDF()
 

@@ -40,6 +40,11 @@ object Media {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_media_meta" -> ((s, dir) => MediaOps.metaDf(s, dir)),
+
+    // Decoded-raster channel entropy — the flat/low-palette image gate
+    // (see [[MediaOps.pixelEntropy]]). Real PNG decode on the Spark
+    // side; the oracle replays the generative pixel model's histogram.
+    "m_media_img_entropy" -> ((s, dir) => MediaOps.entropyDf(s, dir)),
     "m_media_frames" -> ((s, dir) => MediaOps.framesDf(s, dir)),
     "m_media_resize" -> ((s, dir) => MediaOps.resizedDf(s, dir)),
 
@@ -373,6 +378,19 @@ object Media {
          |  3 AS channels, CAST(w * ih AS BIGINT) AS n_pixels,
          |  ${rasterChecksum("0")} AS checksum
          |FROM p""".stripMargin,
+    "m_media_img_entropy" ->
+      s"""${paramsCte()},
+         |px AS MATERIALIZED (SELECT doc_id, ${pix("u.i")} AS v
+         |  FROM p, UNNEST(range(0, w * ih * 3)) AS u(i)),
+         |hist AS MATERIALIZED (SELECT doc_id, v, count(*) AS c FROM px
+         |  GROUP BY 1, 2),
+         |mom AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_vals,
+         |  count(*) AS n_distinct, sum(c * ln(CAST(c AS DOUBLE))) AS s
+         |  FROM hist GROUP BY 1)
+         |SELECT doc_id, n_vals, n_distinct,
+         |  round((ln(CAST(n_vals AS DOUBLE)) - s / n_vals)
+         |    / ln(CAST(2 AS DOUBLE)), 6) AS entropy_bits
+         |FROM mom""".stripMargin,
     "m_media_dedup" ->
       s"""${paramsCte()},
          |meta AS (SELECT doc_id, CAST(w * ih AS BIGINT) AS n_pixels,

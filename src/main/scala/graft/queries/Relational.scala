@@ -236,6 +236,19 @@ object Relational {
           o.where(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
     }),
 
+    // EXCEPT (set difference, deduplicating): customers who ordered in
+    // 1995 but not in 1996 — churn, the complement of q17's retention.
+    // Catalyst plans EXCEPT as a left-anti join over pre-aggregated
+    // sides on the 8-byte key: one shuffle each side, no row-level
+    // subtraction pass; same physical family as q17's INTERSECT so the
+    // whole §2.6 set-op surface shares one scale argument.
+    "q18_except" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      o.where(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+        .except(
+          o.where(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
+    }),
+
     // CDC MERGE/upsert: apply a delta (updates to existing keys + brand-new
     // keys) onto a base snapshot — delta wins on key collision. The whole
     // merge is ONE shuffle on the 8-byte key (the anti join); the union is
@@ -334,6 +347,10 @@ object Relational {
     "q17_intersect" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
         |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
+    "q18_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
         |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
     "q15_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,

