@@ -61,6 +61,23 @@ object Text {
         .toDF("doc_id", "fp")
     }),
 
+    // Winnowing fingerprints (MOSS): position-aware document signatures
+    // with the coverage guarantee MinHash lacks — any shared run of
+    // WinnowW+ShingleW−1 tokens shares a fingerprint, which localizes
+    // WHERE two documents overlap, not just that they do. Typed
+    // per-partition kernel (see [[TextOps.winnow]]) — zero shuffle, pure
+    // integer math; downstream span-dedup joins would bucket on the
+    // 8-byte fp exactly like d_lsh_pairs buckets on bands.
+    "d_winnow" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, t) =>
+          TextOps.winnow(t).map { case (p, f) => (id, p.toLong, f) }
+        }
+        .toDF("doc_id", "pos", "fp")
+    }),
+
     // Token-distribution Shannon entropy per document — the
     // repetitiveness signal LM curation cuts on (a low-entropy doc is
     // boilerplate/template spam even when d_rep_ratio's adjacent-token
@@ -1585,6 +1602,32 @@ object Text {
          |FROM documents""".stripMargin,
     "d_fingerprint" ->
       s"SELECT doc_id, ${TextOps.duck.fingerprint("text")} AS fp FROM documents",
+    "d_winnow" -> {
+      val M = TextOps.TokMul
+      val W = TextOps.WinnowW
+      s"""WITH tk AS (SELECT doc_id, ${TextOps.duck.tokenHashes("text")} AS hs
+         |  FROM documents),
+         |kg AS MATERIALIZED (SELECT doc_id, u.i AS pos,
+         |  ((hs[CAST(u.i AS INT) + 1] * $M + hs[CAST(u.i AS INT) + 2]) * $M
+         |    + hs[CAST(u.i AS INT) + 3]) % ${TextOps.P} AS h
+         |  FROM tk, UNNEST(range(0, len(hs) - ${TextOps.ShingleW - 1}))
+         |    AS u(i)
+         |  WHERE len(hs) >= ${TextOps.ShingleW}),
+         |winmin AS MATERIALIZED (SELECT doc_id, pos AS wstart,
+         |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS minv,
+         |  count(*) OVER (PARTITION BY doc_id) AS m
+         |  FROM kg),
+         |sel AS (SELECT f.doc_id, f.wstart, max(k.pos) AS pos,
+         |  f.minv AS fp
+         |  FROM (SELECT doc_id, wstart, minv FROM winmin
+         |    WHERE wstart <= m - $W) f
+         |  JOIN kg k ON k.doc_id = f.doc_id
+         |    AND k.pos BETWEEN f.wstart AND f.wstart + ${W - 1}
+         |    AND k.h = f.minv
+         |  GROUP BY 1, 2, 4)
+         |SELECT DISTINCT doc_id, pos, fp FROM sel""".stripMargin
+    },
     "d_tok_entropy" ->
       s"""WITH tk AS (SELECT doc_id,
          |  unnest(${TextOps.duck.tokens("text")}) AS w FROM documents),

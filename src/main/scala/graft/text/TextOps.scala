@@ -404,6 +404,51 @@ object TextOps {
       i => ((hs(i) * TokMul + hs(i + 1)) % P * TokMul + hs(i + 2)) % P)
   }
 
+  /** `d_winnow` window width over the [[ShingleW]]-gram hash sequence. */
+  val WinnowW = 4
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): over the ORDERED [[ShingleW]]-gram rolling-hash
+    * sequence, each [[WinnowW]]-gram window selects its RIGHTMOST minimal
+    * hash, and the distinct selected (position, hash) pairs are the
+    * document's fingerprints. Unlike the bag-of-shingles MinHash rows
+    * this is POSITION-AWARE with a coverage guarantee — any match of
+    * ≥ WinnowW + ShingleW − 1 consecutive tokens shares at least one
+    * fingerprint — which is what makes it the standard span-plagiarism /
+    * overlap-localization signature. Pure integer math ([[tokenHash]] /
+    * [[TokMul]] / [[P]]); re-selection of a position is always
+    * consecutive (a position never re-enters a later window), so the
+    * emit-on-change rule equals a distinct over (pos, hash). Documents
+    * with fewer than WinnowW grams have no full window and emit nothing.
+    */
+  def winnow(text: String): Array[(Int, Long)] = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    val n = toks.length
+    if (n < ShingleW) return Array.empty
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = tokenHash(toks(i)); i += 1 }
+    val m = n - ShingleW + 1
+    if (m < WinnowW) return Array.empty
+    val kg = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      kg(i) = ((hs(i) * TokMul + hs(i + 1)) % P * TokMul + hs(i + 2)) % P
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var w = 0
+    var last = -1
+    while (w <= m - WinnowW) {
+      var best = w
+      var j = w + 1
+      while (j < w + WinnowW) { if (kg(j) <= kg(best)) best = j; j += 1 }
+      if (best != last) { out += ((best, kg(best))); last = best }
+      w += 1
+    }
+    out.toArray
+  }
+
   /** First-occurrence-distinct collection of `count` generated hashes into
     * an array, via an open-addressed PRIMITIVE long table (hash values are
     * in [0, P), so -1 marks empty). The boxed LinkedHashSet this replaces
