@@ -27,6 +27,14 @@ object Events {
   /** One day in microseconds (`ev_moving_avg` granularity). */
   val DayUs = 24L * 3600 * 1000000L
 
+  /** `ev_ewma` smoothing factor. α and 1−α are BOTH literal constants
+    * (the MmrLambda discipline) so both engines multiply the identical
+    * IEEE doubles — the recurrence is then bit-identical step by step,
+    * never "1.0 − α" re-derived at runtime.
+    */
+  val EwmaAlpha = 0.3
+  val EwmaOneMinusAlpha = 0.7
+
   /** KMV sketch size for `ev_daily_kmv` (every daily window has ≥ 11
     * distinct users at the smallest test scale, so the kth order
     * statistic exists; production would size k for the target relative
@@ -401,6 +409,38 @@ object Events {
         .groupBy(col("from_type"), col("to_type"))
         .agg(count(lit(1)).as("n"))
         .withColumn("p", round(col("n") / sum(col("n")).over(grid), 6))
+    }),
+
+    // Per-type EWMA over the daily revenue series — the sequential
+    // recurrence e_t = α·x_t + (1−α)·e_{t−1} (seeded e_1 = x_1) that a
+    // RANGE/ROWS frame cannot express. Shape: the heavy shuffle is the
+    // map-side-combined daily pre-aggregate; the recurrence then runs as
+    // a typed flatMapGroups over |types| × |days| rows ONLY — per-group
+    // state is the day count, never the event count, so the sort-and-
+    // fold inside each group is calendar-bounded at any corpus scale.
+    // Both engines evaluate the identical literal-α IEEE expression over
+    // the identical 2-dp daily inputs in the identical day order, so the
+    // recurrence is bit-identical step by step (round-6 is display
+    // only); the oracle replays it as a recursive CTE.
+    "ev_ewma" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr(s"unix_micros(ts) div $DayUs").as("day"))
+        .agg(round(sum(col("value")), 2).as("daily"))
+        .as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (typ, it) =>
+          val xs = it.toArray.sortBy(_._2)
+          var e = 0.0
+          var first = true
+          xs.iterator.map { case (_, d, x) =>
+            e = if (first) { first = false; x }
+            else EwmaAlpha * x + EwmaOneMinusAlpha * e
+            (typ, d, x, graft.text.TextOps.round6(e))
+          }
+        }
+        .toDF("event_type", "day", "daily", "ewma")
     }),
 
     // Statistical anomaly detection: z-score each day's revenue against
@@ -858,6 +898,25 @@ object Events {
          | round(avg(daily) OVER (PARTITION BY event_type ORDER BY day
          |   RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
          |FROM daily""".stripMargin,
+    "ev_ewma" ->
+      s"""WITH RECURSIVE daily AS MATERIALIZED (
+         |  SELECT event_type, epoch_us(ts) // $DayUs AS day,
+         |   round(sum(value), 2) AS daily
+         |  FROM events GROUP BY 1, 2),
+         |ord AS MATERIALIZED (SELECT event_type, day, daily,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+         |  FROM daily),
+         |r AS (
+         |  SELECT event_type, day, daily, rn, daily AS ewma
+         |  FROM ord WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.event_type, o.day, o.daily, o.rn,
+         |   CAST($EwmaAlpha AS DOUBLE) * o.daily
+         |     + CAST($EwmaOneMinusAlpha AS DOUBLE) * r.ewma
+         |  FROM ord o JOIN r ON o.event_type = r.event_type
+         |    AND o.rn = r.rn + 1)
+         |SELECT event_type, day, daily, round(ewma, 6) AS ewma
+         |FROM r""".stripMargin,
     "ev_markov" ->
       """WITH seq AS (
         |  SELECT event_type AS from_type,

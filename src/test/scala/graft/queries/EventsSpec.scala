@@ -69,6 +69,26 @@ class EventsSpec extends SparkSpec {
       10L -> ((2L, 2000000L + 500000L))))
   }
 
+  test("ev_ewma replays the recurrence exactly on the bench table and " +
+      "seeds each type's series with its first daily value") {
+    val got = Events.queries("ev_ewma")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      var e = 0.0
+      sorted.zipWithIndex.foreach { case ((_, _, x, gotE), i) =>
+        e = if (i == 0) x
+        else Events.EwmaAlpha * x + Events.EwmaOneMinusAlpha * e
+        assert(gotE == graft.text.TextOps.round6(e))
+        // smoothing stays inside the running min/max envelope
+        val hist = sorted.take(i + 1).map(_._3)
+        assert(e >= hist.min - 1e-9 && e <= hist.max + 1e-9)
+      }
+    }
+  }
+
   test("ev_attrib_linear on the bench table: per-purchase credit " +
       "conservation (sum within n-1 microcents of the purchase)") {
     val credits = Events.queries("ev_attrib_linear")(spark, sfDir)
