@@ -64,6 +64,37 @@ object OctaveBench {
       GQ.modularityRun(spark, edges, GQ.LpRounds).collect()(0)
     }
 
+    // Adamic–Adar link prediction (the g_adamic_adar body, covering the
+    // g_linkpred_cn shape too). The wedge cap is the SIZING KNOB, not
+    // armor, and at this octave it is NOT optional: mean degree ~148
+    // means the bench-graph default cap=256 admits ~10⁹ wedges — a
+    // measured single-box OOM (exit 52, GCLocker alloc failures) — while
+    // a fixed cap below the degree floor admits zero. So the harness
+    // SIZES the cap the way a cluster deployment would: one tiny
+    // degree-histogram aggregate (distinct-degree rows, driver-folded),
+    // then the largest cap whose admitted wedge volume
+    // Σ_{2≤dg≤cap} n_dg·C(dg,2) fits the per-run budget. Both the chosen
+    // cap and the admitted volume are DISCLOSED next to the time so the
+    // number cannot silently flatter itself.
+    val aaBudget =
+      sys.env.getOrElse("GRAFT_AA_WEDGE_BUDGET", "250000000").toLong
+    val adj = und.select(col("a").as("w"))
+      .unionAll(und.select(col("b").as("w")))
+    val degHist = adj.groupBy(col("w")).agg(count(lit(1)).as("dg"))
+      .groupBy(col("dg")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    var (aaCap, aaWedges, acc) = (0L, 0L, 0L)
+    degHist.foreach { case (dg, n) =>
+      if (dg >= 2) {
+        acc += n * (dg * (dg - 1) / 2)
+        if (acc <= aaBudget) { aaCap = dg; aaWedges = acc }
+      }
+    }
+    val (aaTop, aaSec) = timed {
+      GQ.adamicAdar(und, aaCap.toInt, GQ.LpCnTopN).collect()
+    }
+
     println(s"""{"metric":"octave_ops","sf":"$sfDir"""" +
       s""","fli_nodes":$n,"fli_edges":$m""" +
       s""","kcore_sec":${r1(kcoreSec)},"kcore_k":$kcoreK""" +
@@ -74,7 +105,9 @@ object OctaveBench {
       s""","hyperball_mean_est1":${r1(hb.getDouble(1))}""" +
       s""","hyperball_mean_est2":${r1(hb.getDouble(0))}""" +
       s""","modularity_sec":${r1(modSec)},"lpa_rounds":${GQ.LpRounds}""" +
-      s""","modularity_q":${mod.getDouble(3)}}""")
+      s""","modularity_q":${mod.getDouble(3)}""" +
+      s""","adamic_adar_sec":${r1(aaSec)},"aa_deg_cap":$aaCap""" +
+      s""","aa_wedges":$aaWedges,"aa_top_pairs":${aaTop.length}}""")
     spark.stop()
   }
 }

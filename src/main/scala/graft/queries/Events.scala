@@ -411,6 +411,26 @@ object Events {
         .withColumn("p", round(col("n") / sum(col("n")).over(grid), 6))
     }),
 
+    // Latest event per (user, type) — the CDC-compaction / current-state
+    // snapshot every mutable-entity pipeline materializes. rn = 1 over a
+    // (ts, event_id) DESC window is the spelling Catalyst rewrites into
+    // WindowGroupLimit: each map task keeps ONE candidate row per group
+    // BEFORE the exchange (plan-asserted in the spec), so the shuffle
+    // moves |groups| rows, not |events| — at 100 TB the difference
+    // between compacting a changelog and re-sorting it. event_id breaks
+    // equal-timestamp ties deterministically.
+    "ev_latest" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+    }),
+
     // Per-type EWMA over the daily revenue series — the sequential
     // recurrence e_t = α·x_t + (1−α)·e_{t−1} (seeded e_1 = x_1) that a
     // RANGE/ROWS frame cannot express. Shape: the heavy shuffle is the
@@ -898,6 +918,12 @@ object Events {
          | round(avg(daily) OVER (PARTITION BY event_type ORDER BY day
          |   RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
          |FROM daily""".stripMargin,
+    "ev_latest" ->
+      """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+        |FROM (SELECT user_id, event_type, event_id, ts, value,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
     "ev_ewma" ->
       s"""WITH RECURSIVE daily AS MATERIALIZED (
          |  SELECT event_type, epoch_us(ts) // $DayUs AS day,

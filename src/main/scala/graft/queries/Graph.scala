@@ -183,7 +183,7 @@ object Graph {
     * total order both engines replay identically, where a raw-float
     * order could diverge in the last ulp across engines.
     */
-  private[queries] def adamicAdar(und: DataFrame, cap: Int,
+  private[graft] def adamicAdar(und: DataFrame, cap: Int,
       topN: Int): DataFrame = {
     val adj = und.select(col("a").as("w"), col("b").as("n"))
       .unionAll(und.select(col("b").as("w"), col("a").as("n")))

@@ -69,6 +69,25 @@ class EventsSpec extends SparkSpec {
       10L -> ((2L, 2000000L + 500000L))))
   }
 
+  test("ev_latest: one row per (user, type), it is the max-(ts, id) " +
+      "event, and the cut compiles to WindowGroupLimit") {
+    val df = Events.queries("ev_latest")(spark, sfDir)
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1)) ->
+      ((r.getLong(2), r.getLong(3)))).toMap
+    val all = graft.Tables(spark, sfDir, "events")
+      .selectExpr("user_id", "event_type", "event_id", "unix_micros(ts)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val want = all.groupBy(t => (t._1, t._2)).view.mapValues(
+      _.maxBy(t => (t._4, t._3))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, (_, _, id, us)) =>
+      assert(got(k) == ((id, us)), s"group $k")
+    }
+    assert(df.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"), "map-side group limit missing")
+  }
+
   test("ev_ewma replays the recurrence exactly on the bench table and " +
       "seeds each type's series with its first daily value") {
     val got = Events.queries("ev_ewma")(spark, sfDir).collect()
