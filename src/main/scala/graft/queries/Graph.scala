@@ -135,6 +135,46 @@ object Graph {
 
   private def graphSql: String = GraphOps.lineitemGraphSql(Mod)
 
+  /** Shared CTE chain of the `g_hyperball` / `g_harmonic` oracles: the
+    * two HyperBall register rounds, folded per node into `hb(node_id,
+    * v_zero1, s_scaled1, est1, v_zero2, s_scaled2, est2)`. Estimates
+    * round to 4 dp inside [[Events.hllEstSqlAs]], so every downstream
+    * arithmetic reads identical inputs on both engines.
+    */
+  private def hyperballOracleChain: String = {
+    val P = graft.text.TextOps.P
+    val E = graft.queries.Events
+    val pw = 1L << (E.HllW + 1)
+    def stepSql(prev: String): String =
+      s"""SELECT id, b, max(mj) AS mj FROM (
+         |  SELECT e.src AS id, r.b, r.mj FROM e JOIN $prev r ON r.id = e.dst
+         |  UNION ALL SELECT id, b, mj FROM $prev) GROUP BY id, b""".stripMargin
+    def foldSql(reg: String, sfx: String): String =
+      s"""SELECT id, CAST(${E.HllM} - count(*) AS BIGINT) AS v_zero$sfx,
+         |  CAST(sum(CAST(1 AS BIGINT) << (${E.HllW + 1} - mj)) AS BIGINT)
+         |    + (${E.HllM} - count(*)) * CAST($pw AS BIGINT) AS s_scaled$sfx
+         |  FROM $reg GROUP BY id""".stripMargin
+    s"""WITH e AS MATERIALIZED ($graphSql),
+       |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |hm AS MATERIALIZED (SELECT id,
+       |  ${graft.text.TextOps.duck.kmvMix("h")} AS hm FROM (
+       |  SELECT id, id % $P AS h FROM nodes)),
+       |r0 AS MATERIALIZED (SELECT id, hm % ${E.HllM} AS b,
+       |  CASE WHEN hm // ${E.HllM} = 0 THEN ${E.HllW + 1}
+       |       ELSE ${E.HllW + 1} - length(bin(hm // ${E.HllM})) END AS mj
+       |  FROM hm),
+       |r1 AS MATERIALIZED (${stepSql("r0")}),
+       |r2 AS MATERIALIZED (${stepSql("r1")}),
+       |f1 AS MATERIALIZED (${foldSql("r1", "1")}),
+       |f2 AS MATERIALIZED (${foldSql("r2", "2")}),
+       |hb AS MATERIALIZED (
+       |  SELECT f1.id AS node_id, v_zero1, s_scaled1,
+       |    ${E.hllEstSqlAs("s_scaled1", "v_zero1", "est1")},
+       |    v_zero2, s_scaled2,
+       |    ${E.hllEstSqlAs("s_scaled2", "v_zero2", "est2")}
+       |  FROM f1 JOIN f2 ON f2.id = f1.id)""".stripMargin
+  }
+
   /** `g_linkpred_cn` body over an undirected distinct edge set `und`
     * (`a < b` orientation): top-`topN` non-adjacent pairs by capped
     * common-neighbor count + neighborhood Jaccard. Separated from the
@@ -704,6 +744,21 @@ object Graph {
     "g_hyperball" -> ((s, dir) =>
       hyperBallRun(GraphOps.lineitemGraph(s, dir, Mod).localCheckpoint(true))),
 
+    // Harmonic centrality from the HyperBall registers — Boldi & Vigna's
+    // actual use case for the sketch (In-Core Computation of Geometric
+    // Centralities, 2014): h(v) ≈ Σ_r (|B_r| − |B_{r−1}|)/r over the
+    // radius-truncated balls, here (est1 − 1)/1 + (est2 − est1)/2. ZERO
+    // additional distributed work beyond the register rounds — the
+    // centrality is a per-node projection over the two 4-dp-pinned
+    // estimates, so both engines compute identical IEEE arithmetic on
+    // identical inputs. At 100 TB this is the point of the sketch:
+    // node-set-sized state per radius instead of all-pairs BFS.
+    "g_harmonic" -> ((s, dir) =>
+      hyperBallRun(GraphOps.lineitemGraph(s, dir, Mod).localCheckpoint(true))
+        .selectExpr("node_id", "est1", "est2",
+          "round((est1 - CAST(1 AS DOUBLE)) " +
+            "+ (est2 - est1) / CAST(2 AS DOUBLE), 6) AS harmonic")),
+
     // K1 batched: multi-source PPR over broadcast CSR (zero per-iteration
     // shuffle; the 100 TB-shaped strategy for batch workloads).
     "g_ppr_batch" -> ((s, dir) => {
@@ -1095,38 +1150,16 @@ object Graph {
       "g_power_ppr" -> PowerIteration.oracleSql(graphSql, SingleSource, Alpha, Iters),
       "g_pagerank" -> PageRank.oracleSql(graphSql, PrDamping, PrIters),
       "g_hits" -> graft.graph.Hits.oracleSql(graphSql, HitsIters),
-      "g_hyperball" -> {
-        val P = graft.text.TextOps.P
-        val E = graft.queries.Events
-        val pw = 1L << (E.HllW + 1)
-        def stepSql(prev: String): String =
-          s"""SELECT id, b, max(mj) AS mj FROM (
-             |  SELECT e.src AS id, r.b, r.mj FROM e JOIN $prev r ON r.id = e.dst
-             |  UNION ALL SELECT id, b, mj FROM $prev) GROUP BY id, b""".stripMargin
-        def foldSql(reg: String, sfx: String): String =
-          s"""SELECT id, CAST(${E.HllM} - count(*) AS BIGINT) AS v_zero$sfx,
-             |  CAST(sum(CAST(1 AS BIGINT) << (${E.HllW + 1} - mj)) AS BIGINT)
-             |    + (${E.HllM} - count(*)) * CAST($pw AS BIGINT) AS s_scaled$sfx
-             |  FROM $reg GROUP BY id""".stripMargin
-        s"""WITH e AS MATERIALIZED ($graphSql),
-           |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
-           |hm AS MATERIALIZED (SELECT id,
-           |  ${graft.text.TextOps.duck.kmvMix("h")} AS hm FROM (
-           |  SELECT id, id % $P AS h FROM nodes)),
-           |r0 AS MATERIALIZED (SELECT id, hm % ${E.HllM} AS b,
-           |  CASE WHEN hm // ${E.HllM} = 0 THEN ${E.HllW + 1}
-           |       ELSE ${E.HllW + 1} - length(bin(hm // ${E.HllM})) END AS mj
-           |  FROM hm),
-           |r1 AS MATERIALIZED (${stepSql("r0")}),
-           |r2 AS MATERIALIZED (${stepSql("r1")}),
-           |f1 AS MATERIALIZED (${foldSql("r1", "1")}),
-           |f2 AS MATERIALIZED (${foldSql("r2", "2")})
-           |SELECT f1.id AS node_id, v_zero1, s_scaled1,
-           |  ${E.hllEstSqlAs("s_scaled1", "v_zero1", "est1")},
-           |  v_zero2, s_scaled2,
-           |  ${E.hllEstSqlAs("s_scaled2", "v_zero2", "est2")}
-           |FROM f1 JOIN f2 ON f2.id = f1.id""".stripMargin
-      },
+      "g_hyperball" ->
+        s"""$hyperballOracleChain
+           |SELECT node_id, v_zero1, s_scaled1, est1, v_zero2, s_scaled2,
+           |  est2 FROM hb""".stripMargin,
+      "g_harmonic" ->
+        s"""$hyperballOracleChain
+           |SELECT node_id, est1, est2,
+           |  round((est1 - CAST(1 AS DOUBLE))
+           |    + (est2 - est1) / CAST(2 AS DOUBLE), 6) AS harmonic
+           |FROM hb""".stripMargin,
       "g_triangles" ->
         s"""WITH e AS MATERIALIZED (${GraphOps.lineitemGraphSql(TriMod)}),
            |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,

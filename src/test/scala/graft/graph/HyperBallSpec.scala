@@ -64,4 +64,21 @@ class HyperBallSpec extends SparkSpec {
     val mre = relErrs.sum / relErrs.length
     assert(mre < 0.4, s"mean relative error $mre")
   }
+
+  test("g_harmonic is exactly the centrality projection of the " +
+      "g_hyperball estimates") {
+    import graft.queries.Graph
+    val hb = Graph.queries("g_hyperball")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.getDouble(6)))).toMap
+    val got = Graph.queries("g_harmonic")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.nonEmpty && got.length == hb.size)
+    got.foreach { case (id, e1, e2, h) =>
+      val (b1, b2) = hb(id)
+      assert(e1 == b1 && e2 == b2, s"estimates drifted for $id")
+      assert(h == graft.text.TextOps.round6((e1 - 1.0) + (e2 - e1) / 2.0))
+    }
+  }
 }
