@@ -236,6 +236,23 @@ object Relational {
           o.where(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
     }),
 
+    // Distribution window functions — PERCENT_RANK / CUME_DIST /
+    // NTILE(4) of order value within each status: the relative-standing
+    // trio feature engineering and reporting lean on beyond q4's RANK.
+    // One shuffle on the partition key; the (o_totalprice, o_orderkey)
+    // order is a TOTAL order (orderkey unique), so every rank — and
+    // therefore every ratio and tile edge — is deterministic across
+    // engines; the two ratios round at 6 dp, ntile is pure integer.
+    "q19_distribution" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .withColumn("tile", ntile(4).over(w))
+    }),
+
     // EXCEPT (set difference, deduplicating): customers who ordered in
     // 1995 but not in 1996 — churn, the complement of q17's retention.
     // Catalyst plans EXCEPT as a left-anti join over pre-aggregated
@@ -352,6 +369,14 @@ object Relational {
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
+    "q19_distribution" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        | round(percent_rank() OVER w, 6) AS pr,
+        | round(cume_dist() OVER w, 6) AS cd,
+        | ntile(4) OVER w AS tile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice, o_orderkey)""".stripMargin,
     "q15_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,

@@ -266,6 +266,46 @@ object EventStreams {
       }
   }
 
+  final case class LEv(user_id: Long, event_type: String,
+      event_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  final case class Latest(user_id: Long, event_type: String,
+      event_id: Long, ts_us: Long, value: Double)
+
+  /** Latest-event-per-(user, type) state store — the streaming twin of
+    * the batch `ev_latest` CDC compaction: state is ONE small record per
+    * key (the current max-(ts, event_id) event) and a micro-batch emits
+    * a key only when its maximum ADVANCES (Update-mode semantics: the
+    * downstream sink upserts, so emissions per key are strictly
+    * monotone in (ts_us, event_id) and the last emission IS the batch
+    * row). Arrivals at or below the held maximum are absorbed silently —
+    * late data cannot regress the snapshot. Timestamps compare at full
+    * microsecond precision (the [[transitions]] lossless-order lesson:
+    * getTime alone truncates to milliseconds).
+    */
+  def latestState(events: Dataset[LEv]): Dataset[Latest] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Latest, Latest](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case ((uid, typ), it, state: GroupState[Latest]) =>
+          def tsUs(e: LEv): Long =
+            math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+              e.ts.getNanos / 1000L
+          val cands = it
+            .map(e => Latest(uid, typ, e.event_id, tsUs(e), e.value)).toSeq
+          if (cands.isEmpty) Iterator.empty
+          else {
+            val held = state.getOption
+            val best = (held.toSeq ++ cands)
+              .maxBy(l => (l.ts_us, l.event_id))
+            if (held.contains(best)) Iterator.empty
+            else { state.update(best); Iterator.single(best) }
+          }
+      }
+  }
+
   /** Per-user event-type transition extraction with carried last-event
     * state — the streaming stage under `ev_markov`'s bigram counts: each
     * user's state is their last seen event, and every arrival emits one

@@ -107,6 +107,27 @@ class PipelineQueriesSpec extends SparkSpec {
       "churned ∪ retained = all 1995 customers")
   }
 
+  test("q19_distribution: ratios replay from per-partition ranks and " +
+      "ntile groups differ in size by at most one") {
+    val rows = Relational.queries("q19_distribution")(spark, sfDir)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, part) =>
+      val n = part.length
+      val sorted = part.sortBy(t => (t._3, t._2))
+      sorted.zipWithIndex.foreach { case ((_, _, _, pr, cd, _), i) =>
+        val wantPr = if (n == 1) 0.0 else i.toDouble / (n - 1)
+        assert(pr == graft.text.TextOps.round6(wantPr))
+        assert(cd == graft.text.TextOps.round6((i + 1).toDouble / n))
+      }
+      val tiles = sorted.map(_._6)
+      assert(tiles.sameElements(tiles.sorted), "tiles follow the order")
+      val sizes = tiles.groupBy(identity).view.mapValues(_.length).values
+      assert(sizes.max - sizes.min <= 1, "ntile balance")
+    }
+  }
+
   test("ev_sliding counts every event in exactly two hopping windows") {
     val slide = Events.queries("ev_sliding")(spark, sfDir).collect()
       .map(_.getAs[Long]("n")).sum

@@ -565,4 +565,47 @@ class EventStreamsSpec extends SparkSpec {
         assert(tiny.contains((day, b)), s"lost frequent ($day,$b) tru=$tru")
     }
   }
+
+  test("streaming latest-state store: final state equals batch ev_latest " +
+      "across micro-batches, emissions advance monotonically, and stale " +
+      "arrivals emit nothing") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[LEv]
+    val q = latestState(input.toDS()).writeStream
+      .format("memory").queryName("lstate").outputMode("update").start()
+    try {
+      val rows = Tables(spark, sfDir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts"), col("value"))
+        .as[LEv].collect()
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+      val emitted = spark.table("lstate").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4)))
+      // emissions per key are strictly monotone, so max = final state
+      val finalState = emitted.groupBy(t => (t._1, t._2)).view
+        .mapValues(_.maxBy(t => (t._4, t._3))).toMap
+      val want = graft.queries.Events.queries("ev_latest")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+            r.getDouble(4)))).toMap
+      assert(finalState == want)
+      // each key emits at most once per micro-batch (≤ 2 here)
+      emitted.groupBy(t => (t._1, t._2)).foreach { case (k, es) =>
+        assert(es.length <= 2, s"key $k emitted ${es.length} times")
+      }
+      // a stale arrival (older than the held maximum) must not emit
+      val before = spark.table("lstate").count()
+      val stale = rows.maxBy(e => (e.ts.getTime, e.event_id))
+        .copy(event_id = -1L,
+          ts = new java.sql.Timestamp(0L))
+      input.addData(Seq(stale)); q.processAllAvailable()
+      assert(spark.table("lstate").count() == before, "stale row emitted")
+    } finally q.stop()
+  }
 }
