@@ -41,6 +41,12 @@ object Graph {
   /** `g_linkpred_cn` report size (global top-N, total-ordered). */
   val LpCnTopN = 20
 
+  /** `g_richclub` degree ladder — powers of two spanning the library
+    * graphs' degree range (TriMod max degree ≤ 93, so the top rungs
+    * exercise the empty-club φ = 0 branch at small scale).
+    */
+  val RichClubKs = Seq(1, 2, 4, 8, 16, 32, 64)
+
   /** `g_kcore` threshold and fixed peel horizon. K = 5 leaves a strict
     * nontrivial core at the small scales (sf0.001: 659 of 1,476 nodes;
     * sf0.01: 6,794 of 14,794) while the denser sf0.1 graph survives
@@ -536,6 +542,43 @@ object Graph {
           greatest(col("src"), col("dst")).as("b")).distinct()
         .localCheckpoint(true) // feeds adjacency, the anti-join, degrees
       linkPredCn(und, LpCnDegCap, LpCnTopN)
+    }),
+
+    // Rich-club coefficient profile φ(k) = 2·E_k / (N_k·(N_k−1)) over a
+    // fixed degree ladder — the hub-interconnection diagnostic (Zhou &
+    // Mondragón 2004): do high-degree nodes preferentially link to each
+    // other? Shape: ONE degree aggregate + the two assortativity-style
+    // degree joins reduce the graph to TWO tiny histograms (distinct
+    // node degrees; distinct per-edge min-degrees) — everything after
+    // runs over histogram × 7-rung ladder rows, so the curve costs the
+    // same as one scalar at any graph size. Integer moments, one float
+    // division per rung, φ = 0 below two qualifying nodes.
+    "g_richclub" -> ((s, dir) => {
+      val e = GraphOps.lineitemGraph(s, dir, TriMod)
+      val und = e.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+        .localCheckpoint(true) // feeds degrees and both edge joins
+      val adj = und.select(col("a").as("u"))
+        .unionAll(und.select(col("b").as("u")))
+      val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+        .localCheckpoint(true)
+      val nh = deg.groupBy(col("dg")).agg(count(lit(1)).as("ncnt"))
+      val em = und
+        .join(deg.select(col("u").as("a"), col("dg").as("da")), Seq("a"))
+        .join(deg.select(col("u").as("b"), col("dg").as("db")), Seq("b"))
+        .select(least(col("da"), col("db")).as("m"))
+        .groupBy(col("m")).agg(count(lit(1)).as("ecnt"))
+      val ks = s.range(1)
+        .selectExpr(s"explode(array(${RichClubKs.mkString(", ")})) AS k")
+      val nk = ks.join(broadcast(nh), col("dg") > col("k"), "left")
+        .groupBy("k").agg(coalesce(sum(col("ncnt")), lit(0L)).as("n_k"))
+      val ek = ks.join(broadcast(em), col("m") > col("k"), "left")
+        .groupBy("k").agg(coalesce(sum(col("ecnt")), lit(0L)).as("e_k"))
+      nk.join(ek, Seq("k"))
+        .selectExpr("k", "n_k", "e_k",
+          "CASE WHEN n_k >= 2 THEN CAST(2 * e_k AS DOUBLE) " +
+            "/ CAST(n_k * (n_k - 1) AS DOUBLE) " +
+            "ELSE CAST(0 AS DOUBLE) END AS phi")
     }),
 
     // Adamic–Adar link prediction: same wedge enumeration and cap as
@@ -1221,6 +1264,29 @@ object Graph {
            |WHERE NOT EXISTS (SELECT 1 FROM und
            |  WHERE und.a = c.u AND und.b = c.v)
            |ORDER BY c.cn DESC, c.u, c.v LIMIT $LpCnTopN""".stripMargin,
+      "g_richclub" ->
+        s"""WITH e AS MATERIALIZED (${GraphOps.lineitemGraphSql(TriMod)}),
+           |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+           |  greatest(src, dst) AS b FROM e),
+           |adj AS (SELECT a AS u FROM und UNION ALL SELECT b FROM und),
+           |deg AS MATERIALIZED (SELECT u, count(*) AS dg FROM adj
+           |  GROUP BY u),
+           |nh AS MATERIALIZED (SELECT dg, count(*) AS ncnt FROM deg
+           |  GROUP BY dg),
+           |em AS MATERIALIZED (SELECT least(x.dg, y.dg) AS m,
+           |  count(*) AS ecnt FROM und
+           |  JOIN deg x ON x.u = und.a JOIN deg y ON y.u = und.b
+           |  GROUP BY 1),
+           |ks AS (SELECT unnest([${RichClubKs.mkString(", ")}]) AS k),
+           |nk AS (SELECT k, CAST(coalesce(sum(ncnt), 0) AS BIGINT) AS n_k
+           |  FROM ks LEFT JOIN nh ON nh.dg > ks.k GROUP BY k),
+           |ek AS (SELECT k, CAST(coalesce(sum(ecnt), 0) AS BIGINT) AS e_k
+           |  FROM ks LEFT JOIN em ON em.m > ks.k GROUP BY k)
+           |SELECT nk.k, n_k, e_k,
+           |  CASE WHEN n_k >= 2 THEN CAST(2 * e_k AS DOUBLE)
+           |    / CAST(n_k * (n_k - 1) AS DOUBLE)
+           |  ELSE CAST(0 AS DOUBLE) END AS phi
+           |FROM nk JOIN ek ON ek.k = nk.k""".stripMargin,
       "g_adamic_adar" ->
         s"""WITH e AS MATERIALIZED (${GraphOps.lineitemGraphSql(TriMod)}),
            |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
