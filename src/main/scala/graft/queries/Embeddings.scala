@@ -136,6 +136,11 @@ object Embeddings {
   val PrefixDims = 16
   val PrefixShortlist = 30
 
+  /** `e_prefix_recall` truncation ladder — the Matryoshka curve: how
+    * much of the exact top-k a d-dim prefix scan recovers, per d.
+    */
+  val PrefixRecallDims = Seq(8, 16, 32)
+
   /** Product-quantization layout for `e_pq`: [[PqM]] subspaces of
     * `Dims / PqM` dims, [[KmK]] codewords each (codebook = KmK^PqM
     * composite cells from 4×8 centroids), [[PqIters]] Lloyd rounds per
@@ -978,6 +983,43 @@ object Embeddings {
     // pairs (vectors never re-attach), the per-query count is one small
     // aggregate. Tie-inclusive ground truth: n_exact can exceed k, and
     // recall is hits over the tie-inclusive set.
+    // Matryoshka prefix-recall curve: recall@k of a d-dim PREFIX scan
+    // against the exact full-dim top-k, per truncation d ∈ {8, 16, 32} —
+    // the measurement that tells a practitioner how many leading dims a
+    // truncated index needs BEFORE building it (Kusupati et al. 2022's
+    // evaluation, over whatever embeddings are in the table). The exact
+    // top-k set is computed ONCE (localCheckpoint) and re-joined by all
+    // three prefix passes; each pass is the e_prefix_rerank shortlist
+    // shape with k instead of the rerank shortlist, so the scan cost is
+    // 3 broadcast passes over the codes — never a re-derivation of the
+    // exact baseline.
+    "e_prefix_recall" -> ((s, dir) => {
+      val emb = embDf(s, dir)
+      val exact = queries("e_cosine_topk")(s, dir)
+        .select(col("q_id"), col("vec_id"))
+        .localCheckpoint(true)
+      PrefixRecallDims.map { d =>
+        val pre = emb.selectExpr("vec_id", s"slice(v, 1, $d) AS p")
+          .selectExpr("vec_id", "p", "sqrt(vec_dot(p, p)) AS pnrm")
+        val qp = pre.where(col("vec_id") < NumQueries)
+          .selectExpr("vec_id AS q_id", "p AS qp", "pnrm AS qpnrm")
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("pcos").desc, col("vec_id").asc)
+        val ptop = pre.crossJoin(broadcast(qp))
+          .where(col("vec_id") =!= col("q_id"))
+          .selectExpr("q_id", "vec_id",
+            "round(vec_dot(qp, p) / (qpnrm * pnrm), 6) AS pcos")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= TopK)
+          .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+        exact.join(ptop, Seq("q_id", "vec_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+          .selectExpr(s"CAST($d AS INT) AS dims", "q_id", "n_exact",
+            "n_hit", "round(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall")
+      }.reduce(_.unionAll(_))
+    }),
+
     "e_ann_recall" -> ((s, dir) => {
       val exact = queries("e_cosine_topk")(s, dir)
         .where(col("rk") <= LshTopK)
@@ -1289,6 +1331,37 @@ object Embeddings {
       sb ++= "\n" + (1 to MmrK).map(i =>
         s"SELECT q_id, vec_id, $i AS rk FROM s$i").mkString("\nUNION ALL\n")
       sb.toString
+    },
+    "e_prefix_recall" -> {
+      def dotD(d: Int) = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, ${d + 1}), i -> q.p[i] * c.p[i])), " +
+        "(a, x) -> a + x)"
+      val preCtes = PrefixRecallDims.map { d =>
+        s"""pre$d AS MATERIALIZED (SELECT vec_id, p,
+           |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |    list_transform(p, x -> x * x)), (a, x) -> a + x)) AS pnrm
+           |  FROM (SELECT vec_id, v[1:$d] AS p FROM emb))""".stripMargin
+      }.mkString(",\n")
+      val parts = PrefixRecallDims.map { d =>
+        s"""SELECT CAST($d AS INT) AS dims, ex.q_id, count(*) AS n_exact,
+           |  count(pt.hit) AS n_hit,
+           |  round(CAST(count(pt.hit) AS DOUBLE) / count(*), 6) AS recall
+           |FROM ex LEFT JOIN (
+           |  SELECT q_id, vec_id, 1 AS hit FROM (
+           |    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY round(${dotD(d)} / (q.pnrm * c.pnrm), 6) DESC,
+           |        c.vec_id ASC) AS rn
+           |    FROM pre$d q JOIN pre$d c ON c.vec_id <> q.vec_id
+           |    WHERE q.vec_id < $NumQueries)
+           |  WHERE rn <= $TopK) pt
+           |  ON pt.q_id = ex.q_id AND pt.vec_id = ex.vec_id
+           |GROUP BY ex.q_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $duckBase,
+         |ex AS MATERIALIZED (SELECT q_id, vec_id FROM ($duckCosineTopkSql)),
+         |$preCtes
+         |$parts""".stripMargin
     },
     "e_prefix_rerank" -> {
       val dot16 = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +

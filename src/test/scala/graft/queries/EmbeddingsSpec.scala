@@ -259,6 +259,43 @@ class EmbeddingsSpec extends SparkSpec {
     assert(mismatches.isEmpty, s"cos disagreement: ${mismatches.take(3).toSeq}")
   }
 
+  test("e_prefix_recall replays a brute-force Matryoshka curve exactly") {
+    import graft.text.TextOps.round6
+    val vecs = graft.Tables(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE))")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    def cosTo(d: Int)(a: Array[Double], b: Array[Double]): Double = {
+      var (s1, s2, s3, i) = (0.0, 0.0, 0.0, 0)
+      while (i < d) { s1 += a(i) * b(i); s2 += a(i) * a(i)
+        s3 += b(i) * b(i); i += 1 }
+      round6(s1 / (math.sqrt(s2) * math.sqrt(s3)))
+    }
+    val qs = vecs.filter(_._1 < Embeddings.NumQueries)
+    def scored(d: Int, q: (Long, Array[Double])) = vecs
+      .filter(_._1 != q._1).map(v => (v._1, cosTo(d)(q._2, v._2)))
+    // exact tie-inclusive top-k on the full dims
+    val exact = qs.map { q =>
+      val sc = scored(vecs(0)._2.length, q).sortBy(t => (-t._2, t._1))
+      val kth = sc(Embeddings.TopK - 1)._2
+      q._1 -> sc.filter(_._2 >= kth).map(_._1).toSet
+    }.toMap
+    val got = Embeddings.queries("e_prefix_recall")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    Embeddings.PrefixRecallDims.foreach { d =>
+      qs.foreach { q =>
+        val ptop = scored(d, q).sortBy(t => (-t._2, t._1))
+          .take(Embeddings.TopK).map(_._1).toSet
+        val ex = exact(q._1)
+        val hit = (ex intersect ptop).size.toLong
+        assert(got((d, q._1)) ==
+          ((ex.size.toLong, hit, round6(hit.toDouble / ex.size))),
+          s"dims=$d q=${q._1}")
+      }
+    }
+  }
+
   test("e_range_search: exactly the pairs at cos >= tau, counts match, " +
       "and scores agree with the top-k scan") {
     val rs = Embeddings.queries("e_range_search")(spark, sfDir).collect()
