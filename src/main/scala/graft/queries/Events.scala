@@ -35,6 +35,12 @@ object Events {
   val EwmaAlpha = 0.3
   val EwmaOneMinusAlpha = 0.7
 
+  /** `ev_rfm` tercile-threshold sample size (the d_ccnet_buckets
+    * discipline applied to users: sampled thresholds + broadcast CASE,
+    * never a global ntile sort over the user universe).
+    */
+  val RfmSampleK = 64
+
   /** KMV sketch size for `ev_daily_kmv` (every daily window has ≥ 11
     * distinct users at the smallest test scale, so the kth order
     * statistic exists; production would size k for the target relative
@@ -409,6 +415,62 @@ object Events {
         .groupBy(col("from_type"), col("to_type"))
         .agg(count(lit(1)).as("n"))
         .withColumn("p", round(col("n") / sum(col("n")).over(grid), 6))
+    }),
+
+    // RFM segmentation — recency / frequency / monetary scores per
+    // purchasing user, the classic customer-value partition. All three
+    // metrics are exact integers (days since last purchase, purchase
+    // count, lifetime cents), and the tercile cut points come from the
+    // deterministic bottom-k-by-hash USER sample + a broadcast CASE —
+    // the d_ccnet_buckets discipline — because a global per-metric
+    // NTILE would sort the entire user universe on one partition at
+    // corpus scale. Recency inverts (lower = better = 3); segment packs
+    // the three digits. Integer end-to-end: the cross-engine hash never
+    // sees a float.
+    "ev_rfm" -> ((s, dir) => {
+      val P = graft.text.TextOps.P
+      val purch = Tables(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val gmax = purch.agg(max(col("us")).as("gmax"))
+      val rfm = purch.groupBy(col("user_id"))
+        .agg(max(col("us")).as("u_max"), count(lit(1)).as("f"),
+          sum(col("cents")).as("m_cents"))
+        .crossJoin(broadcast(gmax))
+        .selectExpr("user_id", s"(gmax - u_max) div $DayUs AS r_days",
+          "f", "m_cents")
+        .selectExpr("user_id", "r_days", "f", "m_cents",
+          s"${graft.text.TextOps.spark.kmvMix(s"(user_id % $P)")} AS hm")
+        .localCheckpoint(true) // feeds three samples + the labeling pass
+      def thrOf(metric: String): DataFrame = {
+        val sample = rfm.orderBy(col("hm"), col("user_id")).limit(RfmSampleK)
+        sample
+          .crossJoin(broadcast(sample.agg(count(lit(1)).as("k"))))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col(metric), col("user_id"))))
+          .agg(
+            max(when(col("rn") ===
+              (floor((col("k") - 1).cast("double") / 3.0).cast("long") + 1),
+              col(metric))).as(s"${metric}_lo"),
+            max(when(col("rn") ===
+              (floor(((col("k") - 1).cast("double") * 2.0) / 3.0)
+                .cast("long") + 1),
+              col(metric))).as(s"${metric}_hi"))
+      }
+      rfm.crossJoin(broadcast(thrOf("r_days")))
+        .crossJoin(broadcast(thrOf("f")))
+        .crossJoin(broadcast(thrOf("m_cents")))
+        .selectExpr("user_id", "r_days", "f", "m_cents",
+          "CASE WHEN r_days <= r_days_lo THEN 3 " +
+            "WHEN r_days > r_days_hi THEN 1 ELSE 2 END AS r_score",
+          "CASE WHEN f <= f_lo THEN 1 " +
+            "WHEN f > f_hi THEN 3 ELSE 2 END AS f_score",
+          "CASE WHEN m_cents <= m_cents_lo THEN 1 " +
+            "WHEN m_cents > m_cents_hi THEN 3 ELSE 2 END AS m_score")
+        .selectExpr("user_id", "r_days", "f", "m_cents", "r_score",
+          "f_score", "m_score",
+          "r_score * 100 + f_score * 10 + m_score AS segment")
     }),
 
     // Latest event per (user, type) — the CDC-compaction / current-state
@@ -918,6 +980,46 @@ object Events {
          | round(avg(daily) OVER (PARTITION BY event_type ORDER BY day
          |   RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
          |FROM daily""".stripMargin,
+    "ev_rfm" -> {
+      val P = graft.text.TextOps.P
+      def thrCte(metric: String, alias: String): String =
+        s"""rk_$alias AS (SELECT $metric AS v, row_number() OVER (
+           |  ORDER BY $metric, user_id) AS rn FROM smp),
+           |thr_$alias AS (SELECT
+           |  max(CASE WHEN rn = CAST(floor(CAST(k - 1 AS DOUBLE) / 3.0)
+           |    AS BIGINT) + 1 THEN v END) AS ${metric}_lo,
+           |  max(CASE WHEN rn = CAST(floor((CAST(k - 1 AS DOUBLE) * 2.0)
+           |    / 3.0) AS BIGINT) + 1 THEN v END) AS ${metric}_hi
+           |  FROM rk_$alias CROSS JOIN kk)""".stripMargin
+      s"""WITH p AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS us,
+         |  CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |g AS (SELECT max(us) AS gmax FROM p),
+         |agg AS (SELECT user_id, max(us) AS u_max, count(*) AS f,
+         |  CAST(sum(cents) AS BIGINT) AS m_cents FROM p GROUP BY user_id),
+         |rfm AS MATERIALIZED (SELECT user_id,
+         |  (g.gmax - u_max) // $DayUs AS r_days, f, m_cents,
+         |  ${graft.text.TextOps.duck.kmvMix(s"(user_id % $P)")} AS hm
+         |  FROM agg CROSS JOIN g),
+         |smp AS MATERIALIZED (SELECT * FROM (
+         |  SELECT *, row_number() OVER (ORDER BY hm, user_id) AS rs
+         |  FROM rfm) WHERE rs <= $RfmSampleK),
+         |kk AS (SELECT count(*) AS k FROM smp),
+         |${thrCte("r_days", "r")},
+         |${thrCte("f", "f")},
+         |${thrCte("m_cents", "m")},
+         |scored AS (SELECT user_id, r_days, f, m_cents,
+         |  CASE WHEN r_days <= r_days_lo THEN 3
+         |       WHEN r_days > r_days_hi THEN 1 ELSE 2 END AS r_score,
+         |  CASE WHEN f <= f_lo THEN 1
+         |       WHEN f > f_hi THEN 3 ELSE 2 END AS f_score,
+         |  CASE WHEN m_cents <= m_cents_lo THEN 1
+         |       WHEN m_cents > m_cents_hi THEN 3 ELSE 2 END AS m_score
+         |  FROM rfm CROSS JOIN thr_r CROSS JOIN thr_f CROSS JOIN thr_m)
+         |SELECT user_id, r_days, f, m_cents, r_score, f_score, m_score,
+         |  r_score * 100 + f_score * 10 + m_score AS segment
+         |FROM scored""".stripMargin
+    },
     "ev_latest" ->
       """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
         |FROM (SELECT user_id, event_type, event_id, ts, value,

@@ -69,6 +69,43 @@ class EventsSpec extends SparkSpec {
       10L -> ((2L, 2000000L + 500000L))))
   }
 
+  test("ev_rfm replays a brute-force sampled-tercile scorer exactly") {
+    import graft.text.TextOps
+    val got = Events.queries("ev_rfm")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)))).toMap
+    val purch = graft.Tables(spark, sfDir, "events")
+      .where(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .selectExpr("user_id", "unix_micros(ts)",
+        "CAST(round(value * 100) AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gmax = purch.map(_._2).max
+    val dayUs = Events.DayUs
+    val rfm = purch.groupBy(_._1).map { case (u, es) =>
+      (u, (gmax - es.map(_._2).max) / dayUs, es.length.toLong,
+        es.map(_._3).sum)
+    }.toArray
+    assert(got.keySet == rfm.map(_._1).toSet)
+    val sample = rfm.map(t => (TextOps.kmvMix(t._1 % TextOps.P), t))
+      .sortBy(p => (p._1, p._2._1)).take(Events.RfmSampleK).map(_._2)
+    val k = sample.length
+    def thr(metric: ((Long, Long, Long, Long)) => Long): (Long, Long) = {
+      val sorted = sample.sortBy(t => (metric(t), t._1)).map(metric)
+      (sorted(((k - 1) / 3.0).floor.toInt), sorted((((k - 1) * 2.0) / 3.0)
+        .floor.toInt))
+    }
+    val (rLo, rHi) = thr(_._2)
+    val (fLo, fHi) = thr(_._3)
+    val (mLo, mHi) = thr(_._4)
+    rfm.foreach { case (u, r, f, m) =>
+      val rs = if (r <= rLo) 3 else if (r > rHi) 1 else 2
+      val fs = if (f <= fLo) 1 else if (f > fHi) 3 else 2
+      val ms = if (m <= mLo) 1 else if (m > mHi) 3 else 2
+      assert(got(u) == ((r, f, m, rs, fs, ms, rs * 100 + fs * 10 + ms)),
+        s"user $u")
+    }
+  }
+
   test("ev_latest: one row per (user, type), it is the max-(ts, id) " +
       "event, and the cut compiles to WindowGroupLimit") {
     val df = Events.queries("ev_latest")(spark, sfDir)
