@@ -1052,6 +1052,23 @@ object Embeddings {
         .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
         .selectExpr("q_id", "n_exact", "n_hit",
           "round(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall")
+    }),
+
+    // Recall@k of the IVF probe path vs the exact (tie-inclusive) cosine
+    // top-k — completes the recall triptych (LSH / BQ / IVF): the number
+    // that prices the probe count before raising it. Same composition
+    // shape as e_ann_recall.
+    "e_ivf_recall" -> ((s, dir) => {
+      val exact = queries("e_cosine_topk")(s, dir)
+        .where(col("rk") <= IvfTopK)
+        .select(col("q_id"), col("vec_id"))
+      val ivf = queries("e_ann_ivf")(s, dir)
+        .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+      exact.join(ivf, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+        .selectExpr("q_id", "n_exact", "n_hit",
+          "round(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall")
     })
   )
 
@@ -1090,6 +1107,39 @@ object Embeddings {
        |  SELECT q_id, vec_id, cos,
        |    rank() OVER (PARTITION BY q_id ORDER BY cos DESC) AS rk FROM cosj)
        |WHERE rk <= $TopK""".stripMargin
+
+  /** Full `e_ann_ivf` oracle statement — shared with `e_ivf_recall`. */
+  private lazy val duckAnnIvfSql: String = {
+    // dot product between aliased embn rows a and b (64 dims).
+    def dotOf(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, 65), i -> $a.v[i] * $b.v[i])), (a, x) -> a + x)"
+    s"""WITH $duckBase,
+       |cent AS (SELECT CAST(vec_id - $NumQueries AS INT) AS cid, v, nrm
+       |  FROM embn WHERE vec_id BETWEEN $NumQueries AND ${NumQueries + IvfCentroids - 1}),
+       |scored AS (SELECT e.vec_id, c.cid,
+       |    ${dotOf("e", "c")} / (e.nrm * c.nrm) AS cc
+       |  FROM embn e CROSS JOIN cent c),
+       |assign AS (SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |probe AS (SELECT vec_id AS q_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rn
+       |    FROM scored WHERE vec_id < $NumQueries) WHERE rn <= $IvfProbes),
+       |cand AS (SELECT DISTINCT p.q_id, a.vec_id
+       |  FROM probe p JOIN assign a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.q_id),
+       |cosj AS (SELECT cand.q_id, cand.vec_id,
+       |  round(${dotOf("q", "c")} / (q.nrm * c.nrm), 6) AS cos
+       |  FROM cand JOIN embn q ON q.vec_id = cand.q_id
+       |    JOIN embn c ON c.vec_id = cand.vec_id)
+       |SELECT q_id, vec_id, cos, rk FROM (
+       |  SELECT q_id, vec_id, cos,
+       |    rank() OVER (PARTITION BY q_id ORDER BY cos DESC) AS rk FROM cosj)
+       |WHERE rk <= $IvfTopK""".stripMargin
+  }
 
   /** Full `e_ann_lsh` oracle statement — likewise shared with recall. */
   private val duckAnnLshSql =
@@ -1199,37 +1249,16 @@ object Embeddings {
          | round(CAST(count(an.hit) AS DOUBLE) / count(*), 6) AS recall
          |FROM ex LEFT JOIN an ON an.q_id = ex.q_id AND an.vec_id = ex.vec_id
          |GROUP BY ex.q_id""".stripMargin,
-    "e_ann_ivf" -> {
-      // dot product between aliased embn rows a and b (64 dims).
-      def dotOf(a: String, b: String) =
-        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-          s"list_transform(range(1, 65), i -> $a.v[i] * $b.v[i])), (a, x) -> a + x)"
-      s"""WITH $duckBase,
-         |cent AS (SELECT CAST(vec_id - $NumQueries AS INT) AS cid, v, nrm
-         |  FROM embn WHERE vec_id BETWEEN $NumQueries AND ${NumQueries + IvfCentroids - 1}),
-         |scored AS (SELECT e.vec_id, c.cid,
-         |    ${dotOf("e", "c")} / (e.nrm * c.nrm) AS cc
-         |  FROM embn e CROSS JOIN cent c),
-         |assign AS (SELECT vec_id, cid AS cell FROM (
-         |    SELECT vec_id, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rn
-         |    FROM scored) WHERE rn = 1),
-         |probe AS (SELECT vec_id AS q_id, cid AS cell FROM (
-         |    SELECT vec_id, cid,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rn
-         |    FROM scored WHERE vec_id < $NumQueries) WHERE rn <= $IvfProbes),
-         |cand AS (SELECT DISTINCT p.q_id, a.vec_id
-         |  FROM probe p JOIN assign a ON a.cell = p.cell
-         |  WHERE a.vec_id <> p.q_id),
-         |cosj AS (SELECT cand.q_id, cand.vec_id,
-         |  round(${dotOf("q", "c")} / (q.nrm * c.nrm), 6) AS cos
-         |  FROM cand JOIN embn q ON q.vec_id = cand.q_id
-         |    JOIN embn c ON c.vec_id = cand.vec_id)
-         |SELECT q_id, vec_id, cos, rk FROM (
-         |  SELECT q_id, vec_id, cos,
-         |    rank() OVER (PARTITION BY q_id ORDER BY cos DESC) AS rk FROM cosj)
-         |WHERE rk <= $IvfTopK""".stripMargin
-    },
+    "e_ann_ivf" -> duckAnnIvfSql,
+    "e_ivf_recall" ->
+      s"""WITH ex AS (SELECT q_id, vec_id FROM ($duckCosineTopkSql)
+         |  WHERE rk <= $IvfTopK),
+         |an AS (SELECT q_id, vec_id, 1 AS hit FROM ($duckAnnIvfSql))
+         |SELECT ex.q_id, count(*) AS n_exact, count(an.hit) AS n_hit,
+         | round(CAST(count(an.hit) AS DOUBLE) / count(*), 6) AS recall
+         |FROM ex LEFT JOIN an
+         |  ON an.q_id = ex.q_id AND an.vec_id = ex.vec_id
+         |GROUP BY ex.q_id""".stripMargin,
     "e_knn_ppr" -> {
       def dotOf(a: String, b: String) =
         s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +

@@ -484,6 +484,29 @@ object Graph {
         .groupBy("node_id").agg(count(lit(1)).as("triangles"))
     }),
 
+    // Per-node LOCAL clustering coefficient cc(v) = 2·t(v)/(dg(v)·(dg(v)−1))
+    // — the node-granular companion of g_clustering's global scalar
+    // (Watts & Strogatz 1998): triangle participation over possible
+    // neighbor pairs. Reuses g_triangles' per-node counts verbatim (the
+    // two rows may not drift) plus one degree aggregate and a left join
+    // so triangle-free and degree-1 nodes report 0 — integer inputs, one
+    // float division per node.
+    "g_local_cc" -> ((s, dir) => {
+      val e = GraphOps.lineitemGraph(s, dir, TriMod)
+      val und = e.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+      val deg = und.select(col("a").as("node_id"))
+        .unionAll(und.select(col("b").as("node_id")))
+        .groupBy("node_id").agg(count(lit(1)).as("dg"))
+      deg.join(queries("g_triangles")(s, dir), Seq("node_id"), "left")
+        .selectExpr("node_id", "dg",
+          "coalesce(triangles, CAST(0 AS BIGINT)) AS tri",
+          "CASE WHEN dg >= 2 THEN " +
+            "CAST(2 * coalesce(triangles, CAST(0 AS BIGINT)) AS DOUBLE) " +
+            "/ CAST(dg * (dg - 1) AS DOUBLE) " +
+            "ELSE CAST(0 AS DOUBLE) END AS cc")
+    }),
+
     // Global clustering coefficient (transitivity): C = 3T/W — the
     // closed fraction of all length-2 paths, the third scalar of the
     // standard graph profile (with assortativity and reciprocity).
@@ -1223,6 +1246,33 @@ object Graph {
            |  SELECT ta AS node_id FROM tri
            |  UNION ALL SELECT tb FROM tri UNION ALL SELECT tc FROM tri)
            |GROUP BY node_id""".stripMargin,
+      "g_local_cc" ->
+        s"""WITH e AS MATERIALIZED (${GraphOps.lineitemGraphSql(TriMod)}),
+           |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+           |  greatest(src, dst) AS b FROM e),
+           |deg AS MATERIALIZED (SELECT id, count(*) AS dg FROM (
+           |  SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+           |  GROUP BY id),
+           |ori AS MATERIALIZED (SELECT
+           |  CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+           |    THEN u.a ELSE u.b END AS u,
+           |  CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+           |    THEN u.b ELSE u.a END AS v
+           |  FROM und u JOIN deg da ON da.id = u.a JOIN deg db ON db.id = u.b),
+           |tri AS (SELECT x.u AS ta, x.v AS tb, y.v AS tc
+           |  FROM ori x JOIN ori y ON y.u = x.u AND x.v < y.v
+           |  WHERE EXISTS (SELECT 1 FROM und w WHERE w.a = x.v AND w.b = y.v)),
+           |tcnt AS (SELECT node_id, count(*) AS tri FROM (
+           |  SELECT ta AS node_id FROM tri
+           |  UNION ALL SELECT tb FROM tri UNION ALL SELECT tc FROM tri)
+           |  GROUP BY node_id)
+           |SELECT deg.id AS node_id, deg.dg,
+           |  CAST(coalesce(tcnt.tri, 0) AS BIGINT) AS tri,
+           |  CASE WHEN deg.dg >= 2 THEN
+           |    CAST(2 * coalesce(tcnt.tri, 0) AS DOUBLE)
+           |      / CAST(deg.dg * (deg.dg - 1) AS DOUBLE)
+           |  ELSE CAST(0 AS DOUBLE) END AS cc
+           |FROM deg LEFT JOIN tcnt ON tcnt.node_id = deg.id""".stripMargin,
       // sum() HUGEINT widening cast back to BIGINT (driver hash parity)
       "g_clustering" ->
         s"""WITH e AS MATERIALIZED (${GraphOps.lineitemGraphSql(TriMod)}),

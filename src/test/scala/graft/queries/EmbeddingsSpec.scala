@@ -259,6 +259,27 @@ class EmbeddingsSpec extends SparkSpec {
     assert(mismatches.isEmpty, s"cos disagreement: ${mismatches.take(3).toSeq}")
   }
 
+  test("e_ivf_recall is exactly the overlap of e_ann_ivf with the exact " +
+      "top-k, per query") {
+    import graft.text.TextOps.round6
+    val exact = brute.where(col("rk") <= Embeddings.IvfTopK)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ivf = Embeddings.queries("e_ann_ivf")(spark, sfDir)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Embeddings.queries("e_ivf_recall")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val byQ = exact.groupBy(_._1)
+    assert(got.keySet == byQ.keySet)
+    byQ.foreach { case (q, ex) =>
+      val hit = ex.count(ivf).toLong
+      assert(got(q) == ((ex.length.toLong, hit,
+        round6(hit.toDouble / ex.length))), s"q=$q")
+    }
+  }
+
   test("e_prefix_recall replays a brute-force Matryoshka curve exactly") {
     import graft.text.TextOps.round6
     val vecs = graft.Tables(spark, sfDir, "embeddings")
