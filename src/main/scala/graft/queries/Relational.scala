@@ -16,6 +16,71 @@ import graft.{Scratch, Tables}
   */
 object Relational {
 
+  /** `q19_distribution` body — the scale-safe spelling of per-status
+    * PERCENT_RANK / CUME_DIST / NTILE(4). The hazard: `PARTITION BY
+    * o_orderstatus` is a ~3-value key, so the window's per-partition
+    * sort is a single task over ~n/3 rows at ANY scale. Instead:
+    * range-partition on the FULL sort key `(status, price, key)` — so
+    * each status's rows are split across many partitions but stay
+    * globally ordered across partition ids — pin the partition id,
+    * then (1) count rows per `(pid, status)` (tiny: P×|status| rows),
+    * (2) fold per-(pid,status) rank offsets with a triangular broadcast
+    * join over those counts, (3) rank LOCALLY with a window partitioned
+    * by `(status, pid)` — every window group is bounded by one range
+    * partition, never a whole status — and (4) reassemble the global
+    * rank as `off + local`. percent_rank = (rk−1)/(n−1) (0 when n = 1),
+    * cume_dist = rk/n (the order is total, so every row is its own peer
+    * group), and ntile(4) is the standard fill: with q = n div 4,
+    * r = n mod 4, the first r tiles take q+1 rows — all pure integer
+    * functions of (rk, n), so the output is bit-identical to the
+    * monolithic window ([[DistributionSpec]] pins it). Each division is
+    * one IEEE op on exact integers — same doubles as DuckDB's window
+    * functions. The checkpoint pins the nondeterministic pid assignment
+    * so the count pass and the rank pass see the same partitioning.
+    */
+  private[graft] def distribution(orders: DataFrame): DataFrame = {
+    val s = orders.sparkSession
+    val parts = s.sessionState.conf.numShufflePartitions
+    val sorted = orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .repartitionByRange(parts, col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderkey"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = sorted.groupBy(col("pid"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // feeds the offset fold AND the totals
+    val offs = counts.as("a")
+      .join(broadcast(counts.as("b")),
+        col("a.o_orderstatus") === col("b.o_orderstatus") &&
+          col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"),
+        col("a.o_orderstatus").as("o_orderstatus"))
+      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
+    val ntot = counts.groupBy(col("o_orderstatus"))
+      .agg(sum(col("cnt")).as("n"))
+    val local = Window.partitionBy(col("o_orderstatus"), col("pid"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    sorted.withColumn("lr", row_number().over(local))
+      .join(broadcast(offs), Seq("pid", "o_orderstatus"))
+      .join(broadcast(ntot), Seq("o_orderstatus"))
+      .withColumn("rk", col("off") + col("lr"))
+      .withColumn("pr", round(when(col("n") === 1, lit(0.0)).otherwise(
+        (col("rk") - 1).cast("double") / (col("n") - 1).cast("double")), 6))
+      .withColumn("cd",
+        round(col("rk").cast("double") / col("n").cast("double"), 6))
+      // first (n mod 4) tiles hold (n div 4)+1 rows, the rest n div 4;
+      // the ELSE divisor is 0 only when n < 4, where rk ≤ n = the WHEN
+      // threshold — CASE short-circuits, so the branch never evaluates.
+      .withColumn("tile", expr(
+        "CASE WHEN rk <= (n % 4) * (n div 4 + 1) " +
+          "THEN (rk - 1) div (n div 4 + 1) + 1 " +
+          "ELSE n % 4 + (rk - (n % 4) * (n div 4 + 1) - 1) div (n div 4) " +
+          "+ 1 END").cast("int")) // int: the exact ntile() output type
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("pr"), col("cd"), col("tile"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1-S5 + A1-A5 analogue: hash aggregate with partial (map-side) agg.
     "q1_agg" -> ((s, dir) => {
@@ -239,19 +304,18 @@ object Relational {
     // Distribution window functions — PERCENT_RANK / CUME_DIST /
     // NTILE(4) of order value within each status: the relative-standing
     // trio feature engineering and reporting lean on beyond q4's RANK.
-    // One shuffle on the partition key; the (o_totalprice, o_orderkey)
-    // order is a TOTAL order (orderkey unique), so every rank — and
-    // therefore every ratio and tile edge — is deterministic across
-    // engines; the two ratios round at 6 dp, ntile is pure integer.
-    "q19_distribution" -> ((s, dir) => {
-      val w = Window.partitionBy(col("o_orderstatus"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        .withColumn("pr", round(percent_rank().over(w), 6))
-        .withColumn("cd", round(cume_dist().over(w), 6))
-        .withColumn("tile", ntile(4).over(w))
-    }),
+    // NOT a monolithic per-status window: o_orderstatus has ~3 values,
+    // so PARTITION BY status alone sorts a third of the table on ONE
+    // task at any scale. [[distribution]] computes the identical trio
+    // from range-partitioned ranks + per-range offsets instead —
+    // percent_rank, cume_dist and ntile are all pure functions of
+    // (rank, partition count), and the (o_totalprice, o_orderkey) order
+    // is TOTAL (orderkey unique), so every rank — and therefore every
+    // ratio and tile edge — is deterministic across engines; the two
+    // ratios round at 6 dp, ntile is pure integer. The oracle keeps the
+    // window spelling (fine inside DuckDB's single process) and
+    // [[DistributionSpec]] pins the two formulations identical.
+    "q19_distribution" -> ((s, dir) => distribution(Tables(s, dir, "orders"))),
 
     // EXCEPT (set difference, deduplicating): customers who ordered in
     // 1995 but not in 1996 — churn, the complement of q17's retention.

@@ -39,6 +39,52 @@ object Text {
        |  FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v_t
        |  GROUP BY doc_id)""".stripMargin
 
+  /** `d_len_gini` body over any `(n_chars, doc_id)` frame — extracted so
+    * the spec can pin it against the rank-window formulation. Exact Gini
+    * via a range-partitioned prefix-sum fold: the sort key
+    * `(n_chars, doc_id)` is UNIQUE (doc_id is a key), so global ranks
+    * are well-defined wherever the range boundaries fall. Each range
+    * partition p folds its sorted rows once into exact BIGINT partials
+    * `(n_p, Σx, Σ j·x)` with LOCAL ranks j; the global Σ i·x
+    * re-assembles as Σ_p (off_p·Σx_p + Σj·x_p) where off_p = Σ_{q<p} n_q
+    * is the row count of earlier ranges — computed by a triangular
+    * broadcast join over the ≤P partial rows (P = shuffle partitions),
+    * not a window. The plan therefore contains NO window node at all
+    * (spec-asserted): where the old `row_number()` formulation moved the
+    * whole corpus through ONE task to assign ranks, this sorts n/P rows
+    * per task and ships 4 longs per partition — the shape that survives
+    * a 100 TB corpus. Same three exact BIGINT moments, bit-identical G;
+    * the local j·x products use long arithmetic (the old int
+    * `i * n_chars` product would overflow past ~2³¹ total rank·len).
+    */
+  private[graft] def lenGini(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val parts = s.sessionState.conf.numShufflePartitions
+    val partials = docs
+      .select(col("n_chars").cast("long"), col("doc_id").cast("long"))
+      .repartitionByRange(parts, col("n_chars"), col("doc_id"))
+      .sortWithinPartitions(col("n_chars"), col("doc_id"))
+      .as[(Long, Long)]
+      .rdd.mapPartitionsWithIndex { (pid, it) =>
+        var n = 0L; var sx = 0L; var sjx = 0L
+        it.foreach { case (x, _) => n += 1; sx += x; sjx += n * x }
+        Iterator((pid, n, sx, sjx))
+      }.toDF("pid", "n", "sx", "sjx")
+      .localCheckpoint(true) // both sides of the triangular offset join
+    partials.as("a")
+      .join(broadcast(partials.as("b")), col("b.pid") < col("a.pid"),
+        "left")
+      .groupBy(col("a.pid").as("pid"), col("a.n").as("n"),
+        col("a.sx").as("sx"), col("a.sjx").as("sjx"))
+      .agg(coalesce(sum(col("b.n")), lit(0L)).as("off"))
+      .agg(sum(col("n")).as("n_docs"), sum(col("sx")).as("s_x"),
+        sum(expr("off * sx + sjx")).as("s_ix"))
+      .selectExpr("n_docs", "s_x", "s_ix",
+        "CAST(2 * s_ix - (n_docs + 1) * s_x AS DOUBLE) / " +
+          "CAST(n_docs * s_x AS DOUBLE) AS gini")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + BPE-ish regex pieces.
     "d_tokens" -> ((s, dir) => {
@@ -504,24 +550,12 @@ object Text {
     // percentiles (a high-Gini corpus is dominated by a few huge docs;
     // mixture rebalancing targets it). Exact rank formulation
     // G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over lengths sorted by
-    // (n_chars, doc_id) — deterministic total order, so the rank is
-    // engine-independent; the three moments are exact BIGINTs and G is
-    // the ONE float division, spelled identically in the oracle. The
-    // global sort is the honest exact path (node-count rows); at 100 TB
-    // the same moments fold from a range-partitioned sort's per-range
-    // prefix sums — same algebra, no single-partition window.
-    "d_len_gini" -> ((s, dir) => {
-      val ranked = Tables(s, dir, "documents")
-        .select(col("n_chars"), col("doc_id"))
-        .withColumn("i", row_number().over(
-          Window.orderBy(col("n_chars"), col("doc_id"))))
-      ranked.agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("s_x"),
-          sum(expr("i * n_chars")).as("s_ix"))
-        .selectExpr("n_docs", "s_x", "s_ix",
-          "CAST(2 * s_ix - (n_docs + 1) * s_x AS DOUBLE) / " +
-            "CAST(n_docs * s_x AS DOUBLE) AS gini")
-    }),
+    // (n_chars, doc_id) via the range-partitioned prefix-sum fold in
+    // [[lenGini]] — NO global window, no single-task sort; the oracle
+    // states the same moments with a row_number() rank (fine inside
+    // DuckDB's single process) and [[LenGiniSpec]] pins the two
+    // formulations bit-identical.
+    "d_len_gini" -> ((s, dir) => lenGini(Tables(s, dir, "documents"))),
 
     // Top terms per language: explode → (lang, term) count → top-K. The
     // rank key is (count DESC, term ASC) — integers + strings, so the

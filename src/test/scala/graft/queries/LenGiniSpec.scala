@@ -23,4 +23,34 @@ class LenGiniSpec extends SparkSpec {
     // length spread, so strictly > 0
     assert(want > 0.0 && want < 1.0)
   }
+
+  test("the range-partitioned fold plans with NO window node — the " +
+      "single-task row_number() sort is gone") {
+    val df = Text.queries("d_len_gini")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("window"), plan)
+  }
+
+  test("fold ≡ unpartitioned row_number() formulation on a tie-heavy " +
+      "synthetic corpus spanning every range partition") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // 1,000 docs, only 7 distinct lengths — ties straddle the 4 range
+    // boundaries, so correctness rides entirely on the unique
+    // (n_chars, doc_id) sort key, not on lucky boundary placement.
+    val docs = (1L to 1000L).map(id => (id * 31 % 7 * 100 + 50, id))
+      .toDF("n_chars", "doc_id")
+    val got = Text.lenGini(docs).collect()(0)
+    val old = docs
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("n_chars"), col("doc_id"))))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("s_x"),
+        sum(expr("i * n_chars")).as("s_ix"))
+      .selectExpr("n_docs", "s_x", "s_ix",
+        "CAST(2 * s_ix - (n_docs + 1) * s_x AS DOUBLE) / " +
+          "CAST(n_docs * s_x AS DOUBLE) AS gini")
+      .collect()(0)
+    assert(got == old)
+  }
 }
