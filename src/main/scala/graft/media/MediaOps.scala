@@ -495,8 +495,10 @@ object MediaOps {
         energy += s(i).toLong * s(i)
         i += 1
       }
+      // n = 0 guard: a zero-sample WAV would make 0/0 an engine-
+      // dependent NaN-vs-NULL hash hazard — define silence as rms 0.
       AudioGate(m.doc_id, s.length.toLong, peak, clipped, energy,
-        math.sqrt(energy.toDouble / s.length))
+        if (s.length == 0) 0.0 else math.sqrt(energy.toDouble / s.length))
     })
   }
 

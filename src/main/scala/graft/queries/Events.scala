@@ -442,9 +442,13 @@ object Events {
           "f", "m_cents")
         .selectExpr("user_id", "r_days", "f", "m_cents",
           s"${graft.text.TextOps.spark.kmvMix(s"(user_id % $P)")} AS hm")
-        .localCheckpoint(true) // feeds three samples + the labeling pass
+        .localCheckpoint(true) // feeds the sample + the labeling pass
+      // ONE bottom-k-by-hash sample pass (TakeOrderedAndProject),
+      // checkpointed, feeds all three threshold windows — not one
+      // identical re-sample per metric.
+      val sample = rfm.orderBy(col("hm"), col("user_id")).limit(RfmSampleK)
+        .localCheckpoint(true)
       def thrOf(metric: String): DataFrame = {
-        val sample = rfm.orderBy(col("hm"), col("user_id")).limit(RfmSampleK)
         sample
           .crossJoin(broadcast(sample.agg(count(lit(1)).as("k"))))
           .withColumn("rn", row_number().over(
@@ -500,16 +504,23 @@ object Events {
     // a typed flatMapGroups over |types| × |days| rows ONLY — per-group
     // state is the day count, never the event count, so the sort-and-
     // fold inside each group is calendar-bounded at any corpus scale.
-    // Both engines evaluate the identical literal-α IEEE expression over
-    // the identical 2-dp daily inputs in the identical day order, so the
+    // The daily input folds as exact integer cents (the ev_attrib_linear
+    // discipline) — round(value·100) per event, summed exactly, one
+    // IEEE division by 100 — so the recurrence inputs carry NO float-sum
+    // order sensitivity (a round(sum(value),2) seed could flip a half
+    // boundary between engines and propagate through every later ewma).
+    // Both engines then evaluate the identical literal-α IEEE expression
+    // over identical daily inputs in identical day order, so the
     // recurrence is bit-identical step by step (round-6 is display
-    // only); the oracle replays it as a recursive CTE.
+    // only); the oracle replays it as a recursive CTE, and
+    // [[graft.streaming.EventStreams.ewmaState]] is the stateful twin.
     "ev_ewma" -> ((s, dir) => {
       import s.implicits._
       Tables(s, dir, "events")
         .groupBy(col("event_type"),
           expr(s"unix_micros(ts) div $DayUs").as("day"))
-        .agg(round(sum(col("value")), 2).as("daily"))
+        .agg((sum(round(col("value") * 100).cast("long")).cast("double")
+          / 100.0).as("daily"))
         .as[(String, Long, Double)]
         .groupByKey(_._1)
         .flatMapGroups { (typ, it) =>
@@ -1029,7 +1040,8 @@ object Events {
     "ev_ewma" ->
       s"""WITH RECURSIVE daily AS MATERIALIZED (
          |  SELECT event_type, epoch_us(ts) // $DayUs AS day,
-         |   round(sum(value), 2) AS daily
+         |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+         |     AS daily
          |  FROM events GROUP BY 1, 2),
          |ord AS MATERIALIZED (SELECT event_type, day, daily,
          |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn

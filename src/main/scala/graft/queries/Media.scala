@@ -312,16 +312,17 @@ object Media {
     "m_media_audio_gate" ->
       s"""$audioCte
          |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
-         |  CAST(list_max(list_transform(us, u -> abs(u - 32768)))
-         |    AS BIGINT) AS peak,
-         |  CAST(list_sum(list_transform(us, u ->
-         |    CASE WHEN u = 0 OR u = 65535 THEN 1 ELSE 0 END))
+         |  CAST(coalesce(list_max(list_transform(us, u -> abs(u - 32768))),
+         |    0) AS BIGINT) AS peak,
+         |  CAST(coalesce(list_sum(list_transform(us, u ->
+         |    CASE WHEN u = 0 OR u = 65535 THEN 1 ELSE 0 END)), 0)
          |    AS BIGINT) AS n_clipped,
-         |  CAST(list_sum(list_transform(us, u ->
-         |    (u - 32768) * (u - 32768))) AS BIGINT) AS energy,
-         |  sqrt(CAST(list_sum(list_transform(us, u ->
-         |    (u - 32768) * (u - 32768))) AS DOUBLE) / CAST(n AS DOUBLE))
-         |    AS rms
+         |  CAST(coalesce(list_sum(list_transform(us, u ->
+         |    (u - 32768) * (u - 32768))), 0) AS BIGINT) AS energy,
+         |  CASE WHEN n = 0 THEN 0.0 ELSE
+         |    sqrt(CAST(list_sum(list_transform(us, u ->
+         |      (u - 32768) * (u - 32768))) AS DOUBLE) / CAST(n AS DOUBLE))
+         |    END AS rms
          |FROM au""".stripMargin,
     "m_media_audio_downsample" ->
       s"""$audioCte

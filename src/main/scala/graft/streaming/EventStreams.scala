@@ -306,6 +306,74 @@ object EventStreams {
       }
   }
 
+  final case class EwEv(event_type: String, ts: java.sql.Timestamp,
+      value: Double)
+
+  final case class EwmaState(day: Long, cents: Long, ewma: Double,
+      hasPrev: Boolean)
+
+  final case class EwmaOut(event_type: String, day: Long, daily: Double,
+      ewma: Double)
+
+  /** Per-type EWMA over the daily revenue series — the streaming twin of
+    * the batch `ev_ewma` recurrence (the one stateful per-key recurrence
+    * in the family): state per event type is the OPEN day's exact cent
+    * accumulator plus the previous day's ewma — one small record per
+    * key, calendar-bounded emissions. A day EMITS when a strictly later
+    * day first arrives (its total is then final under the in-order
+    * contract): daily = cents/100.0 (the batch query's exact-cents
+    * discipline, so the recurrence inputs are bit-identical to batch),
+    * ewma = daily seeded / α·daily + (1−α)·prev after, rounded at 6 dp
+    * like the batch row. Within a micro-batch, days fold in ascending
+    * order whatever the arrival order; across batches the deployment
+    * contract is day-ordered feeds (a watermark upstream would enforce
+    * it) — an arrival for an already-CLOSED day is absorbed silently
+    * (late data cannot rewrite an emitted row), and arrivals for the
+    * open day merge across any micro-batch split. The final open day of
+    * each type stays held (unemittable until a later day proves it
+    * complete) — exactly the row set difference the spec pins against
+    * the batch query.
+    */
+  def ewmaState(events: Dataset[EwEv]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    val DayUs = graft.queries.Events.DayUs
+    val alpha = graft.queries.Events.EwmaAlpha
+    val oneMinus = graft.queries.Events.EwmaOneMinusAlpha
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (typ, it, state: GroupState[EwmaState]) =>
+          def dayOf(e: EwEv): Long = {
+            val us = math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+              e.ts.getNanos / 1000L
+            math.floorDiv(us, DayUs)
+          }
+          // exact cents per day — the batch query's integer discipline
+          val byDay = it.map(e => (dayOf(e), math.round(e.value * 100)))
+            .toSeq.groupMapReduce(_._1)(_._2)(_ + _).toSeq.sortBy(_._1)
+          if (byDay.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption
+              .getOrElse(EwmaState(byDay.head._1, 0L, 0.0, hasPrev = false))
+            val out = Seq.newBuilder[EwmaOut]
+            byDay.foreach { case (d, c) =>
+              if (d == st.day) st = st.copy(cents = st.cents + c)
+              else if (d > st.day) {
+                val daily = st.cents.toDouble / 100.0
+                val e = if (st.hasPrev) alpha * daily + oneMinus * st.ewma
+                  else daily
+                out += EwmaOut(typ, st.day, daily,
+                  graft.text.TextOps.round6(e))
+                st = EwmaState(d, c, e, hasPrev = true)
+              } // d < st.day: late row for a closed day — absorbed
+            }
+            state.update(st)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Per-user event-type transition extraction with carried last-event
     * state — the streaming stage under `ev_markov`'s bigram counts: each
     * user's state is their last seen event, and every arrival emits one

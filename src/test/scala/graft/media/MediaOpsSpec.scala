@@ -371,6 +371,18 @@ class MediaOpsSpec extends SparkSpec {
     assert(got == MediaOps.AudioGate(7L, 6L, 32768L, 2L, energy,
       math.sqrt(energy.toDouble / 6)))
 
+    // zero-sample WAV: rms is DEFINED as 0.0 (not 0/0 NaN — an engine-
+    // dependent NaN-vs-NULL hash hazard), every moment 0
+    val ebos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(Array.emptyByteArray), fmt, 0L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, ebos)
+    val empty = MediaOps.decodeAudioGate(
+      Seq(MediaOps.Media(8L, "audio/wav", ebos.toByteArray)).toDS())
+      .collect()(0)
+    assert(empty == MediaOps.AudioGate(8L, 0L, 0L, 0L, 0L, 0.0))
+
     // generative clips: the gate row must equal the formula the oracle
     // replays (peak/clip-count/energy from audioSample directly)
     val gates = graft.queries.Media.queries("m_media_audio_gate")(spark, sfDir)

@@ -608,4 +608,50 @@ class EventStreamsSpec extends SparkSpec {
       assert(spark.table("lstate").count() == before, "stale row emitted")
     } finally q.stop()
   }
+
+  test("ewmaState ≡ batch ev_ewma on every closed day, across mid-day " +
+      "micro-batch splits and shuffled within-batch arrival order") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[EwEv]
+    val q = ewmaState(input.toDS()).writeStream
+      .format("memory").queryName("ewstate").outputMode("append").start()
+    try {
+      // time-ordered feed split into 3 micro-batches at arbitrary (mid-
+      // day) positions; WITHIN each batch the arrival order is shuffled
+      // — the fold must re-sort days itself.
+      val rows = Tables(spark, sfDir, "events")
+        .select(col("event_type"), col("ts"), col("value"))
+        .as[EwEv].collect().sortBy(_.ts.getTime)
+      val rnd = new scala.util.Random(7)
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { b =>
+        input.addData(rnd.shuffle(b.toSeq)); q.processAllAvailable()
+      }
+      val emitted = spark.table("ewstate").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3)))).toMap
+      val batch = graft.queries.Events.queries("ev_ewma")(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3)))).toMap
+      // each type's LAST day is still open (nothing later has proven it
+      // complete) — the stream emits exactly the closed prefix.
+      val lastDay = batch.keys.groupBy(_._1).view
+        .mapValues(_.map(_._2).max).toMap
+      val closed = batch.filter { case ((t, d), _) => d < lastDay(t) }
+      assert(closed.nonEmpty, "bench table must span multiple days")
+      assert(emitted == closed)
+      // a late arrival for an already-CLOSED day is absorbed silently —
+      // it must neither emit nor rewrite the emitted prefix.
+      val before = spark.table("ewstate").count()
+      val late = rows.find(e => {
+        val d = math.floorDiv(math.floorDiv(e.ts.getTime, 1000L) * 1000000L
+          + e.ts.getNanos / 1000L, graft.queries.Events.DayUs)
+        closed.contains((e.event_type, d))
+      }).get
+      input.addData(Seq(late)); q.processAllAvailable()
+      assert(spark.table("ewstate").count() == before, "late day emitted")
+    } finally q.stop()
+  }
 }
