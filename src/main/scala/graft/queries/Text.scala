@@ -39,6 +39,59 @@ object Text {
        |  FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v_t
        |  GROUP BY doc_id)""".stripMargin
 
+  /** `d_winnow_pairs` body over any `(doc_id, text)` frame — extracted so
+    * the spec can plant known shared spans. Shape (the
+    * `d_lsh_pairs` → `d_lsh_verify` discipline in one row):
+    * 1. distinct `(doc_id, fp)` winnowing fingerprints (zero-shuffle
+    *    typed kernel + one distinct);
+    * 2. CANDIDATES from a self-equi-join on fp, restricted to
+    *    fingerprints with document frequency in [2, WinnowMaxDf] — the
+    *    MOSS over-common-fingerprint drop, which is also what bounds
+    *    the join (≤ C(MaxDf,2) pairs per fp, never all-pairs) — keeping
+    *    pairs sharing ≥ WinnowMinShared rare fps;
+    * 3. VERIFY: exact shared-fingerprint count over the FULL uncapped
+    *    sets (two 8-byte-key joins) + Jaccard = n/(na+nb−n), the one
+    *    float division, rounded at 6 dp.
+    * Every join key is an 8-byte integer; the fingerprint table is
+    * checkpointed once and feeds the df filter, both candidate sides,
+    * both verify sides and the size table.
+    */
+  private[graft] def winnowPairs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val fps = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        TextOps.winnow(t).map { case (_, f) => (id, f) }
+      }
+      .toDF("doc_id", "fp").distinct()
+      .localCheckpoint(true)
+    val rareFp = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("dfc"))
+      .where(col("dfc").between(2, TextOps.WinnowMaxDf))
+      .select(col("fp"))
+    val rare = fps.join(rareFp, Seq("fp"), "left_semi")
+    val cand = rare.as("x").join(rare.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_rare"))
+      .where(col("shared_rare") >= TextOps.WinnowMinShared)
+      .select(col("doc_a"), col("doc_b"))
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    cand
+      .join(fps.select(col("doc_id").as("doc_a"), col("fp")), Seq("doc_a"))
+      .join(fps.select(col("doc_id").as("doc_b"), col("fp")),
+        Seq("doc_b", "fp"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nf").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nf").as("nb")),
+        Seq("doc_b"))
+      .selectExpr("doc_a", "doc_b", "n_shared",
+        "round(CAST(n_shared AS DOUBLE) / " +
+          "CAST(na + nb - n_shared AS DOUBLE), 6) AS jacc")
+  }
+
   /** `d_len_gini` body over any `(n_chars, doc_id)` frame — extracted so
     * the spec can pin it against the rank-window formulation. Exact Gini
     * via a range-partitioned prefix-sum fold: the sort key
@@ -123,6 +176,18 @@ object Text {
         }
         .toDF("doc_id", "pos", "fp")
     }),
+
+    // Cross-doc span overlap from winnowing fingerprints — the actual
+    // MOSS deliverable the d_winnow signatures exist for: candidate
+    // pairs from a bucketed equi-join on the 8-byte fp (document-
+    // frequency-capped, so a boilerplate fingerprint can never explode
+    // the self-join), exact-verified over the FULL uncapped sets. The
+    // winnowing coverage guarantee makes the recall claim concrete: any
+    // shared run of ≥ WinnowW+ShingleW−1 tokens shares a fingerprint,
+    // so real span plagiarism cannot be missed by the bucket stage
+    // (spec-pinned on planted spans in [[WinnowSpec]]).
+    "d_winnow_pairs" -> ((s, dir) =>
+      winnowPairs(Tables(s, dir, "documents"))),
 
     // Token-distribution Shannon entropy per document — the
     // repetitiveness signal LM curation cuts on (a low-entropy doc is
@@ -1562,6 +1627,36 @@ object Text {
 
   // --------------------------------------------------------------- oracle
 
+  /** Winnowing CTE chain ending in `sel(doc_id, wstart, pos, fp)` — the
+    * DuckDB replay of [[TextOps.winnow]], shared by the `d_winnow` and
+    * `d_winnow_pairs` oracles so the fingerprint spelling cannot drift.
+    */
+  private def duckWinnowCte: String = {
+    val M = TextOps.TokMul
+    val W = TextOps.WinnowW
+    s"""tk AS (SELECT doc_id, ${TextOps.duck.tokenHashes("text")} AS hs
+       |  FROM documents),
+       |kg AS MATERIALIZED (SELECT doc_id, u.i AS pos,
+       |  ((hs[CAST(u.i AS INT) + 1] * $M + hs[CAST(u.i AS INT) + 2]) * $M
+       |    + hs[CAST(u.i AS INT) + 3]) % ${TextOps.P} AS h
+       |  FROM tk, UNNEST(range(0, len(hs) - ${TextOps.ShingleW - 1}))
+       |    AS u(i)
+       |  WHERE len(hs) >= ${TextOps.ShingleW}),
+       |winmin AS MATERIALIZED (SELECT doc_id, pos AS wstart,
+       |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS minv,
+       |  count(*) OVER (PARTITION BY doc_id) AS m
+       |  FROM kg),
+       |sel AS MATERIALIZED (SELECT f.doc_id, f.wstart, max(k.pos) AS pos,
+       |  f.minv AS fp
+       |  FROM (SELECT doc_id, wstart, minv FROM winmin
+       |    WHERE wstart <= m - $W) f
+       |  JOIN kg k ON k.doc_id = f.doc_id
+       |    AND k.pos BETWEEN f.wstart AND f.wstart + ${W - 1}
+       |    AND k.h = f.minv
+       |  GROUP BY 1, 2, 4)""".stripMargin
+  }
+
   private def duckShingleCte: String =
     s"""hs_t AS (SELECT doc_id, ${TextOps.duck.tokenHashes("text")} AS hs FROM documents),
        |sh_t AS (SELECT doc_id, ${TextOps.duck.shinglesFromHashes("hs")} AS sh FROM hs_t)""".stripMargin
@@ -1636,32 +1731,32 @@ object Text {
          |FROM documents""".stripMargin,
     "d_fingerprint" ->
       s"SELECT doc_id, ${TextOps.duck.fingerprint("text")} AS fp FROM documents",
-    "d_winnow" -> {
-      val M = TextOps.TokMul
-      val W = TextOps.WinnowW
-      s"""WITH tk AS (SELECT doc_id, ${TextOps.duck.tokenHashes("text")} AS hs
-         |  FROM documents),
-         |kg AS MATERIALIZED (SELECT doc_id, u.i AS pos,
-         |  ((hs[CAST(u.i AS INT) + 1] * $M + hs[CAST(u.i AS INT) + 2]) * $M
-         |    + hs[CAST(u.i AS INT) + 3]) % ${TextOps.P} AS h
-         |  FROM tk, UNNEST(range(0, len(hs) - ${TextOps.ShingleW - 1}))
-         |    AS u(i)
-         |  WHERE len(hs) >= ${TextOps.ShingleW}),
-         |winmin AS MATERIALIZED (SELECT doc_id, pos AS wstart,
-         |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
-         |    ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS minv,
-         |  count(*) OVER (PARTITION BY doc_id) AS m
-         |  FROM kg),
-         |sel AS (SELECT f.doc_id, f.wstart, max(k.pos) AS pos,
-         |  f.minv AS fp
-         |  FROM (SELECT doc_id, wstart, minv FROM winmin
-         |    WHERE wstart <= m - $W) f
-         |  JOIN kg k ON k.doc_id = f.doc_id
-         |    AND k.pos BETWEEN f.wstart AND f.wstart + ${W - 1}
-         |    AND k.h = f.minv
-         |  GROUP BY 1, 2, 4)
-         |SELECT DISTINCT doc_id, pos, fp FROM sel""".stripMargin
-    },
+    "d_winnow" ->
+      s"""WITH $duckWinnowCte
+         |SELECT DISTINCT doc_id, pos, fp FROM sel""".stripMargin,
+    "d_winnow_pairs" ->
+      s"""WITH $duckWinnowCte,
+         |wf AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM sel),
+         |dfc AS (SELECT fp FROM wf GROUP BY fp
+         |  HAVING count(*) BETWEEN 2 AND ${TextOps.WinnowMaxDf}),
+         |rare AS MATERIALIZED (SELECT wf.doc_id, wf.fp FROM wf
+         |  JOIN dfc USING (fp)),
+         |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM rare x JOIN rare y
+         |    ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= ${TextOps.WinnowMinShared}),
+         |sz AS MATERIALIZED (SELECT doc_id, count(*) AS nf FROM wf
+         |  GROUP BY 1),
+         |ist AS (SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+         |  FROM cand c JOIN wf a ON a.doc_id = c.doc_a
+         |  JOIN wf b ON b.doc_id = c.doc_b AND b.fp = a.fp
+         |  GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b, i.n_shared,
+         |  round(CAST(i.n_shared AS DOUBLE) /
+         |    CAST(sa.nf + sb.nf - i.n_shared AS DOUBLE), 6) AS jacc
+         |FROM ist i JOIN sz sa ON sa.doc_id = i.doc_a
+         |JOIN sz sb ON sb.doc_id = i.doc_b""".stripMargin,
     "d_tok_entropy" ->
       s"""WITH tk AS (SELECT doc_id,
          |  unnest(${TextOps.duck.tokens("text")}) AS w FROM documents),

@@ -407,6 +407,21 @@ object TextOps {
   /** `d_winnow` window width over the [[ShingleW]]-gram hash sequence. */
   val WinnowW = 4
 
+  /** `d_winnow_pairs` document-frequency cap: fingerprints shared by more
+    * than this many documents are boilerplate (the MOSS "ignore
+    * over-common fingerprints" rule) and are EXCLUDED from candidate
+    * generation — which also bounds the bucket self-join at
+    * C(MaxDf, 2) pairs per fingerprint. Exact overlap is still computed
+    * over the FULL uncapped sets at verify time.
+    */
+  val WinnowMaxDf = 64
+
+  /** `d_winnow_pairs` candidate floor: report pairs sharing at least
+    * this many rare fingerprints (≥ 2 screens out single chance
+    * collisions before the exact verify).
+    */
+  val WinnowMinShared = 2
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
     * the MOSS algorithm): over the ORDERED [[ShingleW]]-gram rolling-hash
     * sequence, each [[WinnowW]]-gram window selects its RIGHTMOST minimal

@@ -81,4 +81,67 @@ class WinnowSpec extends SparkSpec {
         TextOps.winnow(docs(id)).toSet)
     }
   }
+
+  /** Driver-side replay of the full d_winnow_pairs pipeline (df cap →
+    * min-shared candidates → exact verify) from per-doc fingerprint
+    * sets.
+    */
+  private def brutePairs(
+      docs: Seq[(Long, String)]): Map[(Long, Long), (Long, Double)] = {
+    val sets = docs.map { case (id, t) =>
+      id -> TextOps.winnow(t).map(_._2).toSet
+    }.toMap
+    val df = sets.values.toSeq.flatten.groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val rare = sets.view.mapValues(_.filter(f =>
+      df(f) >= 2 && df(f) <= TextOps.WinnowMaxDf)).toMap
+    val ids = docs.map(_._1).sorted
+    (for {
+      a <- ids; b <- ids if a < b
+      if (rare(a) intersect rare(b)).size >= TextOps.WinnowMinShared
+    } yield {
+      val n = (sets(a) intersect sets(b)).size.toLong
+      val j = n.toDouble / (sets(a).size + sets(b).size - n).toDouble
+      (a, b) -> ((n, graft.text.TextOps.round6(j)))
+    }).toMap
+  }
+
+  test("winnowPairs: a planted 40-token shared span is found with exact " +
+      "overlap stats; unrelated docs and >MaxDf boilerplate stay silent") {
+    val s = spark
+    import s.implicits._
+    def words(tag: String, n: Int): String =
+      (0 until n).map(j => s"$tag$j").mkString(" ")
+    val span = words("shared", 40)
+    val boiler = words("boiler", 8) // > WinnowW+ShingleW-1: guaranteed fp
+    val base = Seq(
+      1L -> s"${words("ua", 30)} $span ${words("ub", 30)}",
+      2L -> s"${words("va", 25)} $span ${words("vb", 35)}",
+      3L -> words("lone", 90))
+    // 70 docs (> WinnowMaxDf = 64) sharing ONLY the boilerplate run:
+    // its fingerprints are over-common → dropped → no pairs among them
+    val noise = (100L until 170L).map(id =>
+      id -> s"${words(s"n${id}x", 20)} $boiler ${words(s"n${id}y", 20)}")
+    val docs = base ++ noise
+    val got = Text.winnowPairs(docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val want = brutePairs(docs)
+    assert(want.contains((1L, 2L)), "planted span must survive the replay")
+    assert(got == want)
+    assert(!got.keys.exists { case (a, b) => a >= 100L || b >= 100L },
+      "boilerplate-only overlap must be df-capped out")
+    assert(!got.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("d_winnow_pairs on the bench corpus equals the driver replay") {
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = Text.queries("d_winnow_pairs")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == brutePairs(docs))
+    assert(got.nonEmpty, "bench corpus replicas must collide")
+  }
 }
