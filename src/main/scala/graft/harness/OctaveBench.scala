@@ -91,9 +91,41 @@ object OctaveBench {
         if (acc <= aaBudget) { aaCap = dg; aaWedges = acc }
       }
     }
+    // a budget below the smallest degree-≥2 bin leaves aaCap = 0 and
+    // between(2, 0) admits NOTHING — fail loudly rather than time a
+    // vacuous query (the disclosed aa_deg_cap would be the only clue).
+    require(aaCap >= 2, s"GRAFT_AA_WEDGE_BUDGET=$aaBudget admits no " +
+      s"degree bin (aaCap=$aaCap) — the adamicAdar run would be a no-op")
     val (aaTop, aaSec) = timed {
       GQ.adamicAdar(und, aaCap.toInt, GQ.LpCnTopN).collect()
     }
+
+    // Per-node triangle family (the g_local_cc body; g_clustering's
+    // global C folds from the same outputs). No cap here — the hub
+    // armor is the degree-ordered ORIENTATION: each edge leaves its
+    // lower-degree endpoint, so the wedge self-join enumerates
+    // Σ C(outdeg,2) (disclosed below) instead of the raw Σ C(dg,2)
+    // ≈ 10⁹ the AA row has to budget against.
+    val orientedWedges = {
+      val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("dg"))
+      und
+        .join(deg.select(col("w").as("a"), col("dg").as("da")), Seq("a"))
+        .join(deg.select(col("w").as("b"), col("dg").as("db")), Seq("b"))
+        .select(when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"))
+        .groupBy(col("u")).agg(count(lit(1)).as("od"))
+        .agg(sum(expr("od * (od - 1) div 2")))
+        .collect()(0).getLong(0)
+    }
+    val (ccProf, ccSec) = timed {
+      GQ.localCcRun(und).agg(
+        count(lit(1)).as("nodes"), sum(col("tri")).as("s_tri"),
+        sum(expr("dg * (dg - 1)")).as("s_deg2"),
+        avg(col("cc")).as("mean_cc")).collect()(0)
+    }
+    // C = 6T/S₂ with T = Σtri/3 → 2·Σtri / S₂ (g_clustering's scalar)
+    val transC = 2.0 * ccProf.getLong(1) / ccProf.getLong(2)
 
     println(s"""{"metric":"octave_ops","sf":"$sfDir"""" +
       s""","fli_nodes":$n,"fli_edges":$m""" +
@@ -107,7 +139,11 @@ object OctaveBench {
       s""","modularity_sec":${r1(modSec)},"lpa_rounds":${GQ.LpRounds}""" +
       s""","modularity_q":${mod.getDouble(3)}""" +
       s""","adamic_adar_sec":${r1(aaSec)},"aa_deg_cap":$aaCap""" +
-      s""","aa_wedges":$aaWedges,"aa_top_pairs":${aaTop.length}}""")
+      s""","aa_wedges":$aaWedges,"aa_top_pairs":${aaTop.length}""" +
+      s""","local_cc_sec":${r1(ccSec)},"oriented_wedges":$orientedWedges""" +
+      s""","cc_nodes":${ccProf.getLong(0)},"tri_sum":${ccProf.getLong(1)}""" +
+      s""","transitivity_c":${f"$transC%.6f"}""" +
+      s""","mean_cc":${f"${ccProf.getDouble(3)}%.6f"}}""")
     spark.stop()
   }
 }

@@ -781,6 +781,55 @@ object Embeddings {
           "array_join(transform(q, x -> CAST(x AS STRING)), ',') AS q_codes")
     }),
 
+    // Exact integer Gram matrix over the uint8-quantized vectors — the
+    // second-moment scaffold a whitening/PCA pass reads (G[i,j] =
+    // Σ_v q_i·q_j, upper triangle), computed the only way that survives
+    // corpus scale: a per-partition typed fold into ONE d(d+1)/2-slot
+    // mergeable accumulator, then a tiny (P × 2080)-row shuffle to
+    // combine. Vectors never pairwise-join and codes never explode into
+    // per-(vector, i, j) rows — the shuffled bytes are independent of
+    // the vector count. Every moment is an exact BIGINT (255²·n sits
+    // far inside 2⁶³ past 10¹² vectors), so the row hash-compares with
+    // no float dispensation; quantization reuses e_quantize's affine
+    // code spelling verbatim (the two rows may not drift).
+    "e_qgram" -> ((s, dir) => {
+      import s.implicits._
+      val d = Dims
+      Tables(s, dir, "embeddings")
+        .selectExpr(
+          "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+        .selectExpr("v", "array_min(v) AS lo", "array_max(v) AS hi")
+        .selectExpr("CASE WHEN hi = lo THEN transform(v, x -> 0) " +
+          "ELSE transform(v, x -> CAST(round((x - lo) / " +
+          "((hi - lo) / 255.0), 0) AS INT)) END AS q")
+        .as[Seq[Int]]
+        .mapPartitions { it =>
+          val acc = new Array[Long](d * (d + 1) / 2)
+          it.foreach { q =>
+            var i = 0
+            var k = 0
+            while (i < d) {
+              val qi = q(i).toLong
+              var j = i
+              while (j < d) { acc(k) += qi * q(j); j += 1; k += 1 }
+              i += 1
+            }
+          }
+          val out = new Array[(Int, Int, Long)](acc.length)
+          var i = 0
+          var k = 0
+          while (i < d) {
+            var j = i
+            while (j < d) { out(k) = (i, j, acc(k)); j += 1; k += 1 }
+            i += 1
+          }
+          out.iterator
+        }
+        .toDF("i", "j", "g")
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("g")).as("g"))
+    }),
+
     "e_embed_dups" -> ((s, dir) => {
       val bk = bucketed(s, dir).select(col("vec_id"), col("tbl"), col("bkt"))
       val cand = bk.as("x").join(bk.as("y"),
@@ -1435,6 +1484,24 @@ object Embeddings {
         | list_aggregate(list_transform(q, x -> CAST(x AS VARCHAR)),
         |   'string_agg', ',') AS q_codes
         |FROM qq""".stripMargin,
+    "e_qgram" ->
+      s"""WITH emb AS (SELECT
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |mm AS (SELECT v, list_min(v) AS lo, list_max(v) AS hi FROM emb),
+         |qq AS MATERIALIZED (SELECT
+         |  CASE WHEN hi = lo THEN list_transform(v, x -> 0)
+         |   ELSE list_transform(v, x ->
+         |     CAST(round((x - lo) / ((hi - lo) / 255.0), 0) AS INT))
+         |  END AS q
+         | FROM mm)
+         |SELECT CAST(u.i AS INT) AS i, CAST(w.j AS INT) AS j,
+         | CAST(sum(q[CAST(u.i AS INT) + 1] * q[CAST(w.j AS INT) + 1])
+         |   AS BIGINT) AS g
+         |FROM qq, UNNEST(range(0, $Dims)) AS u(i),
+         |  UNNEST(range(0, $Dims)) AS w(j)
+         |WHERE u.i <= w.j
+         |GROUP BY 1, 2""".stripMargin,
     "e_embed_dups" ->
       s"""WITH $duckBase,
          |$duckBucketed,

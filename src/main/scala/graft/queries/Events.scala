@@ -639,6 +639,47 @@ object Events {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // Welch's two-sample t-test between every event-type pair's daily
+    // revenue series — the A/B significance readout an experimentation
+    // pipeline computes at the end of a run. Everything reduces to three
+    // exact integer moments per type (days n, Σcents, Σcents²) folded in
+    // ONE map-side-combined aggregate over the daily pre-aggregate; the
+    // pair stage is a broadcast self-join over |types| rows. The float
+    // tail (mean, Welch variance, t, Satterthwaite dof) is a fixed
+    // IEEE expression DAG evaluated stepwise over exact integer inputs —
+    // squares spelled as x*x (pow() is not guaranteed correctly rounded;
+    // multiplication is) and the identical operand order in the oracle,
+    // so even the 4-deep float chain is bit-identical across engines
+    // (round-6 is display only). At corpus scale nothing here grows:
+    // moments are mergeable partials, the pair join is |types|².
+    "ev_ab_welch" -> ((s, dir) => {
+      val mom = Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr(s"unix_micros(ts) div $DayUs").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
+          sum(expr("cents * cents")).as("sxx"))
+        .localCheckpoint(true) // both sides of the |types|² pair join
+      mom.as("a").join(broadcast(mom.as("b")),
+          col("a.event_type") < col("b.event_type"))
+        .selectExpr("a.event_type AS type_a", "b.event_type AS type_b",
+          "a.n AS n_a", "b.n AS n_b",
+          "CAST(a.sx AS DOUBLE) / a.n AS m_a",
+          "CAST(b.sx AS DOUBLE) / b.n AS m_b",
+          "(a.sxx - CAST(a.sx AS DOUBLE) * a.sx / a.n) / (a.n - 1) AS v_a",
+          "(b.sxx - CAST(b.sx AS DOUBLE) * b.sx / b.n) / (b.n - 1) AS v_b")
+        .selectExpr("type_a", "type_b", "n_a", "n_b", "m_a", "m_b",
+          "v_a / n_a AS se_a", "v_b / n_b AS se_b")
+        .selectExpr("type_a", "type_b", "n_a", "n_b", "m_a", "m_b",
+          "se_a", "se_b", "se_a + se_b AS se2")
+        .selectExpr("type_a", "type_b", "n_a", "n_b",
+          "round(m_a, 6) AS mean_a", "round(m_b, 6) AS mean_b",
+          "round((m_a - m_b) / sqrt(se2), 6) AS t_stat",
+          "round(se2 * se2 / (se_a * se_a / (n_a - 1) " +
+            "+ se_b * se_b / (n_b - 1)), 6) AS dof")
+    }),
+
     // Gap-based sessionization: a new session starts when the gap from the
     // previous event of the same user exceeds GapSeconds.
     "ev_sessions" -> ((s, dir) => {
@@ -1129,6 +1170,32 @@ object Events {
          | count(DISTINCT uw.user_id) AS n_users
          |FROM uw JOIN c ON uw.user_id = c.user_id
          |GROUP BY 1, 2""".stripMargin,
+    "ev_ab_welch" ->
+      s"""WITH daily AS MATERIALIZED (SELECT event_type,
+         |  epoch_us(ts) // $DayUs AS day,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         | FROM events GROUP BY 1, 2),
+         |mom AS MATERIALIZED (SELECT event_type, count(*) AS n,
+         |  CAST(sum(cents) AS BIGINT) AS sx,
+         |  CAST(sum(cents * cents) AS BIGINT) AS sxx
+         | FROM daily GROUP BY 1),
+         |p1 AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |  a.n AS n_a, b.n AS n_b,
+         |  CAST(a.sx AS DOUBLE) / a.n AS m_a,
+         |  CAST(b.sx AS DOUBLE) / b.n AS m_b,
+         |  (a.sxx - CAST(a.sx AS DOUBLE) * a.sx / a.n) / (a.n - 1) AS v_a,
+         |  (b.sxx - CAST(b.sx AS DOUBLE) * b.sx / b.n) / (b.n - 1) AS v_b
+         | FROM mom a JOIN mom b ON a.event_type < b.event_type),
+         |p2 AS (SELECT type_a, type_b, n_a, n_b, m_a, m_b,
+         |  v_a / n_a AS se_a, v_b / n_b AS se_b FROM p1),
+         |p3 AS (SELECT type_a, type_b, n_a, n_b, m_a, m_b, se_a, se_b,
+         |  se_a + se_b AS se2 FROM p2)
+         |SELECT type_a, type_b, n_a, n_b,
+         | round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+         | round((m_a - m_b) / sqrt(se2), 6) AS t_stat,
+         | round(se2 * se2 / (se_a * se_a / (n_a - 1)
+         |   + se_b * se_b / (n_b - 1)), 6) AS dof
+         |FROM p3""".stripMargin,
     "ev_sessions" ->
       s"""WITH flagged AS (
          |  SELECT user_id, ts, value,

@@ -253,6 +253,54 @@ object Graph {
       .limit(topN)
   }
 
+  /** The per-node triangle family's shared wedge body over an undirected
+    * `(a, b)` edge list (a < b, deduped) — `g_local_cc`'s row shape
+    * `(node_id, dg, tri, cc)`; `g_clustering`'s global scalar folds from
+    * the same outputs (T = Σtri/3, S₂ = Σ dg·(dg−1), C = 6T/S₂ — the
+    * octave harness does exactly that fold). Pipeline: degree-ordered
+    * orientation (each edge leaves its lower-degree endpoint, so
+    * out-degree is O(√m)-bounded and hub centers cannot go quadratic),
+    * wedge self-join on the oriented source, triangle closure via a
+    * left-semi join back to the edge list, per-node participation via
+    * explode + one map-side-combined count. Checkpoints: the edge list
+    * feeds degrees/orientation/closure; degrees feed orientation and the
+    * final profile; oriented feeds both wedge sides.
+    */
+  private[graft] def localCcRun(und0: DataFrame): DataFrame = {
+    val und = und0.localCheckpoint(true)
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("dg"))
+      .localCheckpoint(true)
+    val oriented = und
+      .join(deg.select(col("id").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("dg").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("v"))
+      .localCheckpoint(true)
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.u").as("ta"), col("x.v").as("tb"), col("y.v").as("tc"))
+    val triPerNode = wedges.join(
+        und.select(col("a").as("tb"), col("b").as("tc")),
+        Seq("tb", "tc"), "left_semi")
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("node_id"))
+      .groupBy("node_id").agg(count(lit(1)).as("triangles"))
+    deg.select(col("id").as("node_id"), col("dg"))
+      .join(triPerNode, Seq("node_id"), "left")
+      .selectExpr("node_id", "dg",
+        "coalesce(triangles, CAST(0 AS BIGINT)) AS tri",
+        "CASE WHEN dg >= 2 THEN " +
+          "CAST(2 * coalesce(triangles, CAST(0 AS BIGINT)) AS DOUBLE) " +
+          "/ CAST(dg * (dg - 1) AS DOUBLE) " +
+          "ELSE CAST(0 AS DOUBLE) END AS cc")
+  }
+
   /** `g_hyperball` body over a directed `(src, dst)` edge DataFrame
     * (pre-checkpointed by the caller — it feeds node derivation and both
     * rounds), reusable on any graph (OctaveBench runs it on the
@@ -487,24 +535,17 @@ object Graph {
     // Per-node LOCAL clustering coefficient cc(v) = 2·t(v)/(dg(v)·(dg(v)−1))
     // — the node-granular companion of g_clustering's global scalar
     // (Watts & Strogatz 1998): triangle participation over possible
-    // neighbor pairs. Reuses g_triangles' per-node counts verbatim (the
-    // two rows may not drift) plus one degree aggregate and a left join
-    // so triangle-free and degree-1 nodes report 0 — integer inputs, one
-    // float division per node.
+    // neighbor pairs. Runs g_triangles' degree-ordered wedge pipeline
+    // verbatim inside [[localCcRun]] (the two rows may not drift —
+    // TrianglesSpec brute-pins both) plus one degree aggregate and a
+    // left join so triangle-free and degree-1 nodes report 0 — integer
+    // inputs, one float division per node. OctaveBench runs the same
+    // body at the 11.9M-edge hub-skew octave with the oriented wedge
+    // volume disclosed.
     "g_local_cc" -> ((s, dir) => {
       val e = GraphOps.lineitemGraph(s, dir, TriMod)
-      val und = e.select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b")).distinct()
-      val deg = und.select(col("a").as("node_id"))
-        .unionAll(und.select(col("b").as("node_id")))
-        .groupBy("node_id").agg(count(lit(1)).as("dg"))
-      deg.join(queries("g_triangles")(s, dir), Seq("node_id"), "left")
-        .selectExpr("node_id", "dg",
-          "coalesce(triangles, CAST(0 AS BIGINT)) AS tri",
-          "CASE WHEN dg >= 2 THEN " +
-            "CAST(2 * coalesce(triangles, CAST(0 AS BIGINT)) AS DOUBLE) " +
-            "/ CAST(dg * (dg - 1) AS DOUBLE) " +
-            "ELSE CAST(0 AS DOUBLE) END AS cc")
+      localCcRun(e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct())
     }),
 
     // Global clustering coefficient (transitivity): C = 3T/W — the

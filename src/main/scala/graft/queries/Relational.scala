@@ -317,6 +317,29 @@ object Relational {
     // [[DistributionSpec]] pins the two formulations identical.
     "q19_distribution" -> ((s, dir) => distribution(Tables(s, dir, "orders"))),
 
+    // Running total — the cumulative-frame window shape (ROWS UNBOUNDED
+    // PRECEDING) the distribution trio doesn't cover: each customer's
+    // order history accumulates in (date, key) order. The partition key
+    // is the HIGH-cardinality customer key, so every window group is one
+    // customer's orders — bounded and shrinking relative to the table as
+    // it grows (q19's 3-value hazard inverted); the running sum is a
+    // single in-order pass per sorted group. Amounts accumulate as exact
+    // integer cents and convert once at the end — the float sum a
+    // running total naively accumulates would drift differently per
+    // engine by addend order.
+    "q20_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("run_total",
+          sum(col("cents")).over(w).cast("double") / 100.0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("run_total"))
+    }),
+
     // EXCEPT (set difference, deduplicating): customers who ordered in
     // 1995 but not in 1996 — churn, the complement of q17's retention.
     // Catalyst plans EXCEPT as a left-anti join over pre-aggregated
@@ -441,6 +464,13 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus
         |  ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+    "q20_running_total" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS DOUBLE) / 100 AS run_total
+        |FROM orders""".stripMargin,
     "q15_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,

@@ -337,4 +337,30 @@ class EmbeddingsSpec extends SparkSpec {
         assert(rsMap.get((q, v)).contains(c), s"missing/mismatched ($q,$v)")
     }
   }
+
+  test("e_qgram: the mergeable per-partition fold equals a brute " +
+      "driver-side Gram over the quantized codes") {
+    val d = Embeddings.Dims
+    val got = Embeddings.queries("e_qgram")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got.size == d * (d + 1) / 2, "full upper triangle")
+    // brute: re-quantize every vector on the driver and accumulate
+    val qs = graft.Tables(spark, sfDir, "embeddings")
+      .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map { r =>
+      val v = r.getSeq[Double](0).toArray
+      val (lo, hi) = (v.min, v.max)
+      if (hi == lo) Array.fill(d)(0L)
+      else v.map(x => BigDecimal((x - lo) / ((hi - lo) / 255.0))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    val want = scala.collection.mutable.Map.empty[(Int, Int), Long]
+      .withDefaultValue(0L)
+    qs.foreach { q =>
+      for (i <- 0 until d; j <- i until d) want((i, j)) += q(i) * q(j)
+    }
+    assert(got == want.toMap)
+    // sanity: the diagonal dominates its row (Cauchy-Schwarz on sums)
+    assert((0 until d).forall(i => got((i, i)) > 0))
+  }
 }

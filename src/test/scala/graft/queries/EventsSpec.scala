@@ -145,6 +145,46 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("ev_ab_welch: brute replay of the moment algebra per type pair, " +
+      "t sign agrees with the mean ordering") {
+    val rows = Events.queries("ev_ab_welch")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7)))).toMap
+    // brute daily cents → moments on the driver
+    val daily = graft.Tables(spark, sfDir, "events")
+      .selectExpr("event_type",
+        s"unix_micros(ts) div ${Events.DayUs} AS day",
+        "CAST(round(value * 100) AS BIGINT) AS c")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sum)
+      .toSeq.map { case ((t, d), c) => (t, c) }
+    val mom = daily.groupBy(_._1).view.mapValues { xs =>
+      val n = xs.length.toLong
+      (n, xs.map(_._2).sum, xs.map(x => x._2 * x._2).sum)
+    }.toMap
+    val types = mom.keys.toSeq.sorted
+    assert(rows.size == types.combinations(2).size && rows.nonEmpty)
+    for (Seq(ta, tb) <- types.combinations(2)) {
+      val (na, sxa, sxxa) = mom(ta)
+      val (nb, sxb, sxxb) = mom(tb)
+      val ma = sxa.toDouble / na
+      val mb = sxb.toDouble / nb
+      val va = (sxxa - sxa.toDouble * sxa / na) / (na - 1)
+      val vb = (sxxb - sxb.toDouble * sxb / nb) / (nb - 1)
+      val (sea, seb) = (va / na, vb / nb)
+      val se2 = sea + seb
+      val t = (ma - mb) / math.sqrt(se2)
+      val dof = se2 * se2 / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+      val got = rows((ta, tb))
+      val r6 = graft.text.TextOps.round6 _
+      assert(got == ((na, nb, r6(ma), r6(mb), r6(t), r6(dof))))
+      assert((got._5 > 0) == (ma > mb) || got._5 == 0.0)
+      // Welch dof sits between min(n)-1 and n_a+n_b-2
+      assert(dof >= math.min(na, nb) - 1 - 1e-9 && dof <= na + nb - 2 + 1e-9)
+    }
+  }
+
   test("ev_attrib_linear on the bench table: per-purchase credit " +
       "conservation (sum within n-1 microcents of the purchase)") {
     val credits = Events.queries("ev_attrib_linear")(spark, sfDir)

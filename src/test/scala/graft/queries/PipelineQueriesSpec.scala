@@ -128,6 +128,26 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q20_running_total: exact-cents cumulative sums per customer in " +
+      "(date, key) order; final value equals the customer's total") {
+    val rows = Relational.queries("q20_running_total")(spark, sfDir)
+      .collect().map(r => (r.getLong(1), r.getTimestamp(2).getTime,
+        r.getLong(0), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, os) =>
+      val ordered = os.sortBy(t => (t._2, t._3))
+      var acc = 0L
+      ordered.foreach { case (_, _, _, run) =>
+        // recover this order's cents from the running difference — the
+        // reported total must be the exact prefix sum
+        val cents = math.round(run * 100) - acc
+        assert(cents > 0, "order amounts are positive")
+        acc += cents
+        assert(run == acc.toDouble / 100.0, "exact cents, one division")
+      }
+    }
+  }
+
   test("ev_sliding counts every event in exactly two hopping windows") {
     val slide = Events.queries("ev_sliding")(spark, sfDir).collect()
       .map(_.getAs[Long]("n")).sum
