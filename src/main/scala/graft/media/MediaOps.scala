@@ -572,6 +572,43 @@ object MediaOps {
   def entropyDf(spark: SparkSession, sfDir: String): DataFrame =
     pixelEntropy(imagesFromDocuments(spark, sfDir)).toDF()
 
+  final case class ImgHist(doc_id: Long, channel: Int, bin: Int, c: Long)
+
+  /** Per-channel 16-bucket histogram over the REAL-decoded raster — the
+    * color-distribution feature an image-quality gate reads (a spike in
+    * one bucket is a solid/clipped frame; a flat histogram is noise).
+    * Emits the FULL 3×16 grid per image, zero buckets included, so the
+    * row set is a pure function of the image count. Channel order
+    * follows the raster layout (0 = R, 1 = G, 2 = B — flat index mod 3
+    * in the generative model the oracle replays); all counts are exact
+    * BIGINTs off the decoded pixels.
+    */
+  def channelHist(media: Dataset[Media]): Dataset[ImgHist] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val img = decodePng(m.payload)
+      val hist = Array.ofDim[Long](3, 16)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          hist(0)(((rgb >> 16) & 0xff) >> 4) += 1
+          hist(1)(((rgb >> 8) & 0xff) >> 4) += 1
+          hist(2)((rgb & 0xff) >> 4) += 1
+          x += 1
+        }
+        y += 1
+      }
+      for (ch <- 0 until 3; b <- 0 until 16)
+        yield ImgHist(m.doc_id, ch, b, hist(ch)(b))
+    })
+  }
+
+  /** Channel-histogram DataFrame for the query surface. */
+  def histDf(spark: SparkSession, sfDir: String): DataFrame =
+    channelHist(imagesFromDocuments(spark, sfDir)).toDF()
+
   def metaDf(spark: SparkSession, sfDir: String): DataFrame =
     decodeMeta(imagesFromDocuments(spark, sfDir)).toDF()
 

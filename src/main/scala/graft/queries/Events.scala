@@ -639,6 +639,29 @@ object Events {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // DAU/WAU stickiness — the engagement ratio every product dashboard
+    // tracks: per day, distinct active users vs distinct users active in
+    // the TRAILING 7-day window. The trailing window is EXACT without a
+    // range self-join: each (user, day) activity row explodes into the 7
+    // window days it covers (a bounded 7× map-side blowup), distinct
+    // once, count per day — two shuffles on (user, day)-class keys, no
+    // window function, no per-day scan of history. Integer counts + one
+    // rounded division.
+    "ev_stickiness" -> ((s, dir) => {
+      val ud = Tables(s, dir, "events")
+        .selectExpr("user_id", s"unix_micros(ts) div $DayUs AS day")
+        .distinct()
+        .localCheckpoint(true) // feeds DAU and the exploded WAU cover
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .selectExpr("user_id", "explode(sequence(day, day + 6)) AS day")
+        .distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, Seq("day"))
+        .selectExpr("day", "dau", "wau",
+          "round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness")
+    }),
+
     // Welch's two-sample t-test between every event-type pair's daily
     // revenue series — the A/B significance readout an experimentation
     // pipeline computes at the end of a run. Everything reduces to three
@@ -1170,6 +1193,17 @@ object Events {
          | count(DISTINCT uw.user_id) AS n_users
          |FROM uw JOIN c ON uw.user_id = c.user_id
          |GROUP BY 1, 2""".stripMargin,
+    "ev_stickiness" ->
+      s"""WITH ud AS MATERIALIZED (SELECT DISTINCT user_id,
+         |  epoch_us(ts) // $DayUs AS day FROM events),
+         |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+         |cover AS (SELECT DISTINCT user_id, day + u.k AS wday
+         |  FROM ud, UNNEST(range(0, 7)) AS u(k)),
+         |wau AS (SELECT wday AS day, count(*) AS wau FROM cover
+         |  GROUP BY 1)
+         |SELECT d.day, d.dau, w.wau,
+         | round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+         |FROM dau d JOIN wau w USING (day)""".stripMargin,
     "ev_ab_welch" ->
       s"""WITH daily AS MATERIALIZED (SELECT event_type,
          |  epoch_us(ts) // $DayUs AS day,

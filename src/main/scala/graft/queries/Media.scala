@@ -45,6 +45,7 @@ object Media {
     // (see [[MediaOps.pixelEntropy]]). Real PNG decode on the Spark
     // side; the oracle replays the generative pixel model's histogram.
     "m_media_img_entropy" -> ((s, dir) => MediaOps.entropyDf(s, dir)),
+    "m_media_img_hist" -> ((s, dir) => MediaOps.histDf(s, dir)),
     "m_media_frames" -> ((s, dir) => MediaOps.framesDf(s, dir)),
     "m_media_resize" -> ((s, dir) => MediaOps.resizedDf(s, dir)),
 
@@ -392,6 +393,19 @@ object Media {
          |  round((ln(CAST(n_vals AS DOUBLE)) - s / n_vals)
          |    / ln(CAST(2 AS DOUBLE)), 6) AS entropy_bits
          |FROM mom""".stripMargin,
+    "m_media_img_hist" ->
+      s"""${paramsCte()},
+         |px AS MATERIALIZED (SELECT doc_id, CAST(u.i % 3 AS INT) AS channel,
+         |  CAST(${pix("u.i")} // 16 AS INT) AS bin
+         |  FROM p, UNNEST(range(0, w * ih * 3)) AS u(i)),
+         |cnt AS MATERIALIZED (SELECT doc_id, channel, bin, count(*) AS c
+         |  FROM px GROUP BY 1, 2, 3),
+         |grid AS (SELECT doc_id, CAST(u.c AS INT) AS channel,
+         |  CAST(v.b AS INT) AS bin
+         |  FROM p, UNNEST(range(0, 3)) AS u(c), UNNEST(range(0, 16)) AS v(b))
+         |SELECT g.doc_id, g.channel, g.bin,
+         |  CAST(coalesce(cnt.c, 0) AS BIGINT) AS c
+         |FROM grid g LEFT JOIN cnt USING (doc_id, channel, bin)""".stripMargin,
     "m_media_dedup" ->
       s"""${paramsCte()},
          |meta AS (SELECT doc_id, CAST(w * ih AS BIGINT) AS n_pixels,

@@ -189,6 +189,47 @@ object Text {
     "d_winnow_pairs" -> ((s, dir) =>
       winnowPairs(Tables(s, dir, "documents"))),
 
+    // Content-defined chunking (the CDC half of a chunk-level dedup
+    // store): boundaries fall where a token HASH ≡ 0 mod CdcMod, so an
+    // edit perturbs only its own chunk — fixed-width windows would
+    // reshuffle every downstream chunk. Typed one-pass kernel
+    // ([[TextOps.cdcChunks]]), zero shuffle — at corpus scale this is a
+    // pure map over the document scan emitting ~n_toks/64 rows per doc.
+    "d_cdc_chunks" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, t) =>
+          TextOps.cdcChunks(t).map { case (ci, st, nt, h) =>
+            (id, ci, st, nt, h)
+          }
+        }
+        .toDF("doc_id", "chunk_idx", "start_tok", "n_toks", "chash")
+    }),
+
+    // Chunk-level dedup over the CDC chunks: the cross-doc store view —
+    // one row per duplicated chunk content (same ordered token-hash
+    // fold), with copy and distinct-doc counts and the byte savings a
+    // chunk store would reclaim. ONE map-side-combined shuffle on the
+    // 8-byte chunk hash; n_toks rides min() (all copies agree — same
+    // content ⇒ same length).
+    "d_cdc_dedup" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, t) =>
+          TextOps.cdcChunks(t).map { case (_, _, nt, h) => (id, nt, h) }
+        }
+        .toDF("doc_id", "n_toks", "chash")
+        .groupBy(col("chash"))
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("n_toks")).as("n_toks"))
+        .where(col("n_copies") > 1)
+        .selectExpr("chash", "n_copies", "n_docs", "n_toks",
+          "(n_copies - 1) * n_toks AS saved_toks")
+    }),
+
     // Token-distribution Shannon entropy per document — the
     // repetitiveness signal LM curation cuts on (a low-entropy doc is
     // boilerplate/template spam even when d_rep_ratio's adjacent-token
@@ -1657,6 +1698,31 @@ object Text {
        |  GROUP BY 1, 2, 4)""".stripMargin
   }
 
+  /** CDC chunk CTE chain ending in
+    * `cch(doc_id, chunk_idx, start_tok, n_toks, chash)` — the DuckDB
+    * replay of [[TextOps.cdcChunks]], shared by the `d_cdc_chunks` and
+    * `d_cdc_dedup` oracles. chunk_idx counts the boundaries STRICTLY
+    * before each token (a 1-PRECEDING running sum), so the boundary
+    * token closes its own chunk exactly like the kernel.
+    */
+  private def duckCdcCte: String =
+    s"""tkh AS (SELECT doc_id, ${TextOps.duck.tokenHashes("text")} AS hs
+       |  FROM documents),
+       |ctok AS MATERIALIZED (SELECT doc_id, u.i AS pos,
+       |  hs[CAST(u.i AS INT) + 1] AS h
+       |  FROM tkh, UNNEST(range(0, len(hs))) AS u(i)),
+       |casg AS MATERIALIZED (SELECT doc_id, pos, h,
+       |  CAST(coalesce(sum(CASE WHEN h % ${TextOps.CdcMod} = 0 THEN 1
+       |      ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS chunk_idx
+       |  FROM ctok),
+       |cch AS MATERIALIZED (SELECT doc_id, chunk_idx,
+       |  min(pos) AS start_tok, count(*) AS n_toks,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY pos)),
+       |    (a, v) -> (a * ${TextOps.TokMul} + v) % ${TextOps.P}) AS chash
+       |  FROM casg GROUP BY 1, 2)""".stripMargin
+
   private def duckShingleCte: String =
     s"""hs_t AS (SELECT doc_id, ${TextOps.duck.tokenHashes("text")} AS hs FROM documents),
        |sh_t AS (SELECT doc_id, ${TextOps.duck.shinglesFromHashes("hs")} AS sh FROM hs_t)""".stripMargin
@@ -1757,6 +1823,16 @@ object Text {
          |    CAST(sa.nf + sb.nf - i.n_shared AS DOUBLE), 6) AS jacc
          |FROM ist i JOIN sz sa ON sa.doc_id = i.doc_a
          |JOIN sz sb ON sb.doc_id = i.doc_b""".stripMargin,
+    "d_cdc_chunks" ->
+      s"""WITH $duckCdcCte
+         |SELECT doc_id, chunk_idx, start_tok, n_toks, chash
+         |FROM cch""".stripMargin,
+    "d_cdc_dedup" ->
+      s"""WITH $duckCdcCte
+         |SELECT chash, count(*) AS n_copies,
+         | count(DISTINCT doc_id) AS n_docs, min(n_toks) AS n_toks,
+         | CAST((count(*) - 1) * min(n_toks) AS BIGINT) AS saved_toks
+         |FROM cch GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "d_tok_entropy" ->
       s"""WITH tk AS (SELECT doc_id,
          |  unnest(${TextOps.duck.tokens("text")}) AS w FROM documents),

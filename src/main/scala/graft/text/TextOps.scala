@@ -188,6 +188,46 @@ object TextOps {
     acc
   }
 
+  /** `d_cdc_chunks` boundary modulus: a chunk boundary falls AFTER any
+    * token whose hash ≡ 0 (mod CdcMod), giving content-defined chunks of
+    * ~CdcMod tokens in expectation — the property that makes chunk-level
+    * dedup insertion-stable (an edit moves at most its own chunk's
+    * boundaries, unlike fixed-width windows where one inserted token
+    * shifts every downstream chunk).
+    */
+  val CdcMod = 64L
+
+  /** Content-defined chunking over the token-hash stream — one pass,
+    * zero allocation beyond the output: emits
+    * `(chunk_idx, start_tok, n_toks, chash)` per chunk, where chash is
+    * the [[fingerprint]]-style ordered fold (acc·TokMul + h) mod P over
+    * the chunk's token hashes. The final partial chunk always emits
+    * (every token belongs to exactly one chunk).
+    */
+  def cdcChunks(text: String): Array[(Long, Long, Long, Long)] = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    val n = toks.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var start = 0
+    var acc = 0L
+    var idx = 0L
+    var i = 0
+    while (i < n) {
+      val h = tokenHash(toks(i))
+      acc = (acc * TokMul + h) % P
+      if (h % CdcMod == 0) {
+        out += ((idx, start.toLong, (i - start + 1).toLong, acc))
+        idx += 1
+        start = i + 1
+        acc = 0L
+      }
+      i += 1
+    }
+    if (start < n)
+      out += ((idx, start.toLong, (n - start).toLong, acc))
+    out.toArray
+  }
+
   /** Half-away-from-zero 6-dp rounding — the same pin Spark's
     * `functions.round` and DuckDB's `round(x, 6)` apply, for typed
     * kernels that round driver-free.

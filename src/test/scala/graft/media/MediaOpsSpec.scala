@@ -118,6 +118,43 @@ class MediaOpsSpec extends SparkSpec {
     }
   }
 
+  test("channelHist: hand-built rasters land in exactly the right " +
+      "bins; the full 3x16 grid emits with zero buckets; generative " +
+      "corpus replays the pixel formula") {
+    val s = spark
+    import s.implicits._
+    // solid red 2×2: R=255 → bin 15 (4 px); G=B=0 → bin 0 (4 px each)
+    val solid = handPng(2, 2, (_, _) => 0xff0000)
+    val rows = MediaOps.channelHist(Seq(
+      MediaOps.Media(1L, "image/png", solid)).toDS()).collect()
+      .map(h => (h.channel, h.bin) -> h.c).toMap
+    assert(rows.size == 48, "full grid, zero buckets included")
+    assert(rows((0, 15)) == 4L && rows((1, 0)) == 4L && rows((2, 0)) == 4L)
+    assert(rows.values.sum == 12L)
+    assert(rows.count(_._2 != 0L) == 3)
+    // generative corpus: counts replay MediaOps.pixelValue per channel
+    val bench = graft.queries.Media.queries("m_media_img_hist")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) ->
+        r.getLong(3)).toMap
+    val texts = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bench.nonEmpty)
+    texts.take(5).foreach { case (id, t) =>
+      val th = MediaOps.byteHash(t.getBytes("UTF-8"))
+      val (w, h) = (MediaOps.widthOf(th), MediaOps.heightOf(th))
+      val want = scala.collection.mutable.Map.empty[(Int, Int), Long]
+        .withDefaultValue(0L)
+      var i = 0L
+      while (i < w.toLong * h * 3) {
+        want(((i % 3).toInt, MediaOps.pixelValue(th, 0, i) >> 4)) += 1
+        i += 1
+      }
+      for (ch <- 0 until 3; b <- 0 until 16)
+        assert(bench((id, ch, b)) == want((ch, b)), s"doc $id ch $ch bin $b")
+    }
+  }
+
   test("resize is exact nearest-neighbor: hand-replayed source indices on " +
       "a hand-built PNG") {
     val s = spark

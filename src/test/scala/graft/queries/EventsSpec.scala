@@ -145,6 +145,27 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("ev_stickiness: exact trailing-7-day WAU via the cover explode " +
+      "equals a brute per-day window scan; DAU <= WAU <= 7*DAU") {
+    val got = Events.queries("ev_stickiness")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val ud = graft.Tables(spark, sfDir, "events")
+      .selectExpr("user_id", s"unix_micros(ts) div ${Events.DayUs} AS day")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val days = ud.map(_._2).distinct
+    assert(got.keySet == days.toSet && got.nonEmpty)
+    days.foreach { d =>
+      val dau = ud.count(_._2 == d).toLong
+      val wau = ud.filter(t => t._2 >= d - 6 && t._2 <= d)
+        .map(_._1).distinct.length.toLong
+      val (gd, gw, gs) = got(d)
+      assert((gd, gw) == ((dau, wau)))
+      assert(gs == graft.text.TextOps.round6(dau.toDouble / wau))
+      assert(dau <= wau && wau <= 7 * dau)
+    }
+  }
+
   test("ev_ab_welch: brute replay of the moment algebra per type pair, " +
       "t sign agrees with the mean ordering") {
     val rows = Events.queries("ev_ab_welch")(spark, sfDir).collect()
