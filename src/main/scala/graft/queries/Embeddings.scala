@@ -372,6 +372,35 @@ object Embeddings {
     * yields structurally UNIQUE (q_id, vec_id) pairs: one cell per
     * vector, distinct probed cells per query.
     */
+  /** Directed kNN edges `(src, dst, cos)` over the LSH candidate set —
+    * each vector's KnnK nearest candidates by (cos DESC, nbr ASC), the
+    * deterministic graph builder under `e_knn_ppr` (which drops cos)
+    * and `e_mutual_knn` (which symmetrizes). Candidates come from the
+    * bucketed LSH self-join (never all-pairs); the per-vector cut is a
+    * bounded window over candidate rows only.
+    */
+  private[graft] def knnScoredEdges(s: SparkSession, dir: String): DataFrame = {
+    val bk = bucketed(s, dir).select(col("vec_id"), col("tbl"), col("bkt"))
+    val candAB = bk.as("x").join(bk.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    // both orientations: kNN is per-vector over an undirected candidate set
+    val cand = candAB.select(col("vec_a").as("v"), col("vec_b").as("nbr"))
+      .unionAll(candAB.select(col("vec_b").as("v"), col("vec_a").as("nbr")))
+    val emb = embDf(s, dir)
+    val scored = cand
+      .join(emb.selectExpr("vec_id AS v", "v AS qv", "nrm AS qnrm"), Seq("v"))
+      .join(emb.selectExpr("vec_id", "v AS vv", "nrm AS vnrm")
+        .withColumnRenamed("vec_id", "nbr"), Seq("nbr"))
+      .selectExpr("v", "nbr", "round(vec_dot(qv, vv) / (qnrm * vnrm), 6) AS cos")
+    val wn = Window.partitionBy(col("v")).orderBy(col("cos").desc, col("nbr").asc)
+    scored.withColumn("rn", row_number().over(wn))
+      .where(col("rn") <= KnnK)
+      .select(col("v").as("src"), col("nbr").as("dst"), col("cos"))
+  }
+
   private def ivfParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val emb = embDf(s, dir)
     val cent = emb
@@ -632,28 +661,27 @@ object Embeddings {
     // oracle replays the identical edge SQL through the unrolled
     // power-iteration CTEs.
     "e_knn_ppr" -> ((s, dir) => {
-      val bk = bucketed(s, dir).select(col("vec_id"), col("tbl"), col("bkt"))
-      val candAB = bk.as("x").join(bk.as("y"),
-          col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-        .distinct()
-      // both orientations: kNN is per-vector over an undirected candidate set
-      val cand = candAB.select(col("vec_a").as("v"), col("vec_b").as("nbr"))
-        .unionAll(candAB.select(col("vec_b").as("v"), col("vec_a").as("nbr")))
-      val emb = embDf(s, dir)
-      val scored = cand
-        .join(emb.selectExpr("vec_id AS v", "v AS qv", "nrm AS qnrm"), Seq("v"))
-        .join(emb.selectExpr("vec_id", "v AS vv", "nrm AS vnrm")
-          .withColumnRenamed("vec_id", "nbr"), Seq("nbr"))
-        .selectExpr("v", "nbr", "round(vec_dot(qv, vv) / (qnrm * vnrm), 6) AS cos")
-      val wn = Window.partitionBy(col("v")).orderBy(col("cos").desc, col("nbr").asc)
-      val edges = scored.withColumn("rn", row_number().over(wn))
-        .where(col("rn") <= KnnK)
-        .select(col("v").as("src"), col("nbr").as("dst"))
+      val edges = knnScoredEdges(s, dir).select(col("src"), col("dst"))
       val csr = graft.graph.GraphOps.buildCsr(edges)
       graft.ppr.PowerIteration.batch(s, csr, KnnSources, KnnAlpha, KnnIters)
         .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
+    }),
+
+    // Mutual-kNN graph — the edge set clustering/SemDeDup pipelines
+    // actually build on: keep (a, b) only when b is in a's top-K AND a
+    // is in b's top-K (the asymmetric-hub pruning that stops a single
+    // popular vector collecting the whole corpus as neighbors). One
+    // left-semi self-join of the kNN edge list on the reversed 16-byte
+    // (src, dst) key; the builder is the same deterministic
+    // LSH-candidate top-K as e_knn_ppr (shared body, shared oracle SQL —
+    // they may not drift). cos is symmetric, so either orientation's
+    // rounded score is THE edge score.
+    "e_mutual_knn" -> ((s, dir) => {
+      val e = knnScoredEdges(s, dir).localCheckpoint(true)
+      e.join(e.select(col("dst").as("src"), col("src").as("dst")),
+          Seq("src", "dst"), "left_semi")
+        .where(col("src") < col("dst"))
+        .select(col("src").as("vec_a"), col("dst").as("vec_b"), col("cos"))
     }),
 
     // k-means (Lloyd's): the trainer behind an IVF index. Each round is
@@ -1123,6 +1151,32 @@ object Embeddings {
 
   // --------------------------------------------------------------- oracle
 
+  /** Self-contained scored-kNN-edge SQL `(src, dst, cos)` — oracle twin
+    * of [[knnScoredEdges]], shared by the `e_knn_ppr` and `e_mutual_knn`
+    * oracles (nested WITH is scoped to the enclosing subquery, so its
+    * CTE names cannot collide with wrapping CTEs).
+    */
+  private def duckKnnScoredSql: String = {
+    def dotOf(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, 65), i -> $a.v[i] * $b.v[i])), (a, x) -> a + x)"
+    s"""WITH $duckBase,
+       |$duckBucketed,
+       |candab AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM bk x JOIN bk y ON y.tbl = x.tbl AND y.bkt = x.bkt
+       |    AND x.vec_id < y.vec_id),
+       |cand AS (SELECT vec_a AS v, vec_b AS nbr FROM candab
+       |  UNION ALL SELECT vec_b AS v, vec_a AS nbr FROM candab),
+       |scored AS (SELECT cand.v, cand.nbr,
+       |  round(${dotOf("a", "b")} / (a.nrm * b.nrm), 6) AS cos
+       |  FROM cand JOIN embn a ON a.vec_id = cand.v
+       |    JOIN embn b ON b.vec_id = cand.nbr)
+       |SELECT v AS src, nbr AS dst, cos FROM (
+       |  SELECT v, nbr, cos,
+       |    row_number() OVER (PARTITION BY v ORDER BY cos DESC, nbr ASC) AS rn
+       |  FROM scored) WHERE rn <= $KnnK""".stripMargin
+  }
+
   private val duckBase =
     s"""emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
@@ -1308,31 +1362,14 @@ object Embeddings {
          |FROM ex LEFT JOIN an
          |  ON an.q_id = ex.q_id AND an.vec_id = ex.vec_id
          |GROUP BY ex.q_id""".stripMargin,
-    "e_knn_ppr" -> {
-      def dotOf(a: String, b: String) =
-        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-          s"list_transform(range(1, 65), i -> $a.v[i] * $b.v[i])), (a, x) -> a + x)"
-      // self-contained kNN edge SQL (nested WITH is scoped to this
-      // subquery, so its CTE names cannot collide with the unrolled
-      // power-iteration CTEs that wrap it).
-      val knnEdgesSql =
-        s"""WITH $duckBase,
-           |$duckBucketed,
-           |candab AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-           |  FROM bk x JOIN bk y ON y.tbl = x.tbl AND y.bkt = x.bkt
-           |    AND x.vec_id < y.vec_id),
-           |cand AS (SELECT vec_a AS v, vec_b AS nbr FROM candab
-           |  UNION ALL SELECT vec_b AS v, vec_a AS nbr FROM candab),
-           |scored AS (SELECT cand.v, cand.nbr,
-           |  round(${dotOf("a", "b")} / (a.nrm * b.nrm), 6) AS cos
-           |  FROM cand JOIN embn a ON a.vec_id = cand.v
-           |    JOIN embn b ON b.vec_id = cand.nbr)
-           |SELECT v AS src, nbr AS dst FROM (
-           |  SELECT v, nbr,
-           |    row_number() OVER (PARTITION BY v ORDER BY cos DESC, nbr ASC) AS rn
-           |  FROM scored) WHERE rn <= $KnnK""".stripMargin
-      graft.ppr.PowerIteration.oracleSqlMulti(knnEdgesSql, KnnSources, KnnAlpha, KnnIters)
-    },
+    "e_knn_ppr" -> graft.ppr.PowerIteration.oracleSqlMulti(
+      s"SELECT src, dst FROM ($duckKnnScoredSql)",
+      KnnSources, KnnAlpha, KnnIters),
+    "e_mutual_knn" ->
+      s"""WITH e AS MATERIALIZED ($duckKnnScoredSql)
+         |SELECT f.src AS vec_a, f.dst AS vec_b, f.cos
+         |FROM e f JOIN e r ON r.src = f.dst AND r.dst = f.src
+         |WHERE f.src < f.dst""".stripMargin,
     "e_kmeans" -> s"WITH $kmeansAssignCtes\nSELECT vec_id, cell FROM asg",
     "e_cluster_balance" ->
       s"""WITH $kmeansAssignCtes,

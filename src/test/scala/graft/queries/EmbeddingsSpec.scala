@@ -338,6 +338,26 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("e_mutual_knn: exactly the bidirectional pairs of the shared " +
+      "directed kNN edge builder, with that edge's cos") {
+    val got = Embeddings.queries("e_mutual_knn")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val edges = Embeddings.knnScoredEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val dirSet = edges.keySet
+    val wantMutual = dirSet.filter { case (a, b) =>
+      a < b && dirSet.contains((b, a))
+    }
+    assert(got.keySet == wantMutual)
+    assert(got.nonEmpty && got.size < edges.size,
+      "mutual filter must prune asymmetric hub edges")
+    got.foreach { case (p, c) => assert(c == edges(p), s"pair $p") }
+    // cos really is orientation-independent at 6 dp (the row's claim)
+    wantMutual.foreach { case (a, b) =>
+      assert(edges((a, b)) == edges((b, a)))
+    }
+  }
+
   test("e_qgram: the mergeable per-partition fold equals a brute " +
       "driver-side Gram over the quantized codes") {
     val d = Embeddings.Dims
