@@ -80,6 +80,11 @@ object Embeddings {
   val KmIters = 3
   val Dims = 64
 
+  /** `e_ood_score` report size: the N vectors farthest from their own
+    * k-means centroid (the corpus-level OOD shortlist).
+    */
+  val OodTopN = 64
+
   /** Cluster-scoped semantic-dedup cosine threshold for `e_semdedup`
     * (6-dp-rounded cosine ≥ threshold within a k-means cell = duplicate).
     */
@@ -303,7 +308,16 @@ object Embeddings {
     * lineage (and the final assign(cent) is a single broadcast join, not
     * a re-derivation of every round).
     */
-  private def kmModel(s: SparkSession, dir: String): DataFrame = {
+  private def kmModel(s: SparkSession, dir: String): DataFrame =
+    kmFit(s, dir).select(col("vec_id"), col("cell"))
+
+  /** Final Lloyd's assignment WITH the winning squared distance —
+    * `(vec_id, cell, d2)` — shared by `e_kmeans` (drops d2) and
+    * `e_ood_score` (ranks on it). d2 is the same three-fold expression
+    * both engines evaluate sequentially, so the raw double is
+    * bit-identical cross-engine (the argmin already depended on that).
+    */
+  private[graft] def kmFit(s: SparkSession, dir: String): DataFrame = {
     val emb = embDf(s, dir).localCheckpoint(true)
     val ckpt = new graft.operators.CkptChain(s.sparkContext)
     val d2Expr = "vec_dot(v, v) - 2 * vec_dot(v, cv) + vec_dot(cv, cv)"
@@ -315,7 +329,7 @@ object Embeddings {
         .selectExpr("vec_id", "cid", d2Expr + " AS d2")
         .groupBy("vec_id")
         .agg(min(struct(col("d2"), col("cid"))).as("m"))
-        .selectExpr("vec_id", "m.cid AS cell")
+        .selectExpr("vec_id", "m.cid AS cell", "m.d2 AS d2")
     for (_ <- 1 to KmIters) {
       val avgs = (1 to Dims)
         .map(i => round(avg(element_at(col("v"), i)), 6).as(s"c$i"))
@@ -696,6 +710,20 @@ object Embeddings {
     // summation-order noise cannot flip a later argmin. Output: the final
     // per-vector cell assignment.
     "e_kmeans" -> ((s, dir) => kmModel(s, dir)),
+
+    // Corpus-level OOD shortlist: the OodTopN vectors FARTHEST from
+    // their own k-means centroid — the outlier gate a curation run
+    // applies before training (mislabeled/garbage embeddings sit far
+    // from every cell). Reuses the final Lloyd's assignment (shared
+    // kmFit body with e_kmeans — the two rows may not drift); the cut is
+    // orderBy+limit on the ROUNDED distance with a vec_id tie-break —
+    // TakeOrderedAndProject, map-side partial top-N, never a full sort.
+    "e_ood_score" -> ((s, dir) => {
+      kmFit(s, dir)
+        .selectExpr("vec_id", "cell", "round(d2, 6) AS d2")
+        .orderBy(col("d2").desc, col("vec_id"))
+        .limit(OodTopN)
+    }),
 
     // Product quantization — the codebook compression behind
     // billion-vector ANN indexes (64 float dims → PqM 3-bit codes here):
@@ -1288,10 +1316,11 @@ object Embeddings {
       sb ++= s"cent${i + 1} AS MATERIALIZED (SELECT a.cell AS cid, $cvList AS cv " +
         s"FROM as$i a JOIN emb e ON e.vec_id = a.vec_id GROUP BY a.cell),\n"
     }
-    sb ++= s"fin AS (SELECT e.vec_id, c.cid, row_number() OVER (" +
+    sb ++= s"fin AS (SELECT e.vec_id, c.cid, $d2 AS d2, row_number() OVER (" +
       s"PARTITION BY e.vec_id ORDER BY $d2 ASC, c.cid ASC) AS rn " +
       s"FROM emb e CROSS JOIN cent$KmIters c),\n"
-    sb ++= "asg AS MATERIALIZED (SELECT vec_id, cid AS cell FROM fin WHERE rn = 1)"
+    sb ++= "asg AS MATERIALIZED (SELECT vec_id, cid AS cell, d2 " +
+      "FROM fin WHERE rn = 1)"
     sb.toString
   }
 
@@ -1371,6 +1400,10 @@ object Embeddings {
          |FROM e f JOIN e r ON r.src = f.dst AND r.dst = f.src
          |WHERE f.src < f.dst""".stripMargin,
     "e_kmeans" -> s"WITH $kmeansAssignCtes\nSELECT vec_id, cell FROM asg",
+    "e_ood_score" ->
+      s"""WITH $kmeansAssignCtes
+         |SELECT vec_id, cell, round(d2, 6) AS d2 FROM asg
+         |ORDER BY round(d2, 6) DESC, vec_id ASC LIMIT $OodTopN""".stripMargin,
     "e_cluster_balance" ->
       s"""WITH $kmeansAssignCtes,
          |sk AS (SELECT vec_id, cell, ${graft.text.TextOps.duck.kmvMix(

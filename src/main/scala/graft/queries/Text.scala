@@ -177,6 +177,38 @@ object Text {
         .toDF("doc_id", "pos", "fp")
     }),
 
+    // MinHash estimator quality — per LSH candidate pair, the
+    // signature-agreement Jaccard estimate êJ = |{j : mⱼ(a) = mⱼ(b)}|/K
+    // next to the exact shingle Jaccard, with the signed error: the
+    // calibration readout that justifies (or indicts) a chosen K before
+    // a corpus-scale dedup run trusts the sketch. The K-long signatures
+    // ship instead of the shingle sets (constant bytes per doc — at
+    // 100 TB that is the entire point of MinHash); the exact side rides
+    // the already-verified d_lsh_pairs computation. Integer agreement
+    // count, two rounded divisions/subtractions spelled identically in
+    // the oracle.
+    "d_lsh_est_j" -> ((s, dir) => {
+      import s.implicits._
+      val sig = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, t) =>
+          val m = TextOps.minhashSig(TextOps.shingles(t))
+          if (m.isEmpty) None else Some((id, m))
+        }.toDF("doc_id", "sig")
+        .localCheckpoint(true) // both pair sides
+      lshPairsDf(s, dir)
+        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa")),
+          Seq("doc_a"))
+        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb")),
+          Seq("doc_b"))
+        .selectExpr("doc_a", "doc_b", "jac",
+          "size(filter(zip_with(sa, sb, (x, y) -> x = y), b -> b)) AS n_eq")
+        .selectExpr("doc_a", "doc_b", "jac", "n_eq",
+          s"round(CAST(n_eq AS DOUBLE) / ${TextOps.K}, 6) AS est_j")
+        .selectExpr("doc_a", "doc_b", "jac", "n_eq", "est_j",
+          "round(est_j - jac, 6) AS err")
+    }),
+
     // Cross-doc span overlap from winnowing fingerprints — the actual
     // MOSS deliverable the d_winnow signatures exist for: candidate
     // pairs from a bucketed equi-join on the 8-byte fp (document-
@@ -1823,6 +1855,26 @@ object Text {
          |    CAST(sa.nf + sb.nf - i.n_shared AS DOUBLE), 6) AS jacc
          |FROM ist i JOIN sz sa ON sa.doc_id = i.doc_a
          |JOIN sz sb ON sb.doc_id = i.doc_b""".stripMargin,
+    "d_lsh_est_j" -> {
+      val sigCols = (0 until K)
+        .map(j => s"${TextOps.duck.minhash("sh", j)} AS m$j").mkString(", ")
+      val agree = (0 until K)
+        .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $duckShingleCte,
+         |sg AS MATERIALIZED (SELECT doc_id, $sigCols FROM sh_t
+         |  WHERE len(sh) > 0),
+         |pr AS MATERIALIZED ($duckLshPairsSql),
+         |est AS (SELECT pr.doc_a, pr.doc_b, pr.jac,
+         |  CAST($agree AS BIGINT) AS n_eq
+         |  FROM pr JOIN sg a ON a.doc_id = pr.doc_a
+         |  JOIN sg b ON b.doc_id = pr.doc_b),
+         |e2 AS (SELECT doc_a, doc_b, jac, n_eq,
+         |  round(CAST(n_eq AS DOUBLE) / $K, 6) AS est_j FROM est)
+         |SELECT doc_a, doc_b, jac, n_eq, est_j,
+         | round(est_j - jac, 6) AS err
+         |FROM e2""".stripMargin
+    },
     "d_cdc_chunks" ->
       s"""WITH $duckCdcCte
          |SELECT doc_id, chunk_idx, start_tok, n_toks, chash

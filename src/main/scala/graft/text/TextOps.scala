@@ -578,9 +578,13 @@ object TextOps {
     * hashes there, and the band equi-join never matches a NULL key, so
     * the candidate-pair output is identical.
     */
-  def bandRows(features: Array[Long], nBands: Int = Bands,
-      rowsPerBand: Int = RowsPerBand): Array[(Int, Long)] = {
-    if (features.isEmpty) return Array.empty
+  /** The K permutation minima of one feature-hash array — the raw
+    * MinHash signature [[bandRows]] folds into band hashes, exposed so
+    * `d_lsh_est_j` can compare component agreement against exact
+    * Jaccard. Empty features yield an empty signature.
+    */
+  def minhashSig(features: Array[Long]): Array[Long] = {
+    if (features.isEmpty) return Array.emptyLongArray
     val mins = Array.fill(K)(Long.MaxValue)
     var i = 0
     while (i < features.length) {
@@ -593,6 +597,13 @@ object TextOps {
       }
       i += 1
     }
+    mins
+  }
+
+  def bandRows(features: Array[Long], nBands: Int = Bands,
+      rowsPerBand: Int = RowsPerBand): Array[(Int, Long)] = {
+    if (features.isEmpty) return Array.empty
+    val mins = minhashSig(features)
     val out = new Array[(Int, Long)](nBands)
     var b = 0
     while (b < nBands) {

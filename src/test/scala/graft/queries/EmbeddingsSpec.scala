@@ -358,6 +358,28 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("e_ood_score: exactly the OodTopN farthest-from-centroid " +
+      "vectors of the shared kmeans fit, cells agreeing with e_kmeans") {
+    val got = Embeddings.queries("e_ood_score")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.length == Embeddings.OodTopN)
+    // ordered by (d2 desc, vec_id asc)
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1))
+      case _ =>
+    }
+    // the cut really is the global top-N of the full fit, cells match
+    val fit = Embeddings.kmFit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        graft.text.TextOps.round6(r.getDouble(2))))
+    val want = fit.sortBy(t => (-t._3, t._1)).take(Embeddings.OodTopN)
+    assert(got.toSeq == want.toSeq)
+    val cells = Embeddings.queries("e_kmeans")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { case (id, cell, _) => assert(cells(id) == cell) }
+  }
+
   test("e_qgram: the mergeable per-partition fold equals a brute " +
       "driver-side Gram over the quantized codes") {
     val d = Embeddings.Dims
