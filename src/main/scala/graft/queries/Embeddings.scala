@@ -1159,6 +1159,40 @@ object Embeddings {
           "round(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall")
     }),
 
+    // Recall@k of the PQ-ADC path vs the exact (tie-inclusive) cosine
+    // top-k — the number that prices the codebook compression (PqM
+    // blocks × KmK centroids) before a deployment trusts it. Same
+    // composition shape as e_bq_recall; extends the recall family to
+    // all five index paths (LSH / BQ / IVF / PQ / IVF-PQ).
+    "e_pq_recall" -> ((s, dir) => {
+      val exact = queries("e_cosine_topk")(s, dir)
+        .select(col("q_id"), col("vec_id"))
+      val pq = queries("e_pq_search")(s, dir)
+        .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+      exact.join(pq, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+        .selectExpr("q_id", "n_exact", "n_hit",
+          "round(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall")
+    }),
+
+    // Recall@k of the composed IVF-ADC path — both approximations at
+    // once (probe restriction × codebook distances), the configuration
+    // an actual billion-vector serving index runs; read next to
+    // e_pq_recall and e_ivf_recall it attributes the loss between the
+    // two mechanisms.
+    "e_ivfpq_recall" -> ((s, dir) => {
+      val exact = queries("e_cosine_topk")(s, dir)
+        .select(col("q_id"), col("vec_id"))
+      val ipq = queries("e_ivfpq_search")(s, dir)
+        .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+      exact.join(ipq, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+        .selectExpr("q_id", "n_exact", "n_hit",
+          "round(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall")
+    }),
+
     // Recall@k of the IVF probe path vs the exact (tie-inclusive) cosine
     // top-k — completes the recall triptych (LSH / BQ / IVF): the number
     // that prices the probe count before raising it. Same composition
@@ -1540,6 +1574,24 @@ object Embeddings {
     "e_pq" -> pqOracleSql(search = false),
     "e_pq_search" -> pqOracleSql(search = true),
     "e_ivfpq_search" -> pqOracleSql(search = true, ivf = true),
+    "e_pq_recall" ->
+      s"""WITH ex AS (SELECT q_id, vec_id FROM ($duckCosineTopkSql)),
+         |an AS (SELECT q_id, vec_id, 1 AS hit
+         |  FROM (${pqOracleSql(search = true)}))
+         |SELECT ex.q_id, count(*) AS n_exact, count(an.hit) AS n_hit,
+         | round(CAST(count(an.hit) AS DOUBLE) / count(*), 6) AS recall
+         |FROM ex LEFT JOIN an
+         |  ON an.q_id = ex.q_id AND an.vec_id = ex.vec_id
+         |GROUP BY ex.q_id""".stripMargin,
+    "e_ivfpq_recall" ->
+      s"""WITH ex AS (SELECT q_id, vec_id FROM ($duckCosineTopkSql)),
+         |an AS (SELECT q_id, vec_id, 1 AS hit
+         |  FROM (${pqOracleSql(search = true, ivf = true)}))
+         |SELECT ex.q_id, count(*) AS n_exact, count(an.hit) AS n_hit,
+         | round(CAST(count(an.hit) AS DOUBLE) / count(*), 6) AS recall
+         |FROM ex LEFT JOIN an
+         |  ON an.q_id = ex.q_id AND an.vec_id = ex.vec_id
+         |GROUP BY ex.q_id""".stripMargin,
     "e_quantize" ->
       """WITH emb AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -711,6 +711,32 @@ object Graph {
             "CAST(m_pairs * s_jj - s_j * s_j AS DOUBLE) AS r")
     }),
 
+    // Average-nearest-neighbor-degree curve knn(k) (Pastor-Satorras,
+    // Vázquez & Vespignani 2001) — the degree-resolved view of the
+    // g_assortativity scalar: for each degree class k, the mean degree
+    // of the neighbors of degree-k nodes. Rising knn(k) = assortative
+    // mixing, falling = hubs attach to leaves. Same (du, dv) stub scan
+    // as assortativity, folded to distinct-degree rows: two exact
+    // BIGINT moments (stub count, Σ dv) per class and ONE float
+    // division, spelled identically in the oracle. At any scale the
+    // output is bounded by the degree support, not the node count.
+    "g_knn_degree" -> ((s, dir) => {
+      val e = GraphOps.lineitemGraph(s, dir, TriMod)
+      val und = e.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+      val adj = und.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint(true) // feeds degrees and the stub scan
+      val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+      adj
+        .join(deg.select(col("u"), col("dg").as("du")), Seq("u"))
+        .join(deg.select(col("u").as("v"), col("dg").as("dv")), Seq("v"))
+        .groupBy(col("du").as("k"))
+        .agg(count(lit(1)).as("n_stubs"), sum(col("dv")).as("s_dv"))
+        .selectExpr("k", "n_stubs", "s_dv",
+          "round(CAST(s_dv AS DOUBLE) / n_stubs, 6) AS knn")
+    }),
+
     // Edge reciprocity: the fraction of directed edges whose reverse
     // edge also exists — the direction-structure scalar (social graphs
     // ~0.5-0.8, citation/web graphs ≪ that). One left-semi self-join on
@@ -1423,6 +1449,20 @@ object Graph {
            |  CAST(m_pairs * s_jk - s_j * s_j AS DOUBLE) /
            |    CAST(m_pairs * s_jj - s_j * s_j AS DOUBLE) AS r
            |FROM mom""".stripMargin,
+      "g_knn_degree" ->
+        s"""WITH e AS MATERIALIZED (${GraphOps.lineitemGraphSql(TriMod)}),
+           |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+           |  greatest(src, dst) AS b FROM e),
+           |adj AS MATERIALIZED (SELECT a AS u, b AS v FROM und
+           |  UNION ALL SELECT b AS u, a AS v FROM und),
+           |deg AS MATERIALIZED (SELECT u, count(*) AS dg FROM adj GROUP BY u),
+           |cls AS (SELECT x.dg AS k, count(*) AS n_stubs,
+           |  CAST(sum(y.dg) AS BIGINT) AS s_dv
+           |  FROM adj JOIN deg x ON x.u = adj.u JOIN deg y ON y.u = adj.v
+           |  GROUP BY x.dg)
+           |SELECT k, n_stubs, s_dv,
+           | round(CAST(s_dv AS DOUBLE) / n_stubs, 6) AS knn
+           |FROM cls""".stripMargin,
       "g_kcore" -> {
         // unrolled peel rounds — each round re-derives degrees over the
         // previous survivor edge set and keeps edges with both endpoints

@@ -33,6 +33,33 @@ class AssortativitySpec extends SparkSpec {
     assert(BigInt(sJ) * BigInt(sJ) < headroom)
   }
 
+  test("g_knn_degree: per-class brute replay; classes partition the " +
+      "stub scan and the curve is consistent with the assortativity " +
+      "moments") {
+    val got = Graph.queries("g_knn_degree")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val und = GraphOps.lineitemGraph(spark, sfDir, Graph.TriMod).collect()
+      .map(x => (math.min(x.getLong(0), x.getLong(1)),
+        math.max(x.getLong(0), x.getLong(1)))).distinct
+    val pairs = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val want = pairs.map { case (u, v) => (deg(u), deg(v)) }
+      .groupBy(_._1).view.mapValues { vs =>
+        (vs.length.toLong, vs.map(_._2).sum)
+      }.toMap
+    assert(got.keySet == want.keySet && got.nonEmpty)
+    want.foreach { case (k, (n, s)) =>
+      val (gn, gs, gknn) = got(k)
+      assert((gn, gs) == ((n, s)), s"class $k")
+      assert(gknn == graft.text.TextOps.round6(s.toDouble / n))
+    }
+    // classes partition the stub scan: Σ n_stubs = 2m, Σ s_dv = Σ du
+    assert(got.values.map(_._1).sum == pairs.length.toLong)
+    assert(got.values.map(_._2).sum ==
+      pairs.map { case (u, _) => deg(u) }.sum)
+  }
+
   test("assortativityWide (DECIMAL(38,0) moments) reproduces the narrow " +
       "query's moments and bit-identical r") {
     val narrow = Graph.queries("g_assortativity")(spark, sfDir).collect()(0)

@@ -358,6 +358,29 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("e_pq_recall / e_ivfpq_recall: recall replays as the exact " +
+      "intersection of the materialized search and exact top-k sets") {
+    val exact = Embeddings.queries("e_cosine_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def check(searchName: String, recallName: String): Unit = {
+      val hits = Embeddings.queries(searchName)(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Embeddings.queries(recallName)(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(3)))).toMap
+      val byQ = exact.groupBy(_._1)
+      assert(got.keySet == byQ.keySet && got.nonEmpty)
+      byQ.foreach { case (q, ex) =>
+        val nHit = ex.count(hits.contains).toLong
+        val (gn, gh, gr) = got(q)
+        assert(gn == ex.length.toLong && gh == nHit, s"$recallName q=$q")
+        assert(gr == graft.text.TextOps.round6(nHit.toDouble / ex.length))
+      }
+    }
+    check("e_pq_search", "e_pq_recall")
+    check("e_ivfpq_search", "e_ivfpq_recall")
+  }
+
   test("e_ood_score: exactly the OodTopN farthest-from-centroid " +
       "vectors of the shared kmeans fit, cells agreeing with e_kmeans") {
     val got = Embeddings.queries("e_ood_score")(spark, sfDir).collect()
