@@ -417,6 +417,41 @@ object Events {
         .withColumn("p", round(col("n") / sum(col("n")).over(grid), 6))
     }),
 
+    // Per-state transition entropy of the ev_markov chain — how
+    // predictable each event type's successor is (H = 0: deterministic
+    // funnel step; H = log₂|types|: uniform noise) — the session-
+    // structure signal sequence-model curation reads. Float discipline:
+    // H = (ln N − Σc·ln c / N) / ln 2 (the d_tok_entropy identity) over
+    // exact BIGINT counts, and the ≤|types|-term float sum Σc·ln c
+    // folds from a SORTED (by to_type) array on BOTH engines — a
+    // deterministic addend order, so the double is bit-identical
+    // cross-engine rather than groupBy-order-dependent. Round-6 on H is
+    // display only.
+    "ev_markov_entropy" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val big = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("c"))
+      // deterministic addend order: fold the ≤|types| per-state terms
+      // from a SORTED array, identically in the oracle
+      big.groupBy(col("from_type"))
+        .agg(sum(col("c")).as("n_trans"),
+          count(lit(1)).as("n_next"),
+          sort_array(collect_list(struct(col("to_type"), col("c"))))
+            .as("terms"))
+        .selectExpr("from_type", "n_trans", "n_next",
+          "aggregate(terms, CAST(0 AS DOUBLE), " +
+            "(a, t) -> a + t.c * ln(CAST(t.c AS DOUBLE))) AS s")
+        .selectExpr("from_type", "n_trans", "n_next",
+          "round((ln(CAST(n_trans AS DOUBLE)) - s / n_trans) " +
+            "/ ln(CAST(2 AS DOUBLE)), 6) AS h_bits")
+    }),
+
     // RFM segmentation — recency / frequency / monetary scores per
     // purchasing user, the classic customer-value partition. All three
     // metrics are exact integers (days since last purchase, purchase
@@ -1193,6 +1228,24 @@ object Events {
          | count(DISTINCT uw.user_id) AS n_users
          |FROM uw JOIN c ON uw.user_id = c.user_id
          |GROUP BY 1, 2""".stripMargin,
+    "ev_markov_entropy" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |   lead(event_type, 1) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |big AS MATERIALIZED (SELECT from_type, to_type, count(*) AS c
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |st AS (SELECT from_type, CAST(sum(c) AS BIGINT) AS n_trans,
+        |  count(*) AS n_next,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(list(c ORDER BY to_type),
+        |      x -> x * ln(CAST(x AS DOUBLE)))), (a, x) -> a + x) AS s
+        |  FROM big GROUP BY 1)
+        |SELECT from_type, n_trans, n_next,
+        | round((ln(CAST(n_trans AS DOUBLE)) - s / n_trans)
+        |   / ln(CAST(2 AS DOUBLE)), 6) AS h_bits
+        |FROM st""".stripMargin,
     "ev_stickiness" ->
       s"""WITH ud AS MATERIALIZED (SELECT DISTINCT user_id,
          |  epoch_us(ts) // $DayUs AS day FROM events),

@@ -145,6 +145,28 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("ev_markov_entropy: brute replay from the bigram counts; " +
+      "0 <= H <= log2(branching)") {
+    val got = Events.queries("ev_markov_entropy")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val big = Events.queries("ev_markov")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byFrom = big.groupBy(_._1)
+    assert(got.keySet == byFrom.keySet && got.nonEmpty)
+    byFrom.foreach { case (f, ts) =>
+      val n = ts.map(_._3).sum
+      val terms = ts.sortBy(_._2).map(_._3)
+      val s = terms.foldLeft(0.0)((a, c) => a + c * math.log(c.toDouble))
+      val h = (math.log(n.toDouble) - s / n) / math.log(2.0)
+      val (gn, gk, gh) = got(f)
+      assert((gn, gk) == ((n, ts.length.toLong)), s"state $f")
+      assert(gh == graft.text.TextOps.round6(h))
+      assert(gh >= 0.0 &&
+        gh <= math.log(ts.length.toDouble) / math.log(2.0) + 1e-9)
+    }
+  }
+
   test("ev_stickiness: exact trailing-7-day WAU via the cover explode " +
       "equals a brute per-day window scan; DAU <= WAU <= 7*DAU") {
     val got = Events.queries("ev_stickiness")(spark, sfDir).collect()
