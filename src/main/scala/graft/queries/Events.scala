@@ -35,6 +35,11 @@ object Events {
   val EwmaAlpha = 0.3
   val EwmaOneMinusAlpha = 0.7
 
+  /** `ev_trigrams` report size (|types|³ = 125 possible sequences; the
+    * top 25 is the actionable head).
+    */
+  val TrigramTopN = 25
+
   /** `ev_rfm` tercile-threshold sample size (the d_ccnet_buckets
     * discipline applied to users: sampled thresholds + broadcast CASE,
     * never a global ntile sort over the user universe).
@@ -415,6 +420,30 @@ object Events {
         .groupBy(col("from_type"), col("to_type"))
         .agg(count(lit(1)).as("n"))
         .withColumn("p", round(col("n") / sum(col("n")).over(grid), 6))
+    }),
+
+    // Top 3-step event sequences — the frequent-path mining readout a
+    // funnel designer reads beyond ev_markov's single-step matrix
+    // (2-step transitions cannot distinguish view→click→purchase from
+    // view→click→error). Two LEADs over the same per-user (ts,
+    // event_id) window, one map-side-combined count on the packed
+    // 3-string key, TakeOrderedAndProject top-N with a full
+    // lexicographic tie-break — at any scale the window partitions by
+    // the high-cardinality user key and the cut never sorts more than
+    // |types|³ aggregate rows.
+    "ev_trigrams" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("t1"))
+        .withColumn("t2", lead(col("t1"), 1).over(w))
+        .withColumn("t3", lead(col("t1"), 2).over(w))
+        .where(col("t3").isNotNull)
+        .groupBy(col("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(TrigramTopN)
     }),
 
     // Per-state transition entropy of the ev_markov chain — how
@@ -1228,6 +1257,16 @@ object Events {
          | count(DISTINCT uw.user_id) AS n_users
          |FROM uw JOIN c ON uw.user_id = c.user_id
          |GROUP BY 1, 2""".stripMargin,
+    "ev_trigrams" ->
+      s"""WITH seq AS (
+         |  SELECT event_type AS t1,
+         |   lead(event_type, 1) OVER w AS t2,
+         |   lead(event_type, 2) OVER w AS t3
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT t1, t2, t3, count(*) AS n FROM seq
+         |WHERE t3 IS NOT NULL GROUP BY 1, 2, 3
+         |ORDER BY n DESC, t1, t2, t3 LIMIT $TrigramTopN""".stripMargin,
     "ev_markov_entropy" ->
       """WITH seq AS (
         |  SELECT event_type AS from_type,

@@ -145,6 +145,26 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("ev_trigrams: brute per-user sequence replay and the exact " +
+      "deterministic top-N cut") {
+    val got = Events.queries("ev_trigrams")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(got.length == Events.TrigramTopN)
+    val evs = graft.Tables(spark, sfDir, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id",
+        "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val want = evs.groupBy(_._1).values.flatMap { u =>
+      val s = u.sortBy(t => (t._2, t._3)).map(_._4)
+      s.sliding(3).filter(_.length == 3).map(w => (w(0), w(1), w(2)))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((a, b, c), n) => (a, b, c, n) }
+      .sortBy(t => (-t._4, t._1, t._2, t._3)).take(Events.TrigramTopN)
+    assert(got.toSeq == want)
+  }
+
   test("ev_markov_entropy: brute replay from the bigram counts; " +
       "0 <= H <= log2(branching)") {
     val got = Events.queries("ev_markov_entropy")(spark, sfDir).collect()
