@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Scratch, VerifyArtifacts}
-import graft.graph.{Bfs, ConnectedComponents, GraphOps, LabelProp, Sssp}
+import graft.graph.{Bfs, ConnectedComponents, GraphOps, LabelProp, MinSpanningForest, Sssp}
 import graft.ppr.{Base, BackwardSearch, ForwardPush, Fora, Metrics, MonteCarlo, PageRank, PowerIteration, PprStore}
 
 /** Graph/PPR operator coverage over the deterministic lineitem-derived
@@ -122,6 +122,13 @@ object Graph {
   val CcMod = 100003
   val CcQtyMax = 5
   val CcRounds = 20
+
+  /** `g_msf` Borůvka round bound: components at least halve per round, so
+    * 20 covers 10⁶ initial components; the kernel exits early on the
+    * first round with no inter-component edge (MsfSpec asserts the bench
+    * graphs converge well inside the bound).
+    */
+  val MsfRounds = 20
 
   /** `g_label_prop` synchronous rounds — a fixed horizon (sync LPA can
     * 2-cycle, so the round count IS part of the operator's semantics).
@@ -800,6 +807,26 @@ object Graph {
     // Per node: its component id (= smallest node id in the component).
     "g_concomp" -> ((s, dir) => ConnectedComponents.run(
       s, GraphOps.lineitemSubgraph(s, dir, CcMod, CcQtyMax), CcRounds)),
+
+    // Minimum spanning forest (Borůvka) over the fragmented subgraph
+    // with deterministic hash weights — the classic distributed MST
+    // kernel ([[graft.graph.MinSpanningForest]]): per round one
+    // min-struct aggregate picks each component's lightest outgoing
+    // edge, contraction reuses the CC kernel on the tiny picked-edge
+    // graph. Edges compare as (w, a, b) — a total order, so the forest
+    // is unique and MsfSpec's driver-side Kruskal reproduces it
+    // edge-for-edge (no SQL oracle: union-find has no DuckDB spelling;
+    // the driver records the rows-only check, the spec carries the
+    // exactness).
+    "g_msf" -> ((s, dir) => {
+      val e = GraphOps.lineitemSubgraph(s, dir, CcMod, CcQtyMax)
+      val und = e.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+        .withColumn("w", expr(graft.text.TextOps.spark.kmvMix(
+          s"(a * 1000003 + b) % ${graft.text.TextOps.P}") + " % 100000"))
+      MinSpanningForest.run(s, und, MsfRounds)
+        .orderBy(col("a"), col("b"))
+    }),
 
     // Deterministic synchronous label-propagation communities over the
     // same fragmented subgraph as g_concomp (the full derivation is one
