@@ -414,6 +414,52 @@ object EventStreams {
       }
   }
 
+  final case class Trigram(user_id: Long, t1: String, t2: String,
+      t3: String)
+
+  /** Per-user 3-step sequence extraction with carried 2-event state —
+    * the streaming stage under `ev_trigrams`' counts: each user's state
+    * is their last TWO event types in time order, and every arrival
+    * emits one completed (t1, t2, t3) row once the window is full.
+    * Same contract as [[transitions]]: events inside a micro-batch
+    * sort by the lossless (epoch-seconds, nanos, event_id) key before
+    * folding, so a single-batch replay reproduces the batch trigram
+    * multiset exactly, and a multi-batch feed does whenever batches
+    * respect per-user event-time order. State is two small strings per
+    * user — bounded, no timeout needed. Downstream, the batch row's
+    * groupBy/top-N runs as an ordinary streaming aggregation over
+    * these rows.
+    */
+  def trigrams(events: Dataset[TEv]): Dataset[Trigram] = {
+    import events.sparkSession.implicits._
+    def key(e: TEv): (Long, Int, Long) =
+      (math.floorDiv(e.ts.getTime, 1000L), e.ts.getNanos, e.event_id)
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[String], Trigram](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, it, state: GroupState[List[String]]) =>
+          val sorted = it.toSeq.sortBy(key)
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val out = Seq.newBuilder[Trigram]
+            // the user's last ≤2 event types, oldest first — a partial
+            // window (0 or 1 seen) is representable, so a user whose
+            // first two events split across micro-batches loses nothing
+            var last2 = state.getOption.getOrElse(Nil)
+            sorted.foreach { e =>
+              last2 match {
+                case a :: b :: Nil => out += Trigram(uid, a, b, e.event_type)
+                case _ =>
+              }
+              last2 = (last2 :+ e.event_type).takeRight(2)
+            }
+            state.update(last2)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Stream-stream interval join — the streaming twin of the batch
     * `ev_interval` attribution query: each purchase joins the clicks of
     * the same user from the preceding `windowSec` seconds. Both sides

@@ -468,6 +468,55 @@ class EventStreamsSpec extends SparkSpec {
     assert(run(Seq(a, b), "tr2") == want)
   }
 
+  test("streaming trigrams reproduce the batch 3-step sequence counts " +
+      "across batch boundaries, including users whose first two events " +
+      "split") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val rows = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[TEv].collect().toSeq
+    // brute 3-gram counts (the batch ev_trigrams row pre-cut)
+    val want = rows.groupBy(_.user_id).values.flatMap { u =>
+      u.sortBy(e => (math.floorDiv(e.ts.getTime, 1000L), e.ts.getNanos,
+          e.event_id))
+        .map(_.event_type).sliding(3).filter(_.length == 3)
+        .map(w => (w(0), w(1), w(2)))
+    }.toSeq.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+
+    def run(chunks: Seq[Seq[TEv]],
+        name: String): Map[(String, String, String), Long] = {
+      val input = MemoryStream[TEv]
+      val q = trigrams(input.toDS()).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try {
+        chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+          .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      } finally q.stop()
+    }
+
+    assert(run(Seq(rows), "tg1") == want)
+    // THREE chunks split on global event time: many users' first or
+    // second event lands in an earlier chunk than their third — the
+    // partial ≤2-event state must carry the window across
+    val times = rows.map(_.ts.getTime).sorted
+    val (c1, c2) = (times(rows.length / 3), times(2 * rows.length / 3))
+    val chunks = Seq(rows.filter(_.ts.getTime < c1),
+      rows.filter(e => e.ts.getTime >= c1 && e.ts.getTime < c2),
+      rows.filter(_.ts.getTime >= c2))
+    assert(chunks.forall(_.nonEmpty))
+    assert(run(chunks, "tg3") == want)
+    // consistency with the batch row's top-N cut
+    val cut = graft.queries.Events.queries("ev_trigrams")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))
+        -> r.getLong(3)).toMap
+    cut.foreach { case (k, n) => assert(want(k) == n, s"trigram $k") }
+  }
+
   test("streaming daily KMV sketch sets equal the batch bottom-k " +
       "distinct hashes across micro-batch splits") {
     val s = spark
