@@ -41,6 +41,16 @@ object Graph {
   /** `g_linkpred_cn` report size (global top-N, total-ordered). */
   val LpCnTopN = 20
 
+  /** `g_pref_attach` head size: the exact global top-N by deg(u)·deg(v)
+    * lives inside the top-`PaTopDeg` degree head (with the deterministic
+    * (dg desc, id) boundary tie-break shared by both engines), so the
+    * candidate space is PaTopDeg²/2 pairs — broadcast-sized at any graph
+    * scale.
+    */
+  val PaTopDeg = 64
+  /** `g_pref_attach` report size (global top-N, total-ordered). */
+  val PaTopN = 30
+
   /** `g_richclub` degree ladder — powers of two spanning the library
     * graphs' degree range (TriMod max degree ≤ 93, so the top rungs
     * exercise the empty-club φ = 0 branch at small scale).
@@ -154,6 +164,28 @@ object Graph {
     * round to 4 dp inside [[Events.hllEstSqlAs]], so every downstream
     * arithmetic reads identical inputs on both engines.
     */
+  /** `g_closeness` projection over the HyperBall estimates — ONE
+    * spelling shared verbatim by the Spark `selectExpr` and the DuckDB
+    * oracle, so both engines execute the identical IEEE expression DAG
+    * on the identical 4-dp-pinned `est1`/`est2` inputs. `sum_dist` can
+    * be ≤ 0 only when the sketch shrinks an isolated-ish ball below the
+    * self count — guarded to 0 on both engines the same way.
+    */
+  private val closenessProj: Seq[String] = Seq(
+    "round((est1 - CAST(1 AS DOUBLE)) " +
+      "+ (est2 - est1) * CAST(2 AS DOUBLE), 6) AS sum_dist",
+    "round(CASE WHEN (est1 - CAST(1 AS DOUBLE)) " +
+      "+ (est2 - est1) * CAST(2 AS DOUBLE) > CAST(0 AS DOUBLE) " +
+      "THEN (est2 - CAST(1 AS DOUBLE)) / ((est1 - CAST(1 AS DOUBLE)) " +
+      "+ (est2 - est1) * CAST(2 AS DOUBLE)) " +
+      "ELSE CAST(0 AS DOUBLE) END, 6) AS closeness",
+    "round(CASE WHEN (est1 - CAST(1 AS DOUBLE)) " +
+      "+ (est2 - est1) * CAST(2 AS DOUBLE) > CAST(0 AS DOUBLE) " +
+      "THEN (est2 - CAST(1 AS DOUBLE)) * (est2 - CAST(1 AS DOUBLE)) " +
+      "/ ((est1 - CAST(1 AS DOUBLE)) " +
+      "+ (est2 - est1) * CAST(2 AS DOUBLE)) " +
+      "ELSE CAST(0 AS DOUBLE) END, 6) AS lin")
+
   private def hyperballOracleChain: String = {
     val P = graft.text.TextOps.P
     val E = graft.queries.Events
@@ -227,14 +259,16 @@ object Graph {
     * Adamic–Adar index Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)) (Adamic & Adar
     * 2003), wedge centers capped exactly like [[linkPredCn]]. The
     * per-center weight is attached BEFORE the wedge self-join — one
-    * extra double rides the Σdeg² wedge stream instead of a post-agg
+    * extra value rides the Σdeg² wedge stream instead of a post-agg
     * re-join (the pair group loses center identity, so the weight MUST
     * travel with the wedge). Degree-1 centers are filtered (they form
-    * no wedge anyway, and 1/ln(1) is a division by zero), the pair fold
-    * is one map-side-combined sum on the packed 8-byte key, and the cut
-    * orders by the ROUNDED score (round 6) with a (u, v) tie-break — a
-    * total order both engines replay identically, where a raw-float
-    * order could diverge in the last ulp across engines.
+    * no wedge anyway, and 1/ln(1) is a division by zero). The weight
+    * is FIXED-POINT: round(1e6/ln(deg)) as a BIGINT of micro-units, so
+    * the pair fold is one map-side-combined EXACT integer sum on the
+    * packed 8-byte key — no float addend-order anywhere — and the cut
+    * orders by aa = fp/1e6 (injective in the integer sum) with a
+    * (u, v) tie-break: a total order both engines replay identically,
+    * where a summed-double order could diverge in the last ulp.
     */
   private[graft] def adamicAdar(und: DataFrame, cap: Int,
       topN: Int): DataFrame = {
@@ -243,17 +277,19 @@ object Graph {
     val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("dg"))
     val capped = adj
       .join(deg.where(col("dg").between(2, cap)), Seq("w"))
-      .select(col("w"), col("n"), (lit(1.0) / log(col("dg"))).as("wt"))
+      .select(col("w"), col("n"),
+        round(lit(1e6) / log(col("dg"))).cast("long").as("wt"))
       .localCheckpoint(true) // both sides of the wedge self-join
     val aa = capped.as("x").join(capped.as("y"),
         col("x.w") === col("y.w") && col("x.n") < col("y.n"))
       .select((shiftleft(col("x.n"), 32) + col("y.n")).as("uv"),
         col("x.wt"))
       .groupBy(col("uv"))
-      .agg(count(lit(1)).as("cn"), sum(col("wt")).as("aa_raw"))
+      .agg(count(lit(1)).as("cn"), sum(col("wt")).as("aa_fp"))
       .select(shiftright(col("uv"), 32).as("u"),
         col("uv").bitwiseAND(lit(0xFFFFFFFFL)).as("v"),
-        col("cn"), round(col("aa_raw"), 6).as("aa"))
+        col("cn"),
+        (col("aa_fp").cast("double") / lit(1e6)).as("aa"))
     aa.join(und.select(col("a").as("u"), col("b").as("v")),
         Seq("u", "v"), "left_anti")
       .orderBy(col("aa").desc, col("u"), col("v"))
@@ -658,13 +694,50 @@ object Graph {
     // identical (one map-side-combined fold on the packed pair key +
     // anti-join + TakeOrderedAndProject); the only delta is the weight
     // column riding the wedge stream. See `adamicAdar`'s scaladoc for
-    // the rounded-score ordering discipline.
+    // the fixed-point integer-sum ordering discipline.
     "g_adamic_adar" -> ((s, dir) => {
       val e = GraphOps.lineitemGraph(s, dir, TriMod)
       val und = e.select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b")).distinct()
         .localCheckpoint(true) // feeds adjacency and the anti-join
       adamicAdar(und, LpCnDegCap, LpCnTopN)
+    }),
+
+    // Preferential-attachment link prediction: score(u,v) = deg(u)·deg(v)
+    // over non-adjacent candidate pairs (Barabási–Albert growth model;
+    // the classic cheap baseline next to CN/AA above). PA is maximized
+    // by high-degree endpoints, so the EXACT global top-N needs only the
+    // top-`PaTopDeg` nodes by degree (any pair outside scores below every
+    // pair inside, up to the deterministic boundary tie-break) — the
+    // 100 TB shape is: one degree aggregate, a `PaTopDeg`-row
+    // TakeOrdered head, and from there everything is broadcast-sized:
+    // candidate edges come from TWO broadcast semi-joins of the edge
+    // list against the head set (never an anti-join that shuffles the
+    // full edge table), pairs × edges anti-join is tiny × tiny, and the
+    // score is an exact BIGINT product with a (pa desc, u, v) total
+    // order.
+    "g_pref_attach" -> ((s, dir) => {
+      val e = GraphOps.lineitemGraph(s, dir, TriMod)
+      val und = e.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+        .localCheckpoint(true)
+      val deg = und.select(col("a").as("id"))
+        .unionAll(und.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("dg"))
+      val top = deg.orderBy(col("dg").desc, col("id")).limit(PaTopDeg)
+        .localCheckpoint(true) // head set: pair sides + 2 edge semi-joins
+      val topEdges = und
+        .join(broadcast(top.select(col("id").as("a"))), Seq("a"), "left_semi")
+        .join(broadcast(top.select(col("id").as("b"))), Seq("b"), "left_semi")
+      val pairs = top.select(col("id").as("u"), col("dg").as("du"))
+        .join(top.select(col("id").as("v"), col("dg").as("dv")),
+          col("u") < col("v"))
+      pairs.join(topEdges.select(col("a").as("u"), col("b").as("v")),
+          Seq("u", "v"), "left_anti")
+        .select(col("u"), col("v"), col("du"), col("dv"),
+          (col("du") * col("dv")).as("pa"))
+        .orderBy(col("pa").desc, col("u"), col("v"))
+        .limit(PaTopN)
     }),
 
     // k-core decomposition (fixed-horizon synchronous peeling): repeat
@@ -918,6 +991,19 @@ object Graph {
         .selectExpr("node_id", "est1", "est2",
           "round((est1 - CAST(1 AS DOUBLE)) " +
             "+ (est2 - est1) / CAST(2 AS DOUBLE), 6) AS harmonic")),
+
+    // Closeness + Lin centrality from the same HyperBall registers —
+    // the other two members of Boldi & Vigna's geometric-centrality
+    // trio (2014 §3): over the radius-truncated balls the distance sum
+    // is Σ_r r·(|B_r| − |B_{r−1}|) = (est1 − 1) + 2·(est2 − est1),
+    // closeness = reached/sum_dist, Lin = reached²/sum_dist (reached =
+    // est2 − 1, excluding self). Like `g_harmonic` this is ZERO extra
+    // distributed work — a per-node projection over the two 4-dp-pinned
+    // estimates, spelled identically on both engines ([[closenessProj]])
+    // so the IEEE arithmetic matches bit-for-bit before the 6-dp round.
+    "g_closeness" -> ((s, dir) =>
+      hyperBallRun(GraphOps.lineitemGraph(s, dir, Mod).localCheckpoint(true))
+        .selectExpr("node_id" +: "est1" +: "est2" +: closenessProj: _*)),
 
     // K1 batched: multi-source PPR over broadcast CSR (zero per-iteration
     // shuffle; the 100 TB-shaped strategy for batch workloads).
@@ -1320,6 +1406,11 @@ object Graph {
            |  round((est1 - CAST(1 AS DOUBLE))
            |    + (est2 - est1) / CAST(2 AS DOUBLE), 6) AS harmonic
            |FROM hb""".stripMargin,
+      "g_closeness" ->
+        s"""$hyperballOracleChain
+           |SELECT node_id, est1, est2,
+           |  ${closenessProj.mkString(",\n  ")}
+           |FROM hb""".stripMargin,
       "g_triangles" ->
         s"""WITH e AS MATERIALIZED (${GraphOps.lineitemGraphSql(TriMod)}),
            |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
@@ -1439,15 +1530,31 @@ object Graph {
            |  UNION ALL SELECT b AS w, a AS n FROM und),
            |deg AS MATERIALIZED (SELECT w, count(*) AS dg FROM adj GROUP BY w),
            |cap AS MATERIALIZED (SELECT adj.w, adj.n,
-           |  CAST(1 AS DOUBLE) / ln(CAST(deg.dg AS DOUBLE)) AS wt FROM adj
+           |  CAST(round(1e6 / ln(CAST(deg.dg AS DOUBLE))) AS BIGINT) AS wt
+           |  FROM adj
            |  JOIN deg ON deg.w = adj.w AND deg.dg BETWEEN 2 AND $LpCnDegCap),
            |aa AS (SELECT x.n AS u, y.n AS v, count(*) AS cn,
-           |  round(sum(x.wt), 6) AS aa
+           |  CAST(CAST(sum(x.wt) AS BIGINT) AS DOUBLE) / 1e6 AS aa
            |  FROM cap x JOIN cap y ON y.w = x.w AND x.n < y.n GROUP BY 1, 2)
            |SELECT u, v, cn, aa FROM aa
            |WHERE NOT EXISTS (SELECT 1 FROM und
            |  WHERE und.a = aa.u AND und.b = aa.v)
            |ORDER BY aa DESC, u, v LIMIT $LpCnTopN""".stripMargin,
+      "g_pref_attach" ->
+        s"""WITH e AS MATERIALIZED (${GraphOps.lineitemGraphSql(TriMod)}),
+           |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+           |  greatest(src, dst) AS b FROM e),
+           |deg AS MATERIALIZED (SELECT id, count(*) AS dg FROM (
+           |  SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+           |  GROUP BY id),
+           |top AS MATERIALIZED (SELECT id, dg FROM deg
+           |  ORDER BY dg DESC, id LIMIT $PaTopDeg),
+           |pairs AS (SELECT x.id AS u, y.id AS v, x.dg AS du, y.dg AS dv
+           |  FROM top x JOIN top y ON x.id < y.id)
+           |SELECT u, v, du, dv, CAST(du * dv AS BIGINT) AS pa FROM pairs
+           |WHERE NOT EXISTS (SELECT 1 FROM und
+           |  WHERE und.a = pairs.u AND und.b = pairs.v)
+           |ORDER BY pa DESC, u, v LIMIT $PaTopN""".stripMargin,
       "g_reciprocity" ->
         s"""WITH e AS MATERIALIZED ($graphSql)
            |SELECT (SELECT count(*) FROM e) AS m_edges,

@@ -81,4 +81,32 @@ class HyperBallSpec extends SparkSpec {
       assert(h == graft.text.TextOps.round6((e1 - 1.0) + (e2 - e1) / 2.0))
     }
   }
+
+  test("g_closeness is exactly the closeness/Lin projection of the " +
+      "g_hyperball estimates, with the sum_dist <= 0 guard") {
+    import graft.queries.Graph
+    val hb = Graph.queries("g_hyperball")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.getDouble(6)))).toMap
+    val got = Graph.queries("g_closeness")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.nonEmpty && got.length == hb.size)
+    val r6 = graft.text.TextOps.round6 _
+    got.foreach { case (id, e1, e2, sd, cl, lin) =>
+      val (b1, b2) = hb(id)
+      assert(e1 == b1 && e2 == b2, s"estimates drifted for $id")
+      val sdRaw = (e1 - 1.0) + (e2 - e1) * 2.0
+      assert(sd == r6(sdRaw))
+      if (sdRaw > 0.0) {
+        val reached = e2 - 1.0
+        assert(cl == r6(reached / sdRaw), s"closeness for $id")
+        assert(lin == r6(reached * reached / sdRaw), s"lin for $id")
+        // Lin = reached × closeness up to rounding; both ≥ 0
+        assert(cl >= 0.0 && lin >= 0.0)
+      } else {
+        assert(cl == 0.0 && lin == 0.0, s"guard for $id")
+      }
+    }
+  }
 }

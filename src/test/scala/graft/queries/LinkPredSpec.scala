@@ -53,14 +53,15 @@ class LinkPredSpec extends SparkSpec {
     val deg = adj.view.mapValues(_.size.toLong).toMap
     val edges = und.toSet
     val acc = scala.collection.mutable.Map
-      .empty[(Long, Long), (Long, Double)].withDefaultValue((0L, 0.0))
+      .empty[(Long, Long), (Long, Long)].withDefaultValue((0L, 0L))
     for ((w, ns) <- adj; if deg(w) >= 2 && deg(w) <= cap;
          u <- ns; v <- ns; if u < v) {
       val (c, s) = acc((u, v))
-      acc((u, v)) = (c + 1, s + 1.0 / math.log(deg(w).toDouble))
+      // fixed-point micro-unit weight — the exact integer the row sums
+      acc((u, v)) = (c + 1, s + math.round(1e6 / math.log(deg(w).toDouble)))
     }
     acc.toSeq.collect { case ((u, v), (c, s)) if !edges.contains((u, v)) =>
-      (u, v, c, round6(s))
+      (u, v, c, s.toDouble / 1e6)
     }.sortBy { case (u, v, _, s) => (-s, u, v) }.take(topN)
   }
 
@@ -93,9 +94,40 @@ class LinkPredSpec extends SparkSpec {
     val got = Graph.adamicAdar(und, cap = 100, topN = 100).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2),
         r.getDouble(3)))).toMap
-    val w = round6(1.0 / math.log(3.0))
+    val w = math.round(1e6 / math.log(3.0)).toDouble / 1e6
     assert(got == Map((1L, 2L) -> ((1L, w)), (1L, 3L) -> ((1L, w)),
       (2L, 3L) -> ((1L, w))))
+  }
+
+  test("g_pref_attach matches brute force over the top-degree head " +
+      "and only scores non-adjacent pairs") {
+    val df = Graph.queries("g_pref_attach")(spark, sfDir)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+
+    val und = GraphOps.lineitemGraph(spark, sfDir, Graph.TriMod).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).distinct.toSeq
+    val deg = und.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val head = deg.toSeq.sortBy { case (id, dg) => (-dg, id) }
+      .take(Graph.PaTopDeg)
+    val hd = head.toMap
+    val edges = und.toSet
+    val want = (for {
+      (u, du) <- head; (v, dv) <- head
+      if u < v && !edges.contains((u, v))
+    } yield (u, v, du, dv, du * dv))
+      .sortBy { case (u, v, _, _, pa) => (-pa, u, v) }.take(Graph.PaTopN)
+    assert(want.size == Graph.PaTopN, "fixture must fill the report")
+    assert(got == want)
+    got.foreach { case (u, v, du, dv, pa) =>
+      assert(!edges.contains((u, v)) && pa == du * dv &&
+        hd(u) == du && hd(v) == dv)
+    }
+    // both the head cut and the report cut are map-side partial top-Ns
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
   }
 
   test("a binding degree cap excludes hub centers by contract") {
