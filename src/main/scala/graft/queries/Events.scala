@@ -26,6 +26,13 @@ object Events {
   val WeekUs = 7L * 24 * 3600 * 1000000L
   /** One day in microseconds (`ev_moving_avg` granularity). */
   val DayUs = 24L * 3600 * 1000000L
+  /** One hour in microseconds (`ev_seasonality` granularity). */
+  val HourUs = 3600L * 1000000L
+  /** `ev_bitmap_retention` curve length: day offsets 0..59 pack into one
+    * BIGINT activity bitmask per user (max shift 59 — safely inside the
+    * sign bit on both engines).
+    */
+  val RetentionBitDays = 60
 
   /** `ev_ewma` smoothing factor. α and 1−α are BOTH literal constants
     * (the MmrLambda discipline) so both engines multiply the identical
@@ -726,6 +733,101 @@ object Events {
           "round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness")
     }),
 
+    // Week-over-week lifecycle ledger — the growth-accounting split
+    // (new / retained / resurrected / churned) every engagement report
+    // derives from the same (user, week) activity matrix as
+    // `ev_retention`. Each class is its own aggregate over the distinct
+    // matrix: new = first-seen week, retained = semi-join against the
+    // prev-week shift, resurrected = later-than-first minus the
+    // semi-join (anti), churned(w) = active at w−1 with no activity at
+    // w (anti against the next-week shift, attributed to w). All five
+    // legs shuffle on (user, week)/(week)-class keys — no window, no
+    // per-week history scan — and reconcile exactly:
+    // n_active = n_new + n_retained + n_resurrected,
+    // n_churned(w) = n_active(w−1) − n_retained(w).
+    "ev_churn" -> ((s, dir) => {
+      val uw = Tables(s, dir, "events")
+        .selectExpr("user_id", s"unix_micros(ts) div $WeekUs AS week")
+        .distinct()
+        .localCheckpoint(true) // feeds all five class aggregates
+      val first = uw.groupBy("user_id").agg(min(col("week")).as("fw"))
+        .localCheckpoint(true) // n_new + the resurrected filter
+      val prev = uw.selectExpr("user_id", "week + 1 AS week")
+      val nxt = uw.selectExpr("user_id", "week - 1 AS week")
+      val active = uw.groupBy("week").agg(count(lit(1)).as("n_active"))
+      val newu = first.groupBy(col("fw").as("week"))
+        .agg(count(lit(1)).as("n_new"))
+      val ret = uw.join(prev, Seq("user_id", "week"), "left_semi")
+        .groupBy("week").agg(count(lit(1)).as("n_retained"))
+      val res = uw.join(first, Seq("user_id"))
+        .where(col("week") > col("fw"))
+        .join(prev, Seq("user_id", "week"), "left_anti")
+        .groupBy("week").agg(count(lit(1)).as("n_resurrected"))
+      val chn = uw.join(nxt, Seq("user_id", "week"), "left_anti")
+        .selectExpr("week + 1 AS week")
+        .groupBy("week").agg(count(lit(1)).as("n_churned"))
+      active.join(newu, Seq("week"), "left")
+        .join(ret, Seq("week"), "left")
+        .join(res, Seq("week"), "left")
+        .join(chn, Seq("week"), "left")
+        .selectExpr("week", "n_active",
+          "coalesce(n_new, CAST(0 AS BIGINT)) AS n_new",
+          "coalesce(n_retained, CAST(0 AS BIGINT)) AS n_retained",
+          "coalesce(n_resurrected, CAST(0 AS BIGINT)) AS n_resurrected",
+          "coalesce(n_churned, CAST(0 AS BIGINT)) AS n_churned")
+    }),
+
+    // Hour-of-day × day-of-week seasonality heatmap. The (dow, hour)
+    // cell is derived ARITHMETICALLY from the epoch (day index mod 7,
+    // microsecond-of-day div hour) — no calendar/timezone function on
+    // either engine, so the bucketing is integer-identical by
+    // construction. One map-side-combined aggregate to ≤ 168 cells;
+    // the share denominator is a 1-row broadcast.
+    "ev_seasonality" -> ((s, dir) => {
+      val cells = Tables(s, dir, "events")
+        .selectExpr(s"(unix_micros(ts) div $DayUs) % 7 AS dow",
+          s"(unix_micros(ts) % $DayUs) div $HourUs AS hour", "user_id")
+        .groupBy("dow", "hour")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+      val total = cells.agg(sum(col("n_events")).as("total"))
+      cells.crossJoin(broadcast(total))
+        .selectExpr("dow", "hour", "n_events", "n_users",
+          "round(CAST(n_events AS DOUBLE) / total, 6) AS share")
+    }),
+
+    // Day-N retention curve via per-user activity BITMASKS — the
+    // roaring-bitmap audience pattern at engine scale: each user's
+    // first-`RetentionBitDays` activity history folds into ONE BIGINT
+    // (bit k set ⟺ active k days after first seen), so the whole curve
+    // reads from |users| 16-byte rows instead of a per-(user, offset)
+    // matrix. Shape: (user, day) distinct → first-day join → one
+    // map-side-combined bit_or fold → a 60-way bit probe over the mask
+    // table (bounded explode) → counts; cohort size is a 1-row
+    // broadcast. Integer end-to-end; k = 0 is the cohort itself.
+    "ev_bitmap_retention" -> ((s, dir) => {
+      val ud = Tables(s, dir, "events")
+        .selectExpr("user_id", s"unix_micros(ts) div $DayUs AS day")
+        .distinct()
+        .localCheckpoint(true) // feeds first-day agg and the mask fold
+      val first = ud.groupBy("user_id").agg(min(col("day")).as("f"))
+      val mask = ud.join(first, Seq("user_id"))
+        .where(col("day") - col("f") < RetentionBitDays)
+        .selectExpr("user_id",
+          "shiftleft(CAST(1 AS BIGINT), CAST(day - f AS INT)) AS bit")
+        .groupBy("user_id").agg(expr("bit_or(bit)").as("mask"))
+        .localCheckpoint(true) // curve probe + cohort count
+      val curve = mask
+        .selectExpr(s"explode(sequence(0, ${RetentionBitDays - 1})) AS k",
+          "mask")
+        .where(expr("(shiftright(mask, k) & CAST(1 AS BIGINT)) = 1"))
+        .groupBy("k").agg(count(lit(1)).as("n_active"))
+      val cohort = mask.agg(count(lit(1)).as("n_cohort"))
+      curve.crossJoin(broadcast(cohort))
+        .selectExpr("k", "n_active", "n_cohort",
+          "round(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention")
+    }),
+
     // Welch's two-sample t-test between every event-type pair's daily
     // revenue series — the A/B significance readout an experimentation
     // pipeline computes at the end of a run. Everything reduces to three
@@ -1296,6 +1398,60 @@ object Events {
          |SELECT d.day, d.dau, w.wau,
          | round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
          |FROM dau d JOIN wau w USING (day)""".stripMargin,
+    "ev_churn" ->
+      s"""WITH uw AS MATERIALIZED (SELECT DISTINCT user_id,
+         |  epoch_us(ts) // $WeekUs AS week FROM events),
+         |f AS MATERIALIZED (SELECT user_id, min(week) AS fw FROM uw
+         |  GROUP BY 1),
+         |act AS (SELECT week, count(*) AS n_active FROM uw GROUP BY 1),
+         |nw AS (SELECT fw AS week, count(*) AS n_new FROM f GROUP BY 1),
+         |rt AS (SELECT u.week, count(*) AS n_retained FROM uw u
+         |  WHERE EXISTS (SELECT 1 FROM uw p WHERE p.user_id = u.user_id
+         |    AND p.week = u.week - 1) GROUP BY 1),
+         |rs AS (SELECT u.week, count(*) AS n_resurrected FROM uw u
+         |  JOIN f ON f.user_id = u.user_id
+         |  WHERE u.week > f.fw AND NOT EXISTS (SELECT 1 FROM uw p
+         |    WHERE p.user_id = u.user_id AND p.week = u.week - 1)
+         |  GROUP BY 1),
+         |ch AS (SELECT u.week + 1 AS week, count(*) AS n_churned FROM uw u
+         |  WHERE NOT EXISTS (SELECT 1 FROM uw n WHERE n.user_id = u.user_id
+         |    AND n.week = u.week + 1) GROUP BY 1)
+         |SELECT a.week, a.n_active,
+         | CAST(coalesce(nw.n_new, 0) AS BIGINT) AS n_new,
+         | CAST(coalesce(rt.n_retained, 0) AS BIGINT) AS n_retained,
+         | CAST(coalesce(rs.n_resurrected, 0) AS BIGINT) AS n_resurrected,
+         | CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned
+         |FROM act a LEFT JOIN nw ON nw.week = a.week
+         |LEFT JOIN rt ON rt.week = a.week
+         |LEFT JOIN rs ON rs.week = a.week
+         |LEFT JOIN ch ON ch.week = a.week""".stripMargin,
+    "ev_seasonality" ->
+      s"""WITH cell AS MATERIALIZED (SELECT
+         |  (epoch_us(ts) // $DayUs) % 7 AS dow,
+         |  (epoch_us(ts) % $DayUs) // $HourUs AS hour,
+         |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
+         | FROM events GROUP BY 1, 2),
+         |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM cell)
+         |SELECT dow, hour, n_events, n_users,
+         | round(CAST(n_events AS DOUBLE) / total, 6) AS share
+         |FROM cell, t""".stripMargin,
+    "ev_bitmap_retention" ->
+      s"""WITH ud AS MATERIALIZED (SELECT DISTINCT user_id,
+         |  epoch_us(ts) // $DayUs AS day FROM events),
+         |f AS MATERIALIZED (SELECT user_id, min(day) AS f FROM ud
+         |  GROUP BY 1),
+         |m AS MATERIALIZED (SELECT ud.user_id,
+         |  CAST(bit_or(CAST(1 AS BIGINT) << CAST(ud.day - f.f AS INT))
+         |    AS BIGINT) AS mask
+         |  FROM ud JOIN f ON f.user_id = ud.user_id
+         |  WHERE ud.day - f.f < $RetentionBitDays GROUP BY 1),
+         |ks AS (SELECT unnest(range(0, $RetentionBitDays)) AS k),
+         |cur AS (SELECT k, count(*) AS n_active FROM ks
+         |  JOIN m ON ((m.mask >> CAST(k AS INT)) & 1) = 1 GROUP BY k),
+         |c AS (SELECT count(*) AS n_cohort FROM m)
+         |SELECT k, n_active, n_cohort,
+         | round(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention
+         |FROM cur, c""".stripMargin,
     "ev_ab_welch" ->
       s"""WITH daily AS MATERIALIZED (SELECT event_type,
          |  epoch_us(ts) // $DayUs AS day,
