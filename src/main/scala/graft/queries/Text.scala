@@ -971,6 +971,124 @@ object Text {
     // c(w1) = occurrences as bigram history and V = |history vocab|.
     "d_bigram_lm" -> ((s, dir) => bigramScore(s, dir)),
 
+    // PMI collocation mining — the classic association-strength ranking
+    // (Church & Hanks 1990) over the corpus bigram stream: pmi =
+    // ln(c12·B / (c1·c2)) with c1/c2/B all folded FROM the bigram model
+    // itself (c1 = Σ_w2 c12, c2 = Σ_w1 c12, B = Σ c12 — one corpus
+    // pass, no second tokenization). Everything inside the ln is an
+    // exact BIGINT, so both engines evaluate one identical IEEE
+    // mult/div/ln chain per surviving pair; the min-count filter kills
+    // the rare-pair PMI blowup and the cut is (rounded pmi desc, w1,
+    // w2) — total-ordered. Scale shape: term-keyed map-side-combined
+    // aggregates + two model-internal folds + a 1-row broadcast +
+    // TakeOrderedAndProject.
+    "d_pmi_bigrams" -> ((s, dir) => {
+      import s.implicits._
+      val big = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (_, t) =>
+          val toks = t.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+          if (toks.length < 2) Iterator.empty
+          else (0 until toks.length - 1).iterator.map(i =>
+            (toks(i), toks(i + 1)))
+        }).toDF("w1", "w2")
+      val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .localCheckpoint(true) // feeds both history folds + the output
+      val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+      val c2 = c12.groupBy("w2").agg(sum(col("c12")).as("c2"))
+      val b = c12.agg(sum(col("c12")).as("b"))
+      c12.where(col("c12") >= PmiMinCount)
+        .join(c1, Seq("w1")).join(c2, Seq("w2"))
+        .crossJoin(broadcast(b))
+        .selectExpr("w1", "w2", "c12", "CAST(c1 AS BIGINT) AS c1",
+          "CAST(c2 AS BIGINT) AS c2",
+          "round(ln((CAST(c12 AS DOUBLE) * CAST(b AS DOUBLE)) / " +
+            "(CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi")
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(PmiTopN)
+    }),
+
+    // Corpus lexical profile — the one-row vocabulary diagnostic
+    // (Zipf/Heaps-adjacent): token count, vocabulary size, hapax and
+    // dis legomena (once / twice frequencies — the head of the Zipf
+    // tail and the raw inputs of Good-Turing smoothing), type-token
+    // ratio. ONE term-keyed map-side-combined groupBy to the frequency
+    // dictionary, then a single-pass fold over one-row-per-term; all
+    // moments integers, two rounded divisions at the end.
+    "d_lexical_stats" -> ((s, dir) => {
+      val tf = Tables(s, dir, "documents")
+        .selectExpr(s"explode(${TextOps.spark.tokens("text")}) AS term")
+        .where(length(col("term")) >= 1)
+        .groupBy("term").agg(count(lit(1)).as("c"))
+      tf.agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("dis"))
+        .selectExpr("CAST(n_tokens AS BIGINT) AS n_tokens", "vocab",
+          "CAST(hapax AS BIGINT) AS hapax", "CAST(dis AS BIGINT) AS dis",
+          "round(CAST(vocab AS DOUBLE) / n_tokens, 6) AS ttr",
+          "round(CAST(hapax AS DOUBLE) / vocab, 6) AS hapax_ratio")
+    }),
+
+    // Pairwise Jensen-Shannon divergence between per-source unigram
+    // distributions — the data-mixture drift readout (is src7's language
+    // statistically the same as src12's?) curation runs before choosing
+    // mixture weights. Distributions live over `JsdBuckets` hashed token
+    // buckets (the DSIR hashed-feature discipline — fixed-width state
+    // regardless of vocabulary size), JSD via the entropy identity
+    // JSD = H(M) − (H(P)+H(Q))/2 with M = (P+Q)/2. Float discipline:
+    // p = c/n is ONE division over exact integers; each pair-bucket
+    // mass m = p_a/2 + p_b/2 sums ≤ 2 addends (IEEE addition is
+    // commutative — order-free); every entropy Σ folds from a
+    // bucket-SORTED array on both engines (the ev_markov_entropy
+    // pattern). Scale: bucket counts are map-side-combined to
+    // |sources|·B rows; the pair stage is a broadcast join over the
+    // bounded source list — |sources| is a domain catalog, not data.
+    "d_domain_jsd" -> ((s, dir) => {
+      import s.implicits._
+      val B = JsdBuckets
+      val cnt = Tables(s, dir, "documents")
+        .select(col("source"), col("text")).as[(String, String)]
+        .mapPartitions(_.flatMap { case (src, t) =>
+          t.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+            .iterator.map(tok => (src, TextOps.tokenHash(tok) % B))
+        }).toDF("source", "bucket")
+        .groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+      val n = cnt.groupBy("source").agg(sum(col("c")).as("n"))
+        .localCheckpoint(true) // pair driver + per-source totals
+      val ps = cnt.join(n, Seq("source"))
+        .selectExpr("source", "bucket", "CAST(c AS DOUBLE) / n AS p")
+        .localCheckpoint(true) // M-sides and per-source entropies
+      val sided = ps.crossJoin(broadcast(n.select(col("source").as("other"))))
+        .where(col("source") =!= col("other"))
+        .selectExpr("least(source, other) AS sa",
+          "greatest(source, other) AS sb", "bucket", "p / 2 AS mh")
+      val hM = sided.groupBy("sa", "sb", "bucket")
+        .agg(sum(col("mh")).as("m"))
+        .groupBy("sa", "sb")
+        .agg(sort_array(collect_list(struct(col("bucket"), col("m"))))
+          .as("terms"))
+        .selectExpr("sa", "sb",
+          "aggregate(terms, CAST(0 AS DOUBLE), " +
+            "(a, t) -> a - t.m * ln(t.m)) AS h_m")
+      val hP = ps.groupBy("source")
+        .agg(sort_array(collect_list(struct(col("bucket"), col("p"))))
+          .as("terms"))
+        .selectExpr("source",
+          "aggregate(terms, CAST(0 AS DOUBLE), " +
+            "(a, t) -> a - t.p * ln(t.p)) AS h")
+      hM.join(hP.selectExpr("source AS sa", "h AS h_a"), Seq("sa"))
+        .join(hP.selectExpr("source AS sb", "h AS h_b"), Seq("sb"))
+        .join(n.selectExpr("source AS sa", "n AS n_a"), Seq("sa"))
+        .join(n.selectExpr("source AS sb", "n AS n_b"), Seq("sb"))
+        .selectExpr("sa AS src_a", "sb AS src_b",
+          "CAST(n_a AS BIGINT) AS n_a", "CAST(n_b AS BIGINT) AS n_b",
+          "round(h_a / ln(CAST(2 AS DOUBLE)), 6) AS h_a_bits",
+          "round(h_b / ln(CAST(2 AS DOUBLE)), 6) AS h_b_bits",
+          "round((h_m - (h_a + h_b) / CAST(2 AS DOUBLE)) " +
+            "/ ln(CAST(2 AS DOUBLE)), 6) AS jsd_bits")
+    }),
+
     // CCNet-style corpus partition by LM quality: every scored document
     // labeled head / middle / tail against tercile thresholds of the
     // add-one-smoothed bigram-LM score (d_bigram_lm's avg_logp,
@@ -1509,6 +1627,18 @@ object Text {
 
   /** Terms kept per language by `d_top_terms`. */
   val TopTermsK = 10
+
+  /** `d_pmi_bigrams` min bigram count (kills the rare-pair PMI blowup)
+    * and report size.
+    */
+  val PmiMinCount = 5
+  val PmiTopN = 30
+
+  /** `d_domain_jsd` hashed-token distribution width — fixed per-source
+    * state (the DSIR hashed-feature discipline) regardless of
+    * vocabulary size.
+    */
+  val JsdBuckets = 512
 
   /** `d_curate` gates: minimum composite quality, minimum token count,
     * and the post-dedup fingerprint sample percentage.
@@ -2243,6 +2373,74 @@ object Text {
     "d_bigram_lm" ->
       s"""$bigramScoredCte
          |SELECT doc_id, n_bigrams, avg_logp FROM scored""".stripMargin,
+    "d_pmi_bigrams" ->
+      s"""WITH tk AS (SELECT doc_id, ${TextOps.duck.tokens("text")} AS toks
+         |  FROM documents),
+         |big AS MATERIALIZED (SELECT toks[CAST(u.i AS INT) + 1] AS w1,
+         |    toks[CAST(u.i AS INT) + 2] AS w2
+         |  FROM tk, UNNEST(range(0, len(toks) - 1)) AS u(i)),
+         |c12 AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM big
+         |  GROUP BY 1, 2),
+         |c1 AS MATERIALIZED (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+         |  FROM c12 GROUP BY 1),
+         |c2 AS MATERIALIZED (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2
+         |  FROM c12 GROUP BY 1),
+         |bt AS (SELECT CAST(sum(c12) AS BIGINT) AS b FROM c12)
+         |SELECT w1, w2, c12, c1, c2,
+         | round(ln((CAST(c12 AS DOUBLE) * CAST(b AS DOUBLE)) /
+         |   (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi
+         |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN bt
+         |WHERE c12 >= $PmiMinCount
+         |ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopN""".stripMargin,
+    "d_lexical_stats" ->
+      s"""WITH tf AS MATERIALIZED (SELECT term, count(*) AS c FROM (
+         |  SELECT unnest(${TextOps.duck.tokens("text")}) AS term
+         |  FROM documents) WHERE length(term) >= 1 GROUP BY 1)
+         |SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+         | count(*) AS vocab,
+         | CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         | CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+         | round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT), 6)
+         |   AS ttr,
+         | round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |   / count(*), 6) AS hapax_ratio
+         |FROM tf""".stripMargin,
+    "d_domain_jsd" ->
+      s"""WITH tk AS MATERIALIZED (SELECT source,
+         |  ${TextOps.duck.tokenHash("tok")} % $JsdBuckets AS bucket
+         |  FROM (SELECT source, unnest(${TextOps.duck.tokens("text")})
+         |    AS tok FROM documents)),
+         |cnt AS MATERIALIZED (SELECT source, bucket, count(*) AS c
+         |  FROM tk GROUP BY 1, 2),
+         |n AS MATERIALIZED (SELECT source, CAST(sum(c) AS BIGINT) AS n
+         |  FROM cnt GROUP BY 1),
+         |ps AS MATERIALIZED (SELECT cnt.source, bucket,
+         |  CAST(c AS DOUBLE) / n AS p FROM cnt JOIN n USING (source)),
+         |sided AS (SELECT least(x.source, o.source) AS sa,
+         |  greatest(x.source, o.source) AS sb, x.bucket, x.p / 2 AS mh
+         |  FROM ps x JOIN (SELECT source FROM n) o
+         |    ON o.source <> x.source),
+         |m AS MATERIALIZED (SELECT sa, sb, bucket,
+         |  CAST(sum(mh) AS DOUBLE) AS m FROM sided GROUP BY 1, 2, 3),
+         |hm AS (SELECT sa, sb,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(list(m ORDER BY bucket),
+         |      v -> -(v * ln(v)))), (a, x) -> a + x) AS h_m
+         |  FROM m GROUP BY 1, 2),
+         |hp AS (SELECT source,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(list(p ORDER BY bucket),
+         |      v -> -(v * ln(v)))), (a, x) -> a + x) AS h
+         |  FROM ps GROUP BY 1)
+         |SELECT hm.sa AS src_a, hm.sb AS src_b, na.n AS n_a, nb.n AS n_b,
+         | round(ha.h / ln(CAST(2 AS DOUBLE)), 6) AS h_a_bits,
+         | round(hb.h / ln(CAST(2 AS DOUBLE)), 6) AS h_b_bits,
+         | round((h_m - (ha.h + hb.h) / CAST(2 AS DOUBLE))
+         |   / ln(CAST(2 AS DOUBLE)), 6) AS jsd_bits
+         |FROM hm JOIN hp ha ON ha.source = hm.sa
+         |JOIN hp hb ON hb.source = hm.sb
+         |JOIN n na ON na.source = hm.sa
+         |JOIN n nb ON nb.source = hm.sb""".stripMargin,
     "d_ccnet_buckets" ->
       s"""$bigramScoredCte,
          |sc AS MATERIALIZED (SELECT doc_id, avg_logp,
