@@ -77,6 +77,14 @@ object Embeddings {
     * dimensionality of the `embeddings` table.
     */
   val KmK = 8
+
+  /** `e_pca_power` power-iteration rounds. The quantized-code Gram is
+    * dominated by the all-positive mean direction (a Perron-style
+    * spectral gap), so 16 rounds are far past convergence; determinism
+    * — identical fold spellings on both engines — is what the count
+    * actually pins.
+    */
+  val PcaIters = 16
   val KmIters = 3
   val Dims = 64
 
@@ -318,27 +326,139 @@ object Embeddings {
     * bit-identical cross-engine (the argmin already depended on that).
     */
   private[graft] def kmFit(s: SparkSession, dir: String): DataFrame = {
+    val (emb, cent) = kmCentroids(s, dir)
+    kmAssign(emb, cent)
+  }
+
+  /** The materialized embedding frame + FINAL Lloyd centroid table —
+    * the fitted model behind [[kmFit]], exposed so `e_silhouette` can
+    * score every (vector, cell) distance rather than just the argmin.
+    */
+  private[graft] def kmCentroids(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val emb = embDf(s, dir).localCheckpoint(true)
     val ckpt = new graft.operators.CkptChain(s.sparkContext)
-    val d2Expr = "vec_dot(v, v) - 2 * vec_dot(v, cv) + vec_dot(cv, cv)"
     val cvArray = s"array(${(1 to Dims).map(i => s"c$i").mkString(", ")}) AS cv"
     var cent = ckpt(emb.where(col("vec_id") < KmK)
       .selectExpr("CAST(vec_id AS INT) AS cid", "v AS cv"))
-    def assign(c: DataFrame): DataFrame =
-      emb.crossJoin(broadcast(c))
-        .selectExpr("vec_id", "cid", d2Expr + " AS d2")
-        .groupBy("vec_id")
-        .agg(min(struct(col("d2"), col("cid"))).as("m"))
-        .selectExpr("vec_id", "m.cid AS cell", "m.d2 AS d2")
     for (_ <- 1 to KmIters) {
       val avgs = (1 to Dims)
         .map(i => round(avg(element_at(col("v"), i)), 6).as(s"c$i"))
-      cent = ckpt(assign(cent).join(emb, Seq("vec_id"))
+      cent = ckpt(kmAssign(emb, cent).join(emb, Seq("vec_id"))
         .groupBy(col("cell").as("cid"))
         .agg(avgs.head, avgs.tail: _*)
         .selectExpr("cid", cvArray))
     }
-    assign(cent)
+    (emb, cent)
+  }
+
+  private def kmAssign(emb: DataFrame, c: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(c))
+      .selectExpr("vec_id", "cid", KmD2Expr + " AS d2")
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .selectExpr("vec_id", "m.cid AS cell", "m.d2 AS d2")
+
+  private val KmD2Expr =
+    "vec_dot(v, v) - 2 * vec_dot(v, cv) + vec_dot(cv, cv)"
+
+  /** `e_qgram`'s body, shared with `e_pca_power`: exact BIGINT Gram over
+    * the uint8-quantized vectors via a per-partition d(d+1)/2-slot
+    * mergeable accumulator (see the row comment at the `queries` entry).
+    */
+  private[graft] def qgramRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Dims
+    Tables(s, dir, "embeddings")
+      .selectExpr(
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .selectExpr("v", "array_min(v) AS lo", "array_max(v) AS hi")
+      .selectExpr("CASE WHEN hi = lo THEN transform(v, x -> 0) " +
+        "ELSE transform(v, x -> CAST(round((x - lo) / " +
+        "((hi - lo) / 255.0), 0) AS INT)) END AS q")
+      .as[Seq[Int]]
+      .mapPartitions { it =>
+        val acc = new Array[Long](d * (d + 1) / 2)
+        it.foreach { q =>
+          var i = 0
+          var k = 0
+          while (i < d) {
+            val qi = q(i).toLong
+            var j = i
+            while (j < d) { acc(k) += qi * q(j); j += 1; k += 1 }
+            i += 1
+          }
+        }
+        val out = new Array[(Int, Int, Long)](acc.length)
+        var i = 0
+        var k = 0
+        while (i < d) {
+          var j = i
+          while (j < d) { out(k) = (i, j, acc(k)); j += 1; k += 1 }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("i", "j", "g")
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("g")).as("g"))
+  }
+
+  /** `e_pca_power` shared fold spellings: Spark `aggregate(...)` and the
+    * DuckDB `list_reduce(list_prepend(0, list_transform(...)))` both
+    * left-fold from a 0 seed in ascending index order, so every float
+    * in the power iteration is bit-identical cross-engine.
+    */
+  private def sparkFold(body: String, n: Int): String =
+    s"aggregate(transform(sequence(1, $n), i -> $body), " +
+      "CAST(0 AS DOUBLE), (a, x) -> a + x)"
+
+  /** The first principal direction of the quantized-embedding second
+    * moment — fitted WITHOUT collecting data to the driver: the exact
+    * BIGINT Gram ([[qgramRows]] — constant-size sufficient statistics
+    * regardless of corpus size) folds to a 64-row matrix table, and the
+    * [[PcaIters]]-round power iteration runs as tiny Spark jobs over
+    * that table + a 1-row broadcast eigenvector frame. Returns the
+    * final unit eigenvector frame `(v array<double>, lam double)` and
+    * the 64-row G-row frame.
+    */
+  private def pcaPower(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val d = Dims
+    val tri = qgramRows(s, dir)
+    val full = tri.selectExpr("i", "j", "CAST(g AS DOUBLE) AS gd")
+      .unionAll(tri.where(col("i") =!= col("j"))
+        .selectExpr("j AS i", "i AS j", "CAST(g AS DOUBLE) AS gd"))
+    val grows = full.groupBy("i")
+      .agg(sort_array(collect_list(struct(col("j"), col("gd")))).as("ts"))
+      .selectExpr("i", "transform(ts, x -> x.gd) AS gr")
+      .localCheckpoint(true) // scanned every power-iteration round
+    val matvec = sparkFold("element_at(gr, i) * element_at(v, i)", d)
+    var vdf = s.range(1).selectExpr(
+      s"transform(sequence(1, $d), x -> " +
+        s"CAST(1 AS DOUBLE) / sqrt(CAST($d AS DOUBLE))) AS v")
+      .localCheckpoint(true)
+    for (_ <- 1 to PcaIters) {
+      vdf = grows.crossJoin(broadcast(vdf))
+        .selectExpr("i", s"$matvec AS t")
+        .agg(sort_array(collect_list(struct(col("i"), col("t"))))
+          .as("ts"))
+        .selectExpr("transform(ts, x -> x.t) AS lt")
+        .selectExpr("lt",
+          sparkFold("element_at(lt, i) * element_at(lt, i)", d) + " AS n2")
+        .selectExpr("transform(lt, x -> x / sqrt(n2)) AS v")
+        .localCheckpoint(true) // 1 row; truncate the per-round lineage
+    }
+    // Rayleigh quotient λ = v·Gv on the final unit vector
+    val lam = grows.crossJoin(broadcast(vdf))
+      .selectExpr("i", s"$matvec AS t", "v")
+      .agg(sort_array(collect_list(struct(col("i"), col("t")))).as("ts"),
+        first(col("v")).as("v"))
+      .selectExpr("v", "transform(ts, x -> x.t) AS lt")
+      .selectExpr("v",
+        sparkFold("element_at(v, i) * element_at(lt, i)", d) + " AS lam")
+      .localCheckpoint(true)
+    (lam, grows)
   }
 
   private def embDf(s: SparkSession, dir: String): DataFrame = {
@@ -711,6 +831,62 @@ object Embeddings {
     // per-vector cell assignment.
     "e_kmeans" -> ((s, dir) => kmModel(s, dir)),
 
+    // PC1 of the quantized-embedding second moment — distributed PCA
+    // the way it survives 100 TB: the corpus collapses into the exact
+    // BIGINT Gram (e_qgram's d(d+1)/2 mergeable accumulator — constant
+    // bytes shuffled regardless of vector count), the power iteration
+    // runs over the resulting 64-row matrix table + a 1-row broadcast
+    // eigenvector frame (never on the driver, never over the data), and
+    // the single data-sized pass at the end projects every vector onto
+    // the learned direction with the codegen'd vec_dot. Every float op
+    // (matvec, norm, Rayleigh λ, projection) is an ascending-index
+    // 0-seeded left fold spelled identically in the oracle — bit-exact
+    // cross-engine before the display rounding.
+    "e_pca_power" -> ((s, dir) => {
+      VectorFunctions.register(s)
+      val (lam, _) = pcaPower(s, dir)
+      Tables(s, dir, "embeddings")
+        .selectExpr("vec_id",
+          "transform(embedding, x -> CAST(x AS DOUBLE)) AS vr")
+        .selectExpr("vec_id", "vr", "array_min(vr) AS lo",
+          "array_max(vr) AS hi")
+        .selectExpr("vec_id",
+          "CASE WHEN hi = lo THEN transform(vr, x -> CAST(0 AS DOUBLE)) " +
+            "ELSE transform(vr, x -> CAST(CAST(round((x - lo) / " +
+            "((hi - lo) / 255.0), 0) AS INT) AS DOUBLE)) END AS qd")
+        .crossJoin(broadcast(lam))
+        .selectExpr("vec_id", "round(vec_dot(qd, v), 6) AS pc1",
+          "round(lam, 6) AS eigval")
+    }),
+
+    // Simplified silhouette (centroid form) over the e_kmeans fit — the
+    // per-vector cluster-quality score curation reads before trusting
+    // cluster-balanced sampling: a = distance to own centroid, b =
+    // distance to the nearest OTHER centroid, sil = (b−a)/max(a,b).
+    // Reuses kmCentroids verbatim (the model may not drift from
+    // e_kmeans), scores each vector against the broadcast KmK-row
+    // codebook, and picks own/runner-up from a sorted ≤KmK-entry struct
+    // array — the same (d2, cid) total order as the Lloyd argmin, so
+    // both engines agree bit-for-bit. True silhouette's all-pairs a/b
+    // is corpus-quadratic; the centroid form is THE scale substitute
+    // (its denominator work is |vectors|·KmK, same as one Lloyd round).
+    "e_silhouette" -> ((s, dir) => {
+      val (emb, cent) = kmCentroids(s, dir)
+      val dOwn = "sqrt(greatest(t[0].d2, CAST(0 AS DOUBLE)))"
+      val dOth = "sqrt(greatest(t[1].d2, CAST(0 AS DOUBLE)))"
+      emb.crossJoin(broadcast(cent))
+        .selectExpr("vec_id", "cid", KmD2Expr + " AS d2")
+        .groupBy("vec_id")
+        .agg(sort_array(collect_list(struct(col("d2"), col("cid"))))
+          .as("t"))
+        .selectExpr("vec_id", "t[0].cid AS cell",
+          s"round($dOwn, 6) AS d_own",
+          s"round($dOth, 6) AS d_other",
+          s"round(CASE WHEN greatest($dOth, $dOwn) = CAST(0 AS DOUBLE) " +
+            s"THEN CAST(0 AS DOUBLE) ELSE ($dOth - $dOwn) / " +
+            s"greatest($dOth, $dOwn) END, 6) AS sil")
+    }),
+
     // Corpus-level OOD shortlist: the OodTopN vectors FARTHEST from
     // their own k-means centroid — the outlier gate a curation run
     // applies before training (mislabeled/garbage embeddings sit far
@@ -848,43 +1024,7 @@ object Embeddings {
     // far inside 2⁶³ past 10¹² vectors), so the row hash-compares with
     // no float dispensation; quantization reuses e_quantize's affine
     // code spelling verbatim (the two rows may not drift).
-    "e_qgram" -> ((s, dir) => {
-      import s.implicits._
-      val d = Dims
-      Tables(s, dir, "embeddings")
-        .selectExpr(
-          "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
-        .selectExpr("v", "array_min(v) AS lo", "array_max(v) AS hi")
-        .selectExpr("CASE WHEN hi = lo THEN transform(v, x -> 0) " +
-          "ELSE transform(v, x -> CAST(round((x - lo) / " +
-          "((hi - lo) / 255.0), 0) AS INT)) END AS q")
-        .as[Seq[Int]]
-        .mapPartitions { it =>
-          val acc = new Array[Long](d * (d + 1) / 2)
-          it.foreach { q =>
-            var i = 0
-            var k = 0
-            while (i < d) {
-              val qi = q(i).toLong
-              var j = i
-              while (j < d) { acc(k) += qi * q(j); j += 1; k += 1 }
-              i += 1
-            }
-          }
-          val out = new Array[(Int, Int, Long)](acc.length)
-          var i = 0
-          var k = 0
-          while (i < d) {
-            var j = i
-            while (j < d) { out(k) = (i, j, acc(k)); j += 1; k += 1 }
-            i += 1
-          }
-          out.iterator
-        }
-        .toDF("i", "j", "g")
-        .groupBy(col("i"), col("j"))
-        .agg(sum(col("g")).as("g"))
-    }),
+    "e_qgram" -> ((s, dir) => qgramRows(s, dir)),
 
     "e_embed_dups" -> ((s, dir) => {
       val bk = bucketed(s, dir).select(col("vec_id"), col("tbl"), col("bkt"))
@@ -1350,11 +1490,64 @@ object Embeddings {
       sb ++= s"cent${i + 1} AS MATERIALIZED (SELECT a.cell AS cid, $cvList AS cv " +
         s"FROM as$i a JOIN emb e ON e.vec_id = a.vec_id GROUP BY a.cell),\n"
     }
-    sb ++= s"fin AS (SELECT e.vec_id, c.cid, $d2 AS d2, row_number() OVER (" +
+    sb ++= s"fin AS MATERIALIZED (SELECT e.vec_id, c.cid, $d2 AS d2, row_number() OVER (" +
       s"PARTITION BY e.vec_id ORDER BY $d2 ASC, c.cid ASC) AS rn " +
       s"FROM emb e CROSS JOIN cent$KmIters c),\n"
     sb ++= "asg AS MATERIALIZED (SELECT vec_id, cid AS cell, d2 " +
       "FROM fin WHERE rn = 1)"
+    sb.toString
+  }
+
+  /** DuckDB twin of [[pcaPower]] + the `e_pca_power` projection: exact
+    * INT Gram (the e_qgram CTE), full-matrix rows as j-ordered lists,
+    * [[PcaIters]] unrolled matvec/normalize rounds, Rayleigh λ, then the
+    * per-vector projection — every float fold 0-seeded ascending, the
+    * same arithmetic sequence the Spark side executes.
+    */
+  private def pcaOracleSql: String = {
+    val d = Dims
+    def fold(body: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, ${d + 1}), i -> $body)), (a, x) -> a + x)"
+    val sb = new StringBuilder
+    sb ++= "WITH emb AS MATERIALIZED (SELECT vec_id, " +
+      "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n"
+    sb ++= "mm AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM emb),\n"
+    sb ++= "qq AS MATERIALIZED (SELECT vec_id, " +
+      "CASE WHEN hi = lo THEN list_transform(v, x -> 0) " +
+      "ELSE list_transform(v, x -> " +
+      "CAST(round((x - lo) / ((hi - lo) / 255.0), 0) AS INT)) END AS q " +
+      "FROM mm),\n"
+    sb ++= s"tri AS MATERIALIZED (SELECT CAST(u.i AS INT) AS i, " +
+      "CAST(w.j AS INT) AS j, " +
+      "CAST(sum(q[CAST(u.i AS INT) + 1] * q[CAST(w.j AS INT) + 1]) " +
+      s"AS BIGINT) AS g FROM qq, UNNEST(range(0, $d)) AS u(i), " +
+      s"UNNEST(range(0, $d)) AS w(j) WHERE u.i <= w.j GROUP BY 1, 2),\n"
+    sb ++= "fullg AS (SELECT i, j, g FROM tri " +
+      "UNION ALL SELECT j AS i, i AS j, g FROM tri WHERE i <> j),\n"
+    sb ++= "grows AS MATERIALIZED (SELECT i, " +
+      "list(CAST(g AS DOUBLE) ORDER BY j) AS gr FROM fullg GROUP BY i),\n"
+    sb ++= s"v0 AS (SELECT list_transform(range(1, ${d + 1}), x -> " +
+      s"CAST(1 AS DOUBLE) / sqrt(CAST($d AS DOUBLE))) AS v),\n"
+    for (k <- 1 to PcaIters) {
+      sb ++= s"t$k AS (SELECT g.i AS i, ${fold("g.gr[i] * p.v[i]")} AS t " +
+        s"FROM grows g CROSS JOIN v${k - 1} p),\n"
+      val mat = if (k == PcaIters) "MATERIALIZED " else ""
+      sb ++= s"v$k AS $mat(SELECT list_transform(lt, x -> x / sqrt(n2)) AS v " +
+        "FROM (SELECT lt, list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(lt, x -> x * x)), (a, x) -> a + x) AS n2 " +
+        s"FROM (SELECT list(t ORDER BY i) AS lt FROM t$k))),\n"
+    }
+    sb ++= s"tf AS (SELECT g.i AS i, ${fold("g.gr[i] * p.v[i]")} AS t " +
+      s"FROM grows g CROSS JOIN v$PcaIters p),\n"
+    sb ++= "lamt AS (SELECT list(t ORDER BY i) AS lt FROM tf),\n"
+    sb ++= s"lam AS (SELECT ${fold("p.v[i] * l.lt[i]")} AS lam " +
+      s"FROM v$PcaIters p CROSS JOIN lamt l),\n"
+    sb ++= "qdq AS (SELECT vec_id, " +
+      "list_transform(q, x -> CAST(x AS DOUBLE)) AS qd FROM qq)\n"
+    sb ++= s"SELECT e.vec_id, round(${fold("e.qd[i] * p.v[i]")}, 6) AS pc1, " +
+      s"round(lam.lam, 6) AS eigval FROM qdq e CROSS JOIN v$PcaIters p " +
+      "CROSS JOIN lam"
     sb.toString
   }
 
@@ -1434,6 +1627,20 @@ object Embeddings {
          |FROM e f JOIN e r ON r.src = f.dst AND r.dst = f.src
          |WHERE f.src < f.dst""".stripMargin,
     "e_kmeans" -> s"WITH $kmeansAssignCtes\nSELECT vec_id, cell FROM asg",
+    "e_silhouette" -> {
+      val dOwn = "sqrt(greatest(a.d2, CAST(0 AS DOUBLE)))"
+      val dOth = "sqrt(greatest(b.d2b, CAST(0 AS DOUBLE)))"
+      s"""WITH $kmeansAssignCtes,
+         |s2 AS (SELECT vec_id, d2 AS d2b FROM fin WHERE rn = 2)
+         |SELECT a.vec_id, a.cell,
+         | round($dOwn, 6) AS d_own,
+         | round($dOth, 6) AS d_other,
+         | round(CASE WHEN greatest($dOth, $dOwn) = CAST(0 AS DOUBLE)
+         |   THEN CAST(0 AS DOUBLE) ELSE ($dOth - $dOwn) /
+         |   greatest($dOth, $dOwn) END, 6) AS sil
+         |FROM asg a JOIN s2 b USING (vec_id)""".stripMargin
+    },
+    "e_pca_power" -> pcaOracleSql,
     "e_ood_score" ->
       s"""WITH $kmeansAssignCtes
          |SELECT vec_id, cell, round(d2, 6) AS d2 FROM asg
