@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Scratch, VerifyArtifacts}
-import graft.graph.{Bfs, ConnectedComponents, GraphOps, LabelProp, MinSpanningForest, Sssp}
+import graft.graph.{Bfs, ConnectedComponents, GraphOps, LabelProp, MinSpanningForest, Scc, Sssp}
 import graft.ppr.{Base, BackwardSearch, ForwardPush, Fora, Metrics, MonteCarlo, PageRank, PowerIteration, PprStore}
 
 /** Graph/PPR operator coverage over the deterministic lineitem-derived
@@ -40,6 +40,20 @@ object Graph {
   val LpCnDegCap = 256
   /** `g_linkpred_cn` report size (global top-N, total-ordered). */
   val LpCnTopN = 20
+
+  /** `g_scc` superstep budgets: [[SccFwdSteps]] bounds BOTH the forward
+    * color propagation and the backward containment growth per outer
+    * round (each verified converged with one extra step — `require`,
+    * never a silently wrong labeling); [[SccOuterRounds]] bounds the
+    * peel rounds. Generous for the mod-997 library graphs (diameter ≤ 6
+    * observed); a pathological chain would fail loudly, not wrongly.
+    */
+  val SccFwdSteps = 12
+  val SccOuterRounds = 8
+  /** `g_scc` graph thinning — see the row comment for the density
+    * rationale.
+    */
+  val SccQtyMax = 6
 
   /** `g_pref_attach` head size: the exact global top-N by deg(u)·deg(v)
     * lives inside the top-`PaTopDeg` degree head (with the deterministic
@@ -923,6 +937,23 @@ object Graph {
     "g_modularity" -> ((s, dir) => modularityRun(
       s, GraphOps.lineitemSubgraph(s, dir, CcMod, CcQtyMax), LpRounds)),
 
+    // Strongly connected components of the DIRECTED graph — the classic
+    // [[graft.graph.Scc]] two-regime kernel: iterative Tarjan over the
+    // collected CSR under the edge ceiling, Orzan coloring supersteps
+    // (trim → forward max-color → backward containment, loud-failure
+    // convergence checks) past it. Canonical labeling (comp = min SCC
+    // member) is identical from both regimes. Runs on the
+    // quantity-thinned mod-997 subgraph: the full derivation collapses
+    // into one giant SCC at sf ≥ 0.01 (a trivial labeling), while
+    // qty ≤ [[SccQtyMax]] keeps a core-plus-periphery mix (588 SCCs at
+    // sf0.001, giant-core 993/997 at sf0.01). The oracle is the EXACT
+    // mutual-reachability definition via a recursive-CTE transitive
+    // closure — valid because the mod-997 node universe bounds the
+    // closure at ~1M pairs at any scale factor.
+    "g_scc" -> ((s, dir) => Scc.run(
+      s, GraphOps.lineitemSubgraph(s, dir, Mod, SccQtyMax),
+      SccFwdSteps, SccOuterRounds)),
+
     // Depth-limited multi-source BFS distances over the broadcast CSR —
     // hop labeling for the batch sources (see [[graft.graph.Bfs]]).
     "g_bfs" -> ((s, dir) => Bfs.batch(
@@ -1350,6 +1381,23 @@ object Graph {
                 BaseRmax, BaseSupersteps, BaseThreshold)}))
            |WHERE rk <= $TopK""".stripMargin,
       "g_edges" -> graphSql,
+      // EXACT mutual-reachability SCC: recursive-CTE transitive closure
+      // (bounded by the mod-997 node universe — ≤ ~1M closure pairs at
+      // any sf), comp = min over {v} ∪ mutual partners.
+      "g_scc" ->
+        s"""WITH RECURSIVE ed AS MATERIALIZED (
+           |  SELECT DISTINCT src, dst FROM
+           |  (${GraphOps.lineitemSubgraphSql(Mod, SccQtyMax)})),
+           |r AS (SELECT src AS a, dst AS b FROM ed
+           |  UNION
+           |  SELECT r.a, ed.dst AS b FROM r JOIN ed ON ed.src = r.b),
+           |nodes AS (SELECT src AS id FROM ed UNION SELECT dst FROM ed),
+           |mut AS (SELECT x.a AS v, x.b AS u FROM r x
+           |  JOIN r y ON y.a = x.b AND y.b = x.a)
+           |SELECT n.id AS node_id,
+           | least(n.id, coalesce(min(m.u), n.id)) AS comp
+           |FROM nodes n LEFT JOIN mut m ON m.v = n.id
+           |GROUP BY n.id""".stripMargin,
       "g_concomp" -> ConnectedComponents.oracleSql(
         GraphOps.lineitemSubgraphSql(CcMod, CcQtyMax), CcRounds),
       "g_label_prop" -> LabelProp.oracleSql(

@@ -16,6 +16,12 @@ import graft.{Scratch, Tables}
   */
 object Relational {
 
+  /** `q21_late_suppliers` late threshold (days after order date) and
+    * report size.
+    */
+  val QLateDays = 90L
+  val QLateTopN = 10
+
   /** `q19_distribution` body — the scale-safe spelling of per-status
     * PERCENT_RANK / CUME_DIST / NTILE(4). The hazard: `PARTITION BY
     * o_orderstatus` is a ~3-value key, so the window's per-partition
@@ -383,6 +389,46 @@ object Relational {
         .union(delta)
     }),
 
+    // TPC-H Q21-shaped double-correlated EXISTS: suppliers who were the
+    // ONLY late shipper in a multi-supplier order ("late" = shipped more
+    // than QLateDays after the order date — pure epoch arithmetic, no
+    // calendar function on either engine). The textbook formulation is
+    // EXISTS(other supplier) AND NOT EXISTS(other LATE supplier) — two
+    // correlated probes per line; the 100 TB spelling used here is the
+    // aggregate rewrite: per (order, supplier) fold a late flag, per
+    // order count suppliers and late suppliers, credit the single late
+    // supplier of orders with n_supp >= 2 and n_late = 1. Three
+    // map-side-combined shuffles on order-class keys — NO correlated
+    // re-probe of the fact table — while the DuckDB oracle runs the
+    // EXISTS formulation verbatim, proving the rewrite is semantics-
+    // preserving, not just plausible.
+    "q21_late_suppliers" -> ((s, dir) => {
+      val lo = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .selectExpr("l_orderkey AS okey", "l_suppkey AS skey",
+          "CASE WHEN unix_micros(l_shipdate) - unix_micros(o_orderdate) " +
+            s"> ${QLateDays * graft.queries.Events.DayUs} " +
+            "THEN 1 ELSE 0 END AS late")
+      val perSupp = lo.groupBy(col("okey"), col("skey"))
+        .agg(max(col("late")).as("late"))
+        .localCheckpoint(true) // order fold + the credit filter
+      val perOrd = perSupp.groupBy(col("okey"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
+      perSupp.where(col("late") === 1)
+        .join(perOrd.where(col("n_supp") >= 2 && col("n_late") === 1)
+          .select(col("okey")), Seq("okey"))
+        .groupBy(col("skey")).agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("skey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(QLateTopN)
+    }),
+
     // multi-way star join + grouped agg over dims (P5/J5 name-lookup shape).
     "q7_star_join" -> ((s, dir) => {
       val su = Tables(s, dir, "supplier")
@@ -399,6 +445,24 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // deliberately the textbook double-correlated-EXISTS formulation —
+    // the Spark row's aggregate rewrite must reproduce it exactly
+    "q21_late_suppliers" ->
+      s"""WITH lo AS MATERIALIZED (SELECT l_orderkey AS okey,
+         |  l_suppkey AS skey,
+         |  CASE WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate)
+         |    > ${QLateDays * graft.queries.Events.DayUs}
+         |    THEN 1 ELSE 0 END AS late
+         |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+         |cand AS (SELECT DISTINCT okey, skey FROM lo WHERE late = 1),
+         |credit AS (SELECT c.okey, c.skey FROM cand c
+         |  WHERE EXISTS (SELECT 1 FROM lo l2 WHERE l2.okey = c.okey
+         |    AND l2.skey <> c.skey)
+         |  AND NOT EXISTS (SELECT 1 FROM lo l3 WHERE l3.okey = c.okey
+         |    AND l3.skey <> c.skey AND l3.late = 1))
+         |SELECT s.s_name, count(*) AS numwait FROM credit
+         |JOIN supplier s ON s.s_suppkey = credit.skey
+         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT $QLateTopN""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
