@@ -502,6 +502,44 @@ object MediaOps {
     })
   }
 
+  final case class AudioVad(doc_id: Long, n_samples: Long, n_active: Long,
+      n_segments: Long, active_ratio: Double)
+
+  /** `m_media_audio_vad` activity threshold: a sample is "active" when
+    * |s| ≥ this (quarter full-scale).
+    */
+  val VadThreshold = 8192
+
+  /** Decode + energy-threshold voice-activity segmentation — the
+    * silence-trimming pass an audio ingest runs to split clips into
+    * speech-like segments: a sample is active when |s| ≥
+    * [[VadThreshold]], a segment is a maximal run of active samples
+    * (counted at its first sample), and the ratio is the single display
+    * division. All counters are exact integers off the decoded PCM;
+    * payloads never shuffle — one narrow row per clip leaves the task.
+    */
+  def decodeAudioVad(media: Dataset[Media]): Dataset[AudioVad] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val (_, s) = decodeWav(m.payload)
+      var (active, segs) = (0L, 0L)
+      var prev = false
+      var i = 0
+      while (i < s.length) {
+        val a = math.abs(s(i)) >= VadThreshold
+        if (a) {
+          active += 1
+          if (!prev) segs += 1
+        }
+        prev = a
+        i += 1
+      }
+      AudioVad(m.doc_id, s.length.toLong, active, segs,
+        if (s.length == 0) 0.0
+        else graft.text.TextOps.round6(active.toDouble / s.length))
+    })
+  }
+
   /** Decimating downsample (keep every `factor`-th decoded sample) — the
     * audio sibling of the image nearest-neighbor resize: integer index
     * arithmetic only, oracle-replayable.
@@ -571,6 +609,60 @@ object MediaOps {
   /** Pixel-entropy DataFrame for the query surface. */
   def entropyDf(spark: SparkSession, sfDir: String): DataFrame =
     pixelEntropy(imagesFromDocuments(spark, sfDir)).toDF()
+
+  final case class ImgSobel(doc_id: Long, w: Int, ih: Int,
+      n_interior: Long, edge_energy: Long, mean_grad: Double)
+
+  /** Integer Sobel gradient energy over the REAL-decoded grayscale — the
+    * sharpness/edge-density feature an image-quality gate reads (a
+    * near-zero energy is a flat/solid frame; extreme energy is noise).
+    * Grayscale is the aHash convention ((r+g+b)/3, integer floor
+    * division — the `graySql` spelling the oracle replays), the 3×3
+    * Sobel pair runs at every interior pixel, and energy = Σ |gx|+|gy|
+    * is an exact BIGINT — payload bytes never shuffle, one small row
+    * per image leaves the kernel.
+    */
+  def sobelEnergy(media: Dataset[Media]): Dataset[ImgSobel] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val img = decodePng(m.payload)
+      val w = img.getWidth
+      val h = img.getHeight
+      val g = Array.ofDim[Int](h, w)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          g(y)(x) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+            (rgb & 0xff)) / 3
+          x += 1
+        }
+        y += 1
+      }
+      var energy = 0L
+      var n = 0L
+      y = 1
+      while (y < h - 1) {
+        var x = 1
+        while (x < w - 1) {
+          val gx = g(y - 1)(x + 1) + 2 * g(y)(x + 1) + g(y + 1)(x + 1) -
+            g(y - 1)(x - 1) - 2 * g(y)(x - 1) - g(y + 1)(x - 1)
+          val gy = g(y + 1)(x - 1) + 2 * g(y + 1)(x) + g(y + 1)(x + 1) -
+            g(y - 1)(x - 1) - 2 * g(y - 1)(x) - g(y - 1)(x + 1)
+          energy += math.abs(gx) + math.abs(gy)
+          n += 1
+          x += 1
+        }
+        y += 1
+      }
+      ImgSobel(m.doc_id, w, h, n, energy,
+        graft.text.TextOps.round6(energy.toDouble / n))
+    })
+  }
+
+  def sobelDf(spark: SparkSession, sfDir: String): DataFrame =
+    sobelEnergy(imagesFromDocuments(spark, sfDir)).toDF()
 
   final case class ImgHist(doc_id: Long, channel: Int, bin: Int, c: Long)
 

@@ -225,6 +225,25 @@ object Events {
     (parts.select(col("bucket")).distinct(), HhK * threshold > numParts * maxNp)
   }
 
+  /** `ev_bitmap_retention`'s per-user state table `(user_id, f, mask)` —
+    * first-seen day + the 60-bit activity bitmask anchored at it.
+    * Extracted so the [[graft.streaming.EventStreams.bitmapState]]
+    * streaming twin can pin stream ≡ batch on the mask itself.
+    */
+  private[graft] def retentionMasks(s: SparkSession,
+      dir: String): DataFrame = {
+    val ud = Tables(s, dir, "events")
+      .selectExpr("user_id", s"unix_micros(ts) div $DayUs AS day")
+      .distinct()
+      .localCheckpoint(true) // feeds first-day agg and the mask fold
+    val first = ud.groupBy("user_id").agg(min(col("day")).as("f"))
+    ud.join(first, Seq("user_id"))
+      .where(col("day") - col("f") < RetentionBitDays)
+      .selectExpr("user_id", "f",
+        "shiftleft(CAST(1 AS BIGINT), CAST(day - f AS INT)) AS bit")
+      .groupBy("user_id", "f").agg(expr("bit_or(bit)").as("mask"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact heavy hitters with a Misra-Gries prefilter — the
     // frequent-items member of the sketch family (KMV/CMS/HLL/quantiles
@@ -806,16 +825,8 @@ object Events {
     // table (bounded explode) → counts; cohort size is a 1-row
     // broadcast. Integer end-to-end; k = 0 is the cohort itself.
     "ev_bitmap_retention" -> ((s, dir) => {
-      val ud = Tables(s, dir, "events")
-        .selectExpr("user_id", s"unix_micros(ts) div $DayUs AS day")
-        .distinct()
-        .localCheckpoint(true) // feeds first-day agg and the mask fold
-      val first = ud.groupBy("user_id").agg(min(col("day")).as("f"))
-      val mask = ud.join(first, Seq("user_id"))
-        .where(col("day") - col("f") < RetentionBitDays)
-        .selectExpr("user_id",
-          "shiftleft(CAST(1 AS BIGINT), CAST(day - f AS INT)) AS bit")
-        .groupBy("user_id").agg(expr("bit_or(bit)").as("mask"))
+      val mask = retentionMasks(s, dir)
+        .select(col("user_id"), col("mask"))
         .localCheckpoint(true) // curve probe + cohort count
       val curve = mask
         .selectExpr(s"explode(sequence(0, ${RetentionBitDays - 1})) AS k",

@@ -46,6 +46,11 @@ object Media {
     // side; the oracle replays the generative pixel model's histogram.
     "m_media_img_entropy" -> ((s, dir) => MediaOps.entropyDf(s, dir)),
     "m_media_img_hist" -> ((s, dir) => MediaOps.histDf(s, dir)),
+
+    // Integer Sobel edge energy over the real-decoded grayscale — see
+    // [[MediaOps.sobelEnergy]]; the oracle replays the generative raster
+    // and the identical integer convolution.
+    "m_media_img_sobel" -> ((s, dir) => MediaOps.sobelDf(s, dir)),
     "m_media_frames" -> ((s, dir) => MediaOps.framesDf(s, dir)),
     "m_media_resize" -> ((s, dir) => MediaOps.resizedDf(s, dir)),
 
@@ -182,6 +187,17 @@ object Media {
         .toDF()
     }),
 
+    // Voice-activity segmentation over the decoded PCM — see
+    // [[MediaOps.decodeAudioVad]]: active-sample count, maximal-run
+    // segment count, display ratio; all-integer moments, generative
+    // oracle replay like its audio siblings.
+    "m_media_audio_vad" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      MediaOps.decodeAudioVad(MediaOps.audiosFrom(
+        graft.Tables(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .toDF()
+    }),
+
     // Binary-payload exact dedup — the multimodal twin of
     // `d_dedup_exact`: group on the fixed-width (checksum, n_pixels)
     // CONTENT key computed from the decoded raster (payload bytes never
@@ -216,6 +232,22 @@ object Media {
   private def pix(i: String, f: String = "0"): String =
     s"(${graft.text.TextOps.duck.kmvMix(
       s"((th + 7919 * ($f) + ($i)) % ${MediaOps.P})")} % 256)"
+
+  /** One interior-pixel Sobel term |gx| + |gy| for `m_media_img_sobel`:
+    * `i` enumerates interior pixels row-major ((w−2)·(ih−2) of them),
+    * `gs` is the 1-based row-major grayscale list, and the 3×3 taps are
+    * integer list lookups — the exact convolution
+    * [[MediaOps.sobelEnergy]] runs over the decoded raster.
+    */
+  private def sobelTermSql: String = {
+    def gAt(dx: Int, dy: Int): String =
+      s"gs[(1 + i // (w - 2) + ($dy)) * w + (1 + i % (w - 2) + ($dx)) + 1]"
+    val gx = s"${gAt(1, -1)} + 2 * ${gAt(1, 0)} + ${gAt(1, 1)} - " +
+      s"${gAt(-1, -1)} - 2 * ${gAt(-1, 0)} - ${gAt(-1, 1)}"
+    val gy = s"${gAt(-1, 1)} + 2 * ${gAt(0, 1)} + ${gAt(1, 1)} - " +
+      s"${gAt(-1, -1)} - 2 * ${gAt(0, -1)} - ${gAt(1, -1)}"
+    s"abs($gx) + abs($gy)"
+  }
 
   /** Raster checksum of frame `f` under the generative model: fold over
     * the w·ih·3 channel values. Expects columns `w`, `ih`, `th` in scope.
@@ -325,6 +357,24 @@ object Media {
          |      (u - 32768) * (u - 32768))) AS DOUBLE) / CAST(n AS DOUBLE))
          |    END AS rms
          |FROM au""".stripMargin,
+    "m_media_audio_vad" ->
+      s"""$audioCte,
+         |vf AS (SELECT doc_id, n,
+         |  CAST(coalesce(list_sum(list_transform(us, u ->
+         |    CASE WHEN abs(u - 32768) >= ${MediaOps.VadThreshold}
+         |      THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_active,
+         |  CAST(coalesce(list_sum(list_transform(range(0, n), i ->
+         |    CASE WHEN abs(us[CAST(i + 1 AS INT)] - 32768) >=
+         |        ${MediaOps.VadThreshold}
+         |      AND (i = 0 OR abs(us[CAST(i AS INT)] - 32768) <
+         |        ${MediaOps.VadThreshold})
+         |    THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_segments
+         |  FROM au)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, n_active,
+         |  n_segments,
+         |  CASE WHEN n = 0 THEN 0.0
+         |    ELSE round(CAST(n_active AS DOUBLE) / n, 6) END AS active_ratio
+         |FROM vf""".stripMargin,
     "m_media_audio_downsample" ->
       s"""$audioCte
          |SELECT doc_id, CAST((n + 1) // 2 AS BIGINT) AS n_out,
@@ -380,6 +430,25 @@ object Media {
          |  3 AS channels, CAST(w * ih AS BIGINT) AS n_pixels,
          |  ${rasterChecksum("0")} AS checksum
          |FROM p""".stripMargin,
+    "m_media_img_sobel" ->
+      s"""${paramsCte()},
+         |g AS MATERIALIZED (SELECT doc_id, w, ih, u.k AS k,
+         |  (${pix("3 * u.k + 0")} + ${pix("3 * u.k + 1")} +
+         |   ${pix("3 * u.k + 2")}) // 3 AS gv
+         |  FROM p, UNNEST(range(0, w * ih)) AS u(k)),
+         |gl AS MATERIALIZED (SELECT doc_id, w, ih,
+         |  list(gv ORDER BY k) AS gs FROM g GROUP BY 1, 2, 3),
+         |en AS (SELECT doc_id, w, ih,
+         |  CAST((w - 2) * (ih - 2) AS BIGINT) AS n_interior,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(0, (w - 2) * (ih - 2)),
+         |      i -> $sobelTermSql)), (a, x) -> a + x) AS BIGINT)
+         |    AS edge_energy
+         |  FROM gl)
+         |SELECT doc_id, CAST(w AS INT) AS w, CAST(ih AS INT) AS ih,
+         |  n_interior, edge_energy,
+         |  round(CAST(edge_energy AS DOUBLE) / n_interior, 6) AS mean_grad
+         |FROM en""".stripMargin,
     "m_media_img_entropy" ->
       s"""${paramsCte()},
          |px AS MATERIALIZED (SELECT doc_id, ${pix("u.i")} AS v

@@ -22,6 +22,12 @@ object Relational {
   val QLateDays = 90L
   val QLateTopN = 10
 
+  /** `q22_idle_customers` lapse cutoff: a customer is "idle" when no
+    * order lands on/after this date (every synthetic customer has at
+    * least one order, so plain NOT-EXISTS-any-order is vacuous here).
+    */
+  val Q22Cutoff = "2000-01-01"
+
   /** `q19_distribution` body — the scale-safe spelling of per-status
     * PERCENT_RANK / CUME_DIST / NTILE(4). The hazard: `PARTITION BY
     * o_orderstatus` is a ~3-value key, so the window's per-partition
@@ -429,6 +435,38 @@ object Relational {
         .limit(QLateTopN)
     }),
 
+    // TPC-H Q22-shaped "global sales opportunity": customers with an
+    // above-average positive balance and NO RECENT orders (none on or
+    // after [[Q22Cutoff]] — every synthetic customer has SOME order, so
+    // the lapsed-customer cutoff is what makes the set non-trivial),
+    // grouped by nation. The textbook form compares against a float AVG
+    // scalar subquery — a cross-engine boundary hazard (summation order
+    // flips the threshold at the last ulp). Here the comparison is
+    // EXACT: cents·n_pos > Σcents over BIGINT micro-units, algebraically
+    // the same predicate with no division anywhere. One 1-row broadcast
+    // (the positive-balance moments), one anti-join against the distinct
+    // recent-order custkeys (date filter pushed to the orders scan,
+    // 8-byte key shuffle), one group-by over the nation dimension;
+    // balances aggregate as exact cents with the single display
+    // division at the end.
+    "q22_idle_customers" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val pos = cust.where(col("cents") > 0)
+        .agg(count(lit(1)).as("n_pos"), sum(col("cents")).as("s_pos"))
+      cust.crossJoin(broadcast(pos))
+        .where(col("cents") * col("n_pos") > col("s_pos"))
+        .join(Tables(s, dir, "orders")
+          .where(col("o_orderdate") >= lit(Q22Cutoff).cast("timestamp"))
+          .select(col("o_custkey").as("c_custkey")).distinct(),
+          Seq("c_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("tc"))
+        .selectExpr("c_nationkey", "n_cust",
+          "CAST(tc AS DOUBLE) / 100.0 AS total_bal")
+    }),
+
     // multi-way star join + grouped agg over dims (P5/J5 name-lookup shape).
     "q7_star_join" -> ((s, dir) => {
       val su = Tables(s, dir, "supplier")
@@ -463,6 +501,20 @@ object Relational {
          |SELECT s.s_name, count(*) AS numwait FROM credit
          |JOIN supplier s ON s.s_suppkey = credit.skey
          |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT $QLateTopN""".stripMargin,
+    // the NOT EXISTS formulation with the same integer-exact threshold
+    "q22_idle_customers" ->
+      s"""WITH cc AS MATERIALIZED (SELECT c_custkey, c_nationkey,
+         |  CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+         |pos AS (SELECT count(*) AS n_pos,
+         |  CAST(sum(cents) AS BIGINT) AS s_pos FROM cc WHERE cents > 0)
+         |SELECT c_nationkey, count(*) AS n_cust,
+         | CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0 AS total_bal
+         |FROM cc, pos
+         |WHERE cents * n_pos > s_pos
+         | AND NOT EXISTS (SELECT 1 FROM orders o
+         |   WHERE o.o_custkey = cc.c_custkey
+         |     AND o.o_orderdate >= TIMESTAMP '$Q22Cutoff')
+         |GROUP BY c_nationkey""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

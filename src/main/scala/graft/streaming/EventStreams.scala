@@ -374,6 +374,66 @@ object EventStreams {
       }
   }
 
+  final case class BEv(user_id: Long, ts: java.sql.Timestamp)
+
+  final case class BitmapSt(first_day: Long, mask: Long)
+
+  final case class BitmapOut(user_id: Long, first_day: Long, mask: Long)
+
+  /** Per-user retention bitmask accumulation — the streaming twin of the
+    * `ev_bitmap_retention` mask table ([[graft.queries.Events
+    * .retentionMasks]]): state per user is (first-seen day, 60-bit
+    * activity mask anchored at it) — 16 bytes per user, the
+    * roaring-bitmap audience state. Emits the updated snapshot whenever
+    * the mask changes (Update mode; the `latestState` monotone-snapshot
+    * discipline — the LAST emission per user IS the batch row). Unlike
+    * the ewma twin this one needs NO arrival-order contract at all: an
+    * arrival EARLIER than the held first day REBASES the mask
+    * (mask << (f − f') masked back to the 60-bit window, bit 0 set for
+    * the new first day) — exactly the batch min-anchored semantics, so
+    * stream ≡ batch under ANY permutation of the feed.
+    */
+  def bitmapState(events: Dataset[BEv]): Dataset[BitmapOut] = {
+    import events.sparkSession.implicits._
+    val DayUs = graft.queries.Events.DayUs
+    val W = graft.queries.Events.RetentionBitDays
+    val window = (1L << W) - 1L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BitmapSt, BitmapOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[BitmapSt]) =>
+          def dayOf(e: BEv): Long = {
+            val us = math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+              e.ts.getNanos / 1000L
+            math.floorDiv(us, DayUs)
+          }
+          val days = it.map(dayOf).toSeq.distinct
+          if (days.isEmpty) Iterator.empty
+          else {
+            val held = state.getOption
+            var st = held.getOrElse(BitmapSt(days.min, 0L))
+            days.foreach { d =>
+              if (d < st.first_day) {
+                // rebase: shift the window to the new anchor; offsets
+                // pushed past W − 1 fall out, same as the batch filter
+                val shift = (st.first_day - d).toInt
+                val shifted =
+                  if (shift >= W) 0L else (st.mask << shift) & window
+                st = BitmapSt(d, shifted | 1L)
+              } else if (d - st.first_day < W) {
+                st = st.copy(mask = st.mask | (1L << (d - st.first_day)))
+              } // beyond the window: absorbed, same as batch
+            }
+            if (held.contains(st)) Iterator.empty
+            else {
+              state.update(st)
+              Iterator.single(BitmapOut(uid, st.first_day, st.mask))
+            }
+          }
+      }
+  }
+
   /** Per-user event-type transition extraction with carried last-event
     * state — the streaming stage under `ev_markov`'s bigram counts: each
     * user's state is their last seen event, and every arrival emits one

@@ -118,6 +118,35 @@ class MediaOpsSpec extends SparkSpec {
     }
   }
 
+  test("sobelEnergy: a solid image scores zero; a vertical step edge " +
+      "matches the analytic convolution; bench rows are self-consistent") {
+    val s = spark
+    import s.implicits._
+    val solid = handPng(6, 6, (_, _) => 0x808080)
+    // step at x = 2|3: gray 0 left, 255 right → gx = 4·255 at x ∈ {2,3},
+    // gy = 0 everywhere → energy = 4 rows × 2 cols × 1020 = 8160
+    val step = handPng(6, 6, { case (x, _) =>
+      if (x < 3) 0x000000 else 0xffffff })
+    val got = MediaOps.sobelEnergy(Seq(
+      MediaOps.Media(1L, "image/png", solid),
+      MediaOps.Media(2L, "image/png", step)).toDS()).collect()
+      .map(e => e.doc_id -> e).toMap
+    assert(got(1L) == MediaOps.ImgSobel(1L, 6, 6, 16L, 0L, 0.0))
+    assert(got(2L).edge_energy == 8160L && got(2L).n_interior == 16L)
+    assert(got(2L).mean_grad == 510.0)
+    // bench corpus: real decoded rasters — interior count is exactly
+    // (w−2)(ih−2), the mean is the single rounded division, and the
+    // whitened generative pixels always have edges
+    val bench = MediaOps.sobelDf(spark, sfDir).collect()
+    assert(bench.nonEmpty)
+    bench.foreach { r =>
+      assert(r.getLong(3) == (r.getInt(1) - 2L) * (r.getInt(2) - 2L))
+      assert(r.getLong(4) > 0L)
+      assert(r.getDouble(5) == graft.text.TextOps.round6(
+        r.getLong(4).toDouble / r.getLong(3)))
+    }
+  }
+
   test("channelHist: hand-built rasters land in exactly the right " +
       "bins; the full 3x16 grid emits with zero buckets; generative " +
       "corpus replays the pixel formula") {
@@ -382,6 +411,48 @@ class MediaOpsSpec extends SparkSpec {
         (a * 31 + MediaOps.audioSample(th, i)) % MediaOps.P)
       assert(metas(id).getLong(4) == n.toLong)
       assert(metas(id).getLong(7) == want)
+    }
+  }
+
+  test("audio vad: hand-built clip counts maximal active runs exactly; " +
+      "generative clips replay the threshold formula") {
+    val s = spark
+    import s.implicits._
+    // active flags at |s| >= 8192: T T F F T F T → 4 active, 3 segments
+    val samples = Array(9000, 10000, 0, -100, -9000, 8191, 8192)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      pcm(2 * i) = (v & 0xff).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val got = MediaOps.decodeAudioVad(
+      Seq(MediaOps.Media(7L, "audio/wav", bos.toByteArray)).toDS()).collect()(0)
+    assert(got == MediaOps.AudioVad(7L, 7L, 4L, 3L,
+      graft.text.TextOps.round6(4.0 / 7)))
+
+    // generative clips: rows must equal the per-sample threshold formula
+    // the oracle replays
+    val vads = graft.queries.Media.queries("m_media_audio_vad")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val texts = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(vads.keySet == texts.keySet)
+    texts.take(10).foreach { case (id, t) =>
+      val th = MediaOps.byteHash(t.getBytes("UTF-8"))
+      val n = MediaOps.audioSamplesOf(th)
+      val act = (0 until n).map(i =>
+        math.abs(MediaOps.audioSample(th, i) - 32768) >= MediaOps.VadThreshold)
+      val segs = (0 until n).count(i => act(i) && (i == 0 || !act(i - 1)))
+      val r = vads(id)
+      assert(r.getLong(1) == n.toLong &&
+        r.getLong(2) == act.count(identity).toLong &&
+        r.getLong(3) == segs.toLong)
     }
   }
 

@@ -107,6 +107,72 @@ class PipelineQueriesSpec extends SparkSpec {
       "churned ∪ retained = all 1995 customers")
   }
 
+  test("q21_late_suppliers: the aggregate rewrite equals the literal " +
+      "EXISTS/NOT-EXISTS semantics replayed in memory") {
+    import org.apache.spark.sql.functions.col
+    val got = Relational.queries("q21_late_suppliers")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+    val od = graft.Tables(spark, sfDir, "orders")
+      .selectExpr("o_orderkey", "unix_micros(o_orderdate) AS ous")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = graft.Tables(spark, sfDir, "lineitem")
+      .selectExpr("l_orderkey", "l_suppkey", "unix_micros(l_shipdate) AS sus")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lateUs = Relational.QLateDays * Events.DayUs
+    val perOrder = li.groupBy(_._1).map { case (ok, ls) =>
+      val bySupp = ls.groupBy(_._2).view
+        .mapValues(_.exists(t => t._3 - od(ok) > lateUs)).toMap
+      ok -> bySupp
+    }
+    // literal semantics: supplier s credited in order o iff s late,
+    // EXISTS another supplier, NOT EXISTS another late supplier
+    val credit = perOrder.toSeq.flatMap { case (_, bySupp) =>
+      bySupp.collect { case (s0, true)
+        if bySupp.size >= 2 && bySupp.count(_._2) == 1 => s0 }
+    }
+    val names = graft.Tables(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = credit.groupBy(identity).map { case (s0, xs) =>
+      (names(s0), xs.size.toLong)
+    }.toSeq.sortBy { case (n, c) => (-c, n) }.take(Relational.QLateTopN)
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("q22_idle_customers: integer-exact threshold equals the float-avg " +
+      "semantics and every reported customer group has no orders") {
+    val got = Relational.queries("q22_idle_customers")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val cust = graft.Tables(spark, sfDir, "customer")
+      .selectExpr("c_custkey", "CAST(c_nationkey AS LONG) AS c_nationkey",
+        "CAST(round(c_acctbal * 100) AS LONG) AS cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ordered = graft.Tables(spark, sfDir, "orders")
+      .where(org.apache.spark.sql.functions.col("o_orderdate") >=
+        org.apache.spark.sql.functions.lit(Relational.Q22Cutoff)
+          .cast("timestamp"))
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val pos = cust.map(_._3).filter(_ > 0)
+    val (nPos, sPos) = (pos.length.toLong, pos.sum)
+    val want = cust
+      .filter { case (ck, _, c) => c * nPos > sPos && !ordered(ck) }
+      .groupBy(_._2).map { case (nk, xs) =>
+        nk -> ((xs.length.toLong,
+          xs.map(_._3).sum.toDouble / 100.0))
+      }
+    assert(want.nonEmpty && got == want)
+    // the integer predicate IS the above-average predicate
+    cust.foreach { case (_, _, c) =>
+      assert((c * nPos > sPos) ==
+        (c.toDouble > sPos.toDouble / nPos.toDouble) ||
+        c.toDouble == sPos.toDouble / nPos.toDouble)
+    }
+  }
+
   test("q19_distribution: ratios replay from per-partition ranks and " +
       "ntile groups differ in size by at most one") {
     val rows = Relational.queries("q19_distribution")(spark, sfDir)

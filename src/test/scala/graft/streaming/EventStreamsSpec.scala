@@ -658,6 +658,45 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bitmapState ≡ the batch retention mask table under a FULLY " +
+      "shuffled feed (rebase handles out-of-order first arrivals)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[BEv]
+    val q = bitmapState(input.toDS()).writeStream
+      .format("memory").queryName("bmstate").outputMode("update").start()
+    try {
+      // NO time ordering at all — the rebase makes the twin
+      // permutation-invariant, stronger than the ewma in-order contract
+      val rows = Tables(spark, sfDir, "events")
+        .select(col("user_id"), col("ts")).as[BEv].collect()
+      val rnd = new scala.util.Random(11)
+      rnd.shuffle(rows.toSeq)
+        .grouped(math.max(1, rows.length / 4 + 1)).foreach { b =>
+          input.addData(b); q.processAllAvailable()
+        }
+      // the final snapshot per user: minimum anchor, then the largest
+      // mask emitted at that anchor (masks only grow once the anchor
+      // settles)
+      val emitted = spark.table("bmstate").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val fin = emitted.groupBy(_._1).map { case (u, es) =>
+        val f = es.map(_._2).min
+        u -> ((f, es.filter(_._2 == f).map(_._3).max))
+      }
+      val batch = graft.queries.Events.retentionMasks(spark, sfDir)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      assert(batch.nonEmpty && fin == batch)
+      // replaying an already-absorbed event emits nothing
+      val before = spark.table("bmstate").count()
+      input.addData(Seq(rows.head)); q.processAllAvailable()
+      assert(spark.table("bmstate").count() == before, "duplicate emitted")
+    } finally q.stop()
+  }
+
   test("ewmaState ≡ batch ev_ewma on every closed day, across mid-day " +
       "micro-batch splits and shuffled within-batch arrival order") {
     val s = spark
