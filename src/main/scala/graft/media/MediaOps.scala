@@ -656,8 +656,13 @@ object MediaOps {
         }
         y += 1
       }
+      // degenerate rasters (w < 3 or h < 3) have NO interior pixel:
+      // n = 0, and round6(energy / 0) would throw (BigDecimal(NaN)) —
+      // the silence convention of decodeAudioGate/decodeAudioVad
+      // applies: an edge-free frame reads mean_grad 0.0.
       ImgSobel(m.doc_id, w, h, n, energy,
-        graft.text.TextOps.round6(energy.toDouble / n))
+        if (n == 0) 0.0
+        else graft.text.TextOps.round6(energy.toDouble / n))
     })
   }
 

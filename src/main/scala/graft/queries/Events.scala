@@ -852,6 +852,10 @@ object Events {
     // so even the 4-deep float chain is bit-identical across engines
     // (round-6 is display only). At corpus scale nothing here grows:
     // moments are mergeable partials, the pair join is |types|².
+    // Types with a single active day carry no variance — (n−1) would be
+    // a division by zero whose null/∞ behavior differs across engines —
+    // so the n ≥ 2 filter runs identically on both sides (a Welch test
+    // is undefined for a one-point sample, not zero).
     "ev_ab_welch" -> ((s, dir) => {
       val mom = Tables(s, dir, "events")
         .groupBy(col("event_type"),
@@ -860,6 +864,7 @@ object Events {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"),
           sum(expr("cents * cents")).as("sxx"))
+        .where(col("n") >= 2)
         .localCheckpoint(true) // both sides of the |types|² pair join
       mom.as("a").join(broadcast(mom.as("b")),
           col("a.event_type") < col("b.event_type"))
@@ -1471,7 +1476,7 @@ object Events {
          |mom AS MATERIALIZED (SELECT event_type, count(*) AS n,
          |  CAST(sum(cents) AS BIGINT) AS sx,
          |  CAST(sum(cents * cents) AS BIGINT) AS sxx
-         | FROM daily GROUP BY 1),
+         | FROM daily GROUP BY 1 HAVING count(*) >= 2),
          |p1 AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
          |  a.n AS n_a, b.n AS n_b,
          |  CAST(a.sx AS DOUBLE) / a.n AS m_a,

@@ -55,11 +55,14 @@ object Graph {
     */
   val SccQtyMax = 6
 
-  /** `g_pref_attach` head size: the exact global top-N by deg(u)·deg(v)
-    * lives inside the top-`PaTopDeg` degree head (with the deterministic
-    * (dg desc, id) boundary tie-break shared by both engines), so the
-    * candidate space is PaTopDeg²/2 pairs — broadcast-sized at any graph
-    * scale.
+  /** `g_pref_attach` head size: candidates come from the top-`PaTopDeg`
+    * degree head (deterministic (dg desc, id) boundary tie-break shared
+    * by both engines), so the candidate space is PaTopDeg²/2 pairs —
+    * broadcast-sized at any graph scale. The head restriction alone is
+    * NOT sufficient for global exactness once the adjacency anti-join
+    * runs (on a hub near-clique an outside pair d₁·d₆₅ can outrank a
+    * surviving inside pair), so the row carries a plan-embedded
+    * dominance guard — see the `g_pref_attach` row comment.
     */
   val PaTopDeg = 64
   /** `g_pref_attach` report size (global top-N, total-ordered). */
@@ -308,6 +311,67 @@ object Graph {
         Seq("u", "v"), "left_anti")
       .orderBy(col("aa").desc, col("u"), col("v"))
       .limit(topN)
+  }
+
+  /** `g_pref_attach`'s body over an undirected `(a, b)` edge list
+    * (a < b, deduped, checkpointed by the caller): the global top-`topN`
+    * non-adjacent pairs by deg(u)·deg(v), candidates restricted to the
+    * top-`topDeg` degree head, with EXACTNESS ENFORCED by a
+    * plan-embedded dominance guard. The head restriction alone is not
+    * sufficient once the adjacency anti-join runs (an outside pair
+    * dmax·dbnd can outrank a surviving inside pair on a hub
+    * near-clique), so the guard requires (a) the head yields `topN`
+    * surviving pairs and (b) their minimum score STRICTLY beats
+    * dmax·dbnd, where dbnd is the highest degree beyond the head
+    * boundary (rank topDeg+1 in the (dg desc, id) total order; 0 when
+    * the head covers the graph) — strict, because at score equality an
+    * outside pair could still displace a reported one under the
+    * (pa desc, u, v) tie-break. Fails loudly naming `topDeg` as the
+    * knob; every stage is broadcast-sized off one degree aggregate.
+    */
+  private[graft] def prefAttach(und: DataFrame, topDeg: Int,
+      topN: Int): DataFrame = {
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("dg"))
+    val headPlus = deg.orderBy(col("dg").desc, col("id"))
+      .limit(topDeg + 1).localCheckpoint(true)
+    val top = headPlus.orderBy(col("dg").desc, col("id")).limit(topDeg)
+      .localCheckpoint(true) // head set: pair sides + 2 edge semi-joins
+    val topEdges = und
+      .join(broadcast(top.select(col("id").as("a"))), Seq("a"), "left_semi")
+      .join(broadcast(top.select(col("id").as("b"))), Seq("b"), "left_semi")
+    val pairs = top.select(col("id").as("u"), col("dg").as("du"))
+      .join(top.select(col("id").as("v"), col("dg").as("dv")),
+        col("u") < col("v"))
+    val ranked = pairs
+      .join(topEdges.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+      .select(col("u"), col("v"), col("du"), col("dv"),
+        (col("du") * col("dv")).as("pa"))
+      .orderBy(col("pa").desc, col("u"), col("v"))
+      .limit(topN)
+    val bound = headPlus
+      .join(broadcast(top.select(col("id"), lit(1).as("inh"))),
+        Seq("id"), "left")
+      .agg(max(col("dg")).as("dmax"),
+        coalesce(max(when(col("inh").isNull, col("dg"))), lit(0L))
+          .as("dbnd"))
+    val chk = ranked.agg(min(col("pa")).as("minpa"),
+        count(lit(1)).as("npairs"))
+      .crossJoin(bound)
+      .select(assert_true(
+        col("npairs") === topN && col("minpa") > col("dmax") * col("dbnd"),
+        concat(lit(s"g_pref_attach: head of topDeg=$topDeg does not " +
+            "dominate — npairs="), col("npairs"),
+          lit(s" (need $topN), min(top-N pa)="), col("minpa"),
+          lit(" must strictly beat dmax*dbnd="),
+          col("dmax") * col("dbnd"),
+          lit(" — raise the head size until the boundary bound holds")))
+        .as("ok"))
+    ranked.crossJoin(broadcast(chk)).where(col("ok").isNull)
+      .select(col("u"), col("v"), col("du"), col("dv"), col("pa"))
+      .orderBy(col("pa").desc, col("u"), col("v"))
   }
 
   /** The per-node triangle family's shared wedge body over an undirected
@@ -719,39 +783,31 @@ object Graph {
 
     // Preferential-attachment link prediction: score(u,v) = deg(u)·deg(v)
     // over non-adjacent candidate pairs (Barabási–Albert growth model;
-    // the classic cheap baseline next to CN/AA above). PA is maximized
-    // by high-degree endpoints, so the EXACT global top-N needs only the
-    // top-`PaTopDeg` nodes by degree (any pair outside scores below every
-    // pair inside, up to the deterministic boundary tie-break) — the
-    // 100 TB shape is: one degree aggregate, a `PaTopDeg`-row
-    // TakeOrdered head, and from there everything is broadcast-sized:
-    // candidate edges come from TWO broadcast semi-joins of the edge
-    // list against the head set (never an anti-join that shuffles the
-    // full edge table), pairs × edges anti-join is tiny × tiny, and the
-    // score is an exact BIGINT product with a (pa desc, u, v) total
-    // order.
+    // the classic cheap baseline next to CN/AA above). Candidates come
+    // from the top-`PaTopDeg` degree head — but the head restriction
+    // ALONE does not make the top-N globally exact: the adjacency
+    // anti-join runs after the head cut, so on a hub near-clique a
+    // non-adjacent pair (d₁, d₆₅) with one endpoint OUTSIDE the head can
+    // outrank a surviving inside pair (d₆₃, d₆₄). Exactness is therefore
+    // ENFORCED, not assumed, by a plan-embedded dominance guard (the
+    // aaCap/assert_true discipline): every outside pair scores ≤
+    // dmax·dbnd (dbnd = the max degree beyond the head boundary), so the
+    // row fails loudly — naming PaTopDeg as the knob — unless the head
+    // yields PaTopN survivors whose minimum score strictly beats that
+    // bound. The 100 TB shape is: one degree aggregate, a
+    // (PaTopDeg+1)-row TakeOrdered head, and from there everything is
+    // broadcast-sized: candidate edges come from TWO broadcast
+    // semi-joins of the edge list against the head set (never an
+    // anti-join that shuffles the full edge table), pairs × edges
+    // anti-join is tiny × tiny, the score is an exact BIGINT product
+    // with a (pa desc, u, v) total order, and the guard rides a 1-row
+    // aggregate crossJoined into the (PaTopN-row) result.
     "g_pref_attach" -> ((s, dir) => {
       val e = GraphOps.lineitemGraph(s, dir, TriMod)
       val und = e.select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b")).distinct()
         .localCheckpoint(true)
-      val deg = und.select(col("a").as("id"))
-        .unionAll(und.select(col("b").as("id")))
-        .groupBy("id").agg(count(lit(1)).as("dg"))
-      val top = deg.orderBy(col("dg").desc, col("id")).limit(PaTopDeg)
-        .localCheckpoint(true) // head set: pair sides + 2 edge semi-joins
-      val topEdges = und
-        .join(broadcast(top.select(col("id").as("a"))), Seq("a"), "left_semi")
-        .join(broadcast(top.select(col("id").as("b"))), Seq("b"), "left_semi")
-      val pairs = top.select(col("id").as("u"), col("dg").as("du"))
-        .join(top.select(col("id").as("v"), col("dg").as("dv")),
-          col("u") < col("v"))
-      pairs.join(topEdges.select(col("a").as("u"), col("b").as("v")),
-          Seq("u", "v"), "left_anti")
-        .select(col("u"), col("v"), col("du"), col("dv"),
-          (col("du") * col("dv")).as("pa"))
-        .orderBy(col("pa").desc, col("u"), col("v"))
-        .limit(PaTopN)
+      prefAttach(und, PaTopDeg, PaTopN)
     }),
 
     // k-core decomposition (fixed-horizon synchronous peeling): repeat

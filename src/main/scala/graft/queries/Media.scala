@@ -439,15 +439,18 @@ object Media {
          |gl AS MATERIALIZED (SELECT doc_id, w, ih,
          |  list(gv ORDER BY k) AS gs FROM g GROUP BY 1, 2, 3),
          |en AS (SELECT doc_id, w, ih,
-         |  CAST((w - 2) * (ih - 2) AS BIGINT) AS n_interior,
+         |  CAST(greatest(0, w - 2) * greatest(0, ih - 2) AS BIGINT)
+         |    AS n_interior,
          |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(range(0, (w - 2) * (ih - 2)),
+         |    list_transform(range(0, greatest(0, w - 2) * greatest(0, ih - 2)),
          |      i -> $sobelTermSql)), (a, x) -> a + x) AS BIGINT)
          |    AS edge_energy
          |  FROM gl)
          |SELECT doc_id, CAST(w AS INT) AS w, CAST(ih AS INT) AS ih,
          |  n_interior, edge_energy,
-         |  round(CAST(edge_energy AS DOUBLE) / n_interior, 6) AS mean_grad
+         |  CASE WHEN n_interior = 0 THEN 0.0
+         |    ELSE round(CAST(edge_energy AS DOUBLE) / n_interior, 6)
+         |    END AS mean_grad
          |FROM en""".stripMargin,
     "m_media_img_entropy" ->
       s"""${paramsCte()},

@@ -349,8 +349,15 @@ object EventStreams {
               e.ts.getNanos / 1000L
             math.floorDiv(us, DayUs)
           }
-          // exact cents per day — the batch query's integer discipline
-          val byDay = it.map(e => (dayOf(e), math.round(e.value * 100)))
+          // exact cents per day — the batch query's integer discipline.
+          // HALF_UP via BigDecimal (away from zero), NOT math.round
+          // (floor(x+0.5), half toward +∞): a negative value ending in
+          // .xx5 (a refund) must produce the same cents as the batch
+          // row's Spark round() or the claimed bit-identical stream ≡
+          // batch recurrence inputs break on the sign edge.
+          def cents(v: Double): Long = BigDecimal(v * 100)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          val byDay = it.map(e => (dayOf(e), cents(e.value)))
             .toSeq.groupMapReduce(_._1)(_._2)(_ + _).toSeq.sortBy(_._1)
           if (byDay.isEmpty) Iterator.empty
           else {

@@ -125,9 +125,75 @@ class LinkPredSpec extends SparkSpec {
       assert(!edges.contains((u, v)) && pa == du * dv &&
         hd(u) == du && hd(v) == dv)
     }
+    // the dominance bound the plan-embedded guard enforces must hold on
+    // the fixture — and it closes the exactness argument: every pair
+    // with an endpoint OUTSIDE the head scores <= dmax·dbnd, so the head
+    // answer (verified against head brute force above) IS the global
+    // top-N.
+    val dmax = deg.values.max
+    val dbnd = deg.toSeq.sortBy { case (id, dg) => (-dg, id) }
+      .drop(Graph.PaTopDeg).headOption.map(_._2).getOrElse(0L)
+    assert(got.last._5 > dmax * dbnd,
+      s"guard bound violated: min pa ${got.last._5} <= $dmax*$dbnd")
     // both the head cut and the report cut are map-side partial top-Ns
     assert(df.queryExecution.executedPlan.toString
       .contains("TakeOrderedAndProject"))
+  }
+
+  test("pref-attach dominance guard fires on a hub near-clique where " +
+      "the head answer is NOT the global top-N") {
+    import spark.implicits._
+    // 4 hubs (clique, plus private leaves -> degree 9 each) and six
+    // degree-3 mid nodes; head of topDeg=8 takes the hubs + 4 mids (id
+    // tie-break), leaving 2 mids outside with dbnd=3. Surviving head
+    // pairs are hub×mid and mid×mid with max score 27 = 9·3 — NOT
+    // strictly above dmax·dbnd = 27 (an outside (hub, mid) pair ties and
+    // can win the (pa desc, u, v) tie-break), so the guard must throw
+    // rather than report a restricted set as exact.
+    val hubs = 0L to 3L
+    val mids = 4L to 9L
+    val hubClique = for (i <- hubs; j <- hubs; if i < j) yield (i, j)
+    var leaf = 100L
+    val hubLeaves = hubs.flatMap { h =>
+      (1 to 6).map { _ => leaf += 1; (h, leaf) }
+    }
+    val midLeaves = mids.flatMap { m =>
+      (1 to 3).map { _ => leaf += 1; (m, leaf) }
+    }
+    val und = (hubClique ++ hubLeaves ++ midLeaves).toDF("a", "b")
+      .localCheckpoint(true)
+    val ex = intercept[Exception] {
+      Graph.prefAttach(und, topDeg = 8, topN = 3).collect()
+    }
+    assert(ex.getMessage.contains("does not dominate"),
+      s"wrong failure: ${ex.getMessage}")
+  }
+
+  test("pref-attach guard passes on a dominated head and the answer " +
+      "equals the GLOBAL brute force over all nodes") {
+    import spark.implicits._
+    // 5 mutually non-adjacent hubs with distinct degrees 50..46 via
+    // private leaves; head of topDeg=4 = hubs 0..3, dbnd = deg(4) = 46.
+    // min top-3 pa = 48·47 = 2256... compute brute-force globally.
+    val degs = Seq(50, 49, 48, 47, 46)
+    var leaf = 1000L
+    val undSeq = degs.zipWithIndex.flatMap { case (d, h) =>
+      (1 to d).map { _ => leaf += 1; (h.toLong, leaf) }
+    }
+    val und = undSeq.toDF("a", "b").localCheckpoint(true)
+    val got = Graph.prefAttach(und, topDeg = 4, topN = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
+    // global brute force over EVERY node (hubs and leaves)
+    val deg = undSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val edges = undSeq.toSet
+    val ids = deg.keys.toSeq.sorted
+    val want = (for {
+      u <- ids; v <- ids
+      if u < v && !edges.contains((u, v))
+    } yield (u, v, deg(u) * deg(v)))
+      .sortBy { case (u, v, pa) => (-pa, u, v) }.take(3)
+    assert(got == want)
   }
 
   test("a binding degree cap excludes hub centers by contract") {
