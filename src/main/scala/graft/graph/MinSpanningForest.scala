@@ -83,4 +83,86 @@ object MinSpanningForest {
     }
     forest
   }
+
+  /** DuckDB oracle: Borůvka replayed as unrolled CTEs — `outer` rounds,
+    * each recomputing the forest-so-far component labeling from scratch
+    * with `inner` unrolled jump-accelerated min-label steps (the
+    * [[ConnectedComponents.oracleSql]] schedule over forest edges only),
+    * then the per-label-class min-(w, a, b) pick via a windowed rank and
+    * the forest union. The ROUND STRUCTURE need not mirror [[run]]'s
+    * contraction bookkeeping: edges compare as the (w, a, b) total
+    * order, so any converged Borůvka yields THE unique MSF of that
+    * order — the same forest the Spark kernel and MsfSpec's Kruskal
+    * produce.
+    *
+    * SOUNDNESS does not depend on the labeling converging: a label
+    * class S (converged or not) defines the cut (S, V∖S), its pick is
+    * the minimum edge across that cut, and under a total order the
+    * cut-minimal edge is ALWAYS an MSF edge (cut property) — so an
+    * under-converged labeling can only re-pick forest edges already
+    * present (tree diameter ≫ graph diameter is exactly where the
+    * fixed `inner` budget lags; observed on the sf0.001 giant tree),
+    * never admit a wrong one. The final DISTINCT folds those
+    * re-picks. COMPLETENESS (every MSF edge arrived within `outer`
+    * rounds) is what the driver's row-count + hash compare against the
+    * converged Spark forest verifies at each scale. Every CTE is
+    * MATERIALIZED — DuckDB 1.0 inlines twice-referenced CTEs and an
+    * unrolled iteration would blow up exponentially otherwise.
+    *
+    * `graphSql` must yield directed `(src, dst)` pairs; `weightSql` is
+    * an expression over columns `a`/`b` (the canonicalized undirected
+    * endpoints). Output: the forest `(a, b, w)`.
+    */
+  def oracleSql(graphSql: String, weightSql: String, outer: Int,
+      inner: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH e0 AS MATERIALIZED ($graphSql),\n"
+    sb ++= "eu AS MATERIALIZED (SELECT a, b, CAST(" + weightSql +
+      " AS BIGINT) AS w FROM (SELECT DISTINCT least(src, dst) AS a, " +
+      "greatest(src, dst) AS b FROM e0)),\n"
+    sb ++= "nodes AS MATERIALIZED (SELECT DISTINCT a AS id FROM eu " +
+      "UNION SELECT b AS id FROM eu),\n"
+    sb ++= "f0 AS MATERIALIZED (SELECT a, b, w FROM eu WHERE 1 = 0),\n"
+    for (r <- 1 to outer) {
+      val pf = s"f${r - 1}"
+      sb ++= s"r${r}adj AS MATERIALIZED (SELECT a AS src, b AS dst " +
+        s"FROM $pf UNION ALL SELECT b AS src, a AS dst FROM $pf),\n"
+      // labels CARRY across rounds (round 1 starts from identity): a
+      // fresh identity restart would recompute the identical
+      // non-converged labeling once the forest stops growing — a fixed
+      // point short of the MSF (observed at sf0.01). Carried labels are
+      // sound by the same cut-property argument (any label class is an
+      // arbitrary cut side) and make the cumulative inner budget
+      // outer×inner steps, monotonically decreasing toward the true
+      // component minima.
+      sb ++= (if (r == 1)
+        s"r${r}l0 AS MATERIALIZED (SELECT id, id AS lab FROM nodes),\n"
+      else
+        s"r${r}l0 AS MATERIALIZED (SELECT id, lab FROM r${r - 1}l$inner),\n")
+      for (i <- 1 to inner) {
+        val pl = s"r${r}l${i - 1}"
+        sb ++= s"r${r}a$i AS MATERIALIZED (SELECT id, min(lab) AS lab " +
+          s"FROM (SELECT a.dst AS id, t.lab FROM r${r}adj a " +
+          s"JOIN $pl t ON a.src = t.id " +
+          s"UNION ALL SELECT id, lab FROM $pl) u GROUP BY id),\n"
+        sb ++= s"r${r}l$i AS MATERIALIZED (SELECT t.id, j.lab " +
+          s"FROM r${r}a$i t JOIN r${r}a$i j ON t.lab = j.id),\n"
+      }
+      sb ++= s"r${r}cr AS MATERIALIZED (SELECT e.a, e.b, e.w, " +
+        s"ca.lab AS ca, cb.lab AS cb FROM eu e " +
+        s"JOIN r${r}l$inner ca ON ca.id = e.a " +
+        s"JOIN r${r}l$inner cb ON cb.id = e.b WHERE ca.lab <> cb.lab),\n"
+      sb ++= s"r${r}ch AS MATERIALIZED (SELECT DISTINCT a, b, w FROM (" +
+        s"SELECT a, b, w, row_number() OVER (PARTITION BY c " +
+        s"ORDER BY w, a, b) AS rn FROM (" +
+        s"SELECT ca AS c, a, b, w FROM r${r}cr " +
+        s"UNION ALL SELECT cb AS c, a, b, w FROM r${r}cr) s) p " +
+        s"WHERE rn = 1),\n"
+      sb ++= s"f$r AS MATERIALIZED (SELECT a, b, w FROM f${r - 1} " +
+        s"UNION ALL SELECT a, b, w FROM r${r}ch),\n"
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= s"\nSELECT DISTINCT a, b, w FROM f$outer"
+    sb.toString
+  }
 }

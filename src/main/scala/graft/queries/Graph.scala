@@ -957,10 +957,10 @@ object Graph {
     // min-struct aggregate picks each component's lightest outgoing
     // edge, contraction reuses the CC kernel on the tiny picked-edge
     // graph. Edges compare as (w, a, b) — a total order, so the forest
-    // is unique and MsfSpec's driver-side Kruskal reproduces it
-    // edge-for-edge (no SQL oracle: union-find has no DuckDB spelling;
-    // the driver records the rows-only check, the spec carries the
-    // exactness).
+    // is unique: MsfSpec's driver-side Kruskal reproduces it
+    // edge-for-edge AND the DuckDB oracle replays it as unrolled
+    // Borůvka rounds (union-find per se has no SQL spelling, but a
+    // bounded exact Borůvka does — [[MinSpanningForest.oracleSql]]).
     "g_msf" -> ((s, dir) => {
       val e = GraphOps.lineitemSubgraph(s, dir, CcMod, CcQtyMax)
       val und = e.select(least(col("src"), col("dst")).as("a"),
@@ -1456,6 +1456,16 @@ object Graph {
            |GROUP BY n.id""".stripMargin,
       "g_concomp" -> ConnectedComponents.oracleSql(
         GraphOps.lineitemSubgraphSql(CcMod, CcQtyMax), CcRounds),
+      // unrolled Borůvka (any converged Borůvka under the (w, a, b)
+      // total order yields THE unique MSF — see MinSpanningForest
+      // .oracleSql); labels carry across rounds, so the inner budget of
+      // 10 compounds to 200 cumulative jump-accelerated steps over the
+      // MsfRounds horizon
+      "g_msf" -> graft.graph.MinSpanningForest.oracleSql(
+        GraphOps.lineitemSubgraphSql(CcMod, CcQtyMax),
+        graft.text.TextOps.duck.kmvMix(
+          s"(a * 1000003 + b) % ${graft.text.TextOps.P}") + " % 100000",
+        MsfRounds, 10),
       "g_label_prop" -> LabelProp.oracleSql(
         GraphOps.lineitemSubgraphSql(CcMod, CcQtyMax), LpRounds),
       // the LPA oracle nests as a parenthesized WITH-subquery; DuckDB's
