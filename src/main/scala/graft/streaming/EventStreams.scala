@@ -441,6 +441,66 @@ object EventStreams {
       }
   }
 
+  final case class ChurnSt(first_week: Long, prev_week: Long)
+
+  final case class ChurnOut(user_id: Long, week: Long, cls: String)
+
+  /** Per-user weekly lifecycle ledger — the streaming twin of the
+    * `ev_churn` growth-accounting split: state per user is (first-seen
+    * week, latest classified week) — 16 bytes, the canonical
+    * `flatMapGroupsWithState` shape — and each NEW week emits one
+    * classified `(user, week, cls)` row: `new` at the first week,
+    * `retained` when the previous week was active, `resurrected` after
+    * a gap, plus one `churned` marker at gap-start + 1 the moment a
+    * later arrival proves the gap (`churned` attributes to the first
+    * INACTIVE week, the batch `ev_churn` convention). Weeks inside a
+    * micro-batch fold in ascending order, so any in-order feed split
+    * reproduces the batch classification; an arrival for a week ≤ the
+    * classified frontier is absorbed silently (late data cannot rewrite
+    * an emitted class — the `ewmaState` contract). The one row set
+    * difference vs batch, pinned by the spec: each user's FINAL
+    * `churned` marker (last active week + 1) stays unemittable — no
+    * later arrival can prove the user gone rather than quiet.
+    * Downstream, the batch row's per-week counts are an ordinary
+    * streaming aggregation over this ledger.
+    */
+  def churnState(events: Dataset[BEv]): Dataset[ChurnOut] = {
+    import events.sparkSession.implicits._
+    val WeekUs = graft.queries.Events.WeekUs
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ChurnSt, ChurnOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[ChurnSt]) =>
+          def weekOf(e: BEv): Long = {
+            val us = math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+              e.ts.getNanos / 1000L
+            math.floorDiv(us, WeekUs)
+          }
+          val weeks = it.map(weekOf).toSeq.distinct.sorted
+          if (weeks.isEmpty) Iterator.empty
+          else {
+            val out = Seq.newBuilder[ChurnOut]
+            var st = state.getOption.orNull
+            weeks.foreach { w =>
+              if (st == null) {
+                out += ChurnOut(uid, w, "new")
+                st = ChurnSt(w, w)
+              } else if (w == st.prev_week + 1) {
+                out += ChurnOut(uid, w, "retained")
+                st = st.copy(prev_week = w)
+              } else if (w > st.prev_week + 1) {
+                out += ChurnOut(uid, st.prev_week + 1, "churned")
+                out += ChurnOut(uid, w, "resurrected")
+                st = st.copy(prev_week = w)
+              } // w <= prev_week: late row for a classified week — absorbed
+            }
+            state.update(st)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Per-user event-type transition extraction with carried last-event
     * state — the streaming stage under `ev_markov`'s bigram counts: each
     * user's state is their last seen event, and every arrival emits one

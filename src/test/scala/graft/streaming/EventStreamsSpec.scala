@@ -742,4 +742,89 @@ class EventStreamsSpec extends SparkSpec {
       assert(spark.table("ewstate").count() == before, "late day emitted")
     } finally q.stop()
   }
+
+  test("churnState ≡ the batch ev_churn classification on every " +
+      "provable row, across in-order micro-batch splits") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[BEv]
+    val q = churnState(input.toDS()).writeStream
+      .format("memory").queryName("chstate").outputMode("append").start()
+    try {
+      // per-user event-time order (the transitions/ewma deployment
+      // contract): a global ts sort split into sequential chunks is an
+      // in-order feed for every user. The sf0.001 table's span has no
+      // per-user weekly gap, so three SYNTHETIC users (ids far above the
+      // real range) are mixed in to exercise the churn and resurrection
+      // legs: weeks {0,1,3}, {0,2}, {5}.
+      val WeekUs = graft.queries.Events.WeekUs
+      val SynthBase = 10000000L
+      def synth(u: Long, w: Long) =
+        BEv(SynthBase + u, new java.sql.Timestamp(w * WeekUs / 1000L))
+      val synths = Seq(synth(1, 0), synth(1, 1), synth(1, 3),
+        synth(2, 0), synth(2, 2), synth(3, 5))
+      val rows = (Tables(spark, sfDir, "events")
+        .select(col("user_id"), col("ts")).as[BEv].collect() ++ synths)
+        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.user_id))
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      }
+      val emitted = spark.table("chstate").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+      // batch classification from the distinct (user, week) matrix —
+      // the exact ev_churn class definitions, plus the held-tail rule:
+      // each user's FINAL churned marker (last week + 1) is withheld
+      // (no later arrival can prove the user gone rather than quiet).
+      val uw = rows.map(e => (e.user_id,
+        math.floorDiv(math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+          e.ts.getNanos / 1000L, WeekUs))).distinct
+      val byUser = uw.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val want = byUser.flatMap { case (u, ws) =>
+        val fw = ws.min
+        val classes = ws.toSeq.map { w =>
+          if (w == fw) (u, w, "new")
+          else if (ws.contains(w - 1)) (u, w, "retained")
+          else (u, w, "resurrected")
+        }
+        val churned = ws.toSeq
+          .filter(w => !ws.contains(w + 1) && w != ws.max)
+          .map(w => (u, w + 1, "churned"))
+        classes ++ churned
+      }.toSet
+      assert(want.exists(_._3 == "churned"),
+        "fixture must exercise the churn leg")
+      assert(want.exists(_._3 == "resurrected"),
+        "fixture must exercise the resurrection leg")
+      assert(emitted == want)
+
+      // the ledger aggregates to the batch ev_churn row's class counts
+      // over the REAL users (the synthetics aren't in the table;
+      // churned is shifted by the withheld final markers, which the
+      // batch row DOES count — reconcile by adding them back)
+      val batch = graft.queries.Events.queries("ev_churn")(spark, sfDir)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5)))).toMap
+      val finalMarkers = byUser.view.filterKeys(_ < SynthBase)
+        .mapValues(ws => ws.max + 1).values
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      batch.foreach { case (w, (_, nNew, nRet, nRes, nChn)) =>
+        def cnt(c: String) = emitted
+          .count(e => e._1 < SynthBase && e._2 == w && e._3 == c).toLong
+        assert(cnt("new") == nNew, s"week $w new")
+        assert(cnt("retained") == nRet, s"week $w retained")
+        assert(cnt("resurrected") == nRes, s"week $w resurrected")
+        assert(cnt("churned") + finalMarkers.getOrElse(w, 0L) == nChn,
+          s"week $w churned")
+      }
+
+      // a late arrival for an already-classified week is absorbed
+      val before = spark.table("chstate").count()
+      input.addData(Seq(rows.head)); q.processAllAvailable()
+      assert(spark.table("chstate").count() == before, "late week emitted")
+    } finally q.stop()
+  }
 }
