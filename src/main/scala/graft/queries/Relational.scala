@@ -28,6 +28,9 @@ object Relational {
     */
   val Q22Cutoff = "2000-01-01"
 
+  /** `q24_moving_avg` trailing RANGE-frame width (days). */
+  val QMovDays = 90L
+
   /** `q19_distribution` body — the scale-safe spelling of per-status
     * PERCENT_RANK / CUME_DIST / NTILE(4). The hazard: `PARTITION BY
     * o_orderstatus` is a ~3-value key, so the window's per-partition
@@ -467,6 +470,51 @@ object Relational {
           "CAST(tc AS DOUBLE) / 100.0 AS total_bal")
     }),
 
+    // Top-1-per-group WITHOUT a window — the latest order per customer
+    // as ONE argmax aggregate: max over the struct (date_us, orderkey,
+    // cents) is a total order (orderkey unique), so the pick is
+    // deterministic and the whole query is a single map-side-combined
+    // hash aggregate on the high-cardinality custkey. This is the
+    // WindowGroupLimit sibling: rk=1 window dedup pays a per-partition
+    // sort; the argmax struct pays O(1) mergeable state per group — at
+    // 100 TB the difference is a full sort versus a plain combine.
+    // Epoch micros ride as BIGINT so the row hashes float-free.
+    "q23_top1_per_group" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"),
+          struct(unix_micros(col("o_orderdate")).as("d_us"),
+            col("o_orderkey").as("okey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+            .as("o"))
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o")).as("m"))
+        .selectExpr("o_custkey", "m.okey AS o_orderkey",
+          "m.d_us AS last_us", "CAST(m.cents AS DOUBLE) / 100.0 AS total")
+    }),
+
+    // Trailing 90-day moving average per customer — the RANGE frame
+    // (event-time width, tie-inclusive peers) vs q20's ROWS frame: the
+    // classic "average order value over the last quarter" report. The
+    // window partitions on the HIGH-cardinality custkey (the q19
+    // discipline — never a few-value partition key) and orders by epoch
+    // micros, so the frame bound is pure integer arithmetic; sums stay
+    // exact BIGINT cents and the single float division + round-6 is
+    // spelled identically in the oracle.
+    "q24_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("d_us"))
+        .rangeBetween(-QMovDays * graft.queries.Events.DayUs, 0)
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_micros(col("o_orderdate")).as("d_us"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("n_win", count(lit(1)).over(w))
+        .withColumn("win_avg",
+          round(sum(col("cents")).over(w).cast("double")
+            / col("n_win") / 100.0, 6))
+        .select(col("o_orderkey"), col("o_custkey"), col("d_us"),
+          col("n_win"), col("win_avg"))
+    }),
+
     // multi-way star join + grouped agg over dims (P5/J5 name-lookup shape).
     "q7_star_join" -> ((s, dir) => {
       val su = Tables(s, dir, "supplier")
@@ -515,6 +563,28 @@ object Relational {
          |   WHERE o.o_custkey = cc.c_custkey
          |     AND o.o_orderdate >= TIMESTAMP '$Q22Cutoff')
          |GROUP BY c_nationkey""".stripMargin,
+    // the oracle spells the window form the Spark side deliberately
+    // avoids — row_number DESC on the same (date, key) total order —
+    // proving the argmax aggregate IS top-1-per-group
+    "q23_top1_per_group" ->
+      """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS last_us,
+        | CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+        |   / 100.0 AS total
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1""".stripMargin,
+    "q24_moving_avg" ->
+      s"""WITH o AS MATERIALIZED (SELECT o_orderkey, o_custkey,
+         |  epoch_us(o_orderdate) AS d_us,
+         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+         |SELECT o_orderkey, o_custkey, d_us,
+         | CAST(count(*) OVER w AS BIGINT) AS n_win,
+         | round(CAST(sum(cents) OVER w AS DOUBLE) / (count(*) OVER w)
+         |   / 100.0, 6) AS win_avg
+         |FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY d_us
+         | RANGE BETWEEN ${QMovDays * graft.queries.Events.DayUs} PRECEDING
+         |   AND CURRENT ROW)""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
