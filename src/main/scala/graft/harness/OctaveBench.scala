@@ -127,6 +127,46 @@ object OctaveBench {
     // C = 6T/S₂ with T = Σtri/3 → 2·Σtri / S₂ (g_clustering's scalar)
     val transC = 2.0 * ccProf.getLong(1) / ccProf.getLong(2)
 
+    // SCC at the octave, SUPERSTEP regime: the symmetric bench graph
+    // would make SCC trivially = CC, so the digraph keeps every forward
+    // (src < dst) edge and only a deterministic HALF of the reverse
+    // edges (kmvMix parity) — a giant mutually-reachable core plus a
+    // one-way periphery, and at ~9M edges it sits ABOVE Scc's 8M-edge
+    // local ceiling, forcing the trim/color/contain loop whose fixed
+    // fwdSteps budget is exactly what this run is meant to measure
+    // (it `require`-fails loudly on non-convergence; budgets are
+    // env-overridable and DISCLOSED next to the time).
+    val sccFwd = sys.env.getOrElse("GRAFT_SCC_FWD",
+      GQ.SccFwdSteps.toString).toInt
+    val sccOuter = sys.env.getOrElse("GRAFT_SCC_OUTER",
+      GQ.SccOuterRounds.toString).toInt
+    val P = graft.text.TextOps.P
+    val dig = edges.where(col("src") < col("dst") ||
+        expr(graft.text.TextOps.spark.kmvMix(
+          s"(src * 1000003 + dst) % $P") + " % 2 = 0"))
+      .localCheckpoint(true)
+    val digM = dig.count()
+    val (sccProf, sccSec) = timed {
+      graft.graph.Scc.run(spark, dig, sccFwd, sccOuter)
+        .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_scc"), max(col("sz")).as("giant"))
+        .collect()(0)
+    }
+
+    // Borůvka MSF at the octave over the undirected edge set with the
+    // g_msf hash weights: one min-struct shuffle per round + CC
+    // contraction on the picked-edge graph (two-regime: the picked set
+    // is ≤ component-count rows, so contraction runs the driver
+    // union-find here — the 100 TB path would cross into supersteps).
+    val wund = und.withColumn("w",
+      expr(graft.text.TextOps.spark.kmvMix(
+        s"(a * 1000003 + b) % $P") + " % 100000"))
+    val (msfProf, msfSec) = timed {
+      graft.graph.MinSpanningForest.run(spark, wund, GQ.MsfRounds)
+        .agg(count(lit(1)).as("n_edges"), sum(col("w")).as("tot_w"))
+        .collect()(0)
+    }
+
     println(s"""{"metric":"octave_ops","sf":"$sfDir"""" +
       s""","fli_nodes":$n,"fli_edges":$m""" +
       s""","kcore_sec":${r1(kcoreSec)},"kcore_k":$kcoreK""" +
@@ -143,7 +183,14 @@ object OctaveBench {
       s""","local_cc_sec":${r1(ccSec)},"oriented_wedges":$orientedWedges""" +
       s""","cc_nodes":${ccProf.getLong(0)},"tri_sum":${ccProf.getLong(1)}""" +
       s""","transitivity_c":${f"$transC%.6f"}""" +
-      s""","mean_cc":${f"${ccProf.getDouble(3)}%.6f"}}""")
+      s""","mean_cc":${f"${ccProf.getDouble(3)}%.6f"}""" +
+      s""","scc_sec":${r1(sccSec)},"scc_edges":$digM""" +
+      s""","scc_fwd_steps":$sccFwd,"scc_outer_rounds":$sccOuter""" +
+      s""","scc_count":${sccProf.getLong(0)}""" +
+      s""","scc_giant":${sccProf.getLong(1)}""" +
+      s""","msf_sec":${r1(msfSec)},"msf_rounds_bound":${GQ.MsfRounds}""" +
+      s""","msf_edges":${msfProf.getLong(0)}""" +
+      s""","msf_total_w":${msfProf.getLong(1)}}""")
     spark.stop()
   }
 }
