@@ -93,6 +93,15 @@ object Graph {
   val PrDamping = 0.85
   val PrIters = 20
 
+  /** `g_katz` attenuation and fixed horizon. α must sit below 1/λ_max
+    * for the truncation to be a convergent prefix — the library graphs'
+    * max degree ≈ 93 bounds λ_max, so α·λ_max < 0.5 with margin; like
+    * [[PrIters]], the schedule is part of the semantics
+    * (oracle-replayed).
+    */
+  val KatzAlpha = 0.005
+  val KatzIters = 10
+
   /** `g_hits` fixed iteration count — like [[PrIters]], the schedule is
     * part of the semantics (oracle-replayed); 6 mutual-recursion rounds
     * demonstrate the distributed loop, not convergence.
@@ -1037,6 +1046,17 @@ object Graph {
         .select(col("node_id"), round(col("score"), 9).as("score"))
     }),
 
+    // Katz centrality: attenuated walk counts x = Σ α^j (Aᵀ)^j · 1 as
+    // the truncated fixpoint x' = 1 + α·Aᵀx (see [[graft.graph.Katz]]) —
+    // the simplest member of the centrality family's superstep shape:
+    // one union-carrier shuffle per iteration, no dangling/base terms,
+    // schedule oracle-replayed.
+    "g_katz" -> ((s, dir) => {
+      val edges = GraphOps.lineitemGraph(s, dir, Mod)
+      graft.graph.Katz.run(s, edges, KatzAlpha, KatzIters)
+        .select(col("node_id"), round(col("katz"), 9).as("katz"))
+    }),
+
     // HITS hubs & authorities: the mutually-recursive global ranking
     // pair (see [[graft.graph.Hits]]) — one map-side-combined shuffle
     // per half-step, single trailing L1 normalization (per-step
@@ -1509,6 +1529,7 @@ object Graph {
       "g_degree" -> s"SELECT src AS id, count(*) AS deg FROM ($graphSql) GROUP BY src",
       "g_power_ppr" -> PowerIteration.oracleSql(graphSql, SingleSource, Alpha, Iters),
       "g_pagerank" -> PageRank.oracleSql(graphSql, PrDamping, PrIters),
+      "g_katz" -> graft.graph.Katz.oracleSql(graphSql, KatzAlpha, KatzIters),
       "g_hits" -> graft.graph.Hits.oracleSql(graphSql, HitsIters),
       "g_hyperball" ->
         s"""$hyperballOracleChain
