@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Scratch, VerifyArtifacts}
-import graft.graph.{Bfs, ConnectedComponents, GraphOps, LabelProp, MinSpanningForest, Scc, Sssp}
+import graft.graph.{Betweenness, Bfs, ConnectedComponents, GraphOps, LabelProp, MinSpanningForest, Scc, Sssp}
 import graft.ppr.{Base, BackwardSearch, ForwardPush, Fora, Metrics, MonteCarlo, PageRank, PowerIteration, PprStore}
 
 /** Graph/PPR operator coverage over the deterministic lineitem-derived
@@ -1024,6 +1024,14 @@ object Graph {
     "g_bfs" -> ((s, dir) => Bfs.batch(
       s, GraphOps.lineitemCsr(s, dir, Mod), BatchSources, BfsDepth)),
 
+    // K-source truncated Brandes betweenness over the same CSR, sources
+    // and horizon as g_bfs — exact BIGINT σ path counts, per-level
+    // dependency sweep, and EVERY float fold value-sorted on both
+    // engines so the δ chain is bit-identical cross-engine (see
+    // [[graft.graph.Betweenness]]).
+    "g_betweenness" -> ((s, dir) => Betweenness.batch(
+      s, GraphOps.lineitemCsr(s, dir, Mod), BatchSources, BfsDepth)),
+
     // Bounded-hop weighted shortest paths over the min-quantity-weighted
     // edge set (see [[graft.graph.Sssp]]).
     "g_sssp" -> ((s, dir) => Sssp.batch(
@@ -1509,6 +1517,8 @@ object Graph {
            |    CAST(m2 * m2 AS DOUBLE) AS q
            |FROM mom""".stripMargin,
       "g_bfs" -> Bfs.oracleSql(graphSql, BatchSources, BfsDepth),
+      "g_betweenness" ->
+        Betweenness.oracleSql(graphSql, BatchSources, BfsDepth),
       "g_sssp" -> Sssp.oracleSql(
         GraphOps.lineitemWeightedGraphSql(Mod), BatchSources, SsspHops),
       "g_khop" ->
