@@ -167,6 +167,26 @@ object OctaveBench {
         .collect()(0)
     }
 
+    // Katz at the octave: the union-carrier superstep on the full
+    // 11.9M-edge symmetric graph — iteration cost is the per-superstep
+    // shuffle, the same economics as the pagerank row.
+    val (katzTop, katzSec) = timed {
+      graft.graph.Katz.run(spark, edges, GQ.KatzAlpha, GQ.KatzIters)
+        .agg(max(col("katz")).as("mx"), avg(col("katz")).as("mean"))
+        .collect()(0)
+    }
+
+    // Brandes betweenness at the octave: the batch-CSR regime — 5
+    // sources × one linear pass over the broadcast 11.9M-edge CSR; the
+    // hub-skew degree profile is exactly where σ fan-in is widest.
+    val bcCsr = GraphOps.buildCsr(edges)
+    val (bcProf, bcSec) = timed {
+      graft.graph.Betweenness
+        .batch(spark, bcCsr, GQ.BatchSources, GQ.BfsDepth)
+        .agg(count(lit(1)).as("n"), max(col("bc")).as("mx"))
+        .collect()(0)
+    }
+
     println(s"""{"metric":"octave_ops","sf":"$sfDir"""" +
       s""","fli_nodes":$n,"fli_edges":$m""" +
       s""","kcore_sec":${r1(kcoreSec)},"kcore_k":$kcoreK""" +
@@ -190,7 +210,14 @@ object OctaveBench {
       s""","scc_giant":${sccProf.getLong(1)}""" +
       s""","msf_sec":${r1(msfSec)},"msf_rounds_bound":${GQ.MsfRounds}""" +
       s""","msf_edges":${msfProf.getLong(0)}""" +
-      s""","msf_total_w":${msfProf.getLong(1)}}""")
+      s""","msf_total_w":${msfProf.getLong(1)}""" +
+      s""","katz_sec":${r1(katzSec)},"katz_iters":${GQ.KatzIters}""" +
+      s""","katz_max":${f"${katzTop.getDouble(0)}%.6f"}""" +
+      s""","katz_mean":${f"${katzTop.getDouble(1)}%.6f"}""" +
+      s""","betweenness_sec":${r1(bcSec)}""" +
+      s""","bc_sources":${GQ.BatchSources.length},"bc_depth":${GQ.BfsDepth}""" +
+      s""","bc_nodes":${bcProf.getLong(0)}""" +
+      s""","bc_max":${f"${bcProf.getDouble(1)}%.6f"}}""")
     spark.stop()
   }
 }
