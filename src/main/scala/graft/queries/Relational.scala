@@ -492,6 +492,28 @@ object Relational {
           "m.d_us AS last_us", "CAST(m.cents AS DOUBLE) / 100.0 AS total")
     }),
 
+    // NOT IN with a NULLABLE subquery column — the null-aware anti-join
+    // (NAAJ), SQL's three-valued-logic trap made physical: `NOT IN`
+    // cannot plan as a plain anti-join unless the subquery column is
+    // provably non-null (one NULL in the set makes EVERY membership
+    // test UNKNOWN, i.e. an empty result). The nullif() below is never
+    // actually null (custkeys are positive) but the optimizer cannot
+    // prove it, so Catalyst plans the single-column null-aware
+    // BroadcastHashJoin — spec-asserted. The 100 TB note this row
+    // exists to carry: NAAJ REQUIRES a broadcastable build side (the
+    // null check needs the whole set per task; past the broadcast bound
+    // Spark degrades to BroadcastNestedLoopJoin) — when null-freedom is
+    // known, spell NOT EXISTS instead and get q6's shuffleable
+    // anti-join (the two are equivalent ONLY on null-free columns).
+    "q25_null_anti_join" -> ((s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c_custkey, c_name FROM customer_v
+        WHERE c_custkey NOT IN (SELECT nullif(o_custkey, -1)
+          FROM orders_v WHERE o_totalprice > 300000)""")
+    }),
+
     // Trailing 90-day moving average per customer — the RANGE frame
     // (event-time width, tie-inclusive peers) vs q20's ROWS frame: the
     // classic "average order value over the last quarter" report. The
@@ -574,6 +596,10 @@ object Relational {
         |   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |  FROM orders) t
         |WHERE rn = 1""".stripMargin,
+    "q25_null_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT nullif(o_custkey, -1)
+        |  FROM orders WHERE o_totalprice > 300000)""".stripMargin,
     "q24_moving_avg" ->
       s"""WITH o AS MATERIALIZED (SELECT o_orderkey, o_custkey,
          |  epoch_us(o_orderdate) AS d_us,

@@ -63,4 +63,41 @@ class TopPerGroupSpec extends SparkSpec {
       "expected a RANGE frame window")
     assert(plan.contains("o_custkey"), "window must partition on custkey")
   }
+
+  test("q25_null_anti_join plans the null-aware anti join, equals the " +
+      "NOT EXISTS brute force (the subquery column is never null), and " +
+      "one real NULL in the set empties the result") {
+    val s = spark
+    import s.implicits._
+    val df = Relational.queries("q25_null_anti_join")(spark, sfDir)
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // nullif(o_custkey, -1) never fires (custkeys positive), so the
+    // result must equal plain NOT EXISTS semantics
+    val buyers = graft.Tables(spark, sfDir, "orders")
+      .where(col("o_totalprice") > 300000)
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    val want = graft.Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filterNot(c => buyers.contains(c._1)).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fixture must keep some non-buyers")
+    // the physical shape: the single-column null-aware anti join — a
+    // plain LeftAnti would be WRONG under three-valued logic, a
+    // BroadcastNestedLoopJoin would be the multi-column degradation
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected an anti join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "single-column NOT IN must take the NAAJ fast path, not BNLJ")
+    // three-valued logic live: one genuine NULL in the set -> empty
+    val cust = Seq((1L, "a"), (2L, "b")).toDF("c_custkey", "c_name")
+    val sub = Seq(Some(1L), None).toDF("k")
+    cust.createOrReplaceTempView("naaj_cust")
+    sub.createOrReplaceTempView("naaj_sub")
+    val withNull = spark.sql(
+      "SELECT c_custkey FROM naaj_cust WHERE c_custkey NOT IN " +
+        "(SELECT k FROM naaj_sub)")
+    assert(withNull.count() == 0L,
+      "a NULL member makes every NOT IN test UNKNOWN")
+  }
 }
