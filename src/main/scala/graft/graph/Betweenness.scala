@@ -1,17 +1,32 @@
 package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ppr.PowerIteration
 
 /** K-source truncated betweenness centrality — Brandes' algorithm
-  * (Brandes 2001) over a FIXED source set and a FIXED depth horizon, the
-  * batch-CSR regime shared with [[Bfs.batch]]: the graph snapshot
-  * broadcasts once, sources fan out over tasks, each task runs one
-  * linear-time forward BFS (exact BIGINT shortest-path counts σ) and one
-  * backward dependency sweep, and emits only `(source, node, δ)` rows.
-  * bc(v) = Σ_s δ_s(v) then folds as an ordinary aggregation. Past the
-  * broadcast envelope the forward pass is the [[Bfs]] superstep loop and
-  * the backward pass one per-level join cascade — the fixed horizon is
-  * what keeps that a bounded schedule at any scale.
+  * (Brandes 2001) over a FIXED source set and a FIXED depth horizon,
+  * TWO-REGIME like [[ConnectedComponents]]/[[Scc]]:
+  *
+  *  - under [[LocalEdgeLimit]] ([[run]] dispatch): the batch-CSR regime
+  *    shared with [[Bfs.batch]] — the graph snapshot broadcasts once,
+  *    sources fan out over tasks, each task runs one linear-time forward
+  *    BFS (exact BIGINT shortest-path counts σ) and one backward
+  *    dependency sweep, and emits only `(source, node, δ)` rows;
+  *  - above it ([[runSupersteps]]): the same FIXED schedule as
+  *    distributed supersteps — the forward pass is a level-synchronous
+  *    BFS loop with state `(source, id, σ)` (one frontier⋈edges shuffle
+  *    + one anti-join per level, σ summed per level as exact BIGINTs),
+  *    the backward pass one join per level DESCENDING (δ addends folded
+  *    with the value-sorted discipline), the fixed horizon is what keeps
+  *    it a bounded schedule at any scale. State is (sources × reached)
+  *    rows per level — never a driver collect of the edge list.
+  *
+  * bc(v) = Σ_s δ_s(v) then folds as an ordinary aggregation. BOTH
+  * regimes compute bit-identical output (BetweennessSpec pins batch ≡
+  * superstep exactly): σ sums are exact integers in any order, and every
+  * float fold is value-sorted, so the regime choice can never flip a
+  * hash.
   *
   * Truncated semantics (both engines replay it EXACTLY): the shortest-
   * path DAG is cut at `maxDepth` — σ over ≤-depth shortest paths, nodes
@@ -22,14 +37,47 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * FLOAT DISCIPLINE (the ev_markov_entropy fold): every δ is a sum of
   * IEEE addends folded in ASCENDING VALUE order — the task sorts its
-  * addend array, the DuckDB oracle folds `list(a ORDER BY a)` — and the
-  * final bc folds each node's per-source δ list the same way, so the
-  * 4-deep float chain is bit-identical cross-engine (a value-sorted
-  * multiset has ONE fold result; tie order is irrelevant to the sum).
-  * σ ratios divide exact BIGINTs, so the addends themselves are
-  * bit-identical inputs.
+  * addend array (the superstep regime sorts per group:
+  * `sort_array(collect_list(a))`), the DuckDB oracle folds
+  * `list(a ORDER BY a)` — and the final bc folds each node's per-source
+  * δ list the same way, so the 4-deep float chain is bit-identical
+  * cross-engine (a value-sorted multiset has ONE fold result; tie order
+  * is irrelevant to the sum). σ ratios divide exact BIGINTs, so the
+  * addends themselves are bit-identical inputs.
+  *
+  * Duplicate sources would double-count δ in the Spark passes while the
+  * oracle's GROUP BY collapses them — both [[deltas]] and
+  * [[runSupersteps]] therefore `.distinct` the source list (the same
+  * precondition spelled once, not documented twice).
   */
 object Betweenness {
+
+  /** Same budget rationale as [[ConnectedComponents.LocalEdgeLimit]]:
+    * under it a broadcast CSR + per-task linear sweep beats scheduled
+    * supersteps by ~10×; past it the driver collect that builds the CSR
+    * is the scale-killer and the superstep loop takes over.
+    */
+  val LocalEdgeLimit = 8000000L
+
+  /** Two-regime dispatch over an `(src, dst)` edge DataFrame. `csrOf`
+    * lets callers keep a memoized snapshot for the under-limit path
+    * (the [[GraphOps.lineitemCsr]] load-once discipline); the default
+    * builds one from the edges.
+    */
+  def run(
+      spark: SparkSession,
+      edges: DataFrame,
+      sources: Seq[Long],
+      maxDepth: Int,
+      csrOf: DataFrame => Csr = GraphOps.buildCsr): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist()
+    val m = e.count()
+    val out =
+      if (m <= LocalEdgeLimit) batch(spark, csrOf(e), sources, maxDepth)
+      else runSupersteps(spark, e, sources, maxDepth)
+    e.unpersist()
+    out
+  }
 
   /** One truncated Brandes pass per source over the broadcast CSR;
     * emits `(source, node_id, delta)` for every reached non-source node
@@ -45,7 +93,7 @@ object Betweenness {
     val nSlices = math.min(math.max(1, sources.length),
       spark.sparkContext.defaultParallelism)
     spark.sparkContext
-      .parallelize(sources, nSlices)
+      .parallelize(sources.distinct, nSlices)
       .flatMap { s =>
         val g = bc.value
         val sd = g.denseOf(s)
@@ -109,6 +157,122 @@ object Betweenness {
       .groupBy(col("node_id"))
       .agg(expr("round(aggregate(sort_array(collect_list(delta)), " +
         "CAST(0.0 AS DOUBLE), (a, x) -> a + x), 6)").as("bc"))
+  }
+
+  /** The past-one-machine regime: the identical truncated Brandes
+    * schedule as DataFrame supersteps. Forward: `maxDepth`
+    * level-synchronous rounds — frontier ⋈ edges (σ summed per
+    * (source, dst) group, exact BIGINTs) anti-joined against the visited
+    * union, each level frame kept (the backward pass reads them all).
+    * Backward: one join per level descending — level-l nodes ⋈ edges ⋈
+    * the level-(l+1) (σ, δ) frame, addends folded in ascending VALUE
+    * order per (source, node) — then the final bc fold over the level
+    * union, value-sorted again. Exactly [[oracleSql]]'s CTE chain, and
+    * bit-identical to [[batch]] (σ sums are order-free integers; every
+    * float fold is value-sorted).
+    *
+    * Scale shape: per level ONE (source-count × frontier)-row shuffle +
+    * one anti-join against the visited set; level frames chain through
+    * eager localCheckpoints and are released once the final frame
+    * materializes. Nothing collects to the driver.
+    */
+  def runSupersteps(
+      spark: SparkSession,
+      edges: DataFrame,
+      sources: Seq[Long],
+      maxDepth: Int): DataFrame = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val held = scala.collection.mutable.ArrayBuffer.empty[Set[Int]]
+    def ck(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      held += (sc.getPersistentRDDs.keySet -- before).toSet
+      out
+    }
+
+    val e0 = edges.select(col("src"), col("dst"))
+    val m = e0.count()
+    val p = math.min(sc.defaultParallelism.toLong, m / 1000000L + 1L).toInt
+    val e = ck(e0.repartition(p, col("src")))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevCodegen = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      if (p == 1) spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val n = e.select(col("src")).distinct().count()
+      val small = n <= PowerIteration.BroadcastNodeLimit
+      def sided(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+
+      // forward: levels(l) = (source, id, sigma), visited = the union
+      val srcDf = sources.distinct.toDF("source")
+        .join(sided(e.select(col("src").as("id"))
+          .union(e.select(col("dst").as("id"))).distinct()),
+          col("source") === col("id"), "left_semi")
+      val l0 = ck(srcDf.select(col("source"), col("source").as("id"),
+        lit(1L).as("sigma")))
+      val levels = scala.collection.mutable.ArrayBuffer[DataFrame](l0)
+      var visited = ck(l0.select(col("source"), col("id")))
+      var d = 1
+      while (d <= maxDepth) {
+        val prev = levels(d - 1)
+        val cand = e.join(sided(prev), e("src") === prev("id"))
+          .groupBy(prev("source").as("source"), e("dst").as("id"))
+          .agg(sum(col("sigma")).as("sigma"))
+        val lvl = ck(cand.join(sided(visited), Seq("source", "id"),
+          "left_anti"))
+        levels += lvl
+        visited = ck(visited.union(lvl.select(col("source"), col("id"))))
+        d += 1
+      }
+
+      // backward: dl(l) = (source, id, sigma, delta); horizon δ = 0
+      val sortedFold = "aggregate(sort_array(collect_list(a)), " +
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+      val dls = new Array[DataFrame](maxDepth + 1)
+      dls(maxDepth) = ck(levels(maxDepth)
+        .select(col("source"), col("id"), col("sigma"),
+          lit(0.0).as("delta")))
+      var l = maxDepth - 1
+      while (l >= 1) {
+        val v = levels(l)
+        val w = dls(l + 1).select(col("source").as("wsource"),
+          col("id").as("wid"), col("sigma").as("wsigma"),
+          col("delta").as("wdelta"))
+        val adds = v.join(e, e("src") === v("id"))
+          .join(sided(w), col("wsource") === v("source") &&
+            col("wid") === e("dst"))
+          .select(v("source").as("source"), v("id").as("id"),
+            (col("sigma").cast("double") / col("wsigma") *
+              (lit(1.0) + col("wdelta"))).as("a"))
+        val folded = adds.groupBy(col("source"), col("id"))
+          .agg(expr(sortedFold).as("delta"))
+        dls(l) = ck(v.join(folded, Seq("source", "id"), "left")
+          .select(col("source"), col("id"), col("sigma"),
+            coalesce(col("delta"), lit(0.0)).as("delta")))
+        l -= 1
+      }
+
+      val alld = (1 to maxDepth).map(i =>
+        dls(i).select(col("source"), col("id"), col("delta")))
+        .reduce(_ unionAll _)
+      val out = alld.groupBy(col("id").as("node_id"))
+        .agg(expr("round(aggregate(sort_array(collect_list(delta)), " +
+          "CAST(0.0 AS DOUBLE), (a, x) -> a + x), 6)").as("bc"))
+      // pin the small result frame, then release every level/visited/δ
+      // intermediate — a caller holding the output must not depend on
+      // O(depth) pinned state frames.
+      val pinned = out.localCheckpoint(true)
+      held.foreach(_.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false))))
+      pinned
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
+    }
   }
 
   /** DuckDB oracle: the identical truncated schedule as unrolled CTEs —

@@ -1,6 +1,8 @@
 package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ppr.PowerIteration
 
 /** Bounded-hop weighted shortest paths — the min-plus sibling of [[Bfs]]:
   * `dist(s, v)` = minimum total edge weight over paths of at most
@@ -10,17 +12,111 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the same left-to-right sum in either engine, and `min` (unlike a sum
   * over unordered rows) has no accumulation-order freedom.
   *
-  * Same batch-CSR regime as [[Bfs]]/[[graft.ppr.PowerIteration.batch]]:
-  * the weighted snapshot broadcasts once, one task per source slice runs
-  * K synchronous relaxation rounds over dense arrays (synchronous =
-  * relax from the PREVIOUS round's array only, which is exactly the
-  * round-r min-plus semantics — the asynchronous speedups of a
-  * single-machine Dijkstra would compute the K-hop bound incorrectly).
-  * Past the broadcast envelope this becomes the
+  * TWO-REGIME ([[run]] dispatch): under [[Betweenness.LocalEdgeLimit]]
+  * the batch-CSR regime shared with [[Bfs]]/
+  * [[graft.ppr.PowerIteration.batch]] — the weighted snapshot broadcasts
+  * once, one task per source slice runs K synchronous relaxation rounds
+  * over dense arrays (synchronous = relax from the PREVIOUS round's
+  * array only, which is exactly the round-r min-plus semantics — the
+  * asynchronous speedups of a single-machine Dijkstra would compute the
+  * K-hop bound incorrectly). Past the envelope, [[runSupersteps]]: the
   * [[ConnectedComponents]]-style superstep loop with state
-  * `(src, id, dist)` and a min-plus join per round.
+  * `(source, id, dist)` and one min-plus shuffle per round — no driver
+  * collect anywhere. min over doubles is order-free, so both regimes
+  * return bit-identical frames (SsspSpec pins it).
   */
 object Sssp {
+
+  /** Two-regime dispatch over an `(src, dst, w)` edge DataFrame;
+    * `csrOf` as in [[Betweenness.run]] (memoized-snapshot hook).
+    */
+  def run(
+      spark: SparkSession,
+      edges: DataFrame,
+      sources: Seq[Long],
+      maxHops: Int,
+      csrOf: DataFrame => WeightedCsr = buildWeighted): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w")).persist()
+    val m = e.count()
+    val out =
+      if (m <= Betweenness.LocalEdgeLimit)
+        batch(spark, csrOf(e), sources, maxHops)
+      else runSupersteps(spark, e, sources, maxHops)
+    e.unpersist()
+    out
+  }
+
+  /** The past-one-machine regime: `maxHops` min-plus supersteps — per
+    * round the improved-frontier relaxations (state rows whose dist
+    * changed last round ⋈ edges → dist + w) union the carried state,
+    * min per (source, id). Relaxing only from IMPROVED rows is the
+    * classic Bellman-Ford frontier optimization and provably preserves
+    * the round-r min-plus value: a relaxation from a row unimproved at
+    * round r−1 was already applied the round after it last improved.
+    */
+  def runSupersteps(
+      spark: SparkSession,
+      edges: DataFrame,
+      sources: Seq[Long],
+      maxHops: Int): DataFrame = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val held = scala.collection.mutable.ArrayBuffer.empty[Set[Int]]
+    def ck(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      held += (sc.getPersistentRDDs.keySet -- before).toSet
+      out
+    }
+    val e0 = edges.select(col("src"), col("dst"), col("w"))
+    val m = e0.count()
+    val p = math.min(sc.defaultParallelism.toLong, m / 1000000L + 1L).toInt
+    val e = ck(e0.repartition(p, col("src")))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevCodegen = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      if (p == 1) spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val n = e.select(col("src")).distinct().count()
+      val small = n <= PowerIteration.BroadcastNodeLimit
+      def sided(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+
+      val srcDf = sources.distinct.toDF("source")
+        .join(sided(e.select(col("src").as("id"))
+          .union(e.select(col("dst").as("id"))).distinct()),
+          col("source") === col("id"), "left_semi")
+      var state = ck(srcDf.select(col("source"), col("source").as("id"),
+        lit(0.0).as("dist")))
+      var improved = state
+      var r = 1
+      while (r <= maxHops) {
+        val relax = e.join(sided(improved), e("src") === improved("id"))
+          .select(improved("source").as("source"), e("dst").as("id"),
+            (col("dist") + col("w")).as("dist"))
+        val next = ck(state.unionAll(relax)
+          .groupBy(col("source"), col("id"))
+          .agg(min(col("dist")).as("dist")))
+        improved = ck(next.join(state.select(col("source"), col("id"),
+            col("dist").as("pd")), Seq("source", "id"), "left")
+          .where(col("pd").isNull || col("dist") < col("pd"))
+          .select(col("source"), col("id"), col("dist")))
+        state = next
+        r += 1
+      }
+      val out = state.select(col("source"), col("id").as("node_id"),
+        col("dist"))
+      val pinned = out.localCheckpoint(true)
+      held.foreach(_.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false))))
+      pinned
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
+    }
+  }
 
   /** Weighted CSR arrays: sorted node ids, offsets, dense targets, and
     * per-edge weights aligned with `targets`. Built sorted by

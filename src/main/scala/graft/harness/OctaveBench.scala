@@ -176,14 +176,29 @@ object OctaveBench {
         .collect()(0)
     }
 
-    // Brandes betweenness at the octave: the batch-CSR regime — 5
-    // sources × one linear pass over the broadcast 11.9M-edge CSR; the
-    // hub-skew degree profile is exactly where σ fan-in is widest.
-    val bcCsr = GraphOps.buildCsr(edges)
+    // Brandes betweenness at the octave, SUPERSTEP regime: at 11.9M
+    // edges the graph sits above [[graft.graph.Betweenness.LocalEdgeLimit]]
+    // so [[Betweenness.run]] dispatches to the level-synchronous σ-sum
+    // BFS + per-level backward join cascade — the scale path that
+    // replaced the batch-CSR driver collect. The hub-skew degree profile
+    // is exactly where σ fan-in is widest (σ up to ~degree^depth), and a
+    // depth-4 ball here IS essentially the whole graph per source, so
+    // the per-level frontier joins run at full width.
     val (bcProf, bcSec) = timed {
       graft.graph.Betweenness
-        .batch(spark, bcCsr, GQ.BatchSources, GQ.BfsDepth)
+        .run(spark, edges, GQ.BatchSources, GQ.BfsDepth)
         .agg(count(lit(1)).as("n"), max(col("bc")).as("mx"))
+        .collect()(0)
+    }
+
+    // BFS at the octave, superstep regime (the same dispatch): hop
+    // labeling for the 5 sources at depth 4 — the forward half of the
+    // Brandes loop in isolation, timing the frontier⋈edges + anti-join
+    // economics without the backward cascade.
+    val (bfsProf, bfsSec) = timed {
+      graft.graph.Bfs
+        .run(spark, edges, GQ.BatchSources, GQ.BfsDepth)
+        .agg(count(lit(1)).as("n"), max(col("dist")).as("mx"))
         .collect()(0)
     }
 
@@ -214,10 +229,13 @@ object OctaveBench {
       s""","katz_sec":${r1(katzSec)},"katz_iters":${GQ.KatzIters}""" +
       s""","katz_max":${f"${katzTop.getDouble(0)}%.6f"}""" +
       s""","katz_mean":${f"${katzTop.getDouble(1)}%.6f"}""" +
-      s""","betweenness_sec":${r1(bcSec)}""" +
+      s""","betweenness_sec":${r1(bcSec)},"bc_regime":"superstep"""" +
       s""","bc_sources":${GQ.BatchSources.length},"bc_depth":${GQ.BfsDepth}""" +
       s""","bc_nodes":${bcProf.getLong(0)}""" +
-      s""","bc_max":${f"${bcProf.getDouble(1)}%.6f"}}""")
+      s""","bc_max":${f"${bcProf.getDouble(1)}%.6f"}""" +
+      s""","bfs_sec":${r1(bfsSec)},"bfs_regime":"superstep"""" +
+      s""","bfs_rows":${bfsProf.getLong(0)}""" +
+      s""","bfs_max_dist":${bfsProf.getInt(1)}}""")
     spark.stop()
   }
 }

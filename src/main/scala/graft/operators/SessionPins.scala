@@ -15,15 +15,46 @@ import org.apache.spark.SparkContext
   * construction: one model per (session, source dir), a few small
   * tables each — the 1000-executor analog is an index/model snapshot
   * pinned for the serving session's lifetime.
+  *
+  * LIFECYCLE (the round-14 advice): pins are not immortal —
+  * [[unpin]] releases a model's blocks when its cache entry is
+  * invalidated (see `Embeddings.invalidateModels`, the re-ingest path:
+  * a source dir rewritten mid-session must refit, not serve the stale
+  * codebook), and the first pin for a context registers a listener that
+  * [[drop]]s the context's entries on application end, so stopped
+  * sessions do not leak map references.
   */
 object SessionPins {
   private val pins =
     scala.collection.concurrent.TrieMap.empty[(SparkContext, Int), Unit]
+  private val hooked =
+    scala.collection.concurrent.TrieMap.empty[SparkContext, Unit]
 
-  def pin(sc: SparkContext, ids: Iterable[Int]): Unit =
+  def pin(sc: SparkContext, ids: Iterable[Int]): Unit = {
+    hooked.getOrElseUpdate(sc, {
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          drop(sc)
+      })
+    })
     ids.foreach(id => pins.put((sc, id), ()))
+  }
 
   /** Ids pinned for `sc` — the set a session-hygiene reap must spare. */
   def pinned(sc: SparkContext): Set[Int] =
     pins.keysIterator.collect { case (c, id) if c eq sc => id }.toSet
+
+  /** Forget AND unpersist `ids` — the model-cache invalidation path. */
+  def unpin(sc: SparkContext, ids: Iterable[Int]): Unit =
+    ids.foreach { id =>
+      pins.remove((sc, id))
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false))
+    }
+
+  /** Forget every pin for `sc` (its blocks die with the context). */
+  def drop(sc: SparkContext): Unit = {
+    pins.keysIterator.filter(_._1 eq sc).foreach(pins.remove)
+    hooked.remove(sc)
+  }
 }

@@ -276,6 +276,34 @@ object Embeddings {
   private val pqModelCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, Seq[DataFrame])]
 
+  /** RDD ids backing each cached model — what [[invalidateModels]] must
+    * unpin when a (session, dir) entry is dropped.
+    */
+  private val modelPins = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Set[Int]]
+
+  private def recordPins(s: SparkSession, dir: String,
+      ids: Iterable[Int]): Unit = {
+    graft.operators.SessionPins.pin(s.sparkContext, ids)
+    modelPins.updateWith((s, dir))(old =>
+      Some(old.getOrElse(Set.empty) ++ ids))
+  }
+
+  /** Drop the fitted PQ/k-means models for (session, dir) and release
+    * their pinned checkpoint blocks — the re-ingest hook: when a source
+    * dir's tables are rewritten mid-session, calling this forces the
+    * next consumer row to REFIT instead of serving the stale model
+    * (cached models are otherwise sound only because the test tables
+    * are immutable; a live-table deployment would key by snapshot
+    * version).
+    */
+  def invalidateModels(s: SparkSession, dir: String): Unit = {
+    pqModelCache.remove((s, dir))
+    kmCache.remove((s, dir))
+    modelPins.remove((s, dir)).foreach(ids =>
+      graft.operators.SessionPins.unpin(s.sparkContext, ids))
+  }
+
   /** Product-quantization model shared by the PQ rows (via
     * [[pqModelCache]]): the per-vector code table
     * `(vec_id, code0..code{PqM-1})` — eagerly checkpointed — and each
@@ -341,7 +369,7 @@ object Embeddings {
     // per-row reap.
     subs.foreach(_._3.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(false))))
-    graft.operators.SessionPins.pin(sc, codeIds ++ subs.flatMap(_._4))
+    recordPins(s, dir, codeIds ++ subs.flatMap(_._4))
     (codes, subs.map(_._2))
   }
 
@@ -402,8 +430,7 @@ object Embeddings {
       // emb's checkpoint + the final centroid generation back the cached
       // model; the chain already released intermediate generations, so
       // what this fit leaves persisted is exactly those two.
-      graft.operators.SessionPins.pin(sc,
-        sc.getPersistentRDDs.keySet -- before)
+      recordPins(s, dir, sc.getPersistentRDDs.keySet -- before)
       (emb, cent)
     })
 

@@ -322,65 +322,113 @@ object Graph {
       .limit(topN)
   }
 
+  /** `g_pref_attach` escalation ladder: head sizes tried in order are
+    * topDeg × these multipliers. A skewed-but-legal input where the base
+    * head does not dominate degrades to a BIGGER broadcast (candidate
+    * space (16·topDeg)²/2 pairs at the last rung — still broadcast-sized)
+    * instead of an error; only ladder exhaustion fails loudly. Both
+    * engines replay the identical rung selection, and the chosen head is
+    * DISCLOSED in the `head_deg` output column.
+    */
+  val PaLadder = Seq(1, 4, 16)
+
   /** `g_pref_attach`'s body over an undirected `(a, b)` edge list
     * (a < b, deduped, checkpointed by the caller): the global top-`topN`
-    * non-adjacent pairs by deg(u)·deg(v), candidates restricted to the
-    * top-`topDeg` degree head, with EXACTNESS ENFORCED by a
+    * non-adjacent pairs by deg(u)·deg(v), candidates restricted to a
+    * SELF-SIZING top-degree head, with EXACTNESS ENFORCED by a
     * plan-embedded dominance guard. The head restriction alone is not
     * sufficient once the adjacency anti-join runs (an outside pair
     * dmax·dbnd can outrank a surviving inside pair on a hub
-    * near-clique), so the guard requires (a) the head yields `topN`
-    * surviving pairs and (b) their minimum score STRICTLY beats
-    * dmax·dbnd, where dbnd is the highest degree beyond the head
-    * boundary (rank topDeg+1 in the (dg desc, id) total order; 0 when
-    * the head covers the graph) — strict, because at score equality an
-    * outside pair could still displace a reported one under the
-    * (pa desc, u, v) tie-break. Fails loudly naming `topDeg` as the
-    * knob; every stage is broadcast-sized off one degree aggregate.
+    * near-clique), so a head of size h is accepted only when EITHER
+    * (a) it yields `topN` surviving pairs whose minimum score STRICTLY
+    * beats dmax·dbnd, where dbnd is the highest degree beyond the head
+    * boundary (rank h+1 in the (dg desc, id) total order) — strict,
+    * because at score equality an outside pair could still displace a
+    * reported one under the (pa desc, u, v) tie-break — OR (b) dbnd = 0:
+    * the head covers the whole graph, so the restricted answer is
+    * trivially global even with fewer than `topN` surviving pairs
+    * (a graph can simply HAVE fewer non-adjacent pairs).
+    *
+    * Head sizes escalate over [[PaLadder]] (the aaCap self-sizing
+    * discipline): each rung's acceptance is decided driver-side off two
+    * 1-row aggregates over broadcast-sized frames, the FIRST accepted
+    * rung ships (its plan still carries the assert_true guard — the
+    * shipped plan re-verifies itself), and the chosen head size is
+    * disclosed as the `head_deg` column. Ladder exhaustion fails loudly
+    * via the last rung's embedded guard. Every stage at every rung is
+    * broadcast-sized off one degree aggregate.
     */
   private[graft] def prefAttach(und: DataFrame, topDeg: Int,
       topN: Int): DataFrame = {
     val deg = und.select(col("a").as("id"))
       .unionAll(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("dg"))
-    val headPlus = deg.orderBy(col("dg").desc, col("id"))
-      .limit(topDeg + 1).localCheckpoint(true)
-    val top = headPlus.orderBy(col("dg").desc, col("id")).limit(topDeg)
-      .localCheckpoint(true) // head set: pair sides + 2 edge semi-joins
-    val topEdges = und
-      .join(broadcast(top.select(col("id").as("a"))), Seq("a"), "left_semi")
-      .join(broadcast(top.select(col("id").as("b"))), Seq("b"), "left_semi")
-    val pairs = top.select(col("id").as("u"), col("dg").as("du"))
-      .join(top.select(col("id").as("v"), col("dg").as("dv")),
-        col("u") < col("v"))
-    val ranked = pairs
-      .join(topEdges.select(col("a").as("u"), col("b").as("v")),
-        Seq("u", "v"), "left_anti")
-      .select(col("u"), col("v"), col("du"), col("dv"),
-        (col("du") * col("dv")).as("pa"))
-      .orderBy(col("pa").desc, col("u"), col("v"))
-      .limit(topN)
-    val bound = headPlus
-      .join(broadcast(top.select(col("id"), lit(1).as("inh"))),
-        Seq("id"), "left")
-      .agg(max(col("dg")).as("dmax"),
-        coalesce(max(when(col("inh").isNull, col("dg"))), lit(0L))
-          .as("dbnd"))
-    val chk = ranked.agg(min(col("pa")).as("minpa"),
-        count(lit(1)).as("npairs"))
-      .crossJoin(bound)
-      .select(assert_true(
-        col("npairs") === topN && col("minpa") > col("dmax") * col("dbnd"),
-        concat(lit(s"g_pref_attach: head of topDeg=$topDeg does not " +
-            "dominate — npairs="), col("npairs"),
-          lit(s" (need $topN), min(top-N pa)="), col("minpa"),
-          lit(" must strictly beat dmax*dbnd="),
-          col("dmax") * col("dbnd"),
-          lit(" — raise the head size until the boundary bound holds")))
-        .as("ok"))
-    ranked.crossJoin(broadcast(chk)).where(col("ok").isNull)
-      .select(col("u"), col("v"), col("du"), col("dv"), col("pa"))
-      .orderBy(col("pa").desc, col("u"), col("v"))
+      .localCheckpoint(true) // one degree aggregate feeds every rung
+    val rungs = PaLadder.map(_ * topDeg)
+
+    def attempt(rung: Int, last: Boolean): Option[DataFrame] = {
+      val headPlus = deg.orderBy(col("dg").desc, col("id"))
+        .limit(rung + 1).localCheckpoint(true)
+      val top = headPlus.orderBy(col("dg").desc, col("id")).limit(rung)
+        .localCheckpoint(true) // head set: pair sides + 2 edge semi-joins
+      val topEdges = und
+        .join(broadcast(top.select(col("id").as("a"))), Seq("a"), "left_semi")
+        .join(broadcast(top.select(col("id").as("b"))), Seq("b"), "left_semi")
+      val pairs = top.select(col("id").as("u"), col("dg").as("du"))
+        .join(top.select(col("id").as("v"), col("dg").as("dv")),
+          col("u") < col("v"))
+      val ranked = pairs
+        .join(topEdges.select(col("a").as("u"), col("b").as("v")),
+          Seq("u", "v"), "left_anti")
+        .select(col("u"), col("v"), col("du"), col("dv"),
+          (col("du") * col("dv")).as("pa"))
+        .orderBy(col("pa").desc, col("u"), col("v"))
+        .limit(topN)
+        .localCheckpoint(true) // rung decision + shipped plan both read it
+      val bound = headPlus
+        .join(broadcast(top.select(col("id"), lit(1).as("inh"))),
+          Seq("id"), "left")
+        .agg(max(col("dg")).as("dmax"),
+          coalesce(max(when(col("inh").isNull, col("dg"))), lit(0L))
+            .as("dbnd"))
+      // rung decision, driver-side: two 1-row aggregates
+      val b = bound.collect()(0)
+      val (dmax, dbnd) = (b.getLong(0), b.getLong(1))
+      val st = ranked.agg(min(col("pa")).as("minpa"),
+        count(lit(1)).as("npairs")).collect()(0)
+      val minpa = if (st.isNullAt(0)) 0L else st.getLong(0)
+      val npairs = st.getLong(1)
+      val ok = dbnd == 0L || (npairs == topN && minpa > dmax * dbnd)
+      if (!ok && !last) None
+      else Some {
+        val chk = ranked.agg(min(col("pa")).as("minpa"),
+            count(lit(1)).as("npairs"))
+          .crossJoin(bound)
+          .select(assert_true(
+            col("dbnd") === 0L ||
+              (col("npairs") === topN &&
+                col("minpa") > col("dmax") * col("dbnd")),
+            concat(lit(s"g_pref_attach: no head in ladder " +
+                s"${rungs.mkString("/")} dominates — at $rung: npairs="),
+              col("npairs"),
+              lit(s" (need $topN), min(top-N pa)="),
+              coalesce(col("minpa"), lit(0L)), // empty rung: NULL min
+              lit(" must strictly beat dmax*dbnd="),
+              col("dmax") * col("dbnd"),
+              lit(" — extend PaLadder or raise topDeg")))
+            .as("ok"))
+        ranked.crossJoin(broadcast(chk)).where(col("ok").isNull)
+          .select(col("u"), col("v"), col("du"), col("dv"), col("pa"),
+            lit(rung).as("head_deg"))
+          .orderBy(col("pa").desc, col("u"), col("v"))
+          .limit(topN) // no-op on <= topN rows; keeps the final cut a
+                       // TakeOrderedAndProject, never a global sort
+      }
+    }
+
+    rungs.init.view.map(attempt(_, last = false)).collectFirst {
+      case Some(df) => df
+    }.getOrElse(attempt(rungs.last, last = true).get)
   }
 
   /** The per-node triangle family's shared wedge body over an undirected
@@ -1019,23 +1067,30 @@ object Graph {
       s, GraphOps.lineitemSubgraph(s, dir, Mod, SccQtyMax),
       SccFwdSteps, SccOuterRounds)),
 
-    // Depth-limited multi-source BFS distances over the broadcast CSR —
-    // hop labeling for the batch sources (see [[graft.graph.Bfs]]).
-    "g_bfs" -> ((s, dir) => Bfs.batch(
-      s, GraphOps.lineitemCsr(s, dir, Mod), BatchSources, BfsDepth)),
+    // Depth-limited multi-source BFS distances — two-regime dispatch
+    // (see [[graft.graph.Bfs]]): broadcast CSR under the edge ceiling
+    // (memoized snapshot), the level-synchronous superstep loop past it.
+    "g_bfs" -> ((s, dir) => Bfs.run(
+      s, GraphOps.lineitemGraph(s, dir, Mod), BatchSources, BfsDepth,
+      _ => GraphOps.lineitemCsr(s, dir, Mod))),
 
-    // K-source truncated Brandes betweenness over the same CSR, sources
-    // and horizon as g_bfs — exact BIGINT σ path counts, per-level
-    // dependency sweep, and EVERY float fold value-sorted on both
-    // engines so the δ chain is bit-identical cross-engine (see
-    // [[graft.graph.Betweenness]]).
-    "g_betweenness" -> ((s, dir) => Betweenness.batch(
-      s, GraphOps.lineitemCsr(s, dir, Mod), BatchSources, BfsDepth)),
+    // K-source truncated Brandes betweenness, sources and horizon as
+    // g_bfs — exact BIGINT σ path counts, per-level dependency sweep,
+    // and EVERY float fold value-sorted on both engines so the δ chain
+    // is bit-identical cross-engine. Two-regime like g_bfs: batch CSR
+    // under the ceiling, the σ-sum BFS + per-level backward join cascade
+    // supersteps past it (see [[graft.graph.Betweenness]]) — both
+    // regimes hash-identical by the value-sorted fold discipline.
+    "g_betweenness" -> ((s, dir) => Betweenness.run(
+      s, GraphOps.lineitemGraph(s, dir, Mod), BatchSources, BfsDepth,
+      _ => GraphOps.lineitemCsr(s, dir, Mod))),
 
     // Bounded-hop weighted shortest paths over the min-quantity-weighted
-    // edge set (see [[graft.graph.Sssp]]).
-    "g_sssp" -> ((s, dir) => Sssp.batch(
-      s, GraphOps.lineitemWeightedCsr(s, dir, Mod), BatchSources, SsspHops)),
+    // edge set — two-regime dispatch (see [[graft.graph.Sssp]]): dense
+    // relaxation arrays under the ceiling, min-plus supersteps past it.
+    "g_sssp" -> ((s, dir) => Sssp.run(
+      s, GraphOps.lineitemWeightedGraph(s, dir, Mod), BatchSources,
+      SsspHops, _ => GraphOps.lineitemWeightedCsr(s, dir, Mod))),
 
     // K1 distributed: single-source PPR by DataFrame superstep loop.
     "g_power_ppr" -> ((s, dir) => {
@@ -1685,21 +1740,45 @@ object Graph {
            |WHERE NOT EXISTS (SELECT 1 FROM und
            |  WHERE und.a = aa.u AND und.b = aa.v)
            |ORDER BY aa DESC, u, v LIMIT $LpCnTopN""".stripMargin,
-      "g_pref_attach" ->
+      // the LADDER replay: per rung its head / boundary degree / top-N
+      // survivors / acceptance bit, then the CASE pick of the first
+      // accepted rung — the identical deterministic escalation schedule
+      // the Spark side decides driver-side (see [[prefAttach]]).
+      "g_pref_attach" -> {
+        val rungs = PaLadder.map(_ * PaTopDeg)
+        val perRung = rungs.map { r =>
+          s"""top$r AS MATERIALIZED (SELECT id, dg FROM deg
+             |  ORDER BY dg DESC, id LIMIT $r),
+             |bnd$r AS (SELECT coalesce((SELECT dg FROM deg
+             |  ORDER BY dg DESC, id LIMIT 1 OFFSET $r), 0) AS dbnd),
+             |rk$r AS MATERIALIZED (SELECT x.id AS u, y.id AS v,
+             |  x.dg AS du, y.dg AS dv, CAST(x.dg * y.dg AS BIGINT) AS pa
+             |  FROM top$r x JOIN top$r y ON x.id < y.id
+             |  WHERE NOT EXISTS (SELECT 1 FROM und
+             |    WHERE und.a = x.id AND und.b = y.id)
+             |  ORDER BY pa DESC, u, v LIMIT $PaTopN),
+             |ok$r AS (SELECT (SELECT dbnd FROM bnd$r) = 0
+             |  OR ((SELECT count(*) FROM rk$r) = $PaTopN
+             |    AND (SELECT min(pa) FROM rk$r) >
+             |      (SELECT max(dg) FROM deg) * (SELECT dbnd FROM bnd$r))
+             |  AS ok)""".stripMargin
+        }.mkString(",\n")
+        val pick = "CASE " + rungs.map(r =>
+          s"WHEN (SELECT ok FROM ok$r) THEN $r").mkString(" ") + " END"
+        val branches = rungs.map(r =>
+          s"""SELECT u, v, du, dv, pa, CAST($r AS INT) AS head_deg
+             |FROM rk$r WHERE (SELECT hd FROM pick) = $r""".stripMargin)
+          .mkString("\nUNION ALL ")
         s"""WITH e AS MATERIALIZED (${GraphOps.lineitemGraphSql(TriMod)}),
            |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
            |  greatest(src, dst) AS b FROM e),
            |deg AS MATERIALIZED (SELECT id, count(*) AS dg FROM (
            |  SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
            |  GROUP BY id),
-           |top AS MATERIALIZED (SELECT id, dg FROM deg
-           |  ORDER BY dg DESC, id LIMIT $PaTopDeg),
-           |pairs AS (SELECT x.id AS u, y.id AS v, x.dg AS du, y.dg AS dv
-           |  FROM top x JOIN top y ON x.id < y.id)
-           |SELECT u, v, du, dv, CAST(du * dv AS BIGINT) AS pa FROM pairs
-           |WHERE NOT EXISTS (SELECT 1 FROM und
-           |  WHERE und.a = pairs.u AND und.b = pairs.v)
-           |ORDER BY pa DESC, u, v LIMIT $PaTopN""".stripMargin,
+           |$perRung,
+           |pick AS (SELECT $pick AS hd)
+           |$branches""".stripMargin
+      },
       "g_reciprocity" ->
         s"""WITH e AS MATERIALIZED ($graphSql)
            |SELECT (SELECT count(*) FROM e) AS m_edges,

@@ -38,6 +38,47 @@ object Media {
   val ReplicaRes = 3
   val ReplicaOffset = 1000000L
 
+  /** The shared banded near-dup composition over a `(doc_id, b0..b3)`
+    * signature frame (image aHash or audio fingerprint): candidates from
+    * any shared 16-bit band (at 100 TB the only wide exchange moves
+    * (band, id) pairs — never an all-pairs comparison, never payloads),
+    * exact Hamming verify over the full 64-bit signature on the
+    * candidate set only.
+    */
+  private def bandedNearDup(h: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val lng = Seq("b0", "b1", "b2", "b3").zipWithIndex.map { case (c, i) =>
+      h.select(col("doc_id"), lit(i).as("bi"), col(c).as("bv"))
+    }.reduce(_.unionAll(_))
+    val cand = lng.as("x").join(lng.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val ha = h.select(col("doc_id").as("doc_a"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val hb = h.select(col("doc_id").as("doc_b"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    cand.join(ha, Seq("doc_a")).join(hb, Seq("doc_b"))
+      .withColumn("hamming", expr(
+        "CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS INT)"))
+      .where(col("hamming") <= NearDupMaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** The replica-augmented (doc_id, text) source both near-dup rows and
+    * the audio fingerprint row ingest (see [[ReplicaMod]]).
+    */
+  private def withReplicas(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    docs.unionAll(
+      docs.where(col("doc_id") % ReplicaMod === ReplicaRes)
+        .select((col("doc_id") + ReplicaOffset).as("doc_id"), col("text")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_media_meta" -> ((s, dir) => MediaOps.metaDf(s, dir)),
 
@@ -69,34 +110,26 @@ object Media {
     // collisions (~1 per 2^16 pairs per band) verify near 32 and are
     // rejected by [[NearDupMaxHamming]].
     "m_media_neardup" -> ((s, dir) => {
-      import org.apache.spark.sql.functions._
-      val docs = graft.Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-      val withReplicas = docs.unionAll(
-        docs.where(col("doc_id") % ReplicaMod === ReplicaRes)
-          .select((col("doc_id") + ReplicaOffset).as("doc_id"), col("text")))
       // reused by the band explode and both verify joins: checkpoint so
       // the decode+hash kernel runs once, not four times
-      val h = MediaOps.perceptualHash(MediaOps.imagesFrom(withReplicas))
+      val h = MediaOps.perceptualHash(MediaOps.imagesFrom(withReplicas(s, dir)))
         .toDF().localCheckpoint(true)
-      val lng = Seq("b0", "b1", "b2", "b3").zipWithIndex.map { case (c, i) =>
-        h.select(col("doc_id"), lit(i).as("bi"), col(c).as("bv"))
-      }.reduce(_.unionAll(_))
-      val cand = lng.as("x").join(lng.as("y"),
-          col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      val ha = h.select(col("doc_id").as("doc_a"), col("b0").as("a0"),
-        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
-      val hb = h.select(col("doc_id").as("doc_b"), col("b0").as("c0"),
-        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
-      cand.join(ha, Seq("doc_a")).join(hb, Seq("doc_b"))
-        .withColumn("hamming", expr(
-          "CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
-            "bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS INT)"))
-        .where(col("hamming") <= NearDupMaxHamming)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
+      bandedNearDup(h)
+    }),
+
+    // AUDIO near-duplicate pairs — the fourth dedup modality next to
+    // exact (m_media_dedup), image (m_media_neardup) and video
+    // (m_media_video_neardup): Haitsma–Kalker sub-band energy-delta
+    // fingerprints over the REAL-decoded PCM (see
+    // [[MediaOps.audioFingerprint]] — 64 integer bits as four 16-bit LSH
+    // bands), then the identical banded candidate generation + Hamming
+    // verify the image path runs. Same replica re-ingest for
+    // non-vacuity; same 100 TB shape — wide exchanges move (band, id)
+    // tuples, never samples.
+    "m_media_audio_neardup" -> ((s, dir) => {
+      val h = MediaOps.audioFingerprint(MediaOps.audiosFrom(withReplicas(s, dir)))
+        .toDF().localCheckpoint(true)
+      bandedNearDup(h)
     }),
 
     // Video NEAR-duplicate pairs via frame-hash overlap — the standard
@@ -112,12 +145,7 @@ object Media {
     // never pixels.
     "m_media_video_neardup" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val docs = graft.Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-      val withReplicas = docs.unionAll(
-        docs.where(col("doc_id") % ReplicaMod === ReplicaRes)
-          .select((col("doc_id") + ReplicaOffset).as("doc_id"), col("text")))
-      val fh = MediaOps.frameHashes(MediaOps.videosFrom(withReplicas))
+      val fh = MediaOps.frameHashes(MediaOps.videosFrom(withReplicas(s, dir)))
         .toDF().localCheckpoint(true)
       val lng = Seq("b0", "b1", "b2", "b3").zipWithIndex.map { case (c, i) =>
         fh.select(col("doc_id"), col("frame_idx"), lit(i).as("bi"),
@@ -322,16 +350,38 @@ object Media {
       s"((th + 524287 + ($i)) % ${MediaOps.P})")} % 65536)"
 
   /** Per-doc CTE `au(doc_id, n, us)` with the unsigned sample list. */
-  private def audioCte: String =
-    s"""${paramsCte()},
+  private def audioCte(
+      docsSql: String = "SELECT doc_id, text FROM documents"): String =
+    s"""${paramsCte(docsSql)},
        |an AS (SELECT doc_id, th, 400 + th % 800 AS n FROM p),
        |au AS MATERIALIZED (SELECT doc_id, n,
        |  list_transform(range(0, n), i -> ${sampleSql("i")}) AS us
        |  FROM an)""".stripMargin
 
+  /** The banded candidate + Hamming-verify oracle tail over a CTE named
+    * `ph(doc_id, b0..b3)` — shared verbatim by the image and audio
+    * near-dup oracles (the [[bandedNearDup]] twin).
+    */
+  private def bandedNearDupTailSql: String =
+    s"""lng AS (SELECT doc_id, 0 AS bi, b0 AS bv FROM ph
+       |  UNION ALL SELECT doc_id, 1, b1 FROM ph
+       |  UNION ALL SELECT doc_id, 2, b2 FROM ph
+       |  UNION ALL SELECT doc_id, 3, b3 FROM ph),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM lng x JOIN lng y
+       |  ON y.bi = x.bi AND y.bv = x.bv AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+       |      bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+       |      AS INT) AS hamming
+       |  FROM cand c JOIN ph a ON a.doc_id = c.doc_a
+       |  JOIN ph b ON b.doc_id = c.doc_b) v
+       |WHERE hamming <= $NearDupMaxHamming""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "m_media_audio_meta" ->
-      s"""$audioCte
+      s"""${audioCte()}
          |SELECT doc_id, 8000 AS sample_rate, 1 AS channels, 16 AS bits,
          |  CAST(n AS BIGINT) AS n_samples,
          |  CAST(list_sum(list_transform(range(1, n), i ->
@@ -343,7 +393,7 @@ object Media {
          |  ${fold("us")} AS checksum
          |FROM au""".stripMargin,
     "m_media_audio_gate" ->
-      s"""$audioCte
+      s"""${audioCte()}
          |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
          |  CAST(coalesce(list_max(list_transform(us, u -> abs(u - 32768))),
          |    0) AS BIGINT) AS peak,
@@ -358,7 +408,7 @@ object Media {
          |    END AS rms
          |FROM au""".stripMargin,
     "m_media_audio_vad" ->
-      s"""$audioCte,
+      s"""${audioCte()},
          |vf AS (SELECT doc_id, n,
          |  CAST(coalesce(list_sum(list_transform(us, u ->
          |    CASE WHEN abs(u - 32768) >= ${MediaOps.VadThreshold}
@@ -376,7 +426,7 @@ object Media {
          |    ELSE round(CAST(n_active AS DOUBLE) / n, 6) END AS active_ratio
          |FROM vf""".stripMargin,
     "m_media_audio_downsample" ->
-      s"""$audioCte
+      s"""${audioCte()}
          |SELECT doc_id, CAST((n + 1) // 2 AS BIGINT) AS n_out,
          |  ${fold(s"list_transform(range(0, (n + 1) // 2), " +
               s"j -> us[CAST(2 * j + 1 AS INT)])")} AS checksum
@@ -409,21 +459,39 @@ object Media {
          |WHERE n_match * 2 >= greatest(na.nf, nb.nf)""".stripMargin,
     "m_media_neardup" ->
       s"""${phashCte(replicaDocsSql)},
-         |lng AS (SELECT doc_id, 0 AS bi, b0 AS bv FROM ph
-         |  UNION ALL SELECT doc_id, 1, b1 FROM ph
-         |  UNION ALL SELECT doc_id, 2, b2 FROM ph
-         |  UNION ALL SELECT doc_id, 3, b3 FROM ph),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM lng x JOIN lng y
-         |  ON y.bi = x.bi AND y.bv = x.bv AND x.doc_id < y.doc_id)
-         |SELECT doc_a, doc_b, hamming FROM (
-         |  SELECT c.doc_a, c.doc_b,
-         |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
-         |      bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
-         |      AS INT) AS hamming
-         |  FROM cand c JOIN ph a ON a.doc_id = c.doc_a
-         |  JOIN ph b ON b.doc_id = c.doc_b) v
-         |WHERE hamming <= $NearDupMaxHamming""".stripMargin,
+         |$bandedNearDupTailSql""".stripMargin,
+    // Audio near-dup: the generative replay of [[MediaOps.audioFingerprint]]
+    // — 85 slice energies as exact BIGINTs off the unsigned sample list,
+    // the 64 Haitsma–Kalker delta bits assembled into the same four
+    // 16-bit bands, then the shared banded candidate/verify tail.
+    "m_media_audio_neardup" -> {
+      val S = (MediaOps.FpWindows + 1) * MediaOps.FpBands
+      def eAt(w: Int, b: Int) = s"es[${w * MediaOps.FpBands + b + 1}]"
+      def bandExpr(j: Int) = (0 until 16).map { t =>
+        val k0 = j * 16 + t
+        val w = k0 / (MediaOps.FpBands - 1) + 1
+        val b = k0 % (MediaOps.FpBands - 1)
+        s"CASE WHEN (${eAt(w, b)} - ${eAt(w, b + 1)}) - " +
+          s"(${eAt(w - 1, b)} - ${eAt(w - 1, b + 1)}) > 0 " +
+          s"THEN ${1 << t} ELSE 0 END"
+      }.mkString(" + ")
+      s"""${audioCte(replicaDocsSql)},
+         |aes AS MATERIALIZED (SELECT doc_id,
+         |  list_transform(range(0, $S), k ->
+         |    CAST(coalesce(list_sum(list_transform(
+         |      range((k * n) // $S, ((k + 1) * n) // $S),
+         |      i -> (us[CAST(i + 1 AS INT)] - 32768) *
+         |           (us[CAST(i + 1 AS INT)] - 32768))), 0) AS BIGINT))
+         |    AS es
+         |  FROM au),
+         |ph AS MATERIALIZED (SELECT doc_id,
+         |  CAST(${bandExpr(0)} AS INT) AS b0,
+         |  CAST(${bandExpr(1)} AS INT) AS b1,
+         |  CAST(${bandExpr(2)} AS INT) AS b2,
+         |  CAST(${bandExpr(3)} AS INT) AS b3
+         |  FROM aes),
+         |$bandedNearDupTailSql""".stripMargin
+    },
     "m_media_meta" ->
       s"""${paramsCte()}
          |SELECT doc_id, CAST(w AS INT) AS width, CAST(ih AS INT) AS height,

@@ -68,6 +68,37 @@ class BetweennessSpec extends SparkSpec {
     assert(want.values.count(_ > 0) > 10, "fixture must exercise bc > 0")
   }
 
+  test("batch CSR and superstep regimes are EXACTLY equal on the bench " +
+      "graph (hash-identity, not tolerance — the two-regime contract)") {
+    val edges = GraphOps.lineitemGraph(spark, sfDir, Graph.Mod)
+    val batch = Betweenness
+      .batch(spark, GraphOps.buildCsr(edges), Graph.BatchSources,
+        Graph.BfsDepth)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sup = Betweenness
+      .runSupersteps(spark, edges, Graph.BatchSources, Graph.BfsDepth)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // exact double equality: sigma sums are order-free integers and every
+    // float fold is value-sorted, so the regimes cannot differ by an ulp
+    assert(sup == batch)
+    assert(batch.values.count(_ > 0) > 10)
+  }
+
+  test("superstep regime on the diamond handles absent sources, " +
+      "duplicate sources, and an early-emptied frontier") {
+    import spark.implicits._
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    // depth larger than the graph's depth: frontier empties early
+    val got = Betweenness.runSupersteps(spark, e, Seq(0L, 0L, 42L), 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // full (untruncated) Brandes from 0: δ(3) = σ₃/σ₄·(1+δ₄) = 2/2·1 = 1
+    // (the ratio normalizes over both branches), δ(1) = δ(2) =
+    // 1/2·(1+δ₃) = 1, δ(4) = 0 (leaf); duplicate source 0 must NOT
+    // double anything, absent 42 adds nothing.
+    assert(got == Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 0.0))
+  }
+
   test("diamond + tail closed form: both branch nodes carry the full " +
       "path fraction and the horizon node reads zero") {
     import spark.implicits._

@@ -21,6 +21,30 @@ class BfsSpec extends SparkSpec {
     assert(Bfs.batch(spark, csr, Seq(42L), 3).count() == 0)
   }
 
+  test("batch CSR and superstep regimes are exactly equal on the bench " +
+      "graph and on the toy digraph (two-regime contract)") {
+    val s = spark
+    import s.implicits._
+    val edges = GraphOps.lineitemGraph(spark, sfDir, Graph.Mod)
+    val batch = Bfs
+      .batch(spark, GraphOps.buildCsr(edges), Graph.BatchSources,
+        Graph.BfsDepth)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val sup = Bfs
+      .runSupersteps(spark, edges, Graph.BatchSources, Graph.BfsDepth)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(sup == batch)
+    // toy: absent source drops out, shortcut wins, depth cutoff respected
+    val toy = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+      (9L, 1L)).toDF("src", "dst")
+    val got = Bfs.runSupersteps(spark, toy, Seq(1L, 9L, 42L), 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == Map(
+      (1L, 1L) -> 0, (1L, 2L) -> 1, (1L, 4L) -> 1,
+      (1L, 3L) -> 2, (1L, 5L) -> 2,
+      (9L, 9L) -> 0, (9L, 1L) -> 1, (9L, 2L) -> 2, (9L, 4L) -> 2))
+  }
+
   test("dist-1 / dist<=2 counts agree with g_khop at sf0.001") {
     val bfs = Graph.queries("g_bfs")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

@@ -25,6 +25,35 @@ class SsspSpec extends SparkSpec {
     assert(got3(4L) == 3.0)
   }
 
+  test("batch and superstep regimes are EXACTLY equal on the bench " +
+      "weighted graph and on the toy (bit-identical doubles)") {
+    val s = spark
+    import s.implicits._
+    val edges = GraphOps.lineitemWeightedGraph(spark, sfDir, Graph.Mod)
+    val batch = Sssp
+      .batch(spark, Sssp.buildWeighted(edges), Graph.BatchSources,
+        Graph.SsspHops)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val sup = Sssp
+      .runSupersteps(spark, edges, Graph.BatchSources, Graph.SsspHops)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(sup == batch)
+    // toy: the round-r min-plus value must match the synchronous batch
+    // schedule exactly at every hop bound (the frontier optimization
+    // cannot change round-r semantics)
+    val toy = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 5.0),
+      (3L, 4L, 1.0)).toDF("src", "dst", "w")
+    for (hops <- 1 to 3) {
+      val b = Sssp.batch(spark, Sssp.buildWeighted(toy), Seq(1L), hops)
+        .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      val p = Sssp.runSupersteps(spark, toy, Seq(1L), hops)
+        .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      assert(p == b, s"hops=$hops")
+    }
+  }
+
   test("weighted distances dominate BFS hop counts at sf0.001") {
     // same (src, dst) edge set, weights >= 1: any path's cost is at least
     // its hop count, so dist_sssp(v) >= dist_bfs(v), and every BFS-reached

@@ -341,6 +341,75 @@ class MediaOpsSpec extends SparkSpec {
     assert(got.map(_._1) == replicaIds.toSet)
   }
 
+  test("audioFingerprint: hand-built alternating-energy clip sets exactly " +
+      "the even-(w+b) delta bits") {
+    val s = spark
+    import s.implicits._
+    // n = 850 → 85 slices of exactly 10 samples; slices alternate
+    // energy A = 10·100² and 0, so the Haitsma–Kalker delta
+    // (E(w,b)−E(w,b+1)) − (E(w−1,b)−E(w−1,b+1)) = ±2A with sign +
+    // exactly when slice (w·5+b) is even — a closed form independent of
+    // the generative model.
+    val n = 850
+    val pcm = new Array[Byte](2 * n)
+    (0 until n).foreach { i =>
+      val v = if ((i / 10) % 2 == 0) 100 else 0
+      pcm(2 * i) = (v & 0xff).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val got = MediaOps.audioFingerprint(
+      Seq(MediaOps.Media(7L, "audio/wav", bos.toByteArray)).toDS()).collect()(0)
+    val want = new Array[Int](4)
+    for (w <- 1 to MediaOps.FpWindows; b <- 0 until MediaOps.FpBands - 1)
+      if ((w * MediaOps.FpBands + b) % 2 == 0) {
+        val k0 = (w - 1) * (MediaOps.FpBands - 1) + b
+        want(k0 / 16) |= 1 << (k0 % 16)
+      }
+    assert(Seq(got.b0, got.b1, got.b2, got.b3) == want.toSeq)
+  }
+
+  test("m_media_audio_neardup: replica clips verify at Hamming 0, nothing " +
+      "else survives, and distinct clips sit far outside the threshold") {
+    val M = graft.queries.Media
+    val got = M.queries("m_media_audio_neardup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    got.foreach { case (_, _, h) => assert(h == 0) }
+    val base = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val all = base ++ base.collect {
+      case (id, t) if id % M.ReplicaMod == M.ReplicaRes =>
+        (id + M.ReplicaOffset, t)
+    }
+    val want = all.groupBy(_._2).values.flatMap { g =>
+      val ids = g.map(_._1).sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length)
+        yield (ids(i), ids(j), 0)
+    }.toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fixture has no duplicate clips — test is vacuous")
+    // separation margin: brute-force pairwise Hamming over the first 120
+    // DISTINCT-text fingerprints — the whitened generative PCM must keep
+    // every non-duplicate pair decisively past the verify threshold
+    val s = spark
+    import s.implicits._
+    val fps = MediaOps.audioFingerprint(MediaOps.audiosFrom(
+        base.take(120).toSeq.toDF("doc_id", "text")))
+      .collect().map(f => (f.doc_id, Seq(f.b0, f.b1, f.b2, f.b3)))
+    val minH = (for {
+      i <- fps.indices; j <- (i + 1) until fps.length
+      if base(i)._2 != base(j)._2
+    } yield fps(i)._2.zip(fps(j)._2)
+      .map { case (a, b) => Integer.bitCount(a ^ b) }.sum).min
+    assert(minH > M.NearDupMaxHamming * 2,
+      s"distinct-clip fingerprints too close: min Hamming $minH")
+  }
+
   test("codec idempotence: decode → re-encode → decode preserves every " +
       "pixel, and the kernels handle non-toy rasters") {
     // re-encoding a decoded image and decoding again must reproduce the

@@ -12,6 +12,25 @@ class EmbeddingsSpec extends SparkSpec {
 
   private def brute = Embeddings.queries("e_cosine_topk")(spark, sfDir)
 
+  test("invalidateModels drops the cached fits and unpins their blocks; " +
+      "the next consumer refits cleanly") {
+    val sc = spark.sparkContext
+    // force both fits, note what they pinned
+    Embeddings.kmCentroids(spark, sfDir)
+    Embeddings.queries("e_pq")(spark, sfDir).count()
+    val pinnedBefore = graft.operators.SessionPins.pinned(sc)
+    assert(pinnedBefore.nonEmpty, "fits should have pinned model blocks")
+    Embeddings.invalidateModels(spark, sfDir)
+    val pinnedAfter = graft.operators.SessionPins.pinned(sc)
+    assert(pinnedBefore.intersect(pinnedAfter).isEmpty,
+      "stale model blocks still pinned after invalidation")
+    assert((pinnedBefore -- sc.getPersistentRDDs.keySet) == pinnedBefore,
+      "stale model blocks still persisted after invalidation")
+    // refit path: the rows still produce their results (fresh model)
+    assert(Embeddings.queries("e_kmeans")(spark, sfDir).count() > 0)
+    assert(graft.operators.SessionPins.pinned(sc).nonEmpty)
+  }
+
   test("e_ann_lsh: scores agree with brute force; ranks consistent") {
     val ann = Embeddings.queries("e_ann_lsh")(spark, sfDir)
       .select(col("q_id"), col("vec_id"), col("cos")).collect()

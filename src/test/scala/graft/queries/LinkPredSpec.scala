@@ -140,16 +140,17 @@ class LinkPredSpec extends SparkSpec {
       .contains("TakeOrderedAndProject"))
   }
 
-  test("pref-attach dominance guard fires on a hub near-clique where " +
-      "the head answer is NOT the global top-N") {
+  test("pref-attach ESCALATES on a hub near-clique where the base head " +
+      "is not dominant, and the escalated answer is the global top-N") {
     import spark.implicits._
     // 4 hubs (clique, plus private leaves -> degree 9 each) and six
     // degree-3 mid nodes; head of topDeg=8 takes the hubs + 4 mids (id
     // tie-break), leaving 2 mids outside with dbnd=3. Surviving head
     // pairs are hub×mid and mid×mid with max score 27 = 9·3 — NOT
     // strictly above dmax·dbnd = 27 (an outside (hub, mid) pair ties and
-    // can win the (pa desc, u, v) tie-break), so the guard must throw
-    // rather than report a restricted set as exact.
+    // can win the (pa desc, u, v) tie-break), so rung 8 must be REJECTED
+    // — and the ladder's rung 32 (dbnd = 1, 27 > 9) accepted, reporting
+    // the true global top-3 with the chosen head disclosed.
     val hubs = 0L to 3L
     val mids = 4L to 9L
     val hubClique = for (i <- hubs; j <- hubs; if i < j) yield (i, j)
@@ -162,10 +163,35 @@ class LinkPredSpec extends SparkSpec {
     }
     val und = (hubClique ++ hubLeaves ++ midLeaves).toDF("a", "b")
       .localCheckpoint(true)
+    val got = Graph.prefAttach(und, topDeg = 8, topN = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getInt(5)))
+      .toSeq
+    // global top-3 non-adjacent pairs: hub×mid at 27 each, (pa desc, u, v)
+    assert(got == Seq((0L, 4L, 27L, 32), (0L, 5L, 27L, 32),
+      (0L, 6L, 27L, 32)))
+  }
+
+  test("pref-attach dbnd=0 acceptance (fewer-than-topN global answer) " +
+      "and loud ladder exhaustion") {
+    import spark.implicits._
+    // K6 complete graph, topDeg = 1 → rungs 1/4/16. Rungs 1 and 4 reject
+    // (all head pairs adjacent → npairs = 0 < topN, boundary degree 5 >
+    // 0); rung 16 covers the whole 6-node graph → dbnd = 0 → ACCEPTED
+    // with an empty result: the graph simply has no non-adjacent pair,
+    // and the restricted answer is trivially global (the ADVICE case a
+    // 'raise the head' error could never fix).
+    val k6 = (for (i <- 0L to 5L; j <- 0L to 5L; if i < j) yield (i, j))
+      .toDF("a", "b").localCheckpoint(true)
+    assert(Graph.prefAttach(k6, topDeg = 1, topN = 3).collect().isEmpty)
+    // K20: the last rung (16) still leaves 4 nodes outside (dbnd = 19 >
+    // 0) with zero surviving pairs — genuine exhaustion must throw, not
+    // report a restricted set as exact.
+    val k20 = (for (i <- 0L to 19L; j <- 0L to 19L; if i < j) yield (i, j))
+      .toDF("a", "b").localCheckpoint(true)
     val ex = intercept[Exception] {
-      Graph.prefAttach(und, topDeg = 8, topN = 3).collect()
+      Graph.prefAttach(k20, topDeg = 1, topN = 3).collect()
     }
-    assert(ex.getMessage.contains("does not dominate"),
+    assert(ex.getMessage.contains("no head in ladder"),
       s"wrong failure: ${ex.getMessage}")
   }
 
