@@ -37,13 +37,21 @@ object Scc {
   /** Same budget rationale as [[ConnectedComponents.LocalEdgeLimit]]. */
   val LocalEdgeLimit = 8000000L
 
+  /** Per-outer-round telemetry hook for [[runSupersteps]]:
+    * (round, trimmed singleton count, contain-peeled count) — the octave
+    * harness discloses trim sizes through it. The default no-op skips
+    * the two count jobs entirely.
+    */
+  type RoundStats = (Int, Long, Long) => Unit
+  val NoStats: RoundStats = (_, _, _) => ()
+
   def run(spark: SparkSession, edges: DataFrame, fwdSteps: Int,
-      outerRounds: Int): DataFrame = {
+      outerRounds: Int, onRound: RoundStats = NoStats): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().persist()
     val m = e.count()
     val out =
       if (m <= LocalEdgeLimit) runLocal(spark, e)
-      else runSupersteps(spark, e, fwdSteps, outerRounds)
+      else runSupersteps(spark, e, fwdSteps, outerRounds, onRound)
     e.unpersist()
     out
   }
@@ -149,7 +157,8 @@ object Scc {
     * returning a wrong labeling.
     */
   private[graph] def runSupersteps(spark: SparkSession, edges: DataFrame,
-      fwdSteps: Int, outerRounds: Int): DataFrame = {
+      fwdSteps: Int, outerRounds: Int,
+      onRound: RoundStats = NoStats): DataFrame = {
     val sc = spark.sparkContext
     // one CkptChain PER state variable — colr must survive the whole
     // containment loop, so it cannot share a chain with reach
@@ -179,6 +188,7 @@ object Scc {
         .join(hasOut.intersect(hasIn), Seq("id"), "left_anti"))
       done += trimmed.select(col("id").as("node_id"), col("id").as("root"))
       active = activeCk(active.join(trimmed, Seq("id"), "left_anti"))
+      var peeledCount = 0L
       if (active.head(1).nonEmpty) {
         ae = aeCk(restrict(ae, active))
         // 2. COLOR forward to fixpoint — neighbor-max as aggregate +
@@ -237,10 +247,12 @@ object Scc {
           .select(col("id"), col("r").as("root")))
         done += peeled.select(col("id").as("node_id"), col("root"))
         active = activeCk(active.join(peeled, Seq("id"), "left_anti"))
+        if (onRound ne NoStats) peeledCount = peeled.count()
         reachCk.releaseAll()
         colorCk.releaseAll()
       }
       round += 1
+      if (onRound ne NoStats) onRound(round, trimmed.count(), peeledCount)
     }
     val leftover = active.count()
     require(leftover == 0L,

@@ -153,6 +153,63 @@ object OctaveBench {
         .collect()(0)
     }
 
+    // MULTI-SCC octave (round-15): the kmvMix-parity digraph above
+    // collapses to ONE giant SCC, so the trim/color/contain loop ran its
+    // most benign shape there. This second digraph has REAL SCC
+    // structure: nodes group into blocks of B = 4 consecutive ids, each
+    // block closed into a directed cycle (an SCC of exactly the block);
+    // inter-block edges orient STRICTLY ascending in a hashed block
+    // order obk (identity except runs of 5 consecutive blocks every 100,
+    // whose obk is REVERSED — those runs carry larger ids upstream, so
+    // their SCCs peel in multi-round waves instead of all at once); plus
+    // 5,000 three-deep one-way tail chains whose ends lose their
+    // out-edges one layer per round — guaranteed REPEATED TRIMS with
+    // disclosed sizes. Block-level acyclicity is by construction
+    // (ascending obk), so the expected labeling is ~20k 4-node SCCs +
+    // 15k tail singletons. fwdSteps is sized to the color-flood
+    // diameter (≤ ~3 dense block hops × (cycle diameter 3 + 1) + 3) and
+    // DISCLOSED; the loop require-fails loudly if it does not hold.
+    val B = 4
+    val scc2Mod = 80513
+    val nBlocks = (scc2Mod + B - 1) / B
+    val fl20 = GraphOps.lineitemFlickrGraph(spark, sfDir, scc2Mod, 20)
+      .localCheckpoint(true)
+    val obk = (c: String) =>
+      s"CASE WHEN ($c) % 100 < 5 THEN ($c) + 4 - 2 * (($c) % 100) " +
+        s"ELSE ($c) END"
+    val withBlocks = fl20.selectExpr("src", "dst",
+      s"${obk(s"src DIV $B")} AS os", s"${obk(s"dst DIV $B")} AS od")
+    val inter = withBlocks.where(col("os") =!= col("od"))
+      .selectExpr("CASE WHEN os < od THEN src ELSE dst END AS src",
+        "CASE WHEN os < od THEN dst ELSE src END AS dst")
+    val intra = withBlocks.where(col("os") === col("od"))
+      .select(col("src"), col("dst"))
+    val cycles = spark.range(scc2Mod).selectExpr("id AS src",
+      s"CASE WHEN id % $B = ${B - 1} OR id = ${scc2Mod - 1} " +
+        s"THEN (id DIV $B) * $B ELSE id + 1 END AS dst")
+      .where(col("src") =!= col("dst"))
+    val tailChains = 5000
+    val tails = spark.range(tailChains)
+      .selectExpr(s"id * 16 AS v", "200000 + id * 3 AS t")
+      .selectExpr("stack(3, v, t, t, t + 1, t + 1, t + 2) AS (src, dst)")
+    val dig2 = inter.unionAll(intra).unionAll(cycles).unionAll(tails)
+      .localCheckpoint(true)
+    val dig2M = dig2.distinct().count()
+    val scc2Fwd = sys.env.getOrElse("GRAFT_SCC2_FWD", "20").toInt
+    val scc2Outer = sys.env.getOrElse("GRAFT_SCC2_OUTER", "10").toInt
+    val rounds2 = Seq.newBuilder[(Int, Long, Long)]
+    val (scc2Prof, scc2Sec) = timed {
+      graft.graph.Scc.run(spark, dig2, scc2Fwd, scc2Outer,
+        (r, t, p) => rounds2 += ((r, t, p)))
+        .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_scc"), max(col("sz")).as("giant"),
+          sum(when(col("sz") >= B, 1).otherwise(0)).as("n_blocks"))
+        .collect()(0)
+    }
+    val scc2Rounds = rounds2.result()
+    val scc2Trims = scc2Rounds.map(_._2).mkString("[", ",", "]")
+    val scc2Peels = scc2Rounds.map(_._3).mkString("[", ",", "]")
+
     // Borůvka MSF at the octave over the undirected edge set with the
     // g_msf hash weights: one min-struct shuffle per round + CC
     // contraction on the picked-edge graph (two-regime: the picked set
@@ -223,6 +280,14 @@ object OctaveBench {
       s""","scc_fwd_steps":$sccFwd,"scc_outer_rounds":$sccOuter""" +
       s""","scc_count":${sccProf.getLong(0)}""" +
       s""","scc_giant":${sccProf.getLong(1)}""" +
+      s""","scc2_sec":${r1(scc2Sec)},"scc2_edges":$dig2M""" +
+      s""","scc2_fwd_steps":$scc2Fwd,"scc2_outer_rounds":$scc2Outer""" +
+      s""","scc2_count":${scc2Prof.getLong(0)}""" +
+      s""","scc2_giant":${scc2Prof.getLong(1)}""" +
+      s""","scc2_full_blocks":${scc2Prof.getLong(2)}""" +
+      s""","scc2_rounds_used":${scc2Rounds.length}""" +
+      s""","scc2_trims_per_round":$scc2Trims""" +
+      s""","scc2_peels_per_round":$scc2Peels""" +
       s""","msf_sec":${r1(msfSec)},"msf_rounds_bound":${GQ.MsfRounds}""" +
       s""","msf_edges":${msfProf.getLong(0)}""" +
       s""","msf_total_w":${msfProf.getLong(1)}""" +

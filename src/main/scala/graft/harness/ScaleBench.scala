@@ -1,0 +1,148 @@
+package graft.harness
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scaling-exponent evidence for the dedup/ANN family (round-15): the
+  * LLM-pipeline rows had gate/sf0.1 evidence but no measured GROWTH LAW.
+  * This main times `d_lsh_pairs`, `d_passage_dedup`, `m_media_neardup`
+  * and the `e_semdedup` body at the base corpus and at a
+  * [[blowDefault]]× synthetic blowup, and discloses t(k·m)/t(m) next to
+  * the candidate-set volumes — the bucketed-design claim ("candidate
+  * generation is a band equi-join; quadratic work confined to candidate
+  * sets"), measured.
+  *
+  * The blowup is NOT replication: k-copy families of near-identical text
+  * would grow candidate sets quadratically in k by construction (every
+  * copy pair collides). Each copy j instead applies a deterministic
+  * Caesar rotation by j to the text (word lengths, whitespace and
+  * punctuation preserved — the workload's shape statistics are intact —
+  * but every shingle hash changes, so copies never near-dup against each
+  * other) and a j-step dimension ROLL to the embeddings (norms and
+  * coordinate distribution preserved; cosine against the original is
+  * whitened-random). Duplicate structure WITHIN each copy mirrors the
+  * original corpus, so true-positive volume scales linearly — exactly
+  * the regime a k×-bigger crawl presents.
+  *
+  * e_semdedup runs through [[graft.queries.Embeddings.semDedupAtK]] with
+  * k · blowup cells at the blowup — the documented SemDeDup scale
+  * contract (k ∝ corpus; cell occupancy, and with it the in-cell
+  * quadratic pairing, stays ~constant). Holding k fixed while the corpus
+  * grows would measure the contract VIOLATED (cells k× fuller → pairing
+  * k²×), which is what the plan-embedded distinct-per-cell guard exists
+  * to refuse.
+  */
+object ScaleBench {
+
+  import Fmt.r1
+
+  val blowDefault = 4
+  val CopyOffset = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val blow = sys.env.getOrElse("GRAFT_BLOWUP", blowDefault.toString).toInt
+    val spark = graft.LocalSession.create()
+    val sc = spark.sparkContext
+
+    // ---- deterministic blown-up corpus dir (documents + embeddings)
+    val dir2 = s"/tmp/graft_blowup_${blow}x"
+    val az = "abcdefghijklmnopqrstuvwxyz"
+    val AZ = az.toUpperCase(java.util.Locale.ROOT)
+    def rot(s: String, j: Int) = s.drop(j % 26) + s.take(j % 26)
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    (0 until blow).map { j =>
+      docs.select((col("doc_id") + j * CopyOffset).as("doc_id"),
+        translate(col("text"), az + AZ, rot(az, j) + rot(AZ, j)).as("text"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    (0 until blow).map { j =>
+      if (j == 0) emb
+      else emb.selectExpr(s"vec_id + ${j * CopyOffset} AS vec_id",
+        s"concat(slice(embedding, ${j + 1}, size(embedding) - $j), " +
+          s"slice(embedding, 1, $j)) AS embedding")
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir2/embeddings.parquet")
+
+    val Q = graft.SparkEntry.queries
+    def timed(body: => Long): (Long, Double) = {
+      val before = sc.getPersistentRDDs.keySet
+      val t0 = System.nanoTime()
+      val n = body
+      val dt = (System.nanoTime() - t0) / 1e9
+      val now = sc.getPersistentRDDs
+      (now.keySet -- before -- graft.operators.SessionPins.pinned(sc))
+        .foreach(id => now.get(id).foreach(_.unpersist(false)))
+      (n, dt)
+    }
+
+    /** Band-collision candidate volume Σ_g C(|g|, 2) over a melted
+      * `(doc_id, band columns...)` signature frame — the work the verify
+      * stage is confined to.
+      */
+    def bandVolume(sig: DataFrame): Long = {
+      val bcols = sig.columns.filter(_ != "doc_id")
+      val lng = bcols.zipWithIndex.map { case (c, i) =>
+        sig.select(lit(i).as("bi"), col(c).cast("long").as("bv"))
+      }.reduce(_ unionAll _)
+      lng.groupBy(col("bi"), col("bv")).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)))
+        .collect()(0).getLong(0)
+    }
+
+    def measure(dir: String, kCells: Int): Map[String, (Long, Double)] = {
+      // untimed warmup: page cache + parquet decode for both tables
+      graft.Tables(spark, dir, "documents").count()
+      graft.Tables(spark, dir, "embeddings").count()
+      val out = scala.collection.mutable.LinkedHashMap[String, (Long, Double)]()
+      out("d_lsh_pairs") = timed(Q("d_lsh_pairs")(spark, dir).count())
+      out("d_passage_dedup") = timed(Q("d_passage_dedup")(spark, dir).count())
+      out("m_media_neardup") = timed(Q("m_media_neardup")(spark, dir).count())
+      out("e_semdedup") = timed(
+        graft.queries.Embeddings.semDedupAtK(spark, dir, kCells).count())
+      out.toMap
+    }
+
+    def volumes(dir: String, kCells: Int): Map[String, Long] = Map(
+      "lsh_band_pairs" -> bandVolume(Q("d_minhash")(spark, dir)),
+      "media_band_pairs" -> bandVolume(Q("m_media_phash")(spark, dir)),
+      "passages" -> Q("d_passage_dedup")(spark, dir)
+        .agg(coalesce(sum(col("n_pass")), lit(0L))).collect()(0).getLong(0),
+      "semdedup_cell_pairs" -> graft.queries.Embeddings
+        .semDedupAtK(spark, dir, kCells)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)))
+        .collect()(0).getLong(0))
+
+    val kBase = graft.queries.Embeddings.KmK
+    // untimed JIT/codegen warm pass over all four bodies — without it the
+    // base pass absorbs kernel JIT and the ratios read flattering
+    measure(sfDir, kBase)
+    val base = measure(sfDir, kBase)
+    val blown = measure(dir2, kBase * blow)
+    val vBase = volumes(sfDir, kBase)
+    val vBlown = volumes(dir2, kBase * blow)
+
+    val names = Seq("d_lsh_pairs", "d_passage_dedup", "m_media_neardup",
+      "e_semdedup")
+    val perRow = names.map { n =>
+      val (cb, tb) = base(n)
+      val (ck, tk) = blown(n)
+      s""""$n":{"base_sec":${r1(tb)},"blow_sec":${r1(tk)},""" +
+        s""""t_ratio":${r1(if (tb > 0) tk / tb else 0.0)},""" +
+        s""""base_rows":$cb,"blow_rows":$ck}"""
+    }.mkString(",")
+    val vols = vBase.keys.toSeq.sorted.map { k =>
+      val (a, b) = (vBase(k), vBlown(k))
+      s""""$k":{"base":$a,"blow":$b,""" +
+        s""""ratio":${r1(if (a > 0) b.toDouble / a else 0.0)}}"""
+    }.mkString(",")
+    println(s"""{"metric":"scale_ops","sf":"$sfDir","blowup":$blow""" +
+      s""","semdedup_k_base":$kBase,"semdedup_k_blow":${kBase * blow}""" +
+      s""","rows":{$perRow},"volumes":{$vols}}""")
+    spark.stop()
+  }
+}

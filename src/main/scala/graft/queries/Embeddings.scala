@@ -413,26 +413,52 @@ object Embeddings {
     kmCache.getOrElseUpdate((s, dir), {
       val sc = s.sparkContext
       val before = sc.getPersistentRDDs.keySet
-      val emb = embDf(s, dir).localCheckpoint(true)
-      val ckpt = new graft.operators.CkptChain(sc)
-      val cvArray =
-        s"array(${(1 to Dims).map(i => s"c$i").mkString(", ")}) AS cv"
-      var cent = ckpt(emb.where(col("vec_id") < KmK)
-        .selectExpr("CAST(vec_id AS INT) AS cid", "v AS cv"))
-      for (_ <- 1 to KmIters) {
-        val avgs = (1 to Dims)
-          .map(i => round(avg(element_at(col("v"), i)), 6).as(s"c$i"))
-        cent = ckpt(kmAssign(emb, cent).join(emb, Seq("vec_id"))
-          .groupBy(col("cell").as("cid"))
-          .agg(avgs.head, avgs.tail: _*)
-          .selectExpr("cid", cvArray))
-      }
+      val r = kmFitAt(s, dir, KmK)
       // emb's checkpoint + the final centroid generation back the cached
       // model; the chain already released intermediate generations, so
       // what this fit leaves persisted is exactly those two.
       recordPins(s, dir, sc.getPersistentRDDs.keySet -- before)
-      (emb, cent)
+      r
     })
+
+  /** One Lloyd fit at an explicit k — the body behind [[kmCentroids]]
+    * (which caches + pins the k = [[KmK]] model) and the harness scale
+    * hook [[semDedupAtK]].
+    */
+  private def kmFitAt(s: SparkSession, dir: String,
+      k: Int): (DataFrame, DataFrame) = {
+    val sc = s.sparkContext
+    val emb = embDf(s, dir).localCheckpoint(true)
+    val ckpt = new graft.operators.CkptChain(sc)
+    val cvArray =
+      s"array(${(1 to Dims).map(i => s"c$i").mkString(", ")}) AS cv"
+    var cent = ckpt(emb.where(col("vec_id") < k)
+      .selectExpr("CAST(vec_id AS INT) AS cid", "v AS cv"))
+    for (_ <- 1 to KmIters) {
+      val avgs = (1 to Dims)
+        .map(i => round(avg(element_at(col("v"), i)), 6).as(s"c$i"))
+      cent = ckpt(kmAssign(emb, cent).join(emb, Seq("vec_id"))
+        .groupBy(col("cell").as("cid"))
+        .agg(avgs.head, avgs.tail: _*)
+        .selectExpr("cid", cvArray))
+    }
+    (emb, cent)
+  }
+
+  /** Harness-only scale hook: the `e_semdedup` BODY at an explicit k.
+    * The documented SemDeDup scale contract is k ∝ corpus size (in-cell
+    * pairing is quadratic BY DESIGN, held linear overall by cell
+    * occupancy staying ~constant) — so an octave blowup must refit at
+    * k·blowup rather than serve the fixed-[[KmK]] model, whose cells
+    * (and the quadratic pairing inside them) would grow with the corpus.
+    * No caching, no pins — the caller's per-row reap releases the fit.
+    */
+  private[graft] def semDedupAtK(s: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    val (emb, cent) = kmFitAt(s, dir, k)
+    semDedup(kmAssign(emb, cent).select(col("vec_id"), col("cell"))
+      .localCheckpoint(true), emb, SemDupThreshold, MaxSemCellDistinct)
+  }
 
   private def kmAssign(emb: DataFrame, c: DataFrame): DataFrame =
     emb.crossJoin(broadcast(c))

@@ -501,6 +501,25 @@ object EventStreams {
       }
   }
 
+  /** Per-week lifecycle class counts as an ORDINARY streaming
+    * aggregation over the [[churnState]] ledger — the composed two-stage
+    * query the scaladoc above promises ("the batch row's per-week counts
+    * are an ordinary streaming aggregation over this ledger"), pinned as
+    * code: flatMapGroupsWithState (Append) feeding a groupBy(week, cls)
+    * count, the one composition Structured Streaming allows stateful
+    * custom logic to chain into. Run in Complete output mode, the final
+    * frame equals the batch `ev_churn` class counts minus exactly the
+    * disclosed held final-churned markers (EventStreamsSpec reconciles
+    * both directions across micro-batch splits with late arrivals).
+    * Scale shape: the ledger emits one small row per (user, newly
+    * classified week); the aggregation is map-side-combinable on a
+    * (week, cls) key space bounded by weeks × 4.
+    */
+  def churnWeekly(events: Dataset[BEv]): DataFrame =
+    churnState(events)
+      .groupBy(col("week"), col("cls"))
+      .agg(count(lit(1)).as("n"))
+
   /** Per-user event-type transition extraction with carried last-event
     * state — the streaming stage under `ev_markov`'s bigram counts: each
     * user's state is their last seen event, and every arrival emits one

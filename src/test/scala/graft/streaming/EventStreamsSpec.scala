@@ -827,4 +827,87 @@ class EventStreamsSpec extends SparkSpec {
       assert(spark.table("chstate").count() == before, "late week emitted")
     } finally q.stop()
   }
+
+  test("churnWeekly (the streaming aggregation OVER the churn ledger) ≡ " +
+      "the batch ev_churn class counts minus the held final markers, " +
+      "across 4 micro-batch splits with a late arrival") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[BEv]
+    val q = churnWeekly(input.toDS()).writeStream
+      .format("memory").queryName("chweekly").outputMode("complete").start()
+    try {
+      val WeekUs = graft.queries.Events.WeekUs
+      val SynthBase = 10000000L
+      def synth(u: Long, w: Long) =
+        BEv(SynthBase + u, new java.sql.Timestamp(w * WeekUs / 1000L))
+      val synths = Seq(synth(1, 0), synth(1, 1), synth(1, 3),
+        synth(2, 0), synth(2, 2), synth(3, 5))
+      val rows = (Tables(spark, sfDir, "events")
+        .select(col("user_id"), col("ts")).as[BEv].collect() ++ synths)
+        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.user_id))
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      }
+      // late arrival for a long-classified week: the ledger absorbs it,
+      // so the aggregate frame must not move either
+      input.addData(Seq(rows.head)); q.processAllAvailable()
+      val got = spark.table("chweekly").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+      // expected: the batch classification over the full (real + synth)
+      // feed, minus each user's FINAL churned marker (held by contract)
+      val uw = rows.map(e => (e.user_id,
+        math.floorDiv(math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+          e.ts.getNanos / 1000L, WeekUs))).distinct
+      val byUser = uw.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val want = byUser.toSeq.flatMap { case (u, ws) =>
+        val fw = ws.min
+        val classes = ws.toSeq.map { w =>
+          if (w == fw) (w, "new")
+          else if (ws.contains(w - 1)) (w, "retained")
+          else (w, "resurrected")
+        }
+        val churned = ws.toSeq
+          .filter(w => !ws.contains(w + 1) && w != ws.max)
+          .map(w => (w + 1, "churned"))
+        classes ++ churned
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got == want)
+
+      // reconcile AGAINST THE BATCH ROW for the real users: batch counts
+      // = stream counts + the held final-churned markers, nothing else
+      val batch = graft.queries.Events.queries("ev_churn")(spark, sfDir)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      val synthByWeek = byUser.view.filterKeys(_ >= SynthBase).toMap
+      def synthCnt(w: Long, c: String): Long = synthByWeek.toSeq.map {
+        case (_, ws) =>
+          val fw = ws.min
+          c match {
+            case "new" => if (w == fw) 1L else 0L
+            case "retained" =>
+              if (ws.contains(w) && w != fw && ws.contains(w - 1)) 1L else 0L
+            case "resurrected" =>
+              if (ws.contains(w) && w != fw && !ws.contains(w - 1)) 1L else 0L
+            case "churned" =>
+              if (!ws.contains(w) && ws.contains(w - 1) && w - 1 != ws.max) 1L
+              else 0L
+          }
+      }.sum
+      val finalMarkers = byUser.view.filterKeys(_ < SynthBase)
+        .mapValues(ws => ws.max + 1).values
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      batch.foreach { case (w, (nNew, nRet, nRes, nChn)) =>
+        def g(c: String) = got.getOrElse((w, c), 0L) - synthCnt(w, c)
+        assert(g("new") == nNew, s"week $w new")
+        assert(g("retained") == nRet, s"week $w retained")
+        assert(g("resurrected") == nRes, s"week $w resurrected")
+        assert(g("churned") + finalMarkers.getOrElse(w, 0L) == nChn,
+          s"week $w churned")
+      }
+    } finally q.stop()
+  }
 }
