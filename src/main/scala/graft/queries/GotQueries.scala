@@ -88,9 +88,45 @@ object GotQueries {
     gndMemo.toSeq.toDF("src", "node_id", "score")
   }
 
+  /** Centrality-family grid axes (round-15): the PPR families sweep
+    * ε/rmax/threshold grids; the centrality rows ran ONE fixed config
+    * each. `got_grid_betweenness` sweeps the truncation DEPTH over the
+    * same seeded 5-source sample (the horizon is the operator's one
+    * tunable), `got_grid_katz` sweeps the attenuation α at the fixed
+    * 10-iteration horizon (α·λ_max must stay < 1; GOT's max degree
+    * bounds λ_max ≤ 36, so 0.01 keeps margin). Every grid point is
+    * hash-checked against the unrolled DuckDB replay, like the PPR grid
+    * rows.
+    */
+  val GridBcDepths: Seq[Int] = Seq(2, 4, 6)
+  val GridKatzAlphas: Seq[Double] = Seq(0.002, 0.005, 0.01)
+  val GridKatzIters = 10
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1+S2+J5: load, resolve names→ids, symmetrize.
     "got_edges" -> ((s, _) => Got.edges(s)),
+
+    // Centrality grid, Brandes branch: k-source truncated betweenness at
+    // each horizon of the depth axis, one (depth, node_id, bc) frame per
+    // grid point — the got_grid_* treatment for the deterministic
+    // centrality family (sources = the PPR grid's seeded sample).
+    "got_grid_betweenness" -> ((s, _) => {
+      val csr = Got.cachedCsr(s)
+      GridBcDepths.map { d =>
+        graft.graph.Betweenness.batch(s, csr, GridSources, d)
+          .select(lit(d).as("depth"), col("node_id"), col("bc"))
+      }.reduce(_.unionAll(_))
+    }),
+
+    // Centrality grid, Katz branch: the truncated-fixpoint superstep
+    // loop at each α of the attenuation axis, 10 iterations fixed.
+    "got_grid_katz" -> ((s, _) => {
+      GridKatzAlphas.map { a =>
+        graft.graph.Katz.run(s, Got.edges(s), a, GridKatzIters)
+          .select(lit(a).as("alpha"), col("node_id"),
+            round(col("katz"), 9).as("katz"))
+      }.reduce(_.unionAll(_))
+    }),
 
     // K1 on the GOT graph from Arya + T2 tie-inclusive top-k + P5 name
     // projection: "top-10 most PPR-similar characters to Arya".
@@ -345,6 +381,16 @@ object GotQueries {
     }.mkString("\nUNION ALL\n")
     Map(
       "got_edges" -> Got.edgesSql(),
+      "got_grid_betweenness" -> GridBcDepths.map { d =>
+        val point = graft.graph.Betweenness.oracleSql(
+          Got.edgesSql(), GridSources, d)
+        s"SELECT CAST($d AS INT) AS depth, node_id, bc FROM ($point)"
+      }.mkString("\nUNION ALL\n"),
+      "got_grid_katz" -> GridKatzAlphas.map { a =>
+        val point = graft.graph.Katz.oracleSql(
+          Got.edgesSql(), a, GridKatzIters)
+        s"SELECT CAST($a AS DOUBLE) AS alpha, node_id, katz FROM ($point)"
+      }.mkString("\nUNION ALL\n"),
       "got_ppr_topk" ->
         s"""WITH ppr AS MATERIALIZED ($multi),
            |got_nodes AS (${Got.nodesSql()})
