@@ -981,6 +981,18 @@ object Graph {
     // 8-byte key. A distinct per hop keeps the frontier a SET, so the
     // 2-hop join fans out from unique nodes only (the blowup guard at
     // power-law scale).
+    // Horizon-truncated eccentricity profile per batch source — the
+    // per-source rollup of the BFS frame (ecc = max hop distance reached
+    // within the depth window, reached = ball size): the summary a
+    // diameter/eccentricity sweep reads off exactly the traversal the
+    // g_bfs row already runs, zero extra distributed work beyond one
+    // map-side-combined aggregate.
+    "g_eccentricity" -> ((s, dir) => Bfs.run(
+        s, GraphOps.lineitemGraph(s, dir, Mod), BatchSources, BfsDepth,
+        _ => GraphOps.lineitemCsr(s, dir, Mod))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("reached"), max(col("dist")).as("ecc"))),
+
     "g_khop" -> ((s, dir) => {
       import s.implicits._
       // both hops probe the same derived edge list — materialize it once
@@ -1576,6 +1588,10 @@ object Graph {
         Betweenness.oracleSql(graphSql, BatchSources, BfsDepth),
       "g_sssp" -> Sssp.oracleSql(
         GraphOps.lineitemWeightedGraphSql(Mod), BatchSources, SsspHops),
+      "g_eccentricity" ->
+        s"""SELECT source, count(*) AS reached, max(dist) AS ecc
+           |FROM (${Bfs.oracleSql(graphSql, BatchSources, BfsDepth)})
+           |GROUP BY source""".stripMargin,
       "g_khop" ->
         s"""WITH e AS MATERIALIZED ($graphSql),
            |src AS (SELECT CAST(s AS BIGINT) AS s FROM (VALUES ${BatchSources

@@ -132,6 +132,16 @@ object Media {
       bandedNearDup(h)
     }),
 
+    // The fingerprint signature table itself — the audio twin of
+    // m_media_phash: one fixed-width (doc_id, b0..b3) row per clip off
+    // the real WAV decode, the key material the near-dup join buckets on.
+    "m_media_audio_fp" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      MediaOps.audioFingerprint(MediaOps.audiosFrom(
+        graft.Tables(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .toDF()
+    }),
+
     // Video NEAR-duplicate pairs via frame-hash overlap — the standard
     // video-dedup composition: per-frame aHash signatures (every frame
     // REALLY decoded from the container), banded LSH candidates on
@@ -358,6 +368,41 @@ object Media {
        |  list_transform(range(0, n), i -> ${sampleSql("i")}) AS us
        |  FROM an)""".stripMargin
 
+  /** Audio-fingerprint CTE chain ending in `ph(doc_id, b0..b3)` — the
+    * generative replay of [[MediaOps.audioFingerprint]]: 85 slice
+    * energies as exact BIGINTs off the unsigned sample list, the 64
+    * Haitsma–Kalker delta bits assembled into four 16-bit bands. Shared
+    * by the `m_media_audio_fp` and `m_media_audio_neardup` oracles.
+    */
+  private def audioFpCte(
+      docsSql: String = "SELECT doc_id, text FROM documents"): String = {
+    val S = (MediaOps.FpWindows + 1) * MediaOps.FpBands
+    def eAt(w: Int, b: Int) = s"es[${w * MediaOps.FpBands + b + 1}]"
+    def bandExpr(j: Int) = (0 until 16).map { t =>
+      val k0 = j * 16 + t
+      val w = k0 / (MediaOps.FpBands - 1) + 1
+      val b = k0 % (MediaOps.FpBands - 1)
+      s"CASE WHEN (${eAt(w, b)} - ${eAt(w, b + 1)}) - " +
+        s"(${eAt(w - 1, b)} - ${eAt(w - 1, b + 1)}) > 0 " +
+        s"THEN ${1 << t} ELSE 0 END"
+    }.mkString(" + ")
+    s"""${audioCte(docsSql)},
+       |aes AS MATERIALIZED (SELECT doc_id,
+       |  list_transform(range(0, $S), k ->
+       |    CAST(coalesce(list_sum(list_transform(
+       |      range((k * n) // $S, ((k + 1) * n) // $S),
+       |      i -> (us[CAST(i + 1 AS INT)] - 32768) *
+       |           (us[CAST(i + 1 AS INT)] - 32768))), 0) AS BIGINT))
+       |    AS es
+       |  FROM au),
+       |ph AS MATERIALIZED (SELECT doc_id,
+       |  CAST(${bandExpr(0)} AS INT) AS b0,
+       |  CAST(${bandExpr(1)} AS INT) AS b1,
+       |  CAST(${bandExpr(2)} AS INT) AS b2,
+       |  CAST(${bandExpr(3)} AS INT) AS b3
+       |  FROM aes)""".stripMargin
+  }
+
   /** The banded candidate + Hamming-verify oracle tail over a CTE named
     * `ph(doc_id, b0..b3)` — shared verbatim by the image and audio
     * near-dup oracles (the [[bandedNearDup]] twin).
@@ -464,34 +509,14 @@ object Media {
     // — 85 slice energies as exact BIGINTs off the unsigned sample list,
     // the 64 Haitsma–Kalker delta bits assembled into the same four
     // 16-bit bands, then the shared banded candidate/verify tail.
-    "m_media_audio_neardup" -> {
-      val S = (MediaOps.FpWindows + 1) * MediaOps.FpBands
-      def eAt(w: Int, b: Int) = s"es[${w * MediaOps.FpBands + b + 1}]"
-      def bandExpr(j: Int) = (0 until 16).map { t =>
-        val k0 = j * 16 + t
-        val w = k0 / (MediaOps.FpBands - 1) + 1
-        val b = k0 % (MediaOps.FpBands - 1)
-        s"CASE WHEN (${eAt(w, b)} - ${eAt(w, b + 1)}) - " +
-          s"(${eAt(w - 1, b)} - ${eAt(w - 1, b + 1)}) > 0 " +
-          s"THEN ${1 << t} ELSE 0 END"
-      }.mkString(" + ")
-      s"""${audioCte(replicaDocsSql)},
-         |aes AS MATERIALIZED (SELECT doc_id,
-         |  list_transform(range(0, $S), k ->
-         |    CAST(coalesce(list_sum(list_transform(
-         |      range((k * n) // $S, ((k + 1) * n) // $S),
-         |      i -> (us[CAST(i + 1 AS INT)] - 32768) *
-         |           (us[CAST(i + 1 AS INT)] - 32768))), 0) AS BIGINT))
-         |    AS es
-         |  FROM au),
-         |ph AS MATERIALIZED (SELECT doc_id,
-         |  CAST(${bandExpr(0)} AS INT) AS b0,
-         |  CAST(${bandExpr(1)} AS INT) AS b1,
-         |  CAST(${bandExpr(2)} AS INT) AS b2,
-         |  CAST(${bandExpr(3)} AS INT) AS b3
-         |  FROM aes),
-         |$bandedNearDupTailSql""".stripMargin
-    },
+    "m_media_audio_neardup" ->
+      s"""${audioFpCte(replicaDocsSql)},
+         |$bandedNearDupTailSql""".stripMargin,
+    // The fingerprint signature table itself — the audio twin of
+    // m_media_phash (the fixed-width rows the near-dup join buckets on).
+    "m_media_audio_fp" ->
+      s"""${audioFpCte()}
+         |SELECT doc_id, b0, b1, b2, b3 FROM ph""".stripMargin,
     "m_media_meta" ->
       s"""${paramsCte()}
          |SELECT doc_id, CAST(w AS INT) AS width, CAST(ih AS INT) AS height,
