@@ -147,7 +147,7 @@ object ConnectedComponents {
     val (adj, adjIds) = trackedCkpt(adj0.repartition(p, col("src")))
     val n = adj.select(col("src")).distinct().count()
 
-    val checkpoint = new graft.operators.CkptChain(sc)
+    val checkpoint = new graft.operators.CkptChain(sc, resetStats = true)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     val prevCodegen = spark.conf.get("spark.sql.codegen.wholeStage")

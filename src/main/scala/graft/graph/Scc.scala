@@ -198,14 +198,14 @@ object Scc {
         // [[ConnectedComponents.runSupersteps]]).
         def colorStep(c: DataFrame): DataFrame = {
           val nm = ae
-            .join(c.select(col("id").as("src"), col("c").as("nc")),
+            .join(sided(c.select(col("id").as("src"), col("c").as("nc"))),
               Seq("src"))
             .groupBy(col("dst").as("nid")).agg(max(col("nc")).as("nc"))
-          c.join(nm, c("id") === nm("nid"), "left")
+          c.join(sided(nm), c("id") === nm("nid"), "left")
             .select(c("id").as("id"),
               greatest(col("c"), coalesce(col("nc"), col("c"))).as("c"))
         }
-        val colorCk = new graft.operators.CkptChain(sc)
+        val colorCk = new graft.operators.CkptChain(sc, resetStats = true)
         var colr = colorCk(active.select(col("id"), col("id").as("c")))
         for (_ <- 1 to fwdSteps) colr = colorCk(colorStep(colr))
         val colorDelta = colorStep(colr).as("n")
@@ -220,19 +220,19 @@ object Scc {
         // node's own color — join + coalesce, again no union.
         def containStep(st: DataFrame): DataFrame = {
           val contrib = ae
-            .join(st.select(col("id").as("dst"), col("r").as("ur")),
+            .join(sided(st.select(col("id").as("dst"), col("r").as("ur"))),
               Seq("dst"))
             .where(col("ur").isNotNull)
             .select(col("src").as("id"), col("ur"))
           val filt = contrib
-            .join(st.select(col("id"), col("c")), Seq("id"))
+            .join(sided(st.select(col("id"), col("c"))), Seq("id"))
             .where(col("ur") === col("c"))
             .groupBy("id").agg(max(col("ur")).as("nr"))
-          st.join(filt, st("id") === filt("id"), "left")
+          st.join(sided(filt), st("id") === filt("id"), "left")
             .select(st("id").as("id"), st("c").as("c"),
               coalesce(st("r"), col("nr")).as("r"))
         }
-        val reachCk = new graft.operators.CkptChain(sc)
+        val reachCk = new graft.operators.CkptChain(sc, resetStats = true)
         var rst = reachCk(colr.select(col("id"), col("c"),
           when(col("c") === col("id"), col("id")).as("r")))
         for (_ <- 1 to fwdSteps) rst = reachCk(containStep(rst))

@@ -16,8 +16,26 @@ import org.apache.spark.sql.DataFrame
   *
   * One chain per state variable — generations of different variables don't
   * invalidate each other.
+  *
+  * `resetStats = true` additionally DROPS the optimizer statistics at
+  * each generation (re-wrapping the materialized rows through
+  * `createDataFrame`, which plans as a fresh leaf with default
+  * sizeInBytes). This matters whenever a superstep JOINS THE STATE WITH
+  * ITSELF: `localCheckpoint` carries the origin plan's `sizeInBytes`
+  * into the checkpointed leaf, join stats MULTIPLY child sizes, so a
+  * step that references the state d times grows the carried BigInt
+  * d-fold in DIGIT COUNT per generation — doubly exponential. Measured:
+  * the Scc containStep (state referenced 3×) reaches million-digit
+  * sizeInBytes within ~15 generations, after which JoinSelection's
+  * `canBroadcastBySize` disappears into BigInteger multiplication for
+  * hours (the round-15 octave wedge; CkptChainSpec pins the bounded
+  * growth under the flag). The cost is one InternalRow↔Row conversion
+  * layer per downstream scan — negligible for node-sized state frames,
+  * which is why the flag is opt-in rather than default (edge-list
+  * checkpoints that are scanned dozens of times per round, and whose
+  * stats grow only linearly, keep the conversion-free path).
   */
-final class CkptChain(sc: SparkContext) {
+final class CkptChain(sc: SparkContext, resetStats: Boolean = false) {
   private var live = Set.empty[Int]
 
   /** Eagerly checkpoint `df`, releasing this chain's previous generation. */
@@ -31,7 +49,11 @@ final class CkptChain(sc: SparkContext) {
     */
   def apply(dfs: Seq[DataFrame]): Seq[DataFrame] = {
     val before = sc.getPersistentRDDs.keySet
-    val out = dfs.map(_.localCheckpoint(true))
+    val out = dfs.map { df =>
+      val ck = df.localCheckpoint(true)
+      if (resetStats) ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+      else ck
+    }
     val dead = live
     live = (sc.getPersistentRDDs.keySet -- before).toSet
     dead.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))

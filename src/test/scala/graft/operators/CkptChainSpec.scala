@@ -1,43 +1,56 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 class CkptChainSpec extends SparkSpec {
 
-  test("chain releases dead generations, keeps the final one usable") {
-    import spark.implicits._
-    val sc = spark.sparkContext
-    val baseline = sc.getPersistentRDDs.keySet
-    val ckpt = new CkptChain(sc)
-    var df = Seq.tabulate(100)(i => (i.toLong, i.toDouble)).toDF("id", "v")
-    for (_ <- 1 to 5)
-      df = ckpt(df.withColumn("v", col("v") + 1.0))
-    // exactly one generation of pinned state remains beyond the baseline.
-    val pinned = sc.getPersistentRDDs.keySet -- baseline
-    assert(pinned.size <= 2, s"expected <=2 pinned RDDs, found ${pinned.size}")
-    // the final generation is fully materialized and correct.
-    assert(df.agg(sum("v")).head.getDouble(0) == (0 until 100).map(_ + 5.0).sum)
-    ckpt.releaseAll()
-    assert((sc.getPersistentRDDs.keySet -- baseline).isEmpty)
+  /** One Scc-containStep-shaped generation: the state frame is joined
+    * THREE times, so carried sizeInBytes stats roughly double in digit
+    * count per generation (join stats multiply child sizes).
+    */
+  private def step(e: DataFrame, st: DataFrame): DataFrame = {
+    val contrib = e.join(st.select(col("id").as("dst"), col("r").as("ur")),
+        Seq("dst"))
+      .select(col("src").as("id"), col("ur"))
+    val filt = contrib.join(st.select(col("id"), col("c")), Seq("id"))
+      .groupBy("id").agg(max(col("ur")).as("nr"))
+    st.join(filt, Seq("id"), "left")
+      .select(col("id"), col("c"), coalesce(col("r"), col("nr")).as("r"))
   }
 
-  test("joint generations survive cross-derived state (push shape)") {
-    import spark.implicits._
-    val ckpt = new CkptChain(spark.sparkContext)
-    var a = Seq((1L, 1.0)).toDF("id", "x")
-    var b = Seq((1L, 0.0)).toDF("id", "y")
-    for (_ <- 1 to 4) {
-      // b' derives from a (the PREVIOUS generation) — the joint apply must
-      // not release it until both snapshots are materialized.
-      val a2 = a.withColumn("x", col("x") * 0.5)
-      val b2 = b.join(a.select(col("id"), col("x").as("add")), Seq("id"))
-        .select(col("id"), (col("y") + col("add")).as("y"))
-      val Seq(na, nb) = ckpt(Seq(a2, b2))
-      a = na; b = nb
+  test("localCheckpoint carries sizeInBytes stats, so a self-joining " +
+      "superstep grows them exponentially — resetStats pins them flat") {
+    val s = spark
+    import s.implicits._
+    val e = (0L until 100L).map(i => (i, (i + 1) % 100))
+      .toDF("src", "dst").localCheckpoint(true)
+    val st0 = (0L until 100L).map(i => (i, i, Option.empty[Long]))
+      .toDF("id", "c", "r")
+    def bitsOf(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes.toString(2).length
+
+    // default chain: carried stats — digit count grows ~2× per generation
+    val plain = new CkptChain(s.sparkContext)
+    var stP = plain(st0)
+    val growth = (1 to 6).map { _ =>
+      stP = plain(step(e, stP)); bitsOf(stP)
     }
-    // y = 1 + 1/2 + 1/4 + 1/8 after 4 rounds (adds PREVIOUS a each round)
-    assert(math.abs(b.head.getDouble(1) - 1.875) < 1e-12)
-    ckpt.releaseAll()
+    assert(growth.last > growth.head * 8,
+      s"expected exponential carried-stats growth, got $growth")
+    plain.releaseAll()
+
+    // resetStats chain: every generation plans as a fresh leaf — bounded
+    val fresh = new CkptChain(s.sparkContext, resetStats = true)
+    var stF = fresh(st0)
+    val flat = (1 to 6).map { _ =>
+      stF = fresh(step(e, stF)); bitsOf(stF)
+    }
+    assert(flat.distinct.size == 1 && flat.head <= 64,
+      s"resetStats generations must plan as fresh bounded leaves: $flat")
+    // and the data itself is untouched by the re-wrap
+    assert(stF.count() == 100L)
+    fresh.releaseAll()
   }
 }
