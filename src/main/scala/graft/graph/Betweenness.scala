@@ -62,20 +62,23 @@ object Betweenness {
   /** Two-regime dispatch over an `(src, dst)` edge DataFrame. `csrOf`
     * lets callers keep a memoized snapshot for the under-limit path
     * (the [[GraphOps.lineitemCsr]] load-once discipline); the default
-    * builds one from the edges.
+    * builds one from the edges. `edgeCount` lets callers supply |E| from
+    * snapshot metadata (the [[GraphOps.lineitemGraphCount]] cache)
+    * instead of paying a counting scan per dispatch.
     */
   def run(
       spark: SparkSession,
       edges: DataFrame,
       sources: Seq[Long],
       maxDepth: Int,
-      csrOf: DataFrame => Csr = GraphOps.buildCsr): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).persist()
-    val m = e.count()
+      csrOf: DataFrame => Csr = GraphOps.buildCsr,
+      edgeCount: Option[Long] = None): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val m = edgeCount.getOrElse { e.persist(); e.count() }
     val out =
       if (m <= LocalEdgeLimit) batch(spark, csrOf(e), sources, maxDepth)
       else runSupersteps(spark, e, sources, maxDepth)
-    e.unpersist()
+    if (edgeCount.isEmpty) e.unpersist()
     out
   }
 

@@ -30,21 +30,23 @@ import graft.ppr.PowerIteration
 object Bfs {
 
   /** Two-regime dispatch over an `(src, dst)` edge DataFrame; `csrOf`
-    * as in [[Betweenness.run]] (memoized-snapshot hook).
+    * and `edgeCount` as in [[Betweenness.run]] (memoized-snapshot and
+    * snapshot-metadata hooks).
     */
   def run(
       spark: SparkSession,
       edges: DataFrame,
       sources: Seq[Long],
       maxDepth: Int,
-      csrOf: DataFrame => Csr = GraphOps.buildCsr): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).persist()
-    val m = e.count()
+      csrOf: DataFrame => Csr = GraphOps.buildCsr,
+      edgeCount: Option[Long] = None): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val m = edgeCount.getOrElse { e.persist(); e.count() }
     val out =
       if (m <= Betweenness.LocalEdgeLimit)
         batch(spark, csrOf(e), sources, maxDepth)
       else runSupersteps(spark, e, sources, maxDepth)
-    e.unpersist()
+    if (edgeCount.isEmpty) e.unpersist()
     out
   }
 

