@@ -62,6 +62,13 @@ object Embeddings {
     */
   val IvfCentroids = 16
   val IvfProbes = 4
+
+  /** `e_ivf_probe_curve` axis: the recall-vs-probe-count sweep, ending
+    * at the full [[IvfCentroids]] scan (recall 1 by construction — the
+    * curve's sanity anchor). The grid treatment the centrality and PPR
+    * families have, applied to the ANN family's accuracy/cost knob.
+    */
+  val IvfProbeAxis: Seq[Int] = Seq(1, 2, 4, 8, 16)
   val IvfTopK = 5
 
   /** kNN-graph PPR composition (SURVEY §7.5): out-degree, PPR sources and
@@ -643,7 +650,31 @@ object Embeddings {
       .select(col("v").as("src"), col("nbr").as("dst"), col("cos"))
   }
 
-  private def ivfParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** The `e_ann_ivf` body at an explicit probe count — per-query
+    * tie-inclusive top-[[IvfTopK]] over the probed cells' candidates
+    * (see the `e_ann_ivf` row comment for the scale shape).
+    */
+  private def annIvf(s: SparkSession, dir: String, probes: Int): DataFrame = {
+    val (assign, probe) = ivfParts(s, dir, probes)
+    val emb = embDf(s, dir)
+    val cand = assign.join(broadcast(probe), Seq("cell"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    val q = emb.selectExpr("vec_id AS q_id", "v AS qv", "nrm AS qnrm")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc)
+    cand
+      .join(broadcast(q), Seq("q_id"))
+      .join(emb, Seq("vec_id"))
+      .selectExpr("q_id", "vec_id",
+        s"round($dotExpr / (qnrm * nrm), 6) AS cos")
+      .withColumn("rk", rank().over(w))
+      .where(col("rk") <= IvfTopK)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rk"))
+  }
+
+  private def ivfParts(s: SparkSession, dir: String,
+      probes: Int = IvfProbes): (DataFrame, DataFrame) = {
     val emb = embDf(s, dir)
     val cent = emb
       .where(col("vec_id").between(NumQueries, NumQueries + IvfCentroids - 1))
@@ -659,7 +690,7 @@ object Embeddings {
     val probe = scored.where(col("vec_id") < NumQueries)
       .withColumnRenamed("vec_id", "q_id")
       .withColumn("rn", row_number().over(wp))
-      .where(col("rn") <= IvfProbes)
+      .where(col("rn") <= probes)
       .select(col("q_id"), col("cid").as("cell"))
     (assign, probe)
   }
@@ -869,24 +900,7 @@ object Embeddings {
     // Scale shape: assignment is max(struct(cos, -cid)) — a partial-
     // aggregating argmax, NOT a window sort over corpus×C rows; the
     // candidate join shuffles on the cell id; probe table is broadcast.
-    "e_ann_ivf" -> ((s, dir) => {
-      val (assign, probe) = ivfParts(s, dir)
-      val emb = embDf(s, dir)
-      val cand = assign.join(broadcast(probe), Seq("cell"))
-        .where(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"))
-        .distinct()
-      val q = emb.selectExpr("vec_id AS q_id", "v AS qv", "nrm AS qnrm")
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc)
-      cand
-        .join(broadcast(q), Seq("q_id"))
-        .join(emb, Seq("vec_id"))
-        .selectExpr("q_id", "vec_id",
-          s"round($dotExpr / (qnrm * nrm), 6) AS cos")
-        .withColumn("rk", rank().over(w))
-        .where(col("rk") <= IvfTopK)
-        .select(col("q_id"), col("vec_id"), col("cos"), col("rk"))
-    }),
+    "e_ann_ivf" -> ((s, dir) => annIvf(s, dir, IvfProbes)),
 
     // Embedding-cosine near-dup pairs: corpus self-join within LSH
     // buckets (all tables), candidate id pairs de-duplicated before the
@@ -1456,6 +1470,30 @@ object Embeddings {
         .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
         .selectExpr("q_id", "n_exact", "n_hit",
           "round(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall")
+    }),
+
+    // Recall-vs-nprobe CURVE — the parameter sweep that prices the IVF
+    // accuracy/cost knob (one probed cell to the full centroid scan,
+    // whose recall is 1 by construction): per axis point the e_ann_ivf
+    // body at that probe count, micro-averaged against the exact
+    // tie-inclusive top-k as EXACT integer hit/total sums with one
+    // trailing division (no float-accumulation order anywhere), one row
+    // per nprobe. Candidate volume scales with nprobe/C of the corpus
+    // per query - the knob a 100 TB deployment tunes against this exact
+    // curve.
+    "e_ivf_probe_curve" -> ((s, dir) => {
+      val exact = queries("e_cosine_topk")(s, dir)
+        .where(col("rk") <= IvfTopK)
+        .select(col("q_id"), col("vec_id"))
+        .localCheckpoint(true) // shared by every axis point
+      IvfProbeAxis.map { np =>
+        val ivf = annIvf(s, dir, np)
+          .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+        exact.join(ivf, Seq("q_id", "vec_id"), "left")
+          .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+          .selectExpr(s"CAST($np AS INT) AS nprobe", "n_exact", "n_hit",
+            "round(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall")
+      }.reduce(_.unionAll(_))
     })
   )
 
@@ -1521,8 +1559,12 @@ object Embeddings {
        |    rank() OVER (PARTITION BY q_id ORDER BY cos DESC) AS rk FROM cosj)
        |WHERE rk <= $TopK""".stripMargin
 
-  /** Full `e_ann_ivf` oracle statement — shared with `e_ivf_recall`. */
-  private lazy val duckAnnIvfSql: String = {
+  /** Full `e_ann_ivf` oracle statement — shared with `e_ivf_recall`;
+    * the probe-count-parameterized form feeds `e_ivf_probe_curve`.
+    */
+  private lazy val duckAnnIvfSql: String = duckAnnIvfSqlAt(IvfProbes)
+
+  private def duckAnnIvfSqlAt(probes: Int): String = {
     // dot product between aliased embn rows a and b (64 dims).
     def dotOf(a: String, b: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
@@ -1540,7 +1582,7 @@ object Embeddings {
        |probe AS (SELECT vec_id AS q_id, cid AS cell FROM (
        |    SELECT vec_id, cid,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rn
-       |    FROM scored WHERE vec_id < $NumQueries) WHERE rn <= $IvfProbes),
+       |    FROM scored WHERE vec_id < $NumQueries) WHERE rn <= $probes),
        |cand AS (SELECT DISTINCT p.q_id, a.vec_id
        |  FROM probe p JOIN assign a ON a.cell = p.cell
        |  WHERE a.vec_id <> p.q_id),
@@ -1717,6 +1759,18 @@ object Embeddings {
          |FROM ex LEFT JOIN an ON an.q_id = ex.q_id AND an.vec_id = ex.vec_id
          |GROUP BY ex.q_id""".stripMargin,
     "e_ann_ivf" -> duckAnnIvfSql,
+    "e_ivf_probe_curve" -> IvfProbeAxis.map { np =>
+      s"""SELECT * FROM (
+         |WITH ex AS (SELECT q_id, vec_id FROM ($duckCosineTopkSql)
+         |  WHERE rk <= $IvfTopK),
+         |an AS (SELECT q_id, vec_id, 1 AS hit
+         |  FROM (${duckAnnIvfSqlAt(np)}))
+         |SELECT CAST($np AS INT) AS nprobe, count(*) AS n_exact,
+         |  count(an.hit) AS n_hit,
+         |  round(CAST(count(an.hit) AS DOUBLE) / count(*), 6) AS recall
+         |FROM ex LEFT JOIN an
+         |  ON an.q_id = ex.q_id AND an.vec_id = ex.vec_id)""".stripMargin
+    }.mkString("\nUNION ALL\n"),
     "e_ivf_recall" ->
       s"""WITH ex AS (SELECT q_id, vec_id FROM ($duckCosineTopkSql)
          |  WHERE rk <= $IvfTopK),
