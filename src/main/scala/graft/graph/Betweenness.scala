@@ -285,7 +285,11 @@ object Betweenness {
     * fold over `list(a ORDER BY a)`. `graphSql` must yield `(src, dst)`.
     */
   def oracleSql(graphSql: String, sources: Seq[Long], maxDepth: Int): String = {
-    val values = sources.map(s => s"($s)").mkString(", ")
+    // same precondition as deltas/runSupersteps: duplicate sources must
+    // collapse BEFORE the schedule, or the engines desynchronize (Spark
+    // would run the BFS once post-distinct while a duplicate VALUES row
+    // would double sigma in l0's GROUP BY).
+    val values = sources.distinct.map(s => s"($s)").mkString(", ")
     val fold = "(acc, x) -> acc + x"
     val sb = new StringBuilder
     sb ++= s"WITH e AS MATERIALIZED ($graphSql),\n"
