@@ -127,6 +127,22 @@ object OctaveBench {
     // C = 6T/S₂ with T = Σtri/3 → 2·Σtri / S₂ (g_clustering's scalar)
     val transC = 2.0 * ccProf.getLong(1) / ccProf.getLong(2)
 
+    // K-truss at the octave: the edge-support peel (got_truss's body) on
+    // the full 11.9M-edge graph. Round 1 dominates — the complete
+    // degree-ordered triangle pass over ~244M oriented wedges; support
+    // is SPARSE here (~1.6M triangles over 11.9M edges), so the K=4
+    // filter collapses the survivor set immediately and later rounds run
+    // on the shrinking core until the early-exit detects the fixpoint.
+    // Survivor counts per round are disclosed so the cost profile cannot
+    // flatter itself.
+    val trussK = sys.env.getOrElse("GRAFT_TRUSS_K", "4").toInt
+    val trussRoundsBound = 8
+    val trussSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val (trussEdges, trussSec) = timed {
+      graft.graph.Truss.run(spark, und, trussK, trussRoundsBound,
+        (_, m2) => trussSizes += m2).count()
+    }
+
     // SCC at the octave, SUPERSTEP regime: the symmetric bench graph
     // would make SCC trivially = CC, so the digraph keeps every forward
     // (src < dst) edge and only a deterministic HALF of the reverse
@@ -276,6 +292,10 @@ object OctaveBench {
       s""","cc_nodes":${ccProf.getLong(0)},"tri_sum":${ccProf.getLong(1)}""" +
       s""","transitivity_c":${f"$transC%.6f"}""" +
       s""","mean_cc":${f"${ccProf.getDouble(3)}%.6f"}""" +
+      s""","truss_sec":${r1(trussSec)},"truss_k":$trussK""" +
+      s""","truss_rounds_bound":$trussRoundsBound""" +
+      s""","truss_edges":$trussEdges""" +
+      s""","truss_survivors_per_round":[${trussSizes.mkString(",")}]""" +
       s""","scc_sec":${r1(sccSec)},"scc_edges":$digM""" +
       s""","scc_fwd_steps":$sccFwd,"scc_outer_rounds":$sccOuter""" +
       s""","scc_count":${sccProf.getLong(0)}""" +

@@ -59,6 +59,17 @@ object GotQueries {
   // estimate (`Monte_Carlo.java:277-319` computeTopKPPR → retrieveTopK).
   val GridMcTopkEpsilons: Seq[Double] = Seq(1.0, 0.5, 0.3, 0.1, 0.05)
 
+  /** `got_truss` truss level and fixed peel horizon: K = 5 (every
+    * surviving edge closes ≥ 3 triangles inside the truss) carves the
+    * densely-knit core out of the GOT network — 188 of 352 undirected
+    * edges survive, converging in 4 peel rounds, so 6 fixed rounds carry
+    * 2 spare (TrussSpec asserts the fixpoint). The horizon is part of
+    * the operator's semantics, replayed exactly by the unrolled oracle
+    * (the `g_kcore`/LPA/CC discipline).
+    */
+  val TrussK = 5
+  val TrussRounds = 6
+
   /** All seven grid rows score against the SAME deterministic
     * power-method ground truth (GridSources × GridPmIters over the GOT
     * CSR); each row used to recompute it — ~7 identical kernel runs per
@@ -126,6 +137,20 @@ object GotQueries {
           .select(lit(a).as("alpha"), col("node_id"),
             round(col("katz"), 9).as("katz"))
       }.reduce(_.unionAll(_))
+    }),
+
+    // K-truss of the GOT network (edge-support peeling — the edge-
+    // granular companion of g_kcore's node peel): the densely-knit core
+    // where every surviving relation closes >= K-2 triangles among
+    // survivors. Per round the g_triangles degree-ordered wedge pipeline
+    // re-runs on the shrinking survivor set; the loop early-exits at the
+    // detected fixpoint (monotone peel: unchanged count == unchanged
+    // set), which the unrolled oracle horizon replays exactly.
+    "got_truss" -> ((s, _) => {
+      val und = Got.edges(s)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+      graft.graph.Truss.run(s, und, TrussK, TrussRounds)
     }),
 
     // K1 on the GOT graph from Arya + T2 tie-inclusive top-k + P5 name
@@ -386,6 +411,9 @@ object GotQueries {
           Got.edgesSql(), GridSources, d)
         s"SELECT CAST($d AS INT) AS depth, node_id, bc FROM ($point)"
       }.mkString("\nUNION ALL\n"),
+      "got_truss" -> graft.graph.Truss.oracleSql(
+        s"SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b " +
+          s"FROM (${Got.edgesSql()})", TrussK, TrussRounds),
       "got_grid_katz" -> GridKatzAlphas.map { a =>
         val point = graft.graph.Katz.oracleSql(
           Got.edgesSql(), a, GridKatzIters)

@@ -1,0 +1,79 @@
+package graft.graph
+
+import graft.SparkSpec
+import graft.queries.GotQueries
+
+class TrussSpec extends SparkSpec {
+
+  /** Brute-force reference: support via adjacency-set intersection,
+    * synchronous peel rounds.
+    */
+  private def support(edges: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    edges.iterator.map { case (a, b) =>
+      (a, b) -> (adj(a) & adj(b)).size.toLong
+    }.filter(_._2 > 0).toMap
+  }
+
+  private def peel(edges0: Set[(Long, Long)], k: Int,
+      rounds: Int): Set[(Long, Long)] = {
+    var edges = edges0
+    for (_ <- 1 to rounds) {
+      val sup = support(edges)
+      edges = edges.filter(e => sup.getOrElse(e, 0L) >= k - 2)
+    }
+    edges
+  }
+
+  private def gotUnd: Set[(Long, Long)] =
+    Got.edges(spark).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+
+  test("got_truss matches brute-force peeling, is a strict nontrivial " +
+      "subset, and the horizon reaches the fixpoint") {
+    val got = GotQueries.queries("got_truss")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val und = gotUnd
+    val truss = peel(und, GotQueries.TrussK, GotQueries.TrussRounds)
+    val want = support(truss).filter { case (e, _) => truss(e) }
+    assert(got == want)
+
+    // nontrivial: the peel removed something and left something.
+    assert(got.nonEmpty && got.size < und.size,
+      s"truss ${got.size} of ${und.size} edges is vacuous")
+    // fixed horizon reached the fixpoint: one more peel is a no-op,
+    // hence every surviving edge's in-truss support is >= K-2.
+    assert(peel(truss, GotQueries.TrussK, 1) == truss,
+      "horizon missed fixpoint")
+    got.values.foreach(s => assert(s >= GotQueries.TrussK - 2))
+  }
+
+  test("early-exit equals the full unrolled horizon (idempotent spare " +
+      "rounds) and a cascading toy peel needs its later rounds") {
+    import org.apache.spark.sql.functions.{col, least, greatest}
+    val und = Got.edges(spark)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+    val base = Truss.run(spark, und, GotQueries.TrussK,
+      GotQueries.TrussRounds).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val more = Truss.run(spark, und, GotQueries.TrussK,
+      GotQueries.TrussRounds + 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(base == more)
+
+    // cascade fixture: K5 on GOT converges in 4 rounds, so a 1-round
+    // budget returns a NON-fixpoint horizon result — the fixed-horizon
+    // semantics (support over e_1, unfiltered) must still hold, and it
+    // must differ from the fixpoint.
+    val r1 = Truss.run(spark, und, GotQueries.TrussK, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val e1 = peel(gotUnd, GotQueries.TrussK, 1)
+    val want1 = support(e1).filter { case (e, _) => e1(e) }
+    assert(r1 == want1)
+    assert(r1 != base.map(t => (t._1, t._2) -> t._3).toMap)
+  }
+}
