@@ -42,6 +42,25 @@ object Events {
   val EwmaAlpha = 0.3
   val EwmaOneMinusAlpha = 0.7
 
+  /** `ev_holt` level/trend smoothing factors — the [[EwmaAlpha]] literal
+    * discipline, and additionally EXACT binary fractions (0.5 = 2⁻¹,
+    * 0.25/0.75 = quarters), so neither engine can even in principle
+    * re-derive a different 1−α.
+    */
+  val HoltAlpha = 0.5
+  val HoltOneMinusAlpha = 0.5
+  val HoltBeta = 0.25
+  val HoltOneMinusBeta = 0.75
+
+  /** `ev_cusum` tuning in σ units — the classic (k, h) = (σ/2, 4σ)
+    * tabular-CUSUM design (Page 1954, Montgomery SPC): k absorbs noise
+    * below half a standard deviation, h fires after a sustained ~1σ
+    * shift persists for ~8 days. Exact binary fractions (0.5, 4.0) so
+    * both engines scale σ identically.
+    */
+  val CusumKSigma = 0.5
+  val CusumHSigma = 4.0
+
   /** `ev_trigrams` report size (|types|³ = 125 possible sequences; the
     * top 25 is the actionable head).
     */
@@ -624,6 +643,96 @@ object Events {
           }
         }
         .toDF("event_type", "day", "daily", "ewma")
+    }),
+
+    // Holt double-exponential smoothing (level + trend) over each event
+    // type's daily revenue — the trend-aware companion of ev_ewma that a
+    // capacity/forecast pipeline runs where simple EWMA lags ramps:
+    // l_t = α·x_t + (1−α)·(l_{t−1}+b_{t−1}), b_t = β·(l_t−l_{t−1}) +
+    // (1−β)·b_{t−1}, seeded l_1 = x_1, b_1 = 0; `forecast` is the
+    // one-step-ahead l_t + b_t. Same scale/exactness shape as ev_ewma:
+    // the heavy shuffle is the daily exact-cents pre-aggregate, the
+    // sequential recurrence folds over DAY-count rows per type (calendar-
+    // bounded at any corpus scale), α/β/1−α/1−β are exact-binary literal
+    // pairs, and both engines evaluate the identical IEEE expression
+    // chain over identical inputs in identical day order — bit-identical
+    // step by step, round-6 display only (the oracle replays it as a
+    // recursive CTE carrying (level, trend)).
+    "ev_holt" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr(s"unix_micros(ts) div $DayUs").as("day"))
+        .agg((sum(round(col("value") * 100).cast("long")).cast("double")
+          / 100.0).as("daily"))
+        .as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (typ, it) =>
+          val xs = it.toArray.sortBy(_._2)
+          var l = 0.0
+          var b = 0.0
+          var first = true
+          xs.iterator.map { case (_, d, x) =>
+            if (first) { first = false; l = x; b = 0.0 }
+            else {
+              val lp = l
+              l = HoltAlpha * x + HoltOneMinusAlpha * (lp + b)
+              b = HoltBeta * (l - lp) + HoltOneMinusBeta * b
+            }
+            (typ, d, x, graft.text.TextOps.round6(l),
+              graft.text.TextOps.round6(b), graft.text.TextOps.round6(l + b))
+          }
+        }
+        .toDF("event_type", "day", "daily", "level", "trend", "forecast")
+    }),
+
+    // Tabular CUSUM change-point detection (Page 1954) over each type's
+    // daily revenue — the SUSTAINED-shift monitor next to ev_anomaly's
+    // point-outlier z-score: s⁺ accumulates excess above μ+k, s⁻ deficit
+    // below μ−k, both clamped at 0, alarm when either crosses h. μ and σ
+    // come from EXACT integer moments over the daily cents (n, Σc, Σc² —
+    // the g_assortativity discipline: BIGINT sums, one float expression
+    // spelled identically in the oracle; Σc² stays under 2⁶³ through
+    // ~1e14 cents²·days), the (k, h) = (σ/2, 4σ) design is exact-binary
+    // scaling, and the recurrence folds day-count rows per type in day
+    // order — both engines evaluate the identical IEEE chain, the oracle
+    // as a recursive CTE carrying (s⁺, s⁻). Single-day types are
+    // excluded (σ undefined at n=1; the identical n ≥ 2 filter runs in
+    // both engines).
+    "ev_cusum" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr(s"unix_micros(ts) div $DayUs").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val stats = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s1"),
+          sum(col("cents") * col("cents")).as("s2"))
+        .where(col("n") >= 2)
+      daily.join(stats, Seq("event_type"))
+        .as[(String, Long, Long, Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (typ, it) =>
+          val xs = it.toArray.sortBy(_._2)
+          val (_, _, _, n, s1, s2) = xs.head
+          val mu = s1.toDouble / n / 100
+          val sd = math.sqrt((n * s2 - s1 * s1).toDouble /
+            (n * (n - 1)).toDouble) / 100
+          val k = CusumKSigma * sd
+          val h = CusumHSigma * sd
+          var sp = 0.0
+          var sn = 0.0
+          xs.iterator.map { case (_, d, c, _, _, _) =>
+            val x = c.toDouble / 100
+            sp = math.max(0.0, sp + (x - mu - k))
+            sn = math.max(0.0, sn + (mu - x - k))
+            (typ, d, x, graft.text.TextOps.round6(sp),
+              graft.text.TextOps.round6(sn),
+              if (sp > h || sn > h) 1L else 0L)
+          }
+        }
+        .toDF("event_type", "day", "daily", "cusum_pos", "cusum_neg",
+          "alarm")
     }),
 
     // Statistical anomaly detection: z-score each day's revenue against
@@ -1302,6 +1411,75 @@ object Events {
          |  FROM ord o JOIN r ON o.event_type = r.event_type
          |    AND o.rn = r.rn + 1)
          |SELECT event_type, day, daily, round(ewma, 6) AS ewma
+         |FROM r""".stripMargin,
+    "ev_cusum" ->
+      s"""WITH RECURSIVE daily AS MATERIALIZED (
+         |  SELECT event_type, epoch_us(ts) // $DayUs AS day,
+         |   sum(CAST(round(value * 100) AS BIGINT)) AS cents
+         |  FROM events GROUP BY 1, 2),
+         |st AS MATERIALIZED (
+         |  SELECT event_type, count(*) AS n, sum(cents) AS s1,
+         |   sum(cents * cents) AS s2
+         |  FROM daily GROUP BY 1 HAVING count(*) >= 2),
+         |ord AS MATERIALIZED (
+         |  SELECT d.event_type, d.day, d.cents,
+         |   CAST(s.s1 AS DOUBLE) / s.n / 100 AS mu,
+         |   sqrt(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE)
+         |     / CAST(s.n * (s.n - 1) AS DOUBLE)) / 100 AS sd,
+         |   row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)
+         |     AS rn
+         |  FROM daily d JOIN st s USING (event_type)),
+         |r AS (
+         |  SELECT event_type, day, cents, mu, sd, rn,
+         |   greatest(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+         |     + (CAST(cents AS DOUBLE) / 100 - mu
+         |       - CAST($CusumKSigma AS DOUBLE) * sd)) AS sp,
+         |   greatest(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+         |     + (mu - CAST(cents AS DOUBLE) / 100
+         |       - CAST($CusumKSigma AS DOUBLE) * sd)) AS sn
+         |  FROM ord WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.event_type, o.day, o.cents, o.mu, o.sd, o.rn,
+         |   greatest(CAST(0 AS DOUBLE), r.sp
+         |     + (CAST(o.cents AS DOUBLE) / 100 - o.mu
+         |       - CAST($CusumKSigma AS DOUBLE) * o.sd)),
+         |   greatest(CAST(0 AS DOUBLE), r.sn
+         |     + (o.mu - CAST(o.cents AS DOUBLE) / 100
+         |       - CAST($CusumKSigma AS DOUBLE) * o.sd))
+         |  FROM ord o JOIN r ON o.event_type = r.event_type
+         |    AND o.rn = r.rn + 1)
+         |SELECT event_type, day, CAST(cents AS DOUBLE) / 100 AS daily,
+         | round(sp, 6) AS cusum_pos, round(sn, 6) AS cusum_neg,
+         | CASE WHEN sp > CAST($CusumHSigma AS DOUBLE) * sd
+         |   OR sn > CAST($CusumHSigma AS DOUBLE) * sd
+         |   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS alarm
+         |FROM r""".stripMargin,
+    "ev_holt" ->
+      s"""WITH RECURSIVE daily AS MATERIALIZED (
+         |  SELECT event_type, epoch_us(ts) // $DayUs AS day,
+         |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+         |     AS daily
+         |  FROM events GROUP BY 1, 2),
+         |ord AS MATERIALIZED (SELECT event_type, day, daily,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+         |  FROM daily),
+         |r AS (
+         |  SELECT event_type, day, daily, rn, daily AS lvl,
+         |   CAST(0 AS DOUBLE) AS trd
+         |  FROM ord WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.event_type, o.day, o.daily, o.rn,
+         |   CAST($HoltAlpha AS DOUBLE) * o.daily
+         |     + CAST($HoltOneMinusAlpha AS DOUBLE) * (r.lvl + r.trd),
+         |   CAST($HoltBeta AS DOUBLE)
+         |     * ((CAST($HoltAlpha AS DOUBLE) * o.daily
+         |       + CAST($HoltOneMinusAlpha AS DOUBLE) * (r.lvl + r.trd))
+         |       - r.lvl)
+         |     + CAST($HoltOneMinusBeta AS DOUBLE) * r.trd
+         |  FROM ord o JOIN r ON o.event_type = r.event_type
+         |    AND o.rn = r.rn + 1)
+         |SELECT event_type, day, daily, round(lvl, 6) AS level,
+         | round(trd, 6) AS trend, round(lvl + trd, 6) AS forecast
          |FROM r""".stripMargin,
     "ev_markov" ->
       """WITH seq AS (

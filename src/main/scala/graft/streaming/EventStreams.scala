@@ -381,6 +381,73 @@ object EventStreams {
       }
   }
 
+  final case class HoltState(day: Long, cents: Long, lvl: Double,
+      trd: Double, hasPrev: Boolean)
+
+  final case class HoltOut(event_type: String, day: Long, daily: Double,
+      level: Double, trend: Double, forecast: Double)
+
+  /** Per-type Holt level/trend smoothing over the daily revenue series —
+    * the streaming twin of the batch `ev_holt` recurrence, carrying
+    * [[ewmaState]]'s exact contract with ONE more double in the state
+    * record: per event type the state is the OPEN day's exact cent
+    * accumulator plus the carried (level, trend) pair. A day emits when
+    * a strictly later day first arrives; the recurrence inputs
+    * (cents/100.0) and the α/β literal pairs are bit-identical to the
+    * batch row, so stream ≡ batch on every closed day. Within a
+    * micro-batch days fold in ascending order whatever the arrival
+    * order; arrivals for a closed day are absorbed silently; the final
+    * open day stays held — the same row-set difference the ewma spec
+    * pins.
+    */
+  def holtState(events: Dataset[EwEv]): Dataset[HoltOut] = {
+    import events.sparkSession.implicits._
+    val DayUs = graft.queries.Events.DayUs
+    val alpha = graft.queries.Events.HoltAlpha
+    val oneMinusA = graft.queries.Events.HoltOneMinusAlpha
+    val beta = graft.queries.Events.HoltBeta
+    val oneMinusB = graft.queries.Events.HoltOneMinusBeta
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[HoltState, HoltOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (typ, it, state: GroupState[HoltState]) =>
+          def dayOf(e: EwEv): Long = {
+            val us = math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+              e.ts.getNanos / 1000L
+            math.floorDiv(us, DayUs)
+          }
+          def cents(v: Double): Long = BigDecimal(v * 100)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          val byDay = it.map(e => (dayOf(e), cents(e.value)))
+            .toSeq.groupMapReduce(_._1)(_._2)(_ + _).toSeq.sortBy(_._1)
+          if (byDay.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(
+              HoltState(byDay.head._1, 0L, 0.0, 0.0, hasPrev = false))
+            val out = Seq.newBuilder[HoltOut]
+            byDay.foreach { case (d, c) =>
+              if (d == st.day) st = st.copy(cents = st.cents + c)
+              else if (d > st.day) {
+                val daily = st.cents.toDouble / 100.0
+                val (l, b) = if (st.hasPrev) {
+                  val lp = st.lvl
+                  val l2 = alpha * daily + oneMinusA * (lp + st.trd)
+                  (l2, beta * (l2 - lp) + oneMinusB * st.trd)
+                } else (daily, 0.0)
+                out += HoltOut(typ, st.day, daily,
+                  graft.text.TextOps.round6(l),
+                  graft.text.TextOps.round6(b),
+                  graft.text.TextOps.round6(l + b))
+                st = HoltState(d, c, l, b, hasPrev = true)
+              } // d < st.day: late row for a closed day — absorbed
+            }
+            state.update(st)
+            out.result().iterator
+          }
+      }
+  }
+
   final case class BEv(user_id: Long, ts: java.sql.Timestamp)
 
   final case class BitmapSt(first_day: Long, mask: Long)

@@ -145,6 +145,89 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("ev_holt replays the level/trend recurrence exactly, seeds " +
+      "(l=x1, b=0), and tracks a linear ramp with zero lag") {
+    val got = Events.queries("ev_holt")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      var l = 0.0
+      var b = 0.0
+      sorted.zipWithIndex.foreach {
+        case ((_, _, x, gl, gb, gf), i) =>
+          if (i == 0) { l = x; b = 0.0 }
+          else {
+            val lp = l
+            l = Events.HoltAlpha * x + Events.HoltOneMinusAlpha * (lp + b)
+            b = Events.HoltBeta * (l - lp) + Events.HoltOneMinusBeta * b
+          }
+          assert(gl == graft.text.TextOps.round6(l))
+          assert(gb == graft.text.TextOps.round6(b))
+          assert(gf == graft.text.TextOps.round6(l + b))
+      }
+    }
+    // the property EWMA lacks: on a pure linear ramp the trend term
+    // converges to the slope and the one-step forecast becomes exact.
+    var l = 10.0
+    var b = 0.0
+    (2 to 60).foreach { t =>
+      val x = 10.0 * t
+      val lp = l
+      l = Events.HoltAlpha * x + Events.HoltOneMinusAlpha * (lp + b)
+      b = Events.HoltBeta * (l - lp) + Events.HoltOneMinusBeta * b
+    }
+    assert(math.abs(b - 10.0) < 1e-6, s"trend $b missed the slope")
+    assert(math.abs((l + b) - 10.0 * 61) < 1e-5, "forecast lags the ramp")
+  }
+
+  test("ev_cusum replays the clamped two-sided recurrence exactly from " +
+      "the integer moments, and alarms match the 4-sigma threshold") {
+    val got = Events.queries("ev_cusum")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    // recompute daily cents + moments from the raw table
+    val daily = graft.Tables(spark, sfDir, "events").collect()
+      .map(r => ((r.getString(r.fieldIndex("event_type")),
+        math.floorDiv(
+          math.floorDiv(r.getTimestamp(r.fieldIndex("ts")).getTime, 1000L)
+            * 1000000L +
+            r.getTimestamp(r.fieldIndex("ts")).getNanos / 1000L,
+          Events.DayUs)),
+        BigDecimal(r.getDouble(r.fieldIndex("value")) * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    got.groupBy(_._1).foreach { case (typ, rows) =>
+      val cs = daily.collect { case ((t, d), c) if t == typ => (d, c) }
+        .toSeq.sortBy(_._1)
+      val n = cs.length.toLong
+      assert(n >= 2, "single-day type must be excluded")
+      val s1 = cs.map(_._2).sum
+      val s2 = cs.map(c => c._2 * c._2).sum
+      val mu = s1.toDouble / n / 100
+      val sd = math.sqrt((n * s2 - s1 * s1).toDouble /
+        (n * (n - 1)).toDouble) / 100
+      val k = Events.CusumKSigma * sd
+      val h = Events.CusumHSigma * sd
+      var sp = 0.0
+      var sn = 0.0
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == cs.map(_._1))
+      sorted.zip(cs).foreach { case ((_, _, gd, gp, gn, ga), (_, c)) =>
+        val x = c.toDouble / 100
+        sp = math.max(0.0, sp + (x - mu - k))
+        sn = math.max(0.0, sn + (mu - x - k))
+        assert(gd == x)
+        assert(gp == graft.text.TextOps.round6(sp))
+        assert(gn == graft.text.TextOps.round6(sn))
+        assert(ga == (if (sp > h || sn > h) 1L else 0L))
+        assert(gp >= 0.0 && gn >= 0.0)
+      }
+    }
+  }
+
   test("ev_trigrams: brute per-user sequence replay and the exact " +
       "deterministic top-N cut") {
     val got = Events.queries("ev_trigrams")(spark, sfDir).collect()

@@ -743,6 +743,48 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("holtState ≡ batch ev_holt on every closed day, across mid-day " +
+      "micro-batch splits and shuffled within-batch arrival order") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[EwEv]
+    val q = holtState(input.toDS()).writeStream
+      .format("memory").queryName("holtstate").outputMode("append").start()
+    try {
+      val rows = Tables(spark, sfDir, "events")
+        .select(col("event_type"), col("ts"), col("value"))
+        .as[EwEv].collect().sortBy(_.ts.getTime)
+      val rnd = new scala.util.Random(11)
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { b =>
+        input.addData(rnd.shuffle(b.toSeq)); q.processAllAvailable()
+      }
+      val emitted = spark.table("holtstate").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3), r.getDouble(4),
+            r.getDouble(5)))).toMap
+      val batch = graft.queries.Events.queries("ev_holt")(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3), r.getDouble(4),
+            r.getDouble(5)))).toMap
+      val lastDay = batch.keys.groupBy(_._1).view
+        .mapValues(_.map(_._2).max).toMap
+      val closed = batch.filter { case ((t, d), _) => d < lastDay(t) }
+      assert(closed.nonEmpty, "bench table must span multiple days")
+      assert(emitted == closed)
+      // late arrival for a closed day: absorbed, nothing emitted.
+      val before = spark.table("holtstate").count()
+      val late = rows.find(e => {
+        val d = math.floorDiv(math.floorDiv(e.ts.getTime, 1000L) * 1000000L
+          + e.ts.getNanos / 1000L, graft.queries.Events.DayUs)
+        closed.contains((e.event_type, d))
+      }).get
+      input.addData(Seq(late)); q.processAllAvailable()
+      assert(spark.table("holtstate").count() == before, "late day emitted")
+    } finally q.stop()
+  }
+
   test("churnState ≡ the batch ev_churn classification on every " +
       "provable row, across in-order micro-batch splits") {
     val s = spark
