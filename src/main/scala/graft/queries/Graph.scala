@@ -86,6 +86,35 @@ object Graph {
   val KcoreK = 5
   val KcoreRounds = 4
 
+  /** `g_walk_corpus` schedule: sources = every TriMod-graph node with
+    * out-degree ≥ 1 and id ≡ 0 (mod [[WalkSrcMod]]) — a deterministic,
+    * scale-proportional sample; [[WalksPerSrc]] truncated walks of
+    * [[WalkLen]] steps each (DeepWalk-sized, Perozzi et al. 2014). The
+    * next-step choice is COUNTER-BASED: idx = kmvMix(h) mod outdeg with
+    * h a rolling polynomial of (source, walk, step, node) — the
+    * [[graft.ppr.Rng]] reproducibility discipline expressed in the
+    * kmvMix arithmetic BOTH engines already share, so the DuckDB oracle
+    * replays every walk bit-exactly (stronger than the MC rows'
+    * materialized-trace replay: here the oracle re-derives the
+    * randomness itself).
+    */
+  val WalkSrcMod = 20
+  val WalksPerSrc = 2
+  val WalkLen = 6
+
+  /** The per-step counter hash h(source, walk, step, node) as an SQL
+    * expression string valid in BOTH engines (integer-only arithmetic;
+    * fully parenthesized so precedence cannot differ). Inputs are
+    * nonnegative ids < P, so h ∈ [0, P) and kmvMix(h) is nonnegative —
+    * `% outdeg` is then a true index in [0, outdeg) in both engines.
+    */
+  private[graft] def walkHashExpr(step: Int): String = {
+    val p = graft.text.TextOps.P
+    val m = graft.text.TextOps.TokMul
+    s"(((((((source % $p) * $m) + walk) % $p) * $m + $step) % $p) " +
+      s"* $m + node) % $p"
+  }
+
   /** Global-PageRank damping and iteration count (`g_pagerank`). The
     * schedule is fixed (oracle-replayed), sized like the K1 `Iters` — the
     * query demonstrates the distributed loop, not convergence.
@@ -882,6 +911,55 @@ object Graph {
           greatest(col("src"), col("dst")).as("b")).distinct()
         .localCheckpoint(true)
       kcoreRun(und, KcoreK, KcoreRounds)
+    }),
+
+    // Random-walk corpus generation — the DeepWalk/node2vec prep step a
+    // graph-embedding pipeline runs before skip-gram training: truncated
+    // walks from a deterministic source sample, emitted as
+    // (source, walk, step, node) rows ready to pack into training
+    // sequences. Each step is ONE join of the (tiny) walk-state frame
+    // against the positioned adjacency (row_number within src — the
+    // per-src window is partition-parallel) plus a degree lookup; walks
+    // are embarrassingly parallel, nothing collects to the driver, and a
+    // sink (out-degree 0) truncates its walk in both engines (the inner
+    // join drops it). Randomness is counter-based kmvMix arithmetic (see
+    // walkHashExpr) — task placement, retries, and ENGINE cannot change
+    // a single step, so the DuckDB oracle re-derives every walk exactly.
+    "g_walk_corpus" -> ((s, dir) => {
+      val e = GraphOps.lineitemGraph(s, dir, TriMod)
+        .localCheckpoint(true) // feeds adj AND deg
+      val adj = e.select(col("src"), col("dst"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("dst"))))
+        .select(col("src").as("a_src"), col("dst").as("a_dst"), col("rn"))
+        .localCheckpoint(true) // re-joined once per step
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        .select(col("src").as("d_src"), col("outdeg"))
+        .localCheckpoint(true)
+      var state = deg
+        .where(col("d_src") % WalkSrcMod === 0)
+        .select(col("d_src").as("source"),
+          explode(expr(s"sequence(CAST(0 AS BIGINT), " +
+            s"CAST(${WalksPerSrc - 1} AS BIGINT))")).as("walk"))
+        .select(col("source"), col("walk"), col("source").as("node"))
+      val frames = scala.collection.mutable.ArrayBuffer[DataFrame](
+        state.select(col("source"), col("walk"),
+          lit(0L).as("step"), col("node")))
+      for (t <- 1 to WalkLen) {
+        val idx = s"(${graft.text.TextOps.spark.kmvMix(walkHashExpr(t))})" +
+          s" % outdeg"
+        val stepped = state
+          .join(deg, state("node") === col("d_src")).drop("d_src")
+          .withColumn("idx", expr(idx))
+        state = stepped
+          .join(adj, stepped("node") === col("a_src") &&
+            stepped("idx") + 1 === col("rn"))
+          .select(col("source"), col("walk"), col("a_dst").as("node"))
+          .localCheckpoint(true) // feeds the emit union AND step t+1
+        frames += state.select(col("source"), col("walk"),
+          lit(t.toLong).as("step"), col("node"))
+      }
+      frames.reduce(_ unionAll _)
     }),
 
     // Degree assortativity (Newman 2002): the Pearson correlation of
@@ -1862,6 +1940,34 @@ object Graph {
            |SELECT id, count(*) AS core_deg FROM (
            |  SELECT a AS id FROM u$KcoreRounds
            |  UNION ALL SELECT b FROM u$KcoreRounds) GROUP BY id""".stripMargin
+      },
+      "g_walk_corpus" -> {
+        // one CTE per walk step: the positioned-adjacency join with the
+        // SAME counter-hash index expression the Spark plan evaluates
+        // (walkHashExpr is engine-neutral; kmvMix differs only in xor
+        // spelling). A sink truncates its walk via the inner join.
+        val seed = (0 until WalksPerSrc).map(w => s"($w)").mkString(", ")
+        val steps = (1 to WalkLen).map { t =>
+          val idx =
+            s"(${graft.text.TextOps.duck.kmvMix(walkHashExpr(t))}) % outdeg"
+          s"""p$t AS MATERIALIZED (SELECT source, walk, a.dst AS node
+             |  FROM p${t - 1} s JOIN deg d ON d.src = s.node
+             |  JOIN adj a ON a.src = s.node AND a.rn = 1 + ($idx))""".stripMargin
+        }.mkString(",\n")
+        val emits = (0 to WalkLen).map(t =>
+          s"SELECT source, walk, CAST($t AS BIGINT) AS step, node FROM p$t")
+          .mkString("\nUNION ALL ")
+        s"""WITH e AS MATERIALIZED (${GraphOps.lineitemGraphSql(TriMod)}),
+           |adj AS MATERIALIZED (SELECT src, dst, row_number()
+           |  OVER (PARTITION BY src ORDER BY dst) AS rn FROM e),
+           |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e
+           |  GROUP BY src),
+           |p0 AS MATERIALIZED (SELECT d.src AS source,
+           |  CAST(w.w AS BIGINT) AS walk, d.src AS node
+           |  FROM deg d, (VALUES $seed) w(w)
+           |  WHERE d.src % $WalkSrcMod = 0),
+           |$steps
+           |$emits""".stripMargin
       },
       "g_ppr_batch" -> multi,
       "g_ppr_topk" ->
