@@ -117,6 +117,27 @@ object Media {
       bandedNearDup(h)
     }),
 
+    // Duplicate-cluster extraction over the image near-dup pair graph —
+    // the media twin of d_dup_clusters, closing the dedup loop the same
+    // way the text side does (pairs alone over-delete transitive
+    // clusters; the pipeline picks ONE keeper per connected GROUP).
+    // Delegates to the shared [[graft.graph.ConnectedComponents]]
+    // kernel; the candidate-pair graph is tiny relative to the corpus
+    // (that is the point of banded LSH), so it rides the single-task
+    // union-find regime with the superstep path behind the size guard.
+    // cluster_id = min doc_id of the component; singletons are not
+    // emitted.
+    "m_media_dup_clusters" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val h = MediaOps.perceptualHash(MediaOps.imagesFrom(withReplicas(s, dir)))
+        .toDF().localCheckpoint(true)
+      graft.graph.ConnectedComponents.run(
+          s, bandedNearDup(h).select(
+            col("doc_a").as("src"), col("doc_b").as("dst")),
+          rounds = graft.queries.Text.DupClusterRounds)
+        .select(col("node_id").as("doc_id"), col("comp").as("cluster_id"))
+    }),
+
     // AUDIO near-duplicate pairs — the fourth dedup modality next to
     // exact (m_media_dedup), image (m_media_neardup) and video
     // (m_media_video_neardup): Haitsma–Kalker sub-band energy-delta
@@ -505,6 +526,20 @@ object Media {
     "m_media_neardup" ->
       s"""${phashCte(replicaDocsSql)},
          |$bandedNearDupTailSql""".stripMargin,
+    // the d_dup_clusters closure tail over the image near-dup pair SQL
+    // (nested WITH scopes the inner ph/lng/cand names).
+    "m_media_dup_clusters" ->
+      s"""WITH RECURSIVE
+         |upairs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
+         |${phashCte(replicaDocsSql)},
+         |$bandedNearDupTailSql)),
+         |uedges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM upairs
+         |  UNION ALL SELECT doc_b AS a, doc_a AS b FROM upairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT a AS id, a AS r FROM uedges
+         |  UNION
+         |  SELECT e.b AS id, reach.r FROM reach JOIN uedges e ON e.a = reach.id)
+         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
     // Audio near-dup: the generative replay of [[MediaOps.audioFingerprint]]
     // — 85 slice energies as exact BIGINTs off the unsigned sample list,
     // the 64 Haitsma–Kalker delta bits assembled into the same four

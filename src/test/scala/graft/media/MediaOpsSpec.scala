@@ -302,6 +302,32 @@ class MediaOpsSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture has no duplicate images — test is vacuous")
   }
 
+  test("m_media_dup_clusters: connected components over the near-dup " +
+      "pairs, cluster_id = min member, singletons absent") {
+    val M = graft.queries.Media
+    val got = M.queries("m_media_dup_clusters")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val pairs = M.queries("m_media_neardup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty && got.nonEmpty)
+    // brute union-find over the pair graph
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    assert(got == want)
+    // every cluster id IS its minimum member
+    got.groupBy(_._2).foreach { case (cid, ms) =>
+      assert(ms.keys.min == cid)
+    }
+  }
+
   test("frameHashes: every container frame decoded, per-frame bands equal " +
       "the image-level aHash of that frame") {
     val s = spark
