@@ -70,6 +70,14 @@ object GotQueries {
   val TrussK = 5
   val TrussRounds = 6
 
+  /** `got_grid_truss` K axis + horizon: the truss level is the natural
+    * parameter a cohesion analysis sweeps (K=4 → 293 edges, K=5 → 188,
+    * K=6 → 92 on GOT); the deepest cascade (K=6) reaches its fixpoint in
+    * 5 peel rounds, so 7 fixed rounds carry 2 spare at every grid point.
+    */
+  val GridTrussKs: Seq[Int] = Seq(4, 5, 6)
+  val GridTrussRounds = 7
+
   /** All seven grid rows score against the SAME deterministic
     * power-method ground truth (GridSources × GridPmIters over the GOT
     * CSR); each row used to recompute it — ~7 identical kernel runs per
@@ -151,6 +159,21 @@ object GotQueries {
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b")).distinct()
       graft.graph.Truss.run(s, und, TrussK, TrussRounds)
+    }),
+
+    // Cohesion grid, truss branch: the K axis of the edge-support peel —
+    // the got_grid_* treatment for got_truss (one (k, a, b, sup) frame
+    // per truss level, the shrinking-core profile a cohesion analysis
+    // reads off the sweep).
+    "got_grid_truss" -> ((s, _) => {
+      val und = Got.edges(s)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+        .localCheckpoint(true) // shared by all three grid points
+      GridTrussKs.map { k =>
+        graft.graph.Truss.run(s, und, k, GridTrussRounds)
+          .select(lit(k).as("k"), col("a"), col("b"), col("sup"))
+      }.reduce(_.unionAll(_))
     }),
 
     // K1 on the GOT graph from Arya + T2 tie-inclusive top-k + P5 name
@@ -414,6 +437,12 @@ object GotQueries {
       "got_truss" -> graft.graph.Truss.oracleSql(
         s"SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b " +
           s"FROM (${Got.edgesSql()})", TrussK, TrussRounds),
+      "got_grid_truss" -> GridTrussKs.map { k =>
+        val point = graft.graph.Truss.oracleSql(
+          s"SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b " +
+            s"FROM (${Got.edgesSql()})", k, GridTrussRounds)
+        s"SELECT CAST($k AS INT) AS k, a, b, sup FROM ($point)"
+      }.mkString("\nUNION ALL\n"),
       "got_grid_katz" -> GridKatzAlphas.map { a =>
         val point = graft.graph.Katz.oracleSql(
           Got.edgesSql(), a, GridKatzIters)

@@ -51,6 +51,27 @@ class TrussSpec extends SparkSpec {
     got.values.foreach(s => assert(s >= GotQueries.TrussK - 2))
   }
 
+  test("got_grid_truss: nested cores — each higher-K truss is a strict " +
+      "subset of the lower one, every point matches the brute peel") {
+    val got = GotQueries.queries("got_grid_truss")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)), r.getLong(3)))
+    val byK = got.groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    assert(byK.keySet == GotQueries.GridTrussKs.toSet)
+    val und = gotUnd
+    GotQueries.GridTrussKs.foreach { k =>
+      val truss = peel(und, k, GotQueries.GridTrussRounds)
+      val want = support(truss).filter { case (e, _) => truss(e) }
+      assert(byK(k) == want, s"grid point K=$k diverged")
+    }
+    GotQueries.GridTrussKs.sliding(2).foreach {
+      case Seq(lo, hi) =>
+        assert(byK(hi).keySet.subsetOf(byK(lo).keySet), s"K=$hi ⊄ K=$lo")
+        assert(byK(hi).size < byK(lo).size, s"K=$hi not strictly smaller")
+      case _ => ()
+    }
+  }
+
   test("early-exit equals the full unrolled horizon (idempotent spare " +
       "rounds) and a cascading toy peel needs its later rounds") {
     import org.apache.spark.sql.functions.{col, least, greatest}
