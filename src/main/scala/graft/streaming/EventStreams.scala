@@ -448,6 +448,74 @@ object EventStreams {
       }
   }
 
+  final case class CusumState(day: Long, cents: Long, sp: Double,
+      sn: Double)
+
+  final case class CusumOut(event_type: String, day: Long, daily: Double,
+      cusum_pos: Double, cusum_neg: Double, alarm: Long)
+
+  /** Per-type streaming CUSUM over the daily revenue series — the
+    * streaming twin of the batch `ev_cusum` row under the SPC deployment
+    * contract: control limits (μ, σ) per type are FIXED parameters
+    * (estimated offline from a training window — exactly how a control
+    * chart runs in production; the batch row's full-series moments are
+    * one such estimate, which is what the spec feeds back). State per
+    * type is the open day's exact cent accumulator plus the carried
+    * (s⁺, s⁻) pair; day-close emission, in-order feed contract,
+    * closed-day absorption — the [[ewmaState]]/[[holtState]] ledger
+    * discipline unchanged. Types without a limit entry are dropped (the
+    * batch n ≥ 2 filter's streaming analogue: no limits, no chart).
+    */
+  def cusumState(events: Dataset[EwEv],
+      limits: Map[String, (Double, Double)]): Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    val DayUs = graft.queries.Events.DayUs
+    val kS = graft.queries.Events.CusumKSigma
+    val hS = graft.queries.Events.CusumHSigma
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (typ, it, state: GroupState[CusumState]) =>
+          limits.get(typ) match {
+            case None => Iterator.empty
+            case Some((mu, sd)) =>
+              val k = kS * sd
+              val h = hS * sd
+              def dayOf(e: EwEv): Long = {
+                val us = math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+                  e.ts.getNanos / 1000L
+                math.floorDiv(us, DayUs)
+              }
+              def cents(v: Double): Long = BigDecimal(v * 100)
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+              val byDay = it.map(e => (dayOf(e), cents(e.value)))
+                .toSeq.groupMapReduce(_._1)(_._2)(_ + _).toSeq.sortBy(_._1)
+              if (byDay.isEmpty) Iterator.empty
+              else {
+                var st = state.getOption
+                  .getOrElse(CusumState(byDay.head._1, 0L, 0.0, 0.0))
+                val out = Seq.newBuilder[CusumOut]
+                byDay.foreach { case (d, c) =>
+                  if (d == st.day) st = st.copy(cents = st.cents + c)
+                  else if (d > st.day) {
+                    val x = st.cents.toDouble / 100
+                    val sp = math.max(0.0, st.sp + (x - mu - k))
+                    val sn = math.max(0.0, st.sn + (mu - x - k))
+                    out += CusumOut(typ, st.day, x,
+                      graft.text.TextOps.round6(sp),
+                      graft.text.TextOps.round6(sn),
+                      if (sp > h || sn > h) 1L else 0L)
+                    st = CusumState(d, c, sp, sn)
+                  } // d < st.day: late row for a closed day — absorbed
+                }
+                state.update(st)
+                out.result().iterator
+              }
+          }
+      }
+  }
+
   final case class BEv(user_id: Long, ts: java.sql.Timestamp)
 
   final case class BitmapSt(first_day: Long, mask: Long)

@@ -785,6 +785,66 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cusumState with batch-derived control limits ≡ batch ev_cusum " +
+      "on every closed day, across micro-batch splits") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // the offline limit estimate: the batch row's exact integer moments,
+    // folded with the identical float spelling.
+    val daily = Tables(spark, sfDir, "events").collect()
+      .map { r =>
+        val ts = r.getTimestamp(r.fieldIndex("ts"))
+        val d = math.floorDiv(
+          math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L,
+          graft.queries.Events.DayUs)
+        ((r.getString(r.fieldIndex("event_type")), d),
+          BigDecimal(r.getDouble(r.fieldIndex("value")) * 100)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val limits = daily.keys.map(_._1).toSet.toSeq.sorted.flatMap { typ =>
+      val cs = daily.collect { case ((t, _), c) if t == typ => c }.toSeq
+      val n = cs.length.toLong
+      if (n < 2) None
+      else {
+        val s1 = cs.sum
+        val s2 = cs.map(c => c * c).sum
+        val mu = s1.toDouble / n / 100
+        val sd = math.sqrt((n * s2 - s1 * s1).toDouble /
+          (n * (n - 1)).toDouble) / 100
+        Some(typ -> ((mu, sd)))
+      }
+    }.toMap
+
+    val input = MemoryStream[EwEv]
+    val q = cusumState(input.toDS(), limits).writeStream
+      .format("memory").queryName("cusumstate").outputMode("append").start()
+    try {
+      val rows = Tables(spark, sfDir, "events")
+        .select(col("event_type"), col("ts"), col("value"))
+        .as[EwEv].collect().sortBy(_.ts.getTime)
+      val rnd = new scala.util.Random(13)
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { b =>
+        input.addData(rnd.shuffle(b.toSeq)); q.processAllAvailable()
+      }
+      val emitted = spark.table("cusumstate").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3), r.getDouble(4),
+            r.getLong(5)))).toMap
+      val batch = graft.queries.Events.queries("ev_cusum")(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3), r.getDouble(4),
+            r.getLong(5)))).toMap
+      val lastDay = batch.keys.groupBy(_._1).view
+        .mapValues(_.map(_._2).max).toMap
+      val closed = batch.filter { case ((t, d), _) => d < lastDay(t) }
+      assert(closed.nonEmpty)
+      assert(emitted == closed)
+    } finally q.stop()
+  }
+
   test("churnState ≡ the batch ev_churn classification on every " +
       "provable row, across in-order micro-batch splits") {
     val s = spark
