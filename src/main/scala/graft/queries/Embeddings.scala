@@ -79,6 +79,15 @@ object Embeddings {
   val KnnIters = 15
   val KnnSources: Seq[Long] = Seq(0L, 1L, 2L)
 
+  /** `e_nsw_search` step horizon: greedy routing on the KnnK-out kNN
+    * graph converges (best neighbor no longer beats the current node) in
+    * well under 8 hops on every test corpus; walks still improving at
+    * the horizon report their fixed-horizon state — both engines replay
+    * the identical stay-on-no-improvement schedule, so the bound is part
+    * of the semantics like every other unrolled horizon.
+    */
+  val NswSteps = 8
+
   /** k-means (Lloyd's) config for `e_kmeans`: KmK clusters, deterministic
     * init (corpus vectors 0..KmK-1), KmIters assign+update rounds. Vector
     * dimensionality of the `embeddings` table.
@@ -940,6 +949,58 @@ object Embeddings {
         .select(col("src").as("vec_a"), col("dst").as("vec_b"), col("cos"))
     }),
 
+    // Greedy graph routing over the kNN graph — the NSW/HNSW base-layer
+    // search primitive (Malkov & Yashunin 2018): from a fixed entry
+    // point, each query repeatedly hops to the neighbor closest to it
+    // (6-dp-rounded cosine, ties to the lowest id — comparisons run on
+    // ROUNDED values, so cross-engine ulps cannot flip a hop) and stops
+    // when no neighbor improves. Per step the plan joins the
+    // query-count-sized walk state against the kNN edge list and picks
+    // the per-query argmax with a bounded window — at 100 TB the graph
+    // is the big side and scans stay distributed; the state is always
+    // |queries| rows. The DuckDB oracle replays every hop through the
+    // same unrolled stay-on-no-improvement schedule, and `steps`
+    // discloses how many hops each walk actually took.
+    "e_nsw_search" -> ((s, dir) => {
+      VectorFunctions.register(s)
+      val knn = knnScoredEdges(s, dir).select(col("src"), col("dst"))
+        .localCheckpoint(true) // re-joined once per hop
+      val emb = embDf(s, dir).localCheckpoint(true)
+      val entry = knn.where(col("src") >= NumQueries)
+        .agg(min(col("src")).as("entry"))
+      val entryEmb = entry.join(emb, col("entry") === col("vec_id"))
+        .selectExpr("entry", "v AS ev", "nrm AS enrm")
+      var state = emb.where(col("vec_id") < NumQueries)
+        .selectExpr("vec_id AS q_id", "v AS qv", "nrm AS qnrm")
+        .crossJoin(broadcast(entryEmb))
+        .selectExpr("q_id", "qv", "qnrm", "entry", "entry AS cur",
+          "round(vec_dot(qv, ev) / (qnrm * enrm), 6) AS cos",
+          "CAST(0 AS BIGINT) AS steps")
+        .localCheckpoint(true)
+      for (_ <- 1 to NswSteps) {
+        val scored = state.select(col("q_id"), col("qv"), col("qnrm"),
+            col("cur"))
+          .join(knn, col("cur") === col("src"))
+          .join(emb.selectExpr("vec_id AS dst", "v AS nv", "nrm AS nnrm"),
+            Seq("dst"))
+          .selectExpr("q_id", "dst",
+            "round(vec_dot(qv, nv) / (qnrm * nnrm), 6) AS ncos")
+        val best = scored.withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("ncos").desc, col("dst").asc)))
+          .where(col("rn") === 1)
+          .select(col("q_id"), col("dst").as("bn"), col("ncos"))
+        state = state.join(best, Seq("q_id"), "left")
+          .selectExpr("q_id", "qv", "qnrm", "entry",
+            "CASE WHEN ncos > cos THEN bn ELSE cur END AS cur",
+            "CASE WHEN ncos > cos THEN ncos ELSE cos END AS cos",
+            "CASE WHEN ncos > cos THEN steps + 1 ELSE steps END AS steps")
+          .localCheckpoint(true)
+      }
+      state.select(col("q_id"), col("entry"), col("cur").as("found_id"),
+        col("cos"), col("steps"))
+    }),
+
     // k-means (Lloyd's): the trainer behind an IVF index. Each round is
     // the canonical distributed shape — centroids BROADCAST (k·dims
     // doubles), assignment a narrow per-row argmin (min-struct partial
@@ -1788,6 +1849,43 @@ object Embeddings {
          |SELECT f.src AS vec_a, f.dst AS vec_b, f.cos
          |FROM e f JOIN e r ON r.src = f.dst AND r.dst = f.src
          |WHERE f.src < f.dst""".stripMargin,
+    "e_nsw_search" -> {
+      def dot(qa: String, na: String) =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"list_transform(range(1, 65), i -> $qa[i] * $na[i])), " +
+          s"(a, x) -> a + x)"
+      val steps = (1 to NswSteps).map { t =>
+        val p = t - 1
+        s"""b$t AS MATERIALIZED (SELECT q_id, dst AS bn, ncos FROM (
+           |  SELECT x.q_id, x.dst, x.ncos, row_number() OVER (
+           |    PARTITION BY x.q_id ORDER BY x.ncos DESC, x.dst ASC) AS rn
+           |  FROM (SELECT st.q_id, e.dst,
+           |      round(${dot("st.qv", "nb.v")} / (st.qnrm * nb.nrm), 6)
+           |        AS ncos
+           |    FROM s$p st JOIN knn e ON e.src = st.cur
+           |    JOIN embn nb ON nb.vec_id = e.dst) x) y WHERE y.rn = 1),
+           |s$t AS MATERIALIZED (SELECT st.q_id, st.qv, st.qnrm, st.entry,
+           |  CASE WHEN b.ncos > st.cos THEN b.bn ELSE st.cur END AS cur,
+           |  CASE WHEN b.ncos > st.cos THEN b.ncos ELSE st.cos END AS cos,
+           |  CASE WHEN b.ncos > st.cos THEN st.steps + 1 ELSE st.steps END
+           |    AS steps
+           |  FROM s$p st LEFT JOIN b$t b ON b.q_id = st.q_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $duckBase,
+         |knn AS MATERIALIZED (SELECT src, dst FROM ($duckKnnScoredSql)),
+         |ent AS (SELECT min(src) AS entry FROM knn
+         |  WHERE src >= $NumQueries),
+         |s0 AS MATERIALIZED (SELECT q.vec_id AS q_id, q.v AS qv,
+         |  q.nrm AS qnrm, ent.entry, ent.entry AS cur,
+         |  round(${dot("q.v", "ev.v")} / (q.nrm * ev.nrm), 6) AS cos,
+         |  CAST(0 AS BIGINT) AS steps
+         |  FROM embn q CROSS JOIN ent JOIN embn ev
+         |    ON ev.vec_id = ent.entry
+         |  WHERE q.vec_id < $NumQueries),
+         |$steps
+         |SELECT q_id, entry, cur AS found_id, cos, steps
+         |FROM s$NswSteps""".stripMargin
+    },
     "e_kmeans" -> s"WITH $kmeansAssignCtes\nSELECT vec_id, cell FROM asg",
     "e_silhouette" -> {
       val dOwn = "sqrt(greatest(a.d2, CAST(0 AS DOUBLE)))"

@@ -158,6 +158,57 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("e_nsw_search: greedy routing replays a brute walk over the kNN " +
+      "graph, cosines improve monotonically, and some walk moves") {
+    val got = Embeddings.queries("e_nsw_search")(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    // brute replay: collect embeddings + the row's own kNN edges
+    val emb = graft.Tables(spark, sfDir, "embeddings").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (emb(a), emb(b))
+      graft.text.TextOps.round6(
+        dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb))))
+    }
+    val adj = Embeddings.knnScoredEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val entry = adj.keys.filter(_ >= Embeddings.NumQueries).min
+    val want = (0L until Embeddings.NumQueries.toLong).map { q =>
+      var cur = entry
+      var c = cos(q, cur)
+      var steps = 0L
+      var moved = true
+      var t = 0
+      while (t < Embeddings.NswSteps && moved) {
+        moved = false
+        adj.get(cur).filter(_.nonEmpty).foreach { ns =>
+          val best = ns.map(n => (n, cos(q, n)))
+            .minBy { case (n, nc) => (-nc, n) }
+          if (best._2 > c) {
+            cur = best._1; c = best._2; steps += 1; moved = true
+          }
+        }
+        t += 1
+      }
+      q -> ((entry, cur, c, steps))
+    }.toMap
+    assert(got == want)
+    assert(got.values.exists(_._4 > 0), "no walk moved — routing vacuous")
+    got.foreach { case (q, (e, f, c, st)) =>
+      assert(c >= cos(q, e) - 1e-12, s"query $q worsened")
+      assert(st <= Embeddings.NswSteps)
+      if (st == 0) assert(f == e)
+    }
+  }
+
   test("e_mmr_rerank: matches an independent brute-force MMR greedy") {
     val out = Embeddings.queries("e_mmr_rerank")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
