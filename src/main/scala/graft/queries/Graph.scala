@@ -922,23 +922,31 @@ object Graph {
     // per-src window is partition-parallel) plus a degree lookup; walks
     // are embarrassingly parallel, nothing collects to the driver, and a
     // sink (out-degree 0) truncates its walk in both engines (the inner
-    // join drops it). Randomness is counter-based kmvMix arithmetic (see
+    // join drops it). The state side broadcasts while |sources × walks|
+    // stays broadcast-sized (it is, at any corpus scale, for a fixed
+    // query fleet); a million-walk corpus build would drop the hint and
+    // let the join shuffle on node — same plan shape, wider exchange.
+    // Randomness is counter-based kmvMix arithmetic (see
     // walkHashExpr) — task placement, retries, and ENGINE cannot change
     // a single step, so the DuckDB oracle re-derives every walk exactly.
     "g_walk_corpus" -> ((s, dir) => {
-      val e = GraphOps.lineitemGraph(s, dir, TriMod)
-        .localCheckpoint(true) // feeds adj AND deg
-      val adj = e.select(col("src"), col("dst"))
+      // the ONE corpus-sized materialization: neighbor position AND
+      // out-degree from the SAME per-src window pass (no degree join,
+      // no second raw scan — and no repartition: the window's own
+      // exchange already places the rows, and the per-step scans want
+      // the full task fleet), re-scanned once per step.
+      val adj = GraphOps.lineitemGraph(s, dir, TriMod)
+        .select(col("src"), col("dst"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("src")).orderBy(col("dst"))))
-        .select(col("src").as("a_src"), col("dst").as("a_dst"), col("rn"))
-        .localCheckpoint(true) // re-joined once per step
-      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-        .select(col("src").as("d_src"), col("outdeg"))
+        .withColumn("outdeg",
+          count(lit(1)).over(Window.partitionBy(col("src"))))
+        .select(col("src").as("a_src"), col("dst").as("a_dst"),
+          col("rn"), col("outdeg"))
         .localCheckpoint(true)
-      var state = deg
-        .where(col("d_src") % WalkSrcMod === 0)
-        .select(col("d_src").as("source"),
+      var state = adj
+        .where(col("rn") === 1 && col("a_src") % WalkSrcMod === 0)
+        .select(col("a_src").as("source"),
           explode(expr(s"sequence(CAST(0 AS BIGINT), " +
             s"CAST(${WalksPerSrc - 1} AS BIGINT))")).as("walk"))
         .select(col("source"), col("walk"), col("source").as("node"))
@@ -948,12 +956,14 @@ object Graph {
       for (t <- 1 to WalkLen) {
         val idx = s"(${graft.text.TextOps.spark.kmvMix(walkHashExpr(t))})" +
           s" % outdeg"
-        val stepped = state
-          .join(deg, state("node") === col("d_src")).drop("d_src")
-          .withColumn("idx", expr(idx))
-        state = stepped
-          .join(adj, stepped("node") === col("a_src") &&
-            stepped("idx") + 1 === col("rn"))
+        // ONE broadcast join per step: the walk state is the broadcast
+        // side, the adjacency is scanned in place, and the index choice
+        // evaluates inside the join condition (outdeg rides on the adj
+        // row, so the equi-key a_src = node prunes to each node's
+        // neighbor list and rn = 1 + idx picks within it).
+        state = broadcast(state)
+          .join(adj, col("node") === col("a_src") &&
+            col("rn") === expr(idx) + 1)
           .select(col("source"), col("walk"), col("a_dst").as("node"))
           .localCheckpoint(true) // feeds the emit union AND step t+1
         frames += state.select(col("source"), col("walk"),
