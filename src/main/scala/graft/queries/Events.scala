@@ -52,6 +52,23 @@ object Events {
   val HoltBeta = 0.25
   val HoltOneMinusBeta = 0.75
 
+  /** `ev_holt_winters` smoothing factors and period — additive
+    * Holt–Winters with the weekly season `ev_seasonality` already shows
+    * the fixture has; the [[HoltAlpha]] exact-binary literal discipline
+    * extended with a third (γ) pair. The first full season seeds the
+    * state (l₀ = its day-ordered mean, s_i = x_i − l₀, b₀ = 0) and is
+    * CONSUMED, not emitted — rows start at day P+1; types without a
+    * complete first season are excluded by the identical filter in both
+    * engines.
+    */
+  val HwPeriod = 7
+  val HwAlpha = 0.5
+  val HwOneMinusAlpha = 0.5
+  val HwBeta = 0.25
+  val HwOneMinusBeta = 0.75
+  val HwGamma = 0.25
+  val HwOneMinusGamma = 0.75
+
   /** `ev_cusum` tuning in σ units — the classic (k, h) = (σ/2, 4σ)
     * tabular-CUSUM design (Page 1954, Montgomery SPC): k absorbs noise
     * below half a standard deviation, h fires after a sustained ~1σ
@@ -684,6 +701,58 @@ object Events {
           }
         }
         .toDF("event_type", "day", "daily", "level", "trend", "forecast")
+    }),
+
+    // Additive Holt–Winters (triple exponential smoothing) over each
+    // type's daily revenue — the seasonal member of the smoothing family
+    // (ewma → holt → holt_winters): level and trend as in ev_holt plus a
+    // P=7 rotating seasonal component, the model a weekly-periodic
+    // series actually needs (ev_seasonality shows the fixture has one).
+    // l_t = α(x_t−s_{t−P}) + (1−α)(l+b); b_t = β(l_t−l_{t−1}) + (1−β)b;
+    // s_t = γ(x_t−l_t) + (1−γ)s_{t−P}; forecast = l_t + b_t + s_{t+1−P}.
+    // The first full season seeds (l₀ = day-ordered mean, s_i = x_i−l₀,
+    // b₀ = 0) and is consumed, not emitted. Exactness: same exact-cents
+    // inputs and exact-binary literal pairs as ev_holt, every float
+    // expression spelled identically — the oracle is a recursive CTE
+    // whose working row CARRIES THE SEASONAL RING as a 7-slot list
+    // (seas[1] read, tail+append rotation), the one recurrence state no
+    // scalar column pair can hold.
+    "ev_holt_winters" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr(s"unix_micros(ts) div $DayUs").as("day"))
+        .agg((sum(round(col("value") * 100).cast("long")).cast("double")
+          / 100.0).as("daily"))
+        .as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (typ, it) =>
+          val xs = it.toArray.sortBy(_._2)
+          if (xs.length < HwPeriod + 1) Iterator.empty
+          else {
+            var acc = 0.0
+            var i = 0
+            while (i < HwPeriod) { acc += xs(i)._3; i += 1 }
+            val l0 = acc / HwPeriod
+            var seas = Vector.tabulate(HwPeriod)(j => xs(j)._3 - l0)
+            var l = l0
+            var b = 0.0
+            xs.iterator.drop(HwPeriod).map { case (_, d, x) =>
+              val sP = seas.head
+              val lp = l
+              l = HwAlpha * (x - sP) + HwOneMinusAlpha * (lp + b)
+              b = HwBeta * (l - lp) + HwOneMinusBeta * b
+              val sNew = HwGamma * (x - l) + HwOneMinusGamma * sP
+              seas = seas.tail :+ sNew
+              (typ, d, x, graft.text.TextOps.round6(l),
+                graft.text.TextOps.round6(b),
+                graft.text.TextOps.round6(sNew),
+                graft.text.TextOps.round6(l + b + seas.head))
+            }
+          }
+        }
+        .toDF("event_type", "day", "daily", "level", "trend", "seasonal",
+          "forecast")
     }),
 
     // Tabular CUSUM change-point detection (Page 1954) over each type's
@@ -1412,6 +1481,61 @@ object Events {
          |    AND o.rn = r.rn + 1)
          |SELECT event_type, day, daily, round(ewma, 6) AS ewma
          |FROM r""".stripMargin,
+    "ev_holt_winters" -> {
+      val P = HwPeriod
+      // the level expression, inlined VERBATIM wherever l_t is needed
+      // (trend and seasonal both reference it) — per-branch prev-state
+      // spellings, so the recursive step reads r.* and the base case
+      // reads the seed row.
+      def lvlE(x: String, sP: String, lp: String, bp: String) =
+        s"CAST($HwAlpha AS DOUBLE) * ($x - $sP) " +
+          s"+ CAST($HwOneMinusAlpha AS DOUBLE) * ($lp + $bp)"
+      def trdE(x: String, sP: String, lp: String, bp: String) =
+        s"CAST($HwBeta AS DOUBLE) * ((${lvlE(x, sP, lp, bp)}) - $lp) " +
+          s"+ CAST($HwOneMinusBeta AS DOUBLE) * $bp"
+      def seasE(x: String, sP: String, lp: String, bp: String) =
+        s"list_append(%SEAS%[2:$P], CAST($HwGamma AS DOUBLE) " +
+          s"* ($x - (${lvlE(x, sP, lp, bp)})) " +
+          s"+ CAST($HwOneMinusGamma AS DOUBLE) * $sP)"
+      val zero = "CAST(0 AS DOUBLE)"
+      s"""WITH RECURSIVE daily AS MATERIALIZED (
+         |  SELECT event_type, epoch_us(ts) // $DayUs AS day,
+         |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+         |     AS daily
+         |  FROM events GROUP BY 1, 2),
+         |ord AS MATERIALIZED (SELECT event_type, day, daily,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+         |  FROM daily),
+         |seed AS MATERIALIZED (
+         |  SELECT event_type,
+         |   list_reduce(list_prepend($zero, list(daily ORDER BY rn)),
+         |     (a, x) -> a + x) / $P AS l0,
+         |   list(daily ORDER BY rn) AS xs
+         |  FROM ord WHERE rn <= $P GROUP BY event_type
+         |  HAVING count(*) = $P),
+         |seed2 AS MATERIALIZED (SELECT event_type, l0,
+         |  list_transform(xs, x -> x - l0) AS seas FROM seed),
+         |r AS (
+         |  SELECT o.event_type, o.day, o.daily, o.rn,
+         |   ${lvlE("o.daily", "s.seas[1]", "s.l0", zero)} AS lvl,
+         |   ${trdE("o.daily", "s.seas[1]", "s.l0", zero)} AS trd,
+         |   ${seasE("o.daily", "s.seas[1]", "s.l0", zero)
+              .replace("%SEAS%", "s.seas")} AS seas
+         |  FROM ord o JOIN seed2 s USING (event_type)
+         |  WHERE o.rn = ${P + 1}
+         |  UNION ALL
+         |  SELECT o.event_type, o.day, o.daily, o.rn,
+         |   ${lvlE("o.daily", "r.seas[1]", "r.lvl", "r.trd")},
+         |   ${trdE("o.daily", "r.seas[1]", "r.lvl", "r.trd")},
+         |   ${seasE("o.daily", "r.seas[1]", "r.lvl", "r.trd")
+              .replace("%SEAS%", "r.seas")}
+         |  FROM ord o JOIN r ON o.event_type = r.event_type
+         |    AND o.rn = r.rn + 1)
+         |SELECT event_type, day, daily, round(lvl, 6) AS level,
+         | round(trd, 6) AS trend, round(seas[$P], 6) AS seasonal,
+         | round(lvl + trd + seas[1], 6) AS forecast
+         |FROM r""".stripMargin
+    },
     "ev_cusum" ->
       s"""WITH RECURSIVE daily AS MATERIALIZED (
          |  SELECT event_type, epoch_us(ts) // $DayUs AS day,

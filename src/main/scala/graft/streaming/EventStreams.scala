@@ -448,6 +448,91 @@ object EventStreams {
       }
   }
 
+  final case class HwState(day: Long, cents: Long, warm: Vector[Double],
+      lvl: Double, trd: Double, seas: Vector[Double])
+
+  final case class HwOut(event_type: String, day: Long, daily: Double,
+      level: Double, trend: Double, seasonal: Double, forecast: Double)
+
+  /** Per-type streaming Holt–Winters — the triple-smoothing member of
+    * the twin family ([[ewmaState]]/[[holtState]] plus a P-slot seasonal
+    * ring in the state record, ~70 bytes per type). The first P closed
+    * days are CONSUMED as the seed exactly like the batch row (collected
+    * in `warm`, folded to l₀ in day order when the P-th closes — no
+    * emission); from day P+1 each close runs the recurrence and emits.
+    * Same in-order feed contract and closed-day absorption as the other
+    * ledgers; gaps don't matter because both engines treat the series as
+    * the day-ordered SEQUENCE (the batch rn), not day arithmetic.
+    */
+  def holtWintersState(events: Dataset[EwEv]): Dataset[HwOut] = {
+    import events.sparkSession.implicits._
+    val DayUs = graft.queries.Events.DayUs
+    val P = graft.queries.Events.HwPeriod
+    val al = graft.queries.Events.HwAlpha
+    val al1 = graft.queries.Events.HwOneMinusAlpha
+    val be = graft.queries.Events.HwBeta
+    val be1 = graft.queries.Events.HwOneMinusBeta
+    val ga = graft.queries.Events.HwGamma
+    val ga1 = graft.queries.Events.HwOneMinusGamma
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[HwState, HwOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (typ, it, state: GroupState[HwState]) =>
+          def dayOf(e: EwEv): Long = {
+            val us = math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+              e.ts.getNanos / 1000L
+            math.floorDiv(us, DayUs)
+          }
+          def cents(v: Double): Long = BigDecimal(v * 100)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          val byDay = it.map(e => (dayOf(e), cents(e.value)))
+            .toSeq.groupMapReduce(_._1)(_._2)(_ + _).toSeq.sortBy(_._1)
+          if (byDay.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(HwState(byDay.head._1, 0L,
+              Vector.empty, 0.0, 0.0, Vector.empty))
+            val out = Seq.newBuilder[HwOut]
+            def close(nextDay: Long, nextCents: Long): Unit = {
+              val x = st.cents.toDouble / 100
+              if (st.warm.length < P) {
+                val warm = st.warm :+ x
+                if (warm.length == P) {
+                  // seed: l0 = day-ordered mean (0-seeded fold, exactly
+                  // the batch spelling), seasonals = residuals, b0 = 0
+                  var acc = 0.0
+                  warm.foreach(acc += _)
+                  val l0 = acc / P
+                  st = HwState(nextDay, nextCents, warm, l0, 0.0,
+                    warm.map(_ - l0))
+                } else st = HwState(nextDay, nextCents, warm, 0.0, 0.0,
+                  Vector.empty)
+              } else {
+                val sP = st.seas.head
+                val lp = st.lvl
+                val l = al * (x - sP) + al1 * (lp + st.trd)
+                val b = be * (l - lp) + be1 * st.trd
+                val sNew = ga * (x - l) + ga1 * sP
+                val seas = st.seas.tail :+ sNew
+                out += HwOut(typ, st.day, x,
+                  graft.text.TextOps.round6(l),
+                  graft.text.TextOps.round6(b),
+                  graft.text.TextOps.round6(sNew),
+                  graft.text.TextOps.round6(l + b + seas.head))
+                st = HwState(nextDay, nextCents, st.warm, l, b, seas)
+              }
+            }
+            byDay.foreach { case (d, c) =>
+              if (d == st.day) st = st.copy(cents = st.cents + c)
+              else if (d > st.day) close(d, c)
+              // d < st.day: late row for a closed day — absorbed
+            }
+            state.update(st)
+            out.result().iterator
+          }
+      }
+  }
+
   final case class CusumState(day: Long, cents: Long, sp: Double,
       sn: Double)
 

@@ -182,6 +182,82 @@ class EventsSpec extends SparkSpec {
     assert(math.abs((l + b) - 10.0 * 61) < 1e-5, "forecast lags the ramp")
   }
 
+  test("ev_holt_winters replays the triple recurrence exactly (first " +
+      "season consumed as seed), and locks onto a periodic+trend signal") {
+    val got = Events.queries("ev_holt_winters")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.nonEmpty)
+    val P = Events.HwPeriod
+    got.groupBy(_._1).foreach { case (typ, rows) =>
+      // rebuild the daily series from the batch ev_holt row (same
+      // exact-cents daily column, all days incl. the seed prefix)
+      val series = Events.queries("ev_holt")(spark, sfDir).collect()
+        .collect { case r if r.getString(0) == typ =>
+          (r.getLong(1), r.getDouble(2)) }.sortBy(_._1)
+      assert(series.length >= P + 1)
+      var acc = 0.0
+      (0 until P).foreach(i => acc += series(i)._2)
+      val l0 = acc / P
+      var seas = Vector.tabulate(P)(j => series(j)._2 - l0)
+      var l = l0
+      var b = 0.0
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == series.drop(P).map(_._1).toSeq,
+        "emitted days must be exactly the post-seed suffix")
+      sorted.zip(series.drop(P)).foreach {
+        case ((_, _, gd, gl, gb, gs, gf), (_, x)) =>
+          val sP = seas.head
+          val lp = l
+          l = Events.HwAlpha * (x - sP) +
+            Events.HwOneMinusAlpha * (lp + b)
+          b = Events.HwBeta * (l - lp) + Events.HwOneMinusBeta * b
+          val sNew = Events.HwGamma * (x - l) +
+            Events.HwOneMinusGamma * sP
+          seas = seas.tail :+ sNew
+          assert(gd == x)
+          assert(gl == graft.text.TextOps.round6(l))
+          assert(gb == graft.text.TextOps.round6(b))
+          assert(gs == graft.text.TextOps.round6(sNew))
+          assert(gf == graft.text.TextOps.round6(l + b + seas.head))
+      }
+    }
+    // the property neither ewma nor holt has: on trend + weekly season,
+    // the one-step forecast converges to the true next value.
+    val pat = Array(40.0, -10.0, 0.0, 25.0, -30.0, -15.0, -10.0)
+    def sig(t: Int): Double = 100.0 + 2.0 * t + pat(t % 7)
+    var l2 = (1 to 7).map(sig).sum / 7
+    var s2 = Vector.tabulate(7)(j => sig(j + 1) - l2)
+    var b2 = 0.0
+    var hwErr = 0.0
+    (8 to 120).foreach { t =>
+      val f = l2 + b2 + s2.head
+      hwErr = math.abs(f - sig(t))
+      val sP = s2.head
+      val lp = l2
+      l2 = Events.HwAlpha * (sig(t) - sP) +
+        Events.HwOneMinusAlpha * (lp + b2)
+      b2 = Events.HwBeta * (l2 - lp) + Events.HwOneMinusBeta * b2
+      s2 = s2.tail :+ (Events.HwGamma * (sig(t) - l2) +
+        Events.HwOneMinusGamma * sP)
+    }
+    // plain Holt on the same signal for the comparative bound
+    var hl = sig(1)
+    var hb = 0.0
+    var holtErr = 0.0
+    (2 to 120).foreach { t =>
+      holtErr = math.abs((hl + hb) - sig(t))
+      val lp = hl
+      hl = Events.HoltAlpha * sig(t) + Events.HoltOneMinusAlpha * (lp + hb)
+      hb = Events.HoltBeta * (hl - lp) + Events.HoltOneMinusBeta * hb
+    }
+    // sub-0.2% of the ~340-magnitude signal, and >=10x better than the
+    // season-blind Holt forecast — the property the third component buys.
+    assert(hwErr < 1.0, s"HW forecast missed the periodic signal: $hwErr")
+    assert(hwErr * 10 < holtErr,
+      s"HW ($hwErr) not clearly beating season-blind Holt ($holtErr)")
+  }
+
   test("ev_cusum replays the clamped two-sided recurrence exactly from " +
       "the integer moments, and alarms match the 4-sigma threshold") {
     val got = Events.queries("ev_cusum")(spark, sfDir).collect()

@@ -785,6 +785,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("holtWintersState ≡ batch ev_holt_winters on every closed day " +
+      "(first season consumed as seed), across micro-batch splits") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[EwEv]
+    val q = holtWintersState(input.toDS()).writeStream
+      .format("memory").queryName("hwstate").outputMode("append").start()
+    try {
+      val rows = Tables(spark, sfDir, "events")
+        .select(col("event_type"), col("ts"), col("value"))
+        .as[EwEv].collect().sortBy(_.ts.getTime)
+      val rnd = new scala.util.Random(17)
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { b =>
+        input.addData(rnd.shuffle(b.toSeq)); q.processAllAvailable()
+      }
+      val emitted = spark.table("hwstate").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3), r.getDouble(4),
+            r.getDouble(5), r.getDouble(6)))).toMap
+      val batch = graft.queries.Events
+        .queries("ev_holt_winters")(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3), r.getDouble(4),
+            r.getDouble(5), r.getDouble(6)))).toMap
+      val lastDay = batch.keys.groupBy(_._1).view
+        .mapValues(_.map(_._2).max).toMap
+      val closed = batch.filter { case ((t, d), _) => d < lastDay(t) }
+      assert(closed.nonEmpty)
+      assert(emitted == closed)
+    } finally q.stop()
+  }
+
   test("cusumState with batch-derived control limits ≡ batch ev_cusum " +
       "on every closed day, across micro-batch splits") {
     val s = spark
