@@ -214,6 +214,27 @@ object Relational {
         .withColumnRenamed("O", "qty_o")
     }),
 
+    // Unpivot (melt) — the inverse of q9's pivot and the other half of
+    // the reshape pair every feature pipeline needs (wide model-input
+    // matrices back to long observation rows). Runs Spark's NATIVE
+    // Dataset.unpivot (the Expand operator: one narrow projection per
+    // value column, no shuffle at all beyond q9's aggregate); NULL cells
+    // are dropped by unpivot's contract, matching the oracle's UNION ALL
+    // spelling with its IS NOT NULL filters. Scale shape: Expand is a
+    // map-side row multiplier — 2× rows, zero exchanges.
+    "q26_unpivot" -> ((s, dir) => {
+      val wide = Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+      wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty_f"), col("qty_o")),
+        "linestatus", "qty")
+    }),
+
     // Skew-salted join ([[graft.operators.SkewJoin]]): ~80% of lineitem
     // rows are funneled onto supplier key 1, the straggler shape a plain
     // shuffle join serializes onto one reducer; the salted join spreads
@@ -705,6 +726,19 @@ object Relational {
         | round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
         | round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q26_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2)
+        |     AS qty_f,
+        |   round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2)
+        |     AS qty_o
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'qty_f' AS linestatus, qty_f AS qty
+        |FROM wide WHERE qty_f IS NOT NULL
+        |UNION ALL
+        |SELECT l_returnflag, 'qty_o', qty_o FROM wide
+        |WHERE qty_o IS NOT NULL""".stripMargin,
     "q13_bloom_join" ->
       """SELECT o_orderpriority, round(sum(l_extendedprice), 2) AS total,
         | count(*) AS n

@@ -107,6 +107,25 @@ class PipelineQueriesSpec extends SparkSpec {
       "churned ∪ retained = all 1995 customers")
   }
 
+  test("q26_unpivot is the exact inverse of q9_pivot: the long rows " +
+      "equal the direct grouped aggregate, null cells dropped") {
+    import org.apache.spark.sql.functions._
+    val long = Relational.queries("q26_unpivot")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val direct = graft.Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("qty"))
+      .collect()
+      .map(r => (r.getString(0),
+        if (r.getString(1) == "F") "qty_f" else "qty_o", r.getDouble(2)))
+      .toSet
+    assert(long == direct)
+    assert(long.nonEmpty)
+    // round-trip: every wide row contributes at most 2 long rows
+    val wide = Relational.queries("q9_pivot")(spark, sfDir).count()
+    assert(long.size <= 2 * wide)
+  }
+
   test("q21_late_suppliers: the aggregate rewrite equals the literal " +
       "EXISTS/NOT-EXISTS semantics replayed in memory") {
     import org.apache.spark.sql.functions.col
