@@ -135,12 +135,13 @@ object OctaveBench {
     // on the shrinking core until the early-exit detects the fixpoint.
     // Survivor counts per round are disclosed so the cost profile cannot
     // flatter itself.
-    // the bound is generous because round 1 carries ~90% of the cost
+    // the bound is generous because round 1 carries the bulk of the cost
     // (the full wedge pass); the K=4 cascade on this graph contracts
-    // slowly after the initial collapse (795k → ~97k over 8 rounds,
-    // ~0.6 s/round), so the early-exit — not the bound — decides when
-    // the loop stops, and the disclosed survivor list shows whether the
-    // fixpoint was reached.
+    // slowly after the initial collapse (795k → the 95,456-edge fixpoint
+    // over a 20-round tail, per the disclosed truss_survivors_per_round),
+    // so the early-exit — not the bound — decides when the loop stops,
+    // and the disclosed survivor list shows whether the fixpoint was
+    // reached.
     val trussK = sys.env.getOrElse("GRAFT_TRUSS_K", "4").toInt
     val trussRoundsBound =
       sys.env.getOrElse("GRAFT_TRUSS_ROUNDS", "64").toInt

@@ -88,6 +88,16 @@ object Embeddings {
     */
   val NswSteps = 8
 
+  /** `e_nsw_recall` beam-width axis — the NSW analogue of the IVF
+    * [[IvfProbeAxis]]: per hop the EF best nodes seen so far drive the
+    * expansion (level-synchronous beam; ef = 1 IS the greedy
+    * `e_nsw_search` exploration, pinned in NswRecallSpec), and the
+    * answer is the top-[[IvfTopK]] of everything VISITED — so recall@k
+    * vs the exact cosine ground truth prices the ef knob the same way
+    * the probe curve prices nprobe.
+    */
+  val NswEfAxis: Seq[Int] = Seq(1, 2, 4)
+
   /** k-means (Lloyd's) config for `e_kmeans`: KmK clusters, deterministic
     * init (corpus vectors 0..KmK-1), KmIters assign+update rounds. Vector
     * dimensionality of the `embeddings` table.
@@ -830,6 +840,71 @@ object Embeddings {
       .select(col("q_id"), col("vec_id"), col("ham"), col("cos"), col("rk"))
   }
 
+  /** Shared frames for the NSW beam sweep (`e_nsw_recall`): the kNN
+    * edge list, the query-vector frame, the neighbor-embedding frame and
+    * the entry-point beam seed — built (and checkpointed) ONCE, then
+    * reused by every ef axis point. Returned as (knn, q, nbr, s0).
+    */
+  private[graft] def nswShared(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    VectorFunctions.register(s)
+    val knn = knnScoredEdges(s, dir).select(col("src"), col("dst"))
+      .localCheckpoint(true) // re-joined once per hop per ef
+    val emb = embDf(s, dir).localCheckpoint(true)
+    val q = emb.where(col("vec_id") < NumQueries)
+      .selectExpr("vec_id AS q_id", "v AS qv", "nrm AS qnrm")
+      .localCheckpoint(true)
+    val nbr = emb.selectExpr("vec_id AS dst", "v AS nv", "nrm AS nnrm")
+    val entry = knn.where(col("src") >= NumQueries)
+      .agg(min(col("src")).as("entry"))
+    val entryEmb = entry.join(emb, col("entry") === col("vec_id"))
+      .selectExpr("entry", "v AS ev", "nrm AS enrm")
+    val s0 = q.crossJoin(broadcast(entryEmb))
+      .selectExpr("q_id", "entry AS node",
+        "round(vec_dot(qv, ev) / (qnrm * enrm), 6) AS cos")
+      .localCheckpoint(true)
+    (knn, q, nbr, s0)
+  }
+
+  /** One NSW beam run at width `ef` over [[nswShared]]'s frames: per hop
+    * the CURRENT beam (≤ ef best (q_id, node, cos) rows per query, on
+    * 6-dp-rounded cosines with ties to the lowest id — the e_nsw_search
+    * determinism discipline) expands through ONE distributed join
+    * against the kNN edges, candidates dedupe on (q_id, node) BEFORE
+    * scoring, and the next beam is the top-ef of beam ∪ candidates.
+    * State stays |queries|·ef rows; the graph side never collects.
+    * Returns (finalBeam, visited) where visited is the distinct set of
+    * every node ever scored (entry included) — the pool the recall row
+    * ranks for its top-k answer. ef = 1 expands exactly the node the
+    * greedy `e_nsw_search` walk sits on at every hop (same
+    * stay-on-no-improvement schedule), so its final beam row per query
+    * IS the greedy (found_id, cos) — NswRecallSpec pins that equality.
+    */
+  private[graft] def nswBeam(knn: DataFrame, q: DataFrame, nbr: DataFrame,
+      s0: DataFrame, ef: Int): (DataFrame, DataFrame) = {
+    val wB = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("node").asc)
+    var beam = s0
+    val seen = scala.collection.mutable.ArrayBuffer[DataFrame](s0)
+    for (_ <- 1 to NswSteps) {
+      val cand = beam.select(col("q_id"), col("node"))
+        .join(knn, col("node") === col("src"))
+        .select(col("q_id"), col("dst"))
+        .distinct() // beam members share neighbors: score each once
+        .join(broadcast(q), Seq("q_id"))
+        .join(nbr, Seq("dst"))
+        .selectExpr("q_id", "dst AS node",
+          "round(vec_dot(qv, nv) / (qnrm * nnrm), 6) AS cos")
+        .localCheckpoint(true) // feeds the visited union AND the re-rank
+      seen += cand
+      beam = beam.unionAll(cand).distinct()
+        .withColumn("rn", row_number().over(wB))
+        .where(col("rn") <= ef).drop("rn")
+        .localCheckpoint(true)
+    }
+    (beam, seen.reduce(_ unionAll _).distinct())
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact cosine top-k per query (tie-inclusive RANK on the
     // rounded score so cross-engine float noise cannot flip the cut).
@@ -999,6 +1074,43 @@ object Embeddings {
       }
       state.select(col("q_id"), col("entry"), col("cur").as("found_id"),
         col("cos"), col("steps"))
+    }),
+
+    // Recall-vs-beam-width curve for the NSW routing — the quality row
+    // every other ANN index family carries (LSH/BQ/IVF/IVF-PQ recall
+    // rows, the IVF probe curve), applied to graph routing's ef knob:
+    // per [[NswEfAxis]] point a level-synchronous beam of the ef best
+    // nodes seen so far expands over the kNN graph ([[nswBeam]] — ef = 1
+    // IS the greedy e_nsw_search exploration), the answer is the
+    // top-[[IvfTopK]] of everything VISITED (own node excluded, like the
+    // exact ground truth), and the row micro-averages hits against the
+    // exact tie-inclusive cosine top-k as EXACT integer sums with one
+    // trailing division (the e_ivf_probe_curve discipline). n_visited
+    // disclosed per ef — the cost axis next to the recall axis. At 100
+    // TB the per-hop state is |queries|·ef rows; the graph and embedding
+    // sides stay distributed (the only wide joins are on node keys).
+    "e_nsw_recall" -> ((s, dir) => {
+      val (knn, q, nbr, s0) = nswShared(s, dir)
+      val exact = queries("e_cosine_topk")(s, dir)
+        .where(col("rk") <= IvfTopK)
+        .select(col("q_id"), col("vec_id"))
+        .localCheckpoint(true) // shared by every ef axis point
+      NswEfAxis.map { ef =>
+        val (_, visited) = nswBeam(knn, q, nbr, s0, ef)
+        val approx = visited.where(col("node") =!= col("q_id"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("cos").desc, col("node").asc)))
+          .where(col("rn") <= IvfTopK)
+          .select(col("q_id"), col("node").as("vec_id"), lit(1).as("hit"))
+        val nvis = visited.agg(count(lit(1)).as("n_visited"))
+        exact.join(approx, Seq("q_id", "vec_id"), "left")
+          .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+          .crossJoin(nvis)
+          .selectExpr(s"CAST($ef AS INT) AS ef", "n_exact", "n_hit",
+            "round(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall",
+            "n_visited")
+      }.reduce(_.unionAll(_))
     }),
 
     // k-means (Lloyd's): the trainer behind an IVF index. Each round is
@@ -1885,6 +1997,64 @@ object Embeddings {
          |$steps
          |SELECT q_id, entry, cur AS found_id, cos, steps
          |FROM s$NswSteps""".stripMargin
+    },
+    "e_nsw_recall" -> {
+      // the identical beam schedule, unrolled per (ef, hop): candidates
+      // dedupe on (q_id, node) BEFORE scoring, beams rank on the same
+      // (cos DESC, node ASC) rounded-cosine order as Spark.
+      def dot(qa: String, na: String) =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"list_transform(range(1, 65), i -> $qa[i] * $na[i])), " +
+          s"(a, x) -> a + x)"
+      NswEfAxis.map { ef =>
+        val hops = (1 to NswSteps).map { t =>
+          val p = t - 1
+          s"""c$t AS MATERIALIZED (SELECT d.q_id, d.node,
+             |  round(${dot("q.qv", "nb.v")} / (q.qnrm * nb.nrm), 6) AS cos
+             |  FROM (SELECT DISTINCT b.q_id, e.dst AS node
+             |    FROM b$p b JOIN knn e ON e.src = b.node) d
+             |  JOIN qv q ON q.q_id = d.q_id
+             |  JOIN embn nb ON nb.vec_id = d.node),
+             |b$t AS MATERIALIZED (SELECT q_id, node, cos FROM (
+             |  SELECT q_id, node, cos, row_number() OVER (
+             |    PARTITION BY q_id ORDER BY cos DESC, node ASC) AS rn
+             |  FROM (SELECT q_id, node, cos FROM b$p
+             |    UNION SELECT q_id, node, cos FROM c$t) u) z
+             |  WHERE z.rn <= $ef)""".stripMargin
+        }.mkString(",\n")
+        val visUnion = (1 to NswSteps)
+          .map(t => s"UNION SELECT q_id, node, cos FROM c$t")
+          .mkString("\n  ")
+        s"""SELECT * FROM (
+           |WITH $duckBase,
+           |knn AS MATERIALIZED (SELECT src, dst FROM ($duckKnnScoredSql)),
+           |ent AS (SELECT min(src) AS entry FROM knn
+           |  WHERE src >= $NumQueries),
+           |qv AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm
+           |  FROM embn WHERE vec_id < $NumQueries),
+           |b0 AS MATERIALIZED (SELECT q.q_id, ent.entry AS node,
+           |  round(${dot("q.qv", "ev.v")} / (q.qnrm * ev.nrm), 6) AS cos
+           |  FROM qv q CROSS JOIN ent JOIN embn ev
+           |    ON ev.vec_id = ent.entry),
+           |$hops,
+           |vis AS MATERIALIZED (SELECT q_id, node, cos FROM b0
+           |  $visUnion),
+           |ap AS (SELECT q_id, node FROM (
+           |  SELECT q_id, node, row_number() OVER (
+           |    PARTITION BY q_id ORDER BY cos DESC, node ASC) AS rn
+           |  FROM vis WHERE node <> q_id) z WHERE z.rn <= $IvfTopK),
+           |ex AS (SELECT q_id, vec_id FROM ($duckCosineTopkSql)
+           |  WHERE rk <= $IvfTopK),
+           |nv AS (SELECT count(*) AS n_visited FROM vis)
+           |SELECT CAST($ef AS INT) AS ef, count(*) AS n_exact,
+           |  count(a.node) AS n_hit,
+           |  round(CAST(count(a.node) AS DOUBLE) / count(*), 6) AS recall,
+           |  nv.n_visited
+           |FROM ex LEFT JOIN ap a
+           |  ON a.q_id = ex.q_id AND a.node = ex.vec_id
+           |CROSS JOIN nv
+           |GROUP BY nv.n_visited)""".stripMargin
+      }.mkString("\nUNION ALL\n")
     },
     "e_kmeans" -> s"WITH $kmeansAssignCtes\nSELECT vec_id, cell FROM asg",
     "e_silhouette" -> {

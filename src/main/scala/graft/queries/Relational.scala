@@ -96,6 +96,20 @@ object Relational {
         col("pr"), col("cd"), col("tile"))
   }
 
+  /** Melt a `(l_returnflag, qty_f, qty_o)` wide frame back to long
+    * `(l_returnflag, linestatus, qty)` rows, DROPPING null cells — the
+    * q26_unpivot kernel, factored so RelationalSpec can drive it with a
+    * hand-built wide frame that has an absent pivot cell (Spark's
+    * `Dataset.unpivot` emits NULL-qty rows for those; the isNotNull
+    * filter is load-bearing, not decorative).
+    */
+  private[graft] def unpivotQty(wide: DataFrame): DataFrame =
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty_f"), col("qty_o")),
+        "linestatus", "qty")
+      .where(col("qty").isNotNull)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1-S5 + A1-A5 analogue: hash aggregate with partial (map-side) agg.
     "q1_agg" -> ((s, dir) => {
@@ -218,22 +232,21 @@ object Relational {
     // the reshape pair every feature pipeline needs (wide model-input
     // matrices back to long observation rows). Runs Spark's NATIVE
     // Dataset.unpivot (the Expand operator: one narrow projection per
-    // value column, no shuffle at all beyond q9's aggregate); NULL cells
-    // are dropped by unpivot's contract, matching the oracle's UNION ALL
-    // spelling with its IS NOT NULL filters. Scale shape: Expand is a
-    // map-side row multiplier — 2× rows, zero exchanges.
-    "q26_unpivot" -> ((s, dir) => {
-      val wide = Tables(s, dir, "lineitem")
+    // value column, no shuffle at all beyond q9's aggregate). Spark's
+    // unpivot KEEPS null value cells (verified on 4.1.2 — a missing
+    // (returnflag, linestatus) combination melts to a NULL-qty row), so
+    // the explicit isNotNull filter below is what matches the oracle's
+    // UNION ALL spelling with its IS NOT NULL filters — melt-drops-NULLs
+    // is the pandas/melt convention a feature pipeline expects
+    // (RelationalSpec pins the absent-cell case). Scale shape: Expand is
+    // a map-side row multiplier — 2× rows, zero exchanges.
+    "q26_unpivot" -> ((s, dir) => unpivotQty(
+      Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(round(sum(col("l_quantity")), 2))
         .withColumnRenamed("F", "qty_f")
-        .withColumnRenamed("O", "qty_o")
-      wide.unpivot(
-        Array(col("l_returnflag")),
-        Array(col("qty_f"), col("qty_o")),
-        "linestatus", "qty")
-    }),
+        .withColumnRenamed("O", "qty_o"))),
 
     // Skew-salted join ([[graft.operators.SkewJoin]]): ~80% of lineitem
     // rows are funneled onto supplier key 1, the straggler shape a plain

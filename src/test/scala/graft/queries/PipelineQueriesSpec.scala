@@ -126,6 +126,25 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(long.size <= 2 * wide)
   }
 
+  test("q26_unpivot drops an ABSENT pivot cell instead of emitting a " +
+      "NULL-qty row (Spark's unpivot keeps null cells; our filter drops)") {
+    import spark.implicits._
+    // a wide frame with a missing (returnflag, linestatus) combination —
+    // the standard-TPC-H shape (no R/O rows): qty_o is NULL for "R".
+    val wide = Seq(("A", Some(10.0), Some(20.0)), ("R", Some(5.5), None))
+      .toDF("l_returnflag", "qty_f", "qty_o")
+    val got = Relational.unpivotQty(wide).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set(("A", "qty_f", 10.0), ("A", "qty_o", 20.0),
+      ("R", "qty_f", 5.5)), s"NULL cell must melt to NO row, got $got")
+    // and the raw Spark unpivot really does keep the null cell — the
+    // regression this spec exists to catch: if this ever starts failing,
+    // the explicit filter went redundant, not wrong.
+    val raw = wide.unpivot(Array(col("l_returnflag")),
+      Array(col("qty_f"), col("qty_o")), "linestatus", "qty").count()
+    assert(raw == 4, "Spark unpivot emits the NULL cell as a row")
+  }
+
   test("q21_late_suppliers: the aggregate rewrite equals the literal " +
       "EXISTS/NOT-EXISTS semantics replayed in memory") {
     import org.apache.spark.sql.functions.col
