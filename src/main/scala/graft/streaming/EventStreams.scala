@@ -740,6 +740,84 @@ object EventStreams {
       .groupBy(col("week"), col("cls"))
       .agg(count(lit(1)).as("n"))
 
+  final case class FunnelSt(day: Long, buf: Vector[(Long, Int, Long)],
+      last_view: Long, qclick: Long)
+
+  final case class FunnelOut(event_id: Long, user_id: Long, p_us: Long,
+      click_us: Long, view_us: Long)
+
+  /** Per-user streaming funnel ledger — the stateful twin of the batch
+    * `ev_funnel` chained cumulative-max state machine (view → click →
+    * purchase), closing the one remaining gap in the stateful-event twin
+    * family. State per user is the two cumulative maxima (latest view so
+    * far; latest click that already had a view — 16 bytes, carried
+    * ACROSS days exactly like the batch window's unbounded frame) plus
+    * the OPEN day's event buffer (the [[holtWintersState]] closed-day
+    * contract, at event grain: a funnel is order-sensitive within a day,
+    * so the open day holds its events and an arrival for a LATER day
+    * closes it — the buffer folds in the batch row's (us, kind) order
+    * and each qualifying purchase emits one `(event_id, user, p_us,
+    * click_us, view_us)` row, Append-mode). Within a micro-batch events
+    * sort before folding, so in-batch order is free; across micro-batches
+    * the per-user DAY frontier must be non-decreasing (an arrival into a
+    * closed day is absorbed — the [[churnState]] contract). ANY event
+    * type advances the user's day clock; only the three funnel kinds
+    * buffer — so non-funnel traffic (or an explicit tick) flushes the
+    * open day, which is how the spec drains the held tail. Buffer size
+    * is one user-day of funnel events — bounded by per-user daily
+    * activity, never by history.
+    */
+  def funnelState(events: Dataset[TEv]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    val DayUs = graft.queries.Events.DayUs
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelSt, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[FunnelSt]) =>
+          // full microsecond precision (the transitions lesson)
+          def usOf(e: TEv): Long =
+            math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+              e.ts.getNanos / 1000L
+          def kindOf(t: String): Int = t match {
+            case "view" => 0
+            case "click" => 1
+            case "purchase" => 2
+            case _ => -1 // clock tick: advances the day, never buffers
+          }
+          val evs = it.map(e => (usOf(e), kindOf(e.event_type), e.event_id))
+            .toSeq.sortBy(t => (t._1, t._2, t._3))
+          if (evs.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(FunnelSt(
+              math.floorDiv(evs.head._1, DayUs), Vector.empty, -1L, -1L))
+            val out = Seq.newBuilder[FunnelOut]
+            def closeDay(nextDay: Long): Unit = {
+              // re-sort: a late WITHIN-day arrival from a later
+              // micro-batch appends after earlier-batch rows, so insert
+              // order is not event-time order across batches
+              val b = st.buf.sortBy(t => (t._1, t._2, t._3))
+              st = st.copy(day = nextDay, buf = Vector.empty)
+              b.foreach { case (us, kind, eid) =>
+                if (kind == 0) st = st.copy(last_view = us)
+                else if (kind == 1) {
+                  if (st.last_view >= 0) st = st.copy(qclick = us)
+                } else if (st.qclick >= 0)
+                  out += FunnelOut(eid, uid, us, st.qclick, st.last_view)
+              }
+            }
+            evs.foreach { case t @ (us, kind, _) =>
+              val d = math.floorDiv(us, DayUs)
+              if (d > st.day) closeDay(d)
+              if (d >= st.day && kind >= 0) st = st.copy(buf = st.buf :+ t)
+              // d < st.day: late arrival into a closed day — absorbed
+            }
+            state.update(st)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Per-user event-type transition extraction with carried last-event
     * state — the streaming stage under `ev_markov`'s bigram counts: each
     * user's state is their last seen event, and every arrival emits one

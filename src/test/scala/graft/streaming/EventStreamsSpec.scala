@@ -964,6 +964,62 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel ledger ≡ batch ev_funnel across 3 day-aligned " +
+      "micro-batch splits with a late within-day arrival and a flush tick") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val DayUs = graft.queries.Events.DayUs
+
+    val input = MemoryStream[TEv]
+    val q = funnelState(input.toDS()).writeStream
+      .format("memory").queryName("fst").outputMode("append").start()
+    try {
+      val rows = Tables(spark, sfDir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .as[TEv].collect().toSeq
+      def usOf(e: TEv): Long =
+        math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+      def dayOf(e: TEv): Long = math.floorDiv(usOf(e), DayUs)
+      val days = rows.map(dayOf)
+      val (lo, hi) = (days.min, days.max)
+      val (c1, c2a) = rows.partition(dayOf(_) <= lo + (hi - lo) / 3)
+      val (c2, c3) = c2a.partition(dayOf(_) <= lo + 2 * (hi - lo) / 3)
+      // the LATE arrival: chunk 1's latest view ships with chunk 2 — a
+      // within-open-day straggler (no later-day event for its user has
+      // been fed when it lands, because day boundaries split the chunks)
+      val late = c1.filter(_.event_type == "view").maxBy(usOf)
+      val b1 = c1.filterNot(_ eq late)
+      // reversed feeds: in-batch arrival order must not matter
+      input.addData(b1.reverse); q.processAllAvailable()
+      input.addData((late +: c2).reverse); q.processAllAvailable()
+      input.addData(c3.reverse); q.processAllAvailable()
+      // flush ticks: one non-funnel event per user past the last day
+      // closes every open day (the "any type advances the clock" rule)
+      val ticks = rows.map(_.user_id).distinct.map(u =>
+        TEv(u, new java.sql.Timestamp((hi + 1) * DayUs / 1000L), -1L,
+          "flush"))
+      input.addData(ticks); q.processAllAvailable()
+
+      val got = spark.table("fst").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      val want = graft.queries.Events.queries("ev_funnel")(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(want.nonEmpty, "fixture must complete some funnels")
+      assert(got == want)
+
+      // an arrival into a CLOSED day is absorbed — nothing re-emits
+      val before = spark.table("fst").count()
+      input.addData(Seq(rows.maxBy(usOf))); q.processAllAvailable()
+      assert(spark.table("fst").count() == before,
+        "closed-day arrival must be absorbed")
+    } finally q.stop()
+  }
+
   test("churnWeekly (the streaming aggregation OVER the churn ledger) ≡ " +
       "the batch ev_churn class counts minus the held final markers, " +
       "across 4 micro-batch splits with a late arrival") {
