@@ -69,14 +69,124 @@ object Truss {
       .groupBy("a", "b").agg(count(lit(1)).as("sup"))
   }
 
+  /** Support DELTAS from a batch removal: every triangle of the
+    * PREVIOUS graph (`und ∪ removed`) that contains ≥ 1 removed edge
+    * costs each of its SURVIVING edges exactly one support — including
+    * triangles that lost two or three edges at once, which is why the
+    * enumeration dedupes on the canonical sorted triple BEFORE the
+    * 3-edge fan-out (a per-removed-edge decrement would double-count
+    * them). Triangles are found by scanning each removed edge's
+    * lower-(degree, id) endpoint's adjacency (the orientation
+    * discipline of [[support]], applied to the removal set): cost is
+    * Σ min-degree over REMOVED edges — the incremental-regime economics
+    * — never a pass over the survivors. Returns `(a, b, dcnt)` for the
+    * touched surviving edges.
+    */
+  private def removalDeltas(und: DataFrame, removed: DataFrame)
+      : DataFrame = {
+    val prev = und.unionAll(removed)
+    // NOT checkpointed: both parents are, and the union is a narrow map
+    // — re-deriving it three times (degrees, wedge scan, closure
+    // semi-join) is cheaper than a third checkpoint job at the tail,
+    // where the round cost is job floor, not compute
+    val prevAdj = prev.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(prev.select(col("b").as("u"), col("a").as("v")))
+    val deg = prevAdj.groupBy("u").agg(count(lit(1)).as("dg"))
+    val rOri = removed
+      .join(deg.select(col("u").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("dg").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("p"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("q"))
+    val tri = rOri.join(prevAdj, col("p") === col("u"))
+      .select(col("p"), col("q"), col("v").as("c"))
+      .where(col("c") =!= col("q"))
+      .join(prevAdj.select(col("u").as("q"), col("v").as("c")),
+        Seq("q", "c"), "left_semi")
+    val trio = tri.select(
+        least(col("p"), col("q"), col("c")).as("t1"),
+        (col("p") + col("q") + col("c")
+          - least(col("p"), col("q"), col("c"))
+          - greatest(col("p"), col("q"), col("c"))).as("t2"),
+        greatest(col("p"), col("q"), col("c")).as("t3"))
+      .distinct()
+      .localCheckpoint(true) // fans out to three edge streams
+    trio.select(col("t1").as("a"), col("t2").as("b"))
+      .unionAll(trio.select(col("t1").as("a"), col("t3").as("b")))
+      .unionAll(trio.select(col("t2").as("a"), col("t3").as("b")))
+      .join(und, Seq("a", "b"), "left_semi") // only SURVIVING edges decrement
+      .groupBy("a", "b").agg(count(lit(1)).as("dcnt"))
+  }
+
   /** Fixed-horizon k-truss over an `(a, b)` a<b distinct edge set.
     * Returns `(a, b, sup)` — the surviving edges with support computed
     * over the final survivor set (at a reached fixpoint, every reported
     * sup ≥ k−2 by construction).
+    *
+    * Per round the support either comes from the full wedge pipeline
+    * ([[support]]) or — when the previous round removed few edges
+    * relative to the survivors (2·|R| ≤ |S|) — from the INCREMENTAL
+    * decrement path ([[removalDeltas]]): only edges that lost a
+    * triangle can change, so the new support is the carried table minus
+    * the removal deltas, and the cost is proportional to the removal
+    * set, not the surviving graph. That retires the tail economics the
+    * full recompute had (the octave K=4 cascade spends 19 rounds
+    * shrinking 795k → 95,456 edges by ever-smaller removals — each of
+    * those rounds now touches only the removed edges' wedges).
+    * Regime choice is a pure optimization: both paths compute support
+    * over the identical survivor set (TrussSpec pins hybrid ≡
+    * full-recompute on a multi-round cascade; `onRegime` discloses the
+    * per-round choice).
     */
   def run(spark: SparkSession, und0: DataFrame, k: Int, rounds: Int,
-      onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
+      onRound: (Int, Long) => Unit = (_, _) => (),
+      onRegime: (Int, String) => Unit = (_, _) => ()): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
+    var und = und0.localCheckpoint(true)
+    var m = und.count()
+    var lastSup: DataFrame = null // survivors (a, b, sup), current graph
+    var removed: DataFrame = null // edges dropped by the previous round
+    var remCount = 0L
+    var converged = false
+    var r = 0
+    while (r < rounds && !converged) {
+      val incr = removed != null && 2 * remCount <= m
+      onRegime(r + 1, if (incr) "incr" else "full")
+      val supAll =
+        if (!incr) support(und) // 0-support edges absent ⟹ dropped below
+        else lastSup.join(removalDeltas(und, removed), Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            (col("sup") - coalesce(col("dcnt"), lit(0L))).as("sup"))
+      val surv = supAll.where(col("sup") >= k - 2).localCheckpoint(true)
+      val m2 = surv.count()
+      onRound(r + 1, m2)
+      removed =
+        (if (incr) supAll.where(col("sup") < k - 2).select(col("a"), col("b"))
+         else und.join(surv.select(col("a"), col("b")),
+           Seq("a", "b"), "left_anti"))
+          .localCheckpoint(true)
+      remCount = m - m2
+      und = surv.select(col("a"), col("b"))
+      // monotone peel: unchanged count ⟹ unchanged set ⟹ fixpoint, and
+      // sup (computed over the identical previous set) IS the answer.
+      converged = m2 == m
+      m = m2
+      lastSup = surv
+      r += 1
+    }
+    if (converged) lastSup
+    else support(und) // horizon exhausted pre-fixpoint: support over e_R
+  }
+
+  /** The round-15 full-recompute loop, kept verbatim as the regression
+    * reference: TrussSpec pins [[run]]'s hybrid schedule against it.
+    */
+  private[graft] def runFull(spark: SparkSession, und0: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
     var und = und0.localCheckpoint(true)
     var m = und.count()
     var lastSup: DataFrame = null
@@ -86,17 +196,14 @@ object Truss {
       val sup = support(und).where(col("sup") >= k - 2)
         .localCheckpoint(true)
       val m2 = sup.count()
-      onRound(r + 1, m2)
       und = sup.select(col("a"), col("b"))
-      // monotone peel: unchanged count ⟹ unchanged set ⟹ fixpoint, and
-      // sup (computed over the identical previous set) IS the answer.
       converged = m2 == m
       m = m2
       lastSup = sup
       r += 1
     }
     if (converged) lastSup
-    else support(und) // horizon exhausted pre-fixpoint: support over e_R
+    else support(und)
   }
 
   /** DuckDB oracle: the identical fixed horizon as unrolled CTE rounds —

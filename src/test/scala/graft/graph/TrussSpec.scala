@@ -97,4 +97,48 @@ class TrussSpec extends SparkSpec {
     assert(r1 == want1)
     assert(r1 != base.map(t => (t._1, t._2) -> t._3).toMap)
   }
+
+  test("hybrid incremental peel ≡ full recompute ≡ brute force, with " +
+      "the incremental regime ENGAGED and removing edges") {
+    val s = spark
+    import s.implicits._
+    // P_40³ (edges i→i+1, i+2, i+3: a path power whose K=5 truss erodes
+    // from the ends over several rounds with small removal sets — the
+    // 2·|R| ≤ |S| shape that flips the regime) ∪ a disjoint K10 so the
+    // fixpoint is non-empty.
+    val n = 40L
+    val edges = (0L until n).flatMap(i => Seq(1L, 2L, 3L).collect {
+        case d if i + d < n => (i, i + d)
+      }) ++
+      (0 until 10).flatMap(a => (a + 1 until 10)
+        .map(b => (1000L + a, 1000L + b)))
+    val und = edges.toDF("a", "b")
+    val k = 5
+    val regimes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sched = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val hybrid = Truss.run(spark, und, k, 64,
+        (_, m2) => sched += m2, (_, reg) => regimes += reg)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // the fixture exercises what it claims: an incremental round that
+    // actually removed edges (regime choice + real deltas + the
+    // incremental removed-set bookkeeping all on the hot path)
+    val incrRemoving = regimes.zipWithIndex.exists { case (reg, i) =>
+      reg == "incr" && i > 0 && sched(i) < sched(i - 1)
+    }
+    assert(regimes.contains("full") && incrRemoving,
+      s"fixture must engage BOTH regimes with removals, got " +
+        s"${regimes.zip(sched)}")
+    val full = Truss.runFull(spark, und, k, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(hybrid == full, "incremental deltas diverged from recompute")
+    val bruteEdges = peel(edges.toSet, k, 64)
+    val brute = support(bruteEdges).filter { case (e, _) => bruteEdges(e) }
+    assert(hybrid == brute)
+    assert(hybrid.nonEmpty && hybrid.keySet ==
+      (0 until 10).flatMap(a => (a + 1 until 10)
+        .map(b => (1000L + a, 1000L + b))).toSet,
+      "K=5 truss of the fixture is exactly the K10 block")
+  }
 }
