@@ -146,9 +146,11 @@ object OctaveBench {
     val trussRoundsBound =
       sys.env.getOrElse("GRAFT_TRUSS_ROUNDS", "64").toInt
     val trussSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val trussRegimes = scala.collection.mutable.ArrayBuffer.empty[String]
     val (trussEdges, trussSec) = timed {
       graft.graph.Truss.run(spark, und, trussK, trussRoundsBound,
-        (_, m2) => trussSizes += m2).count()
+        (_, m2) => trussSizes += m2,
+        (_, reg) => trussRegimes += reg).count()
     }
 
     // SCC at the octave, SUPERSTEP regime: the symmetric bench graph
@@ -283,6 +285,23 @@ object OctaveBench {
         .collect()(0)
     }
 
+    // Walk corpus at the octave, SHUFFLE regime: the million-walk build
+    // g_walk_corpus's scaladoc documents but (until now) never measured
+    // — every node is a source (srcMod 1) with 13 walks each ⟹ ~1.05M
+    // concurrent walks over the 11.9M-edge graph, far past broadcast
+    // size, so the per-step join drops the hint and shuffles on node
+    // (same plan shape, wider exchange — WalkCorpusSpec pins the two
+    // regimes bit-equal). Per-step surviving-walk counts disclosed: the
+    // state only shrinks at sinks, so the exchanges stay ~1M rows wide
+    // for all 6 steps.
+    val walkPerSrc = sys.env.getOrElse("GRAFT_WALKS_PER_SRC", "13").toInt
+    val walkSteps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val (walkRows, walkSec) = timed {
+      GQ.walkCorpus(GQ.walkAdj(edges), srcMod = 1L, walkPerSrc,
+        GQ.WalkLen, broadcastState = false,
+        (_, c) => walkSteps += c).count()
+    }
+
     println(s"""{"metric":"octave_ops","sf":"$sfDir"""" +
       s""","fli_nodes":$n,"fli_edges":$m""" +
       s""","kcore_sec":${r1(kcoreSec)},"kcore_k":$kcoreK""" +
@@ -304,6 +323,8 @@ object OctaveBench {
       s""","truss_rounds_bound":$trussRoundsBound""" +
       s""","truss_edges":$trussEdges""" +
       s""","truss_survivors_per_round":[${trussSizes.mkString(",")}]""" +
+      s""","truss_regimes":[${trussRegimes.map("\"" + _ + "\"")
+        .mkString(",")}]""" +
       s""","scc_sec":${r1(sccSec)},"scc_edges":$digM""" +
       s""","scc_fwd_steps":$sccFwd,"scc_outer_rounds":$sccOuter""" +
       s""","scc_count":${sccProf.getLong(0)}""" +
@@ -328,7 +349,11 @@ object OctaveBench {
       s""","bc_max":${f"${bcProf.getDouble(1)}%.6f"}""" +
       s""","bfs_sec":${r1(bfsSec)},"bfs_regime":"superstep"""" +
       s""","bfs_rows":${bfsProf.getLong(0)}""" +
-      s""","bfs_max_dist":${bfsProf.getInt(1)}}""")
+      s""","bfs_max_dist":${bfsProf.getInt(1)}""" +
+      s""","walk_sec":${r1(walkSec)},"walk_regime":"shuffle"""" +
+      s""","walk_walks_per_src":$walkPerSrc,"walk_len":${GQ.WalkLen}""" +
+      s""","walk_rows":$walkRows""" +
+      s""","walk_state_per_step":[${walkSteps.mkString(",")}]}""")
     spark.stop()
   }
 }

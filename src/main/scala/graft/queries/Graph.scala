@@ -115,6 +115,65 @@ object Graph {
       s"* $m + node) % $p"
   }
 
+  /** The walk corpus's ONE corpus-sized materialization: neighbor
+    * position AND out-degree from the SAME per-src window pass (no
+    * degree join, no second raw scan — and no repartition: the window's
+    * own exchange already places the rows, and the per-step scans want
+    * the full task fleet), re-scanned once per step.
+    */
+  private[graft] def walkAdj(e: DataFrame): DataFrame = e
+    .select(col("src"), col("dst"))
+    .withColumn("rn", row_number().over(
+      Window.partitionBy(col("src")).orderBy(col("dst"))))
+    .withColumn("outdeg",
+      count(lit(1)).over(Window.partitionBy(col("src"))))
+    .select(col("src").as("a_src"), col("dst").as("a_dst"),
+      col("rn"), col("outdeg"))
+    .localCheckpoint(true)
+
+  /** The truncated-walk loop over a positioned adjacency ([[walkAdj]]):
+    * per step ONE join of the walk-state frame against the adjacency,
+    * with the counter-based index choice evaluated inside the join
+    * condition (outdeg rides on the adj row, so the equi-key a_src =
+    * node prunes to each node's neighbor list and rn = 1 + idx picks
+    * within it). `broadcastState` is the regime knob the scaladoc of
+    * g_walk_corpus always documented: a fixed query fleet broadcasts the
+    * state side (g_walk_corpus's plan, byte-identical to round 15); a
+    * MILLION-walk corpus build drops the hint and lets the join shuffle
+    * on node — same plan shape, wider exchange (the octave measures it;
+    * WalkCorpusSpec pins the two regimes bit-equal, since the hint is
+    * physical only). `onStep` (octave disclosure) counts the surviving
+    * state per step — the checkpointed frame, so the count is a read,
+    * not a recompute.
+    */
+  private[graft] def walkCorpus(adj: DataFrame, srcMod: Long,
+      walksPerSrc: Int, len: Int, broadcastState: Boolean,
+      onStep: (Int, Long) => Unit = null): DataFrame = {
+    var state = adj
+      .where(col("rn") === 1 && col("a_src") % srcMod === 0)
+      .select(col("a_src").as("source"),
+        explode(expr(s"sequence(CAST(0 AS BIGINT), " +
+          s"CAST(${walksPerSrc - 1} AS BIGINT))")).as("walk"))
+      .select(col("source"), col("walk"), col("source").as("node"))
+    val frames = scala.collection.mutable.ArrayBuffer[DataFrame](
+      state.select(col("source"), col("walk"),
+        lit(0L).as("step"), col("node")))
+    for (t <- 1 to len) {
+      val idx = s"(${graft.text.TextOps.spark.kmvMix(walkHashExpr(t))})" +
+        s" % outdeg"
+      val st = if (broadcastState) broadcast(state) else state
+      state = st
+        .join(adj, col("node") === col("a_src") &&
+          col("rn") === expr(idx) + 1)
+        .select(col("source"), col("walk"), col("a_dst").as("node"))
+        .localCheckpoint(true) // feeds the emit union AND step t+1
+      if (onStep != null) onStep(t, state.count())
+      frames += state.select(col("source"), col("walk"),
+        lit(t.toLong).as("step"), col("node"))
+    }
+    frames.reduce(_ unionAll _)
+  }
+
   /** Global-PageRank damping and iteration count (`g_pagerank`). The
     * schedule is fixed (oracle-replayed), sized like the K1 `Iters` — the
     * query demonstrates the distributed loop, not convergence.
@@ -929,48 +988,9 @@ object Graph {
     // Randomness is counter-based kmvMix arithmetic (see
     // walkHashExpr) — task placement, retries, and ENGINE cannot change
     // a single step, so the DuckDB oracle re-derives every walk exactly.
-    "g_walk_corpus" -> ((s, dir) => {
-      // the ONE corpus-sized materialization: neighbor position AND
-      // out-degree from the SAME per-src window pass (no degree join,
-      // no second raw scan — and no repartition: the window's own
-      // exchange already places the rows, and the per-step scans want
-      // the full task fleet), re-scanned once per step.
-      val adj = GraphOps.lineitemGraph(s, dir, TriMod)
-        .select(col("src"), col("dst"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("src")).orderBy(col("dst"))))
-        .withColumn("outdeg",
-          count(lit(1)).over(Window.partitionBy(col("src"))))
-        .select(col("src").as("a_src"), col("dst").as("a_dst"),
-          col("rn"), col("outdeg"))
-        .localCheckpoint(true)
-      var state = adj
-        .where(col("rn") === 1 && col("a_src") % WalkSrcMod === 0)
-        .select(col("a_src").as("source"),
-          explode(expr(s"sequence(CAST(0 AS BIGINT), " +
-            s"CAST(${WalksPerSrc - 1} AS BIGINT))")).as("walk"))
-        .select(col("source"), col("walk"), col("source").as("node"))
-      val frames = scala.collection.mutable.ArrayBuffer[DataFrame](
-        state.select(col("source"), col("walk"),
-          lit(0L).as("step"), col("node")))
-      for (t <- 1 to WalkLen) {
-        val idx = s"(${graft.text.TextOps.spark.kmvMix(walkHashExpr(t))})" +
-          s" % outdeg"
-        // ONE broadcast join per step: the walk state is the broadcast
-        // side, the adjacency is scanned in place, and the index choice
-        // evaluates inside the join condition (outdeg rides on the adj
-        // row, so the equi-key a_src = node prunes to each node's
-        // neighbor list and rn = 1 + idx picks within it).
-        state = broadcast(state)
-          .join(adj, col("node") === col("a_src") &&
-            col("rn") === expr(idx) + 1)
-          .select(col("source"), col("walk"), col("a_dst").as("node"))
-          .localCheckpoint(true) // feeds the emit union AND step t+1
-        frames += state.select(col("source"), col("walk"),
-          lit(t.toLong).as("step"), col("node"))
-      }
-      frames.reduce(_ unionAll _)
-    }),
+    "g_walk_corpus" -> ((s, dir) =>
+      walkCorpus(walkAdj(GraphOps.lineitemGraph(s, dir, TriMod)),
+        WalkSrcMod, WalksPerSrc, WalkLen, broadcastState = true)),
 
     // Degree assortativity (Newman 2002): the Pearson correlation of
     // endpoint degrees over all directed adjacency pairs of the

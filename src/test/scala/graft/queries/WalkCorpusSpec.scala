@@ -68,4 +68,33 @@ class WalkCorpusSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(again.toSet == want)
   }
+
+  test("broadcast and shuffle regimes are bit-equal on a corpus-scale " +
+      "walk fleet (every node a source) — the hint is physical only") {
+    val adj = Graph.walkAdj(
+      GraphOps.lineitemGraph(spark, sfDir, Graph.TriMod))
+    def corpus(bc: Boolean): Set[(Long, Long, Long, Long)] =
+      Graph.walkCorpus(adj, srcMod = 1L, walksPerSrc = 3,
+          len = Graph.WalkLen, broadcastState = bc)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val steps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val bcast = corpus(bc = true)
+    val shuffled = Graph.walkCorpus(adj, srcMod = 1L, walksPerSrc = 3,
+        len = Graph.WalkLen, broadcastState = false,
+        (_, c) => steps += c)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(bcast == shuffled,
+      "dropping the broadcast hint must not change a single step")
+    assert(bcast.nonEmpty && steps.length == Graph.WalkLen)
+    // counter-based randomness: the per-step survivor disclosure is
+    // monotone non-increasing (walks only die at sinks)
+    assert(steps.toSeq.sliding(2).forall {
+      case Seq(a, b) => b <= a
+      case _ => true
+    })
+  }
 }
