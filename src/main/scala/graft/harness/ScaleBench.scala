@@ -84,11 +84,17 @@ object ScaleBench {
       * stage is confined to.
       */
     def bandVolume(sig: DataFrame): Long = {
-      val bcols = sig.columns.filter(_ != "doc_id")
-      val lng = bcols.zipWithIndex.map { case (c, i) =>
-        sig.select(lit(i).as("bi"), col(c).cast("long").as("bv"))
+      // band-PAIR key volume — exactly the candidate exchange the media
+      // near-dup join now shuffles (see queries.Media.BandPairs: the
+      // single-band 2^-16 random-collision term measured 14.9x under a
+      // 4x blowup; the 32-bit pair key is what retired it)
+      val pairs = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+      val lng = pairs.zipWithIndex.map { case ((i, j), pi) =>
+        sig.select(lit(pi).as("pi"), col(s"b$i").cast("long").as("bu"),
+          col(s"b$j").cast("long").as("bv"))
       }.reduce(_ unionAll _)
-      lng.groupBy(col("bi"), col("bv")).agg(count(lit(1)).as("n"))
+      lng.groupBy(col("pi"), col("bu"), col("bv"))
+        .agg(count(lit(1)).as("n"))
         .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)))
         .collect()(0).getLong(0)
     }

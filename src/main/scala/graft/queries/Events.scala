@@ -69,6 +69,24 @@ object Events {
   val HwGamma = 0.25
   val HwOneMinusGamma = 0.75
 
+  /** The Holt–Winters recurrence as DuckDB expression templates, SHARED
+    * by the `ev_holt_winters` and `ev_hw_forecast` oracles so the float
+    * spelling cannot drift between the ladder row and the forecast row
+    * built on it. The level expression is inlined VERBATIM wherever l_t
+    * appears (trend and seasonal both reference it); `%SEAS%` in the
+    * seasonal template is substituted with the branch's ring column.
+    */
+  private def hwLvlE(x: String, sP: String, lp: String, bp: String) =
+    s"CAST($HwAlpha AS DOUBLE) * ($x - $sP) " +
+      s"+ CAST($HwOneMinusAlpha AS DOUBLE) * ($lp + $bp)"
+  private def hwTrdE(x: String, sP: String, lp: String, bp: String) =
+    s"CAST($HwBeta AS DOUBLE) * ((${hwLvlE(x, sP, lp, bp)}) - $lp) " +
+      s"+ CAST($HwOneMinusBeta AS DOUBLE) * $bp"
+  private def hwSeasE(x: String, sP: String, lp: String, bp: String) =
+    s"list_append(%SEAS%[2:$HwPeriod], CAST($HwGamma AS DOUBLE) " +
+      s"* ($x - (${hwLvlE(x, sP, lp, bp)})) " +
+      s"+ CAST($HwOneMinusGamma AS DOUBLE) * $sP)"
+
   /** `ev_cusum` tuning in σ units — the classic (k, h) = (σ/2, 4σ)
     * tabular-CUSUM design (Page 1954, Montgomery SPC): k absorbs noise
     * below half a standard deviation, h fires after a sustained ~1σ
@@ -278,6 +296,72 @@ object Events {
       .selectExpr("user_id", "f",
         "shiftleft(CAST(1 AS BIGINT), CAST(day - f AS INT)) AS bit")
       .groupBy("user_id", "f").agg(expr("bit_or(bit)").as("mask"))
+  }
+
+  /** The `ev_hw_forecast` kernel over a `(event_type, day, daily)`
+    * frame, factored so EventsSpec can drive it with a synthetic weekly
+    * series as well as the fixture: per type (n ≥ 2·P+1 observations),
+    * hold out the last P days, fit Holt–Winters / Holt / naive on the
+    * train prefix with the EXACT recurrence spellings of the ladder
+    * rows, and emit one row per held-out day with the three h-step
+    * forecasts and their absolute errors (errors on the unrounded
+    * forecasts; round-6 is display only).
+    */
+  private[graft] def hwForecast(daily: DataFrame): DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
+    val P = HwPeriod
+    daily.as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (typ, it) =>
+        val xs = it.toArray.sortBy(_._2)
+        val n = xs.length
+        if (n < 2 * P + 1) Iterator.empty
+        else {
+          val train = xs.take(n - P)
+          val hold = xs.drop(n - P)
+          // Holt–Winters over the train prefix (ev_holt_winters spelling)
+          var acc = 0.0
+          var i = 0
+          while (i < P) { acc += train(i)._3; i += 1 }
+          val l0 = acc / P
+          var seas = Vector.tabulate(P)(j => train(j)._3 - l0)
+          var l = l0
+          var b = 0.0
+          train.iterator.drop(P).foreach { case (_, _, x) =>
+            val sP = seas.head
+            val lp = l
+            l = HwAlpha * (x - sP) + HwOneMinusAlpha * (lp + b)
+            b = HwBeta * (l - lp) + HwOneMinusBeta * b
+            val sNew = HwGamma * (x - l) + HwOneMinusGamma * sP
+            seas = seas.tail :+ sNew
+          }
+          // season-blind Holt over the same prefix (ev_holt spelling)
+          var lh = 0.0
+          var bh = 0.0
+          var first = true
+          train.foreach { case (_, _, x) =>
+            if (first) { first = false; lh = x; bh = 0.0 }
+            else {
+              val lp = lh
+              lh = HoltAlpha * x + HoltOneMinusAlpha * (lp + bh)
+              bh = HoltBeta * (lh - lp) + HoltOneMinusBeta * bh
+            }
+          }
+          val naive = train.last._3
+          val r6 = graft.text.TextOps.round6 _
+          hold.iterator.zipWithIndex.map { case ((_, d, x), i0) =>
+            val h = i0 + 1
+            val fhw = l + h * b + seas(i0) // h ≤ P: ring index h−1
+            val fho = lh + h * bh
+            (typ, d, h, x, r6(naive), r6(fho), r6(fhw),
+              r6(math.abs(x - naive)), r6(math.abs(x - fho)),
+              r6(math.abs(x - fhw)))
+          }
+        }
+      }
+      .toDF("event_type", "day", "h", "daily", "fc_naive", "fc_holt",
+        "fc_hw", "ae_naive", "ae_holt", "ae_hw")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -754,6 +838,28 @@ object Events {
         .toDF("event_type", "day", "daily", "level", "trend", "seasonal",
           "forecast")
     }),
+
+    // h-step-ahead Holt–Winters forecast with a held-out last season —
+    // the MODEL-SELECTION artifact the smoothing ladder exists for: per
+    // type the last P observed days are held out, the HW recurrence
+    // (and, as baselines, season-blind Holt and the naive last-value
+    // carry-forward) fits on the prefix, and each held-out day h ∈ 1..P
+    // gets its forecast l + h·b + s_{t+h−P} next to the actual and the
+    // absolute errors — the per-horizon table a pipeline reads before
+    // trusting a smoother for capacity planning (EventsSpec pins that
+    // HW beats the season-blind Holt on the weekly fixture). Same
+    // exactness shape as the ladder rows: exact-cents dailies, the
+    // identical recurrence spellings over the train prefix (template
+    // functions shared with the ev_holt_winters oracle), every forecast
+    // expression spelled once per engine, errors computed on the
+    // UNROUNDED forecasts. Types need n ≥ 2P+1 observed days (train ≥
+    // P+1) — the identical filter in both engines.
+    "ev_hw_forecast" -> ((s, dir) => hwForecast(
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr(s"unix_micros(ts) div $DayUs").as("day"))
+        .agg((sum(round(col("value") * 100).cast("long")).cast("double")
+          / 100.0).as("daily")))),
 
     // Tabular CUSUM change-point detection (Page 1954) over each type's
     // daily revenue — the SUSTAINED-shift monitor next to ev_anomaly's
@@ -1483,20 +1589,16 @@ object Events {
          |FROM r""".stripMargin,
     "ev_holt_winters" -> {
       val P = HwPeriod
-      // the level expression, inlined VERBATIM wherever l_t is needed
-      // (trend and seasonal both reference it) — per-branch prev-state
-      // spellings, so the recursive step reads r.* and the base case
-      // reads the seed row.
+      // the shared recurrence templates ([[hwLvlE]] etc.) inline the
+      // level expression VERBATIM wherever l_t is needed — per-branch
+      // prev-state spellings, so the recursive step reads r.* and the
+      // base case reads the seed row.
       def lvlE(x: String, sP: String, lp: String, bp: String) =
-        s"CAST($HwAlpha AS DOUBLE) * ($x - $sP) " +
-          s"+ CAST($HwOneMinusAlpha AS DOUBLE) * ($lp + $bp)"
+        hwLvlE(x, sP, lp, bp)
       def trdE(x: String, sP: String, lp: String, bp: String) =
-        s"CAST($HwBeta AS DOUBLE) * ((${lvlE(x, sP, lp, bp)}) - $lp) " +
-          s"+ CAST($HwOneMinusBeta AS DOUBLE) * $bp"
+        hwTrdE(x, sP, lp, bp)
       def seasE(x: String, sP: String, lp: String, bp: String) =
-        s"list_append(%SEAS%[2:$P], CAST($HwGamma AS DOUBLE) " +
-          s"* ($x - (${lvlE(x, sP, lp, bp)})) " +
-          s"+ CAST($HwOneMinusGamma AS DOUBLE) * $sP)"
+        hwSeasE(x, sP, lp, bp)
       val zero = "CAST(0 AS DOUBLE)"
       s"""WITH RECURSIVE daily AS MATERIALIZED (
          |  SELECT event_type, epoch_us(ts) // $DayUs AS day,
@@ -1535,6 +1637,84 @@ object Events {
          | round(trd, 6) AS trend, round(seas[$P], 6) AS seasonal,
          | round(lvl + trd + seas[1], 6) AS forecast
          |FROM r""".stripMargin
+    },
+    "ev_hw_forecast" -> {
+      val P = HwPeriod
+      val zero = "CAST(0 AS DOUBLE)"
+      // the forecast expressions, spelled ONCE and reused by the fc and
+      // ae columns (ae is computed on the unrounded forecast, exactly
+      // like the Spark kernel); DuckDB lists are 1-based, so seas[h] is
+      // the Scala ring's seas(h−1)
+      val hwFcE = "(f.lvl + CAST(hd.h AS DOUBLE) * f.trd + f.seas[hd.h])"
+      val hoFcE = "(hf.lvl + CAST(hd.h AS DOUBLE) * hf.trd)"
+      s"""WITH RECURSIVE daily AS MATERIALIZED (
+         |  SELECT event_type, epoch_us(ts) // $DayUs AS day,
+         |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+         |     AS daily
+         |  FROM events GROUP BY 1, 2),
+         |cnt AS MATERIALIZED (SELECT event_type, count(*) AS n FROM daily
+         |  GROUP BY 1 HAVING count(*) >= ${2 * P + 1}),
+         |ord AS MATERIALIZED (SELECT d.event_type, d.day, d.daily, c.n,
+         |  row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)
+         |    AS rn
+         |  FROM daily d JOIN cnt c USING (event_type)),
+         |trn AS MATERIALIZED (SELECT * FROM ord WHERE rn <= n - $P),
+         |seed AS MATERIALIZED (
+         |  SELECT event_type,
+         |   list_reduce(list_prepend($zero, list(daily ORDER BY rn)),
+         |     (a, x) -> a + x) / $P AS l0,
+         |   list(daily ORDER BY rn) AS xs
+         |  FROM trn WHERE rn <= $P GROUP BY event_type),
+         |seed2 AS MATERIALIZED (SELECT event_type, l0,
+         |  list_transform(xs, x -> x - l0) AS seas FROM seed),
+         |r AS (
+         |  SELECT o.event_type, o.rn,
+         |   ${hwLvlE("o.daily", "s.seas[1]", "s.l0", zero)} AS lvl,
+         |   ${hwTrdE("o.daily", "s.seas[1]", "s.l0", zero)} AS trd,
+         |   ${hwSeasE("o.daily", "s.seas[1]", "s.l0", zero)
+              .replace("%SEAS%", "s.seas")} AS seas
+         |  FROM trn o JOIN seed2 s USING (event_type)
+         |  WHERE o.rn = ${P + 1}
+         |  UNION ALL
+         |  SELECT o.event_type, o.rn,
+         |   ${hwLvlE("o.daily", "r.seas[1]", "r.lvl", "r.trd")},
+         |   ${hwTrdE("o.daily", "r.seas[1]", "r.lvl", "r.trd")},
+         |   ${hwSeasE("o.daily", "r.seas[1]", "r.lvl", "r.trd")
+              .replace("%SEAS%", "r.seas")}
+         |  FROM trn o JOIN r ON o.event_type = r.event_type
+         |    AND o.rn = r.rn + 1),
+         |fin AS MATERIALIZED (SELECT r.event_type, r.lvl, r.trd, r.seas
+         |  FROM r JOIN cnt c USING (event_type) WHERE r.rn = c.n - $P),
+         |hr AS (
+         |  SELECT event_type, rn, daily AS lvl, $zero AS trd
+         |  FROM trn WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.event_type, o.rn,
+         |   CAST($HoltAlpha AS DOUBLE) * o.daily
+         |     + CAST($HoltOneMinusAlpha AS DOUBLE) * (hr.lvl + hr.trd),
+         |   CAST($HoltBeta AS DOUBLE)
+         |     * ((CAST($HoltAlpha AS DOUBLE) * o.daily
+         |       + CAST($HoltOneMinusAlpha AS DOUBLE) * (hr.lvl + hr.trd))
+         |       - hr.lvl)
+         |     + CAST($HoltOneMinusBeta AS DOUBLE) * hr.trd
+         |  FROM trn o JOIN hr ON o.event_type = hr.event_type
+         |    AND o.rn = hr.rn + 1),
+         |hfin AS MATERIALIZED (SELECT hr.event_type, hr.lvl, hr.trd
+         |  FROM hr JOIN cnt c USING (event_type) WHERE hr.rn = c.n - $P),
+         |nv AS (SELECT event_type, daily AS naive FROM trn
+         |  WHERE rn = n - $P),
+         |hd AS (SELECT event_type, day, daily, rn - (n - $P) AS h
+         |  FROM ord WHERE rn > n - $P)
+         |SELECT hd.event_type, hd.day, CAST(hd.h AS INT) AS h, hd.daily,
+         | round(nv.naive, 6) AS fc_naive,
+         | round($hoFcE, 6) AS fc_holt,
+         | round($hwFcE, 6) AS fc_hw,
+         | round(abs(hd.daily - nv.naive), 6) AS ae_naive,
+         | round(abs(hd.daily - $hoFcE), 6) AS ae_holt,
+         | round(abs(hd.daily - $hwFcE), 6) AS ae_hw
+         |FROM hd JOIN fin f USING (event_type)
+         |JOIN hfin hf USING (event_type)
+         |JOIN nv USING (event_type)""".stripMargin
     },
     "ev_cusum" ->
       s"""WITH RECURSIVE daily AS MATERIALIZED (

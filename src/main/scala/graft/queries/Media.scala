@@ -38,21 +38,41 @@ object Media {
   val ReplicaRes = 3
   val ReplicaOffset = 1000000L
 
+  /** The C(4,2) = 6 band-PAIR combinations — the candidate key of every
+    * banded media near-dup join. A single 16-bit band collides randomly
+    * at 2⁻¹⁶ per pair, which is a QUADRATIC n²/2¹⁶ false-candidate term
+    * that overtakes the true pairs at corpus scale (ScaleBench measured
+    * it at 14.9× under a 4× blowup); keying on a band pair widens the
+    * effective key to 32 bits (n²·6/2³² — gone at any realistic corpus)
+    * at 1.5× the exchange rows. The recall contract narrows with it:
+    * a candidate now needs TWO clean bands, so the guarantee covers
+    * every pair whose ≤ [[NearDupMaxHamming]] differing bits touch at
+    * most 2 of the 4 bands — which includes ALL exact-signature copies
+    * (the re-crawled/re-encoded case the rows exist for; fixture dups
+    * land at Hamming 0 while distinct whitened rasters measure ≥ 16,
+    * pinned in MediaOpsSpec) — and drops the corner where ≤ 6 bits
+    * spread across 3+ bands. The DuckDB oracles replay the identical
+    * pair keys, so the semantics stay engine-pinned.
+    */
+  private val BandPairs: Seq[(Int, Int)] =
+    Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+
   /** The shared banded near-dup composition over a `(doc_id, b0..b3)`
     * signature frame (image aHash or audio fingerprint): candidates from
-    * any shared 16-bit band (at 100 TB the only wide exchange moves
-    * (band, id) pairs — never an all-pairs comparison, never payloads),
-    * exact Hamming verify over the full 64-bit signature on the
-    * candidate set only.
+    * any shared band PAIR ([[BandPairs]] — at 100 TB the only wide
+    * exchange moves (pair-key, id) tuples, never an all-pairs comparison,
+    * never payloads), exact Hamming verify over the full 64-bit
+    * signature on the candidate set only.
     */
   private def bandedNearDup(h: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val lng = Seq("b0", "b1", "b2", "b3").zipWithIndex.map { case (c, i) =>
-      h.select(col("doc_id"), lit(i).as("bi"), col(c).as("bv"))
+    val lng = BandPairs.zipWithIndex.map { case ((i, j), pi) =>
+      h.select(col("doc_id"), lit(pi).as("pi"),
+        col(s"b$i").as("bu"), col(s"b$j").as("bv"))
     }.reduce(_.unionAll(_))
     val cand = lng.as("x").join(lng.as("y"),
-        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
+        col("x.pi") === col("y.pi") && col("x.bu") === col("y.bu") &&
+          col("x.bv") === col("y.bv") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val ha = h.select(col("doc_id").as("doc_a"), col("b0").as("a0"),
@@ -102,13 +122,14 @@ object Media {
     "m_media_phash" -> ((s, dir) => MediaOps.hashDf(s, dir)),
 
     // Image NEAR-duplicate pairs — the multimodal twin of d_minhash_lsh:
-    // banded candidate generation (equi-join on any shared 16-bit band;
-    // at 100 TB the only wide exchange moves (band, id) pairs — never an
-    // all-pairs comparison, never pixel data) + exact Hamming verify over
-    // the full 64-bit signature on the candidate set only. Exact dupes
-    // collide on all 4 bands and verify at Hamming 0; random band
-    // collisions (~1 per 2^16 pairs per band) verify near 32 and are
-    // rejected by [[NearDupMaxHamming]].
+    // banded candidate generation (equi-join on any shared band PAIR —
+    // see [[BandPairs]] for the 32-bit-key rationale; at 100 TB the only
+    // wide exchange moves (pair-key, id) tuples — never an all-pairs
+    // comparison, never pixel data) + exact Hamming verify over the full
+    // 64-bit signature on the candidate set only. Exact dupes collide on
+    // all 6 pair keys and verify at Hamming 0; random pair-key
+    // collisions (~1 per 2^32 pairs per key) are measure-zero at any
+    // corpus scale — the quadratic term ScaleBench flagged at 16 bits.
     "m_media_neardup" -> ((s, dir) => {
       // reused by the band explode and both verify joins: checkpoint so
       // the decode+hash kernel runs once, not four times
@@ -178,13 +199,14 @@ object Media {
       import org.apache.spark.sql.functions._
       val fh = MediaOps.frameHashes(MediaOps.videosFrom(withReplicas(s, dir)))
         .toDF().localCheckpoint(true)
-      val lng = Seq("b0", "b1", "b2", "b3").zipWithIndex.map { case (c, i) =>
-        fh.select(col("doc_id"), col("frame_idx"), lit(i).as("bi"),
-          col(c).as("bv"))
+      val lng = BandPairs.zipWithIndex.map { case ((i, j), pi) =>
+        fh.select(col("doc_id"), col("frame_idx"), lit(pi).as("pi"),
+          col(s"b$i").as("bu"), col(s"b$j").as("bv"))
       }.reduce(_.unionAll(_))
       val cand = lng.as("x").join(lng.as("y"),
           col("x.frame_idx") === col("y.frame_idx") &&
-            col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+            col("x.pi") === col("y.pi") && col("x.bu") === col("y.bu") &&
+            col("x.bv") === col("y.bv") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           col("x.frame_idx").as("f"))
@@ -428,14 +450,16 @@ object Media {
     * `ph(doc_id, b0..b3)` — shared verbatim by the image and audio
     * near-dup oracles (the [[bandedNearDup]] twin).
     */
-  private def bandedNearDupTailSql: String =
-    s"""lng AS (SELECT doc_id, 0 AS bi, b0 AS bv FROM ph
-       |  UNION ALL SELECT doc_id, 1, b1 FROM ph
-       |  UNION ALL SELECT doc_id, 2, b2 FROM ph
-       |  UNION ALL SELECT doc_id, 3, b3 FROM ph),
+  private def bandedNearDupTailSql: String = {
+    val lngRows = BandPairs.zipWithIndex.map { case ((i, j), pi) =>
+      if (pi == 0) s"SELECT doc_id, $pi AS pi, b$i AS bu, b$j AS bv FROM ph"
+      else s"UNION ALL SELECT doc_id, $pi, b$i, b$j FROM ph"
+    }.mkString("\n  ")
+    s"""lng AS ($lngRows),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM lng x JOIN lng y
-       |  ON y.bi = x.bi AND y.bv = x.bv AND x.doc_id < y.doc_id)
+       |  ON y.pi = x.pi AND y.bu = x.bu AND y.bv = x.bv
+       |    AND x.doc_id < y.doc_id)
        |SELECT doc_a, doc_b, hamming FROM (
        |  SELECT c.doc_a, c.doc_b,
        |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
@@ -444,6 +468,7 @@ object Media {
        |  FROM cand c JOIN ph a ON a.doc_id = c.doc_a
        |  JOIN ph b ON b.doc_id = c.doc_b) v
        |WHERE hamming <= $NearDupMaxHamming""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "m_media_audio_meta" ->
@@ -500,14 +525,15 @@ object Media {
     "m_media_phash" -> s"${phashCte()}\nSELECT doc_id, b0, b1, b2, b3 FROM ph",
     "m_media_video_neardup" ->
       s"""${framePhashCte(replicaDocsSql)},
-         |lngv AS (SELECT doc_id, f, 0 AS bi, b0 AS bv FROM vph
-         |  UNION ALL SELECT doc_id, f, 1, b1 FROM vph
-         |  UNION ALL SELECT doc_id, f, 2, b2 FROM vph
-         |  UNION ALL SELECT doc_id, f, 3, b3 FROM vph),
+         |lngv AS (${BandPairs.zipWithIndex.map { case ((i, j), pi) =>
+              if (pi == 0)
+                s"SELECT doc_id, f, $pi AS pi, b$i AS bu, b$j AS bv FROM vph"
+              else s"UNION ALL SELECT doc_id, f, $pi, b$i, b$j FROM vph"
+            }.mkString("\n  ")}),
          |candv AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
          |    x.f AS f
          |  FROM lngv x JOIN lngv y
-         |  ON y.f = x.f AND y.bi = x.bi AND y.bv = x.bv
+         |  ON y.f = x.f AND y.pi = x.pi AND y.bu = x.bu AND y.bv = x.bv
          |    AND x.doc_id < y.doc_id),
          |fm AS (SELECT c.doc_a, c.doc_b, count(*) AS n_match
          |  FROM candv c
