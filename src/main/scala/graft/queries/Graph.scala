@@ -300,20 +300,30 @@ object Graph {
       "+ (est2 - est1) * CAST(2 AS DOUBLE)) " +
       "ELSE CAST(0 AS DOUBLE) END, 6) AS lin")
 
-  private def hyperballOracleChain: String = {
-    val P = graft.text.TextOps.P
+  /** HyperBall oracle building blocks, shared by [[hyperballOracleChain]]
+    * and the `g_eff_diameter` oracle (one spelling of the register hop,
+    * the integer fold, and the hop-0 preamble — so the ball rows cannot
+    * drift from the curve row).
+    */
+  private def hllStepSql(prev: String): String = {
+    s"""SELECT id, b, max(mj) AS mj FROM (
+       |  SELECT e.src AS id, r.b, r.mj FROM e JOIN $prev r ON r.id = e.dst
+       |  UNION ALL SELECT id, b, mj FROM $prev) GROUP BY id, b""".stripMargin
+  }
+
+  private def hllFoldSql(reg: String, sfx: String): String = {
     val E = graft.queries.Events
     val pw = 1L << (E.HllW + 1)
-    def stepSql(prev: String): String =
-      s"""SELECT id, b, max(mj) AS mj FROM (
-         |  SELECT e.src AS id, r.b, r.mj FROM e JOIN $prev r ON r.id = e.dst
-         |  UNION ALL SELECT id, b, mj FROM $prev) GROUP BY id, b""".stripMargin
-    def foldSql(reg: String, sfx: String): String =
-      s"""SELECT id, CAST(${E.HllM} - count(*) AS BIGINT) AS v_zero$sfx,
-         |  CAST(sum(CAST(1 AS BIGINT) << (${E.HllW + 1} - mj)) AS BIGINT)
-         |    + (${E.HllM} - count(*)) * CAST($pw AS BIGINT) AS s_scaled$sfx
-         |  FROM $reg GROUP BY id""".stripMargin
-    s"""WITH e AS MATERIALIZED ($graphSql),
+    s"""SELECT id, CAST(${E.HllM} - count(*) AS BIGINT) AS v_zero$sfx,
+       |  CAST(sum(CAST(1 AS BIGINT) << (${E.HllW + 1} - mj)) AS BIGINT)
+       |    + (${E.HllM} - count(*)) * CAST($pw AS BIGINT) AS s_scaled$sfx
+       |  FROM $reg GROUP BY id""".stripMargin
+  }
+
+  private def hllPreambleSql: String = {
+    val P = graft.text.TextOps.P
+    val E = graft.queries.Events
+    s"""e AS MATERIALIZED ($graphSql),
        |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
        |hm AS MATERIALIZED (SELECT id,
        |  ${graft.text.TextOps.duck.kmvMix("h")} AS hm FROM (
@@ -321,11 +331,16 @@ object Graph {
        |r0 AS MATERIALIZED (SELECT id, hm % ${E.HllM} AS b,
        |  CASE WHEN hm // ${E.HllM} = 0 THEN ${E.HllW + 1}
        |       ELSE ${E.HllW + 1} - length(bin(hm // ${E.HllM})) END AS mj
-       |  FROM hm),
-       |r1 AS MATERIALIZED (${stepSql("r0")}),
-       |r2 AS MATERIALIZED (${stepSql("r1")}),
-       |f1 AS MATERIALIZED (${foldSql("r1", "1")}),
-       |f2 AS MATERIALIZED (${foldSql("r2", "2")}),
+       |  FROM hm)""".stripMargin
+  }
+
+  private def hyperballOracleChain: String = {
+    val E = graft.queries.Events
+    s"""WITH $hllPreambleSql,
+       |r1 AS MATERIALIZED (${hllStepSql("r0")}),
+       |r2 AS MATERIALIZED (${hllStepSql("r1")}),
+       |f1 AS MATERIALIZED (${hllFoldSql("r1", "1")}),
+       |f2 AS MATERIALIZED (${hllFoldSql("r2", "2")}),
        |hb AS MATERIALIZED (
        |  SELECT f1.id AS node_id, v_zero1, s_scaled1,
        |    ${E.hllEstSqlAs("s_scaled1", "v_zero1", "est1")},
@@ -572,13 +587,12 @@ object Graph {
     * rounds), reusable on any graph (OctaveBench runs it on the
     * Flickr-scale octave). See the row comment for the recurrence.
     */
-  private[graft] def hyperBallRun(edges: DataFrame): DataFrame = {
+  /** Hop-0 HyperBall registers: each node's HLL sketch of {itself}. */
+  private def hllReg0(edges: DataFrame): DataFrame = {
     val P = graft.text.TextOps.P
     val E = graft.queries.Events
-    val pw = 1L << (E.HllW + 1)
-    val nodes = edges.select(col("src").as("id"))
+    edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
-    val reg0 = nodes
       .selectExpr("id", s"id % $P AS h")
       .selectExpr("id", s"${graft.text.TextOps.spark.kmvMix("h")} AS hm")
       .selectExpr("id", s"hm % ${E.HllM} AS b", s"hm div ${E.HllM} AS w")
@@ -586,28 +600,90 @@ object Graph {
         s"CASE WHEN w = 0 THEN ${E.HllW + 1} " +
           s"ELSE ${E.HllW + 1} - length(bin(w)) END AS mj")
       .localCheckpoint(true)
-    def step(reg: DataFrame): DataFrame =
-      edges.join(reg, edges("dst") === reg("id"))
-        .select(edges("src").as("id"), col("b"), col("mj"))
-        .unionAll(reg.select(col("id"), col("b"), col("mj")))
-        .groupBy("id", "b").agg(max(col("mj")).as("mj"))
-        .localCheckpoint(true)
-    def fold(reg: DataFrame, sfx: String): DataFrame =
-      reg.groupBy(col("id"))
-        .agg(count(lit(1)).as("n_present"),
-          sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${E.HllW + 1} - mj)"))
-            .as("s_reg"))
-        .selectExpr("id",
-          s"CAST(${E.HllM} - n_present AS BIGINT) AS v_zero$sfx",
-          s"s_reg + (${E.HllM} - n_present) * CAST($pw AS BIGINT) " +
-            s"AS s_scaled$sfx")
-    val r1 = step(reg0)
-    val r2 = step(r1)
-    fold(r1, "1").join(fold(r2, "2"), Seq("id"))
+  }
+
+  /** One HyperBall hop: union each node's registers with its
+    * out-neighbors', integer max-merge per (id, b).
+    */
+  private def hllStep(edges: DataFrame, reg: DataFrame): DataFrame =
+    edges.join(reg, edges("dst") === reg("id"))
+      .select(edges("src").as("id"), col("b"), col("mj"))
+      .unionAll(reg.select(col("id"), col("b"), col("mj")))
+      .groupBy("id", "b").agg(max(col("mj")).as("mj"))
+      .localCheckpoint(true)
+
+  /** Per-node register fold to the exact integer HLL inputs
+    * `(v_zero, s_scaled)` the estimate expression reads.
+    */
+  private def hllFold(reg: DataFrame, sfx: String): DataFrame = {
+    val E = graft.queries.Events
+    val pw = 1L << (E.HllW + 1)
+    reg.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${E.HllW + 1} - mj)"))
+          .as("s_reg"))
+      .selectExpr("id",
+        s"CAST(${E.HllM} - n_present AS BIGINT) AS v_zero$sfx",
+        s"s_reg + (${E.HllM} - n_present) * CAST($pw AS BIGINT) " +
+          s"AS s_scaled$sfx")
+  }
+
+  private[graft] def hyperBallRun(edges: DataFrame): DataFrame = {
+    val E = graft.queries.Events
+    val r1 = hllStep(edges, hllReg0(edges))
+    val r2 = hllStep(edges, r1)
+    hllFold(r1, "1").join(hllFold(r2, "2"), Seq("id"))
       .selectExpr("id AS node_id", "v_zero1", "s_scaled1",
         E.hllEstSqlAs("s_scaled1", "v_zero1", "est1"),
         "v_zero2", "s_scaled2",
         E.hllEstSqlAs("s_scaled2", "v_zero2", "est2"))
+  }
+
+  /** `g_eff_diameter` horizon. Registers are monotone (integer
+    * max-merge), so once every ball saturates further hops are no-ops
+    * and N(h) plateaus — spare hops are idempotent, the fixed horizon is
+    * part of the semantics like every other unrolled schedule, and the
+    * plateau value N(H) is the total-pairs denominator the effective
+    * diameter reads against.
+    */
+  val EffDiamHops = 8
+
+  /** `g_eff_diameter` body — HyperANF (Boldi–Vigna 2011): iterate the
+    * HyperBall hop to [[EffDiamHops]] and report the NEIGHBORHOOD
+    * FUNCTION curve N(h) = Σ_v |B(v, h)| from the per-node 4-dp HLL
+    * estimates, plus each hop's fraction of the plateau and the ≥ 90 %
+    * reach flag whose first set hop IS the standard effective diameter.
+    * Exactness discipline: per-node estimates are the pinned 4-dp
+    * values every HLL row shares; the ONE float reduction per hop (the
+    * sum over nodes) is a value-sorted 0-seeded fold in (est, id) order
+    * — identical sequence on both engines, so N(h) is bit-exact before
+    * the display rounding (the Betweenness value-sorted-fold rule).
+    * Scale shape: per hop one edges ⋈ registers join + an integer
+    * max-merge groupBy (the HyperBall economics, m = 16 registers per
+    * node); the curve itself is H+1 scalar rows.
+    */
+  private[graft] def effDiameterRun(edges: DataFrame): DataFrame = {
+    val E = graft.queries.Events
+    def nfAt(reg: DataFrame, h: Int): DataFrame =
+      hllFold(reg, "")
+        .selectExpr("id", E.hllEstSql)
+        .agg(expr("aggregate(sort_array(collect_list(struct(est, id))), " +
+          "CAST(0 AS DOUBLE), (a, x) -> a + x.est)").as("nf"))
+        .selectExpr(s"CAST($h AS INT) AS h", "nf")
+    var reg = hllReg0(edges)
+    val curve = scala.collection.mutable.ArrayBuffer[DataFrame](nfAt(reg, 0))
+    for (h <- 1 to EffDiamHops) {
+      reg = hllStep(edges, reg)
+      curve += nfAt(reg, h)
+    }
+    val all = curve.reduce(_ unionAll _).localCheckpoint(true)
+    val tot = all.where(col("h") === EffDiamHops)
+      .select(col("nf").as("nfh"))
+    all.crossJoin(broadcast(tot))
+      .selectExpr("h", "round(nf, 6) AS nf",
+        "round(nf / nfh, 6) AS frac",
+        "CAST(CASE WHEN nf >= CAST(0.9 AS DOUBLE) * nfh " +
+          "THEN 1 ELSE 0 END AS INT) AS reach90")
   }
 
   /** `g_kcore` body over an undirected distinct edge set `und` (`a < b`
@@ -1271,6 +1347,16 @@ object Graph {
     "g_hyperball" -> ((s, dir) =>
       hyperBallRun(GraphOps.lineitemGraph(s, dir, Mod).localCheckpoint(true))),
 
+    // Effective diameter via HyperANF — see [[effDiameterRun]]: the
+    // neighborhood-function curve N(h) to the fixed [[EffDiamHops]]
+    // horizon, each hop's fraction of the plateau, and the ≥90% reach
+    // flag whose first set hop is the standard effective-diameter
+    // reading. The graph-profile scalar every connectivity report leads
+    // with, priced at HyperBall cost instead of all-pairs BFS.
+    "g_eff_diameter" -> ((s, dir) =>
+      effDiameterRun(
+        GraphOps.lineitemGraph(s, dir, Mod).localCheckpoint(true))),
+
     // Harmonic centrality from the HyperBall registers — Boldi & Vigna's
     // actual use case for the sketch (In-Core Computation of Geometric
     // Centralities, 2014): h(v) ≈ Σ_r (|B_r| − |B_{r−1}|)/r over the
@@ -1728,6 +1814,31 @@ object Graph {
         s"""$hyperballOracleChain
            |SELECT node_id, v_zero1, s_scaled1, est1, v_zero2, s_scaled2,
            |  est2 FROM hb""".stripMargin,
+      "g_eff_diameter" -> {
+        val E2 = graft.queries.Events
+        val hops = (1 to EffDiamHops)
+          .map(h => s"r$h AS MATERIALIZED (${hllStepSql(s"r${h - 1}")})")
+          .mkString(",\n")
+        val nfs = (0 to EffDiamHops).map { h =>
+          s"""n$h AS MATERIALIZED (SELECT CAST($h AS INT) AS h,
+             |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |    list(est ORDER BY est, id)), (a, x) -> a + x) AS nf
+             |  FROM (SELECT id, ${E2.hllEstSql}
+             |    FROM (${hllFoldSql(s"r$h", "")}) f$h))""".stripMargin
+        }.mkString(",\n")
+        val union = (0 to EffDiamHops)
+          .map(h => s"SELECT h, nf FROM n$h")
+          .mkString("\n  UNION ALL ")
+        s"""WITH $hllPreambleSql,
+           |$hops,
+           |$nfs,
+           |curve AS ($union),
+           |tot AS (SELECT nf AS nfh FROM n$EffDiamHops)
+           |SELECT h, round(nf, 6) AS nf, round(nf / nfh, 6) AS frac,
+           |  CAST(CASE WHEN nf >= CAST(0.9 AS DOUBLE) * nfh
+           |    THEN 1 ELSE 0 END AS INT) AS reach90
+           |FROM curve CROSS JOIN tot""".stripMargin
+      },
       "g_harmonic" ->
         s"""$hyperballOracleChain
            |SELECT node_id, est1, est2,

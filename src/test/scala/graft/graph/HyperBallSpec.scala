@@ -109,4 +109,65 @@ class HyperBallSpec extends SparkSpec {
       }
     }
   }
+
+  test("g_eff_diameter equals the exact in-memory HyperANF replay " +
+      "(registers → 4-dp estimates → value-sorted fold), the curve is " +
+      "monotone, and the 90% flag is a step ending at 1") {
+    val H = Graph.EffDiamHops
+    val got = Graph.queries("g_eff_diameter")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), (r.getDouble(1), r.getDouble(2), r.getInt(3))))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0 to H))
+
+    val edges = GraphOps.lineitemGraph(spark, sfDir, Graph.Mod).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      .withDefaultValue(Set.empty[Long])
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val m = Events.HllM
+    val pw = 1L << (Events.HllW + 1)
+    def round(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def estOf(b: Set[Long]): Double = {
+      val regs = b.groupMapReduce(w => TextOps.kmvMix(w % TextOps.P) % m)(
+        w => rho(TextOps.kmvMix(w % TextOps.P) / m))(math.max)
+      val vz = (m - regs.size).toLong
+      val ss = regs.values.map(mj => 1L << (Events.HllW + 1 - mj)).sum +
+        (m - regs.size) * pw
+      val raw = (0.673 * m * m) / (ss.toDouble / pw)
+      round(if (raw <= 2.5 * m && vz > 0) m * math.log(m.toDouble / vz)
+        else raw, 4)
+    }
+    var ball = nodes.map(v => v -> Set(v)).toMap
+    def nfOf(b: Map[Long, Set[Long]]): Double =
+      b.toSeq.map { case (v, s) => (estOf(s), v) }
+        .sortBy(identity).foldLeft(0.0)((acc, t) => acc + t._1)
+    val nfs = Seq.newBuilder[Double]
+    nfs += nfOf(ball)
+    for (_ <- 1 to H) {
+      ball = ball.map { case (v, b) =>
+        v -> out(v).foldLeft(b)((acc, u) => acc ++ ball(u))
+      }
+      nfs += nfOf(ball)
+    }
+    val want = nfs.result()
+    val nfh = want(H)
+    got.foreach { case (h, (nf, frac, reach)) =>
+      assert(nf == round(want(h), 6), s"hop $h nf")
+      assert(frac == round(want(h) / nfh, 6), s"hop $h frac")
+      assert(reach == (if (want(h) >= 0.9 * nfh) 1 else 0), s"hop $h flag")
+    }
+    // curve shape: registers are monotone so N(h) is non-decreasing,
+    // the flag is a monotone step, and it is SET at the horizon
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2._1 >= a._2._1, "N(h) decreased")
+        assert(b._2._3 >= a._2._3, "reach flag un-set")
+      case _ => ()
+    }
+    assert(got.last._2._3 == 1 && got.last._2._2 == 1.0)
+    // the effective diameter itself: first flagged hop, within horizon
+    val eff = got.find(_._2._3 == 1).get._1
+    assert(eff >= 0 && eff <= H)
+  }
 }
