@@ -268,4 +268,126 @@ object PowerIteration {
   def oracleSql(graphSql: String, source: Long, alpha: Double, iterations: Int,
       roundTo: Int = 9): String =
     s"SELECT node_id, score FROM (${oracleSqlMulti(graphSql, Seq(source), alpha, iterations, roundTo)})"
+
+  /** SEED-SET power iteration — personalized PageRank with a preference
+    * SET (Haveliwala 2002's topic-sensitive teleport, on the reference's
+    * restart convention): residue starts uniform over the seeds
+    * (1/|S| each) and a dangling node returns its (1−α)·r mass uniformly
+    * to ALL the seeds — a fresh uniform(S) restart, which is exactly
+    * where this operator differs from averaging |S| single-source runs
+    * (each of those restarts at its OWN source; SeedSetPprSpec pins both
+    * the difference on a dangling graph and the linearity-given-no-
+    * dangling equality). Semantics aside, the plan IS [[run]]'s: the
+    * dangling rule folds into the same pre-weighted edge list as |S|
+    * synthetic edges (v → s, w = 1/|S|) per out-degree-0 node, so every
+    * superstep stays ONE join + ONE aggregate, size-guarded broadcast,
+    * chained checkpoints — the single-source economics at any |S|.
+    */
+  def runSeedSet(
+      spark: SparkSession,
+      edges: DataFrame,
+      seeds: Seq[Long],
+      alpha: Double = 0.15,
+      iterations: Int = 100,
+      checkpointEvery: Int = 1,
+      broadcastNodeLimit: Long = BroadcastNodeLimit): DataFrame = {
+    import spark.implicits._
+    require(seeds.nonEmpty && seeds.distinct.size == seeds.size,
+      s"seed set must be non-empty and duplicate-free, got $seeds")
+    val k = seeds.size
+    val invK = 1.0 / k
+
+    val e = edges.persist()
+    val deg = GraphOps.outDegrees(e)
+    val m = e.count()
+    val p = math.min(spark.sparkContext.defaultParallelism.toLong,
+      m / 1000000L + 1L).toInt
+    val weighted = e.join(deg, e("src") === deg("id"))
+      .select(e("src"), e("dst"), (lit(1.0) / col("deg")).as("w"))
+    val danglingEdges = e.select(col("dst").as("src"))
+      .union(seeds.toDF("src"))
+      .distinct()
+      .join(deg, col("src") === deg("id"), "left_anti")
+      .crossJoin(seeds.toDF("dst"))
+      .select(col("src"), col("dst"), lit(invK).as("w"))
+    val ew = weighted.union(danglingEdges)
+      .repartition(p, col("src"))
+      .persist()
+    ew.count()
+    e.unpersist()
+    val n = ew.agg(countDistinct("src")).head.getLong(0)
+    val small = n <= broadcastNodeLimit
+    def sided(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevCodegen = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      if (p == 1) spark.conf.set("spark.sql.codegen.wholeStage", "false")
+
+      val checkpoint = new graft.operators.CkptChain(spark.sparkContext)
+      var state = checkpoint(
+        seeds.map(s => (s, invK, invK)).toDF("id", "r", "acc"))
+      var it = 1
+      while (it < iterations) {
+        val frontier = state.where(col("r") =!= 0.0).select(col("id"), col("r"))
+        val contrib = ew.join(sided(frontier), ew("src") === frontier("id"))
+          .select(ew("dst").as("id"),
+            (lit(1.0 - alpha) * col("r") * col("w")).as("c"))
+          .select(col("id"), col("c"), col("c").as("a"))
+        val carry = state.select(col("id"), lit(0.0).as("c"), col("acc").as("a"))
+        state = contrib.union(carry)
+          .groupBy("id").agg(sum("c").as("r"), sum("a").as("acc"))
+        if (it % checkpointEvery == 0 || it == iterations - 1)
+          state = checkpoint(state)
+        it += 1
+      }
+      state.select(col("id").as("node_id"),
+        (lit(alpha) * col("acc")).as("score"))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.codegen.wholeStage", prevCodegen)
+      ew.unpersist()
+    }
+  }
+
+  /** DuckDB oracle twin of [[runSeedSet]]: the identical unrolled
+    * schedule with the uniform-over-seeds start and the fresh-uniform(S)
+    * dangling restart (each residue-holding out-degree-0 node fans its
+    * pushed mass to every seed via the CROSS JOIN). 1/|S| is
+    * interpolated as the same Scala double literal the Spark side uses —
+    * pick power-of-two seed-set sizes and it is exact binary.
+    */
+  def oracleSqlSeedSet(graphSql: String, seeds: Seq[Long], alpha: Double,
+      iterations: Int, roundTo: Int = 9): String = {
+    val push = 1.0 - alpha
+    val invK = 1.0 / seeds.size
+    val values = seeds.map(s => s"($s)").mkString(", ")
+    val sb = new StringBuilder
+    sb ++= s"WITH edges AS MATERIALIZED ($graphSql),\n"
+    sb ++= "deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg " +
+      "FROM edges GROUP BY src),\n"
+    sb ++= s"srcs(s) AS (VALUES $values),\n"
+    sb ++= "r0 AS (SELECT CAST(s AS BIGINT) AS id, " +
+      s"CAST($invK AS DOUBLE) AS r FROM srcs),\n"
+    for (i <- 1 until iterations) {
+      val prev = s"r${i - 1}"
+      sb ++= s"r$i AS MATERIALIZED (SELECT id, sum(r) AS r FROM (" +
+        s"SELECT e.dst AS id, $push * t.r / d.deg AS r FROM $prev t " +
+        s"JOIN deg d ON d.id = t.id JOIN edges e ON e.src = t.id " +
+        s"UNION ALL " +
+        s"SELECT CAST(s.s AS BIGINT) AS id, $push * t.r * $invK AS r " +
+        s"FROM $prev t LEFT JOIN deg d ON d.id = t.id CROSS JOIN srcs s " +
+        s"WHERE d.id IS NULL) GROUP BY id),\n"
+    }
+    val unions = (0 until iterations).map(i => s"SELECT * FROM r$i")
+      .mkString(" UNION ALL ")
+    sb ++= s"acc AS ($unions)\n"
+    sb ++= s"SELECT id AS node_id, round($alpha * sum(r), $roundTo) " +
+      "AS score FROM acc GROUP BY id"
+    sb.toString
+  }
 }

@@ -206,6 +206,12 @@ object Graph {
   val HbRounds = 2
   val SingleSource = 1L
   val BatchSources: Seq[Long] = Seq(1L, 2L, 3L, 5L, 8L)
+
+  /** `g_ppr_seedset` preference set — a fixed mod-spread sample of the
+    * bench graph's node space; |S| = 4 (a power of two) keeps the
+    * uniform teleport weight 1/|S| exact binary in BOTH engines.
+    */
+  val SeedSet: Seq[Long] = Seq(0L, 250L, 500L, 750L)
   val TopK = 10
 
   // Forward/backward push parameters (fixed supersteps → deterministic BSP
@@ -1299,6 +1305,19 @@ object Graph {
         .select(col("node_id"), round(col("score"), 9).as("score"))
     }),
 
+    // Seed-SET personalized PageRank (topic-sensitive teleport,
+    // Haveliwala 2002) — see [[PowerIteration.runSeedSet]]: residue
+    // starts uniform over [[SeedSet]] and dangling mass restarts fresh-
+    // uniform over the set (NOT the average of per-seed runs — the
+    // difference and the no-dangling linearity equality are both
+    // spec-pinned). Same one-join-one-aggregate superstep economics as
+    // g_power_ppr; |S| = 4 keeps 1/|S| exact binary on both engines.
+    "g_ppr_seedset" -> ((s, dir) => {
+      val edges = GraphOps.lineitemGraph(s, dir, Mod)
+      PowerIteration.runSeedSet(s, edges, SeedSet, Alpha, Iters)
+        .select(col("node_id"), round(col("score"), 9).as("score"))
+    }),
+
     // Global PageRank: teleport-to-uniform + uniform dangling
     // redistribution — the non-personalized sibling of K1 (see
     // [[PageRank]]). One superstep = one job; 1-row dangling aggregate
@@ -1807,6 +1826,8 @@ object Graph {
            |  USING (s)""".stripMargin,
       "g_degree" -> s"SELECT src AS id, count(*) AS deg FROM ($graphSql) GROUP BY src",
       "g_power_ppr" -> PowerIteration.oracleSql(graphSql, SingleSource, Alpha, Iters),
+      "g_ppr_seedset" ->
+        PowerIteration.oracleSqlSeedSet(graphSql, SeedSet, Alpha, Iters),
       "g_pagerank" -> PageRank.oracleSql(graphSql, PrDamping, PrIters),
       "g_katz" -> graft.graph.Katz.oracleSql(graphSql, KatzAlpha, KatzIters),
       "g_hits" -> graft.graph.Hits.oracleSql(graphSql, HitsIters),
