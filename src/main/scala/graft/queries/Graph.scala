@@ -660,22 +660,27 @@ object Graph {
     * estimates, plus each hop's fraction of the plateau and the ≥ 90 %
     * reach flag whose first set hop IS the standard effective diameter.
     * Exactness discipline: per-node estimates are the pinned 4-dp
-    * values every HLL row shares; the ONE float reduction per hop (the
-    * sum over nodes) is a value-sorted 0-seeded fold in (est, id) order
-    * — identical sequence on both engines, so N(h) is bit-exact before
-    * the display rounding (the Betweenness value-sorted-fold rule).
-    * Scale shape: per hop one edges ⋈ registers join + an integer
-    * max-merge groupBy (the HyperBall economics, m = 16 registers per
-    * node); the curve itself is H+1 scalar rows.
+    * values every HLL row shares — exact multiples of 1e-4 — so the ONE
+    * reduction per hop scales them to BIGINT ×10⁴ and sums INTEGERS
+    * (order-free, map-side-combinable, never a per-node collect; the
+    * g_assortativity exact-moments rule), with a single trailing float
+    * division per hop. Range honesty: est·10⁴ ≤ n·10⁴ per node sums to
+    * ≤ n²·10⁴ — fine through ~10⁹-node graphs; a web-scale run widens
+    * the sum to DECIMAL(38), same plan shape. Scale shape: per hop one
+    * edges ⋈ registers join + an integer max-merge groupBy (the
+    * HyperBall economics, m = 16 registers per node); the curve itself
+    * is H+1 scalar rows.
     */
   private[graft] def effDiameterRun(edges: DataFrame): DataFrame = {
     val E = graft.queries.Events
     def nfAt(reg: DataFrame, h: Int): DataFrame =
       hllFold(reg, "")
         .selectExpr("id", E.hllEstSql)
-        .agg(expr("aggregate(sort_array(collect_list(struct(est, id))), " +
-          "CAST(0 AS DOUBLE), (a, x) -> a + x.est)").as("nf"))
-        .selectExpr(s"CAST($h AS INT) AS h", "nf")
+        .selectExpr(
+          "CAST(round(est * CAST(10000 AS DOUBLE)) AS BIGINT) AS e4")
+        .agg(sum(col("e4")).as("s4"))
+        .selectExpr(s"CAST($h AS INT) AS h",
+          "CAST(s4 AS DOUBLE) / CAST(10000 AS DOUBLE) AS nf")
     var reg = hllReg0(edges)
     val curve = scala.collection.mutable.ArrayBuffer[DataFrame](nfAt(reg, 0))
     for (h <- 1 to EffDiamHops) {
@@ -1842,8 +1847,8 @@ object Graph {
           .mkString(",\n")
         val nfs = (0 to EffDiamHops).map { h =>
           s"""n$h AS MATERIALIZED (SELECT CAST($h AS INT) AS h,
-             |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             |    list(est ORDER BY est, id)), (a, x) -> a + x) AS nf
+             |  CAST(sum(CAST(round(est * CAST(10000 AS DOUBLE)) AS BIGINT))
+             |    AS DOUBLE) / CAST(10000 AS DOUBLE) AS nf
              |  FROM (SELECT id, ${E2.hllEstSql}
              |    FROM (${hllFoldSql(s"r$h", "")}) f$h))""".stripMargin
         }.mkString(",\n")

@@ -111,8 +111,8 @@ class HyperBallSpec extends SparkSpec {
   }
 
   test("g_eff_diameter equals the exact in-memory HyperANF replay " +
-      "(registers → 4-dp estimates → value-sorted fold), the curve is " +
-      "monotone, and the 90% flag is a step ending at 1") {
+      "(registers → 4-dp estimates → exact ×10⁴ integer sum), the curve " +
+      "is monotone, and the 90% flag is a step ending at 1") {
     val H = Graph.EffDiamHops
     val got = Graph.queries("g_eff_diameter")(spark, sfDir).collect()
       .map(r => (r.getInt(0), (r.getDouble(1), r.getDouble(2), r.getInt(3))))
@@ -140,8 +140,7 @@ class HyperBallSpec extends SparkSpec {
     }
     var ball = nodes.map(v => v -> Set(v)).toMap
     def nfOf(b: Map[Long, Set[Long]]): Double =
-      b.toSeq.map { case (v, s) => (estOf(s), v) }
-        .sortBy(identity).foldLeft(0.0)((acc, t) => acc + t._1)
+      b.valuesIterator.map(s => math.round(estOf(s) * 10000.0)).sum / 10000.0
     val nfs = Seq.newBuilder[Double]
     nfs += nfOf(ball)
     for (_ <- 1 to H) {
