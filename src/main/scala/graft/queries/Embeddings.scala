@@ -887,12 +887,6 @@ object Embeddings {
     var beam = s0
     val seen = scala.collection.mutable.ArrayBuffer[DataFrame](s0)
     for (_ <- 1 to NswSteps) {
-      // NOT checkpointed: each hop's candidate frame is one join off the
-      // CHECKPOINTED previous beam, so lineage stays flat without it —
-      // the beam re-rank evaluates it eagerly below, and the visited
-      // union re-derives it lazily in ONE final job instead of paying
-      // 8 more eager checkpoint jobs per ef (the board-row job floor
-      // dominated the sweep's cost, not compute)
       val cand = beam.select(col("q_id"), col("node"))
         .join(knn, col("node") === col("src"))
         .select(col("q_id"), col("dst"))
@@ -901,6 +895,7 @@ object Embeddings {
         .join(nbr, Seq("dst"))
         .selectExpr("q_id", "dst AS node",
           "round(vec_dot(qv, nv) / (qnrm * nnrm), 6) AS cos")
+        .localCheckpoint(true) // feeds the visited union AND the re-rank
       seen += cand
       beam = beam.unionAll(cand).distinct()
         .withColumn("rn", row_number().over(wB))
