@@ -122,6 +122,17 @@ object Truss {
       .groupBy("a", "b").agg(count(lit(1)).as("dcnt"))
   }
 
+  /** Below this many surviving edges the incremental path's extra
+    * per-round jobs (degree/wedge/closure chain + checkpoint in
+    * [[removalDeltas]]) cost more than recomputing the whole survivor
+    * set — at small n the regime boundary is the JOB FLOOR, not compute
+    * (measured: the 352-edge GOT rows ran 55–75 % slower incremental,
+    * while the 11.9M-edge octave improved 137.7 → 80.8 s). The dispatch
+    * therefore also requires the survivor count to clear this absolute
+    * floor before engaging the incremental regime.
+    */
+  val IncrFloorEdges = 100000L
+
   /** Fixed-horizon k-truss over an `(a, b)` a<b distinct edge set.
     * Returns `(a, b, sup)` — the surviving edges with support computed
     * over the final survivor set (at a reached fixpoint, every reported
@@ -129,22 +140,28 @@ object Truss {
     *
     * Per round the support either comes from the full wedge pipeline
     * ([[support]]) or — when the previous round removed few edges
-    * relative to the survivors (2·|R| ≤ |S|) — from the INCREMENTAL
-    * decrement path ([[removalDeltas]]): only edges that lost a
-    * triangle can change, so the new support is the carried table minus
-    * the removal deltas, and the cost is proportional to the removal
-    * set, not the surviving graph. That retires the tail economics the
-    * full recompute had (the octave K=4 cascade spends 19 rounds
-    * shrinking 795k → 95,456 edges by ever-smaller removals — each of
-    * those rounds now touches only the removed edges' wedges).
+    * relative to the survivors (2·|R| ≤ |S|) AND the survivor set is
+    * large enough that per-round work beats the job floor
+    * (|S| ≥ `incrFloor`, default [[IncrFloorEdges]]) — from the
+    * INCREMENTAL decrement path ([[removalDeltas]]): only edges that
+    * lost a triangle can change, so the new support is the carried
+    * table minus the removal deltas, and the cost is proportional to
+    * the removal set, not the surviving graph. That retires the tail
+    * economics the full recompute had (the octave K=4 cascade spends
+    * 19 rounds shrinking 795k → 95,456 edges by ever-smaller removals —
+    * the ≥ 10⁵-survivor rounds touch only the removed edges' wedges,
+    * and the sub-floor tail recomputes its small survivor set, which is
+    * cheaper than the delta chain's extra jobs there).
     * Regime choice is a pure optimization: both paths compute support
     * over the identical survivor set (TrussSpec pins hybrid ≡
-    * full-recompute on a multi-round cascade; `onRegime` discloses the
-    * per-round choice).
+    * full-recompute on a multi-round cascade with BOTH regimes engaged,
+    * plus the default floor keeping a small graph all-full; `onRegime`
+    * discloses the per-round choice).
     */
   def run(spark: SparkSession, und0: DataFrame, k: Int, rounds: Int,
       onRound: (Int, Long) => Unit = (_, _) => (),
-      onRegime: (Int, String) => Unit = (_, _) => ()): DataFrame = {
+      onRegime: (Int, String) => Unit = (_, _) => (),
+      incrFloor: Long = IncrFloorEdges): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     var und = und0.localCheckpoint(true)
     var m = und.count()
@@ -154,7 +171,7 @@ object Truss {
     var converged = false
     var r = 0
     while (r < rounds && !converged) {
-      val incr = removed != null && 2 * remCount <= m
+      val incr = removed != null && 2 * remCount <= m && m >= incrFloor
       onRegime(r + 1, if (incr) "incr" else "full")
       val supAll =
         if (!incr) support(und) // 0-support edges absent ⟹ dropped below

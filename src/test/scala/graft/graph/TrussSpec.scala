@@ -116,8 +116,10 @@ class TrussSpec extends SparkSpec {
     val k = 5
     val regimes = scala.collection.mutable.ArrayBuffer.empty[String]
     val sched = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // incrFloor = 0: the fixture is far below the production job-floor
+    // cutoff, so the floor is lifted here to exercise the delta path.
     val hybrid = Truss.run(spark, und, k, 64,
-        (_, m2) => sched += m2, (_, reg) => regimes += reg)
+        (_, m2) => sched += m2, (_, reg) => regimes += reg, incrFloor = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
       .toMap
     // the fixture exercises what it claims: an incremental round that
@@ -140,5 +142,17 @@ class TrussSpec extends SparkSpec {
       (0 until 10).flatMap(a => (a + 1 until 10)
         .map(b => (1000L + a, 1000L + b))).toSet,
       "K=5 truss of the fixture is exactly the K10 block")
+
+    // the DEFAULT dispatch keeps a sub-floor graph on the full-recompute
+    // regime every round (the GOT-scale job-floor economics), with
+    // identical output.
+    val regimesDef = scala.collection.mutable.ArrayBuffer.empty[String]
+    val hybridDef = Truss.run(spark, und, k, 64,
+        (_, _) => (), (_, reg) => regimesDef += reg)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(regimesDef.nonEmpty && regimesDef.forall(_ == "full"),
+      s"default floor must keep a small graph all-full, got $regimesDef")
+    assert(hybridDef == full, "default-floor schedule diverged")
   }
 }
