@@ -593,8 +593,11 @@ object Graph {
     * rounds), reusable on any graph (OctaveBench runs it on the
     * Flickr-scale octave). See the row comment for the recurrence.
     */
-  /** Hop-0 HyperBall registers: each node's HLL sketch of {itself}. */
-  private def hllReg0(edges: DataFrame): DataFrame = {
+  /** Hop-0 HyperBall registers: each node's HLL sketch of {itself}.
+    * The `Plan` variant is LAZY (no materializing job) — used where the
+    * caller batches all hops into one action ([[effDiameterRun]]).
+    */
+  private def hllReg0Plan(edges: DataFrame): DataFrame = {
     val P = graft.text.TextOps.P
     val E = graft.queries.Events
     edges.select(col("src").as("id"))
@@ -605,18 +608,22 @@ object Graph {
       .selectExpr("id", "b",
         s"CASE WHEN w = 0 THEN ${E.HllW + 1} " +
           s"ELSE ${E.HllW + 1} - length(bin(w)) END AS mj")
-      .localCheckpoint(true)
   }
 
+  private def hllReg0(edges: DataFrame): DataFrame =
+    hllReg0Plan(edges).localCheckpoint(true)
+
   /** One HyperBall hop: union each node's registers with its
-    * out-neighbors', integer max-merge per (id, b).
+    * out-neighbors', integer max-merge per (id, b). `Plan` = lazy.
     */
-  private def hllStep(edges: DataFrame, reg: DataFrame): DataFrame =
+  private def hllStepPlan(edges: DataFrame, reg: DataFrame): DataFrame =
     edges.join(reg, edges("dst") === reg("id"))
       .select(edges("src").as("id"), col("b"), col("mj"))
       .unionAll(reg.select(col("id"), col("b"), col("mj")))
       .groupBy("id", "b").agg(max(col("mj")).as("mj"))
-      .localCheckpoint(true)
+
+  private def hllStep(edges: DataFrame, reg: DataFrame): DataFrame =
+    hllStepPlan(edges, reg).localCheckpoint(true)
 
   /** Per-node register fold to the exact integer HLL inputs
     * `(v_zero, s_scaled)` the estimate expression reads.
@@ -669,7 +676,14 @@ object Graph {
     * the sum to DECIMAL(38), same plan shape. Scale shape: per hop one
     * edges ⋈ registers join + an integer max-merge groupBy (the
     * HyperBall economics, m = 16 registers per node); the curve itself
-    * is H+1 scalar rows.
+    * is H+1 scalar rows. Job shape: every hop and every curve fold is
+    * LAZY (per-hop registers `.persist()`ed, not checkpointed), so the
+    * whole 9-point curve materializes in ONE action — the per-hop
+    * eager-checkpoint variant paid the job floor 9× for the same plan
+    * (10.0 s → job-count-bound on the board). Saturation honesty: the
+    * `sat` flag discloses whether the horizon actually plateaued
+    * (nf(H) = nf(H−1)); when 0, the h = H `reach90` row is trivial and
+    * the effective-diameter reading is a LOWER bound, not the value.
     */
   private[graft] def effDiameterRun(edges: DataFrame): DataFrame = {
     val E = graft.queries.Events
@@ -681,20 +695,28 @@ object Graph {
         .agg(sum(col("e4")).as("s4"))
         .selectExpr(s"CAST($h AS INT) AS h",
           "CAST(s4 AS DOUBLE) / CAST(10000 AS DOUBLE) AS nf")
-    var reg = hllReg0(edges)
+    var reg = hllReg0Plan(edges).persist()
+    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame](reg)
     val curve = scala.collection.mutable.ArrayBuffer[DataFrame](nfAt(reg, 0))
     for (h <- 1 to EffDiamHops) {
-      reg = hllStep(edges, reg)
+      reg = hllStepPlan(edges, reg).persist() // evaluated once, 2 readers
+      pinned += reg
       curve += nfAt(reg, h)
     }
+    // the ONE action: all 9 folds + the hop chain in a single job (the
+    // shared per-hop register RDDs dedupe across the union's branches)
     val all = curve.reduce(_ unionAll _).localCheckpoint(true)
+    pinned.foreach(_.unpersist())
     val tot = all.where(col("h") === EffDiamHops)
       .select(col("nf").as("nfh"))
+      .crossJoin(all.where(col("h") === EffDiamHops - 1)
+        .select(col("nf").as("nfh1")))
     all.crossJoin(broadcast(tot))
       .selectExpr("h", "round(nf, 6) AS nf",
         "round(nf / nfh, 6) AS frac",
         "CAST(CASE WHEN nf >= CAST(0.9 AS DOUBLE) * nfh " +
-          "THEN 1 ELSE 0 END AS INT) AS reach90")
+          "THEN 1 ELSE 0 END AS INT) AS reach90",
+        "CAST(CASE WHEN nfh = nfh1 THEN 1 ELSE 0 END AS INT) AS sat")
   }
 
   /** `g_kcore` body over an undirected distinct edge set `und` (`a < b`
@@ -1859,10 +1881,12 @@ object Graph {
            |$hops,
            |$nfs,
            |curve AS ($union),
-           |tot AS (SELECT nf AS nfh FROM n$EffDiamHops)
+           |tot AS (SELECT a.nf AS nfh, b.nf AS nfh1
+           |  FROM n$EffDiamHops a CROSS JOIN n${EffDiamHops - 1} b)
            |SELECT h, round(nf, 6) AS nf, round(nf / nfh, 6) AS frac,
            |  CAST(CASE WHEN nf >= CAST(0.9 AS DOUBLE) * nfh
-           |    THEN 1 ELSE 0 END AS INT) AS reach90
+           |    THEN 1 ELSE 0 END AS INT) AS reach90,
+           |  CAST(CASE WHEN nfh = nfh1 THEN 1 ELSE 0 END AS INT) AS sat
            |FROM curve CROSS JOIN tot""".stripMargin
       },
       "g_harmonic" ->

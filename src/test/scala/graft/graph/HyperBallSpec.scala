@@ -112,12 +112,16 @@ class HyperBallSpec extends SparkSpec {
 
   test("g_eff_diameter equals the exact in-memory HyperANF replay " +
       "(registers → 4-dp estimates → exact ×10⁴ integer sum), the curve " +
-      "is monotone, and the 90% flag is a step ending at 1") {
+      "is monotone, the 90% flag is a step ending at 1, and the sat " +
+      "flag discloses the nf(H)=nf(H−1) plateau") {
     val H = Graph.EffDiamHops
-    val got = Graph.queries("g_eff_diameter")(spark, sfDir).collect()
+    val rows = Graph.queries("g_eff_diameter")(spark, sfDir).collect()
+    val got = rows
       .map(r => (r.getInt(0), (r.getDouble(1), r.getDouble(2), r.getInt(3))))
       .sortBy(_._1)
     assert(got.map(_._1).toSeq == (0 to H))
+    val sats = rows.map(_.getInt(4)).distinct.toSeq
+    assert(sats.size == 1, s"sat must be one constant flag, got $sats")
 
     val edges = GraphOps.lineitemGraph(spark, sfDir, Graph.Mod).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -168,5 +172,8 @@ class HyperBallSpec extends SparkSpec {
     // the effective diameter itself: first flagged hop, within horizon
     val eff = got.find(_._2._3 == 1).get._1
     assert(eff >= 0 && eff <= H)
+    // sat replays the exact plateau test on the same ×10⁴-exact curve
+    assert(sats.head == (if (want(H) == want(H - 1)) 1 else 0),
+      "sat flag diverged from the replayed plateau")
   }
 }
