@@ -79,7 +79,7 @@ object Embeddings {
   val KnnIters = 15
   val KnnSources: Seq[Long] = Seq(0L, 1L, 2L)
 
-  /** `e_nsw_search` step horizon: greedy routing on the KnnK-out kNN
+  /** `e_nsw_search` step horizon: greedy routing on the NswM-out kNN
     * graph converges (best neighbor no longer beats the current node) in
     * well under 8 hops on every test corpus; walks still improving at
     * the horizon report their fixed-horizon state — both engines replay
@@ -88,15 +88,95 @@ object Embeddings {
     */
   val NswSteps = 8
 
+  /** NSW routing-graph out-degree — a SEPARATE knob from [[KnnK]]: the
+    * r16 recall curve measured the KnnK = 3 graph as weakly navigable
+    * (recall@5 = 0.06–0.10 even at ef = 4), and real NSW/HNSW base
+    * layers use M ≈ 8–16 neighbors (Malkov & Yashunin 2018 §4).
+    * `e_knn_ppr`/`e_mutual_knn` keep their own K.
+    */
+  val NswM = 8
+
+  /** NN-Descent refinement rounds for the NSW graph (Dong, Moses &
+    * Li 2011): the r17 measurement that forced this — beam search over
+    * the raw LSH-seeded M = 8 graph read recall@5(ef=4) = 0.12 while
+    * the IDENTICAL beam over the exact brute-force M-NN graph read
+    * 1.00 — the sign-bucket candidates miss true neighbors, and graph
+    * quality, not corpus geometry or beam budget, was the whole gap.
+    * Each round re-scores every node against its neighbors ∪
+    * neighbors-of-neighbors on the CURRENT graph and keeps the top M:
+    * all equi-joins, O(|V|·(2M)²) scored pairs per round — never
+    * all-pairs, the standard at-scale kNN-graph construction. Three
+    * rounds lift recall@5 to 0.58 (ef=4) / 0.85 (ef=16) at sf0.001;
+    * the residual vs the exact graph is measured CONVERGENCE, not a
+    * defect — NN-descent stalls on this near-iid synthetic corpus
+    * because neighbor-of-neighbor correlation is weak (edge recall per
+    * round 0.13 → 0.30 → 0.49 → 0.63, diminishing) — and
+    * NswRecallSpec pins all three measurements (exact-graph routing
+    * ≥ 0.9, refined ≥ raw + 0.2, refined ≤ exact).
+    */
+  val NswDescentRounds = 3
+
+  /** Top-[[NswM]] cut of a `(v, nbr)` candidate set by exact cosine —
+    * the scoring block of [[knnScoredEdges]], reused by every
+    * NN-descent round. Embeddings join the candidate list on id keys;
+    * the window is bounded by the candidate count per node.
+    */
+  private def topMByCos(s: SparkSession, dir: String,
+      cand: DataFrame): DataFrame = {
+    val emb = embDf(s, dir)
+    val scored = cand
+      .join(emb.selectExpr("vec_id AS v", "v AS qv", "nrm AS qnrm"), Seq("v"))
+      .join(emb.selectExpr("vec_id", "v AS vv", "nrm AS vnrm")
+        .withColumnRenamed("vec_id", "nbr"), Seq("nbr"))
+      .selectExpr("v", "nbr",
+        "round(vec_dot(qv, vv) / (qnrm * vnrm), 6) AS cos")
+    val wn = Window.partitionBy(col("v"))
+      .orderBy(col("cos").desc, col("nbr").asc)
+    scored.withColumn("rn", row_number().over(wn))
+      .where(col("rn") <= NswM)
+      .select(col("v").as("src"), col("nbr").as("dst"))
+  }
+
+  /** The NSW routing graph: LSH-seeded [[NswM]]-out kNN edges refined
+    * by [[NswDescentRounds]] NN-descent rounds, then SYMMETRIZED (NSW
+    * links are undirected in the original design; the reverse edges
+    * give weakly-in-linked regions an in-path from the entry). Per
+    * round the candidate set is neighbors ∪ neighbors-of-neighbors on
+    * the symmetrized current graph — id-key equi-joins and one distinct
+    * on 16-byte pairs; embeddings only join at the scoring cut.
+    */
+  private[graft] def nswGraph(s: SparkSession, dir: String): DataFrame = {
+    var cur = knnScoredEdges(s, dir, NswM).select(col("src"), col("dst"))
+    for (_ <- 1 to NswDescentRounds) {
+      val und = cur.unionAll(
+          cur.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true) // both sides of the hop-2 self-join
+      val hop2 = und.as("a").join(und.as("b"),
+          col("a.dst") === col("b.src"))
+        .select(col("a.src").as("v"), col("b.dst").as("nbr"))
+      val cand = und.select(col("src").as("v"), col("dst").as("nbr"))
+        .unionAll(hop2)
+        .where(col("v") =!= col("nbr"))
+        .distinct()
+      cur = topMByCos(s, dir, cand)
+    }
+    cur.unionAll(cur.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
   /** `e_nsw_recall` beam-width axis — the NSW analogue of the IVF
     * [[IvfProbeAxis]]: per hop the EF best nodes seen so far drive the
     * expansion (level-synchronous beam; ef = 1 IS the greedy
     * `e_nsw_search` exploration, pinned in NswRecallSpec), and the
     * answer is the top-[[IvfTopK]] of everything VISITED — so recall@k
     * vs the exact cosine ground truth prices the ef knob the same way
-    * the probe curve prices nprobe.
+    * the probe curve prices nprobe. The axis is geometric (×4 per
+    * point, like the probe curve's ×2): on the r16 graph adjacent ef
+    * points (2 vs 4) were indistinguishable, while the wide sweep
+    * separates the beam-budget regimes on the descent-refined graph
+    * (0.20 / 0.58 / 0.85 at sf0.001 — see [[NswDescentRounds]]).
     */
-  val NswEfAxis: Seq[Int] = Seq(1, 2, 4)
+  val NswEfAxis: Seq[Int] = Seq(1, 4, 16)
 
   /** k-means (Lloyd's) config for `e_kmeans`: KmK clusters, deterministic
     * init (corpus vectors 0..KmK-1), KmIters assign+update rounds. Vector
@@ -641,13 +721,14 @@ object Embeddings {
     * vector, distinct probed cells per query.
     */
   /** Directed kNN edges `(src, dst, cos)` over the LSH candidate set —
-    * each vector's KnnK nearest candidates by (cos DESC, nbr ASC), the
-    * deterministic graph builder under `e_knn_ppr` (which drops cos)
-    * and `e_mutual_knn` (which symmetrizes). Candidates come from the
-    * bucketed LSH self-join (never all-pairs); the per-vector cut is a
-    * bounded window over candidate rows only.
+    * each vector's `k` nearest candidates by (cos DESC, nbr ASC), the
+    * deterministic graph builder under `e_knn_ppr` / `e_mutual_knn`
+    * (K = [[KnnK]]) and the NSW routing rows (K = [[NswM]]). Candidates
+    * come from the bucketed LSH self-join (never all-pairs); the
+    * per-vector cut is a bounded window over candidate rows only.
     */
-  private[graft] def knnScoredEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def knnScoredEdges(s: SparkSession, dir: String,
+      k: Int = KnnK): DataFrame = {
     val bk = bucketed(s, dir).select(col("vec_id"), col("tbl"), col("bkt"))
     val candAB = bk.as("x").join(bk.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
@@ -665,7 +746,7 @@ object Embeddings {
       .selectExpr("v", "nbr", "round(vec_dot(qv, vv) / (qnrm * vnrm), 6) AS cos")
     val wn = Window.partitionBy(col("v")).orderBy(col("cos").desc, col("nbr").asc)
     scored.withColumn("rn", row_number().over(wn))
-      .where(col("rn") <= KnnK)
+      .where(col("rn") <= k)
       .select(col("v").as("src"), col("nbr").as("dst"), col("cos"))
   }
 
@@ -848,7 +929,7 @@ object Embeddings {
   private[graft] def nswShared(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     VectorFunctions.register(s)
-    val knn = knnScoredEdges(s, dir).select(col("src"), col("dst"))
+    val knn = nswGraph(s, dir)
       .localCheckpoint(true) // re-joined once per hop per ef
     val emb = embDf(s, dir).localCheckpoint(true)
     val q = emb.where(col("vec_id") < NumQueries)
@@ -1038,7 +1119,7 @@ object Embeddings {
     // discloses how many hops each walk actually took.
     "e_nsw_search" -> ((s, dir) => {
       VectorFunctions.register(s)
-      val knn = knnScoredEdges(s, dir).select(col("src"), col("dst"))
+      val knn = nswGraph(s, dir)
         .localCheckpoint(true) // re-joined once per hop
       val emb = embDf(s, dir).localCheckpoint(true)
       val entry = knn.where(col("src") >= NumQueries)
@@ -1673,11 +1754,12 @@ object Embeddings {
   // --------------------------------------------------------------- oracle
 
   /** Self-contained scored-kNN-edge SQL `(src, dst, cos)` — oracle twin
-    * of [[knnScoredEdges]], shared by the `e_knn_ppr` and `e_mutual_knn`
-    * oracles (nested WITH is scoped to the enclosing subquery, so its
-    * CTE names cannot collide with wrapping CTEs).
+    * of [[knnScoredEdges]]: K = [[KnnK]] for the `e_knn_ppr` /
+    * `e_mutual_knn` oracles, K = [[NswM]] for the NSW routing oracles
+    * (nested WITH is scoped to the enclosing subquery, so its CTE names
+    * cannot collide with wrapping CTEs).
     */
-  private def duckKnnScoredSql: String = {
+  private def duckKnnScoredSql(k: Int = KnnK): String = {
     def dotOf(a: String, b: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
         s"list_transform(range(1, 65), i -> $a.v[i] * $b.v[i])), (a, x) -> a + x)"
@@ -1695,7 +1777,45 @@ object Embeddings {
        |SELECT v AS src, nbr AS dst, cos FROM (
        |  SELECT v, nbr, cos,
        |    row_number() OVER (PARTITION BY v ORDER BY cos DESC, nbr ASC) AS rn
-       |  FROM scored) WHERE rn <= $KnnK""".stripMargin
+       |  FROM scored) WHERE rn <= $k""".stripMargin
+  }
+
+  /** Oracle twin of [[nswGraph]]: the LSH-seeded NswM-out kNN edges,
+    * [[NswDescentRounds]] unrolled NN-descent rounds (candidates =
+    * neighbors ∪ neighbors-of-neighbors on the symmetrized current
+    * graph, re-scored, top-M by the identical (cos DESC, nbr ASC)
+    * rounded order), final symmetrize. UNION/DISTINCT match Spark's
+    * unionAll + distinct set semantics; `embn` resolves to the
+    * enclosing oracle's duckBase.
+    */
+  private def duckNswGraphSql: String = {
+    val dotAB =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, 65), i -> a.v[i] * b.v[i])), " +
+        s"(acc, x) -> acc + x)"
+    val rounds = (1 to NswDescentRounds).map { r =>
+      val p = r - 1
+      s"""u$r AS MATERIALIZED (SELECT src, dst FROM g$p
+         |  UNION SELECT dst AS src, src AS dst FROM g$p),
+         |c$r AS MATERIALIZED (SELECT DISTINCT v, nbr FROM (
+         |  SELECT src AS v, dst AS nbr FROM u$r
+         |  UNION ALL SELECT x.src AS v, y.dst AS nbr
+         |    FROM u$r x JOIN u$r y ON y.src = x.dst) cc
+         |  WHERE v <> nbr),
+         |g$r AS MATERIALIZED (SELECT v AS src, nbr AS dst FROM (
+         |  SELECT v, nbr, row_number() OVER (
+         |    PARTITION BY v ORDER BY cos DESC, nbr ASC) AS rn
+         |  FROM (SELECT c.v, c.nbr,
+         |      round($dotAB / (a.nrm * b.nrm), 6) AS cos
+         |    FROM c$r c JOIN embn a ON a.vec_id = c.v
+         |    JOIN embn b ON b.vec_id = c.nbr) sc) z
+         |  WHERE z.rn <= $NswM)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH g0 AS MATERIALIZED (SELECT src, dst
+       |  FROM (${duckKnnScoredSql(NswM)})),
+       |$rounds
+       |SELECT src, dst FROM g$NswDescentRounds
+       |UNION SELECT dst AS src, src AS dst FROM g$NswDescentRounds""".stripMargin
   }
 
   private val duckBase =
@@ -1954,10 +2074,10 @@ object Embeddings {
          |  ON an.q_id = ex.q_id AND an.vec_id = ex.vec_id
          |GROUP BY ex.q_id""".stripMargin,
     "e_knn_ppr" -> graft.ppr.PowerIteration.oracleSqlMulti(
-      s"SELECT src, dst FROM ($duckKnnScoredSql)",
+      s"SELECT src, dst FROM (${duckKnnScoredSql()})",
       KnnSources, KnnAlpha, KnnIters),
     "e_mutual_knn" ->
-      s"""WITH e AS MATERIALIZED ($duckKnnScoredSql)
+      s"""WITH e AS MATERIALIZED (${duckKnnScoredSql()})
          |SELECT f.src AS vec_a, f.dst AS vec_b, f.cos
          |FROM e f JOIN e r ON r.src = f.dst AND r.dst = f.src
          |WHERE f.src < f.dst""".stripMargin,
@@ -1984,7 +2104,7 @@ object Embeddings {
            |  FROM s$p st LEFT JOIN b$t b ON b.q_id = st.q_id)""".stripMargin
       }.mkString(",\n")
       s"""WITH $duckBase,
-         |knn AS MATERIALIZED (SELECT src, dst FROM ($duckKnnScoredSql)),
+         |knn AS MATERIALIZED ($duckNswGraphSql),
          |ent AS (SELECT min(src) AS entry FROM knn
          |  WHERE src >= $NumQueries),
          |s0 AS MATERIALIZED (SELECT q.vec_id AS q_id, q.v AS qv,
@@ -2027,7 +2147,7 @@ object Embeddings {
           .mkString("\n  ")
         s"""SELECT * FROM (
            |WITH $duckBase,
-           |knn AS MATERIALIZED (SELECT src, dst FROM ($duckKnnScoredSql)),
+           |knn AS MATERIALIZED ($duckNswGraphSql),
            |ent AS (SELECT min(src) AS entry FROM knn
            |  WHERE src >= $NumQueries),
            |qv AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm

@@ -158,8 +158,8 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
-  test("e_nsw_search: greedy routing replays a brute walk over the kNN " +
-      "graph, cosines improve monotonically, and some walk moves") {
+  test("e_nsw_search: greedy routing replays a brute walk over the NSW " +
+      "routing graph, cosines improve monotonically, and some walk moves") {
     val got = Embeddings.queries("e_nsw_search")(spark, sfDir).collect()
       .map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
@@ -177,7 +177,7 @@ class EmbeddingsSpec extends SparkSpec {
       graft.text.TextOps.round6(
         dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb))))
     }
-    val adj = Embeddings.knnScoredEdges(spark, sfDir).collect()
+    val adj = Embeddings.nswGraph(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
     val entry = adj.keys.filter(_ >= Embeddings.NumQueries).min

@@ -56,6 +56,80 @@ class NswRecallSpec extends SparkSpec {
     }
   }
 
+  test("graph quality IS the recall axis (the r17 measurement): the " +
+      "identical beam over the EXACT brute-force M-NN graph routes " +
+      "near-perfectly, NN-descent refinement recovers most of that " +
+      "gap from the LSH seed, and the residual is construction " +
+      "budget — not corpus geometry, not the beam") {
+    val s = spark
+    import s.implicits._
+    val (knnLsh, q, nbr, s0) = Embeddings.nswShared(spark, sfDir)
+
+    // exact M-NN graph: brute-force cosines with the row's own scoring
+    // discipline (6-dp round, ties to the lowest id), symmetrized like
+    // nswGraph — built driver-side over the raw embeddings table (the
+    // fixture corpus is small; the SHIPPED builder stays bucketed)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def r6(x: Double): Double = graft.text.TextOps.round6(x)
+    val nrm = emb.map { case (id, v) =>
+      id -> math.sqrt(v.map(x => x * x).sum) }
+    val ids = emb.keys.toSeq.sorted
+    val exactEdges = ids.flatMap { v =>
+      ids.filter(_ != v)
+        .map(u => (u, r6(emb(v).zip(emb(u)).map(t => t._1 * t._2).sum /
+          (nrm(v) * nrm(u)))))
+        .sortBy { case (u, c) => (-c, u) }
+        .take(Embeddings.NswM)
+        .map { case (u, _) => (v, u) }
+    }
+    val exactKnn = (exactEdges ++ exactEdges.map(_.swap)).distinct
+      .toDF("src", "dst").localCheckpoint(true)
+
+    // identical beam, identical entry, identical visited→top-k ranking
+    val gnd = Embeddings.queries("e_cosine_topk")(spark, sfDir)
+      .where(col("rk") <= Embeddings.IvfTopK)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(knn: org.apache.spark.sql.DataFrame, ef: Int): Double = {
+      val (_, visited) = Embeddings.nswBeam(knn, q, nbr, s0, ef)
+      val top = visited.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter(t => t._1 != t._2)
+        .groupBy(_._1).values.flatMap(_.sortBy(t => (-t._3, t._2))
+          .take(Embeddings.IvfTopK)).map(t => (t._1, t._2)).toSet
+      gnd.count(top.contains).toDouble / gnd.size
+    }
+    // the RAW seed graph (no descent), symmetrized — what r16 shipped
+    val rawKnn = {
+      val e = Embeddings.knnScoredEdges(spark, sfDir, Embeddings.NswM)
+        .select(col("src"), col("dst"))
+      e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint(true)
+    }
+    val ef = 4
+    val raw = recallOf(rawKnn, ef)
+    val refined = recallOf(knnLsh, ef) // nswShared ships the descent graph
+    val exact = recallOf(exactKnn, ef)
+    info(f"recall@${Embeddings.IvfTopK} ef=$ef: raw LSH seed $raw%.3f, " +
+      f"NN-descent refined $refined%.3f, exact M-NN $exact%.3f")
+    // (1) the corpus is navigable and the beam budget suffices: the
+    //     exact graph routes near-perfectly at ef=4
+    assert(exact >= 0.9,
+      f"exact-graph routing reads $exact%.3f — corpus/beam would be " +
+        "the cap, invalidating the descent design rationale")
+    // (2) the descent rounds recover a material share of the gap the
+    //     raw sign-bucket seed leaves (r16's finding, now quantified)
+    assert(refined >= raw + 0.2 && refined >= 0.4,
+      f"NN-descent must materially improve the seed " +
+        f"(raw $raw%.3f -> refined $refined%.3f)")
+    // (3) honesty: the residual vs exact is construction budget —
+    //     NN-descent converges slowly on this near-iid corpus
+    //     (neighbors-of-neighbors correlation is weak), disclosed above
+    assert(refined <= exact)
+  }
+
   test("e_nsw_recall row shape and consistency: one row per ef, exact " +
       "integer hits, recall = n_hit / n_exact") {
     val rows = Embeddings.queries("e_nsw_recall")(spark, sfDir).collect()
