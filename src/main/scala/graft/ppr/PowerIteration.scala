@@ -354,6 +354,81 @@ object PowerIteration {
     }
   }
 
+  /** Dense-array seed-set kernel — the [[runSeedSet]] semantics over a
+    * CSR snapshot: residue starts uniform over the seeds (1/|S| each), a
+    * dangling node returns its (1−α)·r mass uniformly to ALL seeds
+    * (fresh-uniform(S), `(1−α)·r·invK` in the oracle's own spelling).
+    * Residues accumulate and scale by α once at the end, mirroring
+    * [[oracleSqlSeedSet]]'s α·Σ_t r_t association.
+    */
+  def runSeedSetLocal(csr: Csr, seedsDense: Array[Int], alpha: Double,
+      iterations: Int): Array[Double] = {
+    val n = csr.numNodes
+    val invK = 1.0 / seedsDense.length
+    var residue = new Array[Double](n)
+    seedsDense.foreach(sd => residue(sd) = invK)
+    val acc = new Array[Double](n)
+    var it = 0
+    while (it < iterations) {
+      var v = 0
+      while (v < n) { acc(v) += residue(v); v += 1 }
+      it += 1
+      if (it < iterations) {
+        val next = new Array[Double](n)
+        v = 0
+        while (v < n) {
+          val r = residue(v)
+          if (r != 0.0) {
+            val d = csr.outDegree(v)
+            if (d > 0) {
+              val share = (1.0 - alpha) * r / d
+              csr.foreachNeighbor(v)(u => next(u) += share)
+            } else {
+              val back = (1.0 - alpha) * r * invK
+              seedsDense.foreach(sd => next(sd) += back)
+            }
+          }
+          v += 1
+        }
+        residue = next
+      }
+    }
+    val out = new Array[Double](n)
+    var v = 0
+    while (v < n) { out(v) = alpha * acc(v); v += 1 }
+    out
+  }
+
+  /** Batched seed-set PPR over a broadcast CSR — the got_grid treatment
+    * of [[runSeedSet]]: one task per seed SET, zero per-iteration
+    * shuffles (the [[batch]] economics at the set granularity; the
+    * distributed superstep loop stays the too-big-to-broadcast path).
+    * Returns `(m INT, node_id LONG, score DOUBLE)` keyed by set SIZE
+    * (the grid axis — callers pass size-distinct sets); zero scores
+    * omitted; a seed absent from the snapshot fails loudly (silently
+    * shrinking |S| would change the teleport weight).
+    */
+  def batchSeedSets(spark: SparkSession, csr: Csr, seedSets: Seq[Seq[Long]],
+      alpha: Double = 0.15, iterations: Int = 100): DataFrame = {
+    import spark.implicits._
+    require(seedSets.map(_.size).distinct.size == seedSets.size,
+      s"seed sets must have distinct sizes (the output key), got " +
+        seedSets.map(_.size))
+    val bc = spark.sparkContext.broadcast(csr)
+    spark.sparkContext
+      .parallelize(seedSets, math.max(1, seedSets.length))
+      .flatMap { ss =>
+        val g = bc.value
+        val dense = ss.map(g.denseOf).toArray
+        require(dense.forall(_ >= 0), s"seed missing from graph: $ss")
+        val scores = runSeedSetLocal(g, dense, alpha, iterations)
+        scores.iterator.zipWithIndex.collect {
+          case (p, v) if p != 0.0 => (ss.size, g.originalOf(v), p)
+        }
+      }
+      .toDF("m", "node_id", "score")
+  }
+
   /** DuckDB oracle twin of [[runSeedSet]]: the identical unrolled
     * schedule with the uniform-over-seeds start and the fresh-uniform(S)
     * dangling restart (each residue-holding out-degree-0 node fans its

@@ -121,6 +121,18 @@ object GotQueries {
   val GridKatzAlphas: Seq[Double] = Seq(0.002, 0.005, 0.01)
   val GridKatzIters = 10
 
+  /** `got_grid_seedset` |S| axis + seed pool: topic-sensitive PPR's one
+    * structural knob is the preference-set SIZE. Power-of-two sizes
+    * keep the uniform teleport weight 1/|S| exact binary in BOTH
+    * engines (the [[PowerIteration.oracleSqlSeedSet]] note); the pool
+    * is a fixed mod-spread sample of GOT's dense 1..107 id space (the
+    * `Graph.SeedSet` discipline) and each size takes a prefix, so the
+    * swept sets nest.
+    */
+  val GridSeedSetSizes: Seq[Int] = Seq(2, 4, 8)
+  val GridSeedSetPool: Seq[Long] =
+    Seq(1L, 14L, 27L, 40L, 53L, 66L, 79L, 92L)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1+S2+J5: load, resolve names→ids, symmetrize.
     "got_edges" -> ((s, _) => Got.edges(s)),
@@ -174,6 +186,22 @@ object GotQueries {
         graft.graph.Truss.run(s, und, k, GridTrussRounds)
           .select(lit(k).as("k"), col("a"), col("b"), col("sup"))
       }.reduce(_.unionAll(_))
+    }),
+
+    // Seed-set grid: topic-sensitive PPR (the g_ppr_seedset kernel) at
+    // each |S| of the size axis — the got_grid_* treatment for the
+    // seed-set family. Per point the batched dense kernel runs over the
+    // broadcast GOT CSR (one task per set, zero per-iteration shuffles
+    // — the grid rows' PowerIteration.batch economics); the oracle
+    // replays the identical unrolled uniform(S)-restart recurrence per
+    // size. The nesting prefixes make the sweep read as a dilution
+    // curve: mass spreads as the preference set widens.
+    "got_grid_seedset" -> ((s, _) => {
+      val csr = Got.cachedCsr(s)
+      PowerIteration.batchSeedSets(s, csr,
+          GridSeedSetSizes.map(m => GridSeedSetPool.take(m)),
+          Got.Alpha, GridPmIters)
+        .select(col("m"), col("node_id"), round(col("score"), 9).as("score"))
     }),
 
     // K1 on the GOT graph from Arya + T2 tie-inclusive top-k + P5 name
@@ -442,6 +470,11 @@ object GotQueries {
           s"SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b " +
             s"FROM (${Got.edgesSql()})", k, GridTrussRounds)
         s"SELECT CAST($k AS INT) AS k, a, b, sup FROM ($point)"
+      }.mkString("\nUNION ALL\n"),
+      "got_grid_seedset" -> GridSeedSetSizes.map { m =>
+        val point = PowerIteration.oracleSqlSeedSet(
+          Got.edgesSql(), GridSeedSetPool.take(m), Got.Alpha, GridPmIters)
+        s"SELECT CAST($m AS INT) AS m, node_id, score FROM ($point)"
       }.mkString("\nUNION ALL\n"),
       "got_grid_katz" -> GridKatzAlphas.map { a =>
         val point = graft.graph.Katz.oracleSql(

@@ -114,6 +114,55 @@ class SeedSetPprSpec extends SparkSpec {
       s"dangling restart should separate the semantics, max gap $maxGap")
   }
 
+  test("got_grid_seedset: every |S| point matches the dense replay at " +
+      "9 dp, linearity holds per size on the dangling-free GOT graph, " +
+      "and the local kernel's dangling restart separates per size") {
+    import graft.queries.GotQueries
+    import graft.graph.{Csr, Got}
+    val rows = GotQueries.queries("got_grid_seedset")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val byM = rows.groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    assert(byM.keySet == GotQueries.GridSeedSetSizes.toSet)
+    val edges = Got.edges(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    GotQueries.GridSeedSetSizes.foreach { m =>
+      val ss = GotQueries.GridSeedSetPool.take(m)
+      // (a) the grid point IS the dense replay of the unrolled schedule
+      val want = replay(edges, ss, Got.Alpha, GotQueries.GridPmIters)
+      assert(byM(m).keySet == want.keySet, s"|S|=$m node set")
+      byM(m).foreach { case (v, x) =>
+        assert(math.abs(x - want(v)) < 1.1e-9, s"|S|=$m node $v")
+      }
+      // (b) GOT is symmetrized (no dangling) ⇒ linearity: the set run
+      // equals the average of the single-seed runs, at every size
+      val singles = ss.map(s0 =>
+        replay(edges, Seq(s0), Got.Alpha, GotQueries.GridPmIters)
+          .withDefaultValue(0.0))
+      byM(m).foreach { case (v, x) =>
+        val mix = singles.map(_(v)).sum / m
+        assert(math.abs(x - mix) < 1e-9, s"|S|=$m linearity at node $v")
+      }
+    }
+    // (c) dangling separation, re-asserted at each size through the
+    // SHIPPED local kernel: 8 candidate seeds all feeding a dangling
+    // node, so the fresh-uniform(S) restart differs from the mixture.
+    val dang8 = ((1L to 8L).map(s0 => (s0, 9L)) :+ (10L, 1L) :+ (1L, 2L))
+      .toArray
+    val csr = Csr.fromEdges(dang8)
+    GotQueries.GridSeedSetSizes.foreach { m =>
+      val ss = (1L to m.toLong).toArray
+      val set = PowerIteration.runSeedSetLocal(csr,
+        ss.map(csr.denseOf), alpha, iters)
+      val mixture = ss.map(s0 => PowerIteration.runLocal(csr,
+        csr.denseOf(s0), alpha, iters))
+      val maxGap = (0 until csr.numNodes).map { v =>
+        math.abs(set(v) - mixture.map(_(v)).sum / m)
+      }.max
+      assert(maxGap > 1e-4, s"|S|=$m dangling separation, gap $maxGap")
+    }
+  }
+
   test("g_ppr_seedset row: scores are the replay of the bench graph's " +
       "schedule at 9 dp") {
     import graft.queries.Graph
