@@ -248,6 +248,25 @@ object Bench {
         } + s"""$rc}"""
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","env":$env}""")
+    // SPARK_GRAFT_REPEAT=N (honored for subset runs only): re-time the
+    // subset N−1 more times in the SAME warm JVM, one {"metric":"rep"}
+    // JSON line per pass — the warm-board micro-compare's data
+    // (tools/warm_compare.py). The r16 lesson, codified: cold subset
+    // measurements contradicted warm boards twice (both experiments
+    // reverted); the line above is pass 1 (absorbs subset JIT), every
+    // rep line after it is warm, and the tool refuses a verdict when
+    // the warm spread exceeds the delta under judgment.
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    if (only.nonEmpty && repeat > 1) {
+      for (rep <- 2 to repeat) {
+        val rs = selected.toSeq.sortBy(_._1)
+          .map { case (name, fn) => name -> timed(name, fn) }
+        val rq = rs.map { case (k, v) => s"\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        val rt = rs.map(_._2).sum
+        println(s"""{"metric":"rep","rep":$rep,"value":$rt,"unit":"sec","queries":$rq,"sf":"$sfDir"}""")
+      }
+    }
     spark.stop()
   }
 }
