@@ -766,6 +766,17 @@ object EventStreams {
     * open day, which is how the spec drains the held tail. Buffer size
     * is one user-day of funnel events — bounded by per-user daily
     * activity, never by history.
+    *
+    * DEPLOYMENT CONTRACT (NoTimeout): with no event-time timeout, a
+    * user's FINAL open day is held until a later-day arrival for that
+    * user — in a real Append-mode deployment the feed must carry a
+    * daily clock tick per active user (any non-funnel event type works;
+    * the `_` kind branch exists for exactly this) or the last day's
+    * completions never emit. The alternative — an event-time timeout
+    * that force-closes the open day — would make emission depend on
+    * watermark timing rather than on the replayable day-frontier
+    * contract the batch reconciliation pins, so the tick feed is the
+    * documented requirement instead.
     */
   def funnelState(events: Dataset[TEv]): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
