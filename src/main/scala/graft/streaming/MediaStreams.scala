@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.media.MediaOps
 
@@ -38,5 +39,55 @@ object MediaStreams {
       .toDF("doc_id", "ts", "checksum", "n_pixels")
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("checksum", "n_pixels")
+  }
+
+  final case class MDedupSt(keep_id: Long, n_copies: Long)
+  final case class MDedupOut(checksum: Long, n_pixels: Long,
+      keep_id: Long, n_copies: Long)
+
+  /** Streaming signature-keyed dedup LEDGER — the stateful twin of the
+    * batch `m_media_dedup` groupBy (keep the smallest doc_id per decoded
+    * 16-byte content key, count the copies), under the [[EventStreams]]
+    * churnState contract: per content key the state is the running
+    * (min keep_id, copy count) — 32 bytes, payload bytes never enter the
+    * state store (the decode runs as the batch rows' narrow
+    * per-partition kernel inside the micro-batch) — and every
+    * micro-batch that touches a key emits ONE updated ledger row
+    * (Append-mode changelog). keep_id is monotone non-increasing and
+    * n_copies strictly increasing per key, so the key's final state is
+    * the row with the maximal n_copies regardless of sink ordering, and
+    * a replica re-ingest (the same image re-crawled under a new id)
+    * only bumps the count — MediaStreamsSpec reconciles the folded
+    * ledger against the batch groupBy across micro-batch splits.
+    * Unlike [[dedupByPixels]] (first-arrival suppression within a
+    * watermark horizon), the ledger is the exact batch semantics: no
+    * horizon, state = one fixed-width row per DISTINCT image — the
+    * dedup-index shape, bounded by distinct content, not arrivals.
+    */
+  def dedupState(media: DataFrame): Dataset[MDedupOut] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val img = MediaOps.decodePng(payload)
+        (MediaOps.pixelChecksum(img),
+          img.getWidth.toLong * img.getHeight, id)
+      })
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState[MDedupSt, MDedupOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((ck, np), it, state: GroupState[MDedupSt]) =>
+          val ids = it.map(_._3).toSeq
+          if (ids.isEmpty) Iterator.empty
+          else {
+            val st0 = state.getOption
+              .getOrElse(MDedupSt(Long.MaxValue, 0L))
+            val st = MDedupSt(math.min(st0.keep_id, ids.min),
+              st0.n_copies + ids.size)
+            state.update(st)
+            Iterator.single(MDedupOut(ck, np, st.keep_id, st.n_copies))
+          }
+      }
   }
 }
