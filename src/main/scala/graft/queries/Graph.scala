@@ -676,14 +676,23 @@ object Graph {
     * the sum to DECIMAL(38), same plan shape. Scale shape: per hop one
     * edges ⋈ registers join + an integer max-merge groupBy (the
     * HyperBall economics, m = 16 registers per node); the curve itself
-    * is H+1 scalar rows. Job shape: every hop and every curve fold is
-    * LAZY (per-hop registers `.persist()`ed, not checkpointed), so the
-    * whole 9-point curve materializes in ONE action — the per-hop
-    * eager-checkpoint variant paid the job floor 9× for the same plan
-    * (10.0 s → job-count-bound on the board). Saturation honesty: the
-    * `sat` flag discloses whether the horizon actually plateaued
-    * (nf(H) = nf(H−1)); when 0, the h = H `reach90` row is trivial and
-    * the effective-diameter reading is a LOWER bound, not the value.
+    * is H+1 scalar rows. Job shape: one eager checkpoint per hop plus
+    * ONE trailing union job for all 9 curve folds — and r17 MEASURED
+    * (tools/warm_compare.py, ≥4 warm in-JVM samples each) that this is
+    * the optimum, not an accident: a lazy single-action variant
+    * (per-hop `.persist()`, no checkpoints) read 9× slower (92 s vs
+    * 10 s — each hop's un-truncated plan embeds the previous hop's
+    * twice, join side + union side, so the 9-branch union's logical
+    * tree blows up ~2⁸× and planning swamps the job-floor saving), and
+    * a cadence-2 checkpoint (bounded 2× plans, half the jobs) still
+    * read +36 % (14.8 s vs 10.9 s — the hops carry real shuffle work
+    * at sf0.1, so recomputation costs more than the saved job floor).
+    * The per-hop checkpoint is load-bearing lineage truncation.
+    * Saturation
+    * honesty: the `sat` flag discloses whether the horizon actually
+    * plateaued (nf(H) = nf(H−1)); when 0, the h = H `reach90` row is
+    * trivial and the effective-diameter reading is a LOWER bound, not
+    * the value.
     */
   private[graft] def effDiameterRun(edges: DataFrame): DataFrame = {
     val E = graft.queries.Events
@@ -695,22 +704,20 @@ object Graph {
         .agg(sum(col("e4")).as("s4"))
         .selectExpr(s"CAST($h AS INT) AS h",
           "CAST(s4 AS DOUBLE) / CAST(10000 AS DOUBLE) AS nf")
-    var reg = hllReg0Plan(edges).persist()
-    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame](reg)
+    var reg = hllReg0(edges)
     val curve = scala.collection.mutable.ArrayBuffer[DataFrame](nfAt(reg, 0))
     for (h <- 1 to EffDiamHops) {
-      reg = hllStepPlan(edges, reg).persist() // evaluated once, 2 readers
-      pinned += reg
+      reg = hllStep(edges, reg)
       curve += nfAt(reg, h)
     }
-    // the ONE action: all 9 folds + the hop chain in a single job (the
-    // shared per-hop register RDDs dedupe across the union's branches)
     val all = curve.reduce(_ unionAll _).localCheckpoint(true)
-    pinned.foreach(_.unpersist())
-    val tot = all.where(col("h") === EffDiamHops)
-      .select(col("nf").as("nfh"))
-      .crossJoin(all.where(col("h") === EffDiamHops - 1)
-        .select(col("nf").as("nfh1")))
+    // both plateau scalars from ONE pass over the checkpointed curve (a
+    // broadcast side built from a crossJoin of two filtered sub-scans
+    // measured +6 s on warm boards — nested broadcast builds each pay
+    // the job floor; the conditional aggregate is one tiny stage)
+    val tot = all.agg(
+      max(when(col("h") === EffDiamHops, col("nf"))).as("nfh"),
+      max(when(col("h") === EffDiamHops - 1, col("nf"))).as("nfh1"))
     all.crossJoin(broadcast(tot))
       .selectExpr("h", "round(nf, 6) AS nf",
         "round(nf / nfh, 6) AS frac",
