@@ -44,6 +44,13 @@ object ThroughputBench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional comma-separated octave subset (got/syn/amz/fli) for
+    // targeted re-measurement — e.g. the r16 syn_fora_topk dip chase;
+    // a subset artifact is for comparison, never committed as the
+    // headline BENCH_THROUGHPUT.json.
+    val only = sys.env.get("GRAFT_THR_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def wanted(tag: String): Boolean = only.forall(_.contains(tag))
     val spark = graft.LocalSession.create()
 
     val out = new StringBuilder
@@ -107,10 +114,12 @@ object ThroughputBench {
 
     // GOT: the repo demo graph; grid mids ε=0.5 (whole + topk),
     // threshold 5e-5 (Grids.Got).
+    if (wanted("got"))
     measure("got", Got.edges(spark).localCheckpoint(true),
       foraEps = 0.5, topkEps = 0.5, baseThreshold = 5.0e-5)
     // BlogCatalog-scale synthetic: grid mids ε=5.0 (whole) / 0.1 (topk),
     // threshold 5e-4 (Grids.BlogCatalog).
+    if (wanted("syn"))
     measure("syn", GraphOps.lineitemGraph(spark, sfDir,
         graft.queries.Graph.TriMod).localCheckpoint(true),
       foraEps = 5.0, topkEps = 0.1, baseThreshold = 5.0e-4)
@@ -119,6 +128,7 @@ object ThroughputBench {
     // the reference's Com-Amazon BASE PREP grid is empty because BASE
     // prep OOMs there, Dissertation §5.3 — completing it here at all is
     // the structurally-OOM-free claim's second octave).
+    if (wanted("amz"))
     measure("amz", GraphOps.lineitemMixGraph(spark, sfDir, 334863, fan = 3)
         .localCheckpoint(true),
       foraEps = 5.0, topkEps = 5.0, baseThreshold = 4.0e-5)
@@ -131,6 +141,7 @@ object ThroughputBench {
     // guard, SURVEY §4.4). Grid mids from Grids.Flickr: whole-graph
     // ε=5.0 (mid of its 7-point axis), top-k ε=1.0, BASE store
     // threshold 5e-4 (prep-grid mid, store stays sandbox-sized).
+    if (wanted("fli"))
     measure("fli", GraphOps.lineitemFlickrGraph(spark, sfDir)
         .localCheckpoint(true),
       foraEps = 5.0, topkEps = 1.0, baseThreshold = 5.0e-4)

@@ -105,20 +105,32 @@ object Fora {
     reserve
   }
 
+  /** Walk recorder for [[topkRun]]'s trace mode: dense (start, endpoint)
+    * pairs, reset at every round start so only the TERMINATING round's
+    * walks survive for the oracle replay. The production path passes
+    * `rec = null` — a hoisted null check per walk instead of the
+    * per-walk `Function2` dispatch the r13 kernel dedup introduced,
+    * which r17 measured as the syn_fora_topk −18 % dip (callbacks were
+    * no-ops on the hot path but the megamorphic call cost ~25 % at the
+    * walk-heavy ε = 0.1 grid point; 2,660 qpm with the check vs 2,000
+    * with the lambdas, same seeds, same output).
+    */
+  private final class WalkRec {
+    var walks: scala.collection.mutable.ArrayBuilder[(Int, Int)] =
+      Array.newBuilder[(Int, Int)]
+    def reset(): Unit = walks = Array.newBuilder[(Int, Int)]
+  }
+
   /** Shared top-k δ-halving round loop — ONE body serves both the
-    * production kernel ([[topkLocal]]) and the verification trace
-    * ([[topkTrace]]), so rmax/ω formulas, RNG stream keys and the
-    * round-advance decision cannot drift between them. `onRound` fires at
-    * the start of each round (the trace resets its walk recorder there —
-    * only the TERMINATING round's walks feed the oracle replay); `onWalk`
-    * receives each walk's dense (start, endpoint) after the est credit.
+    * production kernel ([[topkLocal]], `rec = null`) and the
+    * verification trace ([[topkTrace]]), so rmax/ω formulas, RNG stream
+    * keys and the round-advance decision cannot drift between them.
     * Returns the terminating round's (carried push state, walk count,
     * estimate vector).
     */
   private def topkRun(
       csr: Csr, srcDense: Int, k: Int, conf: Conf,
-      onRound: () => Unit,
-      onWalk: (Int, Int) => Unit): (ForwardPush.PushState, Long, Array[Double]) = {
+      rec: WalkRec): (ForwardPush.PushState, Long, Array[Double]) = {
     val n = csr.numNodes.toDouble
     val m = csr.numEdges.toDouble
     val alpha = conf.alpha
@@ -149,7 +161,7 @@ object Fora {
     var round = 0
     var result: (ForwardPush.PushState, Long, Array[Double]) = null
     while (result == null) {
-      onRound()
+      if (rec != null) rec.reset()
       var rmax = eps * math.sqrt(deltaLocal / 3.0 / m / math.log(2.0 / pf))
       val omega = (eps + 2.0) * math.log(2.0 / pf) / eps / eps / deltaLocal
       rmax *= math.sqrt(m * rmax) * 3.0 // Fora_Topk.java:133
@@ -172,7 +184,7 @@ object Fora {
                 val rng = new Rng.SplitMix(Rng.streamSeed(srcKey + round, v, j))
                 val dest = MonteCarlo.walkEndpoint(csr, v, alpha, rng, noZeroHop = false)
                 est(dest) += incr
-                onWalk(v, dest)
+                if (rec != null) rec.walks += ((v, dest))
                 j += 1
               }
             }
@@ -191,11 +203,12 @@ object Fora {
     result
   }
 
+
   /** K7 — top-k FORA for one source; returns the full estimate vector of
     * the terminating round (caller applies tie-inclusive top-k).
     */
   def topkLocal(csr: Csr, srcDense: Int, k: Int, conf: Conf): Array[Double] =
-    topkRun(csr, srcDense, k, conf, () => (), (_, _) => ())._3
+    topkRun(csr, srcDense, k, conf, rec = null)._3
 
   /** kth largest value (0.0 when fewer than k nonzero entries) — the
     * `Algo_Util.kth_ppr` quickselect becomes a sort over the nonzero
@@ -251,13 +264,12 @@ object Fora {
       walks: Array[(Long, Long)])
 
   def topkTrace(csr: Csr, srcDense: Int, k: Int, conf: Conf): TopkTrace = {
-    var walks = Array.newBuilder[(Long, Long)]
-    val (carried, numWalks, _) = topkRun(csr, srcDense, k, conf,
-      onRound = () => walks = Array.newBuilder[(Long, Long)],
-      onWalk = (v, dest) =>
-        walks += ((csr.originalOf(v), csr.originalOf(dest))))
+    val rec = new WalkRec
+    val (carried, numWalks, _) = topkRun(csr, srcDense, k, conf, rec)
     TopkTrace(carried.reserve.clone(), carried.residue.clone(), numWalks,
-      walks.result())
+      rec.walks.result().map { case (v, dest) =>
+        (csr.originalOf(v), csr.originalOf(dest))
+      })
   }
 
   /** Batched whole-graph FORA. Returns (src, node_id, score). */
