@@ -109,6 +109,11 @@ object ScaleBench {
       out("m_media_neardup") = timed(Q("m_media_neardup")(spark, dir).count())
       out("e_semdedup") = timed(
         graft.queries.Embeddings.semDedupAtK(spark, dir, kCells).count())
+      // the r17 NN-descent NSW graph build: per-round candidate work is
+      // |V|*(2M)^2 by construction (neighbors-of-neighbors equi-joins,
+      // M fixed), so build time must scale ~linearly in |V|
+      out("nsw_graph_build") = timed(
+        graft.queries.Embeddings.nswGraph(spark, dir).count())
       out.toMap
     }
 
@@ -133,7 +138,7 @@ object ScaleBench {
     val vBlown = volumes(dir2, kBase * blow)
 
     val names = Seq("d_lsh_pairs", "d_passage_dedup", "m_media_neardup",
-      "e_semdedup")
+      "e_semdedup", "nsw_graph_build")
     val perRow = names.map { n =>
       val (cb, tb) = base(n)
       val (ck, tk) = blown(n)
