@@ -113,7 +113,7 @@ object ScaleBench {
       // |V|*(2M)^2 by construction (neighbors-of-neighbors equi-joins,
       // M fixed), so build time must scale ~linearly in |V|
       out("nsw_graph_build") = timed(
-        graft.queries.Embeddings.nswGraph(spark, dir).count())
+        graft.queries.Embeddings.nswGraphBuild(spark, dir).count())
       out.toMap
     }
 

@@ -137,15 +137,36 @@ object Embeddings {
       .select(col("v").as("src"), col("nbr").as("dst"))
   }
 
-  /** The NSW routing graph: LSH-seeded [[NswM]]-out kNN edges refined
-    * by [[NswDescentRounds]] NN-descent rounds, then SYMMETRIZED (NSW
-    * links are undirected in the original design; the reverse edges
+  /** The NSW routing graph fitted ONCE per (session, source dir) — the
+    * [[pqModelCache]] serving discipline: a real NSW index builds once
+    * and answers many queries, so `e_nsw_search` / `e_nsw_recall` time
+    * the MARGINAL routing cost given a warm graph (the descent build
+    * is priced separately: ScaleBench times [[nswGraphBuild]] under
+    * the 4× blowup). Checkpoint blocks are pinned via SessionPins and
+    * released by [[invalidateModels]] on re-ingest, like every other
+    * model cache.
+    */
+  private val nswCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private[graft] def nswGraph(s: SparkSession, dir: String): DataFrame =
+    nswCache.getOrElseUpdate((s, dir), {
+      val sc = s.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val g = nswGraphBuild(s, dir).localCheckpoint(true)
+      recordPins(s, dir, (sc.getPersistentRDDs.keySet -- before).toSet)
+      g
+    })
+
+  /** The NSW routing-graph BUILD: LSH-seeded [[NswM]]-out kNN edges
+    * refined by [[NswDescentRounds]] NN-descent rounds, then SYMMETRIZED
+    * (NSW links are undirected in the original design; the reverse edges
     * give weakly-in-linked regions an in-path from the entry). Per
     * round the candidate set is neighbors ∪ neighbors-of-neighbors on
     * the symmetrized current graph — id-key equi-joins and one distinct
     * on 16-byte pairs; embeddings only join at the scoring cut.
     */
-  private[graft] def nswGraph(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def nswGraphBuild(s: SparkSession, dir: String): DataFrame = {
     var cur = knnScoredEdges(s, dir, NswM).select(col("src"), col("dst"))
     for (_ <- 1 to NswDescentRounds) {
       val und = cur.unionAll(
@@ -406,6 +427,7 @@ object Embeddings {
   def invalidateModels(s: SparkSession, dir: String): Unit = {
     pqModelCache.remove((s, dir))
     kmCache.remove((s, dir))
+    nswCache.remove((s, dir))
     modelPins.remove((s, dir)).foreach(ids =>
       graft.operators.SessionPins.unpin(s.sparkContext, ids))
   }
@@ -929,8 +951,7 @@ object Embeddings {
   private[graft] def nswShared(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     VectorFunctions.register(s)
-    val knn = nswGraph(s, dir)
-      .localCheckpoint(true) // re-joined once per hop per ef
+    val knn = nswGraph(s, dir) // session-pinned checkpoint, fit once
     val emb = embDf(s, dir).localCheckpoint(true)
     val q = emb.where(col("vec_id") < NumQueries)
       .selectExpr("vec_id AS q_id", "v AS qv", "nrm AS qnrm")
@@ -1119,8 +1140,7 @@ object Embeddings {
     // discloses how many hops each walk actually took.
     "e_nsw_search" -> ((s, dir) => {
       VectorFunctions.register(s)
-      val knn = nswGraph(s, dir)
-        .localCheckpoint(true) // re-joined once per hop
+      val knn = nswGraph(s, dir) // session-pinned checkpoint, fit once
       val emb = embDf(s, dir).localCheckpoint(true)
       val entry = knn.where(col("src") >= NumQueries)
         .agg(min(col("src")).as("entry"))
