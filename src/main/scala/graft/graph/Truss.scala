@@ -181,10 +181,16 @@ object Truss {
       val surv = supAll.where(col("sup") >= k - 2).localCheckpoint(true)
       val m2 = surv.count()
       onRound(r + 1, m2)
+      // removed-set bookkeeping feeds ONLY the incremental path, so when
+      // the floor already disqualifies the next round (m2 < incrFloor)
+      // skip its checkpoint job entirely — a sub-floor run is then
+      // job-for-job identical to runFull (the GOT-scale economics).
       removed =
-        (if (incr) supAll.where(col("sup") < k - 2).select(col("a"), col("b"))
-         else und.join(surv.select(col("a"), col("b")),
-           Seq("a", "b"), "left_anti"))
+        if (m2 < incrFloor) null
+        else (if (incr) supAll.where(col("sup") < k - 2)
+            .select(col("a"), col("b"))
+          else und.join(surv.select(col("a"), col("b")),
+            Seq("a", "b"), "left_anti"))
           .localCheckpoint(true)
       remCount = m - m2
       und = surv.select(col("a"), col("b"))
