@@ -256,7 +256,17 @@ object Bench {
     // reverted); the line above is pass 1 (absorbs subset JIT), every
     // rep line after it is warm, and the tool refuses a verdict when
     // the warm spread exceeds the delta under judgment.
-    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    // guarded parse (r17 ADVICE): a malformed value must not throw AFTER
+    // the full board has run — warn to stderr and fall back to 1 pass.
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map { v =>
+      scala.util.Try(v.trim.toInt).toOption match {
+        case Some(r) if r >= 1 => r
+        case _ =>
+          System.err.println(
+            s"SPARK_GRAFT_REPEAT='$v' is not a positive int — using 1")
+          1
+      }
+    }.getOrElse(1)
     if (only.nonEmpty && repeat > 1) {
       for (rep <- 2 to repeat) {
         val rs = selected.toSeq.sortBy(_._1)

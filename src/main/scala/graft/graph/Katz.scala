@@ -85,6 +85,52 @@ object Katz {
     }
   }
 
+  /** Dense in-task Katz for grid sweeps — one task per α over the
+    * broadcast CSR (the `PowerIteration.batchSeedSets` grid economics:
+    * zero per-iteration shuffles, the whole sweep is ONE job; the
+    * distributed [[run]] costs ~`iterations` job floors per α, which at
+    * GOT scale was the entire cost of `got_grid_katz`). The recurrence
+    * is the same truncated fixpoint: per round acc[v] = Σ_{u→v} x[u]·α
+    * (per-edge multiply-then-add, folded in CSR adjacency order), then
+    * x'[v] = 1.0 + acc[v]. Addend ORDER differs from the distributed
+    * groupBy fold — the same ≤ few-ulp noise the callers' round(…, 9)
+    * already absorbs across engines; KatzSpec pins batch ≡ [[run]] at
+    * 9 dp on the GOT fixture for every grid α. Returns
+    * `(alpha DOUBLE, node_id LONG, katz DOUBLE)`.
+    */
+  def batchAlphasLocal(spark: SparkSession, csr: graft.graph.Csr,
+      alphas: Seq[Double], iterations: Int): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(csr)
+    spark.sparkContext
+      .parallelize(alphas, math.max(1, alphas.length))
+      .flatMap { a =>
+        val g = bc.value
+        val n = g.numNodes
+        var x = Array.fill(n)(1.0)
+        var it = 0
+        while (it < iterations) {
+          val acc = new Array[Double](n)
+          var u = 0
+          while (u < n) {
+            val xu = x(u)
+            val d = g.outDegree(u)
+            var j = 0
+            while (j < d) { acc(g.neighbor(u, j)) += xu * a; j += 1 }
+            u += 1
+          }
+          var v = 0
+          while (v < n) { acc(v) = 1.0 + acc(v); v += 1 }
+          x = acc
+          it += 1
+        }
+        x.iterator.zipWithIndex.map { case (xv, v) =>
+          (a, g.originalOf(v), xv)
+        }
+      }
+      .toDF("alpha", "node_id", "katz")
+  }
+
   /** DuckDB oracle: the identical fixed schedule as unrolled CTEs.
     * `graphSql` must yield `(src, dst)`; output `(node_id, katz)`
     * rounded to `roundTo` — the [[graft.ppr.PageRank.oracleSql]]

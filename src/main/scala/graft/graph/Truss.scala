@@ -133,6 +133,71 @@ object Truss {
     */
   val IncrFloorEdges = 100000L
 
+  /** In-memory fixed-horizon peel — the sub-floor REGIME of [[run]]
+    * (the `ConnectedComponents.runLocal` two-regime discipline): below
+    * [[IncrFloorEdges]] survivors every distributed round costs pure job
+    * floor (r17 measured the 352-edge GOT rows at 4.6–5.5 s/row against
+    * ~0.3 s of actual compute), so the driver peels the collected edge
+    * set directly. Identical output by construction: support counts are
+    * exact integers (adjacency-set intersections), the horizon/early-exit
+    * schedule is the same statement [[run]]'s loop executes, and the
+    * horizon-exhausted branch reports support over the final survivor
+    * set unfiltered — TrussSpec pins local ≡ distributed on a fixture
+    * that converges AND one that exhausts the horizon.
+    */
+  private[graft] def runLocalPeel(
+      edges0: Array[(Long, Long)], k: Int, rounds: Int,
+      onRound: (Int, Long) => Unit = (_, _) => (),
+      onRegime: (Int, String) => Unit = (_, _) => ())
+      : Array[(Long, Long, Long)] = {
+    def support(es: Array[(Long, Long)])
+        : scala.collection.mutable.HashMap[(Long, Long), Long] = {
+      val nbr = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.HashSet[Long]]
+      es.foreach { case (a, b) =>
+        nbr.getOrElseUpdate(a, scala.collection.mutable.HashSet.empty) += b
+        nbr.getOrElseUpdate(b, scala.collection.mutable.HashSet.empty) += a
+      }
+      val out = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+      es.foreach { case (a, b) =>
+        val (sm, bg) =
+          if (nbr(a).size <= nbr(b).size) (nbr(a), nbr(b))
+          else (nbr(b), nbr(a))
+        var c = 0L
+        sm.foreach(w => if (w != a && w != b && bg.contains(w)) c += 1L)
+        if (c > 0L) out((a, b)) = c
+      }
+      out
+    }
+    var cur = edges0
+    var m = cur.length.toLong
+    var lastSup: Array[(Long, Long, Long)] = null
+    var converged = false
+    var r = 0
+    while (r < rounds && !converged) {
+      onRegime(r + 1, "local")
+      val sup = support(cur)
+      val surv = cur.flatMap { e =>
+        val s = sup.getOrElse(e, 0L)
+        if (s >= k - 2) Some((e._1, e._2, s)) else None
+      }
+      val m2 = surv.length.toLong
+      onRound(r + 1, m2)
+      cur = surv.map(t => (t._1, t._2))
+      converged = m2 == m
+      m = m2
+      lastSup = surv
+      r += 1
+    }
+    if (converged) lastSup
+    else {
+      val sup = support(cur)
+      cur.flatMap { e =>
+        sup.get(e).map(s => (e._1, e._2, s)) // sup-0 edges emit no row
+      }
+    }
+  }
+
   /** Fixed-horizon k-truss over an `(a, b)` a<b distinct edge set.
     * Returns `(a, b, sup)` — the surviving edges with support computed
     * over the final survivor set (at a reached fixpoint, every reported
@@ -165,6 +230,17 @@ object Truss {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     var und = und0.localCheckpoint(true)
     var m = und.count()
+    // sub-floor regime: below `incrFloor` edges every distributed round
+    // is job floor, so peel the collected set driver-side instead
+    // ([[runLocalPeel]]; output identical, spec-pinned). Long ids only —
+    // an exotic schema keeps the general path.
+    if (m < incrFloor && und.schema.fields.take(2)
+        .forall(_.dataType == org.apache.spark.sql.types.LongType)) {
+      import spark.implicits._
+      val es = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+      return runLocalPeel(es, k, rounds, onRound, onRegime)
+        .toSeq.toDF("a", "b", "sup")
+    }
     var lastSup: DataFrame = null // survivors (a, b, sup), current graph
     var removed: DataFrame = null // edges dropped by the previous round
     var remCount = 0L

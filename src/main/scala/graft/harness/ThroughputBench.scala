@@ -146,7 +146,13 @@ object ThroughputBench {
         .localCheckpoint(true),
       foraEps = 5.0, topkEps = 1.0, baseThreshold = 5.0e-4)
 
-    println(s"""{"metric":"throughput","sf":"$sfDir",$out}""")
+    // a GRAFT_THR_ONLY subset artifact self-identifies (r17 ADVICE): the
+    // emitted JSON carries the filter, so a partial board can never be
+    // mistaken for (or committed as) the 4-octave headline.
+    val onlyTag = only
+      .map(s => s""""only":"${s.toSeq.sorted.mkString(",")}",""")
+      .getOrElse("")
+    println(s"""{"metric":"throughput",$onlyTag"sf":"$sfDir",$out}""")
     spark.stop()
   }
 }

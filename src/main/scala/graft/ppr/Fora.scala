@@ -203,7 +203,6 @@ object Fora {
     result
   }
 
-
   /** K7 — top-k FORA for one source; returns the full estimate vector of
     * the terminating round (caller applies tie-inclusive top-k).
     */

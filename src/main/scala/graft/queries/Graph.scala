@@ -355,58 +355,30 @@ object Graph {
        |  FROM f1 JOIN f2 ON f2.id = f1.id)""".stripMargin
   }
 
-  /** `g_linkpred_cn` body over an undirected distinct edge set `und`
-    * (`a < b` orientation): top-`topN` non-adjacent pairs by capped
-    * common-neighbor count + neighborhood Jaccard. Separated from the
-    * row so LinkPredSpec can exercise a BINDING cap on a toy graph (on
-    * the bench graph the cap is pure 100 TB armor — max degree ≤ 93).
+  /** The link-prediction families' SHARED wedge fold over an undirected
+    * distinct edge set `und` (`a < b` orientation): every NON-ADJACENT
+    * pair (u < v) with ≥ 1 common neighbor of degree ∈ [2, cap], carrying
+    * BOTH scores the two rows cut on — the exact common-neighbor count
+    * `cn` and the Adamic–Adar fixed-point sum `aa_fp` =
+    * Σ round(1e6/ln(deg(w))) (integer micro-units, so the fold is one
+    * map-side-combined EXACT integer sum — no float addend-order
+    * anywhere). One extra 8-byte weight rides the Σdeg² wedge stream;
+    * everything else (orientation, the packed 8-byte pair key, the
+    * anti-join) is common to both rows, which is why this runs ONCE per
+    * (session, graph) and both rows finish from it (r17 verdict #3: the
+    * board's #2 and #6 rows enumerated the same 248 M wedges twice).
+    *
+    * Degree-1 centers are excluded (they form no wedge — a deg-1 center
+    * has one neighbor, and the self-join needs two distinct — so the
+    * `cn` fold is unchanged by the exclusion; for `aa_fp` it also keeps
+    * 1/ln(1) from dividing by zero). The wedge stream is the fold's
+    * irreducible core (Σ deg(w)² rows — 36.5 M at sf0.1); packing the
+    * pair into ONE 8-byte key narrows every exchanged row and hashes one
+    * long instead of two in the map-side combine. Node ids are
+    * nonnegative mod-derived ints < 2³¹ on every library graph, so
+    * u<<32 | v is lossless.
     */
-  private[queries] def linkPredCn(und: DataFrame, cap: Int,
-      topN: Int): DataFrame = {
-    val adj = und.select(col("a").as("w"), col("b").as("n"))
-      .unionAll(und.select(col("b").as("w"), col("a").as("n")))
-    val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("dg"))
-      .localCheckpoint(true) // read 3× (cap filter + two score joins)
-    val capped = adj
-      .join(deg.where(col("dg") <= cap).select(col("w")), Seq("w"))
-    // the wedge stream is the row's irreducible core (Σ deg(w)² rows —
-    // 36.5 M at sf0.1); packing the pair into ONE 8-byte key narrows
-    // every exchanged row and hashes one long instead of two in the
-    // map-side combine. Node ids are nonnegative mod-derived ints
-    // < 2³¹ on every library graph, so u<<32 | v is lossless.
-    val cn = capped.as("x").join(capped.as("y"),
-        col("x.w") === col("y.w") && col("x.n") < col("y.n"))
-      .select((shiftleft(col("x.n"), 32) + col("y.n")).as("uv"))
-      .groupBy(col("uv")).agg(count(lit(1)).as("cn"))
-      .select(shiftright(col("uv"), 32).as("u"),
-        col("uv").bitwiseAND(lit(0xFFFFFFFFL)).as("v"), col("cn"))
-    cn.join(und.select(col("a").as("u"), col("b").as("v")),
-        Seq("u", "v"), "left_anti")
-      .join(deg.select(col("w").as("u"), col("dg").as("du")), Seq("u"))
-      .join(deg.select(col("w").as("v"), col("dg").as("dv")), Seq("v"))
-      .selectExpr("u", "v", "cn", "du", "dv",
-        "CAST(cn AS DOUBLE) / CAST(du + dv - cn AS DOUBLE) AS jaccard")
-      .orderBy(col("cn").desc, col("u"), col("v"))
-      .limit(topN)
-  }
-
-  /** `g_adamic_adar` body: top-`topN` non-adjacent pairs by the
-    * Adamic–Adar index Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)) (Adamic & Adar
-    * 2003), wedge centers capped exactly like [[linkPredCn]]. The
-    * per-center weight is attached BEFORE the wedge self-join — one
-    * extra value rides the Σdeg² wedge stream instead of a post-agg
-    * re-join (the pair group loses center identity, so the weight MUST
-    * travel with the wedge). Degree-1 centers are filtered (they form
-    * no wedge anyway, and 1/ln(1) is a division by zero). The weight
-    * is FIXED-POINT: round(1e6/ln(deg)) as a BIGINT of micro-units, so
-    * the pair fold is one map-side-combined EXACT integer sum on the
-    * packed 8-byte key — no float addend-order anywhere — and the cut
-    * orders by aa = fp/1e6 (injective in the integer sum) with a
-    * (u, v) tie-break: a total order both engines replay identically,
-    * where a summed-double order could diverge in the last ulp.
-    */
-  private[graft] def adamicAdar(und: DataFrame, cap: Int,
-      topN: Int): DataFrame = {
+  private[queries] def wedgePairAgg(und: DataFrame, cap: Int): DataFrame = {
     val adj = und.select(col("a").as("w"), col("b").as("n"))
       .unionAll(und.select(col("b").as("w"), col("a").as("n")))
     val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("dg"))
@@ -415,7 +387,7 @@ object Graph {
       .select(col("w"), col("n"),
         round(lit(1e6) / log(col("dg"))).cast("long").as("wt"))
       .localCheckpoint(true) // both sides of the wedge self-join
-    val aa = capped.as("x").join(capped.as("y"),
+    capped.as("x").join(capped.as("y"),
         col("x.w") === col("y.w") && col("x.n") < col("y.n"))
       .select((shiftleft(col("x.n"), 32) + col("y.n")).as("uv"),
         col("x.wt"))
@@ -423,13 +395,103 @@ object Graph {
       .agg(count(lit(1)).as("cn"), sum(col("wt")).as("aa_fp"))
       .select(shiftright(col("uv"), 32).as("u"),
         col("uv").bitwiseAND(lit(0xFFFFFFFFL)).as("v"),
-        col("cn"),
-        (col("aa_fp").cast("double") / lit(1e6)).as("aa"))
-    aa.join(und.select(col("a").as("u"), col("b").as("v")),
+        col("cn"), col("aa_fp"))
+      .join(und.select(col("a").as("u"), col("b").as("v")),
         Seq("u", "v"), "left_anti")
+  }
+
+  /** `g_linkpred_cn` finish over a [[wedgePairAgg]] frame: re-attach the
+    * endpoint degrees for the Jaccard denominator (du + dv − cn: exact
+    * integers, ONE float division spelled identically in the oracle) and
+    * take the global top-`topN` — TakeOrderedAndProject, map-side partial
+    * top-N, never a full sort. Tie-break (cn desc, u, v) is a total
+    * order because (u, v) pairs are unique.
+    */
+  private[queries] def linkPredCnFinish(pairs: DataFrame, deg: DataFrame,
+      topN: Int): DataFrame =
+    pairs
+      .join(deg.select(col("w").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("w").as("v"), col("dg").as("dv")), Seq("v"))
+      .selectExpr("u", "v", "cn", "du", "dv",
+        "CAST(cn AS DOUBLE) / CAST(du + dv - cn AS DOUBLE) AS jaccard")
+      .orderBy(col("cn").desc, col("u"), col("v"))
+      .limit(topN)
+
+  /** `g_adamic_adar` finish over a [[wedgePairAgg]] frame: the cut
+    * orders by aa = aa_fp/1e6 (injective in the integer sum) with a
+    * (u, v) tie-break — a total order both engines replay identically,
+    * where a summed-double order could diverge in the last ulp.
+    */
+  private[queries] def adamicAdarFinish(pairs: DataFrame,
+      topN: Int): DataFrame =
+    pairs
+      .select(col("u"), col("v"), col("cn"),
+        (col("aa_fp").cast("double") / lit(1e6)).as("aa"))
       .orderBy(col("aa").desc, col("u"), col("v"))
       .limit(topN)
+
+  /** `g_linkpred_cn` body over an undirected distinct edge set `und`:
+    * top-`topN` non-adjacent pairs by capped common-neighbor count +
+    * neighborhood Jaccard. Kept as a standalone composition so
+    * LinkPredSpec can exercise a BINDING cap on a toy graph (on the
+    * bench graph the cap is pure 100 TB armor — max degree ≤ 93).
+    */
+  private[queries] def linkPredCn(und: DataFrame, cap: Int,
+      topN: Int): DataFrame = {
+    val adj = und.select(col("a").as("w"), col("b").as("n"))
+      .unionAll(und.select(col("b").as("w"), col("a").as("n")))
+    val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("dg"))
+    linkPredCnFinish(wedgePairAgg(und, cap), deg, topN)
   }
+
+  /** `g_adamic_adar` body: top-`topN` non-adjacent pairs by the
+    * Adamic–Adar index Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)) (Adamic & Adar
+    * 2003), wedge centers capped exactly like [[linkPredCn]] — both are
+    * one finish step over the shared [[wedgePairAgg]] fold.
+    */
+  private[graft] def adamicAdar(und: DataFrame, cap: Int,
+      topN: Int): DataFrame =
+    adamicAdarFinish(wedgePairAgg(und, cap), topN)
+
+  /** The shared link-prediction frames fitted ONCE per (session, source
+    * dir) — the [[graft.queries.Embeddings]] nswCache serving discipline
+    * applied to wedges (r17 verdict #3): `g_adamic_adar` and
+    * `g_linkpred_cn` both finish from the same non-adjacent wedge-pair
+    * aggregate over the same TriMod graph, so whichever row runs first
+    * pays the Σdeg² fold and the other reads the pinned checkpoint.
+    * Returns (deg, pairs); checkpoint blocks are pinned via SessionPins
+    * (exempt from the harnesses' per-row reap) and keyed by dir, so a
+    * different source dir refits.
+    */
+  private val lpCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private[queries] def lpShared(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    lpCache.getOrElseUpdate((s, dir), {
+      val sc = s.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val e = GraphOps.lineitemGraph(s, dir, TriMod)
+      val und = e.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+        .localCheckpoint(true) // feeds adjacency, the anti-join
+      val adj = und.select(col("a").as("w"), col("b").as("n"))
+        .unionAll(und.select(col("b").as("w"), col("a").as("n")))
+      val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("dg"))
+        .localCheckpoint(true)
+      // wedgePairAgg eagerly checkpoints its weighted-adjacency
+      // scaffolding; only the FINAL pairs frame may stay pinned (the
+      // nswGraphBuild release discipline), so diff around each step.
+      val keptSoFar = sc.getPersistentRDDs.keySet
+      val pairsLazy = wedgePairAgg(und, LpCnDegCap)
+      val cappedIds = (sc.getPersistentRDDs.keySet -- keptSoFar).toSet
+      val pairs = pairsLazy.localCheckpoint(true)
+      cappedIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      graft.operators.SessionPins.pin(sc,
+        (sc.getPersistentRDDs.keySet -- before).toSet)
+      (deg, pairs)
+    })
 
   /** `g_pref_attach` escalation ladder: head sizes tried in order are
     * topDeg × these multipliers. A skewed-but-legal input where the base
@@ -762,37 +824,62 @@ object Graph {
       csr: graft.graph.Csr,
       sources: Seq[Long],
       root: String,
-      trace: (graft.graph.Csr, Long) => (Array[Double], Array[Double], Double, Long, Array[(Long, Long)])): Unit = {
+      trace: (graft.graph.Csr, Long) => (Array[Double], Array[Double], Double, Long, Array[(Long, Long)])): Unit =
+    foraArtifactsMulti(s, csr, sources, root, Seq(trace))
+
+  /** Multi-config variant of the FORA artifact writer: ONE task fan-out
+    * over (config × source), ONE parquet write per table kind, every row
+    * tagged with its config index `i` — the grid rows' replay artifacts
+    * collapse from 3 writes PER GRID POINT to 3 writes per row (at GOT
+    * scale the per-point write jobs were the whole row cost, r17 verdict
+    * #4). Readers (both engines) select their point by `i`: Spark
+    * re-registers per-point views with `WHERE i = <i>` + drop, the
+    * DuckDB oracle filters the same parquet tree — the recomposition SQL
+    * text stays byte-identical either way.
+    */
+  private[queries] def foraArtifactsMulti(
+      s: SparkSession,
+      csr: graft.graph.Csr,
+      sources: Seq[Long],
+      root: String,
+      traces: Seq[(graft.graph.Csr, Long) => (Array[Double], Array[Double], Double, Long, Array[(Long, Long)])]): Unit = {
     import s.implicits._
     val srcs = sources.filter(csr.denseOf(_) >= 0)
     // the CSR ships ONCE as a broadcast (the Fora.batch discipline) —
     // captured in the task closure it would reserialize the whole graph
-    // per source task and again for each of the three table writes.
+    // per (config × source) task and again for each of the three writes.
     val bc = s.sparkContext.broadcast(csr)
-    // ONE kernel execution per source: the traces are cached across the
-    // three table writes (push + walks dominate; re-running them per
-    // table tripled the row's cost).
-    val traces = s.sparkContext.parallelize(srcs, math.max(1, srcs.length))
-      .map(src => (src, trace(bc.value, src)))
+    val tasks = for (i <- traces.indices; src <- srcs) yield (i, src)
+    // ONE kernel execution per (config, source): the traces are cached
+    // across the three table writes (push + walks dominate; re-running
+    // them per table tripled the row's cost).
+    val run = s.sparkContext.parallelize(tasks, math.max(1, tasks.length))
+      .map { case (i, src) => (i, src, traces(i)(bc.value, src)) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // single-config callers (g_fora_ppr / g_fora_topk and their oracles)
+    // keep the historical untagged schema — the tag is a grid axis, and
+    // a constant-0 column would ride every single-point artifact.
+    def tagged(df: DataFrame): DataFrame =
+      if (traces.length == 1) df.drop("i") else df
     try {
-      traces.flatMap { case (src, (rsv, rsd, _, _, _)) =>
+      tagged(run.flatMap { case (i, src, (rsv, rsd, _, _, _)) =>
         val g = bc.value
         rsv.indices.iterator.collect {
           case v if rsv(v) != 0.0 || rsd(v) != 0.0 =>
-            (src, g.originalOf(v), rsv(v), rsd(v))
+            (i, src, g.originalOf(v), rsv(v), rsd(v))
         }
-      }.toDF("src", "node_id", "reserve", "residue")
+      }.toDF("i", "src", "node_id", "reserve", "residue"))
         .write.mode("overwrite").parquet(s"$root/st")
-      traces.map { case (src, (_, _, rsum, nw, _)) => (src, rsum, nw) }
-        .toDF("src", "rsum", "num_walks")
+      tagged(run.map { case (i, src, (_, _, rsum, nw, _)) =>
+        (i, src, rsum, nw)
+      }.toDF("i", "src", "rsum", "num_walks"))
         .write.mode("overwrite").parquet(s"$root/sc")
-      traces.flatMap { case (src, (_, _, _, _, walks)) =>
-        walks.iterator.map { case (v, d) => (src, v, d) }
-      }.toDF("src", "v", "dest")
+      tagged(run.flatMap { case (i, src, (_, _, _, _, walks)) =>
+        walks.iterator.map { case (v, d) => (i, src, v, d) }
+      }.toDF("i", "src", "v", "dest"))
         .write.mode("overwrite").parquet(s"$root/wk")
     } finally {
-      traces.unpersist(false)
+      run.unpersist(false)
       bc.unpersist(false)
     }
   }
@@ -981,13 +1068,12 @@ object Graph {
     // spelled identically in the oracle), and the global top-N cut is
     // orderBy+limit — TakeOrderedAndProject, map-side partial top-N,
     // never a full sort. Tie-break (cn desc, u, v) is a total order
-    // because (u, v) pairs are unique.
+    // because (u, v) pairs are unique. The Σdeg² wedge fold itself is
+    // SHARED with `g_adamic_adar` via the session-pinned [[lpShared]]
+    // frame — both rows finish from one enumeration per board.
     "g_linkpred_cn" -> ((s, dir) => {
-      val e = GraphOps.lineitemGraph(s, dir, TriMod)
-      val und = e.select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b")).distinct()
-        .localCheckpoint(true) // feeds adjacency, the anti-join, degrees
-      linkPredCn(und, LpCnDegCap, LpCnTopN)
+      val (deg, pairs) = lpShared(s, dir)
+      linkPredCnFinish(pairs, deg, LpCnTopN)
     }),
 
     // Rich-club coefficient profile φ(k) = 2·E_k / (N_k·(N_k−1)) over a
@@ -1032,14 +1118,13 @@ object Graph {
     // instead of 1 — rare shared neighbors count more. Plan shape is
     // identical (one map-side-combined fold on the packed pair key +
     // anti-join + TakeOrderedAndProject); the only delta is the weight
-    // column riding the wedge stream. See `adamicAdar`'s scaladoc for
-    // the fixed-point integer-sum ordering discipline.
+    // column riding the wedge stream — which is exactly why both rows
+    // now finish from the ONE session-pinned [[lpShared]] fold (it
+    // carries cn AND the fixed-point aa_fp). See [[wedgePairAgg]] /
+    // [[adamicAdarFinish]] for the integer-sum ordering discipline.
     "g_adamic_adar" -> ((s, dir) => {
-      val e = GraphOps.lineitemGraph(s, dir, TriMod)
-      val und = e.select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b")).distinct()
-        .localCheckpoint(true) // feeds adjacency and the anti-join
-      adamicAdar(und, LpCnDegCap, LpCnTopN)
+      val (_, pairs) = lpShared(s, dir)
+      adamicAdarFinish(pairs, LpCnTopN)
     }),
 
     // Preferential-attachment link prediction: score(u,v) = deg(u)·deg(v)

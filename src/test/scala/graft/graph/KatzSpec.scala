@@ -37,6 +37,25 @@ class KatzSpec extends SparkSpec {
     got.values.foreach(v => assert(v >= 1.0))
   }
 
+  test("batchAlphasLocal ≡ the distributed Katz.run at the rows' 9-dp " +
+      "rounding, for every got_grid_katz alpha in one job") {
+    val edges = Got.edges(spark)
+    val batch = Katz.batchAlphasLocal(spark, Got.cachedCsr(spark),
+        graft.queries.GotQueries.GridKatzAlphas,
+        graft.queries.GotQueries.GridKatzIters)
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1)) -> round9(r.getDouble(2)))
+      .toMap
+    val want = graft.queries.GotQueries.GridKatzAlphas.flatMap { a =>
+      Katz.run(spark, edges, a, graft.queries.GotQueries.GridKatzIters)
+        .collect()
+        .map(r => (a, r.getLong(0)) -> round9(r.getDouble(1)))
+    }.toMap
+    assert(batch == want,
+      "the dense per-α task must reproduce the superstep loop exactly " +
+        "through the 9-dp rounding both engines compare at")
+  }
+
   test("katz attenuation: on a directed path a->b->c the closed form " +
       "holds and deeper walks carry alpha^2") {
     import spark.implicits._

@@ -98,6 +98,32 @@ class TrussSpec extends SparkSpec {
     assert(r1 != base.map(t => (t._1, t._2) -> t._3).toMap)
   }
 
+  test("sub-floor LOCAL regime ≡ the distributed full recompute — " +
+      "converged AND horizon-exhausted — and the regime is disclosed") {
+    import org.apache.spark.sql.functions.{col, least, greatest}
+    val und = Got.edges(spark)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+      .localCheckpoint(true)
+    // rounds = 1 exercises the horizon-exhausted branch (support over the
+    // final survivor set, unfiltered); the full horizon the fixpoint one.
+    for (rounds <- Seq(1, GotQueries.TrussRounds)) {
+      val local = Truss.run(spark, und, GotQueries.TrussK, rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      val dist = Truss.runFull(spark, und, GotQueries.TrussK, rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      assert(local == dist, s"local ≠ distributed at rounds=$rounds")
+    }
+    val regimes = scala.collection.mutable.ArrayBuffer.empty[String]
+    Truss.run(spark, und, GotQueries.TrussK, GotQueries.TrussRounds,
+      (_, _) => (), (_, reg) => regimes += reg)
+    assert(regimes.nonEmpty && regimes.forall(_ == "local"),
+      s"GOT is far below IncrFloorEdges — every round must be local: " +
+        regimes.mkString(","))
+  }
+
   test("hybrid incremental peel ≡ full recompute ≡ brute force, with " +
       "the incremental regime ENGAGED and removing edges") {
     val s = spark
@@ -143,16 +169,16 @@ class TrussSpec extends SparkSpec {
         .map(b => (1000L + a, 1000L + b))).toSet,
       "K=5 truss of the fixture is exactly the K10 block")
 
-    // the DEFAULT dispatch keeps a sub-floor graph on the full-recompute
-    // regime every round (the GOT-scale job-floor economics), with
-    // identical output.
+    // the DEFAULT dispatch keeps a sub-floor graph OFF the incremental
+    // path entirely — since r18 that means the driver-local peel (the
+    // GOT-scale job-floor economics) — with identical output.
     val regimesDef = scala.collection.mutable.ArrayBuffer.empty[String]
     val hybridDef = Truss.run(spark, und, k, 64,
         (_, _) => (), (_, reg) => regimesDef += reg)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
       .toMap
-    assert(regimesDef.nonEmpty && regimesDef.forall(_ == "full"),
-      s"default floor must keep a small graph all-full, got $regimesDef")
+    assert(regimesDef.nonEmpty && regimesDef.forall(_ == "local"),
+      s"default floor must keep a small graph all-local, got $regimesDef")
     assert(hybridDef == full, "default-floor schedule diverged")
   }
 }
