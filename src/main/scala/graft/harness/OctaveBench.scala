@@ -24,6 +24,26 @@ object OctaveBench {
 
   import Fmt.r1
 
+  /** The octave truss section — ONE code path for the board
+    * (OctaveBench.main) and the warm micro-probe ([[TrussProbe]]), so
+    * the committed octave truss number has a single source of truth
+    * (r17 verdict #6: the two harnesses had drifted into slightly
+    * different plumbing). Returns
+    * (survivorEdges, seconds, sizesPerRound, regimesPerRound).
+    */
+  def trussSection(spark: org.apache.spark.sql.SparkSession,
+      und: org.apache.spark.sql.DataFrame, k: Int, roundsBound: Int)
+      : (Long, Double, Seq[Long], Seq[String]) = {
+    val sizes = Seq.newBuilder[Long]
+    val regimes = Seq.newBuilder[String]
+    val t0 = System.nanoTime()
+    val cnt = graft.graph.Truss.run(spark, und, k, roundsBound,
+      (_, m2) => sizes += m2,
+      (_, reg) => regimes += reg).count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    (cnt, dt, sizes.result(), regimes.result())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.LocalSession.create()
@@ -145,13 +165,8 @@ object OctaveBench {
     val trussK = sys.env.getOrElse("GRAFT_TRUSS_K", "4").toInt
     val trussRoundsBound =
       sys.env.getOrElse("GRAFT_TRUSS_ROUNDS", "64").toInt
-    val trussSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val trussRegimes = scala.collection.mutable.ArrayBuffer.empty[String]
-    val (trussEdges, trussSec) = timed {
-      graft.graph.Truss.run(spark, und, trussK, trussRoundsBound,
-        (_, m2) => trussSizes += m2,
-        (_, reg) => trussRegimes += reg).count()
-    }
+    val (trussEdges, trussSec, trussSizes, trussRegimes) =
+      trussSection(spark, und, trussK, trussRoundsBound)
 
     // SCC at the octave, SUPERSTEP regime: the symmetric bench graph
     // would make SCC trivially = CC, so the digraph keeps every forward
@@ -302,6 +317,30 @@ object OctaveBench {
         (_, c) => walkSteps += c).count()
     }
 
+    // NSW graph build + routing recall at octave NODE-COUNT parity
+    // (r17 verdict #5): BENCH_SCALE prices the NN-descent build at a 4×
+    // corpus; this section runs it at 40× (80k vectors ≈ the Flickr
+    // octave's 80.5k nodes) — the scale where the per-round (2M)²
+    // candidate equi-joins and the distinct on 16-byte pairs carry real
+    // volume — then reads the e_nsw_recall row's own ef-axis on the
+    // warm graph. Corpus size, build time and the recall curve are all
+    // disclosed; the corpus is the ScaleBench dimension-roll blowup
+    // (near-iid like the base corpus — recall here prices the BUILD at
+    // scale, not a new geometry).
+    val nswBlow = sys.env.getOrElse("GRAFT_NSW_BLOW", "40").toInt
+    val nswDir = ScaleBench.writeBlownCorpus(spark, sfDir, nswBlow)
+    val nVecs = spark.read.parquet(s"$nswDir/embeddings.parquet").count()
+    graft.functions.VectorFunctions.register(spark)
+    val (nswEdges, nswBuildSec) = timed {
+      graft.queries.Embeddings.nswGraph(spark, nswDir).count()
+    }
+    val (nswRecall, nswRecallSec) = timed {
+      graft.queries.Embeddings.queries("e_nsw_recall")(spark, nswDir)
+        .collect().map(r => (r.getInt(0), r.getDouble(3))).toSeq
+    }
+    val nswRecallJson = nswRecall
+      .map { case (ef, rc) => s""""ef$ef":$rc""" }.mkString("{", ",", "}")
+
     println(s"""{"metric":"octave_ops","sf":"$sfDir"""" +
       s""","fli_nodes":$n,"fli_edges":$m""" +
       s""","kcore_sec":${r1(kcoreSec)},"kcore_k":$kcoreK""" +
@@ -353,7 +392,12 @@ object OctaveBench {
       s""","walk_sec":${r1(walkSec)},"walk_regime":"shuffle"""" +
       s""","walk_walks_per_src":$walkPerSrc,"walk_len":${GQ.WalkLen}""" +
       s""","walk_rows":$walkRows""" +
-      s""","walk_state_per_step":[${walkSteps.mkString(",")}]}""")
+      s""","walk_state_per_step":[${walkSteps.mkString(",")}]""" +
+      s""","nsw_corpus_vecs":$nVecs,"nsw_blow":$nswBlow""" +
+      s""","nsw_graph_edges":$nswEdges""" +
+      s""","nsw_build_sec":${r1(nswBuildSec)}""" +
+      s""","nsw_recall_sec":${r1(nswRecallSec)}""" +
+      s""","nsw_recall_at5":$nswRecallJson}""")
     spark.stop()
   }
 }

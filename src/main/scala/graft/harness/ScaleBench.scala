@@ -39,13 +39,14 @@ object ScaleBench {
   val blowDefault = 4
   val CopyOffset = 10000000L
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val blow = sys.env.getOrElse("GRAFT_BLOWUP", blowDefault.toString).toInt
-    val spark = graft.LocalSession.create()
-    val sc = spark.sparkContext
-
-    // ---- deterministic blown-up corpus dir (documents + embeddings)
+  /** Write the deterministic blown-up corpus (documents + embeddings) for
+    * `sfDir` at factor `blow` and return its dir. Shared by this main and
+    * OctaveBench's NSW section (r17 verdict #5) — see the object scaladoc
+    * for why the blowup is a Caesar rotation + dimension roll, never
+    * replication.
+    */
+  def writeBlownCorpus(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, blow: Int): String = {
     val dir2 = s"/tmp/graft_blowup_${blow}x"
     val az = "abcdefghijklmnopqrstuvwxyz"
     val AZ = az.toUpperCase(java.util.Locale.ROOT)
@@ -66,6 +67,16 @@ object ScaleBench {
           s"slice(embedding, 1, $j)) AS embedding")
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$dir2/embeddings.parquet")
+    dir2
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val blow = sys.env.getOrElse("GRAFT_BLOWUP", blowDefault.toString).toInt
+    val spark = graft.LocalSession.create()
+    val sc = spark.sparkContext
+
+    val dir2 = writeBlownCorpus(spark, sfDir, blow)
 
     val Q = graft.SparkEntry.queries
     def timed(body: => Long): (Long, Double) = {

@@ -26,6 +26,19 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Rows backed by a once-per-session model/index fit (nswCache, pqModelCache,
+# kmCache, lpShared): on a FULL baseline board the fit may have landed
+# inside the row being compared, while this tool's medians are always
+# post-fit (warm cache) — an IMPROVED verdict on these rows can be fit-cost
+# accounting, not a kernel win (r17 ADVICE). The output marks them.
+FIT_BEARING = {
+    "e_nsw_search", "e_nsw_recall",
+    "e_pq", "e_pq_search", "e_pq_recall", "e_ivfpq_search", "e_ivfpq_recall",
+    "e_kmeans", "e_silhouette", "e_ood_score", "e_semdedup",
+    "e_cluster_balance",
+    "g_adamic_adar", "g_linkpred_cn",
+}
+
 
 def run_bench(rows, n, sf, mem):
     env = dict(os.environ)
@@ -97,6 +110,8 @@ def main():
                 word = "IMPROVED" if delta < 0 else "REGRESSED"
                 line += (f"  | base {base[row]:.3f}s delta {delta:+.3f}s "
                          f"({100 * delta / base[row]:+.1f}%) -> {word}")
+        if row in FIT_BEARING:
+            line += "  [fit-bearing: baseline may include the session fit]"
         print(line)
     sys.exit(2 if any_no_verdict else 0)
 
