@@ -42,7 +42,17 @@ object ThroughputBench {
 
   import Fmt.{r1, r3}
 
+  /** 1-minute load average, or -1 where /proc is unavailable — emitted at
+    * board start and end so every committed artifact carries its own
+    * host-window context (the r18 fli triage took a same-day subset
+    * re-run to establish what these two numbers would have shown).
+    */
+  private def loadAvg(): Double =
+    scala.util.Try(scala.io.Source.fromFile("/proc/loadavg")
+      .getLines().next().split(" ")(0).toDouble).getOrElse(-1.0)
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional comma-separated octave subset (got/syn/amz/fli) for
     // targeted re-measurement — e.g. the r16 syn_fora_topk dip chase;
@@ -152,7 +162,8 @@ object ThroughputBench {
     val onlyTag = only
       .map(s => s""""only":"${s.toSeq.sorted.mkString(",")}",""")
       .getOrElse("")
-    println(s"""{"metric":"throughput",$onlyTag"sf":"$sfDir",$out}""")
+    println(s"""{"metric":"throughput",$onlyTag"sf":"$sfDir"""" +
+      s""","load_start":$loadStart,"load_end":${loadAvg()},$out}""")
     spark.stop()
   }
 }

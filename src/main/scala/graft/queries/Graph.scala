@@ -756,36 +756,91 @@ object Graph {
     * trivial and the effective-diameter reading is a LOWER bound, not
     * the value.
     */
-  private[graft] def effDiameterRun(edges: DataFrame): DataFrame = {
+  private def effDiamNfAt(reg: DataFrame, h: Int): DataFrame = {
     val E = graft.queries.Events
-    def nfAt(reg: DataFrame, h: Int): DataFrame =
-      hllFold(reg, "")
-        .selectExpr("id", E.hllEstSql)
-        .selectExpr(
-          "CAST(round(est * CAST(10000 AS DOUBLE)) AS BIGINT) AS e4")
-        .agg(sum(col("e4")).as("s4"))
-        .selectExpr(s"CAST($h AS INT) AS h",
-          "CAST(s4 AS DOUBLE) / CAST(10000 AS DOUBLE) AS nf")
-    var reg = hllReg0(edges)
-    val curve = scala.collection.mutable.ArrayBuffer[DataFrame](nfAt(reg, 0))
-    for (h <- 1 to EffDiamHops) {
-      reg = hllStep(edges, reg)
-      curve += nfAt(reg, h)
-    }
-    val all = curve.reduce(_ unionAll _).localCheckpoint(true)
-    // both plateau scalars from ONE pass over the checkpointed curve (a
-    // broadcast side built from a crossJoin of two filtered sub-scans
-    // measured +6 s on warm boards — nested broadcast builds each pay
-    // the job floor; the conditional aggregate is one tiny stage)
+    hllFold(reg, "")
+      .selectExpr("id", E.hllEstSql)
+      .selectExpr(
+        "CAST(round(est * CAST(10000 AS DOUBLE)) AS BIGINT) AS e4")
+      .agg(sum(col("e4")).as("s4"))
+      .selectExpr(s"CAST($h AS INT) AS h",
+        "CAST(s4 AS DOUBLE) / CAST(10000 AS DOUBLE) AS nf")
+  }
+
+  /** Shared curve finish: plateau scalars from ONE conditional-aggregate
+    * pass over the checkpointed curve (a broadcast side built from a
+    * crossJoin of two filtered sub-scans measured +6 s on warm boards —
+    * nested broadcast builds each pay the job floor), then the reported
+    * (h, nf, frac, reach90, sat) rows against the LAST hop `lastH`.
+    */
+  private def effDiamFinish(all: DataFrame, lastH: Int): DataFrame = {
     val tot = all.agg(
-      max(when(col("h") === EffDiamHops, col("nf"))).as("nfh"),
-      max(when(col("h") === EffDiamHops - 1, col("nf"))).as("nfh1"))
+      max(when(col("h") === lastH, col("nf"))).as("nfh"),
+      max(when(col("h") === lastH - 1, col("nf"))).as("nfh1"))
     all.crossJoin(broadcast(tot))
       .selectExpr("h", "round(nf, 6) AS nf",
         "round(nf / nfh, 6) AS frac",
         "CAST(CASE WHEN nf >= CAST(0.9 AS DOUBLE) * nfh " +
           "THEN 1 ELSE 0 END AS INT) AS reach90",
         "CAST(CASE WHEN nfh = nfh1 THEN 1 ELSE 0 END AS INT) AS sat")
+  }
+
+  private[graft] def effDiameterRun(edges: DataFrame): DataFrame = {
+    var reg = hllReg0(edges)
+    val curve =
+      scala.collection.mutable.ArrayBuffer[DataFrame](effDiamNfAt(reg, 0))
+    for (h <- 1 to EffDiamHops) {
+      reg = hllStep(edges, reg)
+      curve += effDiamNfAt(reg, h)
+    }
+    val all = curve.reduce(_ unionAll _).localCheckpoint(true)
+    effDiamFinish(all, EffDiamHops)
+  }
+
+  /** ADAPTIVE-horizon HyperANF (r17 verdict #7, the `sat` honesty bit
+    * extended into a mode): when the fixed horizon would end with
+    * sat = 0 the effective-diameter reading is only a LOWER bound, so
+    * this variant keeps hopping past `startHops` until the curve
+    * saturates (nf(h) = nf(h−1) — registers are monotone, so one flat
+    * hop IS the fixpoint) or `hopCap` is hit. Each extension hop prices
+    * one extra 1-row materialization+read on top of the shared hop
+    * kernel (the per-hop cost the default row's scaladoc documents) —
+    * that is the disclosed trade for turning the lower bound into the
+    * value. The DEFAULT `g_eff_diameter` row is untouched: it stays the
+    * fixed-schedule [[effDiameterRun]] the oracle unrolls; this mode is
+    * for graphs whose diameter is unknown a priori
+    * (EffDiamAdaptiveSpec pins it on a long-path fixture: stops exactly
+    * one hop past the true diameter, sat = 1; cap-bound runs report
+    * sat = 0).
+    */
+  private[graft] def effDiameterRunAdaptive(edges: DataFrame,
+      startHops: Int = EffDiamHops, hopCap: Int = 4 * EffDiamHops)
+      : DataFrame = {
+    require(startHops >= 1 && hopCap >= startHops,
+      s"need 1 <= startHops <= hopCap, got $startHops/$hopCap")
+    var reg = hllReg0(edges)
+    def nfCkpt(h: Int): (DataFrame, Double) = {
+      val one = effDiamNfAt(reg, h).localCheckpoint(true)
+      (one, one.collect()(0).getDouble(1))
+    }
+    val (nf0, v0) = nfCkpt(0)
+    val curve = scala.collection.mutable.ArrayBuffer[DataFrame](nf0)
+    var prevNf = v0
+    var h = 0
+    var saturated = false
+    while (h < hopCap && !saturated) {
+      h += 1
+      reg = hllStep(edges, reg)
+      val (one, v) = nfCkpt(h)
+      curve += one
+      // monotone registers: a flat hop is the fixpoint. Only binding
+      // once the start horizon is exhausted — the adaptive mode extends
+      // the schedule, it never truncates it below startHops.
+      saturated = h >= startHops && v == prevNf
+      prevNf = v
+    }
+    val all = curve.reduce(_ unionAll _).localCheckpoint(true)
+    effDiamFinish(all, h)
   }
 
   /** `g_kcore` body over an undirected distinct edge set `und` (`a < b`

@@ -176,4 +176,89 @@ class HyperBallSpec extends SparkSpec {
     assert(sats.head == (if (want(H) == want(H - 1)) 1 else 0),
       "sat flag diverged from the replayed plateau")
   }
+
+  test("adaptive horizon: a long-path fixture stops at the replayed " +
+      "curve's first flat hop with sat=1, a binding cap stops early " +
+      "with sat=0, and at the fixed horizon it equals the default run") {
+    val s = spark
+    import s.implicits._
+    def round(x: Double, sc: Int): Double =
+      BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // undirected 20-node path: diameter 19, far past the default 8-hop
+    // horizon — exactly the lower-bound case the sat bit discloses and
+    // the adaptive mode resolves.
+    val n = 20L
+    val es = (0L until n - 1).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val edges = es.toDF("src", "dst").localCheckpoint(true)
+
+    // exact in-memory HyperANF replay (the estimate-curve semantics the
+    // engine stops on — NOT the graph-theoretic diameter: HyperANF's
+    // stop rule reads the sketch curve, like the original paper's)
+    val out = es.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      .withDefaultValue(Set.empty[Long])
+    val m = Events.HllM
+    val pw = 1L << (Events.HllW + 1)
+    def estOf(b: Set[Long]): Double = {
+      val regs = b.groupMapReduce(w => TextOps.kmvMix(w % TextOps.P) % m)(
+        w => rho(TextOps.kmvMix(w % TextOps.P) / m))(math.max)
+      val vz = (m - regs.size).toLong
+      val ss = regs.values.map(mj => 1L << (Events.HllW + 1 - mj)).sum +
+        (m - regs.size) * pw
+      val raw = (0.673 * m * m) / (ss.toDouble / pw)
+      round(if (raw <= 2.5 * m && vz > 0) m * math.log(m.toDouble / vz)
+        else raw, 4)
+    }
+    var ball = (0L until n).map(v => v -> Set(v)).toMap
+    def nfOf(b: Map[Long, Set[Long]]): Double =
+      b.valuesIterator.map(x => math.round(estOf(x) * 10000.0)).sum / 10000.0
+    val nfs = scala.collection.mutable.ArrayBuffer(nfOf(ball))
+    var flat = -1
+    var h = 0
+    while (flat < 0) {
+      h += 1
+      ball = ball.map { case (v, b) =>
+        v -> out(v).foldLeft(b)((acc, u) => acc ++ ball(u))
+      }
+      nfs += nfOf(ball)
+      if (h >= 2 && nfs(h) == nfs(h - 1)) flat = h
+    }
+    assert(flat > Graph.EffDiamHops,
+      s"fixture must out-run the default horizon, flattened at $flat")
+
+    val got = Graph.effDiameterRunAdaptive(edges, startHops = 2,
+        hopCap = 64).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getInt(4))).sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0 to flat),
+      s"adaptive run must stop at the curve's first flat hop $flat")
+    got.foreach { case (hh, nf, sat) =>
+      assert(nf == round(nfs(hh), 6), s"hop $hh nf")
+      assert(sat == 1, "a saturation stop must disclose sat=1")
+    }
+
+    // binding cap: stops at the cap with the growth disclosed (sat=0)
+    val cap = flat - 3
+    val capped = Graph.effDiameterRunAdaptive(edges, startHops = 2,
+        hopCap = cap).collect()
+      .map(r => (r.getInt(0), r.getInt(4))).sortBy(_._1)
+    assert(capped.map(_._1).toSeq == (0 to cap))
+    assert(nfs(cap) != nfs(cap - 1), "replay sanity: still growing at cap")
+    capped.foreach { case (_, sat) =>
+      assert(sat == 0, "a cap-bound stop must disclose sat=0") }
+
+    // at the fixed horizon on the bench graph the adaptive mode IS the
+    // default row (same schedule when the curve saturates in-horizon)
+    val fixed = Graph.queries("g_eff_diameter")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getInt(3),
+        r.getInt(4))).sortBy(_._1).toSeq
+    if (fixed.last._5 == 1) {
+      val bench = GraphOps.lineitemGraph(spark, sfDir, Graph.Mod)
+        .localCheckpoint(true)
+      val ad = Graph.effDiameterRunAdaptive(bench,
+          startHops = Graph.EffDiamHops, hopCap = Graph.EffDiamHops)
+        .collect()
+        .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getInt(3),
+          r.getInt(4))).sortBy(_._1).toSeq
+      assert(ad == fixed, "adaptive at the fixed horizon diverged")
+    }
+  }
 }
