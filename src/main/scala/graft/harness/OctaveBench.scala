@@ -340,6 +340,28 @@ object OctaveBench {
     }
     val nswRecallJson = nswRecall
       .map { case (ef, rc) => s""""ef$ef":$rc""" }.mkString("{", ",", "}")
+    // DEEP-HORIZON diagnostic: the row's beam is 8 hops (NswSteps) — at
+    // 80k nodes the entry-to-target graph distance can exceed that on a
+    // LOCAL-edges-only routing graph (no long-range shortcuts), which
+    // would cap recall regardless of graph quality. One extra beam at
+    // ef=16 with a deep horizon splits the attribution: recall rising
+    // with hops ⟹ horizon-bound (the Malkov long-range-link case);
+    // flat ⟹ build-bound.
+    val deepSteps = sys.env.getOrElse("GRAFT_NSW_DEEP_STEPS", "32").toInt
+    val (deepRecall, nswDeepSec) = timed {
+      val E = graft.queries.Embeddings
+      val (knn, q, nbr, s0) = E.nswShared(spark, nswDir)
+      val gnd = E.queries("e_cosine_topk")(spark, nswDir)
+        .where(col("rk") <= E.IvfTopK)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (_, visited) = E.nswBeam(knn, q, nbr, s0, 16, steps = deepSteps)
+      val top = visited.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter(t => t._1 != t._2)
+        .groupBy(_._1).values.flatMap(_.sortBy(t => (-t._3, t._2))
+          .take(E.IvfTopK)).map(t => (t._1, t._2)).toSet
+      gnd.count(top.contains).toDouble / gnd.size
+    }
 
     println(s"""{"metric":"octave_ops","sf":"$sfDir"""" +
       s""","fli_nodes":$n,"fli_edges":$m""" +
@@ -397,7 +419,9 @@ object OctaveBench {
       s""","nsw_graph_edges":$nswEdges""" +
       s""","nsw_build_sec":${r1(nswBuildSec)}""" +
       s""","nsw_recall_sec":${r1(nswRecallSec)}""" +
-      s""","nsw_recall_at5":$nswRecallJson}""")
+      s""","nsw_recall_at5":$nswRecallJson""" +
+      s""","nsw_deep_steps":$deepSteps,"nsw_deep_sec":${r1(nswDeepSec)}""" +
+      s""","nsw_recall_ef16_deep":${f"$deepRecall%.4f"}}""")
     spark.stop()
   }
 }

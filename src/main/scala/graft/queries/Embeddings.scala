@@ -1008,12 +1008,12 @@ object Embeddings {
     * IS the greedy (found_id, cos) — NswRecallSpec pins that equality.
     */
   private[graft] def nswBeam(knn: DataFrame, q: DataFrame, nbr: DataFrame,
-      s0: DataFrame, ef: Int): (DataFrame, DataFrame) = {
+      s0: DataFrame, ef: Int, steps: Int = NswSteps): (DataFrame, DataFrame) = {
     val wB = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("node").asc)
     var beam = s0
     val seen = scala.collection.mutable.ArrayBuffer[DataFrame](s0)
-    for (_ <- 1 to NswSteps) {
+    for (_ <- 1 to steps) {
       val cand = beam.select(col("q_id"), col("node"))
         .join(knn, col("node") === col("src"))
         .select(col("q_id"), col("dst"))
