@@ -116,6 +116,18 @@ object Embeddings {
     * synthetic corpus because neighbor-of-neighbor correlation is weak —
     * and NswRecallSpec pins all three measurements (exact-graph routing
     * ≥ 0.9, refined ≥ raw + 0.2, refined ≤ exact).
+    *
+    * AT-SCALE honesty (r18, BENCH_OCTAVE): on an 80k-vector corpus the
+    * same budget reads recall@5(ef=16) = 0.12, and the octave's
+    * deep-horizon probe (32 beam hops instead of 8) reads 0.13 — FLAT,
+    * so the cap is the graph, not the beam: the per-round candidate
+    * budget |V|·(2M)² covers ~51 % of a 500-vector space per round but
+    * 0.3 % of 80k, and the near-iid corpus (cosines concentrate; no
+    * cluster structure) gives the descent nothing local to climb. Real
+    * LLM embedding corpora are clustered — exactly the structure
+    * NN-descent exploits (Dong et al. report 90 %+ edge recall at
+    * millions of points) — so the scale story is corpus-geometry-bound
+    * here, disclosed rather than hidden behind the small-scale number.
     */
   val NswDescentRounds = 5
 
