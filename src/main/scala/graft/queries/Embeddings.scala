@@ -1044,6 +1044,47 @@ object Embeddings {
     (beam, seen.reduce(_ unionAll _).distinct())
   }
 
+  /** The whole ef axis of [[nswBeam]] in ONE hop loop: the per-ef beams
+    * are independent state machines keyed by (ef, q_id), so running
+    * them as one ef-tagged frame turns |axis| × [[NswSteps]]
+    * checkpointed hop rounds into [[NswSteps]] (the r18 grid-row
+    * fan-out economics applied to the beam sweep — the per-hop jobs
+    * were 3× duplicated work at GOT-job-floor prices). Per-ef slices
+    * are IDENTICAL to [[nswBeam]]'s by construction — every join is
+    * row-wise, every distinct carries ef, the window partitions by
+    * (ef, q_id) and the cut compares rn to the row's own ef column —
+    * and NswRecallSpec pins batched ≡ per-ef on the full axis. State
+    * stays Σ_ef |queries|·ef rows. Returns the ef-tagged
+    * (beam, visited) pair.
+    */
+  private[graft] def nswBeamBatch(knn: DataFrame, q: DataFrame,
+      nbr: DataFrame, s0: DataFrame, efs: Seq[Int])
+      : (DataFrame, DataFrame) = {
+    val wB = Window.partitionBy(col("ef"), col("q_id"))
+      .orderBy(col("cos").desc, col("node").asc)
+    val s0e = efs.map(ef => s0.select(lit(ef).as("ef"), col("q_id"),
+      col("node"), col("cos"))).reduce(_ unionAll _)
+    var beam = s0e
+    val seen = scala.collection.mutable.ArrayBuffer[DataFrame](s0e)
+    for (_ <- 1 to NswSteps) {
+      val cand = beam.select(col("ef"), col("q_id"), col("node"))
+        .join(knn, col("node") === col("src"))
+        .select(col("ef"), col("q_id"), col("dst"))
+        .distinct() // beam members share neighbors: score each once per ef
+        .join(broadcast(q), Seq("q_id"))
+        .join(nbr, Seq("dst"))
+        .selectExpr("ef", "q_id", "dst AS node",
+          "round(vec_dot(qv, nv) / (qnrm * nnrm), 6) AS cos")
+        .localCheckpoint(true) // feeds the visited union AND the re-rank
+      seen += cand
+      beam = beam.unionAll(cand).distinct()
+        .withColumn("rn", row_number().over(wB))
+        .where(col("rn") <= col("ef")).drop("rn")
+        .localCheckpoint(true)
+    }
+    (beam, seen.reduce(_ unionAll _).distinct())
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact cosine top-k per query (tie-inclusive RANK on the
     // rounded score so cross-engine float noise cannot flip the cut).
@@ -1233,8 +1274,12 @@ object Embeddings {
         .where(col("rk") <= IvfTopK)
         .select(col("q_id"), col("vec_id"))
         .localCheckpoint(true) // shared by every ef axis point
+      // whole axis in ONE hop loop ([[nswBeamBatch]] — per-ef slices
+      // identical to nswBeam's, spec-pinned); per-point scoring reads
+      // its ef slice of the one checkpointed visited frame.
+      val (_, visitedAll) = nswBeamBatch(knn, q, nbr, s0, NswEfAxis)
       NswEfAxis.map { ef =>
-        val (_, visited) = nswBeam(knn, q, nbr, s0, ef)
+        val visited = visitedAll.where(col("ef") === ef).drop("ef")
         val approx = visited.where(col("node") =!= col("q_id"))
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("q_id"))

@@ -130,6 +130,25 @@ class NswRecallSpec extends SparkSpec {
     assert(refined <= exact)
   }
 
+  test("nswBeamBatch ≡ nswBeam per axis point: beam AND visited sets " +
+      "are identical for every ef in one hop loop") {
+    val (knn, q, nbr, s0) = Embeddings.nswShared(spark, sfDir)
+    val (beamAll, visAll) =
+      Embeddings.nswBeamBatch(knn, q, nbr, s0, Embeddings.NswEfAxis)
+    def setOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    import org.apache.spark.sql.functions.col
+    for (ef <- Embeddings.NswEfAxis) {
+      val (beam, vis) = Embeddings.nswBeam(knn, q, nbr, s0, ef)
+      val bSlice = beamAll.where(col("ef") === ef)
+        .select(col("q_id"), col("node"), col("cos"))
+      val vSlice = visAll.where(col("ef") === ef)
+        .select(col("q_id"), col("node"), col("cos"))
+      assert(setOf(bSlice) == setOf(beam), s"beam diverged at ef=$ef")
+      assert(setOf(vSlice) == setOf(vis), s"visited diverged at ef=$ef")
+    }
+  }
+
   test("e_nsw_recall row shape and consistency: one row per ef, exact " +
       "integer hits, recall = n_hit / n_exact") {
     val rows = Embeddings.queries("e_nsw_recall")(spark, sfDir).collect()
