@@ -101,34 +101,47 @@ object Katz {
   def batchAlphasLocal(spark: SparkSession, csr: graft.graph.Csr,
       alphas: Seq[Double], iterations: Int): DataFrame = {
     import spark.implicits._
+    // grid-sweep regime: the result (|alphas|·n rows) collects to a
+    // LocalRelation — free to re-evaluate under the harnesses' per-row
+    // unpersist sweep (the gridGroundTruth memo rationale) and it lets
+    // the CSR broadcast be released HERE instead of leaking one copy
+    // per invocation (r18 review finding). Loud failure past the
+    // driver-sized bound; bigger graphs belong on [[run]].
+    require(csr.numNodes.toLong * math.max(1, alphas.length) <= 10000000L,
+      s"batchAlphasLocal is the grid-sweep regime (collects " +
+        s"${csr.numNodes} nodes x ${alphas.length} alphas to the " +
+        "driver) - use Katz.run for graphs this size")
     val bc = spark.sparkContext.broadcast(csr)
-    spark.sparkContext
-      .parallelize(alphas, math.max(1, alphas.length))
-      .flatMap { a =>
-        val g = bc.value
-        val n = g.numNodes
-        var x = Array.fill(n)(1.0)
-        var it = 0
-        while (it < iterations) {
-          val acc = new Array[Double](n)
-          var u = 0
-          while (u < n) {
-            val xu = x(u)
-            val d = g.outDegree(u)
-            var j = 0
-            while (j < d) { acc(g.neighbor(u, j)) += xu * a; j += 1 }
-            u += 1
+    try {
+      spark.sparkContext
+        .parallelize(alphas, math.max(1, alphas.length))
+        .flatMap { a =>
+          val g = bc.value
+          val n = g.numNodes
+          var x = Array.fill(n)(1.0)
+          var it = 0
+          while (it < iterations) {
+            val acc = new Array[Double](n)
+            var u = 0
+            while (u < n) {
+              val xu = x(u)
+              val d = g.outDegree(u)
+              var j = 0
+              while (j < d) { acc(g.neighbor(u, j)) += xu * a; j += 1 }
+              u += 1
+            }
+            var v = 0
+            while (v < n) { acc(v) = 1.0 + acc(v); v += 1 }
+            x = acc
+            it += 1
           }
-          var v = 0
-          while (v < n) { acc(v) = 1.0 + acc(v); v += 1 }
-          x = acc
-          it += 1
+          x.iterator.zipWithIndex.map { case (xv, v) =>
+            (a, g.originalOf(v), xv)
+          }
         }
-        x.iterator.zipWithIndex.map { case (xv, v) =>
-          (a, g.originalOf(v), xv)
-        }
-      }
-      .toDF("alpha", "node_id", "katz")
+        .collect().toSeq
+        .toDF("alpha", "node_id", "katz")
+    } finally bc.unpersist(false)
   }
 
   /** DuckDB oracle: the identical fixed schedule as unrolled CTEs.

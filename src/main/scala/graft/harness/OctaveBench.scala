@@ -24,6 +24,14 @@ object OctaveBench {
 
   import Fmt.r1
 
+  /** Locale-independent 4-dp format (r18 review: an f-interpolator here
+    * delegates to the default locale and a comma-decimal host would
+    * emit an unparseable artifact; Double.toString is locale-free).
+    */
+  private def fmt4(x: Double): String =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble.toString
+
   /** The octave truss section — ONE code path for the board
     * (OctaveBench.main) and the warm micro-probe ([[TrussProbe]]), so
     * the committed octave truss number has a single source of truth
@@ -348,20 +356,38 @@ object OctaveBench {
     // with hops ⟹ horizon-bound (the Malkov long-range-link case);
     // flat ⟹ build-bound.
     val deepSteps = sys.env.getOrElse("GRAFT_NSW_DEEP_STEPS", "32").toInt
+    // ground truth + shared beam frames built OUTSIDE the timed block
+    // (r18 review: the first draft re-ran the octave-scale exact top-k
+    // inside nsw_deep_sec, attributing duplicate work to the probe) —
+    // the timed section is exactly the one extra deep beam.
+    val E = graft.queries.Embeddings
+    val (knnD, qD, nbrD, s0D) = E.nswShared(spark, nswDir)
+    val deepGnd = E.queries("e_cosine_topk")(spark, nswDir)
+      .where(col("rk") <= E.IvfTopK)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val (deepRecall, nswDeepSec) = timed {
-      val E = graft.queries.Embeddings
-      val (knn, q, nbr, s0) = E.nswShared(spark, nswDir)
-      val gnd = E.queries("e_cosine_topk")(spark, nswDir)
-        .where(col("rk") <= E.IvfTopK)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val (_, visited) = E.nswBeam(knn, q, nbr, s0, 16, steps = deepSteps)
+      val (_, visited) = E.nswBeam(knnD, qD, nbrD, s0D, 16,
+        steps = deepSteps)
       val top = visited.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .filter(t => t._1 != t._2)
         .groupBy(_._1).values.flatMap(_.sortBy(t => (-t._3, t._2))
           .take(E.IvfTopK)).map(t => (t._1, t._2)).toSet
-      gnd.count(top.contains).toDouble / gnd.size
+      deepGnd.count(top.contains).toDouble / deepGnd.size
     }
+
+    // Adaptive-horizon HyperANF at the octave — the effDiameterRunAdaptive
+    // mode's production surface (r18 review: it was spec-only): start
+    // BELOW the default horizon and let the saturation check pick the
+    // stop hop on the 11.9M-edge graph (diameter ~3-4, so the adaptive
+    // schedule finishes hops earlier than the fixed-8 row would), with
+    // the achieved horizon disclosed as the row count.
+    val (adaptRows, adaptSec) = timed {
+      GQ.effDiameterRunAdaptive(edges, startHops = 2, hopCap = 16)
+        .collect()
+    }
+    val adaptSat = adaptRows.map(_.getInt(4)).headOption.getOrElse(-1)
+    val adaptHops = adaptRows.length - 1
 
     println(s"""{"metric":"octave_ops","sf":"$sfDir"""" +
       s""","fli_nodes":$n,"fli_edges":$m""" +
@@ -421,7 +447,10 @@ object OctaveBench {
       s""","nsw_recall_sec":${r1(nswRecallSec)}""" +
       s""","nsw_recall_at5":$nswRecallJson""" +
       s""","nsw_deep_steps":$deepSteps,"nsw_deep_sec":${r1(nswDeepSec)}""" +
-      s""","nsw_recall_ef16_deep":${f"$deepRecall%.4f"}}""")
+      s""","nsw_recall_ef16_deep":${fmt4(deepRecall)}""" +
+      s""","effdiam_adaptive_sec":${r1(adaptSec)}""" +
+      s""","effdiam_adaptive_hops":$adaptHops""" +
+      s""","effdiam_adaptive_sat":$adaptSat}""")
     spark.stop()
   }
 }

@@ -48,8 +48,11 @@ object ThroughputBench {
     * re-run to establish what these two numbers would have shown).
     */
   private def loadAvg(): Double =
-    scala.util.Try(scala.io.Source.fromFile("/proc/loadavg")
-      .getLines().next().split(" ")(0).toDouble).getOrElse(-1.0)
+    scala.util.Try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split(" ")(0).toDouble
+      finally src.close()
+    }.getOrElse(-1.0)
 
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()
@@ -118,7 +121,14 @@ object ThroughputBench {
             Fora.Conf(alpha = 0.15, epsilon = topkEps)).count()
           ts += (System.nanoTime() - b0) / 1e9
         }
-        def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+        def med(xs: Seq[Double]): Double = {
+          val s = xs.sorted
+          // true median: even-length lists take the midpoint, not the
+          // upper element (an N=3 run has 2 warm samples — reporting
+          // the max as "median" would bias the triage high)
+          if (s.length % 2 == 1) s(s.length / 2)
+          else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+        }
         def arr(xs: Seq[Double]): Raw =
           Raw(xs.map(r3(_).toString).mkString("[", ",", "]"))
         val (w, t) = (ws.result(), ts.result())

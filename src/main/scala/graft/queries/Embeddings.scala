@@ -467,6 +467,10 @@ object Embeddings {
     nswCache.remove((s, dir))
     modelPins.remove((s, dir)).foreach(ids =>
       graft.operators.SessionPins.unpin(s.sparkContext, ids))
+    // one re-ingest call clears EVERY session-fit family for the dir —
+    // the graph-side wedge cache included (r18 review finding: lpShared
+    // had no invalidation path and would serve stale frames forever).
+    Graph.invalidateModels(s, dir)
   }
 
   /** Product-quantization model shared by the PQ rows (via

@@ -378,10 +378,10 @@ object Graph {
     * nonnegative mod-derived ints < 2³¹ on every library graph, so
     * u<<32 | v is lossless.
     */
-  private[queries] def wedgePairAgg(und: DataFrame, cap: Int): DataFrame = {
+  private[queries] def wedgePairAgg(und: DataFrame, deg: DataFrame,
+      cap: Int): DataFrame = {
     val adj = und.select(col("a").as("w"), col("b").as("n"))
       .unionAll(und.select(col("b").as("w"), col("a").as("n")))
-    val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("dg"))
     val capped = adj
       .join(deg.where(col("dg").between(2, cap)), Seq("w"))
       .select(col("w"), col("n"),
@@ -441,7 +441,8 @@ object Graph {
     val adj = und.select(col("a").as("w"), col("b").as("n"))
       .unionAll(und.select(col("b").as("w"), col("a").as("n")))
     val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("dg"))
-    linkPredCnFinish(wedgePairAgg(und, cap), deg, topN)
+      .localCheckpoint(true) // read 3× (cap filter + two score joins)
+    linkPredCnFinish(wedgePairAgg(und, deg, cap), deg, topN)
   }
 
   /** `g_adamic_adar` body: top-`topN` non-adjacent pairs by the
@@ -450,8 +451,12 @@ object Graph {
     * one finish step over the shared [[wedgePairAgg]] fold.
     */
   private[graft] def adamicAdar(und: DataFrame, cap: Int,
-      topN: Int): DataFrame =
-    adamicAdarFinish(wedgePairAgg(und, cap), topN)
+      topN: Int): DataFrame = {
+    val adj = und.select(col("a").as("w"), col("b").as("n"))
+      .unionAll(und.select(col("b").as("w"), col("a").as("n")))
+    val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("dg"))
+    adamicAdarFinish(wedgePairAgg(und, deg, cap), topN)
+  }
 
   /** The shared link-prediction frames fitted ONCE per (session, source
     * dir) — the [[graft.queries.Embeddings]] nswCache serving discipline
@@ -465,6 +470,24 @@ object Graph {
     */
   private val lpCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  /** RDD ids backing each cached lpShared fit — what [[invalidateModels]]
+    * must unpin when a (session, dir) entry is dropped (the
+    * Embeddings.modelPins discipline).
+    */
+  private val lpPins = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Set[Int]]
+
+  /** Drop the cached link-prediction frames for (session, dir) and
+    * release their pinned checkpoint blocks — the re-ingest hook, same
+    * contract as [[graft.queries.Embeddings.invalidateModels]] (which
+    * calls through here so one re-ingest call clears BOTH families).
+    */
+  def invalidateModels(s: SparkSession, dir: String): Unit = {
+    lpCache.remove((s, dir))
+    lpPins.remove((s, dir)).foreach(ids =>
+      graft.operators.SessionPins.unpin(s.sparkContext, ids))
+  }
 
   private[queries] def lpShared(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) =
@@ -483,13 +506,14 @@ object Graph {
       // scaffolding; only the FINAL pairs frame may stay pinned (the
       // nswGraphBuild release discipline), so diff around each step.
       val keptSoFar = sc.getPersistentRDDs.keySet
-      val pairsLazy = wedgePairAgg(und, LpCnDegCap)
+      val pairsLazy = wedgePairAgg(und, deg, LpCnDegCap)
       val cappedIds = (sc.getPersistentRDDs.keySet -- keptSoFar).toSet
       val pairs = pairsLazy.localCheckpoint(true)
       cappedIds.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      graft.operators.SessionPins.pin(sc,
-        (sc.getPersistentRDDs.keySet -- before).toSet)
+      val pinIds = (sc.getPersistentRDDs.keySet -- before).toSet
+      graft.operators.SessionPins.pin(sc, pinIds)
+      lpPins.put((s, dir), pinIds)
       (deg, pairs)
     })
 

@@ -222,6 +222,23 @@ class LinkPredSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("Graph.invalidateModels drops the lpShared fit, unpins its " +
+      "blocks, and the refit row reproduces the same answer") {
+    val sc = spark.sparkContext
+    val before = Graph.queries("g_adamic_adar")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq // triggers (or reuses) the session fit
+    val pinned0 = graft.operators.SessionPins.pinned(sc)
+    Graph.invalidateModels(spark, sfDir)
+    val pinned1 = graft.operators.SessionPins.pinned(sc)
+    assert(pinned1.size < pinned0.size,
+      "invalidation must unpin the lpShared checkpoint blocks")
+    val after = Graph.queries("g_adamic_adar")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq // REFIT from source — not a stale frame
+    assert(after == before)
+  }
+
   test("a binding degree cap excludes hub centers by contract") {
     import spark.implicits._
     // star hub 0 -- {1..5} (degree 5) plus an off-hub wedge 6-8-7
