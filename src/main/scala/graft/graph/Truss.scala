@@ -234,10 +234,15 @@ object Truss {
     // is job floor, so peel the collected set driver-side instead
     // ([[runLocalPeel]]; output identical, spec-pinned). Long ids only —
     // an exotic schema keeps the general path.
-    if (m < incrFloor && und.schema.fields.take(2)
-        .forall(_.dataType == org.apache.spark.sql.types.LongType)) {
+    if (m < incrFloor && Seq("a", "b").forall(c =>
+        und.schema.fields.exists(f => f.name == c &&
+          f.dataType == org.apache.spark.sql.types.LongType))) {
       import spark.implicits._
-      val es = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+      // bind (a, b) BY NAME, exactly like the distributed path's
+      // col("a")/col("b") — a frame carrying extra leading columns must
+      // not silently peel the wrong pair.
+      val es = und.select(col("a"), col("b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
       return runLocalPeel(es, k, rounds, onRound, onRegime)
         .toSeq.toDF("a", "b", "sup")
     }

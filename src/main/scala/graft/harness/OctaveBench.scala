@@ -53,6 +53,11 @@ object OctaveBench {
   }
 
   def main(args: Array[String]): Unit = {
+    // host-window context (r18 verdict #4, the ThroughputBench fields
+    // verbatim): the octave numbers are load-sensitive (~+46 % on
+    // nsw_build_sec under load 9-17 in r18), so the artifact must carry
+    // its own window.
+    val loadStart = Fmt.loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.LocalSession.create()
 
@@ -450,7 +455,8 @@ object OctaveBench {
       s""","nsw_recall_ef16_deep":${fmt4(deepRecall)}""" +
       s""","effdiam_adaptive_sec":${r1(adaptSec)}""" +
       s""","effdiam_adaptive_hops":$adaptHops""" +
-      s""","effdiam_adaptive_sat":$adaptSat}""")
+      s""","effdiam_adaptive_sat":$adaptSat""" +
+      s""","load_start":$loadStart,"load_end":${Fmt.loadAvg()}}""")
     spark.stop()
   }
 }

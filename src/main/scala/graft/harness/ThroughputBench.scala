@@ -40,19 +40,7 @@ import graft.ppr.{Base, Fora}
   */
 object ThroughputBench {
 
-  import Fmt.{r1, r3}
-
-  /** 1-minute load average, or -1 where /proc is unavailable — emitted at
-    * board start and end so every committed artifact carries its own
-    * host-window context (the r18 fli triage took a same-day subset
-    * re-run to establish what these two numbers would have shown).
-    */
-  private def loadAvg(): Double =
-    scala.util.Try {
-      val src = scala.io.Source.fromFile("/proc/loadavg")
-      try src.getLines().next().split(" ")(0).toDouble
-      finally src.close()
-    }.getOrElse(-1.0)
+  import Fmt.{loadAvg, r1, r3}
 
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()
@@ -97,16 +85,19 @@ object ThroughputBench {
       emit(s"${tag}_fora_topk_sec" -> r3(tkSec))
       emit(s"${tag}_fora_topk_qpm" -> r1(srcs.length * 60.0 / tkSec))
 
-      // GRAFT_THR_FORA_REPEAT=N (triage mode, guarded parse): re-time the
-      // two FORA kernels N−1 more times in the SAME warm JVM and emit
-      // warm medians + samples — the warm_compare discipline for the
-      // throughput scales (the r18 fli triage needed same-JVM medians
-      // and had only cold singles; the memory-bound hub-skew kernels
-      // swing ±30 % with the host window). Default 1 → no extra fields,
-      // the headline artifact shape is unchanged.
+      // GRAFT_THR_FORA_REPEAT=N (guarded parse): re-time the two FORA
+      // kernels N−1 more times in the SAME warm JVM and emit warm
+      // medians + samples — the warm_compare discipline for the
+      // throughput scales. DEFAULT 4 since r19 (verdict #3): the r18
+      // fli triage proved the cold single-shot numbers swing ±30 % with
+      // protocol position (the 745 s Amazon BASE prep churns the page
+      // cache before fli runs), so the headline artifact now carries
+      // its own warm medians alongside the unchanged cold protocol —
+      // the cold first pass is still measured first, from the same
+      // state as every earlier round.
       val foraRep = sys.env.get("GRAFT_THR_FORA_REPEAT")
         .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
-        .filter(_ >= 1).getOrElse(1)
+        .filter(_ >= 1).getOrElse(4)
       if (foraRep > 1) {
         final case class Raw(s: String) { override def toString: String = s }
         val ws = Seq.newBuilder[Double]
@@ -133,6 +124,8 @@ object ThroughputBench {
           Raw(xs.map(r3(_).toString).mkString("[", ",", "]"))
         val (w, t) = (ws.result(), ts.result())
         emit(s"${tag}_fora_whole_warm_med_sec" -> r3(med(w)))
+        emit(s"${tag}_fora_whole_warm_qpm" ->
+          r1(srcs.length * 60.0 / med(w)))
         emit(s"${tag}_fora_whole_warm_samples" -> arr(w))
         emit(s"${tag}_fora_topk_warm_med_sec" -> r3(med(t)))
         emit(s"${tag}_fora_topk_warm_samples" -> arr(t))

@@ -478,16 +478,51 @@ object Graph {
   private val lpPins = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Set[Int]]
 
-  /** Drop the cached link-prediction frames for (session, dir) and
-    * release their pinned checkpoint blocks — the re-ingest hook, same
-    * contract as [[graft.queries.Embeddings.invalidateModels]] (which
-    * calls through here so one re-ingest call clears BOTH families).
+  /** Drop the cached link-prediction AND PPR-family frames for
+    * (session, dir) and release their pinned checkpoint blocks — the
+    * re-ingest hook, same contract as
+    * [[graft.queries.Embeddings.invalidateModels]] (which calls through
+    * here so one re-ingest call clears every session-fit family).
     */
   def invalidateModels(s: SparkSession, dir: String): Unit = {
     lpCache.remove((s, dir))
     lpPins.remove((s, dir)).foreach(ids =>
       graft.operators.SessionPins.unpin(s.sparkContext, ids))
+    pprFamCache.remove((s, dir))
+    pprFamPins.remove((s, dir)).foreach(ids =>
+      graft.operators.SessionPins.unpin(s.sparkContext, ids))
   }
+
+  /** The tag-batched PPR superstep family fitted ONCE per (session,
+    * source dir) — r18 verdict #1: `g_power_ppr`, `g_ppr_seedset` and
+    * `g_pagerank` are three fixed-schedule single-shuffle loops over the
+    * SAME graph, so whichever row runs first pays ONE family-tagged loop
+    * ([[graft.ppr.PprFamily.runThree]]) and the others slice the pinned
+    * final checkpoint. Slices are expression-for-expression the
+    * standalone runs (PprFamilySpec pins both); checkpoint blocks are
+    * pinned via SessionPins and released through [[invalidateModels]].
+    */
+  private val pprFamCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private val pprFamPins = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Set[Int]]
+
+  private[graft] def pprFamilyShared(s: SparkSession, dir: String)
+      : DataFrame =
+    pprFamCache.getOrElseUpdate((s, dir), {
+      val sc = s.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val fam = graft.ppr.PprFamily.runThree(
+        s, GraphOps.lineitemGraph(s, dir, Mod), SingleSource, SeedSet,
+        Alpha, Iters, PrDamping, PrIters)
+      // force the loop now so only the FINAL state checkpoint remains
+      // (runThree releases its setup tables internally), then pin it.
+      fam.count()
+      val pinIds = (sc.getPersistentRDDs.keySet -- before).toSet
+      graft.operators.SessionPins.pin(sc, pinIds)
+      pprFamPins.put((s, dir), pinIds)
+      fam
+    })
 
   private[queries] def lpShared(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) =
@@ -498,18 +533,21 @@ object Graph {
       val und = e.select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b")).distinct()
         .localCheckpoint(true) // feeds adjacency, the anti-join
+      val undIds = (sc.getPersistentRDDs.keySet -- before).toSet
       val adj = und.select(col("a").as("w"), col("b").as("n"))
         .unionAll(und.select(col("b").as("w"), col("a").as("n")))
       val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("dg"))
         .localCheckpoint(true)
       // wedgePairAgg eagerly checkpoints its weighted-adjacency
-      // scaffolding; only the FINAL pairs frame may stay pinned (the
-      // nswGraphBuild release discipline), so diff around each step.
+      // scaffolding; only deg and the FINAL pairs frame may stay pinned
+      // (the nswGraphBuild release discipline), so diff around each
+      // step — including und itself, which is dead once `pairs` is
+      // eagerly checkpointed (the anti-join lineage is truncated).
       val keptSoFar = sc.getPersistentRDDs.keySet
       val pairsLazy = wedgePairAgg(und, deg, LpCnDegCap)
       val cappedIds = (sc.getPersistentRDDs.keySet -- keptSoFar).toSet
       val pairs = pairsLazy.localCheckpoint(true)
-      cappedIds.foreach(id =>
+      (cappedIds ++ undIds).foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
       val pinIds = (sc.getPersistentRDDs.keySet -- before).toSet
       graft.operators.SessionPins.pin(sc, pinIds)
@@ -821,21 +859,69 @@ object Graph {
     effDiamFinish(all, EffDiamHops)
   }
 
+  /** [[effDiamNfAt]] plus the EXACT register checksum the adaptive stop
+    * rule reads: `chk = Σ_{(id,b)} mj` over the raw register frame — mj
+    * only ever grows (integer max-merge) and rows are only ever added,
+    * so the total is strictly monotone in register state and a flat chk
+    * IS the register fixpoint. The 4-dp-rounded nf curve cannot serve
+    * as the stop rule (two different register states can round to equal
+    * nf for one hop and then grow again — r18 ADVICE); chk can, and it
+    * stays exact in BIGINT (mj ≤ 57, ≤ 16 rows/node ⟹ chk ≤ 912·n).
+    * Same single-job shape: one groupBy(id) fold + one global aggregate;
+    * the nf column is expression-for-expression [[effDiamNfAt]]'s.
+    */
+  private def effDiamNfChkAt(reg: DataFrame, h: Int): DataFrame = {
+    val E = graft.queries.Events
+    val pw = 1L << (E.HllW + 1)
+    reg.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${E.HllW + 1} - mj)"))
+          .as("s_reg"),
+        sum(col("mj")).as("smj"))
+      .selectExpr("id", "smj",
+        s"CAST(${E.HllM} - n_present AS BIGINT) AS v_zero",
+        s"s_reg + (${E.HllM} - n_present) * CAST($pw AS BIGINT) " +
+          "AS s_scaled")
+      .selectExpr("smj", E.hllEstSql)
+      .selectExpr(
+        "CAST(round(est * CAST(10000 AS DOUBLE)) AS BIGINT) AS e4", "smj")
+      .agg(sum(col("e4")).as("s4"), sum(col("smj")).as("chk"))
+      .selectExpr(s"CAST($h AS INT) AS h",
+        "CAST(s4 AS DOUBLE) / CAST(10000 AS DOUBLE) AS nf", "chk")
+  }
+
+  /** Curve finish for the adaptive mode: same frac/reach90 spellings as
+    * [[effDiamFinish]], but `sat` is the DRIVER-KNOWN register-fixpoint
+    * bit (from the exact chk stop rule, not the rounded-nf plateau) and
+    * the achieved horizon ships as an explicit `hops` column.
+    */
+  private def effDiamFinishAdaptive(all: DataFrame, lastH: Int,
+      saturated: Boolean): DataFrame = {
+    val tot = all.agg(max(when(col("h") === lastH, col("nf"))).as("nfh"))
+    all.crossJoin(broadcast(tot))
+      .selectExpr("h", "round(nf, 6) AS nf",
+        "round(nf / nfh, 6) AS frac",
+        "CAST(CASE WHEN nf >= CAST(0.9 AS DOUBLE) * nfh " +
+          "THEN 1 ELSE 0 END AS INT) AS reach90",
+        s"CAST(${if (saturated) 1 else 0} AS INT) AS sat",
+        s"CAST($lastH AS INT) AS hops")
+  }
+
   /** ADAPTIVE-horizon HyperANF (r17 verdict #7, the `sat` honesty bit
-    * extended into a mode): when the fixed horizon would end with
-    * sat = 0 the effective-diameter reading is only a LOWER bound, so
-    * this variant keeps hopping past `startHops` until the curve
-    * saturates (nf(h) = nf(h−1) — registers are monotone, so one flat
-    * hop IS the fixpoint) or `hopCap` is hit. Each extension hop prices
-    * one extra 1-row materialization+read on top of the shared hop
-    * kernel (the per-hop cost the default row's scaladoc documents) —
-    * that is the disclosed trade for turning the lower bound into the
-    * value. The DEFAULT `g_eff_diameter` row is untouched: it stays the
-    * fixed-schedule [[effDiameterRun]] the oracle unrolls; this mode is
-    * for graphs whose diameter is unknown a priori
-    * (EffDiamAdaptiveSpec pins it on a long-path fixture: stops exactly
-    * one hop past the true diameter, sat = 1; cap-bound runs report
-    * sat = 0).
+    * extended into a mode; r19: ALSO the default `g_eff_diameter` row —
+    * the oracle replays the stop predicate, so early stops stay
+    * hash-checkable): hop until the register state saturates or
+    * `hopCap` is hit. The stop rule reads the EXACT integer register
+    * checksum ([[effDiamNfChkAt]]'s `chk`), NOT the 4-dp-rounded nf
+    * curve — registers are monotone, so one flat chk hop IS the
+    * fixpoint, while a flat ROUNDED-nf hop need not be (r18 ADVICE: two
+    * register states can round equal for one hop and then grow again,
+    * which would present a lower bound as the value). The check binds
+    * only once `startHops` is exhausted — the mode extends or (with
+    * startHops = 1) truncates the schedule, and `sat`/`hops` disclose
+    * what happened (EffDiam specs in HyperBallSpec pin the long-path
+    * stop-at-register-fixpoint, the cap-bound sat = 0 disclosure, and
+    * schedule-identity with [[effDiameterRun]] at a pinned horizon).
     */
   private[graft] def effDiameterRunAdaptive(edges: DataFrame,
       startHops: Int = EffDiamHops, hopCap: Int = 4 * EffDiamHops)
@@ -843,28 +929,27 @@ object Graph {
     require(startHops >= 1 && hopCap >= startHops,
       s"need 1 <= startHops <= hopCap, got $startHops/$hopCap")
     var reg = hllReg0(edges)
-    def nfCkpt(h: Int): (DataFrame, Double) = {
-      val one = effDiamNfAt(reg, h).localCheckpoint(true)
-      (one, one.collect()(0).getDouble(1))
+    def nfCkpt(h: Int): (DataFrame, Long) = {
+      val one = effDiamNfChkAt(reg, h).localCheckpoint(true)
+      (one.select(col("h"), col("nf")), one.collect()(0).getLong(2))
     }
-    val (nf0, v0) = nfCkpt(0)
+    val (nf0, c0) = nfCkpt(0)
     val curve = scala.collection.mutable.ArrayBuffer[DataFrame](nf0)
-    var prevNf = v0
+    var prevChk = c0
     var h = 0
     var saturated = false
     while (h < hopCap && !saturated) {
       h += 1
       reg = hllStep(edges, reg)
-      val (one, v) = nfCkpt(h)
+      val (one, c) = nfCkpt(h)
       curve += one
-      // monotone registers: a flat hop is the fixpoint. Only binding
-      // once the start horizon is exhausted — the adaptive mode extends
-      // the schedule, it never truncates it below startHops.
-      saturated = h >= startHops && v == prevNf
-      prevNf = v
+      // monotone registers: a flat chk hop is the fixpoint. Only
+      // binding once the start horizon is exhausted.
+      saturated = h >= startHops && c == prevChk
+      prevChk = c
     }
     val all = curve.reduce(_ unionAll _).localCheckpoint(true)
-    effDiamFinish(all, h)
+    effDiamFinishAdaptive(all, h, saturated)
   }
 
   /** `g_kcore` body over an undirected distinct edge set `und` (`a < b`
@@ -1496,12 +1581,14 @@ object Graph {
       SsspHops, _ => GraphOps.lineitemWeightedCsr(s, dir, Mod),
       Some(GraphOps.lineitemWeightedGraphCount(s, dir, Mod)))),
 
-    // K1 distributed: single-source PPR by DataFrame superstep loop.
-    "g_power_ppr" -> ((s, dir) => {
-      val edges = GraphOps.lineitemGraph(s, dir, Mod)
-      PowerIteration.run(s, edges, SingleSource, Alpha, Iters)
-        .select(col("node_id"), round(col("score"), 9).as("score"))
-    }),
+    // K1 distributed: single-source PPR by DataFrame superstep loop —
+    // served from the tag-batched family fit ([[pprFamilyShared]],
+    // r18 verdict #1); the slice is expression-for-expression
+    // [[PowerIteration.run]] (PprFamilySpec pins it).
+    "g_power_ppr" -> ((s, dir) =>
+      pprFamilyShared(s, dir)
+        .where(col("fam") === graft.ppr.PprFamily.FamPower)
+        .select(col("node_id"), round(col("score"), 9).as("score"))),
 
     // Seed-SET personalized PageRank (topic-sensitive teleport,
     // Haveliwala 2002) — see [[PowerIteration.runSeedSet]]: residue
@@ -1510,21 +1597,19 @@ object Graph {
     // difference and the no-dangling linearity equality are both
     // spec-pinned). Same one-join-one-aggregate superstep economics as
     // g_power_ppr; |S| = 4 keeps 1/|S| exact binary on both engines.
-    "g_ppr_seedset" -> ((s, dir) => {
-      val edges = GraphOps.lineitemGraph(s, dir, Mod)
-      PowerIteration.runSeedSet(s, edges, SeedSet, Alpha, Iters)
-        .select(col("node_id"), round(col("score"), 9).as("score"))
-    }),
+    "g_ppr_seedset" -> ((s, dir) =>
+      pprFamilyShared(s, dir)
+        .where(col("fam") === graft.ppr.PprFamily.FamSeed)
+        .select(col("node_id"), round(col("score"), 9).as("score"))),
 
     // Global PageRank: teleport-to-uniform + uniform dangling
     // redistribution — the non-personalized sibling of K1 (see
     // [[PageRank]]). One superstep = one job; 1-row dangling aggregate
     // broadcast into the base term.
-    "g_pagerank" -> ((s, dir) => {
-      val edges = GraphOps.lineitemGraph(s, dir, Mod)
-      PageRank.run(s, edges, PrDamping, PrIters)
-        .select(col("node_id"), round(col("score"), 9).as("score"))
-    }),
+    "g_pagerank" -> ((s, dir) =>
+      pprFamilyShared(s, dir)
+        .where(col("fam") === graft.ppr.PprFamily.FamRank)
+        .select(col("node_id"), round(col("score"), 9).as("score"))),
 
     // Katz centrality: attenuated walk counts x = Σ α^j (Aᵀ)^j · 1 as
     // the truncated fixpoint x' = 1 + α·Aᵀx (see [[graft.graph.Katz]]) —
@@ -1564,15 +1649,21 @@ object Graph {
     "g_hyperball" -> ((s, dir) =>
       hyperBallRun(GraphOps.lineitemGraph(s, dir, Mod).localCheckpoint(true))),
 
-    // Effective diameter via HyperANF — see [[effDiameterRun]]: the
-    // neighborhood-function curve N(h) to the fixed [[EffDiamHops]]
-    // horizon, each hop's fraction of the plateau, and the ≥90% reach
-    // flag whose first set hop is the standard effective-diameter
-    // reading. The graph-profile scalar every connectivity report leads
-    // with, priced at HyperBall cost instead of all-pairs BFS.
+    // Effective diameter via HyperANF — ADAPTIVE horizon (r18 verdict
+    // #5; see [[effDiameterRunAdaptive]]): hops stop at the FIRST exact
+    // register fixpoint (flat integer chk) up to the [[EffDiamHops]]
+    // cap, so a graph that saturates at hop 4 prices 4 hop kernels, not
+    // 8 — spare hops on a saturated sketch are pure job floor. The stop
+    // predicate is deterministic and the DuckDB oracle replays it over
+    // its own unrolled register CTEs, so the early stop stays
+    // hash-checkable; the achieved horizon and the fixpoint bit ship as
+    // the `hops`/`sat` columns. The graph-profile scalar every
+    // connectivity report leads with, priced at HyperBall cost instead
+    // of all-pairs BFS.
     "g_eff_diameter" -> ((s, dir) =>
-      effDiameterRun(
-        GraphOps.lineitemGraph(s, dir, Mod).localCheckpoint(true))),
+      effDiameterRunAdaptive(
+        GraphOps.lineitemGraph(s, dir, Mod).localCheckpoint(true),
+        startHops = 1, hopCap = EffDiamHops)),
 
     // Harmonic centrality from the HyperBall registers — Boldi & Vigna's
     // actual use case for the sketch (In-Core Computation of Geometric
@@ -2034,6 +2125,11 @@ object Graph {
            |SELECT node_id, v_zero1, s_scaled1, est1, v_zero2, s_scaled2,
            |  est2 FROM hb""".stripMargin,
       "g_eff_diameter" -> {
+        // Replays the ADAPTIVE stop predicate over the full unrolled
+        // register chain: per-hop exact integer checksum Σmj, stop hop
+        // hs = first flat-chk hop (register fixpoint — registers are
+        // monotone) capped at the horizon, rows emitted only to hs,
+        // sat/hops disclosed exactly like the Spark side.
         val E2 = graft.queries.Events
         val hops = (1 to EffDiamHops)
           .map(h => s"r$h AS MATERIALIZED (${hllStepSql(s"r${h - 1}")})")
@@ -2041,24 +2137,31 @@ object Graph {
         val nfs = (0 to EffDiamHops).map { h =>
           s"""n$h AS MATERIALIZED (SELECT CAST($h AS INT) AS h,
              |  CAST(sum(CAST(round(est * CAST(10000 AS DOUBLE)) AS BIGINT))
-             |    AS DOUBLE) / CAST(10000 AS DOUBLE) AS nf
+             |    AS DOUBLE) / CAST(10000 AS DOUBLE) AS nf,
+             |  (SELECT sum(mj) FROM r$h) AS chk
              |  FROM (SELECT id, ${E2.hllEstSql}
              |    FROM (${hllFoldSql(s"r$h", "")}) f$h))""".stripMargin
         }.mkString(",\n")
         val union = (0 to EffDiamHops)
-          .map(h => s"SELECT h, nf FROM n$h")
+          .map(h => s"SELECT h, nf, chk FROM n$h")
           .mkString("\n  UNION ALL ")
         s"""WITH $hllPreambleSql,
            |$hops,
            |$nfs,
            |curve AS ($union),
-           |tot AS (SELECT a.nf AS nfh, b.nf AS nfh1
-           |  FROM n$EffDiamHops a CROSS JOIN n${EffDiamHops - 1} b)
+           |hstop AS (SELECT CAST(coalesce(min(a.h), $EffDiamHops) AS INT)
+           |    AS hs
+           |  FROM curve a JOIN curve b ON b.h = a.h - 1
+           |  WHERE a.chk = b.chk),
+           |tot AS (SELECT a.nf AS nfh,
+           |    CASE WHEN a.chk = b.chk THEN 1 ELSE 0 END AS satv, hs
+           |  FROM curve a, curve b, hstop
+           |  WHERE a.h = hs AND b.h = hs - 1)
            |SELECT h, round(nf, 6) AS nf, round(nf / nfh, 6) AS frac,
            |  CAST(CASE WHEN nf >= CAST(0.9 AS DOUBLE) * nfh
            |    THEN 1 ELSE 0 END AS INT) AS reach90,
-           |  CAST(CASE WHEN nfh = nfh1 THEN 1 ELSE 0 END AS INT) AS sat
-           |FROM curve CROSS JOIN tot""".stripMargin
+           |  CAST(satv AS INT) AS sat, CAST(hs AS INT) AS hops
+           |FROM curve CROSS JOIN tot WHERE h <= hs""".stripMargin
       },
       "g_harmonic" ->
         s"""$hyperballOracleChain

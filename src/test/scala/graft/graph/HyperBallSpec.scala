@@ -111,17 +111,19 @@ class HyperBallSpec extends SparkSpec {
   }
 
   test("g_eff_diameter equals the exact in-memory HyperANF replay " +
-      "(registers → 4-dp estimates → exact ×10⁴ integer sum), the curve " +
-      "is monotone, the 90% flag is a step ending at 1, and the sat " +
-      "flag discloses the nf(H)=nf(H−1) plateau") {
+      "(registers → 4-dp estimates → exact ×10⁴ integer sum), stops at " +
+      "the replayed register fixpoint (exact Σmj checksum) capped at " +
+      "the horizon, the curve is monotone, the 90% flag is a step " +
+      "ending at 1, and sat/hops disclose the stop") {
     val H = Graph.EffDiamHops
     val rows = Graph.queries("g_eff_diameter")(spark, sfDir).collect()
     val got = rows
       .map(r => (r.getInt(0), (r.getDouble(1), r.getDouble(2), r.getInt(3))))
       .sortBy(_._1)
-    assert(got.map(_._1).toSeq == (0 to H))
     val sats = rows.map(_.getInt(4)).distinct.toSeq
     assert(sats.size == 1, s"sat must be one constant flag, got $sats")
+    val hopsCols = rows.map(_.getInt(5)).distinct.toSeq
+    assert(hopsCols.size == 1, s"hops must be one constant, got $hopsCols")
 
     val edges = GraphOps.lineitemGraph(spark, sfDir, Graph.Mod).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -132,9 +134,11 @@ class HyperBallSpec extends SparkSpec {
     val pw = 1L << (Events.HllW + 1)
     def round(x: Double, s: Int): Double =
       BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
-    def estOf(b: Set[Long]): Double = {
-      val regs = b.groupMapReduce(w => TextOps.kmvMix(w % TextOps.P) % m)(
+    def regsOf(b: Set[Long]): Map[Long, Int] =
+      b.groupMapReduce(w => TextOps.kmvMix(w % TextOps.P) % m)(
         w => rho(TextOps.kmvMix(w % TextOps.P) / m))(math.max)
+    def estOf(b: Set[Long]): Double = {
+      val regs = regsOf(b)
       val vz = (m - regs.size).toLong
       val ss = regs.values.map(mj => 1L << (Events.HllW + 1 - mj)).sum +
         (m - regs.size) * pw
@@ -145,23 +149,37 @@ class HyperBallSpec extends SparkSpec {
     var ball = nodes.map(v => v -> Set(v)).toMap
     def nfOf(b: Map[Long, Set[Long]]): Double =
       b.valuesIterator.map(s => math.round(estOf(s) * 10000.0)).sum / 10000.0
+    // the engine's stop rule: exact integer register checksum Σmj
+    def chkOf(b: Map[Long, Set[Long]]): Long =
+      b.valuesIterator.map(s => regsOf(s).values.map(_.toLong).sum).sum
     val nfs = Seq.newBuilder[Double]
-    nfs += nfOf(ball)
+    val chks = Seq.newBuilder[Long]
+    nfs += nfOf(ball); chks += chkOf(ball)
     for (_ <- 1 to H) {
       ball = ball.map { case (v, b) =>
         v -> out(v).foldLeft(b)((acc, u) => acc ++ ball(u))
       }
-      nfs += nfOf(ball)
+      nfs += nfOf(ball); chks += chkOf(ball)
     }
     val want = nfs.result()
-    val nfh = want(H)
+    val chk = chks.result()
+    // replayed adaptive stop: first flat-chk hop (register fixpoint),
+    // capped at the horizon
+    val hstop = (1 to H).find(h => chk(h) == chk(h - 1)).getOrElse(H)
+    assert(got.map(_._1).toSeq == (0 to hstop),
+      s"rows must end at the replayed stop hop $hstop")
+    assert(hopsCols.head == hstop, "hops column diverged from the replay")
+    assert(sats.head ==
+        (if (chk(hstop) == chk(hstop - 1)) 1 else 0),
+      "sat flag diverged from the replayed register fixpoint")
+    val nfh = want(hstop)
     got.foreach { case (h, (nf, frac, reach)) =>
       assert(nf == round(want(h), 6), s"hop $h nf")
       assert(frac == round(want(h) / nfh, 6), s"hop $h frac")
       assert(reach == (if (want(h) >= 0.9 * nfh) 1 else 0), s"hop $h flag")
     }
     // curve shape: registers are monotone so N(h) is non-decreasing,
-    // the flag is a monotone step, and it is SET at the horizon
+    // the flag is a monotone step, and it is SET at the stop hop
     got.sliding(2).foreach {
       case Array(a, b) =>
         assert(b._2._1 >= a._2._1, "N(h) decreased")
@@ -171,15 +189,12 @@ class HyperBallSpec extends SparkSpec {
     assert(got.last._2._3 == 1 && got.last._2._2 == 1.0)
     // the effective diameter itself: first flagged hop, within horizon
     val eff = got.find(_._2._3 == 1).get._1
-    assert(eff >= 0 && eff <= H)
-    // sat replays the exact plateau test on the same ×10⁴-exact curve
-    assert(sats.head == (if (want(H) == want(H - 1)) 1 else 0),
-      "sat flag diverged from the replayed plateau")
+    assert(eff >= 0 && eff <= hstop)
   }
 
   test("adaptive horizon: a long-path fixture stops at the replayed " +
-      "curve's first flat hop with sat=1, a binding cap stops early " +
-      "with sat=0, and at the fixed horizon it equals the default run") {
+      "register fixpoint with sat=1, a binding cap stops early " +
+      "with sat=0, and at a pinned horizon it equals the fixed run") {
     val s = spark
     import s.implicits._
     def round(x: Double, sc: Int): Double =
@@ -208,10 +223,16 @@ class HyperBallSpec extends SparkSpec {
       round(if (raw <= 2.5 * m && vz > 0) m * math.log(m.toDouble / vz)
         else raw, 4)
     }
+    def regsOf(b: Set[Long]): Map[Long, Int] =
+      b.groupMapReduce(w => TextOps.kmvMix(w % TextOps.P) % m)(
+        w => rho(TextOps.kmvMix(w % TextOps.P) / m))(math.max)
     var ball = (0L until n).map(v => v -> Set(v)).toMap
     def nfOf(b: Map[Long, Set[Long]]): Double =
       b.valuesIterator.map(x => math.round(estOf(x) * 10000.0)).sum / 10000.0
+    def chkOf(b: Map[Long, Set[Long]]): Long =
+      b.valuesIterator.map(x => regsOf(x).values.map(_.toLong).sum).sum
     val nfs = scala.collection.mutable.ArrayBuffer(nfOf(ball))
+    val chks = scala.collection.mutable.ArrayBuffer(chkOf(ball))
     var flat = -1
     var h = 0
     while (flat < 0) {
@@ -220,19 +241,24 @@ class HyperBallSpec extends SparkSpec {
         v -> out(v).foldLeft(b)((acc, u) => acc ++ ball(u))
       }
       nfs += nfOf(ball)
-      if (h >= 2 && nfs(h) == nfs(h - 1)) flat = h
+      chks += chkOf(ball)
+      // the engine's stop rule: exact register-checksum fixpoint, NOT
+      // the 4-dp-rounded nf curve (which can flatten transiently)
+      if (h >= 2 && chks(h) == chks(h - 1)) flat = h
     }
     assert(flat > Graph.EffDiamHops,
       s"fixture must out-run the default horizon, flattened at $flat")
 
     val got = Graph.effDiameterRunAdaptive(edges, startHops = 2,
         hopCap = 64).collect()
-      .map(r => (r.getInt(0), r.getDouble(1), r.getInt(4))).sortBy(_._1)
+      .map(r => (r.getInt(0), r.getDouble(1), r.getInt(4), r.getInt(5)))
+      .sortBy(_._1)
     assert(got.map(_._1).toSeq == (0 to flat),
-      s"adaptive run must stop at the curve's first flat hop $flat")
-    got.foreach { case (hh, nf, sat) =>
+      s"adaptive run must stop at the register fixpoint hop $flat")
+    got.foreach { case (hh, nf, sat, hops) =>
       assert(nf == round(nfs(hh), 6), s"hop $hh nf")
       assert(sat == 1, "a saturation stop must disclose sat=1")
+      assert(hops == flat, "hops column must disclose the stop hop")
     }
 
     // binding cap: stops at the cap with the growth disclosed (sat=0)
@@ -241,24 +267,23 @@ class HyperBallSpec extends SparkSpec {
         hopCap = cap).collect()
       .map(r => (r.getInt(0), r.getInt(4))).sortBy(_._1)
     assert(capped.map(_._1).toSeq == (0 to cap))
-    assert(nfs(cap) != nfs(cap - 1), "replay sanity: still growing at cap")
+    assert(chks(cap) != chks(cap - 1), "replay sanity: still growing at cap")
     capped.foreach { case (_, sat) =>
       assert(sat == 0, "a cap-bound stop must disclose sat=0") }
 
-    // at the fixed horizon on the bench graph the adaptive mode IS the
-    // default row (same schedule when the curve saturates in-horizon)
-    val fixed = Graph.queries("g_eff_diameter")(spark, sfDir).collect()
-      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getInt(3),
-        r.getInt(4))).sortBy(_._1).toSeq
-    if (fixed.last._5 == 1) {
-      val bench = GraphOps.lineitemGraph(spark, sfDir, Graph.Mod)
-        .localCheckpoint(true)
-      val ad = Graph.effDiameterRunAdaptive(bench,
-          startHops = Graph.EffDiamHops, hopCap = Graph.EffDiamHops)
-        .collect()
-        .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getInt(3),
-          r.getInt(4))).sortBy(_._1).toSeq
-      assert(ad == fixed, "adaptive at the fixed horizon diverged")
-    }
+    // at a PINNED horizon (startHops = hopCap = H) the adaptive mode
+    // runs the fixed schedule verbatim, so its curve columns equal
+    // [[Graph.effDiameterRun]]'s on the bench graph unconditionally
+    val bench = GraphOps.lineitemGraph(spark, sfDir, Graph.Mod)
+      .localCheckpoint(true)
+    val fixed = Graph.effDiameterRun(bench).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._1).toSeq
+    val ad = Graph.effDiameterRunAdaptive(bench,
+        startHops = Graph.EffDiamHops, hopCap = Graph.EffDiamHops)
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._1).toSeq
+    assert(ad == fixed, "adaptive at the pinned horizon diverged")
   }
 }
