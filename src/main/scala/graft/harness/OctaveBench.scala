@@ -380,6 +380,25 @@ object OctaveBench {
           .take(E.IvfTopK)).map(t => (t._1, t._2)).toSet
       deepGnd.count(top.contains).toDouble / deepGnd.size
     }
+    // BUILD-quality recall on the near-iid corpus (r18 verdict #2's
+    // side-by-side axis): fraction of the exact top-k that are DIRECT
+    // out-edges of the query in the built graph — the NN-descent claim
+    // measured with no routing in the denominator. The clustered
+    // positive control below reports the same metric.
+    val nswBuildRecall = {
+      val eq = knnD.where(col("src") < E.NumQueries)
+        .selectExpr("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      deepGnd.count(eq.contains).toDouble / deepGnd.size
+    }
+    // the POSITIVE CONTROL (r18 verdict #2): the identical build +
+    // probe chain on a planted-cluster corpus of the same size — see
+    // [[NswControl]] for the geometry and the attribution fields.
+    val ctlJson = NswControl.section(spark,
+      sys.env.getOrElse("GRAFT_NSWCL_VECS", nVecs.toString).toLong,
+      sys.env.getOrElse("GRAFT_NSWCL_CLUSTERS", "16").toInt,
+      sys.env.getOrElse("GRAFT_NSWCL_NOISE", "0.3").toDouble,
+      sys.env.getOrElse("GRAFT_NSWCL_BRIDGE", "0.3").toDouble)
 
     // Adaptive-horizon HyperANF at the octave — the effDiameterRunAdaptive
     // mode's production surface (r18 review: it was spec-only): start
@@ -453,6 +472,8 @@ object OctaveBench {
       s""","nsw_recall_at5":$nswRecallJson""" +
       s""","nsw_deep_steps":$deepSteps,"nsw_deep_sec":${r1(nswDeepSec)}""" +
       s""","nsw_recall_ef16_deep":${fmt4(deepRecall)}""" +
+      s""","nsw_build_recall":${fmt4(nswBuildRecall)}""" +
+      ctlJson +
       s""","effdiam_adaptive_sec":${r1(adaptSec)}""" +
       s""","effdiam_adaptive_hops":$adaptHops""" +
       s""","effdiam_adaptive_sat":$adaptSat""" +

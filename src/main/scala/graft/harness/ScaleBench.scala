@@ -70,6 +70,67 @@ object ScaleBench {
     dir2
   }
 
+  /** r18 verdict #2 — the NSW POSITIVE-CONTROL corpus: `nVecs` planted-
+    * cluster vectors (dim [[graft.queries.Embeddings.Dims]]-compatible),
+    * written as `embeddings.parquet` (vec_id, embedding FLOAT[], label)
+    * and returned as a dir the NSW build/recall rows can point at.
+    *
+    * Geometry (every coordinate a pure hash of (id, dim) — seeded,
+    * oracle-replayable, no RNG state):
+    *  - `nClusters` centers with i.i.d. hashed-uniform coordinates in
+    *    [-1, 1] — pairwise near-orthogonal at 64 dims, so clusters are
+    *    WELL-SEPARATED in cosine;
+    *  - members (1 − bridgeFrac of the corpus, cluster = id %
+    *    nClusters) are center + `noise`·U[-1,1] per coordinate — with
+    *    noise 0.3 the in-cluster cosine sits ≈ 0.9 vs ≈ |N(0, d^-1/2)|
+    *    across clusters, so every true top-k neighbor is in-cluster and
+    *    neighbor-of-neighbor candidates are informative (the cluster
+    *    locality NN-descent exploits — the property the r18 octave
+    *    disclosed the near-iid roll LACKS);
+    *  - a `bridgeFrac` fraction (ids ≥ NumQueries only, so queries stay
+    *    cluster members) interpolate t·cA + (1−t)·cB between a hashed
+    *    cluster pair — the continuum density real embedding corpora
+    *    carry between superclusters, and what keeps the kNN graph
+    *    ROUTABLE (isolated Gaussian islands would disconnect any pure
+    *    kNN graph — a routing property, not a build property; the
+    *    bridge knob lets the harness separate the two attributions).
+    *    Bridge labels are -1.
+    */
+  def writeClusteredCorpus(spark: org.apache.spark.sql.SparkSession,
+      nVecs: Long, nClusters: Int, dim: Int, noise: Double,
+      bridgeFrac: Double): String = {
+    val dir = s"/tmp/graft_clustered_${nVecs}_${nClusters}"
+    val T = graft.text.TextOps
+    val P2 = s"(CAST(${T.P} AS DOUBLE) * CAST(${T.P} AS DOUBLE))"
+    // hashed uniform in [0,1): kmvMix lives in [0, P²); inputs are
+    // modded into [0, P) first (the kmvMix overflow contract).
+    def unif(h: String): String =
+      s"(${T.spark.kmvMix(s"(($h) % ${T.P})")} / $P2)"
+    def unifPm1(h: String): String = s"(2.0 * ${unif(h)} - 1.0)"
+    def center(cl: String, d: String): String =
+      unifPm1(s"(($cl) * 131 + ($d)) * 7 + 1")
+    val nq = graft.queries.Embeddings.NumQueries
+    val a = s"CAST(id % $nClusters AS BIGINT)"
+    val b = s"CAST((id % $nClusters + 1 + " +
+      s"CAST(${unif("id * 53 + 11")} * ${nClusters - 1} AS BIGINT)) " +
+      s"% $nClusters AS BIGINT)"
+    val t = unif("id * 97 + 5")
+    val isBridge = s"(id >= $nq AND ${unif("id * 41 + 9")} < $bridgeFrac)"
+    val memberExpr = s"${center(a, "d")} + $noise * " +
+      unifPm1("id * 67 + (d) * 13 + 3")
+    val bridgeExpr = s"$t * ${center(a, "d")} + " +
+      s"(1.0 - $t) * ${center(b, "d")} + ${0.2 * noise} * " +
+      unifPm1("id * 67 + (d) * 13 + 3")
+    spark.range(nVecs).selectExpr(
+      "id AS vec_id",
+      s"transform(sequence(1, $dim), d -> CAST(CASE WHEN $isBridge " +
+        s"THEN $bridgeExpr ELSE $memberExpr END AS FLOAT)) AS embedding",
+      s"CAST(CASE WHEN $isBridge THEN -1 ELSE id % $nClusters END AS INT)" +
+        " AS label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val blow = sys.env.getOrElse("GRAFT_BLOWUP", blowDefault.toString).toInt

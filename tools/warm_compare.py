@@ -37,6 +37,9 @@ FIT_BEARING = {
     "e_kmeans", "e_silhouette", "e_ood_score", "e_semdedup",
     "e_cluster_balance",
     "g_adamic_adar", "g_linkpred_cn",
+    # r19: the tag-batched PPR family (pprFamilyShared) — whichever of
+    # the three rows runs first pays the whole family loop
+    "g_power_ppr", "g_ppr_seedset", "g_pagerank",
 }
 
 
