@@ -491,6 +491,12 @@ object Graph {
     pprFamCache.remove((s, dir))
     pprFamPins.remove((s, dir)).foreach(ids =>
       graft.operators.SessionPins.unpin(s.sparkContext, ids))
+    hbCache.remove((s, dir))
+    hbPins.remove((s, dir)).foreach(ids =>
+      graft.operators.SessionPins.unpin(s.sparkContext, ids))
+    triCache.remove((s, dir))
+    triPins.remove((s, dir)).foreach(ids =>
+      graft.operators.SessionPins.unpin(s.sparkContext, ids))
   }
 
   /** The tag-batched PPR superstep family fitted ONCE per (session,
@@ -553,6 +559,56 @@ object Graph {
       graft.operators.SessionPins.pin(sc, pinIds)
       lpPins.put((s, dir), pinIds)
       (deg, pairs)
+    })
+
+  /** The TRIANGLE enumeration fitted once per (session, source dir) —
+    * r19 optimization: `g_triangles`, `g_local_cc` and `g_clustering`
+    * each ran the SAME degree-ordered wedge/triangle pipeline over the
+    * same TriMod graph (guide §2.4 — three identical Σdeg²-bounded
+    * wedge joins per board). One fit runs [[triPerNodeFrom]] once and
+    * pins `(deg, triPerNode)`; the three rows finish from it:
+    * `g_triangles` IS `triPerNode`, `g_local_cc` is
+    * [[localCcFinish]] (identical expressions), and `g_clustering`'s
+    * exact integer moments fold from it (T = Σtriangles div 3 — every
+    * triangle contributes exactly 3 participation counts, so the
+    * division is exact; S₂ over deg; the ONE float division spelled as
+    * before — TrianglesSpec pins all three row recompositions against
+    * the standalone pipelines). Only deg + triPerNode stay pinned
+    * (node-count rows); und/oriented scaffolding is released inside the
+    * fit. Invalidation via [[invalidateModels]].
+    */
+  private val triCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private val triPins = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Set[Int]]
+
+  private[graft] def triShared(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    triCache.getOrElseUpdate((s, dir), {
+      val sc = s.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val e = GraphOps.lineitemGraph(s, dir, TriMod)
+      val und = e.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+        .localCheckpoint(true)
+      val undIds = (sc.getPersistentRDDs.keySet -- before).toSet
+      val deg = und.select(col("a").as("id"))
+        .unionAll(und.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("dg"))
+        .localCheckpoint(true)
+      // triPerNodeFrom eagerly checkpoints `oriented` inside; diff
+      // around it so the scaffolding (und + oriented) can be released
+      // once the final fold materializes — only deg + triPerNode pin.
+      val preOriented = sc.getPersistentRDDs.keySet
+      val triLazy = triPerNodeFrom(und, deg)
+      val orientedIds = (sc.getPersistentRDDs.keySet -- preOriented).toSet
+      val triPerNode = triLazy.localCheckpoint(true)
+      (undIds ++ orientedIds).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      val pinIds = (sc.getPersistentRDDs.keySet -- before).toSet
+      graft.operators.SessionPins.pin(sc, pinIds)
+      triPins.put((s, dir), pinIds)
+      (deg, triPerNode)
     })
 
   /** `g_pref_attach` escalation ladder: head sizes tried in order are
@@ -683,6 +739,18 @@ object Graph {
       .unionAll(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("dg"))
       .localCheckpoint(true)
+    localCcFinish(deg, triPerNodeFrom(und, deg))
+  }
+
+  /** The degree-ordered wedge/triangle enumeration: orientation (each
+    * edge leaves its lower-(deg, id) endpoint — O(√m)-bounded oriented
+    * out-degree), wedge self-join, left-semi closure, per-node
+    * participation count. `g_triangles`' output frame verbatim, shared
+    * by [[localCcRun]] and [[triShared]] so the pipeline cannot drift.
+    * `und` must be pre-checkpointed (it feeds orientation AND closure);
+    * `deg` too (orientation joins it twice).
+    */
+  private def triPerNodeFrom(und: DataFrame, deg: DataFrame): DataFrame = {
     val oriented = und
       .join(deg.select(col("id").as("a"), col("dg").as("da")), Seq("a"))
       .join(deg.select(col("id").as("b"), col("dg").as("db")), Seq("b"))
@@ -697,11 +765,18 @@ object Graph {
     val wedges = oriented.as("x").join(oriented.as("y"),
         col("x.u") === col("y.u") && col("x.v") < col("y.v"))
       .select(col("x.u").as("ta"), col("x.v").as("tb"), col("y.v").as("tc"))
-    val triPerNode = wedges.join(
+    wedges.join(
         und.select(col("a").as("tb"), col("b").as("tc")),
         Seq("tb", "tc"), "left_semi")
       .select(explode(array(col("ta"), col("tb"), col("tc"))).as("node_id"))
       .groupBy("node_id").agg(count(lit(1)).as("triangles"))
+  }
+
+  /** `g_local_cc`'s finishing projection over the shared triangle fold
+    * — triangle-free and degree-1 nodes report 0.
+    */
+  private def localCcFinish(deg: DataFrame, triPerNode: DataFrame)
+      : DataFrame =
     deg.select(col("id").as("node_id"), col("dg"))
       .join(triPerNode, Seq("node_id"), "left")
       .selectExpr("node_id", "dg",
@@ -710,7 +785,6 @@ object Graph {
           "CAST(2 * coalesce(triangles, CAST(0 AS BIGINT)) AS DOUBLE) " +
           "/ CAST(dg * (dg - 1) AS DOUBLE) " +
           "ELSE CAST(0 AS DOUBLE) END AS cc")
-  }
 
   /** `g_hyperball` body over a directed `(src, dst)` edge DataFrame
     * (pre-checkpointed by the caller — it feeds node derivation and both
@@ -765,15 +839,23 @@ object Graph {
           s"AS s_scaled$sfx")
   }
 
-  private[graft] def hyperBallRun(edges: DataFrame): DataFrame = {
+  /** The hop-1/hop-2 register fold + HLL estimates — `g_hyperball`'s
+    * output frame, shared so [[hyperBallRun]] and [[hbShared]] cannot
+    * drift on the estimate spelling.
+    */
+  private def hllFoldEst(r1: DataFrame, r2: DataFrame): DataFrame = {
     val E = graft.queries.Events
-    val r1 = hllStep(edges, hllReg0(edges))
-    val r2 = hllStep(edges, r1)
     hllFold(r1, "1").join(hllFold(r2, "2"), Seq("id"))
       .selectExpr("id AS node_id", "v_zero1", "s_scaled1",
         E.hllEstSqlAs("s_scaled1", "v_zero1", "est1"),
         "v_zero2", "s_scaled2",
         E.hllEstSqlAs("s_scaled2", "v_zero2", "est2"))
+  }
+
+  private[graft] def hyperBallRun(edges: DataFrame): DataFrame = {
+    val r1 = hllStep(edges, hllReg0(edges))
+    val r2 = hllStep(edges, r1)
+    hllFoldEst(r1, r2)
   }
 
   /** `g_eff_diameter` horizon. Registers are monotone (integer
@@ -951,6 +1033,78 @@ object Graph {
     val all = curve.reduce(_ unionAll _).localCheckpoint(true)
     effDiamFinishAdaptive(all, h, saturated)
   }
+
+  /** The HyperBall REGISTER CHAIN fitted once per (session, source dir)
+    * — r19 optimization: `g_hyperball`, `g_harmonic` and `g_closeness`
+    * each ran [[hyperBallRun]]'s full 2-hop register recurrence over the
+    * same Mod-997 graph, and `g_eff_diameter` ran the SAME recurrence
+    * again to its adaptive fixpoint — four chains per board where the
+    * hops are near-pure job floor (guide §2.4: the redundant work is the
+    * shuffle). This fit runs ONE adaptive chain (expression-for-
+    * expression [[effDiameterRunAdaptive]] at `startHops = 1, hopCap =
+    * EffDiamHops` — the `g_eff_diameter` row's exact schedule), extended
+    * past the stop only as far as hop 2 when the stop fires earlier
+    * (extension hops never enter the curve), and folds hops 1/2 into the
+    * trio's estimate frame via the shared [[hllFoldEst]]. Returns
+    * `(fold, effd)`: `fold` IS `g_hyperball`'s frame (`g_harmonic` /
+    * `g_closeness` are per-row projections over it — identical
+    * expressions to their standalone selectExprs), `effd` IS the
+    * adaptive curve finish. Only the final fold + curve checkpoints stay
+    * pinned (SessionPins; ~n + H+1 rows); every chain intermediate is
+    * released inside the fit. Invalidation via [[invalidateModels]].
+    * HyperBallSpec pins fold ≡ [[hyperBallRun]] and effd ≡
+    * [[effDiameterRunAdaptive]] row-for-row.
+    */
+  private val hbCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private val hbPins = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Set[Int]]
+
+  private[graft] def hbShared(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    hbCache.getOrElseUpdate((s, dir), {
+      val sc = s.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val edges = GraphOps.lineitemGraph(s, dir, Mod).localCheckpoint(true)
+      var reg = hllReg0(edges)
+      def nfCkpt(h: Int): (DataFrame, Long) = {
+        val one = effDiamNfChkAt(reg, h).localCheckpoint(true)
+        (one.select(col("h"), col("nf")), one.collect()(0).getLong(2))
+      }
+      val (nf0, c0) = nfCkpt(0)
+      val curve = scala.collection.mutable.ArrayBuffer[DataFrame](nf0)
+      var prevChk = c0
+      var h = 0
+      var stopH = 0
+      var saturated = false
+      val keep = scala.collection.mutable.Map.empty[Int, DataFrame]
+      // the adaptive loop of [[effDiameterRunAdaptive]] (startHops = 1:
+      // `h >= 1` always holds past the first hop), plus the `h < 2`
+      // fold-extension clause.
+      while ((h < EffDiamHops && !saturated) || h < 2) {
+        h += 1
+        reg = hllStep(edges, reg)
+        if (h <= 2) keep(h) = reg
+        if (!saturated) {
+          val (one, c) = nfCkpt(h)
+          curve += one
+          stopH = h
+          saturated = c == prevChk
+          prevChk = c
+        }
+      }
+      // final artifacts last, so the mid/after diff can release ONLY the
+      // chain scaffolding (edges, per-hop registers, per-hop nf rows).
+      val mid = sc.getPersistentRDDs.keySet
+      val all = curve.reduce(_ unionAll _).localCheckpoint(true)
+      val fold = hllFoldEst(keep(1), keep(2)).localCheckpoint(true)
+      val keepIds = (sc.getPersistentRDDs.keySet -- mid).toSet
+      (mid -- before).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      graft.operators.SessionPins.pin(sc, keepIds)
+      hbPins.put((s, dir), keepIds)
+      (fold, effDiamFinishAdaptive(all, stopH, saturated))
+    })
 
   /** `g_kcore` body over an undirected distinct edge set `und` (`a < b`
     * orientation), reusable on any graph (OctaveBench runs it on the
@@ -1134,36 +1288,10 @@ object Graph {
     // bounds the wedge join's intermediate size (the naive neighbor
     // self-join explodes on hubs). Three equi-joins, no window, all
     // integers — the canonical distributed triangle algorithm.
-    "g_triangles" -> ((s, dir) => {
-      val e = GraphOps.lineitemGraph(s, dir, TriMod)
-      // und feeds degree derivation, orientation, and the closing
-      // semi-join; oriented feeds both sides of the wedge join — eager
-      // checkpoints stop each reference re-deriving the graph from the
-      // raw scan (id-width rows, ~m/2 of them).
-      val und = e.select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b")).distinct()
-        .localCheckpoint(true)
-      val deg = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
-        .groupBy("id").agg(count(lit(1)).as("dg"))
-      val oriented = und
-        .join(deg.select(col("id").as("a"), col("dg").as("da")), Seq("a"))
-        .join(deg.select(col("id").as("b"), col("dg").as("db")), Seq("b"))
-        .select(
-          when(col("da") < col("db") ||
-            (col("da") === col("db") && col("a") < col("b")), col("a"))
-            .otherwise(col("b")).as("u"),
-          when(col("da") < col("db") ||
-            (col("da") === col("db") && col("a") < col("b")), col("b"))
-            .otherwise(col("a")).as("v"))
-        .localCheckpoint(true)
-      val wedges = oriented.as("x").join(oriented.as("y"),
-          col("x.u") === col("y.u") && col("x.v") < col("y.v"))
-        .select(col("x.u").as("ta"), col("x.v").as("tb"), col("y.v").as("tc"))
-      val tri = wedges.join(
-        und.select(col("a").as("tb"), col("b").as("tc")), Seq("tb", "tc"), "left_semi")
-      tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("node_id"))
-        .groupBy("node_id").agg(count(lit(1)).as("triangles"))
-    }),
+    // r19: served from the shared triangle fold ([[triShared]]) — the
+    // frame IS the degree-ordered wedge pipeline's per-node count
+    // (spec-pinned; g_local_cc/g_clustering finish from the same fit).
+    "g_triangles" -> ((s, dir) => triShared(s, dir)._2),
 
     // Per-node LOCAL clustering coefficient cc(v) = 2·t(v)/(dg(v)·(dg(v)−1))
     // — the node-granular companion of g_clustering's global scalar
@@ -1176,9 +1304,10 @@ object Graph {
     // body at the 11.9M-edge hub-skew octave with the oriented wedge
     // volume disclosed.
     "g_local_cc" -> ((s, dir) => {
-      val e = GraphOps.lineitemGraph(s, dir, TriMod)
-      localCcRun(e.select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b")).distinct())
+      // r19: finish from the shared triangle fold — localCcFinish is
+      // localCcRun's exact projection (spec-pinned).
+      val (deg, triPerNode) = triShared(s, dir)
+      localCcFinish(deg, triPerNode)
     }),
 
     // Global clustering coefficient (transitivity): C = 3T/W — the
@@ -1192,30 +1321,17 @@ object Graph {
     // 100 TB both moments are mergeable partials; T inherits the
     // O(√m)-bounded wedge join from the triangle row.
     "g_clustering" -> ((s, dir) => {
-      val e = GraphOps.lineitemGraph(s, dir, TriMod)
-      val und = e.select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b")).distinct()
-        .localCheckpoint(true)
-      val deg = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
-        .groupBy("id").agg(count(lit(1)).as("dg"))
-        .localCheckpoint(true) // feeds orientation AND the wedge moment
-      val oriented = und
-        .join(deg.select(col("id").as("a"), col("dg").as("da")), Seq("a"))
-        .join(deg.select(col("id").as("b"), col("dg").as("db")), Seq("b"))
-        .select(
-          when(col("da") < col("db") ||
-            (col("da") === col("db") && col("a") < col("b")), col("a"))
-            .otherwise(col("b")).as("u"),
-          when(col("da") < col("db") ||
-            (col("da") === col("db") && col("a") < col("b")), col("b"))
-            .otherwise(col("a")).as("v"))
-        .localCheckpoint(true)
-      val tri = oriented.as("x").join(oriented.as("y"),
-          col("x.u") === col("y.u") && col("x.v") < col("y.v"))
-        .select(col("x.v").as("tb"), col("y.v").as("tc"))
-        .join(und.select(col("a").as("tb"), col("b").as("tc")),
-          Seq("tb", "tc"), "left_semi")
-      tri.agg(count(lit(1)).as("n_tri"))
+      // r19: fold the global moments from the shared triangle fit —
+      // every triangle contributes exactly 3 per-node participation
+      // counts, so T = Σtriangles div 3 is exact integer arithmetic
+      // (the octave harness's fold; TrianglesSpec pins ≡ the direct
+      // triangle count); S₂ and the one float division are spelled as
+      // before.
+      val (deg, triPerNode) = triShared(s, dir)
+      // coalesce: a triangle-free graph folds an empty frame (NULL sum)
+      // where the direct count reads 0.
+      triPerNode.agg(expr(
+          "coalesce(sum(triangles) div 3, CAST(0 AS BIGINT))").as("n_tri"))
         .crossJoin(deg.agg(sum(expr("dg * (dg - 1)")).as("s_deg2")))
         .selectExpr("n_tri", "s_deg2",
           "CAST(6 * n_tri AS DOUBLE) / CAST(s_deg2 AS DOUBLE) AS c")
@@ -1646,8 +1762,9 @@ object Graph {
     // a Σdeg² distinct-pair explosion — the sketch IS the scale path,
     // so no exact ride-along column here (HyperBallSpec replays exact
     // balls in memory at sf0.001 instead).
-    "g_hyperball" -> ((s, dir) =>
-      hyperBallRun(GraphOps.lineitemGraph(s, dir, Mod).localCheckpoint(true))),
+    // r19: served from the shared register chain ([[hbShared]]) — the
+    // frame IS hyperBallRun's output over the same graph (spec-pinned).
+    "g_hyperball" -> ((s, dir) => hbShared(s, dir)._1),
 
     // Effective diameter via HyperANF — ADAPTIVE horizon (r18 verdict
     // #5; see [[effDiameterRunAdaptive]]): hops stop at the FIRST exact
@@ -1660,10 +1777,10 @@ object Graph {
     // the `hops`/`sat` columns. The graph-profile scalar every
     // connectivity report leads with, priced at HyperBall cost instead
     // of all-pairs BFS.
-    "g_eff_diameter" -> ((s, dir) =>
-      effDiameterRunAdaptive(
-        GraphOps.lineitemGraph(s, dir, Mod).localCheckpoint(true),
-        startHops = 1, hopCap = EffDiamHops)),
+    // r19: served from the shared register chain ([[hbShared]]) — the
+    // slice is effDiameterRunAdaptive(edges, 1, EffDiamHops) verbatim
+    // (the fit runs that exact loop; spec-pinned).
+    "g_eff_diameter" -> ((s, dir) => hbShared(s, dir)._2),
 
     // Harmonic centrality from the HyperBall registers — Boldi & Vigna's
     // actual use case for the sketch (In-Core Computation of Geometric
@@ -1675,7 +1792,7 @@ object Graph {
     // identical inputs. At 100 TB this is the point of the sketch:
     // node-set-sized state per radius instead of all-pairs BFS.
     "g_harmonic" -> ((s, dir) =>
-      hyperBallRun(GraphOps.lineitemGraph(s, dir, Mod).localCheckpoint(true))
+      hbShared(s, dir)._1
         .selectExpr("node_id", "est1", "est2",
           "round((est1 - CAST(1 AS DOUBLE)) " +
             "+ (est2 - est1) / CAST(2 AS DOUBLE), 6) AS harmonic")),
@@ -1690,7 +1807,7 @@ object Graph {
     // estimates, spelled identically on both engines ([[closenessProj]])
     // so the IEEE arithmetic matches bit-for-bit before the 6-dp round.
     "g_closeness" -> ((s, dir) =>
-      hyperBallRun(GraphOps.lineitemGraph(s, dir, Mod).localCheckpoint(true))
+      hbShared(s, dir)._1
         .selectExpr("node_id" +: "est1" +: "est2" +: closenessProj: _*)),
 
     // K1 batched: multi-source PPR over broadcast CSR (zero per-iteration

@@ -286,4 +286,35 @@ class HyperBallSpec extends SparkSpec {
       .sortBy(_._1).toSeq
     assert(ad == fixed, "adaptive at the pinned horizon diverged")
   }
+
+  test("hbShared: the shared register chain's fold ≡ a standalone " +
+      "hyperBallRun and its curve ≡ a standalone adaptive run; " +
+      "invalidation refits to the same answer") {
+    def foldRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).sortBy(_._1).toSeq
+    def curveRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getInt(3),
+        r.getInt(4), r.getInt(5))).sortBy(_._1).toSeq
+
+    Graph.invalidateModels(spark, sfDir) // force a fresh fit
+    val (fold, effd) = Graph.hbShared(spark, sfDir)
+    val edges = GraphOps.lineitemGraph(spark, sfDir, Graph.Mod)
+      .localCheckpoint(true)
+    assert(foldRows(fold) == foldRows(Graph.hyperBallRun(edges)),
+      "shared fold diverged from hyperBallRun")
+    assert(curveRows(effd) == curveRows(Graph.effDiameterRunAdaptive(
+        edges, startHops = 1, hopCap = Graph.EffDiamHops)),
+      "shared curve diverged from effDiameterRunAdaptive")
+
+    // drop → refit must reproduce the same frames (the re-ingest path);
+    // capture BEFORE invalidating — the old frames' pinned blocks are
+    // released by the drop.
+    val foldBefore = foldRows(fold)
+    val curveBefore = curveRows(effd)
+    Graph.invalidateModels(spark, sfDir)
+    val (fold2, effd2) = Graph.hbShared(spark, sfDir)
+    assert(foldRows(fold2) == foldBefore, "refit fold drifted")
+    assert(curveRows(effd2) == curveBefore, "refit curve drifted")
+  }
 }

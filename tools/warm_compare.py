@@ -40,6 +40,10 @@ FIT_BEARING = {
     # r19: the tag-batched PPR family (pprFamilyShared) — whichever of
     # the three rows runs first pays the whole family loop
     "g_power_ppr", "g_ppr_seedset", "g_pagerank",
+    # r19 optimization: the shared HyperBall register chain (hbShared)
+    # and the shared triangle fold (triShared)
+    "g_hyperball", "g_harmonic", "g_closeness", "g_eff_diameter",
+    "g_triangles", "g_local_cc", "g_clustering",
 }
 
 
