@@ -500,13 +500,15 @@ object Graph {
   }
 
   /** The tag-batched PPR superstep family fitted ONCE per (session,
-    * source dir) — r18 verdict #1: `g_power_ppr`, `g_ppr_seedset` and
-    * `g_pagerank` are three fixed-schedule single-shuffle loops over the
-    * SAME graph, so whichever row runs first pays ONE family-tagged loop
-    * ([[graft.ppr.PprFamily.runThree]]) and the others slice the pinned
-    * final checkpoint. Slices are expression-for-expression the
-    * standalone runs (PprFamilySpec pins both); checkpoint blocks are
-    * pinned via SessionPins and released through [[invalidateModels]].
+    * source dir) — r18 verdict #1, widened to FIVE members in r19
+    * (verdict #6): `g_power_ppr`, `g_ppr_seedset`, `g_pagerank`,
+    * `g_katz` and `g_hits` are five fixed-schedule single-shuffle loops
+    * over the SAME graph, so whichever row runs first pays ONE
+    * family-tagged loop ([[graft.ppr.PprFamily.runFamily]]) and the
+    * others slice the pinned final checkpoint. Slices are
+    * expression-for-expression the standalone runs (PprFamilySpec pins
+    * all five); checkpoint blocks are pinned via SessionPins and
+    * released through [[invalidateModels]].
     */
   private val pprFamCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
@@ -518,11 +520,11 @@ object Graph {
     pprFamCache.getOrElseUpdate((s, dir), {
       val sc = s.sparkContext
       val before = sc.getPersistentRDDs.keySet
-      val fam = graft.ppr.PprFamily.runThree(
+      val fam = graft.ppr.PprFamily.runFamily(
         s, GraphOps.lineitemGraph(s, dir, Mod), SingleSource, SeedSet,
-        Alpha, Iters, PrDamping, PrIters)
+        Alpha, Iters, PrDamping, PrIters, KatzAlpha, KatzIters, HitsIters)
       // force the loop now so only the FINAL state checkpoint remains
-      // (runThree releases its setup tables internally), then pin it.
+      // (runFamily releases its setup tables internally), then pin it.
       fam.count()
       val pinIds = (sc.getPersistentRDDs.keySet -- before).toSet
       graft.operators.SessionPins.pin(sc, pinIds)
@@ -1702,8 +1704,8 @@ object Graph {
     // r18 verdict #1); the slice is expression-for-expression
     // [[PowerIteration.run]] (PprFamilySpec pins it).
     "g_power_ppr" -> ((s, dir) =>
-      pprFamilyShared(s, dir)
-        .where(col("fam") === graft.ppr.PprFamily.FamPower)
+      graft.ppr.PprFamily.pprScore(pprFamilyShared(s, dir),
+          graft.ppr.PprFamily.FamPower, Alpha)
         .select(col("node_id"), round(col("score"), 9).as("score"))),
 
     // Seed-SET personalized PageRank (topic-sensitive teleport,
@@ -1714,8 +1716,8 @@ object Graph {
     // spec-pinned). Same one-join-one-aggregate superstep economics as
     // g_power_ppr; |S| = 4 keeps 1/|S| exact binary on both engines.
     "g_ppr_seedset" -> ((s, dir) =>
-      pprFamilyShared(s, dir)
-        .where(col("fam") === graft.ppr.PprFamily.FamSeed)
+      graft.ppr.PprFamily.pprScore(pprFamilyShared(s, dir),
+          graft.ppr.PprFamily.FamSeed, Alpha)
         .select(col("node_id"), round(col("score"), 9).as("score"))),
 
     // Global PageRank: teleport-to-uniform + uniform dangling
@@ -1723,8 +1725,7 @@ object Graph {
     // [[PageRank]]). One superstep = one job; 1-row dangling aggregate
     // broadcast into the base term.
     "g_pagerank" -> ((s, dir) =>
-      pprFamilyShared(s, dir)
-        .where(col("fam") === graft.ppr.PprFamily.FamRank)
+      graft.ppr.PprFamily.rankScore(pprFamilyShared(s, dir))
         .select(col("node_id"), round(col("score"), 9).as("score"))),
 
     // Katz centrality: attenuated walk counts x = Σ α^j (Aᵀ)^j · 1 as
@@ -1732,22 +1733,26 @@ object Graph {
     // the simplest member of the centrality family's superstep shape:
     // one union-carrier shuffle per iteration, no dangling/base terms,
     // schedule oracle-replayed.
-    "g_katz" -> ((s, dir) => {
-      val edges = GraphOps.lineitemGraph(s, dir, Mod)
-      graft.graph.Katz.run(s, edges, KatzAlpha, KatzIters)
-        .select(col("node_id"), round(col("katz"), 9).as("katz"))
-    }),
+    // r19: served from the tag-batched family fit — the slice is
+    // expression-for-expression [[graft.graph.Katz.run]] (PprFamilySpec
+    // pins it).
+    "g_katz" -> ((s, dir) =>
+      graft.ppr.PprFamily.katzScore(pprFamilyShared(s, dir))
+        .select(col("node_id"), round(col("katz"), 9).as("katz"))),
 
     // HITS hubs & authorities: the mutually-recursive global ranking
     // pair (see [[graft.graph.Hits]]) — one map-side-combined shuffle
     // per half-step, single trailing L1 normalization (per-step
     // normalization is a scalar no-op on a linear recurrence).
-    "g_hits" -> ((s, dir) => {
-      val edges = GraphOps.lineitemGraph(s, dir, Mod)
-      graft.graph.Hits.run(s, edges, HitsIters)
+    // r19: served from the tag-batched family fit — half-steps
+    // alternate across family supersteps via the direction-tagged
+    // adjacency; the slice's trailing L1 normalization is
+    // [[graft.graph.Hits.run]]'s exact projection (PprFamilySpec pins
+    // it).
+    "g_hits" -> ((s, dir) =>
+      graft.ppr.PprFamily.hitsScores(pprFamilyShared(s, dir))
         .select(col("node_id"), round(col("hub"), 9).as("hub"),
-          round(col("auth"), 9).as("auth"))
-    }),
+          round(col("auth"), 9).as("auth"))),
 
     // HyperBall neighborhood-size sketches: per node an HLL register set
     // of its ≤ r-hop OUT-ball, grown by the register-merge recurrence

@@ -40,6 +40,8 @@ FIT_BEARING = {
     # r19: the tag-batched PPR family (pprFamilyShared) — whichever of
     # the three rows runs first pays the whole family loop
     "g_power_ppr", "g_ppr_seedset", "g_pagerank",
+    # r19 optimization: Katz + HITS joined the tagged family loop
+    "g_katz", "g_hits",
     # r19 optimization: the shared HyperBall register chain (hbShared)
     # and the shared triangle fold (triShared)
     "g_hyperball", "g_harmonic", "g_closeness", "g_eff_diameter",
