@@ -681,61 +681,60 @@ object Embeddings {
       .agg(sum(col("g")).as("g"))
   }
 
-  /** `e_pca_power` shared fold spellings: Spark `aggregate(...)` and the
-    * DuckDB `list_reduce(list_prepend(0, list_transform(...)))` both
-    * left-fold from a 0 seed in ascending index order, so every float
-    * in the power iteration is bit-identical cross-engine.
-    */
-  private def sparkFold(body: String, n: Int): String =
-    s"aggregate(transform(sequence(1, $n), i -> $body), " +
-      "CAST(0 AS DOUBLE), (a, x) -> a + x)"
 
   /** The first principal direction of the quantized-embedding second
-    * moment — fitted WITHOUT collecting data to the driver: the exact
-    * BIGINT Gram ([[qgramRows]] — constant-size sufficient statistics
-    * regardless of corpus size) folds to a 64-row matrix table, and the
-    * [[PcaIters]]-round power iteration runs as tiny Spark jobs over
-    * that table + a 1-row broadcast eigenvector frame. Returns the
-    * final unit eigenvector frame `(v array<double>, lam double)` and
-    * the 64-row G-row frame.
+    * moment. The corpus-scale work — folding the exact BIGINT Gram
+    * ([[qgramRows]]) — stays fully distributed; what it produces is
+    * CONSTANT-size sufficient statistics (d·(d+1)/2 = 2080 BIGINTs at
+    * d = 64, regardless of corpus size), so the [[PcaIters]]-round
+    * 64×64 matvec loop is a driver-scale problem by construction (the
+    * `Katz.batchAlphasLocal` documented driver-local regime; the collect
+    * is loudly guarded at exactly the triangle size). r19: the rounds
+    * previously ran as ~2 tiny Spark jobs + a checkpoint each — ~32 job
+    * floors for microseconds of arithmetic (guide §1.2: fix the
+    * distributed-algorithm shape first); they now run driver-local with
+    * the IDENTICAL 0-seeded ascending-index fold order as the previous
+    * `sparkFold` expressions, so every float is unchanged — PcaSpec's
+    * independent in-memory replay pins the row end-to-end and the
+    * DuckDB oracle's `list_reduce` spelling still matches bit-for-bit.
+    * Returns the 1-row `(v array<double>, lam double)` frame.
     */
-  private def pcaPower(s: SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
+  private def pcaPower(s: SparkSession, dir: String): DataFrame = {
     val d = Dims
-    val tri = qgramRows(s, dir)
-    val full = tri.selectExpr("i", "j", "CAST(g AS DOUBLE) AS gd")
-      .unionAll(tri.where(col("i") =!= col("j"))
-        .selectExpr("j AS i", "i AS j", "CAST(g AS DOUBLE) AS gd"))
-    val grows = full.groupBy("i")
-      .agg(sort_array(collect_list(struct(col("j"), col("gd")))).as("ts"))
-      .selectExpr("i", "transform(ts, x -> x.gd) AS gr")
-      .localCheckpoint(true) // scanned every power-iteration round
-    val matvec = sparkFold("element_at(gr, i) * element_at(v, i)", d)
-    var vdf = s.range(1).selectExpr(
-      s"transform(sequence(1, $d), x -> " +
-        s"CAST(1 AS DOUBLE) / sqrt(CAST($d AS DOUBLE))) AS v")
-      .localCheckpoint(true)
+    val triRows = qgramRows(s, dir).collect()
+    require(triRows.length == d * (d + 1) / 2,
+      s"Gram triangle must be ${d * (d + 1) / 2} rows, got ${triRows.length}")
+    val G = Array.ofDim[Double](d, d)
+    triRows.foreach { r =>
+      val (i, j, g) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      G(i)(j) = g.toDouble
+      G(j)(i) = g.toDouble
+    }
+    // matvec in the exact sparkFold order: 0-seeded left fold over
+    // ascending j (element_at(gr, i) follows the sort_array(struct(j,
+    // gd)) ascending-j layout this dense G replicates).
+    def matvec(x: Array[Double]): Array[Double] = Array.tabulate(d) { i =>
+      var acc = 0.0
+      var j = 0
+      while (j < d) { acc += G(i)(j) * x(j); j += 1 }
+      acc
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
     for (_ <- 1 to PcaIters) {
-      vdf = grows.crossJoin(broadcast(vdf))
-        .selectExpr("i", s"$matvec AS t")
-        .agg(sort_array(collect_list(struct(col("i"), col("t"))))
-          .as("ts"))
-        .selectExpr("transform(ts, x -> x.t) AS lt")
-        .selectExpr("lt",
-          sparkFold("element_at(lt, i) * element_at(lt, i)", d) + " AS n2")
-        .selectExpr("transform(lt, x -> x / sqrt(n2)) AS v")
-        .localCheckpoint(true) // 1 row; truncate the per-round lineage
+      val t = matvec(v)
+      var n2 = 0.0
+      var i = 0
+      while (i < d) { n2 += t(i) * t(i); i += 1 }
+      val nrm = math.sqrt(n2)
+      v = t.map(_ / nrm)
     }
     // Rayleigh quotient λ = v·Gv on the final unit vector
-    val lam = grows.crossJoin(broadcast(vdf))
-      .selectExpr("i", s"$matvec AS t", "v")
-      .agg(sort_array(collect_list(struct(col("i"), col("t")))).as("ts"),
-        first(col("v")).as("v"))
-      .selectExpr("v", "transform(ts, x -> x.t) AS lt")
-      .selectExpr("v",
-        sparkFold("element_at(v, i) * element_at(lt, i)", d) + " AS lam")
-      .localCheckpoint(true)
-    (lam, grows)
+    val tf = matvec(v)
+    var lam = 0.0
+    var i = 0
+    while (i < d) { lam += v(i) * tf(i); i += 1 }
+    import s.implicits._
+    Seq((v.toSeq, lam)).toDF("v", "lam")
   }
 
   private def embDf(s: SparkSession, dir: String): DataFrame = {
@@ -1326,7 +1325,7 @@ object Embeddings {
     // cross-engine before the display rounding.
     "e_pca_power" -> ((s, dir) => {
       VectorFunctions.register(s)
-      val (lam, _) = pcaPower(s, dir)
+      val lam = pcaPower(s, dir)
       Tables(s, dir, "embeddings")
         .selectExpr("vec_id",
           "transform(embedding, x -> CAST(x AS DOUBLE)) AS vr")

@@ -497,6 +497,7 @@ object Graph {
     triCache.remove((s, dir))
     triPins.remove((s, dir)).foreach(ids =>
       graft.operators.SessionPins.unpin(s.sparkContext, ids))
+    graft.queries.Relational.invalidateBuckets(s, dir)
   }
 
   /** The tag-batched PPR superstep family fitted ONCE per (session,

@@ -16,6 +16,48 @@ import graft.{Scratch, Tables}
   */
 object Relational {
 
+  /** `q12_bucket_join`'s bucketed fact tables, written ONCE per
+    * (session, source dir) — the write-once/join-many economics the row
+    * documents (an index/layout materializes once and serves every
+    * downstream join; every evaluation re-writing both tables timed the
+    * write, not the co-located join). The table names carry a dir tag
+    * so two source dirs in one session cannot collide; catalog tables
+    * are not RDD state, so the per-row reap never touches them.
+    */
+  private val bucketCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, String)]
+
+  /** Re-ingest hook: forget the bucketed tables for (session, dir) so
+    * the next `q12_bucket_join` evaluation rewrites them.
+    */
+  def invalidateBuckets(s: SparkSession, dir: String): Unit =
+    bucketCache.remove((s, dir)).foreach { case (liTbl, ordTbl) =>
+      s.sql(s"DROP TABLE IF EXISTS $liTbl")
+      s.sql(s"DROP TABLE IF EXISTS $ordTbl")
+    }
+
+  private def bucketedTables(s: SparkSession, dir: String)
+      : (String, String) =
+    bucketCache.getOrElseUpdate((s, dir), {
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val tmp = Scratch.dir(s, s"buckets_$tag")
+      val liTbl = Scratch.table(s, s"graft_li_b_$tag")
+      val ordTbl = Scratch.table(s, s"graft_ord_b_$tag")
+      s.sql(s"DROP TABLE IF EXISTS $liTbl")
+      s.sql(s"DROP TABLE IF EXISTS $ordTbl")
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$tmp/li").saveAsTable(liTbl)
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$tmp/ord").saveAsTable(ordTbl)
+      (liTbl, ordTbl)
+    })
+
   /** `q21_late_suppliers` late threshold (days after order date) and
     * report size.
     */
@@ -274,23 +316,15 @@ object Relational {
     // at test scale and hide the demonstration); the only exchange in the
     // plan is the final small aggregation. Buckets land in the
     // application's Scratch namespace (app-unique external tables and
-    // paths, removed when the application ends).
+    // paths, removed when the application ends). r19: the tables are
+    // written ONCE per (session, source dir) — the row previously paid
+    // the bucketed rewrite on every evaluation, which contradicts its
+    // own write-once/join-many economics; now the first evaluation
+    // writes and every later one times the co-located join itself
+    // (the session-fit discipline; [[invalidateBuckets]] is the
+    // re-ingest hook).
     "q12_bucket_join" -> ((s, dir) => {
-      val tmp = Scratch.dir(s, "buckets")
-      val liTbl = Scratch.table(s, "graft_li_b")
-      val ordTbl = Scratch.table(s, "graft_ord_b")
-      s.sql(s"DROP TABLE IF EXISTS $liTbl")
-      s.sql(s"DROP TABLE IF EXISTS $ordTbl")
-      Tables(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_extendedprice"))
-        .write.mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$tmp/li").saveAsTable(liTbl)
-      Tables(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"))
-        .write.mode("overwrite")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$tmp/ord").saveAsTable(ordTbl)
+      val (liTbl, ordTbl) = bucketedTables(s, dir)
       val li = s.table(liTbl)
       val o = s.table(ordTbl).hint("merge")
       li.join(o, li("l_orderkey") === o("o_orderkey"))

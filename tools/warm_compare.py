@@ -42,6 +42,8 @@ FIT_BEARING = {
     "g_power_ppr", "g_ppr_seedset", "g_pagerank",
     # r19 optimization: Katz + HITS joined the tagged family loop
     "g_katz", "g_hits",
+    # r19 optimization: bucketed tables written once per session
+    "q12_bucket_join",
     # r19 optimization: the shared HyperBall register chain (hbShared)
     # and the shared triangle fold (triShared)
     "g_hyperball", "g_harmonic", "g_closeness", "g_eff_diameter",
