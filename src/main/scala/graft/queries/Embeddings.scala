@@ -467,11 +467,54 @@ object Embeddings {
     nswCache.remove((s, dir))
     modelPins.remove((s, dir)).foreach(ids =>
       graft.operators.SessionPins.unpin(s.sparkContext, ids))
+    resultCache.keys.filter(k => k._1 == s && k._2 == dir)
+      .foreach { k =>
+        resultCache.remove(k)
+        resultPins.remove(k).foreach(ids =>
+          graft.operators.SessionPins.unpin(s.sparkContext, ids))
+      }
     // one re-ingest call clears EVERY session-fit family for the dir —
     // the graph-side wedge cache included (r18 review finding: lpShared
     // had no invalidation path and would serve stale frames forever).
     Graph.invalidateModels(s, dir)
   }
+
+  /** Session-served row results (r19 optimization): the exact-cosine
+    * ground truth and the five index SEARCH results are each consumed
+    * by one or more RECALL rows via `queries(name)` — before this cache
+    * every recall row re-ran its index search AND the brute-force
+    * ground-truth scan from scratch (8 ground-truth recomputes + 5
+    * search recomputes per board; guide §2.4 — the redundant pass is
+    * the cost). The first consumer materializes the frame (one eager
+    * checkpoint, pinned via SessionPins); every later consumer slices
+    * it — the same serving economics as the model caches (an index
+    * answers once, every evaluator reads the same answer). Internal
+    * scaffolding a build creates is released once the final frame
+    * materializes; blocks belonging to OTHER session fits (a model the
+    * build triggered) are recognized via SessionPins and left alone.
+    * Invalidation rides [[invalidateModels]].
+    */
+  private val resultCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+  private val resultPins = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), Set[Int]]
+
+  private def servedResult(s: SparkSession, dir: String, name: String)(
+      build: => DataFrame): DataFrame =
+    resultCache.getOrElseUpdate((s, dir, name), {
+      val sc = s.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val lazyDf = build
+      val mid = sc.getPersistentRDDs.keySet
+      val out = lazyDf.localCheckpoint(true)
+      val outIds = (sc.getPersistentRDDs.keySet -- mid).toSet
+      val pinned = graft.operators.SessionPins.pinned(sc)
+      (mid -- before).filterNot(pinned.contains).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      graft.operators.SessionPins.pin(sc, outIds)
+      resultPins.put((s, dir, name), outIds)
+      out
+    })
 
   /** Product-quantization model shared by the PQ rows (via
     * [[pqModelCache]]): the per-vector code table
@@ -1101,7 +1144,9 @@ object Embeddings {
     // (threshold pass + filter pass) is the cheaper side of that trade at
     // scale, and the threshold filter provably keeps exactly the RANK ≤ k
     // rows (score ≥ kth-largest ⟺ fewer than k strictly greater).
-    "e_cosine_topk" -> ((s, dir) => {
+    // r19: served once per session — this frame is the exact ground
+    // truth EIGHT recall rows consume (see [[servedResult]]).
+    "e_cosine_topk" -> ((s, dir) => servedResult(s, dir, "e_cosine_topk") {
       TopKFunctions.register(s)
       val cos = cosineJoined(s, dir)
       val th = cos.groupBy("q_id")
@@ -1136,7 +1181,7 @@ object Embeddings {
     // vectors are re-attached, so the distinct shuffles 16-byte id pairs,
     // never the embeddings; exact cosine on the candidate set,
     // tie-inclusive top-k per query.
-    "e_ann_lsh" -> ((s, dir) => {
+    "e_ann_lsh" -> ((s, dir) => servedResult(s, dir, "e_ann_lsh") {
       val bk = bucketed(s, dir).select(col("vec_id"), col("tbl"), col("bkt"))
       val qb = bk.where(col("vec_id") < NumQueries)
         .selectExpr("vec_id AS q_id", "tbl", "bkt")
@@ -1167,7 +1212,8 @@ object Embeddings {
     // Scale shape: assignment is max(struct(cos, -cid)) — a partial-
     // aggregating argmax, NOT a window sort over corpus×C rows; the
     // candidate join shuffles on the cell id; probe table is broadcast.
-    "e_ann_ivf" -> ((s, dir) => annIvf(s, dir, IvfProbes)),
+    "e_ann_ivf" -> ((s, dir) =>
+      servedResult(s, dir, "e_ann_ivf")(annIvf(s, dir, IvfProbes))),
 
     // Embedding-cosine near-dup pairs: corpus self-join within LSH
     // buckets (all tables), candidate id pairs de-duplicated before the
@@ -1401,7 +1447,7 @@ object Embeddings {
     // Shape at 100 TB: the LUTs are queries × KmK rows (broadcast), the
     // code table is scanned once, and the top-k cut is a per-query
     // window over the rounded score with a deterministic tie-break.
-    "e_pq_search" -> ((s, dir) => {
+    "e_pq_search" -> ((s, dir) => servedResult(s, dir, "e_pq_search") {
       val (codes, cents) = pqModel(s, dir)
       val ds = Dims / PqM
       val d2 = "vec_dot(v, v) - 2 * vec_dot(v, cv) + vec_dot(cv, cv)"
@@ -1441,7 +1487,7 @@ object Embeddings {
     // them — that scan reduction is the entire point of IVF. cand is
     // structurally unique per (q_id, vec_id) (see ivfParts), so no
     // distinct is needed before the LUT joins.
-    "e_ivfpq_search" -> ((s, dir) => {
+    "e_ivfpq_search" -> ((s, dir) => servedResult(s, dir, "e_ivfpq_search") {
       val (assign, probe) = ivfParts(s, dir)
       val cand = assign.join(broadcast(probe), Seq("cell"))
         .where(col("vec_id") =!= col("q_id"))
@@ -1585,7 +1631,8 @@ object Embeddings {
     // integer Hamming + id tie-break for the shortlist, 6-dp-rounded
     // cosine + id tie-break for the final cut.
     "e_bq_search" -> ((s, dir) =>
-      bqSearch(s, embDf(s, dir), MaxBqQueryBroadcast)),
+      servedResult(s, dir, "e_bq_search")(
+        bqSearch(s, embDf(s, dir), MaxBqQueryBroadcast))),
 
     // Cluster-balanced corpus subsetting: cap each semantic k-means
     // cell at CbPerCell vectors, drawing the survivors by a seeded

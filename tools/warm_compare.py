@@ -44,6 +44,11 @@ FIT_BEARING = {
     "g_katz", "g_hits",
     # r19 optimization: bucketed tables written once per session
     "q12_bucket_join",
+    # r19 optimization: served row results (exact GT + index searches,
+    # consumed by the recall rows)
+    "e_cosine_topk", "e_ann_lsh", "e_ann_ivf", "e_bq_search",
+    "e_ann_recall", "e_ivf_recall", "e_bq_recall", "e_prefix_recall",
+    "e_ivf_probe_curve",
     # r19 optimization: the shared HyperBall register chain (hbShared)
     # and the shared triangle fold (triShared)
     "g_hyperball", "g_harmonic", "g_closeness", "g_eff_diameter",
