@@ -52,15 +52,54 @@ object GraphOps {
     * (TESTDATA.md): `src = l_orderkey % mod`, `dst = l_partkey % mod`,
     * self-loops dropped, deduplicated. Exactly reproducible in the DuckDB
     * oracle, which is why SparkEntry's graph queries build on it.
+    *
+    * r19: served as a load-once SNAPSHOT per (session, dir, mod) — the
+    * DataFrame sibling of the CSR caches below (S3/S4: the reference
+    * loads the graph ONCE per run and every suite query hits the same
+    * in-memory snapshot; our rows each re-paid the scan + distinct
+    * shuffle). First caller materializes one checkpoint (pinned via
+    * SessionPins so the per-row reap spares it); [[invalidateGraphs]]
+    * is the re-ingest hook, called through the central
+    * `Graph.invalidateModels` chain.
     */
-  def lineitemGraph(spark: SparkSession, sfDir: String, mod: Int = 997): DataFrame = {
-    val li = graft.Tables(spark, sfDir, "lineitem")
-    li.select(
-        (col("l_orderkey") % mod).as("src"),
-        (col("l_partkey") % mod).as("dst"))
-      .where(col("src") =!= col("dst"))
-      .distinct()
-  }
+  def lineitemGraph(spark: SparkSession, sfDir: String, mod: Int = 997): DataFrame =
+    snapshot(spark, (sfDir, mod, -1)) {
+      val li = graft.Tables(spark, sfDir, "lineitem")
+      li.select(
+          (col("l_orderkey") % mod).as("src"),
+          (col("l_partkey") % mod).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+  private val snapCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, (String, Int, Int)), DataFrame]
+  private val snapPins = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, (String, Int, Int)), Set[Int]]
+
+  private def snapshot(spark: SparkSession, key: (String, Int, Int))(
+      build: => DataFrame): DataFrame =
+    snapCache.getOrElseUpdate((spark, key), {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val out = build.localCheckpoint(true)
+      val ids = (sc.getPersistentRDDs.keySet -- before).toSet
+      graft.operators.SessionPins.pin(sc, ids)
+      snapPins.put((spark, key), ids)
+      out
+    })
+
+  /** Drop every edge snapshot for (session, dir) and release its pinned
+    * blocks — the re-ingest hook (`Graph.invalidateModels` calls it).
+    */
+  def invalidateGraphs(spark: SparkSession, sfDir: String): Unit =
+    snapCache.keys
+      .filter(k => k._1 == spark && k._2._1 == sfDir)
+      .foreach { k =>
+        snapCache.remove(k)
+        snapPins.remove(k).foreach(ids =>
+          graft.operators.SessionPins.unpin(spark.sparkContext, ids))
+      }
 
   /** SQL text of [[lineitemGraph]] for DuckDB oracles. */
   def lineitemGraphSql(mod: Int = 997): String =
@@ -76,15 +115,16 @@ object GraphOps {
     * never reads the rows it drops.
     */
   def lineitemSubgraph(spark: SparkSession, sfDir: String, mod: Int,
-      qtyMax: Int): DataFrame = {
-    val li = graft.Tables(spark, sfDir, "lineitem")
-    li.where(col("l_quantity") <= qtyMax)
-      .select(
-        (col("l_orderkey") % mod).as("src"),
-        (col("l_partkey") % mod).as("dst"))
-      .where(col("src") =!= col("dst"))
-      .distinct()
-  }
+      qtyMax: Int): DataFrame =
+    snapshot(spark, (sfDir, mod, qtyMax)) {
+      val li = graft.Tables(spark, sfDir, "lineitem")
+      li.where(col("l_quantity") <= qtyMax)
+        .select(
+          (col("l_orderkey") % mod).as("src"),
+          (col("l_partkey") % mod).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
 
   /** Weighted benchmark graph: [[lineitemGraph]]'s edge set with
     * `w = min(l_quantity)` over the lineitems collapsing onto each

@@ -498,6 +498,8 @@ object Graph {
     triPins.remove((s, dir)).foreach(ids =>
       graft.operators.SessionPins.unpin(s.sparkContext, ids))
     graft.queries.Relational.invalidateBuckets(s, dir)
+    GraphOps.invalidateGraphs(s, dir)
+    graft.queries.Text.invalidateShared(s, dir)
   }
 
   /** The tag-batched PPR superstep family fitted ONCE per (session,
@@ -527,7 +529,8 @@ object Graph {
       // force the loop now so only the FINAL state checkpoint remains
       // (runFamily releases its setup tables internally), then pin it.
       fam.count()
-      val pinIds = (sc.getPersistentRDDs.keySet -- before).toSet
+      val pinIds = (sc.getPersistentRDDs.keySet -- before).toSet --
+        graft.operators.SessionPins.pinned(sc)
       graft.operators.SessionPins.pin(sc, pinIds)
       pprFamPins.put((s, dir), pinIds)
       fam
@@ -556,13 +559,26 @@ object Graph {
       val pairsLazy = wedgePairAgg(und, deg, LpCnDegCap)
       val cappedIds = (sc.getPersistentRDDs.keySet -- keptSoFar).toSet
       val pairs = pairsLazy.localCheckpoint(true)
-      (cappedIds ++ undIds).foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      val pinIds = (sc.getPersistentRDDs.keySet -- before).toSet
+      releaseUnpinned(sc, cappedIds ++ undIds)
+      val pinIds = (sc.getPersistentRDDs.keySet -- before).toSet --
+        graft.operators.SessionPins.pinned(sc)
       graft.operators.SessionPins.pin(sc, pinIds)
       lpPins.put((s, dir), pinIds)
       (deg, pairs)
     })
+
+  /** Release checkpoint blocks EXCEPT those some session fit already
+    * pinned — r19: the [[GraphOps.lineitemGraph]] snapshot (and any
+    * model a fit triggers) can first materialize INSIDE another fit's
+    * diff window; a raw unpersist of the window's ids would pull those
+    * pinned blocks out from under every later consumer.
+    */
+  private def releaseUnpinned(sc: org.apache.spark.SparkContext,
+      ids: Set[Int]): Unit = {
+    val pinned = graft.operators.SessionPins.pinned(sc)
+    ids.filterNot(pinned.contains).foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+  }
 
   /** The TRIANGLE enumeration fitted once per (session, source dir) —
     * r19 optimization: `g_triangles`, `g_local_cc` and `g_clustering`
@@ -606,9 +622,9 @@ object Graph {
       val triLazy = triPerNodeFrom(und, deg)
       val orientedIds = (sc.getPersistentRDDs.keySet -- preOriented).toSet
       val triPerNode = triLazy.localCheckpoint(true)
-      (undIds ++ orientedIds).foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      val pinIds = (sc.getPersistentRDDs.keySet -- before).toSet
+      releaseUnpinned(sc, undIds ++ orientedIds)
+      val pinIds = (sc.getPersistentRDDs.keySet -- before).toSet --
+        graft.operators.SessionPins.pinned(sc)
       graft.operators.SessionPins.pin(sc, pinIds)
       triPins.put((s, dir), pinIds)
       (deg, triPerNode)
@@ -1068,7 +1084,8 @@ object Graph {
     hbCache.getOrElseUpdate((s, dir), {
       val sc = s.sparkContext
       val before = sc.getPersistentRDDs.keySet
-      val edges = GraphOps.lineitemGraph(s, dir, Mod).localCheckpoint(true)
+      // the graph snapshot IS a checkpoint already (GraphOps r19)
+      val edges = GraphOps.lineitemGraph(s, dir, Mod)
       var reg = hllReg0(edges)
       def nfCkpt(h: Int): (DataFrame, Long) = {
         val one = effDiamNfChkAt(reg, h).localCheckpoint(true)
@@ -1102,8 +1119,7 @@ object Graph {
       val all = curve.reduce(_ unionAll _).localCheckpoint(true)
       val fold = hllFoldEst(keep(1), keep(2)).localCheckpoint(true)
       val keepIds = (sc.getPersistentRDDs.keySet -- mid).toSet
-      (mid -- before).foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      releaseUnpinned(sc, (mid -- before).toSet)
       graft.operators.SessionPins.pin(sc, keepIds)
       hbPins.put((s, dir), keepIds)
       (fold, effDiamFinishAdaptive(all, stopH, saturated))
@@ -1542,7 +1558,7 @@ object Graph {
     // the swapped key pair counts mutual edges; integer counts + the one
     // float division shared with the oracle.
     "g_reciprocity" -> ((s, dir) => {
-      val e = GraphOps.lineitemGraph(s, dir, Mod).localCheckpoint(true)
+      val e = GraphOps.lineitemGraph(s, dir, Mod) // snapshot = checkpoint
       val mutual = e.join(
         e.select(col("dst").as("src"), col("src").as("dst")),
         Seq("src", "dst"), "left_semi")
@@ -1588,9 +1604,9 @@ object Graph {
 
     "g_khop" -> ((s, dir) => {
       import s.implicits._
-      // both hops probe the same derived edge list — materialize it once
-      // (the 6M-row scan+distinct would otherwise run per hop)
-      val e = GraphOps.lineitemGraph(s, dir, Mod).localCheckpoint(true)
+      // both hops probe the same derived edge list — the r19 snapshot
+      // (GraphOps.lineitemGraph) is already a materialized checkpoint
+      val e = GraphOps.lineitemGraph(s, dir, Mod)
       val src = BatchSources.toDF("s")
       val hop1 = src.join(e, col("s") === e("src"))
         .select(col("s"), col("dst").as("n1")).distinct()

@@ -1297,7 +1297,7 @@ object Text {
     // cannot fit one machine.
     "d_bpe_vocab" -> ((s, dir) => {
       import s.implicits._
-      bpeTrain(s, dir)._1.toDF("rk", "p1", "p2", "cnt")
+      bpeShared(s, dir)._1.toDF("rk", "p1", "p2", "cnt")
     }),
 
     // BPE tokenizer APPLY — per-document token counts under the
@@ -1307,13 +1307,13 @@ object Text {
     // to the (word, merged-symbols) dictionary, so encoding costs one
     // broadcast of the vocabulary-sized word → symbol-count map plus one
     // corpus map pass — per-word work ∝ distinct words, NOT corpus
-    // tokens, which is what makes apply tractable at 100 TB. Rows stay
-    // independent: this re-runs the demo training loop rather than
-    // reading d_bpe_vocab's output (same reasoning as the grid rows'
-    // artifact independence).
+    // tokens, which is what makes apply tractable at 100 TB. r19: the
+    // training loop is a session fit shared with d_bpe_vocab
+    // ([[bpeShared]] - a tokenizer trains once and applies many); the
+    // apply pass below stays per-evaluation.
     "d_bpe_encode" -> ((s, dir) => {
       import s.implicits._
-      val dict = bpeTrain(s, dir)._2
+      val dict = bpeShared(s, dir)._2
         .map { case (wd, syms, _) => (wd, syms.length.toLong) }
         .toDF("word", "n_syms")
       val dw = Tables(s, dir, "documents")
@@ -1351,6 +1351,43 @@ object Text {
       .flatMap(_.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1))
       .filter(_.nonEmpty)
       .groupByKey(identity).count()
+  }
+
+  /** The demo training loop fitted ONCE per (session, source dir) —
+    * r19: `d_bpe_vocab` and `d_bpe_encode` each re-ran the full
+    * [[bpeTrain]] loop (corpus fold + BpeRounds distributed counts +
+    * per-round checkpoints); a tokenizer trains once and applies many,
+    * so the second run was pure recomputation (guide §2.4). The final
+    * dictionary is re-checkpointed into a pinned copy the per-row reap
+    * spares; invalidation rides the central `invalidateModels` chain
+    * ([[invalidateShared]]).
+    */
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Seq[(Int, String, String, Long)],
+      org.apache.spark.sql.Dataset[(String, Array[String], Long)])]
+  private val bpePins = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Set[Int]]
+
+  private def bpeShared(s: SparkSession, dir: String):
+      (Seq[(Int, String, String, Long)],
+        org.apache.spark.sql.Dataset[(String, Array[String], Long)]) =
+    bpeCache.getOrElseUpdate((s, dir), {
+      val sc = s.sparkContext
+      val (merges, words) = bpeTrain(s, dir)
+      val before = sc.getPersistentRDDs.keySet
+      val pinnedWords = words.localCheckpoint(true)
+      val ids = (sc.getPersistentRDDs.keySet -- before).toSet --
+        graft.operators.SessionPins.pinned(sc)
+      graft.operators.SessionPins.pin(sc, ids)
+      bpePins.put((s, dir), ids)
+      (merges, pinnedWords)
+    })
+
+  /** Re-ingest hook: drop the shared BPE fit for (session, dir). */
+  def invalidateShared(s: SparkSession, dir: String): Unit = {
+    bpeCache.remove((s, dir))
+    bpePins.remove((s, dir)).foreach(ids =>
+      graft.operators.SessionPins.unpin(s.sparkContext, ids))
   }
 
   private def bpeTrain(s: SparkSession, dir: String):
