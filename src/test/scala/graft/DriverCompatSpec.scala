@@ -24,9 +24,14 @@ class DriverCompatSpec extends SparkSpec {
       assert(bad.isEmpty, s"$name emits non-scalar columns " +
         s"[${bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}] — " +
         "the driver comparator cannot sort them; encode as string/hash")
-      // release whatever the query pinned (same hygiene as Verify/Bench)
+      // release whatever the query pinned (same hygiene as Verify/Bench —
+      // INCLUDING the SessionPins exemption those harnesses apply: a
+      // session fit materialized during construction is still served to
+      // later rows, so reaping its blocks here crashed the first
+      // consumer after the reap with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
       val now = sc.getPersistentRDDs
-      (now.keySet -- pinned).foreach(id => now.get(id).foreach(_.unpersist(false)))
+      (now.keySet -- pinned -- graft.operators.SessionPins.pinned(sc))
+        .foreach(id => now.get(id).foreach(_.unpersist(false)))
     }
   }
 
