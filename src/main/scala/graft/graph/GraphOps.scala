@@ -72,6 +72,25 @@ object GraphOps {
         .distinct()
     }
 
+  /** Undirected view of [[lineitemGraph]] — `(a, b)` with `a < b`,
+    * deduplicated — served as a load-once snapshot exactly like the
+    * directed edge set (r19 optimization, second pass): seven call
+    * sites (`Graph.lpShared`, `Graph.triShared`, `g_richclub`,
+    * `g_pref_attach`, `g_kcore` and — through the shared degree-stub
+    * histogram — `g_assortativity`/`g_knn_degree`) each re-paid the
+    * least/greatest distinct shuffle per row over the same graph.
+    * Keyed `(dir, mod, -2)` in the snapshot cache so
+    * [[invalidateGraphs]] releases it with the rest.
+    */
+  def lineitemUndirected(spark: SparkSession, sfDir: String,
+      mod: Int): DataFrame =
+    snapshot(spark, (sfDir, mod, -2)) {
+      lineitemGraph(spark, sfDir, mod)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+    }
+
   private val snapCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, (String, Int, Int)), DataFrame]
   private val snapPins = scala.collection.concurrent.TrieMap
@@ -83,7 +102,11 @@ object GraphOps {
       val sc = spark.sparkContext
       val before = sc.getPersistentRDDs.keySet
       val out = build.localCheckpoint(true)
-      val ids = (sc.getPersistentRDDs.keySet -- before).toSet
+      // a nested snapshot (lineitemUndirected builds ON lineitemGraph)
+      // can first materialize inside this diff window — exclude blocks
+      // another fit already pinned so this key never unpins them
+      val ids = (sc.getPersistentRDDs.keySet -- before).toSet --
+        graft.operators.SessionPins.pinned(sc)
       graft.operators.SessionPins.pin(sc, ids)
       snapPins.put((spark, key), ids)
       out

@@ -497,7 +497,17 @@ object Graph {
     triCache.remove((s, dir))
     triPins.remove((s, dir)).foreach(ids =>
       graft.operators.SessionPins.unpin(s.sparkContext, ids))
+    undDegCache.remove((s, dir))
+    undDegPins.remove((s, dir)).foreach(ids =>
+      graft.operators.SessionPins.unpin(s.sparkContext, ids))
+    knnHistCache.remove((s, dir))
+    knnHistPins.remove((s, dir)).foreach(ids =>
+      graft.operators.SessionPins.unpin(s.sparkContext, ids))
+    baseApCache.remove((s, dir))
+    baseApPins.remove((s, dir)).foreach(ids =>
+      graft.operators.SessionPins.unpin(s.sparkContext, ids))
     graft.queries.Relational.invalidateBuckets(s, dir)
+    graft.queries.Media.invalidateShared(s, dir)
     GraphOps.invalidateGraphs(s, dir)
     graft.queries.Text.invalidateShared(s, dir)
   }
@@ -541,25 +551,20 @@ object Graph {
     lpCache.getOrElseUpdate((s, dir), {
       val sc = s.sparkContext
       val before = sc.getPersistentRDDs.keySet
-      val e = GraphOps.lineitemGraph(s, dir, TriMod)
-      val und = e.select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b")).distinct()
-        .localCheckpoint(true) // feeds adjacency, the anti-join
-      val undIds = (sc.getPersistentRDDs.keySet -- before).toSet
-      val adj = und.select(col("a").as("w"), col("b").as("n"))
-        .unionAll(und.select(col("b").as("w"), col("a").as("n")))
-      val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("dg"))
-        .localCheckpoint(true)
+      // und + deg now come from the session-wide shared fits (r19
+      // second pass — five other rows read the same frames); both
+      // arrive pinned, so this fit's diff windows exclude them and the
+      // release below cannot pull them out from under later consumers.
+      val und = GraphOps.lineitemUndirected(s, dir, TriMod)
+      val deg = undDegShared(s, dir).select(col("id").as("w"), col("dg"))
       // wedgePairAgg eagerly checkpoints its weighted-adjacency
-      // scaffolding; only deg and the FINAL pairs frame may stay pinned
-      // (the nswGraphBuild release discipline), so diff around each
-      // step — including und itself, which is dead once `pairs` is
-      // eagerly checkpointed (the anti-join lineage is truncated).
+      // scaffolding; only the FINAL pairs frame may stay pinned HERE
+      // (the nswGraphBuild release discipline), so diff around it.
       val keptSoFar = sc.getPersistentRDDs.keySet
       val pairsLazy = wedgePairAgg(und, deg, LpCnDegCap)
       val cappedIds = (sc.getPersistentRDDs.keySet -- keptSoFar).toSet
       val pairs = pairsLazy.localCheckpoint(true)
-      releaseUnpinned(sc, cappedIds ++ undIds)
+      releaseUnpinned(sc, cappedIds)
       val pinIds = (sc.getPersistentRDDs.keySet -- before).toSet --
         graft.operators.SessionPins.pinned(sc)
       graft.operators.SessionPins.pin(sc, pinIds)
@@ -606,28 +611,131 @@ object Graph {
     triCache.getOrElseUpdate((s, dir), {
       val sc = s.sparkContext
       val before = sc.getPersistentRDDs.keySet
-      val e = GraphOps.lineitemGraph(s, dir, TriMod)
-      val und = e.select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b")).distinct()
-        .localCheckpoint(true)
-      val undIds = (sc.getPersistentRDDs.keySet -- before).toSet
-      val deg = und.select(col("a").as("id"))
-        .unionAll(und.select(col("b").as("id")))
-        .groupBy("id").agg(count(lit(1)).as("dg"))
-        .localCheckpoint(true)
+      // und + deg now come from the session-wide shared fits (r19
+      // second pass); both arrive pinned, so the release below spares
+      // them for the five other consumer rows.
+      val und = GraphOps.lineitemUndirected(s, dir, TriMod)
+      val deg = undDegShared(s, dir)
       // triPerNodeFrom eagerly checkpoints `oriented` inside; diff
-      // around it so the scaffolding (und + oriented) can be released
-      // once the final fold materializes — only deg + triPerNode pin.
+      // around it so the scaffolding can be released once the final
+      // fold materializes — only triPerNode pins under THIS key.
       val preOriented = sc.getPersistentRDDs.keySet
       val triLazy = triPerNodeFrom(und, deg)
       val orientedIds = (sc.getPersistentRDDs.keySet -- preOriented).toSet
       val triPerNode = triLazy.localCheckpoint(true)
-      releaseUnpinned(sc, undIds ++ orientedIds)
+      releaseUnpinned(sc, orientedIds)
       val pinIds = (sc.getPersistentRDDs.keySet -- before).toSet --
         graft.operators.SessionPins.pinned(sc)
       graft.operators.SessionPins.pin(sc, pinIds)
       triPins.put((s, dir), pinIds)
       (deg, triPerNode)
+    })
+
+  /** Full-graph degree over the TriMod undirected snapshot, fitted once
+    * per (session, source dir) — r19 optimization, second pass:
+    * `g_richclub`, `g_pref_attach`, [[lpShared]], [[triShared]] and the
+    * [[knnHistShared]] stub fold each re-ran the SAME endpoint-union
+    * degree aggregate over the same undirected edge set. Columns
+    * `(id, dg)`; consumers rename (`u`/`w` spellings are projections of
+    * this one pinned frame). Node-count rows — trivially pinnable.
+    * Invalidation rides [[invalidateModels]].
+    */
+  private val undDegCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private val undDegPins = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Set[Int]]
+
+  private[queries] def undDegShared(s: SparkSession, dir: String)
+      : DataFrame =
+    undDegCache.getOrElseUpdate((s, dir), {
+      val sc = s.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val und = GraphOps.lineitemUndirected(s, dir, TriMod)
+      val deg = und.select(col("a").as("id"))
+        .unionAll(und.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("dg"))
+        .localCheckpoint(true)
+      val pinIds = (sc.getPersistentRDDs.keySet -- before).toSet --
+        graft.operators.SessionPins.pinned(sc)
+      graft.operators.SessionPins.pin(sc, pinIds)
+      undDegPins.put((s, dir), pinIds)
+      deg
+    })
+
+  /** The `(du, dv)` degree-stub histogram fitted once per (session,
+    * source dir) — r19 optimization, second pass: `g_knn_degree` and
+    * `g_assortativity` ran the IDENTICAL adj → deg → double degree-join
+    * stub scan over the same TriMod graph and then folded different
+    * exact-integer aggregates. One fit groups the stub scan by `du`
+    * (`k`, `n_stubs` = stub count, `s_dv` = Σ dv — exactly
+    * `g_knn_degree`'s aggregate frame); `g_knn_degree` projects its knn
+    * division off it, and `g_assortativity`'s moments fold from it
+    * exactly (M = Σ n_stubs, S_jk = Σ k·s_dv, S_j = Σ k·n_stubs,
+    * S_jj = Σ k²·n_stubs — all BIGINT regroupings of the same exact
+    * integer sums, so the one float division is bit-identical;
+    * AssortativitySpec's brute-force replay pins both). Output is
+    * bounded by the degree support — tiny at any scale. Invalidation
+    * rides [[invalidateModels]].
+    */
+  private val knnHistCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private val knnHistPins = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Set[Int]]
+
+  private[queries] def knnHistShared(s: SparkSession, dir: String)
+      : DataFrame =
+    knnHistCache.getOrElseUpdate((s, dir), {
+      val sc = s.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val und = GraphOps.lineitemUndirected(s, dir, TriMod)
+      val deg = undDegShared(s, dir)
+      val adj = und.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+      val hist = adj
+        .join(deg.select(col("id").as("u"), col("dg").as("du")), Seq("u"))
+        .join(deg.select(col("id").as("v"), col("dg").as("dv")), Seq("v"))
+        .groupBy(col("du").as("k"))
+        .agg(count(lit(1)).as("n_stubs"), sum(col("dv")).as("s_dv"))
+        .localCheckpoint(true)
+      val pinIds = (sc.getPersistentRDDs.keySet -- before).toSet --
+        graft.operators.SessionPins.pinned(sc)
+      graft.operators.SessionPins.pin(sc, pinIds)
+      knnHistPins.put((s, dir), pinIds)
+      hist
+    })
+
+  /** The BASE all-pair table fitted once per (session, source dir) —
+    * r19 optimization, second pass: `g_base_allpair` and `g_base_topk`
+    * each ran the FULL [[graft.ppr.Base.allPairs]] preprocessing sweep
+    * (two CSR builds + the batched backward search over every target)
+    * over the same BaseMod graph; the reference preprocesses ONCE and
+    * both store modes read the same table (`Base_Whole_Graph.java`).
+    * The pinned frame carries the thresholded 9-dp-rounded rows both
+    * rows previously computed; `g_base_allpair` IS the frame and
+    * `g_base_topk` rank-truncates it with its unchanged
+    * [[graft.ppr.Base.topkTable]] cut. Invalidation rides
+    * [[invalidateModels]].
+    */
+  private val baseApCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private val baseApPins = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Set[Int]]
+
+  private[queries] def baseAllpairShared(s: SparkSession, dir: String)
+      : DataFrame =
+    baseApCache.getOrElseUpdate((s, dir), {
+      val sc = s.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val edges = GraphOps.lineitemGraph(s, dir, BaseMod)
+      val ap = Base.allPairs(s, edges, Alpha, BaseRmax, BaseSupersteps)
+        .select(col("src"), col("dst"), round(col("score"), 9).as("score"))
+        .where(col("score") >= BaseThreshold)
+        .localCheckpoint(true)
+      val pinIds = (sc.getPersistentRDDs.keySet -- before).toSet --
+        graft.operators.SessionPins.pinned(sc)
+      graft.operators.SessionPins.pin(sc, pinIds)
+      baseApPins.put((s, dir), pinIds)
+      ap
     })
 
   /** `g_pref_attach` escalation ladder: head sizes tried in order are
@@ -667,11 +775,19 @@ object Graph {
     * broadcast-sized off one degree aggregate.
     */
   private[graft] def prefAttach(und: DataFrame, topDeg: Int,
-      topN: Int): DataFrame = {
-    val deg = und.select(col("a").as("id"))
-      .unionAll(und.select(col("b").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("dg"))
-      .localCheckpoint(true) // one degree aggregate feeds every rung
+      topN: Int): DataFrame =
+    // spec-facing arity: derive the degree frame exactly as before
+    // (one aggregate feeds every rung); the production row passes the
+    // session-shared frame instead (r19 second pass).
+    prefAttach(und,
+      und.select(col("a").as("id"))
+        .unionAll(und.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("dg"))
+        .localCheckpoint(true),
+      topDeg, topN)
+
+  private[graft] def prefAttach(und: DataFrame, deg: DataFrame,
+      topDeg: Int, topN: Int): DataFrame = {
     val rungs = PaLadder.map(_ * topDeg)
 
     def attempt(rung: Int, last: Boolean): Option[DataFrame] = {
@@ -1385,14 +1501,11 @@ object Graph {
     // same as one scalar at any graph size. Integer moments, one float
     // division per rung, φ = 0 below two qualifying nodes.
     "g_richclub" -> ((s, dir) => {
-      val e = GraphOps.lineitemGraph(s, dir, TriMod)
-      val und = e.select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b")).distinct()
-        .localCheckpoint(true) // feeds degrees and both edge joins
-      val adj = und.select(col("a").as("u"))
-        .unionAll(und.select(col("b").as("u")))
-      val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("dg"))
-        .localCheckpoint(true)
+      // r19 second pass: und + deg come from the session-wide shared
+      // snapshots (the same endpoint-union degree values this row
+      // derived itself — consumers rename the pinned (id, dg) frame).
+      val und = GraphOps.lineitemUndirected(s, dir, TriMod)
+      val deg = undDegShared(s, dir).select(col("id").as("u"), col("dg"))
       val nh = deg.groupBy(col("dg")).agg(count(lit(1)).as("ncnt"))
       val em = und
         .join(deg.select(col("u").as("a"), col("dg").as("da")), Seq("a"))
@@ -1447,13 +1560,11 @@ object Graph {
     // anti-join is tiny × tiny, the score is an exact BIGINT product
     // with a (pa desc, u, v) total order, and the guard rides a 1-row
     // aggregate crossJoined into the (PaTopN-row) result.
-    "g_pref_attach" -> ((s, dir) => {
-      val e = GraphOps.lineitemGraph(s, dir, TriMod)
-      val und = e.select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b")).distinct()
-        .localCheckpoint(true)
-      prefAttach(und, PaTopDeg, PaTopN)
-    }),
+    "g_pref_attach" -> ((s, dir) =>
+      // r19 second pass: the undirected snapshot and the shared degree
+      // frame replace the per-row distinct + degree aggregate.
+      prefAttach(GraphOps.lineitemUndirected(s, dir, TriMod),
+        undDegShared(s, dir), PaTopDeg, PaTopN)),
 
     // k-core decomposition (fixed-horizon synchronous peeling): repeat
     // "drop every node with degree < K" until the fixed round budget;
@@ -1464,13 +1575,12 @@ object Graph {
     // rounds × job floor, not data size). Degeneracy ordering at 100 TB
     // would run the same loop with increasing K; the fixed-K core is the
     // building block.
-    "g_kcore" -> ((s, dir) => {
-      val e = GraphOps.lineitemGraph(s, dir, TriMod)
-      val und = e.select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b")).distinct()
-        .localCheckpoint(true)
-      kcoreRun(und, KcoreK, KcoreRounds)
-    }),
+    "g_kcore" -> ((s, dir) =>
+      // r19 second pass: peel from the shared undirected snapshot (the
+      // kernel's per-round degrees are its own — only round 0's input
+      // derivation was redundant).
+      kcoreRun(GraphOps.lineitemUndirected(s, dir, TriMod),
+        KcoreK, KcoreRounds)),
 
     // Random-walk corpus generation — the DeepWalk/node2vec prep step a
     // graph-embedding pipeline runs before skip-gram training: truncated
@@ -1506,25 +1616,22 @@ object Graph {
     // Range honesty: M·S_jk stays under 2⁶³ through ~1e9 pairs at 1e4
     // max degree; a web-scale run (1e12 pairs, 1e6-degree hubs) widens
     // the moments to DECIMAL(38) — same plan shape, wider cells.
-    "g_assortativity" -> ((s, dir) => {
-      val e = GraphOps.lineitemGraph(s, dir, TriMod)
-      val und = e.select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b")).distinct()
-      val adj = und.select(col("a").as("u"), col("b").as("v"))
-        .unionAll(und.select(col("b").as("u"), col("a").as("v")))
-        .localCheckpoint(true) // feeds degrees and the pair scan
-      val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("dg"))
-      val pairs = adj
-        .join(deg.select(col("u"), col("dg").as("du")), Seq("u"))
-        .join(deg.select(col("u").as("v"), col("dg").as("dv")), Seq("v"))
-      pairs.agg(count(lit(1)).as("m_pairs"),
-          sum(col("du") * col("dv")).as("s_jk"),
-          sum(col("du")).as("s_j"),
-          sum(col("du") * col("du")).as("s_jj"))
+    "g_assortativity" -> ((s, dir) =>
+      // r19 second pass: the moments fold EXACTLY from the shared
+      // degree-class histogram ([[knnHistShared]] — g_knn_degree's own
+      // aggregate frame): M = Σ n_stubs, S_jk = Σ k·s_dv,
+      // S_j = Σ k·n_stubs, S_jj = Σ k²·n_stubs are BIGINT regroupings
+      // of the same exact integer sums (classes partition the stub
+      // scan), so the one float division is bit-identical —
+      // AssortativitySpec's brute-force replay pins it.
+      knnHistShared(s, dir)
+        .agg(sum(col("n_stubs")).as("m_pairs"),
+          sum(col("k") * col("s_dv")).as("s_jk"),
+          sum(col("k") * col("n_stubs")).as("s_j"),
+          sum(col("k") * col("k") * col("n_stubs")).as("s_jj"))
         .selectExpr("m_pairs", "s_jk", "s_j", "s_jj",
           "CAST(m_pairs * s_jk - s_j * s_j AS DOUBLE) / " +
-            "CAST(m_pairs * s_jj - s_j * s_j AS DOUBLE) AS r")
-    }),
+            "CAST(m_pairs * s_jj - s_j * s_j AS DOUBLE) AS r")),
 
     // Average-nearest-neighbor-degree curve knn(k) (Pastor-Satorras,
     // Vázquez & Vespignani 2001) — the degree-resolved view of the
@@ -1535,22 +1642,12 @@ object Graph {
     // BIGINT moments (stub count, Σ dv) per class and ONE float
     // division, spelled identically in the oracle. At any scale the
     // output is bounded by the degree support, not the node count.
-    "g_knn_degree" -> ((s, dir) => {
-      val e = GraphOps.lineitemGraph(s, dir, TriMod)
-      val und = e.select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b")).distinct()
-      val adj = und.select(col("a").as("u"), col("b").as("v"))
-        .unionAll(und.select(col("b").as("u"), col("a").as("v")))
-        .localCheckpoint(true) // feeds degrees and the stub scan
-      val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("dg"))
-      adj
-        .join(deg.select(col("u"), col("dg").as("du")), Seq("u"))
-        .join(deg.select(col("u").as("v"), col("dg").as("dv")), Seq("v"))
-        .groupBy(col("du").as("k"))
-        .agg(count(lit(1)).as("n_stubs"), sum(col("dv")).as("s_dv"))
-        .selectExpr("k", "n_stubs", "s_dv",
-          "round(CAST(s_dv AS DOUBLE) / n_stubs, 6) AS knn")
-    }),
+    "g_knn_degree" -> ((s, dir) =>
+      // r19 second pass: the row IS the shared degree-class histogram
+      // plus its unchanged knn projection (g_assortativity folds its
+      // moments from the same pinned frame).
+      knnHistShared(s, dir).selectExpr("k", "n_stubs", "s_dv",
+        "round(CAST(s_dv AS DOUBLE) / n_stubs, 6) AS knn")),
 
     // Edge reciprocity: the fraction of directed edges whose reverse
     // edge also exists — the direction-structure scalar (social graphs
@@ -1885,24 +1982,21 @@ object Graph {
     }),
 
     // K9: BASE all-pair preprocessing table (threshold on rounded score).
-    "g_base_allpair" -> ((s, dir) => {
-      val edges = GraphOps.lineitemGraph(s, dir, BaseMod)
-      Base.allPairs(s, edges, Alpha, BaseRmax, BaseSupersteps)
-        .select(col("src"), col("dst"), round(col("score"), 9).as("score"))
-        .where(col("score") >= BaseThreshold)
-    }),
+    "g_base_allpair" -> ((s, dir) =>
+      // r19 second pass: the preprocessing sweep is fitted once per
+      // session ([[baseAllpairShared]]) — g_base_topk rank-truncates
+      // the same pinned table instead of re-running the sweep.
+      baseAllpairShared(s, dir)),
 
     // T5: BASE top-k store mode — the all-pair table rank-truncated per
     // source with an explicit tie-inclusive rank column (the materialized
     // form the reference writes per-source files in rank order,
     // `Base_Whole_Graph.java:133-155`).
-    "g_base_topk" -> ((s, dir) => {
-      val edges = GraphOps.lineitemGraph(s, dir, BaseMod)
-      val ap = Base.allPairs(s, edges, Alpha, BaseRmax, BaseSupersteps)
-        .select(col("src"), col("dst"), round(col("score"), 9).as("score"))
-        .where(col("score") >= BaseThreshold)
-      Base.topkTable(ap, TopK)
-    }),
+    "g_base_topk" -> ((s, dir) =>
+      // r19 second pass: unchanged tie-inclusive rank cut over the
+      // session-fitted all-pair table (the reference preprocesses once
+      // and serves both store modes from the same table).
+      Base.topkTable(baseAllpairShared(s, dir), TopK)),
 
     // K5: seeded Monte-Carlo SSPPR, oracle-checked via the materialized
     // walk table (SURVEY A2): the seeded walk endpoints are dumped as

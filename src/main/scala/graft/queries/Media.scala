@@ -99,6 +99,52 @@ object Media {
         .select((col("doc_id") + ReplicaOffset).as("doc_id"), col("text")))
   }
 
+  /** The verified image near-dup pair table fitted once per (session,
+    * source dir) — r19 optimization, second pass: `m_media_neardup` and
+    * `m_media_dup_clusters` each re-ran the ENTIRE decode → perceptual
+    * hash → banded candidate join → Hamming verify pipeline; a dedup
+    * pipeline generates candidate pairs once and both the pair report
+    * and the cluster extraction read the same table. Only the verified
+    * pair table stays pinned (candidate-scale rows — tiny relative to
+    * the corpus, which is the point of banded LSH); the signature
+    * checkpoint is released once the pairs materialize. Invalidation
+    * rides the central `Graph.invalidateModels` chain via
+    * [[invalidateShared]].
+    */
+  private val ndCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private val ndPins = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Set[Int]]
+
+  private def neardupShared(s: SparkSession, dir: String): DataFrame =
+    ndCache.getOrElseUpdate((s, dir), {
+      val sc = s.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val h = MediaOps.perceptualHash(MediaOps.imagesFrom(withReplicas(s, dir)))
+        .toDF().localCheckpoint(true)
+      val hIds = (sc.getPersistentRDDs.keySet -- before).toSet
+      val pairs = bandedNearDup(h).localCheckpoint(true)
+      // release the signature scaffolding (sparing anything another
+      // fit pinned); only the verified pair table pins under this key
+      val pinnedNow = graft.operators.SessionPins.pinned(sc)
+      hIds.filterNot(pinnedNow.contains).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      val pinIds = (sc.getPersistentRDDs.keySet -- before).toSet --
+        graft.operators.SessionPins.pinned(sc)
+      graft.operators.SessionPins.pin(sc, pinIds)
+      ndPins.put((s, dir), pinIds)
+      pairs
+    })
+
+  /** Drop the shared near-dup fit and release its pinned blocks — the
+    * re-ingest hook (`Graph.invalidateModels` calls it).
+    */
+  def invalidateShared(s: SparkSession, dir: String): Unit = {
+    ndCache.remove((s, dir))
+    ndPins.remove((s, dir)).foreach(ids =>
+      graft.operators.SessionPins.unpin(s.sparkContext, ids))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_media_meta" -> ((s, dir) => MediaOps.metaDf(s, dir)),
 
@@ -130,13 +176,10 @@ object Media {
     // all 6 pair keys and verify at Hamming 0; random pair-key
     // collisions (~1 per 2^32 pairs per key) are measure-zero at any
     // corpus scale — the quadratic term ScaleBench flagged at 16 bits.
-    "m_media_neardup" -> ((s, dir) => {
-      // reused by the band explode and both verify joins: checkpoint so
-      // the decode+hash kernel runs once, not four times
-      val h = MediaOps.perceptualHash(MediaOps.imagesFrom(withReplicas(s, dir)))
-        .toDF().localCheckpoint(true)
-      bandedNearDup(h)
-    }),
+    "m_media_neardup" -> ((s, dir) =>
+      // r19 second pass: the row IS the session-fitted verified pair
+      // table (m_media_dup_clusters reads the same fit).
+      neardupShared(s, dir)),
 
     // Duplicate-cluster extraction over the image near-dup pair graph —
     // the media twin of d_dup_clusters, closing the dedup loop the same
@@ -150,10 +193,11 @@ object Media {
     // emitted.
     "m_media_dup_clusters" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
-      val h = MediaOps.perceptualHash(MediaOps.imagesFrom(withReplicas(s, dir)))
-        .toDF().localCheckpoint(true)
+      // r19 second pass: cluster the session-fitted pair table instead
+      // of re-running the decode+hash+verify pipeline the
+      // m_media_neardup row already ran.
       graft.graph.ConnectedComponents.run(
-          s, bandedNearDup(h).select(
+          s, neardupShared(s, dir).select(
             col("doc_a").as("src"), col("doc_b").as("dst")),
           rounds = graft.queries.Text.DupClusterRounds)
         .select(col("node_id").as("doc_id"), col("comp").as("cluster_id"))

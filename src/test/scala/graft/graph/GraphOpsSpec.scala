@@ -44,6 +44,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(g.count() == g.distinct().count())
   }
 
+  test("lineitemUndirected snapshot == the inline least/greatest " +
+      "distinct derivation, is served cached, and refits after " +
+      "invalidateGraphs") {
+    val direct = GraphOps.lineitemGraph(spark, sfDir, 97)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val und = GraphOps.lineitemUndirected(spark, sfDir, 97)
+    val got = und.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == direct && got.nonEmpty)
+    assert(got.forall { case (a, b) => a < b })
+    // served: the second call returns the SAME snapshot instance
+    assert(GraphOps.lineitemUndirected(spark, sfDir, 97) eq und)
+    // re-ingest contract: invalidation refits from source to the same
+    // answer (not a stale frame)
+    GraphOps.invalidateGraphs(spark, sfDir)
+    val refit = GraphOps.lineitemUndirected(spark, sfDir, 97)
+    assert(!(refit eq und))
+    assert(refit.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == direct)
+  }
+
   test("lineitemFlickrGraph: ids in range, symmetric, hub-skewed, deterministic") {
     // sf0.001 keeps the spec fast; the derivation's SHAPE properties are
     // scale-free (the committed 4-scale artifact pins the sf0.1 numbers:

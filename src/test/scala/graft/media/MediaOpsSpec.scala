@@ -328,6 +328,21 @@ class MediaOpsSpec extends SparkSpec {
     }
   }
 
+  test("the shared near-dup fit is served across both rows, unpins on " +
+      "invalidateShared, and the refit row reproduces the same pairs") {
+    val M = graft.queries.Media
+    val sc = spark.sparkContext
+    val before = M.queries("m_media_neardup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val pinned0 = graft.operators.SessionPins.pinned(sc)
+    M.invalidateShared(spark, sfDir)
+    assert(graft.operators.SessionPins.pinned(sc).size < pinned0.size,
+      "invalidation must unpin the shared pair-table checkpoint")
+    val after = M.queries("m_media_neardup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(after == before) // REFIT from source — not a stale frame
+  }
+
   test("frameHashes: every container frame decoded, per-frame bands equal " +
       "the image-level aHash of that frame") {
     val s = spark

@@ -27,6 +27,33 @@ class BaseSpec extends SparkSpec {
     }
   }
 
+  test("the shared all-pair fit: g_base_allpair == a fresh uncached " +
+      "sweep, g_base_topk == the rank cut over it, and invalidation " +
+      "refits to the same answer") {
+    import graft.queries.Graph
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // fresh sweep, bypassing the session fit — the row's previous body
+    val fresh = Base.allPairs(spark,
+        graft.graph.GraphOps.lineitemGraph(spark, sfDir, Graph.BaseMod),
+        Graph.Alpha, Graph.BaseRmax, Graph.BaseSupersteps)
+      .select(col("src"), col("dst"), round(col("score"), 9).as("score"))
+      .where(col("score") >= Graph.BaseThreshold)
+    val freshAp = canon(fresh)
+    val ap0 = canon(Graph.queries("g_base_allpair")(spark, sfDir))
+    assert(ap0 == freshAp && ap0.nonEmpty)
+    val topk0 = Graph.queries("g_base_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val topkFresh = Base.topkTable(fresh, Graph.TopK).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(topk0 == topkFresh)
+    // re-ingest contract: refit from source, same answer
+    Graph.invalidateModels(spark, sfDir)
+    assert(canon(Graph.queries("g_base_allpair")(spark, sfDir)) == freshAp)
+  }
+
   test("store round-trip with partition pruning, size, delete") {
     val dir = Files.createTempDirectory("base_store").toString + "/ppr"
     val ap = Base.allPairs(spark, edgesDf, 0.15, 1e-6)

@@ -60,6 +60,27 @@ class AssortativitySpec extends SparkSpec {
       pairs.map { case (u, _) => deg(u) }.sum)
   }
 
+  test("the shared degree-class histogram serves both rows from one " +
+      "fit, and invalidation refits to the same answer") {
+    val sc = spark.sparkContext
+    val knn0 = Graph.queries("g_knn_degree")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet // triggers (or reuses) the session fit
+    val r0 = Graph.queries("g_assortativity")(spark, sfDir).collect()(0)
+    val pinned0 = graft.operators.SessionPins.pinned(sc)
+    Graph.invalidateModels(spark, sfDir)
+    assert(graft.operators.SessionPins.pinned(sc).size < pinned0.size,
+      "invalidation must unpin the shared histogram/degree blocks")
+    val knn1 = Graph.queries("g_knn_degree")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet // REFIT from source — not a stale frame
+    assert(knn1 == knn0)
+    val r1 = Graph.queries("g_assortativity")(spark, sfDir).collect()(0)
+    assert((0 to 3).forall(i => r1.getLong(i) == r0.getLong(i)))
+    assert(java.lang.Double.doubleToLongBits(r1.getDouble(4)) ==
+      java.lang.Double.doubleToLongBits(r0.getDouble(4)))
+  }
+
   test("assortativityWide (DECIMAL(38,0) moments) reproduces the narrow " +
       "query's moments and bit-identical r") {
     val narrow = Graph.queries("g_assortativity")(spark, sfDir).collect()(0)

@@ -53,6 +53,13 @@ FIT_BEARING = {
     # and the shared triangle fold (triShared)
     "g_hyperball", "g_harmonic", "g_closeness", "g_eff_diameter",
     "g_triangles", "g_local_cc", "g_clustering",
+    # r19 optimization second pass: the shared undirected snapshot +
+    # degree frame (undDegShared), the degree-class histogram
+    # (knnHistShared), the BASE all-pair fit (baseAllpairShared) and
+    # the media near-dup pair fit (neardupShared)
+    "g_richclub", "g_pref_attach", "g_kcore", "g_assortativity",
+    "g_knn_degree", "g_base_allpair", "g_base_topk",
+    "m_media_neardup", "m_media_dup_clusters",
 }
 
 
