@@ -506,6 +506,9 @@ object Graph {
     baseApCache.remove((s, dir))
     baseApPins.remove((s, dir)).foreach(ids =>
       graft.operators.SessionPins.unpin(s.sparkContext, ids))
+    lpaCache.remove((s, dir))
+    lpaPins.remove((s, dir)).foreach(ids =>
+      graft.operators.SessionPins.unpin(s.sparkContext, ids))
     graft.queries.Relational.invalidateBuckets(s, dir)
     graft.queries.Media.invalidateShared(s, dir)
     GraphOps.invalidateGraphs(s, dir)
@@ -736,6 +739,46 @@ object Graph {
       graft.operators.SessionPins.pin(sc, pinIds)
       baseApPins.put((s, dir), pinIds)
       ap
+    })
+
+  /** The LPA label frame fitted once per (session, source dir) — r19
+    * optimization, second pass: `g_modularity` is DEFINED as the Newman
+    * Q of the `g_label_prop` communities, yet [[modularityRun]] re-ran
+    * the entire fixed-horizon LabelProp superstep loop the
+    * `g_label_prop` row had already run over the same fragmented
+    * subgraph (2 × LpRounds job floors per board). One fit runs the
+    * loop ([[graft.graph.LabelProp.run]] — deterministic: synchronous
+    * rounds, smallest-label tie-break, so the refit labels are
+    * byte-identical) and pins the final node-count label frame;
+    * `g_label_prop` IS the frame and `g_modularity` folds its moments
+    * from it via [[modularityFrom]] (the unchanged tail of
+    * [[modularityRun]]). Loop scaffolding (per-round checkpoints) is
+    * released inside the fit. Invalidation rides [[invalidateModels]].
+    */
+  private val lpaCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private val lpaPins = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Set[Int]]
+
+  private[queries] def lpaShared(s: SparkSession, dir: String)
+      : DataFrame =
+    lpaCache.getOrElseUpdate((s, dir), {
+      val sc = s.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val labLoop = LabelProp.run(s,
+        GraphOps.lineitemSubgraph(s, dir, CcMod, CcQtyMax), LpRounds)
+      // the loop's own checkpoints (und + final round) are scaffolding
+      // once the pinned copy materializes — diff and release, sparing
+      // blocks other fits pinned (the subgraph snapshot materializes
+      // inside this window on first touch)
+      val scaffold = (sc.getPersistentRDDs.keySet -- before).toSet
+      val lab = labLoop.localCheckpoint(true)
+      releaseUnpinned(sc, scaffold)
+      val pinIds = (sc.getPersistentRDDs.keySet -- before).toSet --
+        graft.operators.SessionPins.pinned(sc)
+      graft.operators.SessionPins.pin(sc, pinIds)
+      lpaPins.put((s, dir), pinIds)
+      lab
     })
 
   /** `g_pref_attach` escalation ladder: head sizes tried in order are
@@ -1750,8 +1793,10 @@ object Graph {
     // same fragmented subgraph as g_concomp (the full derivation is one
     // giant component — communities there are trivial); fixed LpRounds
     // horizon, smallest-label tie-break (see [[graft.graph.LabelProp]]).
-    "g_label_prop" -> ((s, dir) => LabelProp.run(
-      s, GraphOps.lineitemSubgraph(s, dir, CcMod, CcQtyMax), LpRounds)),
+    "g_label_prop" -> ((s, dir) =>
+      // r19 second pass: the row IS the session-fitted label frame
+      // (g_modularity folds its Q moments from the same fit).
+      lpaShared(s, dir)),
 
     // Newman modularity Q of the g_label_prop communities — the
     // community-quality scalar a graph pipeline reports next to the
@@ -1765,8 +1810,12 @@ object Graph {
     // are the mergeable 100 TB state; range honesty: m2·s_intra ≤ (2m)²
     // stays under 2⁶³ through ~2e9 directed pairs, past which the
     // moments widen to DECIMAL(38,0) like assortativityWide.
-    "g_modularity" -> ((s, dir) => modularityRun(
-      s, GraphOps.lineitemSubgraph(s, dir, CcMod, CcQtyMax), LpRounds)),
+    "g_modularity" -> ((s, dir) =>
+      // r19 second pass: Q of the g_label_prop communities, folded from
+      // the session-fitted label frame instead of re-running the LPA
+      // loop (the row's own definition — same labels, same moments).
+      modularityFrom(GraphOps.lineitemSubgraph(s, dir, CcMod, CcQtyMax),
+        lpaShared(s, dir))),
 
     // Strongly connected components of the DIRECTED graph — the classic
     // [[graft.graph.Scc]] two-regime kernel: iterative Tarjan over the
@@ -2135,11 +2184,20 @@ object Graph {
     * moments. See the `g_modularity` entry's scaladoc for the math and
     * the range-honesty bound.
     */
-  def modularityRun(s: SparkSession, edges: DataFrame, rounds: Int): DataFrame = {
+  def modularityRun(s: SparkSession, edges: DataFrame, rounds: Int): DataFrame =
+    // standalone arity (OctaveBench + specs): run the LPA loop here;
+    // the board row passes the session-shared label frame instead
+    // (r19 second pass — [[lpaShared]]).
+    modularityFrom(edges, LabelProp.run(s, edges, rounds).localCheckpoint(true))
+
+  /** The Newman-Q moment fold of [[modularityRun]] over a
+    * pre-computed LPA label frame `(id, label)`.
+    */
+  private[queries] def modularityFrom(edges: DataFrame,
+      lab: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
-    val lab = LabelProp.run(s, edges, rounds).localCheckpoint(true)
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("dg"))
     val sDd = deg.join(lab.withColumnRenamed("id", "src"), Seq("src"))
       .groupBy(col("label")).agg(sum(col("dg")).as("dc"))

@@ -1383,10 +1383,18 @@ object Text {
       (merges, pinnedWords)
     })
 
-  /** Re-ingest hook: drop the shared BPE fit for (session, dir). */
+  /** Re-ingest hook: drop the shared text-side fits (BPE trainer, LSH
+    * pair table, exact-dedup groups) for (session, dir).
+    */
   def invalidateShared(s: SparkSession, dir: String): Unit = {
     bpeCache.remove((s, dir))
     bpePins.remove((s, dir)).foreach(ids =>
+      graft.operators.SessionPins.unpin(s.sparkContext, ids))
+    lshCache.remove((s, dir))
+    lshPins.remove((s, dir)).foreach(ids =>
+      graft.operators.SessionPins.unpin(s.sparkContext, ids))
+    dgCache.remove((s, dir))
+    dgPins.remove((s, dir)).foreach(ids =>
       graft.operators.SessionPins.unpin(s.sparkContext, ids))
   }
 
@@ -1728,7 +1736,11 @@ object Text {
     * but a 100 TB dedup shuffles 8-byte keys, not documents.
     */
   private def dedupGroupsDf(s: SparkSession, dir: String): DataFrame =
-    dedupGroups(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+    // r19 second pass: served once per (session, dir) — d_dedup_exact
+    // and d_dedup_survivors both read this frame (group-count rows).
+    servedFrame(dgCache, dgPins, s, dir) {
+      dedupGroups(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+    }
 
   /** Same, over any `(doc_id, text)` input (the curation pipeline runs it
     * on the quality-gated subset).
@@ -1753,17 +1765,53 @@ object Text {
     * a cheap typed-kernel projection, so its uses recompute rather than
     * cache — no executor memory pinned after the query returns.
     */
-  private def lshPairsDf(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleDf(s, dir)
-    val cand = bandPairs(bandRowsDf(s, dir, TextOps.shingles))
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .selectExpr("doc_a", "doc_b",
-        "round(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / size(array_union(sh_a, sh_b)), 6) AS jac")
-      .where(col("jac") >= 0.3)
-      .select(col("doc_a"), col("doc_b"), col("jac"))
-  }
+  private def lshPairsDf(s: SparkSession, dir: String): DataFrame =
+    // r19 second pass: served once per (session, dir) — FIVE rows read
+    // this table (d_lsh_pairs, d_lsh_verify, d_dup_clusters,
+    // d_lsh_est_j, d_split_leakage), each previously re-running the
+    // banded self-join + exact-Jaccard verify; the survivor pair table
+    // is candidate-scale (the point of banded LSH), so pinning it is
+    // cheap at any corpus size.
+    servedFrame(lshCache, lshPins, s, dir) {
+      val sh = shingleDf(s, dir)
+      val cand = bandPairs(bandRowsDf(s, dir, TextOps.shingles))
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .selectExpr("doc_a", "doc_b",
+          "round(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / size(array_union(sh_a, sh_b)), 6) AS jac")
+        .where(col("jac") >= 0.3)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+    }
+
+  /** Shared serve-once plumbing for the two text-side result fits
+    * above: first consumer materializes one pinned checkpoint per
+    * (session, dir); later consumers slice it; [[invalidateShared]]
+    * releases it (the uniform session-fit contract).
+    */
+  private val lshCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private val lshPins = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Set[Int]]
+  private val dgCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private val dgPins = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Set[Int]]
+
+  private def servedFrame(
+      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
+      pins: scala.collection.concurrent.TrieMap[(SparkSession, String), Set[Int]],
+      s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
+    cache.getOrElseUpdate((s, dir), {
+      val sc = s.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val out = build.localCheckpoint(true)
+      val ids = (sc.getPersistentRDDs.keySet -- before).toSet --
+        graft.operators.SessionPins.pinned(sc)
+      graft.operators.SessionPins.pin(sc, ids)
+      pins.put((s, dir), ids)
+      out
+    })
 
   /** Max hamming distance for `d_simhash_pairs` — must stay ≤ 3 for the
     * 4-block pigeonhole recall guarantee (32 bits / 4 blocks: ≤ 3 flipped

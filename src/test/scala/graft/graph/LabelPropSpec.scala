@@ -56,9 +56,14 @@ class LabelPropSpec extends SparkSpec {
     val nComms = labels.values.toSet.size
     val nComps = comp.values.toSet.size
     assert(nComms >= nComps)
-    // the fixed schedule is deterministic end to end
-    val again = Q.queries("g_label_prop")(spark, sfDir).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the fixed schedule is deterministic end to end — compared against
+    // a FRESH standalone run (the board row is session-served since the
+    // r19 lpaShared fit, so a second row call alone would only read the
+    // cache back)
+    val again = LabelProp.run(spark,
+        GraphOps.lineitemSubgraph(spark, sfDir, Q.CcMod, Q.CcQtyMax),
+        Q.LpRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == labels)
   }
 }

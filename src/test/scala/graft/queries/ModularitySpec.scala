@@ -32,4 +32,33 @@ class ModularitySpec extends SparkSpec {
     assert(BigInt(m2) * BigInt(sIntra) < (BigInt(1) << 62))
     assert(BigInt(m2) * BigInt(m2) < (BigInt(1) << 62))
   }
+
+  test("the shared LPA fit serves both rows: g_modularity == the " +
+      "standalone uncached modularityRun, and invalidation refits to " +
+      "the same labels and Q") {
+    val sc = spark.sparkContext
+    val lab0 = Graph.queries("g_label_prop")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap // triggers the fit
+    val q0 = Graph.queries("g_modularity")(spark, sfDir).collect()(0)
+    // fresh end-to-end run, bypassing the session fit — the row's
+    // previous body
+    val direct = Graph.modularityRun(spark,
+      GraphOps.lineitemSubgraph(spark, sfDir, Graph.CcMod, Graph.CcQtyMax),
+      Graph.LpRounds).collect()(0)
+    assert((0 to 2).forall(i => direct.getLong(i) == q0.getLong(i)))
+    assert(java.lang.Double.doubleToLongBits(direct.getDouble(3)) ==
+      java.lang.Double.doubleToLongBits(q0.getDouble(3)))
+    // re-ingest contract: unpin + refit from source, same answer
+    val pinned0 = graft.operators.SessionPins.pinned(sc)
+    Graph.invalidateModels(spark, sfDir)
+    assert(graft.operators.SessionPins.pinned(sc).size < pinned0.size,
+      "invalidation must unpin the shared label-frame checkpoint")
+    val lab1 = Graph.queries("g_label_prop")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab1 == lab0)
+    val q1 = Graph.queries("g_modularity")(spark, sfDir).collect()(0)
+    assert((0 to 2).forall(i => q1.getLong(i) == q0.getLong(i)))
+    assert(java.lang.Double.doubleToLongBits(q1.getDouble(3)) ==
+      java.lang.Double.doubleToLongBits(q0.getDouble(3)))
+  }
 }

@@ -304,6 +304,25 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("the served LSH pair table and exact-dedup groups unpin on " +
+      "invalidateShared and refit from source to the same answer") {
+    val sc = spark.sparkContext
+    val pairs0 = Text.queries("d_lsh_pairs")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val groups0 = Text.queries("d_dedup_exact")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs0.nonEmpty && groups0.nonEmpty)
+    val pinned0 = graft.operators.SessionPins.pinned(sc)
+    Text.invalidateShared(spark, sfDir)
+    assert(graft.operators.SessionPins.pinned(sc).size < pinned0.size,
+      "invalidation must unpin the served text-side frames")
+    assert(Text.queries("d_lsh_pairs")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      == pairs0) // REFIT from source — not a stale frame
+    assert(Text.queries("d_dedup_exact")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == groups0)
+  }
+
   test("d_split_leakage: exactly the cross-split subset of the verified " +
       "near-dup pairs, splits replayed from fingerprints") {
     val leaks = Text.queries("d_split_leakage")(spark, sfDir).collect()

@@ -60,6 +60,13 @@ FIT_BEARING = {
     "g_richclub", "g_pref_attach", "g_kcore", "g_assortativity",
     "g_knn_degree", "g_base_allpair", "g_base_topk",
     "m_media_neardup", "m_media_dup_clusters",
+    # r19 optimization second pass: the shared LPA label frame
+    # (lpaShared) serving g_label_prop + g_modularity
+    "g_label_prop", "g_modularity",
+    # r19 optimization second pass: the served LSH pair table and
+    # exact-dedup groups (Text.servedFrame)
+    "d_lsh_pairs", "d_lsh_verify", "d_dup_clusters", "d_lsh_est_j",
+    "d_split_leakage", "d_dedup_exact", "d_dedup_survivors",
 }
 
 
