@@ -136,17 +136,49 @@ object Media {
       pairs
     })
 
-  /** Drop the shared near-dup fit and release its pinned blocks — the
-    * re-ingest hook (`Graph.invalidateModels` calls it).
+  /** The decoded image-metadata table fitted once per (session, source
+    * dir) — r19 optimization, second pass: `m_media_meta` and
+    * `m_media_dedup` each re-ran the full real-PNG decode over the
+    * corpus (`MediaOps.metaDf`); the dedup row only groups the decoded
+    * (checksum, n_pixels) content keys, so an ingest decodes once and
+    * both read the same narrow metadata table (payloads are never in
+    * the frame — it is node-count rows of integers).
+    */
+  private val mmCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private val mmPins = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Set[Int]]
+
+  private def metaShared(s: SparkSession, dir: String): DataFrame =
+    mmCache.getOrElseUpdate((s, dir), {
+      val sc = s.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val meta = MediaOps.metaDf(s, dir).localCheckpoint(true)
+      val pinIds = (sc.getPersistentRDDs.keySet -- before).toSet --
+        graft.operators.SessionPins.pinned(sc)
+      graft.operators.SessionPins.pin(sc, pinIds)
+      mmPins.put((s, dir), pinIds)
+      meta
+    })
+
+  /** Drop the shared media fits (near-dup pairs, decoded metadata) and
+    * release their pinned blocks — the re-ingest hook
+    * (`Graph.invalidateModels` calls it).
     */
   def invalidateShared(s: SparkSession, dir: String): Unit = {
     ndCache.remove((s, dir))
     ndPins.remove((s, dir)).foreach(ids =>
       graft.operators.SessionPins.unpin(s.sparkContext, ids))
+    mmCache.remove((s, dir))
+    mmPins.remove((s, dir)).foreach(ids =>
+      graft.operators.SessionPins.unpin(s.sparkContext, ids))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m_media_meta" -> ((s, dir) => MediaOps.metaDf(s, dir)),
+    "m_media_meta" -> ((s, dir) =>
+      // r19 second pass: the row IS the session-fitted metadata table
+      // (m_media_dedup groups the same fit's content keys).
+      metaShared(s, dir)),
 
     // Decoded-raster channel entropy — the flat/low-palette image gate
     // (see [[MediaOps.pixelEntropy]]). Real PNG decode on the Spark
@@ -334,7 +366,9 @@ object Media {
     // coincide with the text-side exact dedup (spec-pinned).
     "m_media_dedup" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      MediaOps.metaDf(s, dir)
+      // r19 second pass: group the session-fitted metadata table's
+      // content keys instead of re-decoding the corpus.
+      metaShared(s, dir)
         .groupBy(col("checksum"), col("n_pixels"))
         .agg(min(col("doc_id")).as("keep_id"),
           count(lit(1)).as("n_copies"))

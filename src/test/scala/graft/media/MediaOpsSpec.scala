@@ -343,6 +343,18 @@ class MediaOpsSpec extends SparkSpec {
     assert(after == before) // REFIT from source — not a stale frame
   }
 
+  test("the shared metadata fit: m_media_meta == a fresh uncached " +
+      "decode, and invalidateShared refits to the same table") {
+    val M = graft.queries.Media
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val fresh = canon(MediaOps.metaDf(spark, sfDir)) // bypasses the fit
+    val got0 = canon(M.queries("m_media_meta")(spark, sfDir))
+    assert(got0 == fresh && got0.nonEmpty)
+    M.invalidateShared(spark, sfDir)
+    assert(canon(M.queries("m_media_meta")(spark, sfDir)) == fresh)
+  }
+
   test("frameHashes: every container frame decoded, per-frame bands equal " +
       "the image-level aHash of that frame") {
     val s = spark

@@ -67,6 +67,9 @@ FIT_BEARING = {
     # exact-dedup groups (Text.servedFrame)
     "d_lsh_pairs", "d_lsh_verify", "d_dup_clusters", "d_lsh_est_j",
     "d_split_leakage", "d_dedup_exact", "d_dedup_survivors",
+    # r19 optimization second pass: the served decoded image-metadata
+    # table (Media.metaShared)
+    "m_media_meta", "m_media_dedup",
 }
 
 
