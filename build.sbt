@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through UNPREFIXED (r19 verdict #2): sbt's
+// default LoggedOutput wraps every stdout line in "[info] ", which made
+// the bench's one-line JSON unparseable to the driver in every round
+// (json.loads cannot eat the prefix). StdoutOutput inherits sbt's own
+// stdout/stderr, so the line lands raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Long-running suites (full GOT parameter grid) are tagged graft.SlowTest
 // and excluded from the default `sbt test`; run them with
 //   GRAFT_SLOW=1 sbt "testOnly graft.harness.FullGridSpec"

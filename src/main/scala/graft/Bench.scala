@@ -171,6 +171,14 @@ object Bench {
     }
     def runBoard(): (Seq[(String, Double)],
         Option[(String, Double, Double)], Double, Double, Seq[Double]) = {
+      // Every attempt is SELF-CONTAINED (r19 verdict #1): drop every
+      // session fit for the bench dir before the first row, so each fit
+      // is paid exactly once INSIDE a timed row per board — a gate
+      // re-run can no longer inherit attempt 1's warm caches and time
+      // pure cache reads for the ~45 fit-bearing rows. The call fans out
+      // to every family (Graph/Relational/Media/GraphOps/Text ride
+      // Embeddings.invalidateModels).
+      graft.queries.Embeddings.invalidateModels(spark, sfDir)
       val preFloor = floorProbe() // also JIT-warms the per-row probes
       val rowFloors = Seq.newBuilder[Double]
       val rs = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -219,7 +227,11 @@ object Bench {
         f" past bounds after $attempt attempts — DO NOT trust this artifact")
     val loadEnd = osBean.getSystemLoadAverage
     import graft.harness.Fmt.r3
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // per-query values at 3 dp (r19 verdict #2): full double precision
+    // made the one-line JSON ~8 KB and the driver's tail window truncated
+    // it every round (PERF per_query empty since r01) — 3 dp ≫ the
+    // measurement noise, so round-over-round comparability is unaffected.
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val env = {
@@ -230,6 +242,7 @@ object Bench {
       }.getOrElse("")
       s"""{"warmup_sec":${r3(warmupSec)},"load_avg_start":${r3(loadStart)}""" +
         s""","load_avg_end":${r3(loadEnd)},"attempts":$attempt""" +
+        s""","fit_policy":"invalidate-per-attempt"""" +
         s""","gate_bound":$RecheckBound,"floor_pre_sec":${r3(preFloor)}""" +
         s""","floor_tail_sec":${r3(tailFloor)}""" +
         s""","floor_ratio":${r3(floorRatio)},"floor_bound":$FloorBound""" + {
@@ -247,7 +260,8 @@ object Bench {
           }
         } + s"""$rc}"""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","env":$env}""")
+    val boardLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","env":$env}"""
     // SPARK_GRAFT_REPEAT=N (honored for subset runs only): re-time the
     // subset N−1 more times in the SAME warm JVM, one {"metric":"rep"}
     // JSON line per pass — the warm-board micro-compare's data
@@ -278,5 +292,10 @@ object Bench {
       }
     }
     spark.stop()
+    // the one-line board JSON prints AFTER spark.stop() so it is the
+    // very last stdout line (r19 verdict #2): nothing — not even a
+    // stop-time log line — can land between it and the driver's tail
+    // window.
+    println(boardLine)
   }
 }

@@ -17,6 +17,10 @@ object Verify {
       case None => SparkEntry.queries
     }
     val sc = spark.sparkContext
+    // Self-contained dump, symmetric with Bench.runBoard (r19 verdict
+    // #1): drop any session fit a previous in-JVM caller left behind so
+    // every verify pass recomputes from the parquet inputs.
+    graft.queries.Embeddings.invalidateModels(spark, sfDir)
     selected.foreach { case (name, fn) =>
       val pinnedBefore = sc.getPersistentRDDs.keySet
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
