@@ -67,12 +67,19 @@ object ConnectedComponents {
   def run(spark: SparkSession, edges: DataFrame, rounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).persist()
     val m = e.count()
-    val out =
-      if (m <= LocalEdgeLimit) runLocal(spark, e)
-      else runSupersteps(spark, e, rounds)
+    val out = runPreCounted(spark, e, rounds, m)
     e.unpersist()
     out
   }
+
+  /** [[run]]'s two-regime dispatch for callers that already know the
+    * edge count (the MSF round loop counts its pick table anyway) —
+    * skips the persist + count jobs, everything else identical.
+    */
+  def runPreCounted(spark: SparkSession, edges: DataFrame, rounds: Int,
+      m: Long): DataFrame =
+    if (m <= LocalEdgeLimit) runLocal(spark, edges)
+    else runSupersteps(spark, edges, rounds)
 
   /** Single-pass union-find over the collected edge list — the
     * fits-on-one-machine regime. One scan job; linear work; exact

@@ -35,17 +35,34 @@ object MinSpanningForest {
 
   /** MSF of an undirected weighted edge list `(a, b, w)` (a < b, unique).
     * Returns the forest edges `(a, b, w)`.
+    *
+    * r20 job-floor rework (guide §2.4/§1.2 — the round was ~7 scheduled
+    * jobs, most of them bookkeeping on tiny frames):
+    *  - the min-struct CARRIES the endpoints' component labels
+    *    (`struct(w, a, b, ca, cb)` — the (w, a, b) prefix is already a
+    *    total order over unique edge keys, so the tail never decides a
+    *    comparison and the picked edge is unchanged), which deletes the
+    *    two chosen↔comp joins that rebuilt (ca, cb) for contraction;
+    *  - ONE count of the checkpointed pick table replaces both the
+    *    `isEmpty` probe and [[ConnectedComponents.run]]'s internal
+    *    persist+count (the pick count IS the contraction's edge count),
+    *    via [[ConnectedComponents.runPreCounted]];
+    *  - the forest is the UNION of the per-round pick checkpoints,
+    *    assembled once at the end — the per-round forest re-checkpoint
+    *    job is gone (each pick table is already a checkpoint, so the
+    *    union's lineage stays flat).
+    * Round jobs: pick-ckpt, count, contraction (collect when tiny /
+    * supersteps at scale), comp-ckpt — down from seven.
     */
   def run(spark: SparkSession, und0: DataFrame, rounds: Int): DataFrame = {
     val ckpt = new CkptChain(spark.sparkContext)
-    val fchain = new CkptChain(spark.sparkContext) // forest has its own
     val und = und0.select(col("a"), col("b"), col("w")).localCheckpoint(true)
     var comp = ckpt(
       und.select(col("a").as("node_id"))
         .unionAll(und.select(col("b").as("node_id")))
         .distinct()
         .select(col("node_id"), col("node_id").as("comp")))
-    var forest = und.limit(0).localCheckpoint(true)
+    val picks = Seq.newBuilder[DataFrame]
     var done = false
     var r = 0
     while (r < rounds && !done) {
@@ -55,24 +72,27 @@ object MinSpanningForest {
         .join(comp.select(col("node_id").as("b"), col("comp").as("cb")),
           Seq("b"))
         .where(col("ca") =!= col("cb"))
-      val ed = struct(col("w"), col("a"), col("b")).as("ed")
-      val chosen = e.select(col("ca").as("c"), ed)
-        .unionAll(e.select(col("cb").as("c"), ed))
+      val ed = struct(col("w"), col("a"), col("b"), col("ca"), col("cb"))
+        .as("ed")
+      // both component sides of each cut edge in ONE pass — the
+      // unionAll spelling evaluated the 3-way join subtree twice per
+      // round; explode emits the identical (c, ed) row pairs from one
+      // evaluation.
+      val chosen = e.select(ed,
+          explode(array(col("ca"), col("cb"))).as("c"))
         .groupBy(col("c")).agg(min(col("ed")).as("m"))
-        .select(col("m.a").as("a"), col("m.b").as("b"), col("m.w").as("w"))
+        .select(col("m.a").as("a"), col("m.b").as("b"), col("m.w").as("w"),
+          col("m.ca").as("ca"), col("m.cb").as("cb"))
         .distinct()
         .localCheckpoint(true)
-      if (chosen.isEmpty) done = true
+      val nChosen = chosen.count()
+      if (nChosen == 0) done = true
       else {
-        forest = fchain(forest.unionAll(chosen))
-        // contract the picked-edge graph over CURRENT component labels
-        val pairs = chosen
-          .join(comp.select(col("node_id").as("a"), col("comp").as("ca")),
-            Seq("a"))
-          .join(comp.select(col("node_id").as("b"), col("comp").as("cb")),
-            Seq("b"))
-          .select(col("ca").as("src"), col("cb").as("dst"))
-        val merged = ConnectedComponents.run(spark, pairs, rounds)
+        picks += chosen.select(col("a"), col("b"), col("w"))
+        // contract the picked-edge graph — the labels rode the pick
+        val merged = ConnectedComponents.runPreCounted(spark,
+            chosen.select(col("ca").as("src"), col("cb").as("dst")),
+            rounds, nChosen)
           .select(col("node_id").as("oc"), col("comp").as("nc"))
         comp = ckpt(comp.as("x")
           .join(merged, col("x.comp") === col("oc"), "left")
@@ -81,7 +101,7 @@ object MinSpanningForest {
       }
       r += 1
     }
-    forest
+    picks.result().foldLeft(und.limit(0))(_ unionAll _)
   }
 
   /** DuckDB oracle: Borůvka replayed as unrolled CTEs — `outer` rounds,
