@@ -94,7 +94,7 @@ object GotQueries {
     */
   @volatile private var gndMemo: Array[(Long, Long, Double)] = _
 
-  private def gridGroundTruth(s: SparkSession): DataFrame = {
+  private[queries] def gridGroundTruth(s: SparkSession): DataFrame = {
     import s.implicits._
     if (gndMemo == null) synchronized {
       if (gndMemo == null)
@@ -261,19 +261,26 @@ object GotQueries {
     "got_grid_topk" -> ((s, _) => {
       val csr = Got.cachedCsr(s)
       val gnd = gridGroundTruth(s)
-      GridRmaxes.map { rmax =>
-        val est = ForwardPush.batch(s, csr, GridSources, Got.Alpha, rmax,
+      // r20: per-point kernels (the est pushes) unchanged; the metric
+      // folds run ONCE tagged by grid index instead of once per point
+      // (guide §2.4 — GotProbe attribution: the per-point chains of
+      // tiny exchanges were the row's cost, the kernels microseconds).
+      val est = GridRmaxes.zipWithIndex.map { case (rmax, i) =>
+        ForwardPush.batch(s, csr, GridSources, Got.Alpha, rmax,
             GridSupersteps)
           .select(col("src"), col("node_id"), round(col("score"), 9).as("score"))
           .where(col("score") =!= 0.0)
           .localCheckpoint(true)
-        Metrics.precisionAtK(gnd, est, GridK)
-          .join(Metrics.ndcgAtK(gnd, est, GridK), Seq("src"))
-          .agg(avg("precision").as("p"), avg("ndcg").as("n"))
-          .select(lit(rmax).as("rmax"),
-            round(col("p"), 9).as("avg_precision"),
-            round(col("n"), 9).as("avg_ndcg"))
+          .withColumn("i", lit(i))
       }.reduce(_.unionAll(_))
+      val rmaxCol = GridRmaxes.zipWithIndex.tail
+        .foldLeft(when(col("i") === 0, lit(GridRmaxes.head))) {
+          case (acc, (v, i)) => acc.when(col("i") === i, lit(v))
+        }
+      Metrics.topkQualityTagged(gnd, est, GridK, GridRmaxes.indices)
+        .select(rmaxCol.as("rmax"),
+          round(col("p"), 9).as("avg_precision"),
+          round(col("n"), 9).as("avg_ndcg"))
     }),
 
     // H5 BASE branch of the grid (reference preprocessing sweep,
@@ -313,17 +320,35 @@ object GotQueries {
         .select(col("src").cast("long").as("src"), col("node_id"),
           col("score"))
         .localCheckpoint(true) // read once, referenced by 3 metrics × point
-      GridBaseThresholds.map { thres =>
-        val est = est0.where(col("score") >= thres)
-        val cnt = store.where(col("score") >= thres)
-          .agg(count(lit(1)).as("stored_rows"))
-        Metrics.summary(gnd, est, GridK)
-          .crossJoin(broadcast(cnt))
-          .select(lit(thres).as("thres"), col("stored_rows"),
-            round(col("avg_precision"), 9).as("avg_precision"),
-            round(col("avg_ndcg"), 9).as("avg_ndcg"),
-            round(col("avg_max_err"), 9).as("avg_max_err"))
+      // r20 (guide §2.4): one tagged metric fold over both thresholds
+      // and ONE store pass folding both stored_rows counts (each count
+      // used to be its own full-store aggregate), instead of a complete
+      // metric chain per grid point.
+      val est = GridBaseThresholds.zipWithIndex.map { case (thres, i) =>
+        est0.where(col("score") >= thres).withColumn("i", lit(i))
       }.reduce(_.unionAll(_))
+      val cnt = store.agg(
+        coalesce(sum(when(col("score") >= GridBaseThresholds.head, 1L)),
+          lit(0L)).as("sr0"),
+        GridBaseThresholds.zipWithIndex.tail.map { case (thres, i) =>
+          coalesce(sum(when(col("score") >= thres, 1L)), lit(0L))
+            .as(s"sr$i")
+        }: _*)
+      val thresCol = GridBaseThresholds.zipWithIndex.tail
+        .foldLeft(when(col("i") === 0, lit(GridBaseThresholds.head))) {
+          case (acc, (v, i)) => acc.when(col("i") === i, lit(v))
+        }
+      val srCol = GridBaseThresholds.indices.tail
+        .foldLeft(when(col("i") === 0, col("sr0"))) {
+          case (acc, i) => acc.when(col("i") === i, col(s"sr$i"))
+        }
+      Metrics.summaryTagged(gnd, est, GridK, GridBaseThresholds.indices)
+        .crossJoin(broadcast(cnt))
+        .orderBy("i")
+        .select(thresCol.as("thres"), srCol.as("stored_rows"),
+          round(col("avg_precision"), 9).as("avg_precision"),
+          round(col("avg_ndcg"), 9).as("avg_ndcg"),
+          round(col("avg_max_err"), 9).as("avg_max_err"))
     }),
 
     // H5 whole-graph suite, FORA family — the FULL GOT ε axis through the
@@ -351,21 +376,26 @@ object GotQueries {
       val st = s.read.parquet(s"$root/st")
       val sc = s.read.parquet(s"$root/sc")
       val wk = s.read.parquet(s"$root/wk")
-      GridForaEpsilons.zipWithIndex.map { case (eps, i) =>
-        st.where(col("i") === i).drop("i")
-          .createOrReplaceTempView(s"gg_fora_st_$i")
-        sc.where(col("i") === i).drop("i")
-          .createOrReplaceTempView(s"gg_fora_sc_$i")
-        wk.where(col("i") === i).drop("i")
-          .createOrReplaceTempView(s"gg_fora_wk_$i")
-        val est = s.sql(Graph.foraWholeBody(s"gg_fora_st_$i", s"gg_fora_sc_$i",
-            s"gg_fora_wk_$i", alpha = Got.Alpha))
-        Metrics.summary(gnd, est, GridK)
-          .select(lit(eps).as("eps"),
-            round(col("avg_precision"), 9).as("avg_precision"),
-            round(col("avg_ndcg"), 9).as("avg_ndcg"),
-            round(col("avg_max_err"), 9).as("avg_max_err"))
-      }.reduce(_.unionAll(_))
+      // r20 (guide §2.4): ONE tagged recomposition pass over the whole
+      // axis (foraWholeBodyTagged — the per-point body with i as an
+      // equi-key everywhere, GotSpec pins slice ≡ per-point), ONE
+      // tagged metric fold — GotProbe attribution put the row's cost in
+      // the five per-point recompositions + folds, not the kernels.
+      st.createOrReplaceTempView("gg_fora_st_all")
+      sc.createOrReplaceTempView("gg_fora_sc_all")
+      wk.createOrReplaceTempView("gg_fora_wk_all")
+      val est = s.sql(Graph.foraWholeBodyTagged("gg_fora_st_all",
+          "gg_fora_sc_all", "gg_fora_wk_all", alpha = Got.Alpha))
+        .localCheckpoint(true)
+      val epsCol = GridForaEpsilons.zipWithIndex.tail
+        .foldLeft(when(col("i") === 0, lit(GridForaEpsilons.head))) {
+          case (acc, (v, i)) => acc.when(col("i") === i, lit(v))
+        }
+      Metrics.summaryTagged(gnd, est, GridK, GridForaEpsilons.indices)
+        .select(epsCol.as("eps"),
+          round(col("avg_precision"), 9).as("avg_precision"),
+          round(col("avg_ndcg"), 9).as("avg_ndcg"),
+          round(col("avg_max_err"), 9).as("avg_max_err"))
     }),
 
     // H5 whole-graph suite, MC family — the FULL GOT ε axis via the
@@ -388,18 +418,44 @@ object GotQueries {
           epsilon = GridMcEpsilons.min)
         .write.mode("overwrite").parquet(wdir)
       val walks = s.read.parquet(wdir).localCheckpoint(true)
-      GridMcEpsilons.zipWithIndex.map { case (eps, i) =>
+      // r20 (guide §2.4/§2.3): every point's ω(ε)-walk table is a
+      // w-prefix of the one endpoint table, so the five per-point
+      // groupBys collapse into ONE pass folding five conditional
+      // counts per (src, node) — a group exists for point i exactly
+      // when ≥ 1 walk satisfies w < ω_i, which sum(when(...)) encodes
+      // as null (filtered) vs the identical count. One tagged metric
+      // fold replaces the five per-point chains.
+      val omegas = GridMcEpsilons.zipWithIndex.map { case (eps, i) =>
         val omega = MonteCarlo.omegaFor(eps, 1.0 / n, 1.0 / n)
         VerifyArtifacts.record(s"mc_gotgrid_omega_e$i", omega.toString)
-        val est = walks.where(col("w") < omega)
-          .groupBy("src", "node_id")
-          .agg((count(lit(1)) / lit(omega.toDouble)).as("score"))
-        Metrics.summary(gnd, est, GridK)
-          .select(lit(eps).as("eps"),
-            round(col("avg_precision"), 9).as("avg_precision"),
-            round(col("avg_ndcg"), 9).as("avg_ndcg"),
-            round(col("avg_max_err"), 9).as("avg_max_err"))
-      }.reduce(_.unionAll(_))
+        omega
+      }
+      val cnts = walks.groupBy("src", "node_id").agg(
+        sum(when(col("w") < omegas.head, 1L)).as("c0"),
+        omegas.zipWithIndex.tail.map { case (om, i) =>
+          sum(when(col("w") < om, 1L)).as(s"c$i")
+        }: _*)
+      val omegaCol = omegas.zipWithIndex.tail
+        .foldLeft(when(col("i") === 0, lit(omegas.head.toDouble))) {
+          case (acc, (om, i)) => acc.when(col("i") === i, lit(om.toDouble))
+        }
+      val est = cnts.selectExpr("src", "node_id",
+          s"stack(${omegas.length}, " +
+            omegas.indices.map(i => s"$i, c$i").mkString(", ") +
+            ") AS (i, cnt)")
+        .where(col("cnt").isNotNull)
+        .select(col("i"), col("src"), col("node_id"),
+          (col("cnt") / omegaCol).as("score"))
+      val epsCol = GridMcEpsilons.zipWithIndex.tail
+        .foldLeft(when(col("i") === 0, lit(GridMcEpsilons.head))) {
+          case (acc, (v, i)) => acc.when(col("i") === i, lit(v))
+        }
+      Metrics.summaryTagged(gnd, est.localCheckpoint(true), GridK,
+          GridMcEpsilons.indices)
+        .select(epsCol.as("eps"),
+          round(col("avg_precision"), 9).as("avg_precision"),
+          round(col("avg_ndcg"), 9).as("avg_ndcg"),
+          round(col("avg_max_err"), 9).as("avg_max_err"))
     }),
 
     // H5 top-k suite, FORA_TOPK family — the FULL GOT ε axis of the
@@ -424,22 +480,23 @@ object GotQueries {
       val st = s.read.parquet(s"$root/st")
       val sc = s.read.parquet(s"$root/sc")
       val wk = s.read.parquet(s"$root/wk")
-      GridForaTopkEpsilons.zipWithIndex.map { case (eps, i) =>
-        st.where(col("i") === i).drop("i")
-          .createOrReplaceTempView(s"gg_ftk_st_$i")
-        sc.where(col("i") === i).drop("i")
-          .createOrReplaceTempView(s"gg_ftk_sc_$i")
-        wk.where(col("i") === i).drop("i")
-          .createOrReplaceTempView(s"gg_ftk_wk_$i")
-        val est = s.sql(Graph.foraTopkBody(s"gg_ftk_st_$i", s"gg_ftk_sc_$i",
-            s"gg_ftk_wk_$i", k = GridK))
-        Metrics.precisionAtK(gnd, est, GridK)
-          .join(Metrics.ndcgAtK(gnd, est, GridK), Seq("src"))
-          .agg(avg("precision").as("p"), avg("ndcg").as("n"))
-          .select(lit(eps).as("eps"),
-            round(col("p"), 9).as("avg_precision"),
-            round(col("n"), 9).as("avg_ndcg"))
-      }.reduce(_.unionAll(_))
+      // r20 (guide §2.4): ONE tagged recomposition pass + ONE tagged
+      // top-k quality fold for the whole axis (see got_grid_fora).
+      st.createOrReplaceTempView("gg_ftk_st_all")
+      sc.createOrReplaceTempView("gg_ftk_sc_all")
+      wk.createOrReplaceTempView("gg_ftk_wk_all")
+      val est = s.sql(Graph.foraTopkBodyTagged("gg_ftk_st_all",
+          "gg_ftk_sc_all", "gg_ftk_wk_all", k = GridK))
+        .localCheckpoint(true)
+      val epsCol = GridForaTopkEpsilons.zipWithIndex.tail
+        .foldLeft(when(col("i") === 0, lit(GridForaTopkEpsilons.head))) {
+          case (acc, (v, i)) => acc.when(col("i") === i, lit(v))
+        }
+      Metrics.topkQualityTagged(gnd, est, GridK,
+          GridForaTopkEpsilons.indices)
+        .select(epsCol.as("eps"),
+          round(col("p"), 9).as("avg_precision"),
+          round(col("n"), 9).as("avg_ndcg"))
     }),
 
     // H5 top-k suite, MC family — the last stochastic (family × suite)
@@ -468,19 +525,38 @@ object GotQueries {
           epsilon = GridMcTopkEpsilons.min)
         .write.mode("overwrite").parquet(wdir)
       val walks = s.read.parquet(wdir).localCheckpoint(true)
-      GridMcTopkEpsilons.zipWithIndex.map { case (eps, i) =>
+      // r20: one cumulative-count pass + one tagged top-k quality fold
+      // (see got_grid_mc — identical scheme, this row's own artifacts).
+      val omegas = GridMcTopkEpsilons.zipWithIndex.map { case (eps, i) =>
         val omega = MonteCarlo.omegaFor(eps, 1.0 / n, 1.0 / n)
         VerifyArtifacts.record(s"mc_gottopk_omega_e$i", omega.toString)
-        val est = walks.where(col("w") < omega)
-          .groupBy("src", "node_id")
-          .agg((count(lit(1)) / lit(omega.toDouble)).as("score"))
-        Metrics.precisionAtK(gnd, est, GridK)
-          .join(Metrics.ndcgAtK(gnd, est, GridK), Seq("src"))
-          .agg(avg("precision").as("p"), avg("ndcg").as("n"))
-          .select(lit(eps).as("eps"),
-            round(col("p"), 9).as("avg_precision"),
-            round(col("n"), 9).as("avg_ndcg"))
-      }.reduce(_.unionAll(_))
+        omega
+      }
+      val cnts = walks.groupBy("src", "node_id").agg(
+        sum(when(col("w") < omegas.head, 1L)).as("c0"),
+        omegas.zipWithIndex.tail.map { case (om, i) =>
+          sum(when(col("w") < om, 1L)).as(s"c$i")
+        }: _*)
+      val omegaCol = omegas.zipWithIndex.tail
+        .foldLeft(when(col("i") === 0, lit(omegas.head.toDouble))) {
+          case (acc, (om, i)) => acc.when(col("i") === i, lit(om.toDouble))
+        }
+      val est = cnts.selectExpr("src", "node_id",
+          s"stack(${omegas.length}, " +
+            omegas.indices.map(i => s"$i, c$i").mkString(", ") +
+            ") AS (i, cnt)")
+        .where(col("cnt").isNotNull)
+        .select(col("i"), col("src"), col("node_id"),
+          (col("cnt") / omegaCol).as("score"))
+      val epsCol = GridMcTopkEpsilons.zipWithIndex.tail
+        .foldLeft(when(col("i") === 0, lit(GridMcTopkEpsilons.head))) {
+          case (acc, (v, i)) => acc.when(col("i") === i, lit(v))
+        }
+      Metrics.topkQualityTagged(gnd, est.localCheckpoint(true), GridK,
+          GridMcTopkEpsilons.indices)
+        .select(epsCol.as("eps"),
+          round(col("p"), 9).as("avg_precision"),
+          round(col("n"), 9).as("avg_ndcg"))
     })
   )
 

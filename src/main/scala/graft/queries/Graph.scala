@@ -1358,6 +1358,10 @@ object Graph {
     def tagged(df: DataFrame): DataFrame =
       if (traces.length == 1) df.drop("i") else df
     try {
+      // single-file artifacts (r20, guide §6): each table is a few
+      // thousand narrow rows, and the (config × source) task fan-out
+      // otherwise writes one near-empty parquet file per task — file
+      // open/commit overhead on the write AND the three read-backs.
       tagged(run.flatMap { case (i, src, (rsv, rsd, _, _, _)) =>
         val g = bc.value
         rsv.indices.iterator.collect {
@@ -1365,15 +1369,15 @@ object Graph {
             (i, src, g.originalOf(v), rsv(v), rsd(v))
         }
       }.toDF("i", "src", "node_id", "reserve", "residue"))
-        .write.mode("overwrite").parquet(s"$root/st")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/st")
       tagged(run.map { case (i, src, (_, _, rsum, nw, _)) =>
         (i, src, rsum, nw)
       }.toDF("i", "src", "rsum", "num_walks"))
-        .write.mode("overwrite").parquet(s"$root/sc")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/sc")
       tagged(run.flatMap { case (i, src, (_, _, _, _, walks)) =>
         walks.iterator.map { case (v, d) => (i, src, v, d) }
       }.toDF("i", "src", "v", "dest"))
-        .write.mode("overwrite").parquet(s"$root/wk")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/wk")
     } finally {
       run.unpersist(false)
       bc.unpersist(false)
@@ -1418,6 +1422,39 @@ object Graph {
        |FROM rsv r FULL JOIN wp w ON w.src = r.src AND w.node_id = r.node_id
        |WHERE coalesce(r.part, 0.0) + coalesce(w.part, 0.0) <> 0.0""".stripMargin
 
+  /** [[foraWholeBody]] with the grid tag `i` as an equi-key in every
+    * join, group and window (r20, guide §2.4): ONE recomposition pass
+    * over the tagged artifact tables replaces five per-point passes.
+    * The per-i slice is the untagged body verbatim — `i` partitions
+    * every CTE, so no row of point i ever meets a row of point j
+    * (GotSpec pins slice ≡ per-point body on the real artifacts).
+    */
+  private[queries] def foraWholeBodyTagged(st: String, sc: String,
+      wk: String, alpha: Double): String =
+    s"""WITH iv AS (
+       | SELECT st.i, st.src, st.node_id AS v,
+       |  (1.0 - $alpha) * st.residue / sc.rsum * sc.num_walks
+       |    / CEIL((1.0 - $alpha) * st.residue / sc.rsum * sc.num_walks)
+       |    / sc.num_walks * sc.rsum AS incr
+       | FROM $st st JOIN $sc sc ON sc.i = st.i AND sc.src = st.src
+       | WHERE st.residue <> 0.0 AND sc.num_walks > 0),
+       |wp AS (
+       | SELECT wk.i, wk.src, wk.dest AS node_id, sum(iv.incr) AS part
+       | FROM $wk wk JOIN iv
+       |   ON iv.i = wk.i AND iv.src = wk.src AND iv.v = wk.v
+       | GROUP BY wk.i, wk.src, wk.dest),
+       |rsv AS (
+       | SELECT st.i, st.src, st.node_id,
+       |  st.reserve + CASE WHEN sc.num_walks > 0 AND st.residue <> 0.0
+       |    THEN $alpha * st.residue ELSE 0.0 END AS part
+       | FROM $st st JOIN $sc sc ON sc.i = st.i AND sc.src = st.src)
+       |SELECT coalesce(r.i, w.i) AS i, coalesce(r.src, w.src) AS src,
+       |  coalesce(r.node_id, w.node_id) AS node_id,
+       |  round(coalesce(r.part, 0.0) + coalesce(w.part, 0.0), 9) AS score
+       |FROM rsv r FULL JOIN wp w
+       |  ON w.i = r.i AND w.src = r.src AND w.node_id = r.node_id
+       |WHERE coalesce(r.part, 0.0) + coalesce(w.part, 0.0) <> 0.0""".stripMargin
+
   /** Replay SQL for `g_fora_topk`'s terminating round: est = carried
     * reserve + per-walk credit r_v/⌈r_v·ω⌉ ([[Fora.topkLocal]] token for
     * token — no rsum division and no α-fold in the top-k rounds), then the
@@ -1450,6 +1487,37 @@ object Graph {
        |  rank() OVER (PARTITION BY src ORDER BY round(est, 9) DESC) AS rk
        | FROM est WHERE est > 0.0)
        |SELECT src, node_id, score FROM rnk WHERE rk <= $k""".stripMargin
+
+  /** [[foraTopkBody]] with the grid tag `i` as an equi-key in every
+    * join, group and window — see [[foraWholeBodyTagged]].
+    */
+  private[queries] def foraTopkBodyTagged(st: String, sc: String,
+      wk: String, k: Int): String =
+    s"""WITH iv AS (
+       | SELECT st.i, st.src, st.node_id AS v,
+       |  st.residue / CEIL(st.residue * sc.num_walks) AS incr
+       | FROM $st st JOIN $sc sc ON sc.i = st.i AND sc.src = st.src
+       | WHERE st.residue <> 0.0 AND sc.num_walks > 0),
+       |wp AS (
+       | SELECT wk.i, wk.src, wk.dest AS node_id, sum(iv.incr) AS part
+       | FROM $wk wk JOIN iv
+       |   ON iv.i = wk.i AND iv.src = wk.src AND iv.v = wk.v
+       | GROUP BY wk.i, wk.src, wk.dest),
+       |rsv AS (
+       | SELECT i, src, node_id, reserve AS part FROM $st
+       | WHERE reserve <> 0.0),
+       |est AS (
+       | SELECT coalesce(r.i, w.i) AS i, coalesce(r.src, w.src) AS src,
+       |  coalesce(r.node_id, w.node_id) AS node_id,
+       |  coalesce(r.part, 0.0) + coalesce(w.part, 0.0) AS est
+       | FROM rsv r FULL JOIN wp w
+       |   ON w.i = r.i AND w.src = r.src AND w.node_id = r.node_id),
+       |rnk AS (
+       | SELECT i, src, node_id, round(est, 9) AS score,
+       |  rank() OVER (PARTITION BY i, src ORDER BY round(est, 9) DESC)
+       |    AS rk
+       | FROM est WHERE est > 0.0)
+       |SELECT i, src, node_id, score FROM rnk WHERE rk <= $k""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S4: graph load/derivation itself.
