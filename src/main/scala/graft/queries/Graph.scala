@@ -561,18 +561,31 @@ object Graph {
       val und = GraphOps.lineitemUndirected(s, dir, TriMod)
       val deg = undDegShared(s, dir).select(col("id").as("w"), col("dg"))
       // wedgePairAgg eagerly checkpoints its weighted-adjacency
-      // scaffolding; only the FINAL pairs frame may stay pinned HERE
-      // (the nswGraphBuild release discipline), so diff around it.
+      // scaffolding; diff around it so the release below only drops
+      // THIS fit's scaffolding.
       val keptSoFar = sc.getPersistentRDDs.keySet
       val pairsLazy = wedgePairAgg(und, deg, LpCnDegCap)
       val cappedIds = (sc.getPersistentRDDs.keySet -- keptSoFar).toSet
-      val pairs = pairsLazy.localCheckpoint(true)
+      // r20 (guide §5): the two consumer rows are each a top-N CUT of
+      // the ~|non-adjacent-pairs| aggregate (tens of millions of rows
+      // at sf0.1) — pinning the full pair table checkpointed the big
+      // frame for the whole session to serve 2×20 rows. The pair table
+      // is now cached only while BOTH cuts materialize (one pipeline
+      // evaluation, the second cut reads the cache) and released; only
+      // the two tiny finished frames stay pinned. The finishes are the
+      // exact expressions the rows applied per evaluation before.
+      val pairs = pairsLazy
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cnTop = linkPredCnFinish(pairs, deg, LpCnTopN)
+        .localCheckpoint(true)
+      val aaTop = adamicAdarFinish(pairs, LpCnTopN).localCheckpoint(true)
+      pairs.unpersist(false)
       releaseUnpinned(sc, cappedIds)
       val pinIds = (sc.getPersistentRDDs.keySet -- before).toSet --
         graft.operators.SessionPins.pinned(sc)
       graft.operators.SessionPins.pin(sc, pinIds)
       lpPins.put((s, dir), pinIds)
-      (deg, pairs)
+      (cnTop, aaTop)
     })
 
   /** Release checkpoint blocks EXCEPT those some session fit already
@@ -1597,10 +1610,7 @@ object Graph {
     // because (u, v) pairs are unique. The Σdeg² wedge fold itself is
     // SHARED with `g_adamic_adar` via the session-pinned [[lpShared]]
     // frame — both rows finish from one enumeration per board.
-    "g_linkpred_cn" -> ((s, dir) => {
-      val (deg, pairs) = lpShared(s, dir)
-      linkPredCnFinish(pairs, deg, LpCnTopN)
-    }),
+    "g_linkpred_cn" -> ((s, dir) => lpShared(s, dir)._1),
 
     // Rich-club coefficient profile φ(k) = 2·E_k / (N_k·(N_k−1)) over a
     // fixed degree ladder — the hub-interconnection diagnostic (Zhou &
@@ -1645,10 +1655,7 @@ object Graph {
     // now finish from the ONE session-pinned [[lpShared]] fold (it
     // carries cn AND the fixed-point aa_fp). See [[wedgePairAgg]] /
     // [[adamicAdarFinish]] for the integer-sum ordering discipline.
-    "g_adamic_adar" -> ((s, dir) => {
-      val (_, pairs) = lpShared(s, dir)
-      adamicAdarFinish(pairs, LpCnTopN)
-    }),
+    "g_adamic_adar" -> ((s, dir) => lpShared(s, dir)._2),
 
     // Preferential-attachment link prediction: score(u,v) = deg(u)·deg(v)
     // over non-adjacent candidate pairs (Barabási–Albert growth model;

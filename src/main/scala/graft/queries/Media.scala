@@ -54,7 +54,7 @@ object Media {
     * spread across 3+ bands. The DuckDB oracles replay the identical
     * pair keys, so the semantics stay engine-pinned.
     */
-  private val BandPairs: Seq[(Int, Int)] =
+  private[queries] val BandPairs: Seq[(Int, Int)] =
     Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
 
   /** The shared banded near-dup composition over a `(doc_id, b0..b3)`
@@ -90,7 +90,7 @@ object Media {
   /** The replica-augmented (doc_id, text) source both near-dup rows and
     * the audio fingerprint row ingest (see [[ReplicaMod]]).
     */
-  private def withReplicas(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def withReplicas(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables(s, dir, "documents")
       .select(col("doc_id"), col("text"))

@@ -489,14 +489,19 @@ object Relational {
           "CASE WHEN unix_micros(l_shipdate) - unix_micros(o_orderdate) " +
             s"> ${QLateDays * graft.queries.Events.DayUs} " +
             "THEN 1 ELSE 0 END AS late")
-      val perSupp = lo.groupBy(col("okey"), col("skey"))
+      // r20 (guide §2.4 — a window keyed like the preceding aggregate
+      // needs no second shuffle): the order-level counts used to be a
+      // second groupBy joined back onto a checkpointed perSupp (two
+      // okey exchanges + an SMJ); the same exact integers ride a window
+      // over okey, so the credit filter is one pipeline — no join, no
+      // checkpoint, one exchange fewer.
+      val w = Window.partitionBy(col("okey"))
+      lo.groupBy(col("okey"), col("skey"))
         .agg(max(col("late")).as("late"))
-        .localCheckpoint(true) // order fold + the credit filter
-      val perOrd = perSupp.groupBy(col("okey"))
-        .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
-      perSupp.where(col("late") === 1)
-        .join(perOrd.where(col("n_supp") >= 2 && col("n_late") === 1)
-          .select(col("okey")), Seq("okey"))
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_late", sum(col("late")).over(w))
+        .where(col("late") === 1 && col("n_supp") >= 2 &&
+          col("n_late") === 1)
         .groupBy(col("skey")).agg(count(lit(1)).as("numwait"))
         .join(broadcast(Tables(s, dir, "supplier")
           .select(col("s_suppkey"), col("s_name"))),

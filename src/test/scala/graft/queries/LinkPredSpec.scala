@@ -37,9 +37,14 @@ class LinkPredSpec extends SparkSpec {
     got.foreach { case (u, v, c, du, dv, j) =>
       assert(c >= 1L && j > 0.0 && j <= 1.0 && du >= c && dv >= c)
     }
-    // scale shape: global top-N must be a TakeOrderedAndProject
-    // (map-side partial top-N), never a full global sort.
-    assert(df.queryExecution.executedPlan.toString
+    // scale shape: the global top-N cut the fit evaluates must be a
+    // TakeOrderedAndProject (map-side partial top-N), never a full
+    // global sort. The row itself serves the fit's 20-row checkpoint
+    // (r20: only the finished cuts stay pinned), so assert on the
+    // standalone composition the fit's expressions come from.
+    val undDf = GraphOps.lineitemUndirected(spark, sfDir, Graph.TriMod)
+    assert(Graph.linkPredCn(undDf, Graph.LpCnDegCap, Graph.LpCnTopN)
+      .queryExecution.executedPlan.toString
       .contains("TakeOrderedAndProject"))
   }
 
@@ -81,7 +86,10 @@ class LinkPredSpec extends SparkSpec {
     got.foreach { case (_, _, c, s) =>
       assert(c >= 1L && s > 0.0 && s <= c.toDouble / math.log(2.0) + 1e-9)
     }
-    assert(df.queryExecution.executedPlan.toString
+    // scale shape, same rationale as the linkpred test above
+    val undDf = GraphOps.lineitemUndirected(spark, sfDir, Graph.TriMod)
+    assert(Graph.adamicAdar(undDf, Graph.LpCnDegCap, Graph.LpCnTopN)
+      .queryExecution.executedPlan.toString
       .contains("TakeOrderedAndProject"))
   }
 
