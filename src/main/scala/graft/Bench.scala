@@ -127,6 +127,30 @@ object Bench {
         .toDF("doc_id", "w1", "w2")
         .groupBy("w1", "w2").count().count()
     } catch { case _: Throwable => () }
+    // ...and the S4 load-once graph snapshots (the reference loads its
+    // graph ONCE per run and times queries against the in-memory
+    // snapshot; BASELINE.md publishes load times separately from query
+    // times). These driver-side CSR memos are JVM-scoped by design
+    // (the sanctioned csrCache dispensation — deterministic loads of
+    // immutable fixtures, exempt from the per-attempt fit
+    // invalidation), so WITHOUT this they land in whichever row
+    // touches them first on attempt 1 only: the shipped board's
+    // per-row times then depend on the contamination gate's attempt
+    // count (observed: g_bwdsearch_skew 37 s on an attempt-1 board vs
+    // 0.12 s on every attempt-2 board — the quadratic power-law CSR
+    // build). Loading them here makes every attempt include the same
+    // costs; the price is disclosed via csr_warm_sec.
+    val csrWarmT0 = System.nanoTime()
+    try {
+      val G = graft.queries.Graph
+      graft.graph.GraphOps.lineitemCsr(spark, sfDir, G.Mod)
+      graft.graph.GraphOps.lineitemCsr(spark, sfDir, G.Mod, reversed = true)
+      graft.graph.GraphOps.lineitemWeightedCsr(spark, sfDir, G.Mod)
+      graft.graph.GraphOps.lineitemFlickrCsr(spark, sfDir, G.SkewMod,
+        G.SkewFan)
+      graft.graph.Got.cachedCsr(spark)
+    } catch { case _: Throwable => () }
+    val csrWarmSec = (System.nanoTime() - csrWarmT0) / 1e9
     val warmupSec = (System.nanoTime() - warmT0) / 1e9
     // deterministic name order: per-query timings are comparable across
     // rounds (Map hash order made the first-hashed query absorb JVM warmup).
@@ -240,7 +264,8 @@ object Bench {
           s""","recheck_tail_sec":${r3(t)}""" +
           s""","recheck_ratio":${r3(if (t > 0) b / t else 0.0)}"""
       }.getOrElse("")
-      s"""{"warmup_sec":${r3(warmupSec)},"load_avg_start":${r3(loadStart)}""" +
+      s"""{"warmup_sec":${r3(warmupSec)},"csr_warm_sec":${r3(csrWarmSec)}""" +
+        s""","load_avg_start":${r3(loadStart)}""" +
         s""","load_avg_end":${r3(loadEnd)},"attempts":$attempt""" +
         s""","fit_policy":"invalidate-per-attempt"""" +
         s""","gate_bound":$RecheckBound,"floor_pre_sec":${r3(preFloor)}""" +
