@@ -576,9 +576,22 @@ object Graph {
       // exact expressions the rows applied per evaluation before.
       val pairs = pairsLazy
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cnTop = linkPredCnFinish(pairs, deg, LpCnTopN)
-        .localCheckpoint(true)
-      val aaTop = adamicAdarFinish(pairs, LpCnTopN).localCheckpoint(true)
+      // two task waves for the Σdeg² wedge stream (guide §2.6/§2.2):
+      // per-center wedge counts vary quadratically with deg, so at one
+      // wave the last tasks straggle with most cores idle; measured
+      // −20 % on the fold at 2× parallelism (WedgeWalkProbe), and the
+      // count/integer-sum aggregates are partition-count-invariant.
+      // Parameterized by the session's core count, not a constant — at
+      // cluster scale AQE still coalesces the post-shuffle side by
+      // size, this floor only widens the map waves.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val (cnTop, aaTop) = try {
+        s.conf.set("spark.sql.shuffle.partitions",
+          math.max(2 * sc.defaultParallelism,
+            scala.util.Try(prevParts.toInt).getOrElse(0)).toString)
+        (linkPredCnFinish(pairs, deg, LpCnTopN).localCheckpoint(true),
+          adamicAdarFinish(pairs, LpCnTopN).localCheckpoint(true))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       pairs.unpersist(false)
       releaseUnpinned(sc, cappedIds)
       val pinIds = (sc.getPersistentRDDs.keySet -- before).toSet --

@@ -42,13 +42,20 @@ object WedgeWalkProbe {
             round(lit(1e6) / log(col("dg"))).cast("long").as("wt"))
           .localCheckpoint(true)
       }
-      t("wedge self-join + pair agg (noop)") {
-        noop(capped.as("x").join(capped.as("y"),
-            col("x.w") === col("y.w") && col("x.n") < col("y.n"))
-          .select((shiftleft(col("x.n"), 32) + col("y.n")).as("uv"),
-            col("x.wt"))
-          .groupBy(col("uv"))
-          .agg(count(lit(1)).as("cn"), sum(col("wt")).as("aa_fp")))
+      def wedgeAgg = capped.as("x").join(capped.as("y"),
+          col("x.w") === col("y.w") && col("x.n") < col("y.n"))
+        .select((shiftleft(col("x.n"), 32) + col("y.n")).as("uv"),
+          col("x.wt"))
+        .groupBy(col("uv"))
+        .agg(count(lit(1)).as("cn"), sum(col("wt")).as("aa_fp"))
+      t("wedge self-join + pair agg (noop)") { noop(wedgeAgg) }
+      for (p <- Seq(64, 128)) {
+        val s2 = capped.sparkSession
+        val prev = s2.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s2.conf.set("spark.sql.shuffle.partitions", p.toString)
+          t(s"wedge agg noop @ $p partitions") { noop(wedgeAgg) }
+        } finally s2.conf.set("spark.sql.shuffle.partitions", prev)
       }
       t("wedge rows (count of join output)") {
         println("[probe]   wedges = " + capped.as("x").join(capped.as("y"),
