@@ -576,22 +576,17 @@ object Graph {
       // exact expressions the rows applied per evaluation before.
       val pairs = pairsLazy
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // two task waves for the Σdeg² wedge stream (guide §2.6/§2.2):
-      // per-center wedge counts vary quadratically with deg, so at one
-      // wave the last tasks straggle with most cores idle; measured
-      // −20 % on the fold at 2× parallelism (WedgeWalkProbe), and the
-      // count/integer-sum aggregates are partition-count-invariant.
-      // Parameterized by the session's core count, not a constant — at
-      // cluster scale AQE still coalesces the post-shuffle side by
-      // size, this floor only widens the map waves.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      val (cnTop, aaTop) = try {
-        s.conf.set("spark.sql.shuffle.partitions",
-          math.max(2 * sc.defaultParallelism,
-            scala.util.Try(prevParts.toInt).getOrElse(0)).toString)
+      // NOTE (r20 second pass): a 2×-parallelism "two task waves" scope
+      // briefly lived here on a sequential WedgeWalkProbe reading of
+      // −20 % on the fold; an interleaved same-JVM A/B (WedgeAbProbe,
+      // 7 reps × {32, 64} partitions) could not replicate it — the warm
+      // spread exceeded any delta (warm_compare's own refusal rule), so
+      // the simpler session-default width ships. The fold is job-floor/
+      // GC-bound at sf0.1, not wave-bound; at cluster scale AQE sizes
+      // the post-shuffle side regardless.
+      val (cnTop, aaTop) =
         (linkPredCnFinish(pairs, deg, LpCnTopN).localCheckpoint(true),
           adamicAdarFinish(pairs, LpCnTopN).localCheckpoint(true))
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       pairs.unpersist(false)
       releaseUnpinned(sc, cappedIds)
       val pinIds = (sc.getPersistentRDDs.keySet -- before).toSet --
