@@ -106,8 +106,9 @@ object PprFamily {
     // the union adjacency holds ~6 weighted copies of the graph (3 for
     // the PPR trio, 1 for Katz, 2 for HITS' direction pair); width
     // scoped to that (same rationale as the standalone runs).
-    val p = math.min(sc.defaultParallelism.toLong,
-      6L * m / 1000000L + 1L).toInt
+    val p = sys.env.get("GRAFT_FAM_P").map(_.toInt).getOrElse(
+      math.min(sc.defaultParallelism.toLong,
+        6L * m / 1000000L + 1L).toInt)
 
     // per-family pre-weighted edges — the standalone runs' expressions
     // verbatim (w = 1/deg for the PPR pair, damping/deg for PageRank,
